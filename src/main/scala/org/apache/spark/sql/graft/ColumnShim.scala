@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst [[Expression]]s and the public
+  * [[Column]] API. Spark 4 backs `Column` with ColumnNodes, and the
+  * Expression<->Column converters are `private[sql]`; this shim (living in a
+  * `org.apache.spark.sql` subpackage) re-exports them for the graft engine.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
