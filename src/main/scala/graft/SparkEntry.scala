@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.Knn
+import graft.operators.{BalancedKMeans, Eval, Knn, MultiIndex, Mutations, Spann}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,9 +21,22 @@ object SparkEntry {
   // number of query vectors used by the kNN family (o_orderkey < QN)
   private val QN = 50
   private val K = 10
+  // SPANN knobs (ratio ~= 1/HeadNth; reference defaults at BASELINE.md)
+  private val HeadNth = 200
+  private val Replicas = 4
+  private val InternalK = 8
 
   private def q(s: SparkSession, d: String): DataFrame =
     Tables.ordersQuery(s, d).where(col("query_id") < QN)
+
+  private def heads(s: SparkSession, d: String): DataFrame =
+    Spann.selectHeadsModulo(Tables.lineitemVec(s, d), HeadNth)
+
+  private def postings(s: SparkSession, d: String): DataFrame =
+    Spann.buildPostings(Tables.lineitemVec(s, d), heads(s, d), Replicas)
+
+  private def spannResults(s: SparkSession, d: String): DataFrame =
+    Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K, InternalK)
 
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
@@ -43,6 +56,46 @@ object SparkEntry {
         q(s, d), Tables.lineitemVec(s, d), Tables.deletes(s, d), K))),
     "q06_knn_meta" -> ((s, d) =>
       ordered(Knn.searchWithMeta(q(s, d), Tables.lineitemVec(s, d), K))),
+    "q07_spann_postings" -> ((s, d) =>
+      ordered(postings(s, d)
+        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))),
+    "q08_spann_search" -> ((s, d) => ordered(spannResults(s, d))),
+    "q09_search_tree" -> ((s, d) =>
+      ordered(Spann.candidateHeads(q(s, d), heads(s, d), InternalK)
+        .select(col("query_id"), col("rank"), col("head_id"),
+          round(col("hdist"), 4).as("dist")))),
+    "q10_multi_index" -> ((s, d) =>
+      ordered(MultiIndex.weightedScan(
+        Tables.customerVec(s, d), Seq("vec_a", "vec_b"),
+        Seq(Array(5.0, 12.0, 18.0), Array(40.0, 8.0, 24.0)),
+        Seq(0.7, 0.3), K))),
+    "q11_truth_recall" -> ((s, d) =>
+      ordered(Eval.recallSummary(Eval.recallAt(
+        spannResults(s, d),
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K)))),
+    "q12_delete_by_vector" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val targets = corpus.where(col("id") <= 5)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      ordered(Mutations.deleteByVector(corpus, targets))
+    }),
+    "q13_knn_window" -> ((s, d) =>
+      ordered(Knn.searchViaWindow(q(s, d), Tables.lineitemVec(s, d), K))),
+    "q14_iter_relaxed" -> ((s, d) =>
+      ordered(Knn.search(q(s, d), Tables.lineitemVec(s, d), 20)
+        .withColumn("relaxed_mono", col("rank") > 15))),
+    "q15_spann_rng_postings" -> ((s, d) =>
+      ordered(Spann.buildPostingsRng(
+        Tables.lineitemVec(s, d), heads(s, d), Replicas)
+        .select(col("head_id"), col("id")))),
+    "q16_kmeans_assign" -> ((s, d) => {
+      val pts = Tables.lineitemVec(s, d)
+      val centers = pts.where(col("id") <= 8)
+        .select((col("id") - 1).as("cluster_id"),
+          col("vec").cast("array<double>").as("center"), lit(0L).as("count"))
+      ordered(BalancedKMeans.assign(pts, centers)
+        .select(col("id"), col("cluster_id"), round(col("dist"), 4).as("dist")))
+    }),
     "q20_tpch_q1" -> ((s, d) => tpchQ1(s, d))
   )
 
@@ -68,7 +121,10 @@ object SparkEntry {
       metric: String,
       corpusFilter: String = "",
       withMeta: Boolean = false,
-      antiDeletes: Boolean = false): String = {
+      antiDeletes: Boolean = false,
+      k: Int = K,
+      extraSel: String = "",
+      extraOrder: String = ""): String = {
     val distE = Tables.distSql(metric, "q.qvec", "v.vec")
     val del =
       if (antiDeletes)
@@ -82,9 +138,39 @@ object SparkEntry {
        |r AS (SELECT query_id, id, dist $metaCol,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
        |      FROM dd)
-       |SELECT query_id, rank, id, round(dist, 4) AS dist $metaCol
-       |FROM r WHERE rank <= $K
-       |ORDER BY query_id, rank, id, dist $metaCol""".stripMargin
+       |SELECT query_id, rank, id, round(dist, 4) AS dist $metaCol $extraSel
+       |FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank, id, dist $metaCol $extraOrder""".stripMargin
+  }
+
+  /** Shared CTE block for the SPANN pipeline oracles: corpus `v`, heads `h`,
+    * queries `q`, postings `p` (top-Replicas heads per vector), candidate
+    * heads `ch` (top-InternalK per query), two-stage results `sp`.
+    */
+  private def spannCtes: String = {
+    val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
+    val hDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
+    val sDist = Tables.distSql("l2sq", "ch.qvec", "p.vec")
+    s"""v AS (${Tables.lineitemVecSql}),
+       |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+       |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+       |p AS (SELECT * FROM (
+       |    SELECT id, vec, head_id, dist,
+       |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+       |    FROM pd) WHERE rn <= $Replicas),
+       |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist FROM q CROSS JOIN h),
+       |ch AS (SELECT * FROM (
+       |    SELECT query_id, qvec, head_id, hdist,
+       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank
+       |    FROM chd) WHERE rank <= $InternalK),
+       |sphits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+       |           FROM ch JOIN p ON ch.head_id = p.head_id
+       |           GROUP BY ch.query_id, p.id),
+       |sp AS (SELECT * FROM (
+       |    SELECT query_id, id, dist,
+       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |    FROM sphits) WHERE rank <= $K)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -94,6 +180,68 @@ object SparkEntry {
     "q04_knn_filtered" -> knnOracle("l2sq", corpusFilter = "AND meta <> 'AF'"),
     "q05_knn_deletes" -> knnOracle("l2sq", antiDeletes = true),
     "q06_knn_meta" -> knnOracle("l2sq", withMeta = true),
+    "q07_spann_postings" ->
+      s"""WITH $spannCtes
+         |SELECT head_id, id, round(dist, 4) AS dist FROM p
+         |ORDER BY head_id, id, dist""".stripMargin,
+    "q08_spann_search" ->
+      s"""WITH $spannCtes
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
+         |ORDER BY query_id, rank, id, dist""".stripMargin,
+    "q09_search_tree" ->
+      s"""WITH $spannCtes
+         |SELECT query_id, rank, head_id, round(hdist, 4) AS dist FROM ch
+         |ORDER BY query_id, rank, head_id, dist""".stripMargin,
+    "q10_multi_index" -> {
+      val dA = Tables.distSql("l2sq", "vec_a", "[5.0, 12.0, 18.0]")
+      val dB = Tables.distSql("l2sq", "vec_b", "[40.0, 8.0, 24.0]")
+      s"""WITH cv AS (${Tables.customerVecSql}),
+         |sc AS (SELECT id, 0.7::DOUBLE * ($dA) + 0.3::DOUBLE * ($dB) AS score FROM cv),
+         |r AS (SELECT id, score, CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank FROM sc)
+         |SELECT rank, id, round(score, 4) AS score FROM r WHERE rank <= $K
+         |ORDER BY rank, id, score""".stripMargin
+    },
+    "q11_truth_recall" -> {
+      val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      s"""WITH $spannCtes,
+         |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
+         |ex AS (SELECT * FROM (
+         |    SELECT query_id, id, dist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |t AS (SELECT query_id, id, round(dist, 4) AS dist FROM ex),
+         |r AS (SELECT query_id, id, round(dist, 4) AS dist FROM sp),
+         |hits AS (SELECT t.query_id, t.id,
+         |           max(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+         |         FROM t LEFT JOIN r
+         |           ON t.query_id = r.query_id
+         |          AND (r.id = t.id OR abs(r.dist - t.dist) < 1e-6)
+         |         GROUP BY t.query_id, t.id),
+         |pq AS (SELECT query_id, CAST(sum(hit) AS DOUBLE) / $K AS recall FROM hits GROUP BY query_id)
+         |SELECT round(avg(recall), 4) AS avg_recall, round(min(recall), 4) AS min_recall,
+         |       round(max(recall), 4) AS max_recall, count(*) AS n_queries
+         |FROM pq""".stripMargin
+    },
+    "q12_delete_by_vector" -> {
+      val dd = Tables.distSql("l2sq", "t.qvec", "v.vec")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |t AS (SELECT id AS query_id, vec AS qvec FROM v WHERE id <= 5)
+         |SELECT DISTINCT v.id FROM v CROSS JOIN t WHERE $dd < 1e-6
+         |ORDER BY id""".stripMargin
+    },
+    "q13_knn_window" -> knnOracle("l2sq"),
+    "q14_iter_relaxed" -> knnOracle("l2sq", k = 20,
+      extraSel = ", rank > 15 AS relaxed_mono", extraOrder = ", relaxed_mono"),
+    "q16_kmeans_assign" -> {
+      val dd = Tables.distSql("l2sq", "v.vec", "c.center")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |c AS (SELECT id - 1 AS cluster_id, vec AS center FROM v WHERE id <= 8),
+         |d AS (SELECT v.id, c.cluster_id, $dd AS dist FROM v CROSS JOIN c),
+         |a AS (SELECT id, cluster_id, dist,
+         |        row_number() OVER (PARTITION BY id ORDER BY dist, cluster_id) AS rn FROM d)
+         |SELECT id, cluster_id, round(dist, 4) AS dist FROM a WHERE rn = 1
+         |ORDER BY id, cluster_id, dist""".stripMargin
+    },
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.dist
+
+/** Balance-penalized Lloyd's k-means in DataFrames (B1/B14, the reference's
+  * BKTree clustering: `AnnService/inc/Core/Common/BKTree.h:466-499` with the
+  * λ·count balance penalty of `:125-197` and the MPI partitioner
+  * `src/BalancedDataPartition/main.cpp:151-310`).
+  *
+  * Per iteration: broadcast the k centers (+ their previous-iteration
+  * cluster sizes), assign each point to `argmin(dist + λ·count)`, recompute
+  * centers as per-dimension means. Deterministic: seeded by "first k ids",
+  * ties broken by cluster_id. `localCheckpoint` truncates the iterative
+  * lineage so the plan stays small (SURVEY.md §7 hard-parts note).
+  *
+  * At 100 TB: the corpus never leaves the executors — only the k centers
+  * (k ≤ heads ratio · n, broadcastable by construction) round-trip.
+  */
+object BalancedKMeans {
+
+  /** points(id, vec) → centers(cluster_id BIGINT, center ARRAY<DOUBLE>, count BIGINT) */
+  def fit(
+      points: DataFrame,
+      k: Int,
+      maxIter: Int = 5,
+      lambda: Double = 0.0,
+      metric: String = "l2sq"): DataFrame = {
+    val spark = points.sparkSession
+    // deterministic init: the k smallest-id points are the seed centers
+    var centers = points.orderBy(col("id")).limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long").as("cluster_id"),
+        col("vec").cast("array<double>").as("center"))
+      .withColumn("count", lit(0L))
+      .localCheckpoint(true)
+
+    var iter = 0
+    while (iter < maxIter) {
+      val assigned = assign(points, centers, lambda, metric)
+      centers = recomputeCenters(assigned, centers.sparkSession)
+        .localCheckpoint(true)
+      iter += 1
+    }
+    centers
+  }
+
+  /** One assignment step: `(id, vec, cluster_id, dist)`; cost =
+    * dist + λ·count(cluster) with count from the centers frame.
+    */
+  def assign(
+      points: DataFrame,
+      centers: DataFrame,
+      lambda: Double = 0.0,
+      metric: String = "l2sq"): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cost"), col("cluster_id"))
+    points.crossJoin(broadcast(centers))
+      .withColumn("dist", dist.byName(metric)(col("vec"), col("center")))
+      .withColumn("cost", col("dist") + lit(lambda) * col("count"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("id"), col("vec"), col("cluster_id"), col("dist"))
+  }
+
+  /** groupBy(cluster) per-dimension mean, via posexplode so no vector UDAF
+    * is needed; all double math.
+    */
+  private def recomputeCenters(assigned: DataFrame, spark: SparkSession): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("center"),
+        first(col("n")).as("count"))
+
+  /** Balance diagnostic: stddev/avg of cluster sizes (lower = more balanced). */
+  def sizeSkew(assigned: DataFrame): Double = {
+    val sizes = assigned.groupBy(col("cluster_id")).count()
+      .agg(stddev_pop(col("count")).as("sd"), avg(col("count")).as("m"))
+      .head()
+    val sd = Option(sizes.getDouble(0)).getOrElse(0.0)
+    sd / math.max(sizes.getDouble(1), 1e-9)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Truth generation + recall/MRR evaluation (Q12/Q13,
+  * `AnnService/inc/Core/Common/TruthSet.h:162-240`).
+  */
+object Eval {
+
+  /** Exact-kNN ground truth (TruthSet::GenerateTruth ≡ brute-force top-k). */
+  def truth(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      metric: String = "l2sq"): DataFrame =
+    Knn.search(queries, corpus, k, metric)
+
+  /** Per-query Recall@K with the reference's distance-tie credit
+    * (`TruthSet.h:189-205`): a result id counts as a hit if it is in the
+    * truth set OR its distance ties a truth distance within eps.
+    * Inputs: `(query_id, rank, id, dist)` frames.
+    */
+  def recallAt(
+      results: DataFrame,
+      truthDf: DataFrame,
+      k: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val r = results.where(col("rank") <= k)
+      .select(col("query_id").as("rqid"), col("id").as("rid"), col("dist").as("rdist"))
+    val t = truthDf.where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("tid"), col("dist").as("tdist"))
+    // reference iterates the TRUTH side: each truth item is a hit if some
+    // result shares its id or ties its distance within eps
+    val hits = t.join(r,
+        t("query_id") === r("rqid") &&
+          (r("rid") === t("tid") || abs(r("rdist") - t("tdist")) < eps),
+        "left")
+      .groupBy(t("query_id"), t("tid"))
+      .agg(max(when(r("rid").isNotNull, 1).otherwise(0)).as("hit"))
+    hits.groupBy(col("query_id"))
+      .agg((sum(col("hit")).cast("double") / k).as("recall"))
+  }
+
+  /** Mean/min/max/std recall summary (`TruthSet.h:206-240` log output). */
+  def recallSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      round(avg(col("recall")), 4).as("avg_recall"),
+      round(min(col("recall")), 4).as("min_recall"),
+      round(max(col("recall")), 4).as("max_recall"),
+      count(lit(1)).as("n_queries"))
+
+  /** MRR@K: reciprocal rank of the first result that hits the truth top-K. */
+  def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
+    val t = truthDf.where(col("rank") <= k)
+      .select(col("query_id"), col("id"))
+    val firstHit = results.where(col("rank") <= k)
+      .join(t, Seq("query_id", "id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("first_hit"))
+    results.select(col("query_id")).distinct()
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 4).as("mrr"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dist, RngPrune, TopKByDistance}
+
+/** SPANN-shaped index build + two-stage search — the Spark-native flagship
+  * (SURVEY.md §7). Heads (cluster centroids / selected vectors) stay small and
+  * broadcastable; postings carry the full corpus partitioned by `head_id`, so
+  * stage-2 reads only the partitions the stage-1 candidates name — the
+  * dataflow equivalent of the reference's page-selective SSD reads
+  * (`AnnService/inc/Core/SPANN/ExtraFullGraphSearcher.h:226-377`).
+  */
+object Spann {
+
+  /** Deterministic head selection: every `everyNth` vector is a head
+    * (`head_id` = vector id). Semantically a stand-in for SelectHead's
+    * ratio-targeted tree walk (`SPANNIndex.cpp:707-815`) with
+    * ratio = 1/everyNth; fully oracle-able. K-means-based selection lives in
+    * [[selectHeadsKMeans]].
+    */
+  def selectHeadsModulo(vectors: DataFrame, everyNth: Int): DataFrame =
+    vectors.where(col("id") % everyNth === 0)
+      .select(col("id").as("head_id"), col("vec").as("head_vec"))
+
+  /** Head selection via balanced k-means (B1+B6): cluster, then emit the
+    * centroids as head vectors with synthetic ids.
+    */
+  def selectHeadsKMeans(
+      vectors: DataFrame,
+      k: Int,
+      maxIter: Int = 5,
+      lambda: Double = 0.0): DataFrame =
+    BalancedKMeans.fit(vectors, k, maxIter, lambda)
+      .select(col("cluster_id").as("head_id"), col("center").as("head_vec"))
+
+  /** Posting assignment (B8, `VectorIndex.cpp:884-986`): each vector joins
+    * its `replicaCount` nearest heads. Heads are broadcast (ratio-bounded);
+    * the corpus streams through map tasks and the bounded top-k aggregate
+    * keeps the shuffle at O(n · replicaCount).
+    *
+    * Returns `(head_id, id, vec, dist)` — write this `partitionBy("head_id")`
+    * (or bucketed) so stage-2 gets partition pruning.
+    */
+  def buildPostings(
+      vectors: DataFrame,
+      heads: DataFrame,
+      replicaCount: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(heads))
+      .withColumn("hdist", dist.byName(metric)(col("vec"), col("head_vec")))
+    scored
+      .groupBy(col("id"))
+      .agg(
+        TopKByDistance.topk(col("head_id"), col("hdist"), replicaCount).as("nn"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), explode(col("nn")).as("r"))
+      .select(col("r.id").as("head_id"), col("id"), col("vec"),
+        col("r.dist").as("dist"))
+  }
+
+  /** Posting assignment with the RNG rule between chosen heads (the
+    * reference's ApproximateRNG: a head is skipped when an already-chosen
+    * closer head makes it redundant, `VectorIndex.cpp:930-960`). Candidates =
+    * `candidateFactor * replicaCount` nearest heads, pruned per-vector.
+    */
+  def buildPostingsRng(
+      vectors: DataFrame,
+      heads: DataFrame,
+      replicaCount: Int,
+      rngFactor: Double = 1.0,
+      candidateFactor: Int = 4,
+      metric: String = "l2sq"): DataFrame = {
+    val candK = replicaCount * candidateFactor
+    // bounded candidate set first (map-side top-k), THEN the per-vector prune
+    val cands = buildPostings(vectors, heads, candK, metric)
+      .join(broadcast(heads), Seq("head_id"))
+    val withCands = cands
+      .groupBy(col("id"))
+      .agg(
+        first(col("vec")).as("vec"),
+        sort_array(collect_list(struct(
+          col("dist"), col("head_id").as("cid"),
+          col("head_vec").as("cvec")))).as("cands"))
+    withCands
+      .withColumn("accepted", RngPrune(col("cands"), rngFactor, replicaCount))
+      .select(col("id"), col("vec"), explode(col("accepted")).as("head_id"))
+      .select(col("head_id"), col("id"), col("vec"))
+  }
+
+  /** Truncate postings per head (B9 `PostingPageLimit` semantics,
+    * `ExtraFullGraphSearcher.h:723-760`): keep the `limit` closest vectors
+    * per head, dropping the farthest replicas first.
+    */
+  def truncatePostings(postings: DataFrame, limit: Int): DataFrame = {
+    val w = Window.partitionBy(col("head_id")).orderBy(col("dist"), col("id"))
+    postings.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= limit).drop("_rn")
+  }
+
+  /** Two-stage SPANN search (Q5, `SPANNIndex.cpp:193-258`):
+    * 1. stage-1: per query, `internalK` nearest heads (broadcast heads);
+    *    prune candidates with `dist > maxDistRatio * bestDist`
+    *    (`SPANNIndex.cpp:217-236`);
+    * 2. stage-2: join the pruned (query, head) pairs against `postings` on
+    *    `head_id` (partition-pruned scan), compute exact distance per posting
+    *    entry, dedup replicas (`m_deduper` ≡ groupBy min), final top-k.
+    */
+  def searchTwoStage(
+      queries: DataFrame,
+      heads: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      internalK: Int,
+      maxDistRatio: Double = Double.MaxValue,
+      metric: String = "l2sq"): DataFrame = {
+    val cand = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+    val hits = cand.join(postings, Seq("head_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
+      .groupBy(col("query_id"), col("id"))
+      .agg(min(col("pdist")).as("pdist")) // replica dedup
+    Knn.explodeRanked(
+      hits.groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("pdist"), k).as("nn")))
+  }
+
+  /** Stage-1 candidate heads per query: `(query_id, head_id)` (Q8
+    * SearchTree semantics when used alone, `BKTIndex.cpp:713-736`).
+    */
+  def candidateHeads(
+      queries: DataFrame,
+      heads: DataFrame,
+      internalK: Int,
+      maxDistRatio: Double = Double.MaxValue,
+      metric: String = "l2sq"): DataFrame = {
+    val agged = heads.crossJoin(broadcast(queries))
+      .withColumn("hdist", dist.byName(metric)(col("qvec"), col("head_vec")))
+      .groupBy(col("query_id"))
+      .agg(TopKByDistance.topk(col("head_id"), col("hdist"), internalK).as("nn"))
+    val exploded = agged
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "r")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("r.id").as("head_id"), col("r.dist").as("hdist"))
+    if (maxDistRatio == Double.MaxValue) exploded
+    else {
+      val wMin = Window.partitionBy(col("query_id"))
+      exploded
+        .withColumn("_best", min(col("hdist")).over(wMin))
+        .where(col("hdist") <= lit(maxDistRatio) * col("_best"))
+        .drop("_best")
+    }
+  }
+}

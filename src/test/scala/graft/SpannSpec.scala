@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, Knn, Spann}
+
+/** End-to-end SPANN pipeline on real testdata (mirrors
+  * `Test/src/SSDServingTest.cpp:411-777`: SelectHead → Build → Search with
+  * truth-based recall).
+  */
+class SpannSpec extends SparkSpec {
+
+  private lazy val corpus = Tables.lineitemVec(spark, sf0001).cache()
+  private lazy val queries =
+    Tables.ordersQuery(spark, sf0001).where(col("query_id") < 20).cache()
+
+  test("two-stage search recall@10 >= 0.9 vs exact (SSDServingTest recall gate)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val approx = Spann.searchTwoStage(queries, heads, postings, 10, 8)
+    val exact = Knn.search(queries, corpus, 10)
+    val rec = Eval.recallSummary(Eval.recallAt(approx, exact, 10)).head()
+    assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
+  }
+
+  test("posting truncation keeps closest per head (PostingPageLimit)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val capped = Spann.truncatePostings(postings, 20)
+    val maxLen = capped.groupBy("head_id").count().agg(max("count")).head().getLong(0)
+    assert(maxLen <= 20)
+    // kept rows are each head's closest
+    val viol = capped.groupBy("head_id").agg(max("dist").as("kept_max"))
+      .join(postings.join(capped.select("head_id", "id").withColumn("_k", lit(1)),
+        Seq("head_id", "id"), "left_anti")
+        .groupBy("head_id").agg(min("dist").as("dropped_min")), Seq("head_id"))
+      .where(col("dropped_min") < col("kept_max"))
+    assert(viol.count() === 0)
+  }
+
+  test("RNG postings are a subset of plain top-(4x) postings, all vectors covered") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val rng = Spann.buildPostingsRng(corpus, heads, 4)
+    val plain = Spann.buildPostings(corpus, heads, 16)
+    assert(rng.select("head_id", "id")
+      .exceptAll(plain.select("head_id", "id")).count() === 0)
+    assert(rng.select("id").distinct().count() === corpus.count())
+    // at most replicaCount postings per vector
+    assert(rng.groupBy("id").count().agg(max("count")).head().getLong(0) <= 4)
+  }
+
+  test("kmeans-selected heads also give good recall") {
+    val heads = Spann.selectHeadsKMeans(corpus, 40, maxIter = 3)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val approx = Spann.searchTwoStage(queries, heads, postings, 10, 6)
+    val exact = Knn.search(queries, corpus, 10)
+    val rec = Eval.recallSummary(Eval.recallAt(approx, exact, 10)).head()
+    assert(rec.getDouble(0) >= 0.8, s"avg recall ${rec.getDouble(0)}")
+  }
+}
