@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BalancedKMeans, Eval, Knn, MultiIndex, Mutations, Spann}
+import graft.operators.{BalancedKMeans, Dedup, Eval, Knn, MultiIndex, Multimodal, Mutations, SimilaritySearch, Spann, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,8 +96,40 @@ object SparkEntry {
       ordered(BalancedKMeans.assign(pts, centers)
         .select(col("id"), col("cluster_id"), round(col("dist"), 4).as("dist")))
     }),
-    "q20_tpch_q1" -> ((s, d) => tpchQ1(s, d))
+    "q20_tpch_q1" -> ((s, d) => tpchQ1(s, d)),
+    // ---- training-data pipeline operators ----
+    "q30_text_stats" -> ((s, d) =>
+      ordered(TextAnalysis.stats(Tables.documents(s, d)))),
+    "q31_lang_id" -> ((s, d) =>
+      ordered(TextAnalysis.langId(Tables.documents(s, d)))),
+    "q32_dedup_exact" -> ((s, d) =>
+      ordered(Dedup.exact(Tables.documents(s, d)))),
+    "q33_dedup_minhash" -> ((s, d) =>
+      ordered(Dedup.minhashDedup(Tables.documents(s, d), 0.3))),
+    "q34_dedup_jaccard" -> ((s, d) =>
+      ordered(Dedup.jaccard(Dedup.shingles(Tables.documents(s, d)))
+        .where(col("jaccard") >= 0.3))),
+    "q35_dedup_simhash" -> ((s, d) =>
+      ordered(Dedup.simhash16(Tables.documents(s, d)))),
+    "q36_dedup_embedding" -> ((s, d) =>
+      ordered(Dedup.embeddingPairs(Tables.embeddingVec(s, d), 0.6))),
+    "q37_ann_bruteforce" -> ((s, d) =>
+      ordered(SimilaritySearch.bruteForce(
+        embQueries(s, d), Tables.embeddingVec(s, d), K))),
+    "q38_ann_ivf" -> ((s, d) =>
+      ordered(SimilaritySearch.ivfSearch(
+        embQueries(s, d), Tables.embeddingVec(s, d), K,
+        centroidEveryNth = 25, nprobe = 4))),
+    "q39_fingerprint" -> ((s, d) =>
+      ordered(Dedup.fingerprint(Tables.documents(s, d)))),
+    "q40_ann_lsh" -> ((s, d) =>
+      ordered(SimilaritySearch.lshCodes(Tables.embeddingVec(s, d), dims = 64))),
+    "q41_multimodal" -> ((s, d) => ordered(Multimodal.byteStats(s, d)))
   )
+
+  private def embQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddingVec(s, d).where(col("id") < 10)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
 
   /** TPC-H Q1-style pricing summary (relational anchor; exercises partial
     * aggregation). Money sums go through DECIMAL(18,4) so the result is
@@ -250,6 +282,130 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q30_text_stats" ->
+      s"""SELECT ${TextAnalysis.Sql.statsSelect}
+         |FROM documents
+         |ORDER BY doc_id, n_tokens, n_bpe_tokens, uniq_ratio, stop_ratio, punct_ratio, quality""".stripMargin,
+    "q31_lang_id" ->
+      s"""SELECT ${TextAnalysis.Sql.langIdSelect}
+         |FROM documents
+         |ORDER BY doc_id, pred_lang""".stripMargin,
+    "q32_dedup_exact" ->
+      s"""WITH h AS (SELECT doc_id, ${graft.functions.Hash60.sql("text")} AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS canon_id FROM h GROUP BY h)
+         |SELECT h.doc_id, c.canon_id FROM h JOIN c ON h.h = c.h
+         |ORDER BY doc_id, canon_id""".stripMargin,
+    "q33_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |mh AS (SELECT doc_id, j, min(${graft.functions.Hash60.sql("j::VARCHAR || '|' || sh")}) AS mh
+         |       FROM sh, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |            ${graft.functions.Hash60.sql("string_agg(mh::VARCHAR, '|' ORDER BY j)")} AS band_hash
+         |          FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+         |         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |$jaccardCtes
+         |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= 0.3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q34_dedup_jaccard" ->
+      s"""WITH $shingleCtes,
+         |$jaccardCtes
+         |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.3
+         |ORDER BY a, b, jaccard""".stripMargin,
+    "q35_dedup_simhash" -> {
+      val sums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val code = (0 until 16).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${graft.functions.Hash60.sql("tk")} AS h FROM tok),
+         |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits
+         |ORDER BY doc_id, simhash""".stripMargin
+    },
+    "q36_dedup_embedding" -> {
+      val cd = Tables.distSql("cos", "a.vec", "b.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+         |SELECT a.id AS a, b.id AS b, round($cd, 4) AS cos_dist
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE $cd < 0.6
+         |ORDER BY a, b, cos_dist""".stripMargin
+    },
+    "q37_ann_bruteforce" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, v.id, $cd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM d)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q38_ann_ivf" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
+      val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % 25 = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT * FROM (SELECT id, vec, head_id, dist,
+         |        row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn FROM pd) WHERE rn <= 1),
+         |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist FROM q CROSS JOIN h),
+         |ch AS (SELECT * FROM (SELECT query_id, qvec, head_id, hdist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS rn FROM chd) WHERE rn <= 4),
+         |hits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+         |         FROM ch JOIN p ON ch.head_id = p.head_id GROUP BY ch.query_id, p.id),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM hits)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q39_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+         |    i -> ${graft.functions.Hash60.sql("substr(text, i, 8)")})) AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id, fingerprint""".stripMargin,
+    "q40_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |w AS (SELECT p, d,
+         |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+         |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p)
+         |SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+         |FROM dots GROUP BY id
+         |ORDER BY id, code""".stripMargin,
+    "q41_multimodal" ->
+      s"""SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  ascii(substr(text, 1, 1)) AS first_byte,
+         |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+         |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
+         |FROM documents
+         |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin
   )
+
+  /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`. */
+  private def shingleCtes: String =
+    s"""t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 1)),
+       |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM t))""".stripMargin
+
+  /** Jaccard CTEs over `sh`: pair intersections, sizes, `jac(a,b,jaccard)`. */
+  private def jaccardCtes: String =
+    """inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      |          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      |          GROUP BY l.doc_id, r.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jac AS (SELECT i.a, i.b,
+      |          round(i.inter::DOUBLE / (sa.n + sb.n - i.inter)::DOUBLE, 4) AS jaccard
+      |        FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+      |        JOIN sizes sb ON i.b = sb.doc_id)""".stripMargin
 }

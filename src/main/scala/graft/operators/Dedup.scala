@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash60
+import graft.operators.TextAnalysis.tokens
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine. Signature/banding math is all
+  * [[Hash60]]-based so every stage is reproducible in the DuckDB oracle.
+  *
+  * Scale notes (100 TB posture):
+  *  - exact dedup = hash-groupBy: one shuffle on a 60-bit key, no skew
+  *    (md5 is uniform);
+  *  - MinHash/LSH avoids the O(n²) pair space: candidates come from
+  *    equi-joins on (band, band_hash) buckets — shuffle ∝ corpus size, and
+  *    only bucket-mates are compared;
+  *  - SimHash reduces each doc to one 16-bit int; near-dup = small
+  *    hamming ball;
+  *  - embedding near-dup: brute pairwise is the correctness baseline;
+  *    the LSH-bucketed variant in [[SimilaritySearch]] is the scale path.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min doc id among identical texts.
+    * Output `(doc_id, canon_id)`, one row per doc.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), Hash60(col(textCol)).as("h"))
+    val canon = hashed.groupBy(col("h")).agg(min(col(idCol)).as("canon_id"))
+    hashed.join(canon, Seq("h")).select(col(idCol), col("canon_id"))
+  }
+
+  /** Distinct n-word shingles per doc: `(doc_id, sh)`. */
+  def shingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        array_distinct(transform(
+          // greatest(..., 1): Spark's sequence(1,0) DESCENDS while DuckDB's
+          // generate_series(1,0) is empty — clamp to 1 in both engines
+          sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("sh"))
+
+  /** MinHash signatures: `(doc_id, sig ARRAY<BIGINT>[numHashes])`, where
+    * sig[j] = min over shingles of hash60(j || '|' || shingle).
+    */
+  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
+    sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until numHashes).map(j =>
+        Hash60(concat(lit(j.toString), lit("|"), col("sh")))): _*))
+        .as(Seq("j", "hj")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("hj")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("j"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
+    * band → `(doc_id, band, band_hash)`.
+    */
+  def lshBands(sigs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    sigs.select(col("doc_id"), posexplode(
+      array((0 until numBands).map(b =>
+        Hash60(concat_ws("|",
+          (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*))): _*))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs = docs sharing any LSH band bucket: `(a, b)`, a < b. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+    val r = bands.select(col("doc_id").as("b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (or all pairs if `pairs` empty):
+    * `(a, b, jaccard)`.
+    */
+  def jaccard(sh: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val l = sh.select(col("doc_id").as("a"), col("sh"))
+    val r = sh.select(col("doc_id").as("b"), col("sh"))
+    val inter0 = l.join(r, Seq("sh")).where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val inter = pairs.map(p => inter0.join(p, Seq("a", "b"), "left_semi")).getOrElse(inter0)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: LSH candidates verified by exact Jaccard
+    * ≥ threshold. Output `(a, b, jaccard)`.
+    */
+  def minhashDedup(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(docs)
+    val cands = lshCandidates(lshBands(minhash(sh, numHashes), numHashes, rowsPerBand))
+    jaccard(sh, Some(cands)).where(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over the token multiset: bit b is set when
+    * Σ_tokens (bit_b(hash60(token)) ? +1 : −1) > 0. Output `(doc_id, simhash)`.
+    */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bits = 16
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", Hash60(col("t")))
+    val sums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b"))
+    tok
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val l = sims.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = sims.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs below a distance threshold (brute
+    * pairwise — correctness baseline; see [[SimilaritySearch.lshCodes]] for
+    * the bucketed scale path). Input `(id, vec)`; output `(a, b, cos_dist)`.
+    */
+  def embeddingPairs(emb: DataFrame, maxCosDist: Double): DataFrame = {
+    val l = emb.select(col("id").as("a"), col("vec").as("va"))
+    val r = emb.select(col("id").as("b"), col("vec").as("vb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .withColumn("cos_dist", graft.functions.dist.cos(col("va"), col("vb")))
+      .where(col("cos_dist") < maxCosDist)
+      .select(col("a"), col("b"), round(col("cos_dist"), 4).as("cos_dist"))
+  }
+
+  /** Winnowing-lite document fingerprint: min hash60 over all `n`-char
+    * windows of the raw text. Output `(doc_id, fingerprint)`.
+    */
+  def fingerprint(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+        i => Hash60(col(textCol).substr(i, lit(n))))).as("fingerprint"))
+
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `BINARY` columns with typed metadata; decode / feature-extraction runs as
+  * a partition-local batch transform ([[Dataset.mapPartitions]] — the Scala
+  * analogue of `mapInPandas` batch UDFs).
+  *
+  * The decode step itself is a STUB (no media codecs in this environment):
+  * [[fakeDecode]] is a deterministic byte-level stand-in with the same
+  * shape a real decoder would have (bytes → fixed-length float features).
+  * Everything around it — schema, batching, partitioning, the feature
+  * contract — is real and tested.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (FIXTURES.md §C style). */
+  case class MediaRow(
+      id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sampleRate: Int)
+
+  case class MediaFeatures(
+      id: Long,
+      kind: String,
+      nBytes: Int,
+      checksum: Long,
+      features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** Deterministic fake decoder: 16-bin byte histogram, L1-normalized.
+    * Replace with a real codec (JNI/ffmpeg/javax.imageio) in production —
+    * the call site, batching, and output contract stay identical.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % FeatureDim) += 1f
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Partition-local feature extraction: one pass per partition, no shuffle;
+    * at 100 TB this is the map stage right after a binary-file scan
+    * (payloads never leave their executor).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+        MediaFeatures(r.id, r.kind, r.payload.length, sum, fakeDecode(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: deterministic stride over the
+    * payload (a real impl strides over decoded frames; same dataflow shape:
+    * one row in → `nFrames` rows out via flatMap).
+    */
+  case class Frame(id: Long, frameNo: Int, frameBytes: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val n = r.payload.length
+      if (n == 0) Seq.empty
+      else (0 until nFrames).map { f =>
+        val start = (n.toLong * f / nFrames).toInt
+        val end = (n.toLong * (f + 1) / nFrames).toInt
+        Frame(r.id, f, r.payload.slice(start, math.max(end, start + 1)))
+      }
+    }
+  }
+
+  /** Build a media table from the documents fixture (text bytes as the
+    * opaque payload) — deterministic, so feature outputs are oracle-able.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 64).cast("int").as("width"),
+        (col("n_chars") % 48).cast("int").as("height"),
+        lit(16000).as("sampleRate"))
+      .as[MediaRow]
+  }
+
+  /** SQL-parity feature view used by the oracle query: byte stats computable
+    * on both engines (n_bytes, first byte, integer checksum).
+    */
+  def byteStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).as("first_byte"),
+      aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("checksum"))
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization, token
+  * counting, quality scoring, language ID. All pure per-row column math —
+  * embarrassingly parallel, no shuffle, whole-stage-codegen'd; at 100 TB these
+  * run at scan speed.
+  *
+  * Every function has an exact DuckDB mirror (kept in [[TextAnalysis.Sql]])
+  * so outputs are oracle-hashable.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase, split on non-alphanumeric runs, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** BPE-ish token count: alpha runs + digit runs + individual symbols. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Per-language stopword lists for the n-gram/stopword language heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "de", "que", "por", "se"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Per-document stats: `(doc_id, n_tokens, n_bpe_tokens, uniq_ratio,
+    * stop_ratio, punct_ratio, quality)` — the quality score is a fixed
+    * weighted combination of length/stopword/uniqueness/punctuation signals.
+    */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val nUniq = size(array_distinct(t)).cast("double")
+    val stop = hitCount(t, Stopwords.head._2).cast("double")
+    val punct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double")
+    val chars = length(col(textCol)).cast("double")
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      tokenCountBpe(col(textCol)).as("n_bpe_tokens"),
+      round(nUniq / greatest(nTok, lit(1.0)), 4).as("uniq_ratio"),
+      round(stop / greatest(nTok, lit(1.0)), 4).as("stop_ratio"),
+      round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
+      round(
+        lit(0.4) * (nUniq / greatest(nTok, lit(1.0))) +
+          lit(0.3) * (stop / greatest(nTok, lit(1.0))) +
+          lit(0.2) * least(nTok / lit(200.0), lit(1.0)) +
+          lit(0.1) * (lit(1.0) - punct / greatest(chars, lit(1.0))), 4)
+        .as("quality"))
+  }
+
+  /** Stopword-profile language ID: pick the language with the most stopword
+    * hits (ties broken by list order, 'und' when nothing matches).
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = Stopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(hitCount(t, words).as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    docs.select(
+      col(idCol),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("pred_lang"))
+  }
+
+  /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
+  object Sql {
+    def toks(e: String): String =
+      s"list_filter(string_split_regex(lower($e), '[^a-z0-9]+'), t -> t <> '')"
+
+    def hitCount(toksE: String, words: Seq[String]): String =
+      s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+    val statsSelect: String = {
+      val t = toks("text")
+      val nTok = s"len($t)::DOUBLE"
+      val nUniq = s"len(list_distinct($t))::DOUBLE"
+      val stop = s"${hitCount(t, Stopwords.head._2)}::DOUBLE"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE"
+      val chars = "length(text)::DOUBLE"
+      s"""doc_id,
+         |  len($t) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         |  round($nUniq / greatest($nTok, 1.0), 4) AS uniq_ratio,
+         |  round($stop / greatest($nTok, 1.0), 4) AS stop_ratio,
+         |  round($punct / greatest($chars, 1.0), 4) AS punct_ratio,
+         |  round(0.4::DOUBLE * ($nUniq / greatest($nTok, 1.0))
+         |      + 0.3::DOUBLE * ($stop / greatest($nTok, 1.0))
+         |      + 0.2::DOUBLE * least($nTok / 200.0, 1.0)
+         |      + 0.1::DOUBLE * (1.0 - $punct / greatest($chars, 1.0)), 4) AS quality""".stripMargin
+    }
+
+    /** DuckDB 1.0 lacks greatest() over structs; the priority-ordered argmax
+      * (max hits, earlier language wins ties) is spelled as a CASE cascade —
+      * equivalent to Spark's lexicographic struct-greatest on (hits, -index).
+      */
+    val langIdSelect: String = {
+      val t = toks("text")
+      val hits = Stopwords.map { case (lang, words) => lang -> hitCount(t, words) }
+      val langs = hits.map(_._1)
+      val zero = hits.map { case (_, h) => s"$h = 0" }.mkString(" AND ")
+      val cascade = langs.init.zipWithIndex.map { case (lang, i) =>
+        val rest = langs.drop(i + 1)
+        val cond = rest.map(o => s"${hits(i)._2} >= ${hits(langs.indexOf(o))._2}").mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("\n       ")
+      s"""doc_id,
+         |  CASE WHEN $zero THEN 'und'
+         |       $cascade
+         |       ELSE '${langs.last}' END AS pred_lang""".stripMargin
+    }
+  }
+}

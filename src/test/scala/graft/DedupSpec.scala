@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (3L, "completely different text about spark engines and data")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val res = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("jaccard finds the near-dup pair, not the unrelated one") {
+    val jac = Dedup.jaccard(Dedup.shingles(docs))
+      .where(col("jaccard") >= 0.3).collect()
+    val pairs = jac.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs; verified output correct") {
+    val res = Dedup.minhashDedup(docs, 0.3).collect()
+    val pairs = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    val exact = pairs.filter { case (a, b) => (a, b) == (0L, 1L) }
+    assert(exact.nonEmpty)
+  }
+
+  test("identical docs have identical minhash signature and simhash") {
+    val sig = Dedup.minhash(Dedup.shingles(docs)).orderBy("doc_id").collect()
+    assert(sig(0).getSeq[Long](1) === sig(1).getSeq[Long](1))
+    val sim = Dedup.simhash16(docs).orderBy("doc_id").collect()
+    assert(sim(0).getLong(1) === sim(1).getLong(1))
+    // near-dup simhash within small hamming distance
+    val h0 = sim(0).getLong(1); val h2 = sim(2).getLong(1)
+    assert(java.lang.Long.bitCount(h0 ^ h2) <= 6)
+  }
+
+  test("simhashPairs finds dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash16(docs), 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embedding near-dup pairs by cosine") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.999f, 0.01f, 0f)), // near-dup of 0
+      (2L, Seq(0f, 1f, 0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(emb, 0.01)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("fingerprint is stable and equal for identical docs") {
+    val fp = Dedup.fingerprint(docs).orderBy("doc_id").collect()
+    assert(fp(0).getLong(1) === fp(1).getLong(1))
+    assert(fp(0).getLong(1) !== fp(3).getLong(1))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.mediaFromDocuments(spark, sf0001)
+
+  test("binary payload plumbing: features are deterministic and well-shaped") {
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.features.length === Multimodal.FeatureDim)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // L1-normalized histogram
+      assert(f.nBytes > 0 && f.checksum > 0)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
+  }
+
+  test("fakeDecode is a unit-normalized 16-bin histogram") {
+    val f = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-6)
+  }
+
+  test("frame sampling strides video payloads into n frames") {
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    val perVideo = frames.groupBy(_.id)
+    assert(perVideo.nonEmpty)
+    perVideo.foreach { case (_, fs) =>
+      assert(fs.map(_.frameNo).sorted.toSeq === Seq(0, 1, 2, 3))
+      assert(fs.forall(_.frameBytes.nonEmpty))
+    }
+    // only video-kind rows produce frames
+    val videoIds = media.filter(_.kind == "video").collect().map(_.id).toSet
+    assert(perVideo.keySet.subsetOf(videoIds))
+  }
+
+  test("byteStats matches a hand check") {
+    import spark.implicits._
+    val one = Multimodal.byteStats(spark, sf0001).where($"doc_id" === 0).head()
+    val text = Tables.documents(spark, sf0001).where($"doc_id" === 0)
+      .head().getString(1)
+    assert(one.getInt(1) === text.getBytes("UTF-8").length)
+    assert(one.getInt(2) === text.head.toInt)
+    assert(one.getLong(3) === text.map(_.toLong).sum)
+  }
+}

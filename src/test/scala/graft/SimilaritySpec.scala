@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, SimilaritySearch}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddingVec(spark, sf0001).cache()
+  private lazy val queries = emb.where(col("id") < 10)
+    .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+
+  test("brute-force cosine: self is always the top-1 result at dist 0") {
+    val res = SimilaritySearch.bruteForce(queries, emb, 5)
+      .where(col("rank") === 1).orderBy("query_id").collect()
+    res.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0)) // id == query_id
+      assert(r.getDouble(3) === 0.0)
+    }
+  }
+
+  test("IVF recall@10 vs brute force at nprobe=4/20 centroids") {
+    // the synthetic embeddings are near-uniform random (no cluster
+    // structure), the worst case for IVF — 4/20 probes lands ~0.5 recall;
+    // the monotonicity test below is the structural invariant
+    val exact = SimilaritySearch.bruteForce(queries, emb, 10)
+    val ivf = SimilaritySearch.ivfSearch(queries, emb, 10, 25, 4)
+    val rec = Eval.recallSummary(Eval.recallAt(ivf, exact, 10)).head()
+    assert(rec.getDouble(0) >= 0.45, s"avg recall ${rec.getDouble(0)}")
+  }
+
+  test("more probes → recall never decreases") {
+    val exact = SimilaritySearch.bruteForce(queries, emb, 10)
+    def rec(np: Int): Double =
+      Eval.recallSummary(Eval.recallAt(
+        SimilaritySearch.ivfSearch(queries, emb, 10, 25, np), exact, 10))
+        .head().getDouble(0)
+    assert(rec(8) >= rec(2) - 1e-9)
+  }
+
+  test("LSH codes: identical vectors share a code; planes produce spread") {
+    val codes = SimilaritySearch.lshCodes(emb, dims = 64)
+    val n = codes.count()
+    val distinct = codes.select("code").distinct().count()
+    assert(n === 500)
+    assert(distinct > 10, s"only $distinct distinct codes") // non-degenerate
+    // deterministic
+    val again = SimilaritySearch.lshCodes(emb, dims = 64)
+    assert(codes.exceptAll(again).count() === 0)
+  }
+
+  test("planeWeight matches the Hash60 definition") {
+    import graft.functions.Hash60
+    import spark.implicits._
+    val df = Seq("0_0", "3_17", "7_63").toDF("s")
+      .select(Hash60(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(df(0) % 2001 - 1000 === SimilaritySearch.planeWeight(0, 0))
+    assert(df(1) % 2001 - 1000 === SimilaritySearch.planeWeight(3, 17))
+    assert(df(2) % 2001 - 1000 === SimilaritySearch.planeWeight(7, 63))
+  }
+}
