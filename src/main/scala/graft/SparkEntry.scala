@@ -124,12 +124,54 @@ object SparkEntry {
       ordered(Dedup.fingerprint(Tables.documents(s, d)))),
     "q40_ann_lsh" -> ((s, d) =>
       ordered(SimilaritySearch.lshCodes(Tables.embeddingVec(s, d), dims = 64))),
-    "q41_multimodal" -> ((s, d) => ordered(Multimodal.byteStats(s, d)))
+    "q41_multimodal" -> ((s, d) => ordered(Multimodal.byteStats(s, d))),
+    "q42_pq_search" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val cb = graft.functions.PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 3)
+      ordered(graft.functions.PQ.adcSearch(
+        q(s, d), graft.functions.PQ.quantize(corpus, cb).select(col("id"), col("codes")), cb, K))
+    }),
+    "q43_events_window" -> ((s, d) =>
+      ordered(graft.streaming.StreamingIngest.eventsWindowed(Tables.events(s, d)))),
+    "q44_tpch_q3" -> ((s, d) => tpchQ3(s, d)),
+    "q45_query_parse" -> ((s, d) => {
+      val strs = Tables.orders(s, d).where(col("o_orderkey") < 100).select(
+        col("o_orderkey").as("query_id"),
+        concat(
+          lit("$k:"), (col("o_orderkey") % 20 + 1).cast("string"),
+          lit("$index:idx"), (col("o_orderkey") % 3).cast("string"),
+          lit("|"), month(col("o_orderdate")).cast("string"),
+          lit("|"), dayofmonth(col("o_orderdate")).cast("string"),
+          lit("|"), (col("o_orderkey") % 97).cast("string")).as("query"))
+      ordered(graft.sources.QueryParser.parse(strs)
+        .select(col("query_id"), col("k"), col("index_name"),
+          size(col("qvec")).as("dim"),
+          col("qvec").getItem(0).cast("int").as("v0")))
+    })
   )
 
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddingVec(s, d).where(col("id") < 10)
       .select(col("id").as("query_id"), col("vec").as("qvec"))
+
+  /** TPC-H Q3-style shipping-priority join (relational anchor: broadcast dim
+    * join + shuffle join + decimal-summed agg + top-k).
+    */
+  private def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val cutoff = lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+    val top = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).where(col("c_mktsegment") === "FURNITURE")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+    ordered(top.select(col("l_orderkey"), col("o_orderdate"), col("revenue")))
+  }
 
   /** TPC-H Q1-style pricing summary (relational anchor; exercises partial
     * aggregation). Money sums go through DECIMAL(18,4) so the result is
@@ -387,7 +429,46 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(generate_series(1, length(text)),
          |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
          |FROM documents
-         |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin
+         |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin,
+    "q43_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type, n, sum_value""".stripMargin,
+    "q44_tpch_q3" ->
+      """WITH top AS (
+        |  SELECT l_orderkey, o_orderdate,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'FURNITURE' AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate
+        |  ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10)
+        |SELECT l_orderkey, o_orderdate, revenue FROM top
+        |ORDER BY l_orderkey, o_orderdate, revenue""".stripMargin,
+    "q45_query_parse" ->
+      """WITH strs AS (
+        |  SELECT o_orderkey AS query_id,
+        |    '$k:' || (o_orderkey % 20 + 1)::VARCHAR ||
+        |    '$index:idx' || (o_orderkey % 3)::VARCHAR ||
+        |    '|' || month(o_orderdate)::VARCHAR ||
+        |    '|' || day(o_orderdate)::VARCHAR ||
+        |    '|' || (o_orderkey % 97)::VARCHAR AS query
+        |  FROM orders WHERE o_orderkey < 100),
+        |parsed AS (
+        |  SELECT query_id,
+        |    coalesce(CAST(nullif(regexp_extract(query, '\$k:([^$|#]+)', 1), '') AS INT), 10) AS k,
+        |    nullif(regexp_extract(query, '\$index:([^$|#]+)', 1), '') AS index_name,
+        |    list_transform(
+        |      list_filter(string_split(regexp_replace(query, '^(\$[^$|#]+)*', ''), '|'), t -> t <> ''),
+        |      t -> CAST(t AS FLOAT)) AS qvec
+        |  FROM strs)
+        |SELECT query_id, k, index_name, len(qvec) AS dim, CAST(qvec[1] AS INT) AS v0
+        |FROM parsed
+        |ORDER BY query_id, k, index_name, dim, v0""".stripMargin
   )
 
   /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`. */

@@ -23,7 +23,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (then ts
+    * arrives as a LongType of nanos) — normalize back to TimestampType
+    * (microsecond truncation; DuckDB's `date_trunc` output is unaffected).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (B12 `Quantizer/Training.h:62-120`, Q11
+  * `Common/PQQuantizer.h:110-128`): split the dimension into `m` subspaces,
+  * k-means each subspace into ≤256 centroids (the codebooks), store each
+  * vector as `m` small codes; ADC distance = Σ_sub d(q_sub, centroid[code]).
+  *
+  * Codebooks are tiny by construction (m·k·dsub floats) — they live on the
+  * driver and broadcast into the quantize/distance closures; training
+  * aggregates run distributed (one groupBy per Lloyd iteration over all
+  * subspaces at once — no per-subspace job storm).
+  */
+object PQ {
+
+  /** Codebooks: (subspace, code, centroid). */
+  case class Codebooks(m: Int, k: Int, dsub: Int, centers: Array[Array[Array[Double]]]) {
+    def quantizeOne(vec: Seq[Double]): Array[Int] =
+      Array.tabulate(m) { s =>
+        val sub = vec.slice(s * dsub, (s + 1) * dsub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers(s).length) {
+          val d = l2(sub, centers(s)(c))
+          if (d < bestD || (d == bestD && c < best)) { best = c; bestD = d }
+          c += 1
+        }
+        best
+      }
+
+    def adcDistance(q: Seq[Double], codes: Seq[Int]): Double = {
+      var s = 0; var total = 0.0
+      while (s < m) {
+        total += l2(q.slice(s * dsub, (s + 1) * dsub), centers(s)(codes(s)))
+        s += 1
+      }
+      total
+    }
+
+    private def l2(a: Seq[Double], b: Seq[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+  }
+
+  /** Train codebooks with Lloyd's over ALL subspaces in one DataFrame loop:
+    * rows are (subspace, subvector); init = first k distinct vectors' slices.
+    */
+  def train(vectors: DataFrame, dim: Int, m: Int, k: Int, maxIter: Int = 5): Codebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val subRows = vectors.select(col("id"), col("vec").cast("array<double>").as("v"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .cache()
+
+    // deterministic init: slices of the k smallest-id vectors
+    var centers: Array[Array[Array[Double]]] =
+      subRows.where(col("id") < k).orderBy(col("sub"), col("id")).collect()
+        .groupBy(_.getInt(1)).toArray.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Double](2).toArray))
+
+    var iter = 0
+    while (iter < maxIter) {
+      val bc = subRows.sparkSession.sparkContext.broadcast(centers)
+      val assignUdf = udf((sub: Int, sv: Seq[Double]) => {
+        val cs = bc.value(sub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < sv.length) { val x = sv(i) - cs(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        best
+      })
+      val newCenters = subRows
+        .withColumn("code", assignUdf(col("sub"), col("sv")))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("cm"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cm")))),
+          s => s.getField("cm")).as("center"))
+        .collect()
+      val updated = centers.map(_.map(identity)) // copy; empty clusters keep old center
+      newCenters.foreach { r =>
+        updated(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      centers = updated
+      iter += 1
+    }
+    subRows.unpersist()
+    Codebooks(m, k, dsub, centers)
+  }
+
+  /** Quantize a vector column into `m` codes. */
+  def quantize(vectors: DataFrame, cb: Codebooks): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(cb)
+    val qUdf = udf((v: Seq[Double]) => bc.value.quantizeOne(v))
+    vectors.withColumn("codes", qUdf(col("vec").cast("array<double>")))
+  }
+
+  /** ADC top-k: queries (query_id, qvec) × quantized corpus (id, codes). */
+  def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(cb)
+    val dUdf = udf((q: Seq[Double], codes: Seq[Int]) => bc.value.adcDistance(q, codes))
+    val scored = quantized.crossJoin(broadcast(queries))
+      .withColumn("dist", dUdf(col("qvec").cast("array<double>"), col("codes")))
+    graft.operators.Knn.explodeRanked(
+      scored.groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
+  /** Reconstruction: codes → approximate vector (for refine/debug parity,
+    * `IQuantizer.h:20-68` ReconstructVector).
+    */
+  def reconstruct(quantized: DataFrame, cb: Codebooks): DataFrame = {
+    val bc = quantized.sparkSession.sparkContext.broadcast(cb)
+    val rUdf = udf((codes: Seq[Int]) => {
+      val c = bc.value
+      val out = new Array[Double](c.m * c.dsub)
+      var s = 0
+      while (s < c.m) {
+        System.arraycopy(c.centers(s)(codes(s)), 0, out, s * c.dsub, c.dsub)
+        s += 1
+      }
+      out
+    })
+    quantized.withColumn("recon", rUdf(col("codes")))
+  }
+}

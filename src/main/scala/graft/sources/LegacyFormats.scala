@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers/writers for the reference's legacy vector-file formats
+  * (S1-S3, `AnnService/inc/Helper/VectorSetReaders/` DefaultReader,
+  * XvecReader, TxtReader; `docs/GettingStart.md` "Input File Format"):
+  *
+  *  - DEFAULT: `[int32 n][int32 d]` header + n·d little-endian float32 rows
+  *  - XVEC:    per record `[int32 d][d float32]`
+  *  - TXT:     `meta\tv1|v2|...` per line
+  *
+  * Reads go through `binaryFile` scans + per-file decode in mapPartitions —
+  * one task per file, so a directory of shard files parallelizes across the
+  * cluster (the reference reads one file with a thread pool; a 100 TB corpus
+  * is *many* files, which is exactly Spark's scan model). Ids are assigned
+  * per file from a caller-provided base (ingest-time dense VIDs,
+  * `Common.h:117`).
+  */
+object LegacyFormats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private def decodeDefault(bytes: Array[Byte]): Iterator[(Long, Array[Float])] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(); val d = bb.getInt()
+    (0L until n.toLong).iterator.map { i =>
+      val v = new Array[Float](d)
+      var j = 0
+      while (j < d) { v(j) = bb.getFloat(); j += 1 }
+      (i, v)
+    }
+  }
+
+  private def decodeXvec(bytes: Array[Byte]): Iterator[(Long, Array[Float])] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new Iterator[(Long, Array[Float])] {
+      private var i = 0L
+      def hasNext: Boolean = bb.remaining() >= 4
+      def next(): (Long, Array[Float]) = {
+        val d = bb.getInt()
+        val v = new Array[Float](d)
+        var j = 0
+        while (j < d) { v(j) = bb.getFloat(); j += 1 }
+        val r = (i, v); i += 1; r
+      }
+    }
+  }
+
+  private def readBinary(
+      spark: SparkSession, path: String,
+      decode: Array[Byte] => Iterator[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) => decode(bytes).map { case (i, v) => (i, v) } }
+      .toDF("id", "vec")
+  }
+
+  def readDefault(spark: SparkSession, path: String): DataFrame =
+    readBinary(spark, path, decodeDefault)
+
+  def readXvec(spark: SparkSession, path: String): DataFrame =
+    readBinary(spark, path, decodeXvec)
+
+  /** TXT: `meta\tv1|v2|...`; line number (per file) becomes the id. */
+  def readTxt(spark: SparkSession, path: String, delimiter: String = "|"): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).rdd.zipWithIndex()
+      .map { case (row, idx) =>
+        val line = row.getString(0)
+        val tab = line.indexOf('\t')
+        val meta = line.substring(0, tab)
+        val vec = line.substring(tab + 1).split(java.util.regex.Pattern.quote(delimiter))
+          .filter(_.nonEmpty).map(_.toFloat)
+        (idx, vec, meta)
+      }.toDF("id", "vec", "meta")
+  }
+
+  // ---- local writers (test fixtures / export parity) ----
+
+  def writeDefault(path: String, vecs: Seq[Array[Float]]): Unit = {
+    val d = vecs.headOption.map(_.length).getOrElse(0)
+    val bb = ByteBuffer.allocate(8 + vecs.length * d * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(vecs.length).putInt(d)
+    vecs.foreach(_.foreach(bb.putFloat))
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  def writeXvec(path: String, vecs: Seq[Array[Float]]): Unit = {
+    val total = vecs.map(v => 4 + v.length * 4).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    vecs.foreach { v => bb.putInt(v.length); v.foreach(bb.putFloat) }
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  def writeTxt(path: String, rows: Seq[(String, Array[Float])], delimiter: String = "|"): Unit = {
+    val out = new java.io.PrintWriter(path, "UTF-8")
+    try rows.foreach { case (meta, v) =>
+      out.println(meta + "\t" + v.mkString(delimiter))
+    } finally out.close()
+  }
+}

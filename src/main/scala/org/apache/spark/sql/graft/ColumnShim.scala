@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a scalar expression builder on a live session's function
+    * registry (the `private[sql]` path that SparkSessionExtensions uses at
+    * build time).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

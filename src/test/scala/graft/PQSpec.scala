@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PQ
+import graft.operators.{Eval, Knn}
+
+/** PQ train/quantize/ADC (B12/Q11; mirrors
+  * `Test/src/ReconstructIndexSimilarityTest.cpp:291-299`).
+  */
+class PQSpec extends SparkSpec {
+
+  private lazy val corpus = Tables.lineitemVec(spark, sf0001).cache()
+  private lazy val queries =
+    Tables.ordersQuery(spark, sf0001).where(col("query_id") < 10).cache()
+
+  test("quantize emits m codes in [0, k)") {
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 8, maxIter = 2)
+    val codes = PQ.quantize(corpus, cb).select("codes").collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](0)
+      assert(cs.length === 3)
+      assert(cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("ADC distance is definitionally l2sq(query, reconstruction)") {
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
+    val rows = PQ.reconstruct(PQ.quantize(corpus.limit(50), cb), cb)
+      .select(col("vec").cast("array<double>"), col("codes"), col("recon"))
+      .collect()
+    val q = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val recon = r.getSeq[Double](2)
+      val adc = cb.adcDistance(q, codes)
+      val viaRecon = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - viaRecon) < 1e-9)
+    }
+  }
+
+  test("ADC recall is high on clustered data (PQ's operating regime)") {
+    import spark.implicits._
+    // 10 tight 4-d blobs at c*100 ± small jitter; 16 centroids per 2-d
+    // subspace easily isolate 10 blobs
+    val blobs = spark.range(200).select(
+      col("id"),
+      array(
+        ((col("id") % 10) * 100 + col("id") % 3).cast("float"),
+        ((col("id") % 10) * 100 + (col("id") / 11) % 2).cast("float"),
+        ((col("id") % 10) * 100 + col("id") % 2).cast("float"),
+        ((col("id") % 10) * 100 + (col("id") / 13) % 3).cast("float")).as("vec"))
+      .cache()
+    val qs = blobs.where(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val cb = PQ.train(blobs, dim = 4, m = 2, k = 16, maxIter = 4)
+    val adc = PQ.adcSearch(qs, PQ.quantize(blobs, cb).select(col("id"), col("codes")), cb, 10)
+    val exact = Knn.search(qs, blobs, 10)
+    val rec = Eval.recallSummary(Eval.recallAt(adc, exact, 10)).head().getDouble(0)
+    assert(rec >= 0.6, s"ADC recall on clustered data $rec")
+  }
+
+  test("reconstructed vectors approximate originals") {
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 32, maxIter = 3)
+    val rec = PQ.reconstruct(PQ.quantize(corpus, cb), cb)
+      .withColumn("err", graft.functions.dist.l2sq(col("vec"), col("recon")))
+      .agg(avg("err"), avg(graft.functions.dist.l2sq(col("vec"),
+        array((0 until 6).map(_ => lit(0.0)): _*))))
+      .head()
+    val mse = rec.getDouble(0)
+    val base = rec.getDouble(1) // error of the zero vector = data energy
+    assert(mse < base * 0.5, s"PQ mse $mse vs energy $base")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spann
+import graft.sources.{IndexStore, LegacyFormats, QueryParser}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  test("DEFAULT binary roundtrip (S1)") {
+    val dir = tmp()
+    val vecs = (0 until 20).map(i => Array.tabulate(4)(j => i * 10f + j))
+    LegacyFormats.writeDefault(s"$dir/v.bin", vecs)
+    val got = LegacyFormats.readDefault(spark, s"$dir/v.bin")
+      .orderBy("id").collect()
+    assert(got.length === 20)
+    assert(got(3).getSeq[Float](1) === vecs(3).toSeq)
+  }
+
+  test("XVEC roundtrip (S2)") {
+    val dir = tmp()
+    val vecs = (0 until 7).map(i => Array.tabulate(3)(j => i + j * 0.5f))
+    LegacyFormats.writeXvec(s"$dir/v.xvec", vecs)
+    val got = LegacyFormats.readXvec(spark, s"$dir/v.xvec").orderBy("id").collect()
+    assert(got.length === 7)
+    assert(got(6).getSeq[Float](1) === vecs(6).toSeq)
+  }
+
+  test("TXT roundtrip with metadata (S3)") {
+    val dir = tmp()
+    val rows = (0 until 5).map(i => (s"meta$i", Array(i.toFloat, i + 0.5f)))
+    LegacyFormats.writeTxt(s"$dir/v.txt", rows)
+    val got = LegacyFormats.readTxt(spark, s"$dir/v.txt").orderBy("id").collect()
+    assert(got.length === 5)
+    assert(got(2).getString(2) === "meta2")
+    assert(got(2).getSeq[Float](1) === Seq(2f, 2.5f))
+  }
+
+  test("index save/load roundtrip preserves search results (S6)") {
+    val dir = tmp()
+    val corpus = synthVectors(300).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    val postings = Spann.buildPostings(corpus, heads, 2)
+    val cfg = IndexStore.IndexConfig("l2sq", 10, 2, 16)
+    IndexStore.save(dir, heads, postings, Some(Seq(5L).toDF("id")), cfg)
+
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.config === cfg)
+    assert(loaded.deletes.get.as[Long].collect().toSeq === Seq(5L))
+    val q = Seq((0L, Seq.fill(10)(42f))).toDF("query_id", "qvec")
+    val before = Spann.searchTwoStage(q, heads, postings, 5, 4).collect().toSeq
+    val after = Spann.searchTwoStage(q, loaded.heads,
+      loaded.postings.drop("head_bucket"), 5, 4).collect().toSeq
+    assert(before === after)
+  }
+
+  test("posting store partition pruning kicks in on head_bucket (S6/B9)") {
+    val dir = tmp()
+    val corpus = synthVectors(300).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    IndexStore.save(dir, heads, Spann.buildPostings(corpus, heads, 2), None,
+      IndexStore.IndexConfig("l2sq", 10, 2, 4))
+    val loaded = IndexStore.load(spark, dir)
+    val pruned = IndexStore.pruneToHeads(loaded, Seq(30L, 60L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.rdd.getNumPartitions <= loaded.postings.rdd.getNumPartitions)
+    assert(pruned.select("head_id").distinct().as[Long].collect().toSet === Set(30L, 60L))
+  }
+
+  test("query parser extracts options, vector, base64 (S7)") {
+    val df = Seq(
+      (1L, "$k:5$index:main|1|2|3"),
+      (2L, "|4|5|6"),
+      (3L, "$k:7#aGVsbG8=")
+    ).toDF("query_id", "query")
+    val parsed = QueryParser.parse(df).orderBy("query_id").collect()
+    assert(parsed(0).getInt(1) === 5)
+    assert(parsed(0).getString(2) === "main")
+    assert(parsed(0).getSeq[Float](3) === Seq(1f, 2f, 3f))
+    assert(parsed(1).getInt(1) === 10) // default k
+    assert(parsed(1).getString(2) === null)
+    assert(parsed(1).getSeq[Float](3) === Seq(4f, 5f, 6f))
+    val payload = df.where($"query_id" === 3)
+      .select(QueryParser.base64Payload($"query")).head().getAs[Array[Byte]](0)
+    assert(new String(payload, "UTF-8") === "hello")
+  }
+
+  test("GraftExtensions registers SQL distance functions") {
+    // the shared test session was built withExtensions(new GraftExtensions)
+    val r = spark.sql(
+      "SELECT dist_l2sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(r === 25.0)
+    // late registration path for sessions created without extensions
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT dist_cos(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS d")
+      .head().getDouble(0) === 1.0)
+  }
+
+  test("GraftConf parameter registry set/get (M6)") {
+    val c = GraftConf().set("DistCalcMethod", "Cosine").set("ReplicaCount", "6")
+    assert(c.metric === "cos")
+    assert(c.get("replicacount") === "6")
+    assert(GraftConf.fromParams(Map("k" -> "20")).resultK === 20)
+    intercept[RuntimeException](c.set("bogus", "1"))
+  }
+}

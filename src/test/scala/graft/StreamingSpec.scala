@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, Spann}
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg matches the batch-equivalent plan") {
+    val events = Tables.events(spark, sf0001)
+    val batch = StreamingIngest.eventsWindowed(events)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    stream.addData(events.select("event_id", "ts", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toIndexedSeq)
+
+    val q = StreamingIngest.eventsWindowedStream(sdf)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete") // no watermark closure needed for the check
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData(Seq((1L, ts, 1.0), (1L, ts, 1.0), (2L, ts, 2.0)))
+    val q = StreamingIngest.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("micro-batch ingest assigns postings for the delta only (M1)") {
+    val corpus = synthVectors(200).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 20)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val delta = (1000 until 1010).map(i => (i.toLong, Seq.fill(10)(i.toFloat)))
+    stream.addData(delta)
+
+    val outDir = Files.createTempDirectory("graft_ingest").toString
+    val writer = StreamingIngest.ingest(
+      stream.toDF().toDF("id", "vec"), heads, 2,
+      p => p.write.mode("append").parquet(s"$outDir/postings"))
+      .option("checkpointLocation", s"$outDir/ckpt")
+    val q = writer.start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    val postings = spark.read.parquet(s"$outDir/postings")
+    assert(postings.select("id").distinct().count() === 10)
+    assert(postings.groupBy("id").count().agg(max("count")).head().getLong(0) <= 2)
+    // appended postings are searchable alongside the base index
+    val basePostings = Spann.buildPostings(corpus, heads, 2)
+    val all = basePostings.unionByName(postings)
+    val res = Spann.searchTwoStage(
+      Seq((0L, Seq.fill(10)(1005f))).toDF("query_id", "qvec"),
+      heads, all, 1, 4)
+    assert(res.head().getLong(2) === 1005L)
+  }
+}
