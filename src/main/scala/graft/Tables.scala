@@ -16,6 +16,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The derived-fixture frames are re-used by many queries inside one
+    * Verify/Bench run; the lineitem fixture in particular pays a global
+    * row_number sort. Cache them once per (session, dir). (Fixture-side
+    * only: operator plans stay cache-free.)
+    */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cached(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
+    fixtureCache.getOrElseUpdate((s, d, key), build.cache())
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -52,8 +63,13 @@ object Tables {
     "l_discount", "l_tax", "l_partkey", "l_suppkey", "l_returnflag",
     "l_linestatus", "l_shipdate")
 
-  /** lineitem → 6-dim vector corpus: `(id, vec, meta)`. */
-  def lineitemVec(s: SparkSession, d: String): DataFrame = {
+  /** lineitem → 6-dim vector corpus: `(id, vec, meta)`.
+    * The id-assigning global window collapses to a single partition — the
+    * trailing `repartition(id)` restores parallelism for every downstream
+    * crossjoin/aggregate (without it, the whole corpus side of a kNN runs
+    * in ONE task).
+    */
+  def lineitemVec(s: SparkSession, d: String): DataFrame = cached(s, d, "lineitemVec") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(lineitemOrderCols.map(col).toIndexedSeq: _*)
     lineitem(s, d).select(
@@ -67,6 +83,7 @@ object Tables {
         f(col("l_suppkey") % 100)
       ).as("vec"),
       concat(col("l_returnflag"), col("l_linestatus")).as("meta"))
+      .repartition(col("id"))
   }
 
   /** orders → query vectors `(query_id, qvec)`; caller filters to a prefix. */

@@ -44,14 +44,24 @@ object Dedup {
           sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("sh"))
 
+  /** Mersenne-31 modulus and the per-hash affine coefficients: one md5 per
+    * shingle, then `numHashes` cheap `(a_j·h + b_j) mod M31` permutations —
+    * products stay under 2^62 so the math is int64-exact in any engine.
+    */
+  val M31 = 2147483647L
+  def minhashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % M31 | 1L
+  def minhashB(j: Int): Long = (69069L * (j + 1) + 362437L) % M31
+
   /** MinHash signatures: `(doc_id, sig ARRAY<BIGINT>[numHashes])`, where
-    * sig[j] = min over shingles of hash60(j || '|' || shingle).
+    * sig[j] = min over shingles of (a_j · (hash60(sh) mod M31) + b_j) mod M31.
     */
   def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until numHashes).map(j =>
-        Hash60(concat(lit(j.toString), lit("|"), col("sh")))): _*))
-        .as(Seq("j", "hj")))
+    sh.select(col("doc_id"),
+      (Hash60(col("sh")) % M31).as("h32"))
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(j =>
+          (lit(minhashA(j)) * col("h32") + lit(minhashB(j))) % M31): _*))
+          .as(Seq("j", "hj")))
       .groupBy(col("doc_id"), col("j"))
       .agg(min(col("hj")).as("mh"))
       .groupBy(col("doc_id"))

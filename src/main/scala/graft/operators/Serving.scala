@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Serving-layer semantics as batch dataflows (V1/V2,
+  * `src/Server/SearchExecutor.cpp:36-120`,
+  * `src/Aggregator/AggregatorService.cpp:285-414`).
+  *
+  * V1: a request names target indices (`$index:` option) — here a queries
+  * frame with an `index_name` column fans out over a map of named indices
+  * and returns per-index result lists.
+  *
+  * V2: the reference's aggregator CONCATENATES per-server results without
+  * re-ranking; Spark's shuffle IS the gather, and we additionally re-rank
+  * globally (a strict improvement the survey calls out).
+  */
+object Serving {
+
+  /** Per-index search: queries carry `index_name` (null = all indices,
+    * matching SearchExecutor's SelectIndex fallback). Output gains an
+    * `index_name` column.
+    */
+  def multiIndexSearch(
+      queries: DataFrame, // (query_id, qvec, index_name)
+      indices: Map[String, DataFrame], // name -> corpus (id, vec)
+      k: Int,
+      metric: String = "l2sq"): DataFrame =
+    indices.map { case (name, corpus) =>
+      val sel = queries.where(col("index_name").isNull || col("index_name") === name)
+        .select(col("query_id"), col("qvec"))
+      Knn.search(sel, corpus, k, metric).withColumn("index_name", lit(name))
+    }.reduce(_ unionByName _)
+
+  /** Scatter-gather with global re-merge: per-partition (≡ per-server)
+    * top-k, then one global top-k over the union — the k·partitions rows are
+    * all that moves. `partitioned` is the corpus already split by any
+    * partitioning (B14's balanced partition, or Spark's own).
+    */
+  def scatterGather(
+      queries: DataFrame,
+      partitionedCorpora: Seq[DataFrame],
+      k: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val perServer = partitionedCorpora.map(c => Knn.search(queries, c, k, metric))
+    val unioned = perServer.reduce(_ unionByName _)
+    Knn.explodeRanked(
+      unioned.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+}

@@ -49,6 +49,24 @@ object Spann {
       heads: DataFrame,
       replicaCount: Int,
       metric: String = "l2sq"): DataFrame = {
+    val nn = graft.functions.NearestHeadsExpr.fromHeads(
+      heads, col("vec"), replicaCount, metric)
+    vectors
+      .select(col("id"), col("vec"), explode(nn).as("r"))
+      .select(col("r.id").as("head_id"), col("id"), col("vec"),
+        col("r.dist").as("dist"))
+  }
+
+  /** Join-formulated posting assignment — semantically identical to
+    * [[buildPostings]] (tested equal); kept as the reference dataflow and
+    * for heads too large to collect (then the broadcast join + partial
+    * bounded top-k is the right shape).
+    */
+  def buildPostingsViaJoin(
+      vectors: DataFrame,
+      heads: DataFrame,
+      replicaCount: Int,
+      metric: String = "l2sq"): DataFrame = {
     val scored = vectors.crossJoin(broadcast(heads))
       .withColumn("hdist", dist.byName(metric)(col("vec"), col("head_vec")))
     scored

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the 100 TB-posture properties SURVEY.md §7
+  * promises. These read `.queryExecution.executedPlan` — if a refactor ever
+  * reintroduces a |Q|×|N| shuffle or drops a broadcast, these fail before any
+  * benchmark does.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("kNN plan broadcasts the query side (no shuffled cross join)") {
+    val p = plan("q01_knn_l2")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast in:\n$p")
+  }
+
+  test("kNN plan aggregates top-k map-side (partial before exchange)") {
+    val p = plan("q01_knn_l2")
+    assert(p.contains("ObjectHashAggregate"), s"no object hash agg in:\n$p")
+    val firstAgg = p.indexOf("partial_topk_by_distance")
+    assert(firstAgg >= 0, s"no partial topk in:\n$p")
+  }
+
+  test("TPC-H Q1 scan prunes to the referenced columns only") {
+    val p = plan("q20_tpch_q1")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "q1 scan reads an unused column")
+    assert(!p.contains("l_partkey"), "q1 scan reads an unused column")
+  }
+
+  test("TPC-H Q3 broadcasts the filtered dimension and pushes the filter down") {
+    val p = plan("q44_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast hash join in:\n$p")
+    assert(p.contains("PushedFilters") || p.contains("FURNITURE"),
+      s"mktsegment filter not near the scan:\n$p")
+  }
+
+  test("filtered search pushes the meta predicate below the ranking") {
+    val df = SparkEntry.queries("q04_knn_filtered")(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the filter must sit under the aggregate, not above it
+    val aggIdx = p.indexOf("Aggregate")
+    val notAf = p.indexOf("NOT (")
+    assert(notAf > aggIdx && aggIdx >= 0,
+      s"meta filter not pushed below the topk aggregate:\n$p")
+  }
+
+  test("SPANN stage-2 joins postings on head_id with broadcast candidates") {
+    val p = plan("q08_spann_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"no equi-join on head_id:\n$p")
+  }
+
+  test("whole-stage codegen covers the distance computation") {
+    val df = SparkEntry.queries("q01_knn_l2")(spark, sf0001)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Operator" in the plan string; the
+    // distance expression must sit inside one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dist_l2sq")),
+      s"distance not inside a codegen span:\n$p")
+    assert(!p.contains("BatchEvalPython"))
+  }
+}

@@ -23,6 +23,18 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("expression-based posting build ≡ join-based build (all metrics)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    Seq("l2sq", "cos", "ip").foreach { m =>
+      val fast = Spann.buildPostings(corpus, heads, 3, m)
+        .select("head_id", "id", "dist")
+      val join = Spann.buildPostingsViaJoin(corpus, heads, 3, m)
+        .select("head_id", "id", "dist")
+      assert(fast.exceptAll(join).count() === 0, s"metric $m diverged")
+      assert(join.exceptAll(fast).count() === 0, s"metric $m diverged")
+    }
+  }
+
   test("posting truncation keeps closest per head (PostingPageLimit)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)

@@ -33,6 +33,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded top-k aggregates run over high-cardinality groups (per-vector
+      // posting assignment); the 128-key default would silently degrade
+      // ObjectHashAggregate to sort-based over the full crossjoin
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
