@@ -105,6 +105,21 @@ object SparkEntry {
       ordered(BalancedKMeans.assign(pts, centers)
         .select(col("id"), col("cluster_id"), round(col("dist"), 4).as("dist")))
     }),
+    "q17_knn_graph" -> ((s, d) =>
+      ordered(graft.operators.KnnGraph.build(
+        Tables.lineitemVec(s, d).select(col("id"), col("vec")),
+        dims = 6, neighborhoodSize = 8, trees = 2, planes = 8)
+        .where(col("src") <= 2000))),
+    "q18_rng_graph" -> ((s, d) => {
+      val vecs = Tables.lineitemVec(s, d).select(col("id"), col("vec"))
+      val g = graft.operators.KnnGraph.build(vecs, 6, 8, 2, 8)
+        .where(col("src") <= 2000)
+      ordered(graft.operators.KnnGraph.rngRefine(g, vecs))
+    }),
+    "q19_mrr" -> ((s, d) =>
+      ordered(Eval.mrrAt(
+        spannResults(s, d),
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K))),
     "q20_tpch_q1" -> ((s, d) => tpchQ1(s, d)),
     // ---- training-data pipeline operators ----
     "q30_text_stats" -> ((s, d) =>
@@ -336,6 +351,42 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY id ORDER BY dist, cluster_id) AS rn FROM d)
          |SELECT id, cluster_id, round(dist, 4) AS dist FROM a WHERE rn = 1
          |ORDER BY id, cluster_id, dist""".stripMargin
+    },
+    "q17_knn_graph" -> {
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS (SELECT t, p, d,
+         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
+         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |           FROM dots GROUP BY id, t),
+         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
+         |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
+         |ranked AS (SELECT src, dst, d,
+         |             CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INT) AS rank
+         |           FROM pairs)
+         |SELECT src, rank, dst, round(d, 4) AS dist FROM ranked WHERE rank <= 8
+         |ORDER BY src, rank, dst, dist""".stripMargin
+    },
+    "q19_mrr" -> {
+      val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      s"""WITH $spannCtes,
+         |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
+         |ex AS (SELECT * FROM (
+         |    SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |fh AS (SELECT r.query_id, min(r.rank) AS first_hit
+         |       FROM sp r JOIN ex t ON r.query_id = t.query_id AND r.id = t.id
+         |       GROUP BY r.query_id),
+         |qq AS (SELECT DISTINCT query_id FROM sp)
+         |SELECT qq.query_id, round(coalesce(1.0::DOUBLE / fh.first_hit, 0.0), 4) AS mrr
+         |FROM qq LEFT JOIN fh ON qq.query_id = fh.query_id
+         |ORDER BY 1, 2""".stripMargin
     },
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -81,6 +81,20 @@ object BalancedKMeans {
           s => s.getField("m")).as("center"),
         first(col("n")).as("count"))
 
+  /** B14 (`src/BalancedDataPartition/main.cpp:29-66`): balanced distributed
+    * partition — assign every vector to its (λ-balanced) cluster and write
+    * one partition directory per cluster (the MPI tool's per-cluster files
+    * become a `partitionBy` layout any engine can selectively read).
+    */
+  def writePartitioned(
+      points: DataFrame,
+      centers: DataFrame,
+      path: String,
+      lambda: Double = 0.0,
+      metric: String = "l2sq"): Unit =
+    assign(points, centers, lambda, metric)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
   /** Balance diagnostic: stddev/avg of cluster sizes (lower = more balanced). */
   def sizeSkew(assigned: DataFrame): Double = {
     val sizes = assigned.groupBy(col("cluster_id")).count()

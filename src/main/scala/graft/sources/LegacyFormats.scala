@@ -85,6 +85,41 @@ object LegacyFormats {
       }.toDF("id", "vec", "meta")
   }
 
+  // ---- truth files (S5, `TruthSet.h:16-160`: DEFAULT truth format =
+  //      [int32 nq][int32 K] + nq*K int32 ids + optional nq*K float dists) ----
+
+  def writeTruthDefault(
+      path: String,
+      truth: Seq[Seq[(Int, Float)]], // per query: K (id, dist) ascending
+      withDists: Boolean = true): Unit = {
+    val nq = truth.length
+    val k = truth.headOption.map(_.length).getOrElse(0)
+    val sz = 8 + nq * k * 4 + (if (withDists) nq * k * 4 else 0)
+    val bb = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(nq).putInt(k)
+    truth.foreach(_.foreach { case (id, _) => bb.putInt(id) })
+    if (withDists) truth.foreach(_.foreach { case (_, d) => bb.putFloat(d) })
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  /** Truth file → `(query_id, rank, id [, dist])`. */
+  def readTruthDefault(spark: SparkSession, path: String, withDists: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nq = bb.getInt(); val k = bb.getInt()
+        val ids = Array.fill(nq, k)(bb.getInt())
+        val dists =
+          if (withDists) Array.fill(nq, k)(bb.getFloat())
+          else Array.fill(nq, k)(0f)
+        for (qi <- 0 until nq; r <- 0 until k)
+          yield (qi.toLong, r + 1, ids(qi)(r).toLong, dists(qi)(r))
+      }.toDF("query_id", "rank", "id", "dist")
+  }
+
   // ---- local writers (test fixtures / export parity) ----
 
   def writeDefault(path: String, vecs: Seq[Array[Float]]): Unit = {

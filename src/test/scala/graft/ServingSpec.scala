@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BalancedKMeans, Knn, Serving}
+import graft.sources.LegacyFormats
+
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multi-index search routes queries by index_name; null fans to all (V1)") {
+    val idxA = synthVectors(100).select("id", "vec")
+    val idxB = synthVectors(100).select((col("id") + 1000).as("id"), col("vec"))
+    val queries = Seq(
+      (1L, Seq.fill(10)(5f), "a"),
+      (2L, Seq.fill(10)(7f), null.asInstanceOf[String])
+    ).toDF("query_id", "qvec", "index_name")
+    val res = Serving.multiIndexSearch(queries, Map("a" -> idxA, "b" -> idxB), 3)
+    val byQ = res.collect().groupBy(r => (r.getLong(0), r.getString(4)))
+    assert(byQ.keySet === Set((1L, "a"), (2L, "a"), (2L, "b")))
+  }
+
+  test("scatter-gather re-merge equals single-index search (V2 improvement)") {
+    val corpus = synthVectors(500).select("id", "vec")
+    val parts = Seq(
+      corpus.where(col("id") % 3 === 0),
+      corpus.where(col("id") % 3 === 1),
+      corpus.where(col("id") % 3 === 2))
+    val queries = synthQueries(3)
+    val gathered = Serving.scatterGather(queries, parts, 5)
+    val direct = Knn.search(queries, corpus, 5)
+    assert(gathered.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(gathered).count() === 0)
+  }
+
+  test("truth file roundtrip (S5) + recall eval over it") {
+    val dir = Files.createTempDirectory("graft_truth").toString
+    val truth = Seq(
+      Seq((10, 0.0f), (11, 1.5f), (12, 2.5f)),
+      Seq((20, 0.5f), (21, 1.0f), (22, 9.0f)))
+    LegacyFormats.writeTruthDefault(s"$dir/truth.bin", truth)
+    val df = LegacyFormats.readTruthDefault(spark, s"$dir/truth.bin")
+    assert(df.count() === 6)
+    val r0 = df.where(col("query_id") === 0 && col("rank") === 2).head()
+    assert(r0.getLong(2) === 11L && math.abs(r0.getFloat(3) - 1.5f) < 1e-6)
+  }
+
+  test("balanced partitioned write produces per-cluster directories (B14)") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val pts = synthVectors(100).select("id", "vec")
+    val centers = BalancedKMeans.fit(pts, 4, maxIter = 3)
+    BalancedKMeans.writePartitioned(pts, centers, s"$dir/parts")
+    val dirs = new java.io.File(s"$dir/parts").listFiles()
+      .filter(_.getName.startsWith("cluster_id=")).map(_.getName).toSet
+    assert(dirs.size === 4)
+    // partition-pruned read sees only its cluster
+    val one = spark.read.parquet(s"$dir/parts").where(col("cluster_id") === 0)
+    assert(one.count() > 0 && one.count() < 100)
+  }
+}
