@@ -117,6 +117,79 @@ object PQ {
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
+  /** OPQ-style rotated PQ (B13, `Common/OPQQuantizer.h:1-210`): the reference
+    * learns an orthogonal rotation by alternating optimization; here the
+    * rotation is the PCA basis (computed distributed via MLlib RowMatrix) —
+    * decorrelating dimensions before subspace splitting, which is the first
+    * iteration of OPQ's alternation and captures most of its benefit.
+    */
+  case class RotatedCodebooks(rotation: Array[Array[Double]], cb: Codebooks) {
+    /** v' = Rᵀv (project onto the PCA basis). */
+    def rotate(v: Seq[Double]): Array[Double] = {
+      val d = rotation.length
+      val out = new Array[Double](rotation(0).length)
+      var j = 0
+      while (j < out.length) {
+        var s = 0.0; var i = 0
+        while (i < d) { s += v(i) * rotation(i)(j); i += 1 }
+        out(j) = s; j += 1
+      }
+      out
+    }
+  }
+
+  def trainOpq(vectors: DataFrame, dim: Int, m: Int, k: Int, maxIter: Int = 5): RotatedCodebooks = {
+    import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = vectors.select(col("vec").cast("array<double>")).rdd
+      .map(r => MLVectors.dense(r.getSeq[Double](0).toArray))
+    val (pc, variance) =
+      new RowMatrix(rows).computePrincipalComponentsAndExplainedVariance(dim)
+    // Eigenvalue allocation (the balancing step of OPQ, parametric form):
+    // raw PCA piles all variance into the first subspace; greedily deal the
+    // principal directions (variance-descending) to the subspace with the
+    // smallest variance product so each codebook carries comparable energy.
+    val order = (0 until dim).sortBy(j => -variance(j))
+    val buckets = Array.fill(m)(List.empty[Int])
+    order.zipWithIndex.foreach { case (j, i) =>
+      // snake deal (s0..sm-1, sm-1..s0, ...): round r's richest remaining
+      // direction goes to the bucket that got the poorest pick last round
+      val r = i / m; val pos = i % m
+      val s = if (r % 2 == 0) pos else m - 1 - pos
+      buckets(s) = buckets(s) :+ j
+    }
+    val perm = buckets.flatten.toIndexedSeq // column order of the rotation
+    val rot = Array.tabulate(dim, dim)((i, j) => pc(i, perm(j)))
+    val rotated = rotateDf(vectors, rot)
+    RotatedCodebooks(rot, train(rotated, dim, m, k, maxIter))
+  }
+
+  private def rotateDf(vectors: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(rot)
+    val rUdf = udf((v: Seq[Double]) => {
+      val r = bc.value
+      Array.tabulate(r(0).length) { j =>
+        var s = 0.0; var i = 0
+        while (i < r.length) { s += v(i) * r(i)(j); i += 1 }
+        s
+      }
+    })
+    vectors.withColumn("vec", rUdf(col("vec").cast("array<double>")))
+  }
+
+  def quantizeOpq(vectors: DataFrame, rcb: RotatedCodebooks): DataFrame =
+    quantize(rotateDf(vectors, rcb.rotation), rcb.cb)
+      .withColumn("vec", col("vec")) // rotated space; codes are what matters
+
+  /** ADC in the rotated space: rotate the query, then standard ADC. */
+  def adcSearchOpq(queries: DataFrame, quantized: DataFrame, rcb: RotatedCodebooks, k: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(rcb)
+    val rUdf = udf((q: Seq[Double]) => bc.value.rotate(q))
+    adcSearch(
+      queries.withColumn("qvec", rUdf(col("qvec").cast("array<double>"))),
+      quantized, rcb.cb, k)
+  }
+
   /** Reconstruction: codes → approximate vector (for refine/debug parity,
     * `IQuantizer.h:20-68` ReconstructVector).
     */

@@ -97,9 +97,18 @@ object Dedup {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val l = sh.select(col("doc_id").as("a"), col("sh"))
     val r = sh.select(col("doc_id").as("b"), col("sh"))
-    val inter0 = l.join(r, Seq("sh")).where(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    val inter = pairs.map(p => inter0.join(p, Seq("a", "b"), "left_semi")).getOrElse(inter0)
+    // with a candidate-pair set, intersect ONLY those pairs' shingles
+    // (pair-first join) instead of the full shingle self-join — the
+    // all-pairs shingle join fans out on hot shingles at scale
+    val inter = pairs match {
+      case Some(p) =>
+        p.join(l, Seq("a"))
+          .join(r, Seq("b", "sh"), "left_semi")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      case None =>
+        l.join(r, Seq("sh")).where(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))

@@ -60,6 +60,35 @@ class PQSpec extends SparkSpec {
     assert(rec >= 0.6, s"ADC recall on clustered data $rec")
   }
 
+  test("OPQ rotation improves quantization on correlated data (B13)") {
+    import spark.implicits._
+    // dims 0,1 strongly correlated and 2,3 correlated — the worst case for
+    // axis-aligned subspace splits (0,1 | 2,3 splits waste one code each);
+    // PCA rotation decorrelates, so rotated PQ reconstructs better
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 400).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      (i.toLong, Seq((x + y).toFloat, (x - y).toFloat,
+        (y * 2).toFloat, (y * 2 + x * 0.1).toFloat))
+    }.toDF("id", "vec").cache()
+
+    def mse(recon: org.apache.spark.sql.DataFrame): Double =
+      recon.withColumn("err", graft.functions.dist.l2sq(col("orig"), col("recon")))
+        .agg(avg("err")).head().getDouble(0)
+
+    val plain = PQ.train(data, 4, 2, 8, 3)
+    val plainMse = mse(PQ.reconstruct(PQ.quantize(data, plain), plain)
+      .withColumnRenamed("vec", "orig"))
+
+    val rcb = PQ.trainOpq(data, 4, 2, 8, 3)
+    // reconstruct in rotated space vs rotated original
+    val rotatedData = PQ.quantizeOpq(data, rcb)
+    val opqMse = mse(PQ.reconstruct(rotatedData, rcb.cb)
+      .withColumnRenamed("vec", "orig"))
+    // rotation is orthogonal → MSE comparable across spaces
+    assert(opqMse <= plainMse * 1.05, s"OPQ mse $opqMse vs plain $plainMse")
+  }
+
   test("reconstructed vectors approximate originals") {
     val cb = PQ.train(corpus, dim = 6, m = 3, k = 32, maxIter = 3)
     val rec = PQ.reconstruct(PQ.quantize(corpus, cb), cb)
