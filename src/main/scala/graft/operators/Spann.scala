@@ -154,21 +154,21 @@ object Spann {
       internalK: Int,
       maxDistRatio: Double = Double.MaxValue,
       metric: String = "l2sq"): DataFrame = {
-    val agged = heads.crossJoin(broadcast(queries))
-      .withColumn("hdist", dist.byName(metric)(col("qvec"), col("head_vec")))
-      .groupBy(col("query_id"))
-      .agg(TopKByDistance.topk(col("head_id"), col("hdist"), internalK).as("nn"))
-    val exploded = agged
-      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "r")))
+    // heads are ratio-bounded (broadcastable by contract) → tight-loop
+    // expression per query row; nn arrives (dist, id)-sorted, so nn[0] is
+    // the per-query best distance — no window needed for the ratio prune
+    val nn = graft.functions.NearestHeadsExpr.fromHeads(
+      heads, col("qvec"), internalK, metric)
+    val exploded = queries
+      .select(col("query_id"), nn.as("nn"))
+      .select(col("query_id"),
+        element_at(col("nn"), 1).getField("dist").as("_best"),
+        posexplode(col("nn")).as(Seq("pos", "r")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("r.id").as("head_id"), col("r.dist").as("hdist"))
-    if (maxDistRatio == Double.MaxValue) exploded
-    else {
-      val wMin = Window.partitionBy(col("query_id"))
-      exploded
-        .withColumn("_best", min(col("hdist")).over(wMin))
-        .where(col("hdist") <= lit(maxDistRatio) * col("_best"))
-        .drop("_best")
-    }
+        col("r.id").as("head_id"), col("r.dist").as("hdist"), col("_best"))
+    val pruned =
+      if (maxDistRatio == Double.MaxValue) exploded
+      else exploded.where(col("hdist") <= lit(maxDistRatio) * col("_best"))
+    pruned.drop("_best")
   }
 }
