@@ -23,7 +23,7 @@ object PQ {
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < centers(s).length) {
-          val d = l2(sub, centers(s)(c))
+          val d = l2(sub, scala.collection.immutable.ArraySeq.unsafeWrapArray(centers(s)(c)))
           if (d < bestD || (d == bestD && c < best)) { best = c; bestD = d }
           c += 1
         }
@@ -33,7 +33,8 @@ object PQ {
     def adcDistance(q: Seq[Double], codes: Seq[Int]): Double = {
       var s = 0; var total = 0.0
       while (s < m) {
-        total += l2(q.slice(s * dsub, (s + 1) * dsub), centers(s)(codes(s)))
+        total += l2(q.slice(s * dsub, (s + 1) * dsub),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(centers(s)(codes(s))))
         s += 1
       }
       total

@@ -50,6 +50,30 @@ object Eval {
       round(max(col("recall")), 4).as("max_recall"),
       count(lit(1)).as("n_queries"))
 
+  /** Head-recall analysis (Q14, `SSDServing/SSDIndex.h:355-490`): for each
+    * query, the fraction of its true top-k neighbors whose posting head was
+    * among the probed candidate heads — separates stage-1 miss (head not
+    * probed) from stage-2 truncation when diagnosing recall.
+    */
+  def headRecall(
+      candidates: DataFrame, // (query_id, head_id) probed per query
+      postings: DataFrame, // (head_id, id)
+      truthDf: DataFrame, // (query_id, rank, id)
+      k: Int): DataFrame = {
+    val t = truthDf.where(col("rank") <= k).select(col("query_id"), col("id"))
+    val reachable = t
+      .join(postings.select(col("head_id"), col("id")), Seq("id"))
+      .join(candidates.select(col("query_id"), col("head_id")),
+        Seq("query_id", "head_id"), "left_semi")
+      .select(col("query_id"), col("id")).distinct()
+      .groupBy(col("query_id")).agg(count(lit(1)).as("covered"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("total"))
+      .join(reachable, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") / col("total"), 4)
+          .as("head_recall"))
+  }
+
   /** MRR@K: reciprocal rank of the first result that hits the truth top-K. */
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)

@@ -61,6 +61,22 @@ class SpannSpec extends SparkSpec {
     assert(rng.groupBy("id").count().agg(max("count")).head().getLong(0) <= 4)
   }
 
+  test("head-recall diagnostic bounds end-to-end recall (Q14)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val cand = Spann.candidateHeads(queries, heads, 8)
+    val exact = Knn.search(queries, corpus, 10)
+    val hr = Eval.headRecall(cand, postings, exact, 10)
+    val e2e = Eval.recallAt(
+      Spann.searchTwoStage(queries, heads, postings, 10, 8), exact, 10)
+    val joined = hr.join(e2e, Seq("query_id")).collect()
+    // a neighbor can only be found if its head was probed: e2e ≤ head recall
+    joined.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-9,
+        s"query ${r.getLong(0)}: e2e ${r.getDouble(2)} > head ${r.getDouble(1)}")
+    }
+  }
+
   test("kmeans-selected heads also give good recall") {
     val heads = Spann.selectHeadsKMeans(corpus, 40, maxIter = 3)
     val postings = Spann.buildPostings(corpus, heads, 4)
