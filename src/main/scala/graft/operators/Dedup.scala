@@ -125,7 +125,9 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingles(docs)
+    // both the signature path and the jaccard verify consume the shingle
+    // frame — checkpoint so tokenize+shingle+distinct runs once
+    val sh = shingles(docs).localCheckpoint(false)
     val cands = lshCandidates(lshBands(minhash(sh, numHashes), numHashes, rowsPerBand))
     jaccard(sh, Some(cands)).where(col("jaccard") >= threshold)
   }
