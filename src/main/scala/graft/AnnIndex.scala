@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Eval, Knn, Mutations, Spann}
+import graft.sources.IndexStore
+
+/** User-facing index facade — the Spark-native analogue of the reference's
+  * `AnnIndex` wrapper (`Wrappers/inc/CoreInterface.h:14-87`): create with
+  * (dimension, metric), set build params, `build`, `search` /
+  * `searchWithMeta` / `batchSearch`, `add` / `deleteByIds` /
+  * `deleteByVector`, `save` / `load`, `refineIndex`.
+  *
+  * Instances are immutable: every mutation returns a new `AnnIndex` view
+  * over the updated logical tables (Spark frames are immutable; the
+  * reference mutates under locks — same observable semantics, no locks).
+  *
+  * State: `vectors(id, vec[, meta])`, tombstones `deletes(id)`, and the
+  * SPANN artifacts `heads`/`postings` (rebuilt on `build`, incrementally
+  * extended on `add`).
+  */
+class AnnIndex private (
+    val spark: SparkSession,
+    val conf: GraftConf,
+    val vectors: DataFrame,
+    val deleted: DataFrame,
+    val heads: Option[DataFrame],
+    val postings: Option[DataFrame]) {
+
+  private def copy(
+      vectors: DataFrame = vectors,
+      deleted: DataFrame = deleted,
+      heads: Option[DataFrame] = heads,
+      postings: Option[DataFrame] = postings): AnnIndex =
+    new AnnIndex(spark, conf, vectors, deleted, heads, postings)
+
+  def setParameter(name: String, value: String): AnnIndex =
+    new AnnIndex(spark, conf.set(name, value), vectors, deleted, heads, postings)
+  def getParameter(name: String): String = conf.get(name)
+
+  def count: Long = Mutations.liveView(vectors, deleted).count()
+
+  /** BuildIndex: select heads (ratio-sized) + assign postings. */
+  def build(): AnnIndex = {
+    val live = Mutations.liveView(vectors, deleted)
+    val everyNth = math.max((1.0 / conf.headRatio).round.toInt, 1)
+    val h = Spann.selectHeadsModulo(live, everyNth)
+    val p = Spann.truncatePostings(
+      Spann.buildPostings(live, h, conf.replicaCount, conf.metric),
+      conf.postingLimit)
+    copy(heads = Some(h), postings = Some(p.localCheckpoint(false)))
+  }
+
+  private def requireBuilt(): (DataFrame, DataFrame) =
+    (heads, postings) match {
+      case (Some(h), Some(p)) => (h, p)
+      case _ => sys.error("index not built — call build() first")
+    }
+
+  /** SearchIndex: two-stage SPANN search; deleted ids are filtered from the
+    * result (search-time tombstone skip, `BKTIndex.cpp:875-899`).
+    */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    val (h, p) = requireBuilt()
+    Spann.searchTwoStage(
+      queries, h, p.join(deleted, Seq("id"), "left_anti"),
+      k, conf.internalK, conf.maxDistRatio, conf.metric)
+  }
+
+  /** Exact search — the truth path (brute force, always available). */
+  def searchExact(queries: DataFrame, k: Int): DataFrame =
+    Knn.search(queries, Mutations.liveView(vectors, deleted), k, conf.metric)
+
+  /** Search with metadata hydration. */
+  def searchWithMeta(queries: DataFrame, k: Int): DataFrame =
+    search(queries, k)
+      .join(vectors.select(col("id"), col("meta")), Seq("id"))
+      .select(col("query_id"), col("rank"), col("id"), col("dist"), col("meta"))
+
+  /** BatchSearch ≡ search (queries are already a DataFrame). */
+  def batchSearch(queries: DataFrame, k: Int): DataFrame = search(queries, k)
+
+  /** AddIndex: append a batch; new vectors get postings against the CURRENT
+    * heads (delta-only cost — the reference's incremental insert path).
+    */
+  def add(batch: DataFrame): AnnIndex = {
+    val grown = copy(vectors = Mutations.add(vectors, batch))
+    postings match {
+      case Some(p) =>
+        val delta = Spann.buildPostings(
+          batch.select(col("id"), col("vec")), heads.get,
+          conf.replicaCount, conf.metric)
+        grown.copy(postings = Some(p.unionByName(delta)))
+      case None => grown
+    }
+  }
+
+  def deleteByIds(ids: DataFrame): AnnIndex =
+    copy(deleted = Mutations.deleteIds(deleted, ids))
+
+  def deleteByVector(targets: DataFrame): AnnIndex =
+    deleteByIds(Mutations.deleteByVector(vectors, targets, metric = conf.metric))
+
+  def deleteByMeta(metaValues: DataFrame): AnnIndex =
+    deleteByIds(Mutations.deleteByMeta(vectors, metaValues))
+
+  def needRefine: Boolean =
+    Mutations.needRefine(vectors, deleted, conf.deleteRefineThreshold)
+
+  /** RefineIndex: compact tombstones away and rebuild. */
+  def refineIndex(): AnnIndex = {
+    val live = Mutations.liveView(vectors, deleted)
+    new AnnIndex(spark, conf, live, AnnIndex.emptyDeletes(spark), None, None).build()
+  }
+
+  /** Recall@k of the approximate path vs exact, on given queries. */
+  def recall(queries: DataFrame, k: Int): Double =
+    Eval.recallSummary(Eval.recallAt(search(queries, k), searchExact(queries, k), k))
+      .head().getDouble(0)
+
+  def save(dir: String): Unit = {
+    val (h, p) = requireBuilt()
+    IndexStore.save(dir, h, p, Some(deleted),
+      IndexStore.IndexConfig(conf.metric, dimension, conf.replicaCount, conf.headBuckets))
+    vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  def dimension: Int =
+    vectors.select(size(col("vec"))).head().getInt(0)
+}
+
+object AnnIndex {
+  private def emptyDeletes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Long].toDF("id")
+  }
+
+  /** Create over a vector table `(id, vec[, meta])`. */
+  def apply(spark: SparkSession, vectors: DataFrame, conf: GraftConf = GraftConf()): AnnIndex = {
+    val withMeta =
+      if (vectors.columns.contains("meta")) vectors
+      else vectors.withColumn("meta", lit(null).cast("string"))
+    new AnnIndex(spark, conf, withMeta, emptyDeletes(spark), None, None)
+  }
+
+  /** LoadIndex: restore from an [[IndexStore]] directory. */
+  def load(spark: SparkSession, dir: String): AnnIndex = {
+    val l = IndexStore.load(spark, dir)
+    val conf = GraftConf(
+      metric = l.config.metric,
+      replicaCount = l.config.replicaCount,
+      headBuckets = l.config.headBuckets)
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    new AnnIndex(spark, conf, vectors,
+      l.deletes.getOrElse(emptyDeletes(spark)),
+      Some(l.heads), Some(l.postings.drop("head_bucket")))
+  }
+}

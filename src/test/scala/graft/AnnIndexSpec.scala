@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end facade test mirroring the reference's AlgoTest phase sequence
+  * (`Test/src/AlgoTest.cpp:230-242`): build → search → add → search →
+  * delete → search → save → load → search.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex = AnnIndex(
+    spark, synthVectors(1000),
+    GraftConf(headRatio = 0.02, replicaCount = 4, internalK = 8))
+
+  test("build → search finds exact neighbors on the synthetic grid") {
+    val idx = freshIndex.build()
+    val res = idx.search(synthQueries(3), 3)
+      .orderBy("query_id", "rank").collect()
+    for (t <- 0 until 3) {
+      val top = res.filter(_.getLong(0) == t).head
+      assert(top.getLong(2) === 2L * t)
+      assert(top.getDouble(3) === 0.0)
+    }
+    assert(idx.recall(synthQueries(3), 5) >= 0.9)
+  }
+
+  test("add then search finds the new vector (AlgoTest add phase)") {
+    val idx = freshIndex.build()
+    val batch = Seq((5000L, Seq.fill(10)(1500f), "new")).toDF("id", "vec", "meta")
+    val grown = idx.add(batch)
+    val q = Seq((0L, Seq.fill(10)(1499f))).toDF("query_id", "qvec")
+    assert(grown.search(q, 1).head().getLong(2) === 5000L)
+    assert(grown.count === 1001)
+  }
+
+  test("delete phases: by id, by vector, by meta; tombstones skip results") {
+    val idx = freshIndex.build()
+    val q = Seq((0L, Seq.fill(10)(7f))).toDF("query_id", "qvec")
+    assert(idx.search(q, 1).head().getLong(2) === 7L)
+    val afterDel = idx.deleteByIds(Seq(7L).toDF("id"))
+    assert(afterDel.search(q, 1).head().getLong(2) !== 7L)
+    val afterDelVec = afterDel.deleteByVector(
+      Seq((0L, Seq.fill(10)(8f))).toDF("query_id", "qvec"))
+    assert(afterDelVec.search(q, 2).collect().map(_.getLong(2)).toSet
+      .intersect(Set(7L, 8L)).isEmpty)
+    val afterDelMeta = idx.deleteByMeta(Seq("6").toDF("meta"))
+    assert(!afterDelMeta.search(q, 3).collect().map(_.getLong(2)).contains(6L))
+  }
+
+  test("refine compacts tombstones; needRefine honors the threshold") {
+    val idx = freshIndex.build()
+      .deleteByIds(spark.range(0, 500).toDF("id"))
+    assert(idx.needRefine)
+    val refined = idx.refineIndex()
+    assert(refined.count === 500)
+    assert(!refined.needRefine)
+  }
+
+  test("save → load roundtrip preserves search results") {
+    val dir = Files.createTempDirectory("graft_annidx").toString
+    val idx = freshIndex.build()
+    idx.save(s"$dir/idx")
+    val loaded = AnnIndex.load(spark, s"$dir/idx")
+    val q = synthQueries(3)
+    val a = idx.search(q, 5).collect().toSeq
+    val b = loaded.search(q, 5).collect().toSeq
+    assert(a.toSet === b.toSet)
+    assert(loaded.getParameter("metric") === "l2sq")
+  }
+
+  test("parameters flow through the facade (M6)") {
+    val idx = freshIndex.setParameter("InternalK", "16")
+    assert(idx.getParameter("SearchInternalResultNum") === "16")
+  }
+}
