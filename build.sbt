@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw stdout passthrough for the forked run: the bench/verify mains print a
+// machine-parsed JSON line; sbt's default LoggedOutput would prefix it with
+// "[info] " and break the driver's parser.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,7 +49,10 @@ class AnnIndex private (
     val p = Spann.truncatePostings(
       Spann.buildPostings(live, h, conf.replicaCount, conf.metric),
       conf.postingLimit)
-    copy(heads = Some(h), postings = Some(p.localCheckpoint(false)))
+    // eager checkpoint: materialize under this plan's own execution (a lazy
+    // one would compute inside a later search and log unregistered-accumulator
+    // errors from DAGScheduler)
+    copy(heads = Some(h), postings = Some(p.localCheckpoint(true)))
   }
 
   private def requireBuilt(): (DataFrame, DataFrame) =

@@ -40,9 +40,11 @@ object SparkEntry {
   private def postings(s: SparkSession, d: String): DataFrame =
     postingsCache.getOrElseUpdate((s, d),
       // localCheckpoint, not cache(): InMemoryRelation's columnar build is
-      // ~3x the cost of the posting build itself for array columns
+      // ~3x the cost of the posting build itself for array columns. Eager,
+      // so materialization happens in THIS plan's execution (lazy would run
+      // under a later query and spam unregistered-accumulator errors)
       Spann.buildPostings(Tables.lineitemVec(s, d), heads(s, d), Replicas)
-        .localCheckpoint(false))
+        .localCheckpoint(true))
 
   private def spannResults(s: SparkSession, d: String): DataFrame =
     Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K, InternalK)

@@ -127,7 +127,10 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     // both the signature path and the jaccard verify consume the shingle
     // frame — checkpoint so tokenize+shingle+distinct runs once
-    val sh = shingles(docs).localCheckpoint(false)
+    // eager: a lazy localCheckpoint would materialize inside a LATER query's
+    // execution, whose tasks then report to this plan's already-unregistered
+    // SQLMetrics accumulators (DAGScheduler "non-existent accumulator" noise)
+    val sh = shingles(docs).localCheckpoint(true)
     val cands = lshCandidates(lshBands(minhash(sh, numHashes), numHashes, rowsPerBand))
     jaccard(sh, Some(cands)).where(col("jaccard") >= threshold)
   }
