@@ -20,6 +20,18 @@ object Bench {
     // materialize the derived-fixture caches so per-query times measure the
     // operator, not the shared fixture derivation
     graft.Tables.lineitemVec(spark, sfDir).count()
+    // JIT/codegen warmup: run each headline query once against the tiny
+    // sf0.001 fixture so the timed sf runs measure steady-state operator
+    // throughput, not first-invocation class compilation (cold-vs-warm is
+    // ~2x on half the headline set)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      graft.Tables.lineitemVec(spark, warmDir).count()
+      SparkEntry.benchQueryNames.foreach { name =>
+        try { SparkEntry.queries(name)(spark, warmDir).count() }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.benchQueryNames.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

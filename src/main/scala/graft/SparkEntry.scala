@@ -152,10 +152,22 @@ object SparkEntry {
       ordered(SimilaritySearch.lshCodes(Tables.embeddingVec(s, d), dims = 64))),
     "q41_multimodal" -> ((s, d) => ordered(Multimodal.byteStats(s, d))),
     "q42_pq_search" -> ((s, d) => {
+      // trained on integer-scaled vectors (×1000, rounded): every Lloyd
+      // centroid update is then a sum of exact integers (< 2^53) divided
+      // once — bit-deterministic regardless of partitioning, so the whole
+      // train→quantize→ADC pipeline is DuckDB-reproducible
       val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
       val cb = graft.functions.PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 3)
+      // dist is descaled by 1e6 (the ×1000 vector scale, squared) BEFORE
+      // rounding: at the raw ~1e11 magnitude the 4dp boundary sits inside
+      // double ulp spacing and Spark/DuckDB round() implementations diverge
       ordered(graft.functions.PQ.adcSearch(
-        q(s, d), graft.functions.PQ.quantize(corpus, cb).select(col("id"), col("codes")), cb, K))
+        queries, graft.functions.PQ.quantize(corpus, cb).select(col("id"), col("codes")), cb, K)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
     }),
     "q43_events_window" -> ((s, d) =>
       ordered(graft.streaming.StreamingIngest.eventsWindowed(Tables.events(s, d)))),
@@ -173,8 +185,86 @@ object SparkEntry {
         .select(col("query_id"), col("k"), col("index_name"),
           size(col("qvec")).as("dim"),
           col("qvec").getItem(0).cast("int").as("v0")))
+    }),
+    // S6: save → load roundtrip through the bucketed-parquet index layout;
+    // the loaded postings must equal the built ones (≡ q07's oracle)
+    "q46_index_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      graft.sources.IndexStore.save(dir, heads(s, d), postings(s, d), None,
+        graft.sources.IndexStore.IndexConfig("l2sq", 6, Replicas, 16))
+      val loaded = graft.sources.IndexStore.load(s, dir)
+      ordered(loaded.postings
+        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))
+    }),
+    // M1: base + appended batch searched together ≡ exact kNN over the union
+    "q47_add_search" -> ((s, d) => {
+      val all = Tables.lineitemVec(s, d)
+      val base = all.where(col("id") % 3 =!= 0)
+      val batch = all.where(col("id") % 3 === 0)
+      ordered(Knn.search(q(s, d), Mutations.add(base, batch), K, "l2sq"))
+    }),
+    // M4: meta → ids via the meta mapping, then tombstone-aware search
+    "q48_delete_by_meta" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val metaValues = s.range(1).select(lit("RF").as("meta"))
+      val delIds = Mutations.deleteByMeta(corpus, metaValues)
+      ordered(Knn.searchWithDeletes(q(s, d), corpus, delIds, K))
+    }),
+    // B4: in-degree-balanced graph rebuild over the q17 TP-tree graph
+    "q49_graph_rebuild" -> ((s, d) => {
+      val vecs = Tables.lineitemVec(s, d).select(col("id"), col("vec"))
+      val g = graft.operators.KnnGraph.build(vecs, 6, 8, 2, 8)
+        .where(col("src") <= 2000)
+      ordered(graft.operators.KnnGraph.rebuildBalanced(g, 8)
+        .select(col("src"), col("dst"), round(col("dist"), 4).as("dist")))
+    }),
+    // V2: scatter-gather (per-"server" top-k + global re-merge) ≡ exact kNN
+    "q50_scatter_gather" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val shards = Seq(0, 1, 2).map(i => corpus.where(col("id") % 3 === i))
+      ordered(graft.operators.Serving.scatterGather(q(s, d), shards, K))
+    }),
+    // B11: merge with last-write-wins on id (the "other" index carries
+    // shifted vectors for every 7th id), then exact kNN over the merged view
+    "q51_merge_index" -> ((s, d) => {
+      val a = Tables.lineitemVec(s, d)
+      // shift via double-add + cast-to-float: bit-identical in DuckDB
+      // (`CAST(x::DOUBLE + 1 AS FLOAT)`) regardless of either engine's
+      // float-promotion rules
+      val b = a.where(col("id") % 7 === 0)
+        .withColumn("vec",
+          transform(col("vec"), x => (x.cast("double") + lit(1.0)).cast("float")))
+      ordered(Knn.search(q(s, d), Mutations.merge(a, b), K, "l2sq"))
+    }),
+    // S1/S2/S3: write the corpus prefix to the reference's three legacy
+    // vector-file formats, read each back through the binaryFile/text scans,
+    // and emit the decoded components — float bits must survive all three
+    // roundtrips exactly
+    "q52_legacy_roundtrip" -> ((s, d) => {
+      import graft.sources.LegacyFormats
+      val rows = Tables.lineitemVec(s, d).where(col("id") <= 2000)
+        .orderBy(col("id")).select(col("meta"), col("vec")).collect()
+        .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+      val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      LegacyFormats.writeDefault(s"$dir/v.bin", rows.map(_._2).toSeq)
+      LegacyFormats.writeXvec(s"$dir/v.xvec", rows.map(_._2).toSeq)
+      LegacyFormats.writeTxt(s"$dir/v.txt", rows.toSeq)
+      val all = Seq(
+        LegacyFormats.readDefault(s, s"$dir/v.bin").withColumn("fmt", lit("default")),
+        LegacyFormats.readXvec(s, s"$dir/v.xvec").withColumn("fmt", lit("xvec")),
+        LegacyFormats.readTxt(s, s"$dir/v.txt").drop("meta").withColumn("fmt", lit("txt")))
+        .reduce(_ unionByName _)
+      ordered(all.select(
+        col("fmt") +: col("id") +:
+          (0 until 6).map(i => col("vec").getItem(i).as(s"v${i + 1}")): _*))
     })
   )
+
+  /** ×1000-rounded integer-valued doubles (mirrors `KnnGraph.leafCode`'s
+    * proven Spark↔DuckDB round parity; SQL: `round(x::DOUBLE*1000)::BIGINT::DOUBLE`).
+    */
+  private def scaleVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long").cast("double"))
 
   private def embQueries(s: SparkSession, d: String): DataFrame =
     Tables.embeddingVec(s, d).where(col("id") < 10)
@@ -344,6 +434,23 @@ object SparkEntry {
     "q13_knn_window" -> knnOracle("l2sq"),
     "q14_iter_relaxed" -> knnOracle("l2sq", k = 20,
       extraSel = ", rank > 15 AS relaxed_mono", extraOrder = ", relaxed_mono"),
+    "q15_spann_rng_postings" -> {
+      // ApproximateRNG posting assignment (`VectorIndex.cpp:930-960`):
+      // top-16 candidate heads per vector, then the sequential RNG prune
+      // rendered as a DuckDB recursive CTE (rank-by-rank scan, cap 4).
+      val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
+      s"""WITH RECURSIVE v AS (${Tables.lineitemVecSql}),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+         |pd AS (SELECT v.id, h.head_id, h.head_vec, $pDist AS dist FROM v CROSS JOIN h),
+         |cv AS MATERIALIZED (SELECT * FROM (
+         |    SELECT id, head_id, head_vec, dist,
+         |           CAST(row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS INT) AS rn
+         |    FROM pd) WHERE rn <= ${Replicas * 4}),
+         |${rngPruneRecSql("id", "head_id", "head_vec", "dist", Replicas)}
+         |SELECT unnest(acc_ids) AS head_id, id
+         |FROM fin
+         |ORDER BY head_id, id""".stripMargin
+    },
     "q16_kmeans_assign" -> {
       val dd = Tables.distSql("l2sq", "v.vec", "c.center")
       s"""WITH v AS (${Tables.lineitemVecSql}),
@@ -373,6 +480,34 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT src, rank, dst, round(d, 4) AS dist FROM ranked WHERE rank <= 8
          |ORDER BY src, rank, dst, dist""".stripMargin
+    },
+    "q18_rng_graph" -> {
+      // q17's TP-tree kNN graph, then the RNG refine rule
+      // (`RelativeNeighborhoodGraph.h:18-35`) as a recursive CTE.
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      s"""WITH RECURSIVE v AS (${Tables.lineitemVecSql}),
+         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS (SELECT t, p, d,
+         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
+         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |           FROM dots GROUP BY id, t),
+         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
+         |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
+         |ranked AS (SELECT * FROM (
+         |    SELECT src, dst, d,
+         |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INT) AS rn
+         |    FROM pairs) WHERE rn <= 8),
+         |cv AS MATERIALIZED (SELECT r.src, r.rn, r.dst, r.d, b.vec AS dvec
+         |       FROM ranked r JOIN v b ON b.id = r.dst),
+         |${rngPruneRecSql("src", "dst", "dvec", "d", 32)}
+         |SELECT src, CAST(unnest(range(1, len(acc_ids) + 1)) AS INT) AS rank,
+         |       unnest(acc_ids) AS dst
+         |FROM fin
+         |ORDER BY src, rank, dst""".stripMargin
     },
     "q19_mrr" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
@@ -509,6 +644,55 @@ object SparkEntry {
          |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
          |FROM documents
          |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin,
+    "q42_pq_search" -> {
+      // PQ train (3 unrolled Lloyd iterations over m=3 two-dim subspaces,
+      // init = slices of the lowest-id vectors) → quantize → ADC top-k.
+      // Integer-scaled inputs make every centroid sum exact (see the query).
+      val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+      val scaleSql = (c: String) =>
+        s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+      val lloyd = (i: Int) =>
+        s"""a${i + 1} AS (SELECT * FROM (
+           |    SELECT s.id, s.sub, s.sv, c.code,
+           |           row_number() OVER (PARTITION BY s.id, s.sub
+           |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+           |    FROM sub s JOIN c$i c ON c.sub = s.sub) WHERE rn = 1),
+           |u${i + 1} AS (SELECT sub, code,
+           |         [sum(sv[1]) / count(*), sum(sv[2]) / count(*)] AS center
+           |       FROM a${i + 1} GROUP BY sub, code),
+           |c${i + 1} AS (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
+           |       FROM c$i c LEFT JOIN u${i + 1} u ON u.sub = c.sub AND u.code = c.code)""".stripMargin
+      s"""WITH v0 AS (${Tables.lineitemVecSql}),
+         |vi AS (SELECT id, ${scaleSql("vec")} AS vec FROM v0),
+         |sub AS (
+         |  SELECT id, 0 AS sub, [vec[1], vec[2]] AS sv FROM vi
+         |  UNION ALL SELECT id, 1, [vec[3], vec[4]] FROM vi
+         |  UNION ALL SELECT id, 2, [vec[5], vec[6]] FROM vi),
+         |c0 AS (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM sub WHERE id < 16),
+         |${lloyd(0)},
+         |${lloyd(1)},
+         |${lloyd(2)},
+         |codes AS (SELECT * FROM (
+         |    SELECT s.id, s.sub, c.code, c.center,
+         |           row_number() OVER (PARTITION BY s.id, s.sub
+         |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+         |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1),
+         |q0 AS (SELECT query_id, ${scaleSql("qvec")} AS qvec
+         |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+         |qsub AS (
+         |  SELECT query_id, 0 AS sub, [qvec[1], qvec[2]] AS qv FROM q0
+         |  UNION ALL SELECT query_id, 1, [qvec[3], qvec[4]] FROM q0
+         |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
+         |pdist AS (SELECT q.query_id, cd.id, cd.sub, ${l2("q.qv", "cd.center")} AS pdsub
+         |          FROM qsub q JOIN codes cd ON cd.sub = q.sub),
+         |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
+         |       FROM pdist GROUP BY query_id, id),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
     "q43_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
@@ -547,8 +731,105 @@ object SparkEntry {
         |  FROM strs)
         |SELECT query_id, k, index_name, len(qvec) AS dim, CAST(qvec[1] AS INT) AS v0
         |FROM parsed
-        |ORDER BY query_id, k, index_name, dim, v0""".stripMargin
+        |ORDER BY query_id, k, index_name, dim, v0""".stripMargin,
+    // the roundtripped index must be exactly the built postings
+    "q46_index_roundtrip" ->
+      s"""WITH $spannCtes
+         |SELECT head_id, id, round(dist, 4) AS dist FROM p
+         |ORDER BY head_id, id, dist""".stripMargin,
+    // add = union: searching base+batch is exact kNN over the whole corpus
+    "q47_add_search" -> knnOracle("l2sq"),
+    "q48_delete_by_meta" -> knnOracle("l2sq", corpusFilter = "AND meta <> 'RF'"),
+    "q49_graph_rebuild" -> {
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS (SELECT t, p, d,
+         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
+         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |           FROM dots GROUP BY id, t),
+         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
+         |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
+         |ranked AS (SELECT * FROM (
+         |    SELECT src, dst, d,
+         |           row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |    FROM pairs) WHERE rn <= 8),
+         |ind AS (SELECT dst, count(*) AS in_deg FROM ranked GROUP BY dst),
+         |rr AS (SELECT r.src, r.dst, r.d,
+         |         row_number() OVER (PARTITION BY r.src ORDER BY i.in_deg, r.d, r.dst) AS rn2
+         |       FROM ranked r JOIN ind i ON i.dst = r.dst)
+         |SELECT src, dst, round(d, 4) AS dist FROM rr WHERE rn2 <= 4
+         |ORDER BY src, dst, dist""".stripMargin
+    },
+    // per-shard top-k + global re-merge is exactly global exact kNN
+    "q50_scatter_gather" -> knnOracle("l2sq"),
+    "q51_merge_index" -> {
+      val dd = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      s"""WITH v0 AS (${Tables.lineitemVecSql}),
+         |v AS (SELECT id,
+         |        CASE WHEN id % 7 = 0
+         |          THEN list_transform(vec, x -> CAST(x::DOUBLE + 1 AS FLOAT))
+         |          ELSE vec END AS vec,
+         |        meta FROM v0),
+         |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+         |dd AS (SELECT q.query_id, v.id, $dd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    // all three format roundtrips are float-exact, so each equals the fixture
+    "q52_legacy_roundtrip" -> {
+      val vcols = (1 to 6).map(i => s"vec[$i] AS v$i").mkString(", ")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |base AS (SELECT id - 1 AS id, vec FROM v WHERE id <= 2000)
+         |SELECT f.fmt, base.id, $vcols
+         |FROM base CROSS JOIN (VALUES ('default'), ('xvec'), ('txt')) f(fmt)
+         |ORDER BY fmt, id, v1, v2, v3, v4, v5, v6""".stripMargin
+    }
   )
+
+  /** DuckDB recursive-CTE rendering of the order-sensitive RNG prune
+    * ([[graft.functions.RngPrune]]): scan candidates in ascending (dist, id)
+    * order, accept unless an already-accepted vector refutes
+    * (`rngFactor·d(a,c) < d(node,c)`), stop at `cap` accepted. The recursion
+    * steps rank-by-rank carrying the accepted (ids, vecs) lists.
+    *
+    * Expects a CTE named `cv` with columns
+    * `($idCol, rn, $candIdCol, $candVecCol, $distCol)` where `rn` is the
+    * 1-based (dist, id) rank, and emits CTEs `n`, `step`, `fin`
+    * (`fin($idCol, acc_ids)`).
+    */
+  private def rngPruneRecSql(
+      idCol: String,
+      candIdCol: String,
+      candVecCol: String,
+      distCol: String,
+      cap: Int,
+      rngFactor: Double = 1.0): String = {
+    val dAC = Tables.distSql("l2sq", "av", s"c.$candVecCol")
+    s"""n AS MATERIALIZED (SELECT $idCol, max(rn) AS mx FROM cv GROUP BY $idCol),
+       |step($idCol, rn, acc_ids, acc_vecs) AS (
+       |  SELECT $idCol, 0, []::BIGINT[], []::FLOAT[][] FROM n
+       |  UNION ALL
+       |  SELECT x.$idCol, x.rn + 1,
+       |    CASE WHEN x.ok THEN list_append(x.acc_ids, x.$candIdCol) ELSE x.acc_ids END,
+       |    CASE WHEN x.ok THEN list_append(x.acc_vecs, x.$candVecCol) ELSE x.acc_vecs END
+       |  FROM (
+       |    SELECT s.$idCol, s.rn, s.acc_ids, s.acc_vecs, c.$candIdCol, c.$candVecCol,
+       |      len(s.acc_ids) < $cap AND len(list_filter(s.acc_vecs,
+       |        av -> $rngFactor * ($dAC) < c.$distCol)) = 0 AS ok
+       |    FROM step s JOIN cv c ON c.$idCol = s.$idCol AND c.rn = s.rn + 1
+       |  ) x
+       |  WHERE x.rn < (SELECT max(mx) FROM n)
+       |),
+       |fin AS (SELECT s.$idCol, s.acc_ids FROM step s JOIN n USING ($idCol) WHERE s.rn = n.mx)""".stripMargin
+  }
 
   /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`. */
   private def shingleCtes: String =

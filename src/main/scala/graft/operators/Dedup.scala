@@ -55,19 +55,18 @@ object Dedup {
   /** MinHash signatures: `(doc_id, sig ARRAY<BIGINT>[numHashes])`, where
     * sig[j] = min over shingles of (a_j · (hash60(sh) mod M31) + b_j) mod M31.
     */
-  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc_id"),
-      (Hash60(col("sh")) % M31).as("h32"))
-      .select(col("doc_id"),
-        posexplode(array((0 until numHashes).map(j =>
-          (lit(minhashA(j)) * col("h32") + lit(minhashB(j))) % M31): _*))
-          .as(Seq("j", "hj")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("hj")).as("mh"))
+  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    // one groupBy with numHashes parallel min aggregates — no per-hash row
+    // explosion (a posexplode formulation multiplies the shingle frame by
+    // numHashes and pays a second shuffle to reassemble the signature)
+    val mins = (0 until numHashes).map(j =>
+      min((lit(minhashA(j)) * col("h32") + lit(minhashB(j))) % M31).as(s"_m$j"))
+    sh.select(col("doc_id"), (Hash60(col("sh")) % M31).as("h32"))
       .groupBy(col("doc_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("j"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`, hash each
     * band → `(doc_id, band, band_hash)`.

@@ -25,14 +25,44 @@ object Knn {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
+      metric: String = "l2sq"): DataFrame =
+    explodeRanked(searchAgg(queries, corpus, k, metric))
+
+  /** The aggregate form of [[search]]: `(query_id, nn)` with UNROUNDED
+    * distances — for callers that merge further (scatter-gather) before the
+    * final rounded projection.
+    *
+    * Plan: ONE scan of the corpus through [[graft.functions.BatchTopK]] (all
+    * queries ride inside the aggregate; per-query bounded buffers update
+    * map-side). The broadcast-join formulation ([[searchAggViaJoin]])
+    * materializes a joined row per (query, vector) pair first — same
+    * result, |Q|× the row traffic.
+    */
+  private[graft] def searchAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
       metric: String = "l2sq"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    import graft.functions.BatchTopK
+    val (qids, qvecs) = BatchTopK.collectQueries(queries)
+    corpus
+      .agg(BatchTopK.batchTopk(col("id"), col("vec"), qids, qvecs, k, metric).as("per_q"))
+      .select(explode(col("per_q")).as("r"))
+      .select(col("r.query_id").as("query_id"), col("r.nn").as("nn"))
+  }
+
+  /** Join-formulated [[searchAgg]] — kept as the reference dataflow (tested
+    * equal) and for query sets too large to collect.
+    */
+  private[graft] def searchAggViaJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      metric: String = "l2sq"): DataFrame =
+    corpus.crossJoin(broadcast(queries))
       .withColumn("dist", dist.byName(metric)(col("qvec"), col("vec")))
-    val agged = scored
       .groupBy(col("query_id"))
       .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn"))
-    explodeRanked(agged)
-  }
 
   /** Window-based exact kNN — the naive |Q|×|N|-shuffle formulation. Kept as
     * the semantic baseline the aggregate plan is tested against.

@@ -42,7 +42,12 @@ object Serving {
       partitionedCorpora: Seq[DataFrame],
       k: Int,
       metric: String = "l2sq"): DataFrame = {
-    val perServer = partitionedCorpora.map(c => Knn.search(queries, c, k, metric))
+    // per-server results stay UNROUNDED so the global re-merge ranks on raw
+    // distance — identical to a single exact top-k over the whole corpus
+    val perServer = partitionedCorpora.map(c =>
+      Knn.searchAgg(queries, c, k, metric)
+        .select(col("query_id"), explode(col("nn")).as("r"))
+        .select(col("query_id"), col("r.id").as("id"), col("r.dist").as("dist")))
     val unioned = perServer.reduce(_ unionByName _)
     Knn.explodeRanked(
       unioned.groupBy(col("query_id"))

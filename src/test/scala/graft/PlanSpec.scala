@@ -12,16 +12,32 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
-  test("kNN plan broadcasts the query side (no shuffled cross join)") {
+  test("kNN plan scans the corpus once — no |Q|×|N| join fan-out") {
     val p = plan("q01_knn_l2")
-    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast in:\n$p")
+    assert(p.contains("batch_topk"), s"no batch_topk aggregate in:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN reintroduced a per-(query,vector) join:\n$p")
   }
 
   test("kNN plan aggregates top-k map-side (partial before exchange)") {
     val p = plan("q01_knn_l2")
-    assert(p.contains("ObjectHashAggregate"), s"no object hash agg in:\n$p")
-    val firstAgg = p.indexOf("partial_topk_by_distance")
-    assert(firstAgg >= 0, s"no partial topk in:\n$p")
+    assert(p.contains("partial_batch_topk"), s"no partial batch topk in:\n$p")
+  }
+
+  test("join-formulated kNN broadcasts queries and aggregates partially") {
+    import graft.operators.Knn
+    val q = Tables.ordersQuery(spark, sf0001).where(col("query_id") < 5)
+    val corpus = Tables.lineitemVec(spark, sf0001)
+    val agg = Knn.searchAggViaJoin(q, corpus, 3)
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast in:\n$p")
+    assert(p.contains("partial_topk_by_distance"), s"no partial topk in:\n$p")
+    // and it must agree with the single-scan aggregate form
+    val viaAgg = Knn.searchAgg(q, corpus, 3)
+    assert(agg.select(col("query_id"), explode(col("nn")).as("r")).orderBy("query_id", "r.id")
+        .collect().toSeq ==
+      viaAgg.select(col("query_id"), explode(col("nn")).as("r")).orderBy("query_id", "r.id")
+        .collect().toSeq)
   }
 
   test("TPC-H Q1 scan prunes to the referenced columns only") {
@@ -55,7 +71,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the distance computation") {
-    val df = SparkEntry.queries("q01_knn_l2")(spark, sf0001)
+    // q13 keeps the window formulation whose dist expression is a projected
+    // column (q01's distance now lives inside the batch_topk aggregate)
+    val df = SparkEntry.queries("q13_knn_window")(spark, sf0001)
     df.collect() // AQE finalizes the plan only on execution
     val p = df.queryExecution.executedPlan.toString
     // codegen'd stages render as "*(n) Operator" in the plan string; the
