@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           VectorDistance(args.head, args(1), metric)
         }))
     }
+    // window-top-k → bounded-aggregate rewrite (semantics-preserving; see
+    // graft.plans.WindowTopKRewrite; spark.graft.rewriteWindowTopK=false
+    // to disable)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

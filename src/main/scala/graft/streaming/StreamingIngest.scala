@@ -49,6 +49,35 @@ object StreamingIngest {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Running per-head posting pressure via arbitrary stateful processing
+    * (`flatMapGroupsWithState`): as posting assignments stream in, keep a
+    * per-head running count and emit the head whenever its posting crosses
+    * `limit` — the streaming analogue of the reference's posting-length cap
+    * + background split/compaction trigger (B9 `PostingPageLimit`,
+    * `ExtraFullGraphSearcher.h:723-760`; rebuild thread `BKT/Index.h:40-71`).
+    * Output rows: `(head_id, n_postings, needs_split)`.
+    */
+  def postingPressure(
+      postingStream: DataFrame, // streaming (head_id, id)
+      limit: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = postingStream.sparkSession
+    import spark.implicits._
+    postingStream
+      .select(col("head_id").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (headId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator.single((headId, next, next > limit))
+      }
+      .toDF("head_id", "n_postings", "needs_split")
+  }
+
   /** Micro-batch index ingest: for each incoming vector batch, compute its
     * posting assignments against the CURRENT heads (B8 on the delta only —
     * cost ∝ batch size, not corpus size) and append to the postings store.

@@ -70,6 +70,46 @@ class PlanSpec extends SparkSpec {
       p.contains("SortMergeJoin"), s"no equi-join on head_id:\n$p")
   }
 
+  test("optimizer rewrites window top-k to the bounded aggregate") {
+    import graft.operators.Knn
+    // synthetic frames: no fixture windows in the plan string
+    val df = Knn.searchViaWindow(synthQueries(), synthVectors(), 5)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("topk_by_distance"), s"window not rewritten:\n$p")
+    assert(!p.contains("row_number"), s"window survived the rewrite:\n$p")
+    // and the rewrite preserves results exactly
+    spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+    try {
+      val naive = Knn.searchViaWindow(synthQueries(), synthVectors(), 5)
+      val pn = naive.queryExecution.optimizedPlan.toString
+      assert(pn.contains("row_number"), s"rule-off plan should keep the window:\n$pn")
+      assert(df.orderBy("query_id", "rank").collect().toSeq ==
+        naive.orderBy("query_id", "rank").collect().toSeq)
+    } finally spark.conf.set("spark.graft.rewriteWindowTopK", "true")
+  }
+
+  test("window rewrite leaves non-matching windows alone") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.lineitemVec(spark, sf0001)
+    // rank() (not row_number) must NOT be rewritten
+    val w = Window.partitionBy(col("meta")).orderBy(col("id").cast("double"), col("id"))
+    val df = corpus.withColumn("rnk", rank().over(w)).where(col("rnk") <= 3)
+      .select(col("meta"), col("rnk"), col("id"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("rank("),
+      "rank() window was wrongly rewritten")
+    // a projection that needs a non-(key,rank,id,dist) column must survive
+    val w2 = Window.partitionBy(col("meta")).orderBy(col("id").cast("double").as("d"), col("id"))
+    val df2 = corpus
+      .withColumn("d", col("id").cast("double"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("meta")).orderBy(col("d"), col("id"))))
+      .where(col("rnk") <= 3)
+      .select(col("meta"), col("rnk"), col("id"), col("vec")) // vec would be dropped
+    assert(df2.queryExecution.optimizedPlan.toString.toLowerCase.contains("window"),
+      "window with extra projected columns was wrongly rewritten")
+    assert(df2.count() > 0)
+  }
+
   test("whole-stage codegen covers the distance computation") {
     // q13 keeps the window formulation whose dist expression is a projected
     // column (q01's distance now lives inside the batch_topk aggregate)

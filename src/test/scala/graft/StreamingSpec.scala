@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("posting pressure keeps per-head state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.postingPressure(
+      stream.toDF().toDF("head_id", "id"), limit = 3)
+      .writeStream.format("memory").queryName("pressure_out").outputMode("update")
+      .start()
+    try {
+      stream.addData(Seq((1L, 10L), (1L, 11L), (2L, 20L)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, 12L), (1L, 13L))) // head 1 crosses the limit
+      q.processAllAvailable()
+      val out = spark.table("pressure_out")
+        .groupBy("head_id").agg(max("n_postings").as("n"), max("needs_split").as("split"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(out(1L) === ((4L, true)), s"head 1 state wrong: $out")
+      assert(out(2L) === ((1L, false)), s"head 2 state wrong: $out")
+    } finally q.stop()
+  }
+
   test("micro-batch ingest assigns postings for the delta only (M1)") {
     val corpus = synthVectors(200).select("id", "vec")
     val heads = Spann.selectHeadsModulo(corpus, 20)
