@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{RngPrune, TopKBuffer, VectorDistance}
+
+/** ScalaCheck properties over the engine's pure kernels (SURVEY.md §5's
+  * property list): distance-kernel laws (the analogue of the reference's
+  * SIMD-vs-scalar parity suite, `Test/src/DistanceTest.cpp:88-96`,
+  * `Test/src/SIMDTest.cpp:51`), bounded top-k buffer correctness, and the
+  * RNG prune rule's invariants
+  * (`AnnService/inc/Core/Common/RelativeNeighborhoodGraph.h:18-35`).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"property '$name' failed: ${res.status}")
+  }
+
+  private def evalDist(metric: String, a: Array[Double], b: Array[Double]): Double =
+    VectorDistance(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType)), metric)
+      .eval(null).asInstanceOf[Double]
+
+  private val genVec: Gen[Array[Double]] = for {
+    d <- Gen.chooseNum(1, 16)
+    xs <- Gen.listOfN(d, Gen.chooseNum(-1000.0, 1000.0))
+  } yield xs.toArray
+
+  private def genVecPair: Gen[(Array[Double], Array[Double])] = for {
+    a <- genVec
+    b <- Gen.listOfN(a.length, Gen.chooseNum(-1000.0, 1000.0))
+  } yield (a, b.toArray)
+
+  test("distance: l2sq and cos are symmetric, dot == -ip") {
+    check("symmetry", Prop.forAll(genVecPair) { case (a, b) =>
+      evalDist("l2sq", a, b) == evalDist("l2sq", b, a) &&
+      evalDist("cos", a, b) == evalDist("cos", b, a) &&
+      evalDist("dot", a, b) == -evalDist("ip", a, b)
+    })
+  }
+
+  test("distance: l2sq is a non-negative squared metric with zero self-distance") {
+    check("l2sq-laws", Prop.forAll(genVecPair) { case (a, b) =>
+      evalDist("l2sq", a, a) == 0.0 && evalDist("l2sq", a, b) >= 0.0
+    })
+  }
+
+  test("distance: sqrt(l2sq) satisfies the triangle inequality") {
+    val gen = for {
+      (a, b) <- genVecPair
+      c <- Gen.listOfN(a.length, Gen.chooseNum(-1000.0, 1000.0))
+    } yield (a, b, c.toArray)
+    check("triangle", Prop.forAll(gen) { case (a, b, c) =>
+      val ab = math.sqrt(evalDist("l2sq", a, b))
+      val bc = math.sqrt(evalDist("l2sq", b, c))
+      val ac = math.sqrt(evalDist("l2sq", a, c))
+      ac <= ab + bc + 1e-6 * (1.0 + ab + bc)
+    })
+  }
+
+  test("distance: cosine distance lies in [0, 2] and is scale-invariant") {
+    check("cos-range", Prop.forAll(genVecPair) { case (a, b) =>
+      val d = evalDist("cos", a, b)
+      d >= -1e-12 && d <= 2.0 + 1e-12
+    })
+    val genScaled = for {
+      a <- genVec
+      s <- Gen.chooseNum(0.001, 100.0)
+    } yield (a, s)
+    check("cos-scale", Prop.forAll(genScaled) { case (a, s) =>
+      val d = evalDist("cos", a, a.map(_ * s))
+      if (a.forall(_ == 0.0)) d == 1.0 // zero-norm contract (DistanceUtils.h:105-116)
+      else math.abs(d) < 1e-9 // same direction → distance ~0 regardless of scale
+    })
+  }
+
+  test("distance: codegen'd column equals interpreted eval (SIMD-parity analogue)") {
+    // the reference asserts its SIMD kernels match the scalar path bit-for-bit
+    // (SIMDTest.cpp); here: whole-stage-codegen'd VectorDistance vs the
+    // interpreted nullSafeEval, on float inputs widened per-element
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong,
+        Array.fill(8)(rnd.nextFloat() * 200f - 100f),
+        Array.fill(8)(rnd.nextFloat() * 200f - 100f))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    for (m <- VectorDistance.Metrics) {
+      val got = df.select(col("id"), graft.functions.dist.byName(m)(col("a"), col("b")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { case (id, a, b) =>
+        val want = evalDist(m, a.map(_.toDouble), b.map(_.toDouble))
+        assert(got(id) == want, s"metric $m id $id: codegen ${got(id)} != interpreted $want")
+      }
+    }
+  }
+
+  private val genScored: Gen[List[(Long, Double)]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 50L) // small id range → deliberate dist ties
+      d <- Gen.oneOf(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0.0, 0.5))
+    } yield (id, d))
+
+  test("topk buffer: equals sort-take(k) under any insertion order, ties on id") {
+    val gen = for { xs <- genScored; k <- Gen.chooseNum(1, 12) } yield (xs, k)
+    check("topk-sort", Prop.forAll(gen) { case (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (id, d) => buf.insert(d, id) }
+      val want = xs.map { case (id, d) => (id, d) }.sortBy { case (id, d) => (d, id) }.take(k)
+      buf.sorted.toList == want
+    })
+  }
+
+  test("topk buffer: split-merge equals single-buffer (partial aggregation law)") {
+    val gen = for {
+      xs <- genScored
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, xs.length)
+    } yield (xs, k, cut)
+    check("topk-merge", Prop.forAll(gen) { case (xs, k, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val bl = new TopKBuffer(k); l.foreach { case (id, d) => bl.insert(d, id) }
+      val br = new TopKBuffer(k); r.foreach { case (id, d) => br.insert(d, id) }
+      var i = 0
+      while (i < br.size) { bl.insert(br.dists(i), br.ids(i)); i += 1 }
+      val whole = new TopKBuffer(k); xs.foreach { case (id, d) => whole.insert(d, id) }
+      bl.sorted.toList == whole.sorted.toList
+    })
+  }
+
+  private val genCands: Gen[List[(Long, Double, Array[Double])]] =
+    Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 1000L)
+      v <- Gen.listOfN(4, Gen.chooseNum(-50.0, 50.0))
+    } yield (id, 0.0, v.toArray))
+      .map(_.distinctBy(_._1))
+      .map { cs =>
+        // dist-to-node consistent with a node at the origin
+        cs.map { case (id, _, v) => (id, RngPrune.l2sq(v, Array.fill(4)(0.0)), v) }
+      }
+
+  test("rng prune: accepted ⊆ candidates, bounded, order-invariant, closest kept") {
+    val gen = for {
+      cs <- genCands
+      f <- Gen.oneOf(0.5, 1.0, 2.0)
+      cap <- Gen.chooseNum(1, 8)
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (cs, f, cap, seed)
+    check("rng-basic", Prop.forAll(gen) { case (cs, f, cap, seed) =>
+      val acc = RngPrune.prune(cs, f, cap)
+      val ids = cs.map(_._1).toSet
+      val shuffled = new scala.util.Random(seed).shuffle(cs)
+      acc.size <= cap &&
+      acc.forall(ids.contains) &&
+      RngPrune.prune(shuffled, f, cap) == acc &&
+      (cs.isEmpty || acc.headOption.contains(
+        cs.minBy { case (id, d, _) => (d, id) }._1))
+    })
+  }
+
+  test("rng prune: idempotent — pruning the accepted set changes nothing") {
+    val gen = for {
+      cs <- genCands
+      f <- Gen.oneOf(0.5, 1.0, 2.0)
+      cap <- Gen.chooseNum(1, 8)
+    } yield (cs, f, cap)
+    check("rng-idempotent", Prop.forAll(gen) { case (cs, f, cap) =>
+      val acc = RngPrune.prune(cs, f, cap)
+      val accSet = acc.toSet
+      val accCands = cs.filter(c => accSet.contains(c._1))
+      RngPrune.prune(accCands, f, cap) == acc
+    })
+  }
+
+  test("minhash coefficients: affine products stay int64-exact under M31") {
+    // (a_j·h + b_j) with h < M31 must not overflow 2^62 (Dedup.scala contract)
+    for (j <- 0 until 64) {
+      val a = graft.operators.Dedup.minhashA(j)
+      val b = graft.operators.Dedup.minhashB(j)
+      assert(a > 0 && a < Dedup31 && b >= 0 && b < Dedup31, s"coeff bounds at j=$j")
+      assert(a <= (Long.MaxValue - b) / (Dedup31 - 1), s"overflow possible at j=$j")
+    }
+  }
+  private val Dedup31 = graft.operators.Dedup.M31
+}
