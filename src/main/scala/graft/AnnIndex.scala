@@ -66,9 +66,12 @@ class AnnIndex private (
     */
   def search(queries: DataFrame, k: Int): DataFrame = {
     val (h, p) = requireBuilt()
+    // a loaded index keeps IndexStore's head_bucket partition column →
+    // the bucketed join enables dynamic partition pruning of the scan
+    val buckets = if (p.columns.contains("head_bucket")) Some(conf.headBuckets) else None
     Spann.searchTwoStage(
       queries, h, p.join(deleted, Seq("id"), "left_anti"),
-      k, conf.internalK, conf.maxDistRatio, conf.metric)
+      k, conf.internalK, conf.maxDistRatio, conf.metric, buckets)
   }
 
   /** Exact search — the truth path (brute force, always available). */
@@ -91,9 +94,15 @@ class AnnIndex private (
     val grown = copy(vectors = Mutations.add(vectors, batch))
     postings match {
       case Some(p) =>
-        val delta = Spann.buildPostings(
+        val delta0 = Spann.buildPostings(
           batch.select(col("id"), col("vec")), heads.get,
           conf.replicaCount, conf.metric)
+        // a loaded index carries the head_bucket partition column — bucket
+        // the delta identically so the union stays schema-aligned
+        val delta =
+          if (p.columns.contains("head_bucket"))
+            IndexStore.withBucket(delta0, conf.headBuckets)
+          else delta0
         grown.copy(postings = Some(p.unionByName(delta)))
       case None => grown
     }
@@ -157,6 +166,6 @@ object AnnIndex {
     val vectors = spark.read.parquet(s"$dir/vectors")
     new AnnIndex(spark, conf, vectors,
       l.deletes.getOrElse(emptyDeletes(spark)),
-      Some(l.heads), Some(l.postings.drop("head_bucket")))
+      Some(l.heads), Some(l.postings)) // head_bucket kept → pruned stage-2 scans
   }
 }

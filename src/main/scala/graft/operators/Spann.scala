@@ -133,9 +133,22 @@ object Spann {
       k: Int,
       internalK: Int,
       maxDistRatio: Double = Double.MaxValue,
-      metric: String = "l2sq"): DataFrame = {
-    val cand = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
-    val hits = cand.join(postings, Seq("head_id"))
+      metric: String = "l2sq",
+      headBuckets: Option[Int] = None): DataFrame = {
+    val cand0 = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+    // disk-resident index path: postings carry the IndexStore partition
+    // column `head_bucket`; joining on it lets dynamic partition pruning
+    // skip every bucket the stage-1 candidates don't name — the dataflow
+    // form of the reference's selective posting-page reads
+    // (`ExtraFullGraphSearcher.h:1206-1290`), with no driver-side collect
+    val bucketed = headBuckets.filter(_ => postings.columns.contains("head_bucket"))
+    val cand = bucketed match {
+      case Some(b) =>
+        cand0.withColumn("head_bucket", (col("head_id") % b).cast("int"))
+      case None => cand0
+    }
+    val joinKeys = if (bucketed.isDefined) Seq("head_bucket", "head_id") else Seq("head_id")
+    val hits = cand.join(postings, joinKeys)
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
       .groupBy(col("query_id"), col("id"))

@@ -72,6 +72,28 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.select("head_id").distinct().as[Long].collect().toSet === Set(30L, 60L))
   }
 
+  test("loaded-index search prunes posting partitions dynamically (S6/Q5)") {
+    // the no-collect form of selective posting reads: stage-2 joins on the
+    // head_bucket partition column, so Catalyst inserts a dynamic-pruning
+    // subquery fed by the broadcast stage-1 candidates
+    val dir = tmp()
+    val corpus = synthVectors(300).select("id", "vec")
+    val idx = AnnIndex(spark, corpus,
+      GraftConf(headRatio = 1.0 / 30, replicaCount = 2, internalK = 2, headBuckets = 8))
+      .build()
+    idx.save(dir)
+    val loaded = AnnIndex.load(spark, dir)
+    val q = Seq((0L, Seq.fill(10)(42f)), (1L, Seq.fill(10)(250f)))
+      .toDF("query_id", "qvec").where(col("query_id") >= 0)
+    val res = loaded.search(q, 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in loaded-index search plan:\n$plan")
+    // and pruning must not change results vs the in-memory index
+    assert(res.orderBy("query_id", "rank").collect().toSeq ===
+      idx.search(q, 3).orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("query parser extracts options, vector, base64 (S7)") {
     val df = Seq(
       (1L, "$k:5$index:main|1|2|3"),
