@@ -15,8 +15,15 @@ import org.apache.spark.sql.types._
   * current worst element is O(1) to inspect and replace. Ties break on id
   * ascending — fully deterministic, matching the oracle's
   * `ORDER BY dist, id`.
+  *
+  * With `distinct = true` an id already in the buffer is never double-counted
+  * (an O(k) scan per insert; k is small by contract). This subsumes the SPANN
+  * replica dedup (`m_deduper`, `IExtraSearcher.h:104-160`) into the aggregate
+  * itself: because a given (query, id) pair always evaluates to the SAME
+  * distance, suppressing duplicate ids in-buffer is exactly equivalent to a
+  * groupBy(query, id).min(dist) pre-pass — without its extra shuffle.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val distinct: Boolean = false) {
   // parallel arrays, heap-ordered; heap max = the current k-th best
   val dists = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -26,6 +33,31 @@ final class TopKBuffer(val k: Int) {
     d1 > d2 || (d1 == d2 && i1 > i2)
 
   def insert(d: Double, id: Long): Unit = {
+    if (distinct) {
+      var i = 0
+      while (i < size) {
+        if (ids(i) == id) {
+          // deterministic-distance contract: normally d == dists(i); keep the
+          // better value defensively (replace + sift down restores the heap)
+          if (d < dists(i)) {
+            dists(i) = d
+            var c = i
+            while (true) {
+              val l = 2 * c + 1; val r = l + 1
+              var m = c
+              if (l < size && worse(dists(l), ids(l), dists(m), ids(m))) m = l
+              if (r < size && worse(dists(r), ids(r), dists(m), ids(m))) m = r
+              if (m == c) return
+              val td = dists(c); dists(c) = dists(m); dists(m) = td
+              val ti = ids(c); ids(c) = ids(m); ids(m) = ti
+              c = m
+            }
+          }
+          return
+        }
+        i += 1
+      }
+    }
     if (size < k) {
       var c = size
       dists(c) = d; ids(c) = id; size += 1
@@ -78,6 +110,7 @@ case class TopKByDistance(
     id: Expression,
     distExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
@@ -89,7 +122,7 @@ case class TopKByDistance(
   override def dataType: DataType = TopKByDistance.resultType
   override def prettyName: String = "topk_by_distance"
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinctIds)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val idV = id.eval(input)
@@ -112,8 +145,8 @@ case class TopKByDistance(
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.size * 16)
-    bb.putInt(buf.k).putInt(buf.size)
+    val bb = ByteBuffer.allocate(9 + buf.size * 16)
+    bb.putInt(buf.k).put(if (buf.distinct) 1.toByte else 0.toByte).putInt(buf.size)
     var i = 0
     while (i < buf.size) { bb.putDouble(buf.dists(i)).putLong(buf.ids(i)); i += 1 }
     bb.array()
@@ -121,7 +154,7 @@ case class TopKByDistance(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(bb.getInt())
+    val buf = new TopKBuffer(bb.getInt(), bb.get() == 1.toByte)
     val n = bb.getInt()
     var i = 0
     while (i < n) { buf.insert(bb.getDouble(), bb.getLong()); i += 1 }
@@ -149,4 +182,13 @@ object TopKByDistance {
     ColumnShim.column(
       TopKByDistance(ColumnShim.expression(id), ColumnShim.expression(distC), k)
         .toAggregateExpression())
+
+  /** Top-k with in-buffer id dedup — requires (group, id) → dist to be
+    * deterministic; then it equals `groupBy(group, id).min(dist)` + topk,
+    * minus that pre-pass's shuffle (SPANN replica dedup).
+    */
+  def topkDistinct(id: Column, distC: Column, k: Int): Column =
+    ColumnShim.column(
+      TopKByDistance(ColumnShim.expression(id), ColumnShim.expression(distC), k,
+        distinctIds = true).toAggregateExpression())
 }

@@ -151,11 +151,13 @@ object Spann {
     val hits = cand.join(postings, joinKeys)
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
-      .groupBy(col("query_id"), col("id"))
-      .agg(min(col("pdist")).as("pdist")) // replica dedup
+    // replica dedup rides INSIDE the bounded top-k (distinct-id buffer):
+    // dist(query, id) is deterministic, so this equals the former
+    // groupBy(query_id, id).min(pdist) pre-pass without its extra
+    // near-unique-key shuffle + hash aggregate pair
     Knn.explodeRanked(
       hits.groupBy(col("query_id"))
-        .agg(TopKByDistance.topk(col("id"), col("pdist"), k).as("nn")))
+        .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), k).as("nn")))
   }
 
   /** Stage-1 candidate heads per query: `(query_id, head_id)` (Q8

@@ -138,6 +138,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("topk distinct buffer: equals topk over the distinct-id set (replica-dedup law)") {
+    // each id carries ONE deterministic dist (the SPANN contract); the stream
+    // repeats ids (replicas) in arbitrary order and may split across buffers
+    val gen = for {
+      base <- Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0.0, 10.0)))
+      reps <- Gen.listOf(Gen.oneOf(base.keys.toSeq :+ 0L))
+      k <- Gen.chooseNum(1, 8)
+      cut <- Gen.chooseNum(0, reps.length)
+    } yield (base + (0L -> base.getOrElse(0L, 1.0)), reps, k, cut)
+    check("topk-distinct", Prop.forAll(gen) { case (dists, stream, k, cut) =>
+      val want = dists.view.filterKeys(stream.toSet).toList
+        .map { case (id, d) => (id, d) }.sortBy { case (id, d) => (d, id) }.take(k)
+      val whole = new TopKBuffer(k, distinct = true)
+      stream.foreach(id => whole.insert(dists(id), id))
+      val (l, r) = stream.splitAt(cut)
+      val bl = new TopKBuffer(k, distinct = true)
+      val br = new TopKBuffer(k, distinct = true)
+      l.foreach(id => bl.insert(dists(id), id))
+      r.foreach(id => br.insert(dists(id), id))
+      var i = 0
+      while (i < br.size) { bl.insert(br.dists(i), br.ids(i)); i += 1 }
+      whole.sorted.toList == want && bl.sorted.toList == want
+    })
+  }
+
   private val genCands: Gen[List[(Long, Double, Array[Double])]] =
     Gen.listOf(for {
       id <- Gen.chooseNum(0L, 1000L)
