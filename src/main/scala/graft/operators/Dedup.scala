@@ -52,6 +52,30 @@ object Dedup {
   def minhashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % M31 | 1L
   def minhashB(j: Int): Long = (69069L * (j + 1) + 362437L) % M31
 
+  /** Array-form shingle frame: one row per doc with its DISTINCT shingle set
+    * and the M31-reduced hashes — the same sets [[shingles]] explodes, kept
+    * packed so the MinHash/Jaccard pipeline needs no per-shingle rows at all
+    * (per-doc shingle sets are small by construction; the heavy lifting is
+    * `array_min`/`array_intersect` inside the row).
+    */
+  def shingleArrays(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sharr"))
+      .withColumn("h32arr", transform(col("sharr"), s => Hash60(s) % M31))
+
+  /** MinHash signatures from the array form — `array_min` over in-row hashes
+    * replaces [[minhash]]'s groupBy (identical values, zero shuffles).
+    */
+  def minhashFromArrays(da: DataFrame, numHashes: Int = 16): DataFrame =
+    da.select(col("doc_id"),
+      array((0 until numHashes).map(j =>
+        array_min(transform(col("h32arr"),
+          h => (lit(minhashA(j)) * h + lit(minhashB(j))) % M31))): _*).as("sig"))
+
   /** MinHash signatures: `(doc_id, sig ARRAY<BIGINT>[numHashes])`, where
     * sig[j] = min over shingles of (a_j · (hash60(sh) mod M31) + b_j) mod M31.
     */
@@ -124,14 +148,32 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    // both the signature path and the jaccard verify consume the shingle
-    // frame — checkpoint so tokenize+shingle+distinct runs once
-    // eager: a lazy localCheckpoint would materialize inside a LATER query's
-    // execution, whose tasks then report to this plan's already-unregistered
-    // SQLMetrics accumulators (DAGScheduler "non-existent accumulator" noise)
-    val sh = shingles(docs).localCheckpoint(true)
-    val cands = lshCandidates(lshBands(minhash(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(sh, Some(cands)).where(col("jaccard") >= threshold)
+    // array form end-to-end: one row per doc (shingle sets are small), so the
+    // signature is an in-row array_min (no groupBy), and the Jaccard verify
+    // is an in-row array_intersect over the two candidates' shingle sets (no
+    // per-shingle join + count). Only the LSH bucket self-join shuffles.
+    // Checkpoint eagerly: both the band path and the verify read this frame,
+    // and a lazy checkpoint would materialize under a LATER query's execution
+    // (DAGScheduler "non-existent accumulator" noise).
+    // fan the raw docs out to full parallelism BEFORE the tokenize+md5 map
+    // when the source arrives under-partitioned (a single parquet file reads
+    // as 1 partition and would serialize the heavy map); at scale the input
+    // already has >= shuffle partitions and this is a no-op
+    val target = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    val da = shingleArrays(spread).localCheckpoint(true)
+    val cands = lshCandidates(
+      lshBands(minhashFromArrays(da, numHashes), numHashes, rowsPerBand))
+    cands
+      .join(da.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
+      .join(da.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .select(col("a"), col("b"),
+        round(col("_inter").cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - col("_inter")).cast("double"), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash over the token multiset: bit b is set when

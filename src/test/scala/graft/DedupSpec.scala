@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("array-form pipeline equals the row-form: shingles, signatures, verify") {
+    // richer corpus: the sf0.001 documents table exercises real text
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val sigRows = Dedup.minhash(Dedup.shingles(d))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigArr = Dedup.minhashFromArrays(Dedup.shingleArrays(d))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigArr === sigRows)
+    // end-to-end near-dup output identical to the row-form formulation
+    val rowForm = Dedup.jaccard(Dedup.shingles(d), Some(Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhash(Dedup.shingles(d))))))
+      .where(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val arrForm = Dedup.minhashDedup(d, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(arrForm === rowForm)
+  }
+
   test("identical docs have identical minhash signature and simhash") {
     val sig = Dedup.minhash(Dedup.shingles(docs)).orderBy("doc_id").collect()
     assert(sig(0).getSeq[Long](1) === sig(1).getSeq[Long](1))
