@@ -32,6 +32,17 @@ object SparkEntry {
   private def heads(s: SparkSession, d: String): DataFrame =
     Spann.selectHeadsModulo(Tables.lineitemVec(s, d), HeadNth)
 
+  // two-level routing knobs (q53): every 20th head is a super-head; each
+  // head routes to its 2 nearest super-heads; queries probe 4 super-heads
+  private val SuperNth = HeadNth * 20
+  private val SuperK = 4
+  private val RouteReplicas = 2
+
+  private def superHeads(s: SparkSession, d: String): DataFrame =
+    Spann.selectHeadsModulo(
+      heads(s, d).select(col("head_id").as("id"), col("head_vec").as("vec")), SuperNth)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+
   // the SPANN contract is build-once / search-many: q07 measures the build,
   // q08+ search against the built (cached) index rather than re-deriving it
   private val postingsCache =
@@ -257,6 +268,15 @@ object SparkEntry {
       ordered(all.select(
         col("fmt") +: col("id") +:
           (0 until 6).map(i => col("vec").getItem(i).as(s"v${i + 1}")): _*))
+    }),
+    // Q5 at the head-set-beyond-broadcast scale: two-level routing — queries
+    // hit the tiny super-head set, heads rank via equi-join on super_id
+    // (never a full-head broadcast), then stage-2 as usual
+    "q53_spann_hier" -> ((s, d) => {
+      val sh = superHeads(s, d)
+      val routing = Spann.routeHeads(heads(s, d), sh, RouteReplicas)
+      ordered(Spann.searchTwoStageHier(
+        q(s, d), sh, routing, postings(s, d), K, InternalK, SuperK))
     })
   )
 
@@ -791,6 +811,47 @@ object SparkEntry {
          |SELECT f.fmt, base.id, $vcols
          |FROM base CROSS JOIN (VALUES ('default'), ('xvec'), ('txt')) f(fmt)
          |ORDER BY fmt, id, v1, v2, v3, v4, v5, v6""".stripMargin
+    },
+    // two-level routed SPANN: stage-0 super-heads (window top-SuperK per
+    // query), routing table (top-RouteReplicas super per head), stage-1 heads
+    // from the chosen buckets only (DISTINCT — a head may arrive via two
+    // supers), stage-2 as q08
+    "q53_spann_hier" -> {
+      val qsDist = Tables.distSql("l2sq", "q.qvec", "s.super_vec")
+      val hsDist = Tables.distSql("l2sq", "h.head_vec", "s.super_vec")
+      val qhDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
+      val sDist = Tables.distSql("l2sq", "ch2.qvec", "p.vec")
+      s"""WITH $spannCtes,
+         |s AS (SELECT head_id AS super_id, head_vec AS super_vec FROM h
+         |      WHERE head_id % $SuperNth = 0),
+         |shd AS (SELECT q.query_id, s.super_id, $qsDist AS sdist FROM q CROSS JOIN s),
+         |sch AS (SELECT * FROM (
+         |    SELECT query_id, super_id, sdist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY sdist, super_id) AS rn
+         |    FROM shd) WHERE rn <= $SuperK),
+         |rtd AS (SELECT h.head_id, s.super_id, $hsDist AS rdist FROM h CROSS JOIN s),
+         |rt AS (SELECT * FROM (
+         |    SELECT head_id, super_id, rdist,
+         |           row_number() OVER (PARTITION BY head_id ORDER BY rdist, super_id) AS rn
+         |    FROM rtd) WHERE rn <= $RouteReplicas),
+         |cand2 AS (SELECT DISTINCT sch.query_id, rt.head_id
+         |          FROM sch JOIN rt ON sch.super_id = rt.super_id),
+         |c2d AS (SELECT c.query_id, q.qvec, c.head_id, $qhDist AS hdist
+         |        FROM cand2 c JOIN q ON c.query_id = q.query_id
+         |        JOIN h ON c.head_id = h.head_id),
+         |ch2 AS (SELECT * FROM (
+         |    SELECT query_id, qvec, head_id, hdist,
+         |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank
+         |    FROM c2d) WHERE rank <= $InternalK),
+         |s2hits AS (SELECT ch2.query_id, p.id, min($sDist) AS dist
+         |           FROM ch2 JOIN p ON ch2.head_id = p.head_id
+         |           GROUP BY ch2.query_id, p.id),
+         |sp2 AS (SELECT * FROM (
+         |    SELECT query_id, id, dist,
+         |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |    FROM s2hits) WHERE rank <= $K)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp2
+         |ORDER BY query_id, rank, id, dist""".stripMargin
     }
   )
 

@@ -148,6 +148,19 @@ object Spann {
       case None => cand0
     }
     val joinKeys = if (bucketed.isDefined) Seq("head_bucket", "head_id") else Seq("head_id")
+    stage2(cand, postings, queries, joinKeys, k, metric)
+  }
+
+  /** Stage-2 proper: probe `postings` with `(query_id, head_id)` candidates,
+    * score, dedup replicas, final top-k.
+    */
+  private def stage2(
+      cand: DataFrame,
+      postings: DataFrame,
+      queries: DataFrame,
+      joinKeys: Seq[String],
+      k: Int,
+      metric: String): DataFrame = {
     val hits = cand.join(postings, joinKeys)
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
@@ -158,6 +171,72 @@ object Spann {
     Knn.explodeRanked(
       hits.groupBy(col("query_id"))
         .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), k).as("nn")))
+  }
+
+  /** Route each head to its `routeReplicas` nearest super-heads — the
+    * broadcast-free routing table for [[searchTwoStageHier]]. Output
+    * `(super_id, head_id, head_vec, rdist)`.
+    */
+  def routeHeads(
+      heads: DataFrame,
+      superHeads: DataFrame,
+      routeReplicas: Int = 1,
+      metric: String = "l2sq"): DataFrame =
+    buildPostings(
+      heads.select(col("head_id").as("id"), col("head_vec").as("vec")),
+      superHeads.select(col("super_id").as("head_id"), col("super_vec").as("head_vec")),
+      routeReplicas, metric)
+      .select(col("head_id").as("super_id"), col("id").as("head_id"),
+        col("vec").as("head_vec"), col("dist").as("rdist"))
+
+  /** Stage-1 candidates via two-level head routing: queries hit the (tiny,
+    * broadcastable) super-head set, then rank only the heads routed to those
+    * super-heads — an equi-join on `super_id`, never a broadcast of the full
+    * head set. A head routed to several chosen super-heads is counted once
+    * (distinct-id top-k; its query distance is deterministic).
+    */
+  def candidateHeadsHier(
+      queries: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      internalK: Int,
+      superK: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val sh = graft.functions.NearestHeadsExpr.fromHeads(
+      superHeads.select(col("super_id").as("head_id"), col("super_vec").as("head_vec")),
+      col("qvec"), superK, metric)
+    val fanned = queries
+      .select(col("query_id"), col("qvec"), explode(sh).as("s"))
+      .select(col("query_id"), col("qvec"), col("s.id").as("super_id"))
+      .join(routing.select(col("super_id"), col("head_id"), col("head_vec")), Seq("super_id"))
+      .withColumn("hdist", dist.byName(metric)(col("qvec"), col("head_vec")))
+    fanned
+      .groupBy(col("query_id"))
+      .agg(TopKByDistance.topkDistinct(col("head_id"), col("hdist"), internalK).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "r")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("r.id").as("head_id"), col("r.dist").as("hdist"))
+  }
+
+  /** Two-stage SPANN search for corpora whose HEAD SET is itself beyond a
+    * broadcast (the 100 TB growth path; the reference answers this with its
+    * in-memory head tree, `SPANNIndex.cpp:848-887` — here the tree descent
+    * becomes one more routed level): stage-0 ranks super-heads per query,
+    * stage-1 ranks heads within the chosen super-head buckets via equi-join,
+    * stage-2 probes postings as usual. Recall knobs: `superK` chosen
+    * super-heads per query, `routeReplicas` super-heads per head.
+    */
+  def searchTwoStageHier(
+      queries: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      internalK: Int,
+      superK: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val cand = candidateHeadsHier(queries, superHeads, routing, internalK, superK, metric)
+    stage2(cand, postings, queries, Seq("head_id"), k, metric)
   }
 
   /** Stage-1 candidate heads per query: `(query_id, head_id)` (Q8

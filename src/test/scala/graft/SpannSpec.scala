@@ -23,6 +23,36 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("hierarchical routing with full fan equals flat candidate heads (Q5 hier)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val supers = Spann.selectHeadsModulo(
+        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 200)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+    val nSupers = supers.count().toInt
+    // every head routed to every super + every super probed → no pruning,
+    // so the two-level candidates must equal the flat broadcast ranking
+    val routing = Spann.routeHeads(heads, supers, routeReplicas = nSupers)
+    val hier = Spann.candidateHeadsHier(queries, supers, routing, 8, nSupers)
+      .orderBy("query_id", "rank").collect().toSeq
+    val flat = Spann.candidateHeads(queries, heads, 8)
+      .select(col("query_id"), col("rank"), col("head_id"), col("hdist"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(hier === flat)
+  }
+
+  test("hierarchical two-stage search keeps recall under partial fan (Q5 hier)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val supers = Spann.selectHeadsModulo(
+        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 200)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val routing = Spann.routeHeads(heads, supers, routeReplicas = 2)
+    val hier = Spann.searchTwoStageHier(queries, supers, routing, postings, 10, 8, 3)
+    val exact = Knn.search(queries, corpus, 10)
+    val rec = Eval.recallSummary(Eval.recallAt(hier, exact, 10)).head()
+    assert(rec.getDouble(0) >= 0.8, s"avg recall ${rec.getDouble(0)}")
+  }
+
   test("expression-based posting build ≡ join-based build (all metrics)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     Seq("l2sq", "cos", "ip").foreach { m =>
