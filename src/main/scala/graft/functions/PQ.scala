@@ -191,6 +191,61 @@ object PQ {
       quantized, rcb.cb, k)
   }
 
+  /** True alternating OPQ (the non-parametric optimization the reference's
+    * OPQ trainer runs, `Common/OPQQuantizer.h:1-210`): block coordinate
+    * descent on `||X·R − X̂||²` —
+    *  - fix R: retrain codebooks on X·R (Lloyd, distributed);
+    *  - fix codes: R ← argmin over orthogonal R = U·Vᵀ from SVD(Xᵀ·X̂)
+    *    (orthogonal Procrustes; X̂ = reconstructions in the rotated space).
+    * Initialized at the parametric PCA + eigenvalue-allocation solution
+    * ([[trainOpq]]); each half-step is exact for its block, so the
+    * objective is non-increasing. The d×d cross matrix accumulates via
+    * `treeAggregate` (distributed; only the SVD of a d×d runs on the
+    * driver).
+    */
+  def trainOpqAlternating(
+      vectors: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      maxIter: Int = 5,
+      alternations: Int = 3): RotatedCodebooks = {
+    var rcb = trainOpq(vectors, dim, m, k, maxIter)
+    var a = 0
+    while (a < alternations) {
+      // reconstructions under current (R, codebooks), alongside originals
+      val base = vectors.select(col("vec").cast("array<double>").as("vorig"))
+        .withColumn("vec", col("vorig"))
+      val recon = reconstruct(
+        quantize(rotateDf(base, rcb.rotation), rcb.cb), rcb.cb)
+        .select(col("vorig"), col("recon"))
+      val d = dim
+      val crossM = recon.rdd.treeAggregate(new Array[Double](d * d))(
+        (acc, r) => {
+          val x = r.getSeq[Double](0); val y = r.getSeq[Double](1)
+          var i = 0
+          while (i < d) {
+            val xi = x(i); var j = 0
+            while (j < d) { acc(i * d + j) += xi * y(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        (a1, a2) => {
+          var i = 0
+          while (i < a1.length) { a1(i) += a2(i); i += 1 }
+          a1
+        })
+      val bm = new breeze.linalg.DenseMatrix(d, d, crossM, 0, d, isTranspose = true)
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(bm)
+      val rMat = u * vt
+      val newRot = Array.tabulate(d, d)((i, j) => rMat(i, j))
+      rcb = RotatedCodebooks(newRot, train(rotateDf(vectors, newRot), dim, m, k, maxIter))
+      a += 1
+    }
+    rcb
+  }
+
   /** Reconstruction: codes → approximate vector (for refine/debug parity,
     * `IQuantizer.h:20-68` ReconstructVector).
     */

@@ -87,6 +87,20 @@ class PQSpec extends SparkSpec {
       .withColumnRenamed("vec", "orig"))
     // rotation is orthogonal → MSE comparable across spaces
     assert(opqMse <= plainMse * 1.05, s"OPQ mse $opqMse vs plain $plainMse")
+
+    // true alternation (Procrustes rotation updates) must not regress the
+    // parametric init — the objective is non-increasing per half-step
+    val alt = PQ.trainOpqAlternating(data, 4, 2, 8, 3, alternations = 2)
+    val altMse = mse(PQ.reconstruct(PQ.quantizeOpq(data, alt), alt.cb)
+      .withColumnRenamed("vec", "orig"))
+    assert(altMse <= opqMse * 1.001, s"alternating mse $altMse vs parametric $opqMse")
+    // rotation stays orthogonal: R·Rᵀ = I
+    val r = alt.rotation
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r.indices.map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRᵀ[$i][$j] = $dot")
+    }
   }
 
   test("reconstructed vectors approximate originals") {
