@@ -61,17 +61,42 @@ class AnnIndex private (
       case _ => sys.error("index not built — call build() first")
     }
 
+  /** Two-level routing state, engaged only when the head set outgrows a
+    * comfortable broadcast (`conf.hierThreshold`): super-heads are a
+    * deterministic hash-sample of the heads (SelectHead's Random option,
+    * `SPANN/ParameterDefinitionList.h:38-67`), and heads route to their
+    * `routeReplicas` nearest super-heads.
+    */
+  private lazy val hierState: Option[(DataFrame, DataFrame)] = heads.flatMap { h =>
+    if (h.count() <= conf.hierThreshold) None
+    else {
+      val m = math.max((1.0 / conf.superRatio).round.toInt, 2)
+      val sh = h.where(pmod(xxhash64(col("head_id")), lit(m)) === 0)
+        .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+      if (sh.isEmpty) None
+      else Some((sh, Spann.routeHeads(h, sh, conf.routeReplicas, conf.metric)))
+    }
+  }
+
   /** SearchIndex: two-stage SPANN search; deleted ids are filtered from the
-    * result (search-time tombstone skip, `BKTIndex.cpp:875-899`).
+    * result (search-time tombstone skip, `BKTIndex.cpp:875-899`). Head sets
+    * beyond `conf.hierThreshold` route through super-heads automatically
+    * (never a full-head broadcast).
     */
   def search(queries: DataFrame, k: Int): DataFrame = {
     val (h, p) = requireBuilt()
-    // a loaded index keeps IndexStore's head_bucket partition column →
-    // the bucketed join enables dynamic partition pruning of the scan
-    val buckets = if (p.columns.contains("head_bucket")) Some(conf.headBuckets) else None
-    Spann.searchTwoStage(
-      queries, h, p.join(deleted, Seq("id"), "left_anti"),
-      k, conf.internalK, conf.maxDistRatio, conf.metric, buckets)
+    val live = p.join(deleted, Seq("id"), "left_anti")
+    hierState match {
+      case Some((sh, routing)) =>
+        Spann.searchTwoStageHier(
+          queries, sh, routing, live, k, conf.internalK, conf.superK, conf.metric)
+      case None =>
+        // a loaded index keeps IndexStore's head_bucket partition column →
+        // the bucketed join enables dynamic partition pruning of the scan
+        val buckets = if (p.columns.contains("head_bucket")) Some(conf.headBuckets) else None
+        Spann.searchTwoStage(
+          queries, h, live, k, conf.internalK, conf.maxDistRatio, conf.metric, buckets)
+    }
   }
 
   /** Exact search — the truth path (brute force, always available). */

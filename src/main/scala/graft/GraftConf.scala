@@ -19,7 +19,15 @@ case class GraftConf(
     kmeansIters: Int = 5,
     balanceLambda: Double = 0.0, // lambda (DynamicFactorSelect picks it in ref)
     deleteRefineThreshold: Double = 0.4, // DeletePercentageForRefine
-    headBuckets: Int = 256) {
+    headBuckets: Int = 256,
+    // two-level routing (searchTwoStageHier): engage when the head set
+    // exceeds hierThreshold rows (beyond comfortable broadcast); heads get
+    // superRatio·|heads| super-heads, each head routes to routeReplicas of
+    // them, queries probe superK
+    hierThreshold: Long = 2000000L,
+    superRatio: Double = 0.05,
+    superK: Int = 8,
+    routeReplicas: Int = 2) {
 
   def set(name: String, value: String): GraftConf = name.toLowerCase match {
     case "distcalcmethod" | "metric" => copy(metric = value.toLowerCase match {
@@ -40,6 +48,10 @@ case class GraftConf(
     case "lambda" | "balancelambda" => copy(balanceLambda = value.toDouble)
     case "deletepercentageforrefine" => copy(deleteRefineThreshold = value.toDouble)
     case "headbuckets" => copy(headBuckets = value.toInt)
+    case "hierthreshold" => copy(hierThreshold = value.toLong)
+    case "superratio" => copy(superRatio = value.toDouble)
+    case "superk" => copy(superK = value.toInt)
+    case "routereplicas" => copy(routeReplicas = value.toInt)
     case other => sys.error(s"unknown parameter $other")
   }
 
@@ -57,6 +69,10 @@ case class GraftConf(
     case "lambda" | "balancelambda" => balanceLambda.toString
     case "deletepercentageforrefine" => deleteRefineThreshold.toString
     case "headbuckets" => headBuckets.toString
+    case "hierthreshold" => hierThreshold.toString
+    case "superratio" => superRatio.toString
+    case "superk" => superK.toString
+    case "routereplicas" => routeReplicas.toString
     case other => sys.error(s"unknown parameter $other")
   }
 }

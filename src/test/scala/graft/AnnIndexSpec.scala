@@ -71,6 +71,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(loaded.getParameter("metric") === "l2sq")
   }
 
+  test("oversized head sets auto-route through super-heads (hier path)") {
+    val corpus = synthVectors(600).select("id", "vec")
+    val flat = AnnIndex(spark, corpus,
+      GraftConf(headRatio = 0.1, replicaCount = 3, internalK = 6)).build()
+    // same build, but a threshold the 60-head set exceeds → hier routing
+    val hier = AnnIndex(spark, corpus,
+      GraftConf(headRatio = 0.1, replicaCount = 3, internalK = 6,
+        hierThreshold = 10, superRatio = 0.25, superK = 4, routeReplicas = 2)).build()
+    val q = synthQueries(5)
+    val exact = hier.searchExact(q, 5)
+    val res = hier.search(q, 5)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // routed search keeps useful recall, and the flat path is unaffected
+    val rec = graft.operators.Eval.recallSummary(
+      graft.operators.Eval.recallAt(res, exact, 5)).head().getDouble(0)
+    assert(rec >= 0.7, s"hier recall $rec")
+    assert(flat.search(q, 5).count() === 25)
+  }
+
   test("parameters flow through the facade (M6)") {
     val idx = freshIndex.setParameter("InternalK", "16")
     assert(idx.getParameter("SearchInternalResultNum") === "16")
