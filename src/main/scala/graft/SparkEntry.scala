@@ -277,7 +277,19 @@ object SparkEntry {
       val routing = Spann.routeHeads(heads(s, d), sh, RouteReplicas)
       ordered(Spann.searchTwoStageHier(
         q(s, d), sh, routing, postings(s, d), K, InternalK, SuperK))
-    })
+    }),
+    // B9: posting truncation — keep the `limit` closest per head, dropping
+    // farthest replicas first (PostingPageLimit semantics)
+    "q54_posting_truncate" -> ((s, d) =>
+      ordered(Spann.truncatePostings(postings(s, d), 600)
+        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))),
+    // Q14: stage-1 head coverage of the exact top-K — the upper bound on
+    // two-stage recall (SSDIndex.h:355-490 head-recall analysis)
+    "q55_head_recall" -> ((s, d) =>
+      ordered(Eval.headRecall(
+        Spann.candidateHeads(q(s, d), heads(s, d), InternalK),
+        postings(s, d),
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K)))
   )
 
   /** ×1000-rounded integer-valued doubles (mirrors `KnnGraph.leafCode`'s
@@ -852,6 +864,31 @@ object SparkEntry {
          |    FROM s2hits) WHERE rank <= $K)
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp2
          |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q54_posting_truncate" ->
+      s"""WITH $spannCtes,
+         |tp AS (SELECT head_id, id, dist,
+         |         row_number() OVER (PARTITION BY head_id ORDER BY dist, id) AS trn
+         |       FROM p)
+         |SELECT head_id, id, round(dist, 4) AS dist FROM tp WHERE trn <= 600
+         |ORDER BY head_id, id, dist""".stripMargin,
+    "q55_head_recall" -> {
+      val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      s"""WITH $spannCtes,
+         |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
+         |ex AS (SELECT * FROM (
+         |    SELECT query_id, id, dist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |cov AS (SELECT DISTINCT ex.query_id, ex.id
+         |        FROM ex JOIN p ON ex.id = p.id
+         |        JOIN ch ON ch.query_id = ex.query_id AND ch.head_id = p.head_id),
+         |cvn AS (SELECT query_id, count(*) AS covered FROM cov GROUP BY query_id),
+         |tot AS (SELECT query_id, count(*) AS total FROM ex GROUP BY query_id)
+         |SELECT t.query_id,
+         |       round(coalesce(cvn.covered, 0)::DOUBLE / t.total, 4) AS head_recall
+         |FROM tot t LEFT JOIN cvn ON t.query_id = cvn.query_id
+         |ORDER BY t.query_id, head_recall""".stripMargin
     }
   )
 
