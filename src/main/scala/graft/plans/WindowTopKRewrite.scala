@@ -62,6 +62,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
               _, _, child, _)))
           if idAttr.dataType == LongType &&
             distExpr.dataType == org.apache.spark.sql.types.DoubleType &&
+            distExpr.deterministic &&
             partitionSpec.forall(_.isInstanceOf[Attribute]) =>
         val rankAttr = a.toAttribute
         rankLimit(cond, rankAttr) match {
