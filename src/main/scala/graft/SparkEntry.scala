@@ -289,8 +289,81 @@ object SparkEntry {
       ordered(Eval.headRecall(
         Spann.candidateHeads(q(s, d), heads(s, d), InternalK),
         postings(s, d),
-        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K)))
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K))),
+    // B13: OPQ applied end-to-end (rotate → train → quantize → ADC) with an
+    // EXACT orthogonal rotation — a signed permutation (entries 0/±1), so the
+    // rotation is float-exact in both engines and the whole pipeline hash-
+    // matches. The LEARNED-rotation paths (PCA eigenvalue-allocation and
+    // alternating Procrustes) are PQSpec-verified: their SVD isn't SQL.
+    "q56_opq_adc" -> ((s, d) => {
+      import graft.functions.PQ
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      val cb = PQ.train(corpus.withColumn("vec", rotateVec(col("vec"))),
+        dim = 6, m = 3, k = 16, maxIter = 3)
+      val rcb = PQ.RotatedCodebooks(opqRotation, cb)
+      val quant = PQ.quantizeOpq(corpus, rcb).select(col("id"), col("codes"))
+      ordered(PQ.adcSearchOpq(queries, quant, rcb, K)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
+    }),
+    // B10: RefineIndex compaction — drop tombstoned vectors, re-select heads
+    // from the survivors, rebuild postings (`BKTIndex.cpp:775-873`). The
+    // tombstone set here is id%7=3 (NOT the q05 every-10th set: every 200th
+    // id is also a 10th, so that set would tombstone every head).
+    "q57_refine" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val dels = corpus.select(col("id")).where(col("id") % 7 === 3)
+      val (_, p) = Mutations.refine(corpus, dels, HeadNth, Replicas)
+      ordered(p.select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))
+    }),
+    // B14: balanced distributed partition — assign to the fixed centers and
+    // write one partition directory per cluster; reading back through the
+    // partition-discovering scan must reproduce the assignment exactly
+    "q58_balanced_partition" -> ((s, d) => {
+      val pts = Tables.lineitemVec(s, d)
+      val centers = pts.where(col("id") <= 8)
+        .select((col("id") - 1).as("cluster_id"),
+          col("vec").cast("array<double>").as("center"), lit(0L).as("count"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      BalancedKMeans.writePartitioned(pts, centers, dir)
+      ordered(s.read.parquet(dir)
+        .select(col("id"), col("cluster_id").cast("long").as("cluster_id")))
+    }),
+    // V1: server-side index routing (`SearchExecutor.cpp:94-120`) — queries
+    // name a target index via $index (here precomputed into index_name);
+    // null index_name fans out to ALL indices (SelectIndex's fallback)
+    "q59_serving_route" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val queries = q(s, d).withColumn("index_name",
+        when(col("query_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("idx"), (col("query_id") % 3).cast("string"))))
+      val indices = (0 until 3).map(i =>
+        s"idx$i" -> corpus.where(col("id") % 3 === i)).toMap
+      ordered(graft.operators.Serving.multiIndexSearch(queries, indices, K)
+        .select(col("index_name"), col("query_id"), col("rank"), col("id"),
+          col("dist")))
+    })
   )
+
+  // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
+  //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
+  private val OpqPerm = Array(3, 0, 5, 1, 4, 2)
+  private val OpqSign = Array(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+
+  private def opqRotation: Array[Array[Double]] =
+    Array.tabulate(6, 6)((i, j) => if (i == OpqPerm(j)) OpqSign(j) else 0.0)
+
+  private def rotateVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 6).map(j => c.getItem(OpqPerm(j)) * lit(OpqSign(j))): _*)
+
+  /** DuckDB expression for [[rotateVec]] over a (1-indexed) list column. */
+  private def rotateSql(c: String): String =
+    (0 until 6).map(j =>
+      s"${if (OpqSign(j) < 0) "-" else ""}$c[${OpqPerm(j) + 1}]")
+      .mkString("[", ", ", "]")
 
   /** ×1000-rounded integer-valued doubles (mirrors `KnnGraph.leafCode`'s
     * proven Spark↔DuckDB round parity; SQL: `round(x::DOUBLE*1000)::BIGINT::DOUBLE`).
@@ -676,55 +749,7 @@ object SparkEntry {
          |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS checksum
          |FROM documents
          |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin,
-    "q42_pq_search" -> {
-      // PQ train (3 unrolled Lloyd iterations over m=3 two-dim subspaces,
-      // init = slices of the lowest-id vectors) → quantize → ADC top-k.
-      // Integer-scaled inputs make every centroid sum exact (see the query).
-      val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
-      val scaleSql = (c: String) =>
-        s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
-      val lloyd = (i: Int) =>
-        s"""a${i + 1} AS (SELECT * FROM (
-           |    SELECT s.id, s.sub, s.sv, c.code,
-           |           row_number() OVER (PARTITION BY s.id, s.sub
-           |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
-           |    FROM sub s JOIN c$i c ON c.sub = s.sub) WHERE rn = 1),
-           |u${i + 1} AS (SELECT sub, code,
-           |         [sum(sv[1]) / count(*), sum(sv[2]) / count(*)] AS center
-           |       FROM a${i + 1} GROUP BY sub, code),
-           |c${i + 1} AS (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
-           |       FROM c$i c LEFT JOIN u${i + 1} u ON u.sub = c.sub AND u.code = c.code)""".stripMargin
-      s"""WITH v0 AS (${Tables.lineitemVecSql}),
-         |vi AS (SELECT id, ${scaleSql("vec")} AS vec FROM v0),
-         |sub AS (
-         |  SELECT id, 0 AS sub, [vec[1], vec[2]] AS sv FROM vi
-         |  UNION ALL SELECT id, 1, [vec[3], vec[4]] FROM vi
-         |  UNION ALL SELECT id, 2, [vec[5], vec[6]] FROM vi),
-         |c0 AS (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM sub WHERE id < 16),
-         |${lloyd(0)},
-         |${lloyd(1)},
-         |${lloyd(2)},
-         |codes AS (SELECT * FROM (
-         |    SELECT s.id, s.sub, c.code, c.center,
-         |           row_number() OVER (PARTITION BY s.id, s.sub
-         |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
-         |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1),
-         |q0 AS (SELECT query_id, ${scaleSql("qvec")} AS qvec
-         |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
-         |qsub AS (
-         |  SELECT query_id, 0 AS sub, [qvec[1], qvec[2]] AS qv FROM q0
-         |  UNION ALL SELECT query_id, 1, [qvec[3], qvec[4]] FROM q0
-         |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
-         |pdist AS (SELECT q.query_id, cd.id, cd.sub, ${l2("q.qv", "cd.center")} AS pdsub
-         |          FROM qsub q JOIN codes cd ON cd.sub = q.sub),
-         |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
-         |       FROM pdist GROUP BY query_id, id),
-         |r AS (SELECT query_id, id, dist,
-         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
-         |      FROM dd)
-         |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
-         |ORDER BY query_id, rank, id, dist""".stripMargin
-    },
+    "q42_pq_search" -> pqAdcOracleSql(rotated = false),
     "q43_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
@@ -872,6 +897,51 @@ object SparkEntry {
          |       FROM p)
          |SELECT head_id, id, round(dist, 4) AS dist FROM tp WHERE trn <= 600
          |ORDER BY head_id, id, dist""".stripMargin,
+    "q56_opq_adc" -> pqAdcOracleSql(rotated = true),
+    "q57_refine" -> {
+      // q07's posting build over the post-compaction corpus: survivors only,
+      // heads re-selected from survivors
+      val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
+      s"""WITH v0 AS (${Tables.lineitemVecSql}),
+         |v AS (SELECT * FROM v0 WHERE id % 7 <> 3),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+         |pd AS (SELECT v.id, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT * FROM (
+         |    SELECT id, head_id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |    FROM pd) WHERE rn <= $Replicas)
+         |SELECT head_id, id, round(dist, 4) AS dist FROM p
+         |ORDER BY head_id, id, dist""".stripMargin
+    },
+    // the partitioned write/read roundtrip must reproduce the plain
+    // fixed-center assignment (q16 without the dist column)
+    "q58_balanced_partition" -> {
+      val dd = Tables.distSql("l2sq", "v.vec", "c.center")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |c AS (SELECT id - 1 AS cluster_id, vec AS center FROM v WHERE id <= 8),
+         |d AS (SELECT v.id, c.cluster_id, $dd AS dist FROM v CROSS JOIN c),
+         |a AS (SELECT id, cluster_id,
+         |        row_number() OVER (PARTITION BY id ORDER BY dist, cluster_id) AS rn FROM d)
+         |SELECT id, cluster_id FROM a WHERE rn = 1
+         |ORDER BY id, cluster_id""".stripMargin
+    },
+    "q59_serving_route" -> {
+      val dd = Tables.distSql("l2sq", "s.qvec", "v.vec")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+         |ix AS (SELECT unnest([0, 1, 2]) AS i),
+         |sel AS (SELECT q.query_id, q.qvec, ix.i FROM q CROSS JOIN ix
+         |        WHERE q.query_id % 10 = 0 OR q.query_id % 3 = ix.i),
+         |dd AS (SELECT s.query_id, s.i, v.id, $dd AS dist
+         |       FROM sel s JOIN v ON v.id % 3 = s.i),
+         |r AS (SELECT query_id, i, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id, i ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT 'idx' || i::VARCHAR AS index_name, query_id, rank, id,
+         |       round(dist, 4) AS dist
+         |FROM r WHERE rank <= $K
+         |ORDER BY index_name, query_id, rank, id, dist""".stripMargin
+    },
     "q55_head_recall" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
       s"""WITH $spannCtes,
@@ -891,6 +961,62 @@ object SparkEntry {
          |ORDER BY t.query_id, head_recall""".stripMargin
     }
   )
+
+  /** PQ-ADC oracle (q42/q56): train (3 unrolled Lloyd iterations over m=3
+    * two-dim subspaces, init = slices of the lowest-id vectors) → quantize →
+    * ADC top-k. Integer-scaled inputs make every centroid sum exact; with
+    * `rotated`, the q56 signed-permutation rotation is applied after scaling
+    * (still integer-exact) — the OPQ pipeline shape.
+    */
+  private def pqAdcOracleSql(rotated: Boolean): String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    val scaleSql = (c: String) =>
+      s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    val rot = (c: String) => if (rotated) rotateSql(c) else c
+    val lloyd = (i: Int) =>
+      s"""a${i + 1} AS (SELECT * FROM (
+         |    SELECT s.id, s.sub, s.sv, c.code,
+         |           row_number() OVER (PARTITION BY s.id, s.sub
+         |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+         |    FROM sub s JOIN c$i c ON c.sub = s.sub) WHERE rn = 1),
+         |u${i + 1} AS (SELECT sub, code,
+         |         [sum(sv[1]) / count(*), sum(sv[2]) / count(*)] AS center
+         |       FROM a${i + 1} GROUP BY sub, code),
+         |c${i + 1} AS (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
+         |       FROM c$i c LEFT JOIN u${i + 1} u ON u.sub = c.sub AND u.code = c.code)""".stripMargin
+    s"""WITH v0 AS (${Tables.lineitemVecSql}),
+       |vi AS (SELECT id, ${rot("sv")} AS vec
+       |       FROM (SELECT id, ${scaleSql("vec")} AS sv FROM v0)),
+       |sub AS (
+       |  SELECT id, 0 AS sub, [vec[1], vec[2]] AS sv FROM vi
+       |  UNION ALL SELECT id, 1, [vec[3], vec[4]] FROM vi
+       |  UNION ALL SELECT id, 2, [vec[5], vec[6]] FROM vi),
+       |c0 AS (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM sub WHERE id < 16),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |codes AS (SELECT * FROM (
+       |    SELECT s.id, s.sub, c.code, c.center,
+       |           row_number() OVER (PARTITION BY s.id, s.sub
+       |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+       |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1),
+       |q0 AS (SELECT query_id, ${rot("sq")} AS qvec
+       |       FROM (SELECT query_id, ${scaleSql("qvec")} AS sq
+       |             FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN)),
+       |qsub AS (
+       |  SELECT query_id, 0 AS sub, [qvec[1], qvec[2]] AS qv FROM q0
+       |  UNION ALL SELECT query_id, 1, [qvec[3], qvec[4]] FROM q0
+       |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
+       |pdist AS (SELECT q.query_id, cd.id, cd.sub, ${l2("q.qv", "cd.center")} AS pdsub
+       |          FROM qsub q JOIN codes cd ON cd.sub = q.sub),
+       |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
+       |       FROM pdist GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
+       |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
 
   /** DuckDB recursive-CTE rendering of the order-sensitive RNG prune
     * ([[graft.functions.RngPrune]]): scan candidates in ascending (dist, id)

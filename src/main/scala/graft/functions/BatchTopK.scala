@@ -49,6 +49,22 @@ case class BatchTopK(
     case _                       => false
   }
 
+  // hoisted out of the per-(row × query) hot loop: metric dispatch as an int
+  // tag, query vectors flattened to ONE contiguous array (stride = dim)
+  private lazy val metricTag: Int = DistKernel.tag(metric)
+  @transient private lazy val dim: Int =
+    if (qvecs.isEmpty) 0 else qvecs(0).length
+  @transient private lazy val uniformDim: Boolean = qvecs.forall(_.length == dim)
+  @transient private lazy val flatQ: Array[Double] = {
+    val out = new Array[Double](qvecs.length * dim)
+    var qi = 0
+    while (qi < qvecs.length) {
+      System.arraycopy(qvecs(qi), 0, out, qi * dim, dim)
+      qi += 1
+    }
+    out
+  }
+
   @transient private lazy val qNorms: Array[Double] =
     qvecs.map { qv =>
       var s = 0.0; var i = 0
@@ -73,31 +89,22 @@ case class BatchTopK(
         i += 1
       }
       var vNorm = 0.0
-      if (metric == "cos") {
+      if (metricTag == DistKernel.Cos) {
         var j = 0
         while (j < n) { vNorm += v(j) * v(j); j += 1 }
       }
-      var qi = 0
-      while (qi < qvecs.length) {
-        val qv = qvecs(qi)
-        val m = math.min(n, qv.length)
-        val d = metric match {
-          case "l2sq" =>
-            var s = 0.0; var t = 0
-            while (t < m) { val x = qv(t) - v(t); s += x * x; t += 1 }
-            s
-          case "dot" | "ip" =>
-            var s = 0.0; var t = 0
-            while (t < m) { s += qv(t) * v(t); t += 1 }
-            if (metric == "ip") -s else s
-          case "cos" =>
-            var s = 0.0; var t = 0
-            while (t < m) { s += qv(t) * v(t); t += 1 }
-            val denom = math.sqrt(qNorms(qi) * vNorm)
-            if (denom == 0.0) 1.0 else 1.0 - s / denom
+      if (uniformDim && n >= dim) {
+        DistKernel.updateAll(v, flatQ, qNorms, dim, metricTag, bufs, rowId, vNorm)
+      } else {
+        // ragged fallback (mixed query dims): per-pair prefix distance
+        var qi = 0
+        while (qi < qvecs.length) {
+          val qv = qvecs(qi)
+          val m = math.min(n, qv.length)
+          bufs(qi).insert(
+            DistKernel.pair(qv, v, m, metricTag, qNorms(qi), vNorm), rowId)
+          qi += 1
         }
-        bufs(qi).insert(d, rowId)
-        qi += 1
       }
     }
     bufs

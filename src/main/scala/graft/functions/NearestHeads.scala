@@ -39,6 +39,23 @@ case class NearestHeadsExpr(
     case _                       => false
   }
 
+  // hoisted out of the per-(row × head) hot loop: metric dispatch as an int
+  // tag, head vectors flattened to ONE contiguous array (stride = dim) for
+  // sequential access instead of per-head pointer chasing
+  private lazy val metricTag: Int = DistKernel.tag(metric)
+  @transient private lazy val dim: Int =
+    if (headVecs.isEmpty) 0 else headVecs(0).length
+  @transient private lazy val uniformDim: Boolean = headVecs.forall(_.length == dim)
+  @transient private lazy val flatHeads: Array[Double] = {
+    val out = new Array[Double](headVecs.length * dim)
+    var h = 0
+    while (h < headVecs.length) {
+      System.arraycopy(headVecs(h), 0, out, h * dim, dim)
+      h += 1
+    }
+    out
+  }
+
   // cosine needs per-head norms; precompute once per executor
   @transient private lazy val headNorms: Array[Double] =
     headVecs.map { hv =>
@@ -56,35 +73,30 @@ case class NearestHeadsExpr(
       q(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
+    val buf = new TopKBuffer(r)
+    if (uniformDim && n >= dim) {
+      DistKernel.scanFlat(q, flatHeads, headIds, headNorms, dim, metricTag, buf)
+    } else {
+      scanRagged(q, n, buf)
+    }
+    new GenericArrayData(buf.sorted.map { case (id, d) => InternalRow(id, d) })
+  }
+
+  /** Fallback for mixed-dimension head sets (kept for exact back-compat). */
+  private def scanRagged(q: Array[Double], n: Int, buf: TopKBuffer): Unit = {
     var qNorm = 0.0
-    if (metric == "cos") {
+    if (metricTag == DistKernel.Cos) {
       var j = 0
       while (j < n) { qNorm += q(j) * q(j); j += 1 }
     }
-    val buf = new TopKBuffer(r)
     var h = 0
     while (h < headVecs.length) {
       val hv = headVecs(h)
       val m = math.min(n, hv.length)
-      val d = metric match {
-        case "l2sq" =>
-          var s = 0.0; var k = 0
-          while (k < m) { val x = q(k) - hv(k); s += x * x; k += 1 }
-          s
-        case "dot" | "ip" =>
-          var s = 0.0; var k = 0
-          while (k < m) { s += q(k) * hv(k); k += 1 }
-          if (metric == "ip") -s else s
-        case "cos" =>
-          var s = 0.0; var k = 0
-          while (k < m) { s += q(k) * hv(k); k += 1 }
-          val denom = math.sqrt(qNorm * headNorms(h))
-          if (denom == 0.0) 1.0 else 1.0 - s / denom
-      }
-      buf.insert(d, headIds(h))
+      buf.insert(
+        DistKernel.pair(q, hv, m, metricTag, qNorm, headNorms(h)), headIds(h))
       h += 1
     }
-    new GenericArrayData(buf.sorted.map { case (id, d) => InternalRow(id, d) })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
