@@ -60,6 +60,29 @@ object SparkEntry {
   private def spannResults(s: SparkSession, d: String): DataFrame =
     Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K, InternalK)
 
+  /** Per-JVM scratch root for queries that write/read disk artifacts
+    * (q46/q52/q58). Fixed subdir per query + overwrite-mode writes, so
+    * correctness/bench re-runs within one JVM reuse the same paths instead of
+    * accumulating parquet copies; the whole tree is deleted at JVM exit.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def scratch(name: String): String = {
+    val sub = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(sub)
+    sub.toString
+  }
+
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
@@ -200,7 +223,7 @@ object SparkEntry {
     // S6: save → load roundtrip through the bucketed-parquet index layout;
     // the loaded postings must equal the built ones (≡ q07's oracle)
     "q46_index_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      val dir = scratch("q46_idx")
       graft.sources.IndexStore.save(dir, heads(s, d), postings(s, d), None,
         graft.sources.IndexStore.IndexConfig("l2sq", 6, Replicas, 16))
       val loaded = graft.sources.IndexStore.load(s, dir)
@@ -256,7 +279,7 @@ object SparkEntry {
       val rows = Tables.lineitemVec(s, d).where(col("id") <= 2000)
         .orderBy(col("id")).select(col("meta"), col("vec")).collect()
         .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
-      val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      val dir = scratch("q52_fmt")
       LegacyFormats.writeDefault(s"$dir/v.bin", rows.map(_._2).toSeq)
       LegacyFormats.writeXvec(s"$dir/v.xvec", rows.map(_._2).toSeq)
       LegacyFormats.writeTxt(s"$dir/v.txt", rows.toSeq)
@@ -327,7 +350,7 @@ object SparkEntry {
       val centers = pts.where(col("id") <= 8)
         .select((col("id") - 1).as("cluster_id"),
           col("vec").cast("array<double>").as("center"), lit(0L).as("count"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = scratch("q58_part")
       BalancedKMeans.writePartitioned(pts, centers, dir)
       ordered(s.read.parquet(dir)
         .select(col("id"), col("cluster_id").cast("long").as("cluster_id")))

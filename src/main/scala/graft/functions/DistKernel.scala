@@ -22,7 +22,12 @@ object DistKernel {
   final val Ip = 2
   final val Cos = 3
 
-  /** Early-abandon pays for its per-element compare only on wide vectors. */
+  /** Early-abandon pays for its per-element compare only on wide vectors.
+    * The abandon guard is written `!(s > bound)` rather than `s <= bound` so
+    * a NaN partial sum (NaN input component) keeps scanning and reaches the
+    * insert just like the non-abandon path — behavior must not differ by
+    * vector width on NaN-containing input.
+    */
   final val AbandonMinDim = 16
 
   def tag(metric: String): Int = metric match {
@@ -70,10 +75,10 @@ object DistKernel {
           val bound =
             if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
           var s = 0.0; var i = 0
-          while (i < dim && s <= bound) {
+          while (i < dim && !(s > bound)) {
             val x = q(i) - flat(base + i); s += x * x; i += 1
           }
-          if (s <= bound) buf.insert(s, ids(h))
+          if (!(s > bound)) buf.insert(s, ids(h))
           h += 1; base += dim
         }
       case L2 =>
@@ -131,10 +136,10 @@ object DistKernel {
           val bound =
             if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
           var s = 0.0; var i = 0
-          while (i < dim && s <= bound) {
+          while (i < dim && !(s > bound)) {
             val x = flatQ(base + i) - v(i); s += x * x; i += 1
           }
-          if (s <= bound) buf.insert(s, rowId)
+          if (!(s > bound)) buf.insert(s, rowId)
           qi += 1; base += dim
         }
       case L2 =>
