@@ -64,16 +64,21 @@ object Tables {
     "l_linestatus", "l_shipdate")
 
   /** lineitem → 6-dim vector corpus: `(id, vec, meta)`.
-    * The id-assigning global window collapses to a single partition — the
-    * trailing `repartition(id)` restores parallelism for every downstream
-    * crossjoin/aggregate (without it, the whole corpus side of a kNN runs
-    * in ONE task).
+    *
+    * The id is `row_number() OVER (ORDER BY <all source cols>)` in the oracle;
+    * here it is assigned WITHOUT a global single-partition window:
+    * `repartitionByRange` puts partitions in key order, `sortWithinPartitions`
+    * orders rows inside each, and `zipWithIndex` adds the contiguous global
+    * offset (its count pass reads only per-partition sizes). Same total order,
+    * full parallelism — the pattern that survives a 100× corpus. Ties in the
+    * order (rows identical in every source column) may receive ids in either
+    * order, but derive identical (vec, meta), so the id→(vec,meta) multiset is
+    * engine-independent either way.
     */
   def lineitemVec(s: SparkSession, d: String): DataFrame = cached(s, d, "lineitemVec") {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(lineitemOrderCols.map(col).toIndexedSeq: _*)
-    lineitem(s, d).select(
-      row_number().over(w).cast("long").as("id"),
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val derivedCols = Seq(
       array(
         f(col("l_quantity")),
         f(col("l_extendedprice") / 1000),
@@ -82,9 +87,22 @@ object Tables {
         f((col("l_partkey") % 1000) / lit(10.0)),
         f(col("l_suppkey") % 100)
       ).as("vec"),
-      concat(col("l_returnflag"), col("l_linestatus")).as("meta"))
-      .repartition(col("id"))
+      concat(col("l_returnflag"), col("l_linestatus")).as("meta")) ++
+      lineitemOrderCols.map(col)
+    val derived = lineitem(s, d).select(derivedCols: _*)
+    val ordered = derived
+      .repartitionByRange(fixtureIdPartitions, lineitemOrderCols.map(col).toIndexedSeq: _*)
+      .sortWithinPartitions(lineitemOrderCols.map(col).toIndexedSeq: _*)
+      .select("vec", "meta")
+    val schema = StructType(StructField("id", LongType, nullable = false) +: ordered.schema.fields.toIndexedSeq)
+    val withId = ordered.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    s.createDataFrame(withId, schema).select("id", "vec", "meta")
   }
+
+  /** Partition count for the fixture id assignment — matches the session's
+    * shuffle parallelism so each range partition is one task.
+    */
+  private def fixtureIdPartitions = 32
 
   /** orders → query vectors `(query_id, qvec)`; caller filters to a prefix. */
   def ordersQuery(s: SparkSession, d: String): DataFrame =
