@@ -126,9 +126,15 @@ object SparkEntry {
     }),
     "q13_knn_window" -> ((s, d) =>
       ordered(Knn.searchViaWindow(q(s, d), Tables.lineitemVec(s, d), K))),
-    "q14_iter_relaxed" -> ((s, d) =>
-      ordered(Knn.search(q(s, d), Tables.lineitemVec(s, d), 20)
-        .withColumn("relaxed_mono", col("rank") > 15))),
+    // Q6: true resumable iteration — two successive next(10) batches off one
+    // retained (cached) candidate frame; their union must equal the exact
+    // top-20 with the relaxed-monotonicity flag past the exact budget of 15
+    "q14_iter_relaxed" -> ((s, d) => {
+      val it = Knn.iterate(q(s, d), Tables.lineitemVec(s, d),
+        exactBudget = 15, maxK = 20)
+      val out = it.next(10).unionByName(it.next(10))
+      ordered(out)
+    }),
     "q15_spann_rng_postings" -> ((s, d) =>
       ordered(Spann.buildPostingsRng(
         Tables.lineitemVec(s, d), heads(s, d), Replicas)
@@ -368,6 +374,13 @@ object SparkEntry {
       ordered(graft.operators.Serving.multiIndexSearch(queries, indices, K)
         .select(col("index_name"), col("query_id"), col("rank"), col("id"),
           col("dist")))
+    }),
+    // near-dup terminal step: connected components over the q33 verified
+    // pair set — every doc labeled with the min doc id of its component
+    // (singletons label themselves)
+    "q60_dedup_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3)))
     })
   )
 
@@ -675,24 +688,11 @@ object SparkEntry {
          |c AS (SELECT h, min(doc_id) AS canon_id FROM h GROUP BY h)
          |SELECT h.doc_id, c.canon_id FROM h JOIN c ON h.h = c.h
          |ORDER BY doc_id, canon_id""".stripMargin,
-    "q33_dedup_minhash" -> {
-      val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
-      val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")
-      s"""WITH $shingleCtes,
-         |h32 AS (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
-         |mh AS (SELECT doc_id, j,
-         |         min(($aArr[j + 1] * h32 + $bArr[j + 1]) % ${Dedup.M31}) AS mh
-         |       FROM h32, generate_series(0, 15) g(j) GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, j // 4 AS band,
-         |            ${graft.functions.Hash60.sql("string_agg(mh::VARCHAR, '|' ORDER BY j)")} AS band_hash
-         |          FROM mh GROUP BY doc_id, j // 4),
-         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
-         |         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
-         |$jaccardCtes
+    "q33_dedup_minhash" ->
+      s"""WITH $minhashCtes
          |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
          |WHERE j.jaccard >= 0.3
-         |ORDER BY 1, 2, 3""".stripMargin
-    },
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q34_dedup_jaccard" ->
       s"""WITH $shingleCtes,
          |$jaccardCtes
@@ -982,7 +982,22 @@ object SparkEntry {
          |       round(coalesce(cvn.covered, 0)::DOUBLE / t.total, 4) AS head_recall
          |FROM tot t LEFT JOIN cvn ON t.query_id = cvn.query_id
          |ORDER BY t.query_id, head_recall""".stripMargin
-    }
+    },
+    // connected components by recursive reachability: walk(id, lbl) = "lbl's
+    // doc can reach id over near-dup edges"; edges are undirected, so the
+    // min reachable lbl per id IS the component minimum
+    "q60_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |          WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |)
+         |SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id
+         |ORDER BY 1, 2""".stripMargin
   )
 
   /** PQ-ADC oracle (q42/q56): train (3 unrolled Lloyd iterations over m=3
@@ -1085,6 +1100,26 @@ object SparkEntry {
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(len(toks) - 2, 1)),
        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM t))""".stripMargin
+
+  /** Full MinHash+LSH CTE chain (shared by q33/q60): shingles, M31 hashes,
+    * 16 minhashes, 4-row bands, LSH candidates `cand(a,b)`, exact Jaccard
+    * `jac(a,b,jaccard)`.
+    */
+  private def minhashCtes: String = {
+    val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
+    val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")
+    s"""$shingleCtes,
+       |h32 AS (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
+       |mh AS (SELECT doc_id, j,
+       |         min(($aArr[j + 1] * h32 + $bArr[j + 1]) % ${Dedup.M31}) AS mh
+       |       FROM h32, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 4 AS band,
+       |            ${graft.functions.Hash60.sql("string_agg(mh::VARCHAR, '|' ORDER BY j)")} AS band_hash
+       |          FROM mh GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+       |         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |$jaccardCtes""".stripMargin
+  }
 
   /** Jaccard CTEs over `sh`: pair intersections, sizes, `jac(a,b,jaccard)`. */
   private def jaccardCtes: String =

@@ -176,6 +176,52 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Canonical near-dup grouping: connected components over a verified pair
+    * set, labels = smallest doc id per component. The terminal step of every
+    * production dedup pipeline ("keep one canonical doc per group") — the
+    * reference's analogue deletes all duplicate hits in place
+    * (`AnnService/src/Core/BKT/BKTIndex.cpp:875-890`).
+    *
+    * Iterative min-label propagation: each round every node adopts the min
+    * label among itself and its neighbors; converges in O(component diameter)
+    * rounds. Near-dup components are small clusters of copies of one document,
+    * so the diameter is tiny in practice; each round costs one equi-join plus
+    * one groupBy-min (shuffle ∝ |edges|, min aggregates map-side), and the
+    * frame is localCheckpoint'ed per round so the plan never grows.
+    * Convergence is detected by sum(label): labels only ever decrease, so the
+    * sum strictly decreases iff any label changed — one scalar agg per round,
+    * no change-count join.
+    *
+    * Output: `(doc_id, canon_id)` for EVERY doc; singletons map to themselves.
+    */
+  def canonicalGroups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs
+      .select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = docs
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("canon_id"))
+  }
+
   /** 16-bit SimHash over the token multiset: bit b is set when
     * Σ_tokens (bit_b(hash60(token)) ? +1 : −1) > 0. Output `(doc_id, simhash)`.
     */
@@ -194,8 +240,38 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, banded.
+    *
+    * Pigeonhole banding: split the 16-bit code into `maxHamming + 1` bit
+    * bands — two codes within hamming ≤ maxHamming differ in at most
+    * maxHamming bands, so they AGREE on at least one. Candidates therefore
+    * come from an equi-join on `(band, band_value)` (shuffle ∝ corpus size,
+    * like MinHash-LSH), never an all-pairs crossJoin; the exact hamming
+    * filter then verifies in-row. Same output as the brute-force form
+    * ([[simhashPairsBrute]], test-only) — `(a, b, hamming)`, a < b.
+    */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 16
+    val nb = math.min(maxHamming + 1, bits)
+    val cuts = (0 to nb).map(i => i * bits / nb)
+    val bandCols = (0 until nb).map { i =>
+      val start = cuts(i); val len = cuts(i + 1) - start
+      shiftright(col("simhash"), start) % (1 << len)
+    }
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val l = banded.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("bv"))
+    val r = banded.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"), col("bv"))
+    l.join(r, Seq("band", "bv")).where(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
+  /** Brute-force O(n²) form of [[simhashPairs]] — kept ONLY as the spec's
+    * equality oracle; never call it on a real corpus.
+    */
+  def simhashPairsBrute(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val l = sims.select(col("doc_id").as("a"), col("simhash").as("ha"))
     val r = sims.select(col("doc_id").as("b"), col("simhash").as("hb"))
     l.crossJoin(r).where(col("a") < col("b"))

@@ -117,6 +117,28 @@ object Knn {
       .join(corpus.select(col("id"), col("meta")), Seq("id"))
       .select(col("query_id"), col("rank"), col("id"), col("dist"), col("meta"))
 
+  /** Resumable iterative search (Q6, `AnnService/inc/Core/ResultIterator.h:16-43`,
+    * `BKTIndex.cpp:354-427`): the ranked candidate stream is computed ONCE —
+    * one corpus scan with budget `maxK` rows per query — and cached;
+    * successive `next(batch)` calls slice rank ranges off the retained frame
+    * with NO recomputation (the cache is the Spark analogue of the
+    * reference's retained per-query workspace). Rows ranked past
+    * `exactBudget` carry `relaxed_mono = true`: the reference serves
+    * continuation results beyond the search budget without the strict
+    * global-order guarantee (`IterativeScanTest.cpp:36-50`).
+    */
+  def iterate(
+      queries: DataFrame,
+      corpus: DataFrame,
+      exactBudget: Int,
+      maxK: Int,
+      metric: String = "l2sq"): ResultIterator = {
+    val ranked = search(queries, corpus, maxK, metric)
+      .withColumn("relaxed_mono", col("rank") > exactBudget)
+      .cache()
+    new ResultIterator(ranked, maxK)
+  }
+
   /** `(query_id, nn: array<struct<id,dist>>)` → `(query_id, rank, id, dist)`. */
   private[graft] def explodeRanked(agged: DataFrame): DataFrame =
     agged
@@ -126,4 +148,23 @@ object Knn {
         (col("pos") + 1).cast("int").as("rank"),
         col("r.id").as("id"),
         round(col("r.dist"), 4).as("dist"))
+}
+
+/** Handle for [[Knn.iterate]]: serves successive per-query batches in
+  * (dist, id) order from the cached ranked frame. Batches are disjoint and
+  * contiguous; `next` past the retained budget returns an empty frame.
+  */
+final class ResultIterator private[operators] (ranked: DataFrame, maxK: Int) {
+  private var offset = 0
+
+  def next(batch: Int): DataFrame = {
+    val out = ranked.where(col("rank") > offset && col("rank") <= offset + batch)
+    offset = math.min(offset + batch, maxK)
+    out
+  }
+
+  def hasNext: Boolean = offset < maxK
+
+  /** Release the retained workspace (reference `ResultIterator::Close`). */
+  def close(): Unit = { ranked.unpersist(); () }
 }

@@ -72,6 +72,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("banded simhashPairs equals the brute-force form on real docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val sims = Dedup.simhash16(d).cache()
+    for (h <- Seq(0, 3, 5)) {
+      val banded = Dedup.simhashPairs(sims, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = Dedup.simhashPairsBrute(sims, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === brute, s"maxHamming=$h")
+    }
+  }
+
+  test("canonicalGroups labels every doc with its component min id") {
+    // chain 0-1, 1-2 plus singleton 3: transitive closure must fold the
+    // chain into one group labeled 0 even though (0,2) is not a pair
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val res = Dedup.canonicalGroups(docs, pairs).orderBy("doc_id").collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L)))
+  }
+
+  test("canonicalGroups over minhashDedup pairs on real docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val pairs = Dedup.minhashDedup(d, 0.3).cache()
+    val groups = Dedup.canonicalGroups(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled, labels are component-closed: each pair shares one
+    val pr = pairs.select("a", "b").as[(Long, Long)].collect()
+    assert(groups.size === d.count())
+    pr.foreach { case (a, b) => assert(groups(a) === groups(b), s"pair ($a,$b)") }
+    // every label is the min of its member set
+    groups.groupBy(_._2).foreach { case (lbl, m) => assert(lbl === m.keys.min) }
+  }
+
   test("embedding near-dup pairs by cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f)),

@@ -54,6 +54,39 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("ResultIterator: disjoint contiguous batches, one retained frame (Q6)") {
+    val it = Knn.iterate(synthQueries(), synthVectors(), exactBudget = 6, maxK = 10)
+    try {
+      val b1 = it.next(4).collect()
+      assert(it.hasNext)
+      // second batch must be served from the cached candidate frame, not a
+      // fresh corpus scan (the reference's retained-workspace contract)
+      val b2df = it.next(4)
+      assert(b2df.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }.nonEmpty)
+      val b2 = b2df.collect()
+      val b3 = it.next(4).collect() // clipped to maxK: ranks 9..10
+      assert(!it.hasNext && it.next(4).collect().isEmpty)
+      // ranks partition cleanly: 1..4 / 5..8 / 9..10
+      assert(b1.map(_.getInt(1)).toSet === (1 to 4).toSet ||
+        b1.map(_.getInt(1)).forall(r => r >= 1 && r <= 4))
+      assert(b2.map(_.getInt(1)).forall(r => r >= 5 && r <= 8))
+      assert(b3.map(_.getInt(1)).forall(r => r >= 9 && r <= 10))
+      // union of batches ≡ one-shot exact top-10 with the relaxed flag
+      val union = (b1 ++ b2 ++ b3)
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      val oneShot = Knn.search(synthQueries(), synthVectors(), 10)
+        .withColumn("relaxed_mono", col("rank") > 6).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      assert(union === oneShot)
+      // relaxed-monotonicity: flag set exactly past the exact budget
+      union.foreach { case (_, rank, _, _, relaxed) => assert(relaxed === (rank > 6)) }
+    } finally it.close()
+  }
+
   test("searchK is resumable: top-k of bigger k extends smaller k (Q6)") {
     val k5 = Knn.search(synthQueries(), synthVectors(), 5)
     val k10 = Knn.search(synthQueries(), synthVectors(), 10)
