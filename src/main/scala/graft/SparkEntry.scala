@@ -132,8 +132,11 @@ object SparkEntry {
     "q14_iter_relaxed" -> ((s, d) => {
       val it = Knn.iterate(q(s, d), Tables.lineitemVec(s, d),
         exactBudget = 15, maxK = 20)
-      val out = it.next(10).unionByName(it.next(10))
-      ordered(out)
+      // materialize the union BEFORE releasing the retained workspace —
+      // close() inside finally, so repeated runs in one JVM never accumulate
+      // leaked InMemoryRelations (the iterator API's own contract)
+      try ordered(it.next(10).unionByName(it.next(10))).localCheckpoint(true)
+      finally it.close()
     }),
     "q15_spann_rng_postings" -> ((s, d) =>
       ordered(Spann.buildPostingsRng(
@@ -177,8 +180,14 @@ object SparkEntry {
         .where(col("jaccard") >= 0.3))),
     "q35_dedup_simhash" -> ((s, d) =>
       ordered(Dedup.simhash16(Tables.documents(s, d)))),
+    // embedding near-dup on the SCALE path: banded-LSH candidate blocking
+    // (equi-join on (band, band_value)) + exact cosine verify — no all-pairs
+    // crossJoin anywhere in the plan. The brute O(n²) form
+    // (Dedup.embeddingPairs) is demoted to the spec oracle, exactly like
+    // simhashPairsBrute; the DuckDB oracle mirrors the banding bit-for-bit.
     "q36_dedup_embedding" -> ((s, d) =>
-      ordered(Dedup.embeddingPairs(Tables.embeddingVec(s, d), 0.6))),
+      ordered(SimilaritySearch.lshNearDup(
+        Tables.embeddingVec(s, d), dims = 64, maxCosDist = 0.6))),
     "q37_ann_bruteforce" -> ((s, d) =>
       ordered(SimilaritySearch.bruteForce(
         embQueries(s, d), Tables.embeddingVec(s, d), K))),
@@ -710,11 +719,25 @@ object SparkEntry {
          |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits
          |ORDER BY doc_id, simhash""".stripMargin
     },
+    // mirrors lshNearDup(dims=64, planes=8, rowsPerBand=2): integer-exact
+    // hyperplane codes (the q40 chain), 4 two-plane bands, candidate pairs
+    // from the band equi-join, exact cosine verify
     "q36_dedup_embedding" -> {
       val cd = Tables.distSql("cos", "a.vec", "b.vec")
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
-         |SELECT a.id AS a, b.id AS b, round($cd, 4) AS cos_dist
-         |FROM e a JOIN e b ON a.id < b.id
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec,
+         |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |w AS (SELECT p, d,
+         |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+         |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p),
+         |codes AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+         |          FROM dots GROUP BY id),
+         |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
+         |          FROM codes, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM bands l
+         |         JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id)
+         |SELECT c.a, c.b, round($cd, 4) AS cos_dist
+         |FROM cand c JOIN e a ON a.id = c.a JOIN e b ON b.id = c.b
          |WHERE $cd < 0.6
          |ORDER BY a, b, cos_dist""".stripMargin
     },

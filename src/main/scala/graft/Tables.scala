@@ -91,7 +91,7 @@ object Tables {
       lineitemOrderCols.map(col)
     val derived = lineitem(s, d).select(derivedCols: _*)
     val ordered = derived
-      .repartitionByRange(fixtureIdPartitions, lineitemOrderCols.map(col).toIndexedSeq: _*)
+      .repartitionByRange(fixtureIdPartitions(s), lineitemOrderCols.map(col).toIndexedSeq: _*)
       .sortWithinPartitions(lineitemOrderCols.map(col).toIndexedSeq: _*)
       .select("vec", "meta")
     val schema = StructType(StructField("id", LongType, nullable = false) +: ordered.schema.fields.toIndexedSeq)
@@ -99,10 +99,13 @@ object Tables {
     s.createDataFrame(withId, schema).select("id", "vec", "meta")
   }
 
-  /** Partition count for the fixture id assignment — matches the session's
-    * shuffle parallelism so each range partition is one task.
+  /** Partition count for the fixture id assignment — derived from the
+    * session's shuffle parallelism so each range partition is one task at any
+    * configured parallelism. The assigned ids are partition-count-independent
+    * (global order is fixed by the range partitioning + in-partition sort).
     */
-  private def fixtureIdPartitions = 32
+  private def fixtureIdPartitions(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
 
   /** orders → query vectors `(query_id, qvec)`; caller filters to a prefix. */
   def ordersQuery(s: SparkSession, d: String): DataFrame =

@@ -204,7 +204,11 @@ object Dedup {
     var labels = docs
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // coalesce: sum over ZERO rows is NULL — an empty docs frame must
+    // converge immediately, not NPE
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -214,7 +218,7 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      val nextSum = lblSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
@@ -252,6 +256,10 @@ object Dedup {
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bits = 16
+    // the pigeonhole guarantee needs maxHamming + 1 <= bits one-bit bands;
+    // at maxHamming >= bits every pair qualifies anyway — degenerate input
+    require(maxHamming < bits,
+      s"maxHamming $maxHamming >= $bits bits: banding cannot guarantee recall")
     val nb = math.min(maxHamming + 1, bits)
     val cuts = (0 to nb).map(i => i * bits / nb)
     val bandCols = (0 until nb).map { i =>
@@ -280,9 +288,10 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs below a distance threshold (brute
-    * pairwise — correctness baseline; see [[SimilaritySearch.lshCodes]] for
-    * the bucketed scale path). Input `(id, vec)`; output `(a, b, cos_dist)`.
+  /** Brute-force O(n²) embedding-cosine near-dup pairs — kept ONLY as the
+    * spec's recall/equality oracle (like [[simhashPairsBrute]]); the query
+    * path is [[SimilaritySearch.lshNearDup]]'s banded blocking. Never call
+    * this on a real corpus. Input `(id, vec)`; output `(a, b, cos_dist)`.
     */
   def embeddingPairs(emb: DataFrame, maxCosDist: Double): DataFrame = {
     val l = emb.select(col("id").as("a"), col("vec").as("va"))

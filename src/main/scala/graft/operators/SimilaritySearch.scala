@@ -70,17 +70,42 @@ object SimilaritySearch {
     java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
 
-  /** Near-dup blocking via LSH codes: pairs sharing a code, verified by
-    * cosine distance. The scale path for [[Dedup.embeddingPairs]].
+  /** Near-dup blocking via banded LSH codes: split the `planes`-bit code into
+    * bands of `rowsPerBand` planes; candidates = pairs agreeing on ANY band
+    * (equi-join on `(band, band_value)` — shuffle ∝ corpus·bands, never an
+    * all-pairs crossJoin), then verified by exact cosine distance. The scale
+    * path for [[Dedup.embeddingPairs]]: the reference never brute-forces the
+    * corpus at search time either (`ExtraFullGraphSearcher.h:226-377` reads
+    * only the pruned posting pages). Banding over whole-code agreement: a
+    * pair at the cosine threshold agrees on some 2-plane band with ~4x the
+    * probability it agrees on all 8 planes.
+    *
+    * Output `(a, b, cos_dist)`, a < b — the candidates the blocking surfaces,
+    * verified exactly; deterministic (integer-exact hyperplanes), so the
+    * DuckDB oracle reproduces it band-for-band.
     */
-  def lshNearDup(emb: DataFrame, dims: Int, maxCosDist: Double, planes: Int = 8): DataFrame = {
+  def lshNearDup(
+      emb: DataFrame,
+      dims: Int,
+      maxCosDist: Double,
+      planes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(planes % rowsPerBand == 0, s"planes $planes not divisible by band width $rowsPerBand")
+    val nb = planes / rowsPerBand
     val codes = lshCodes(emb, dims, planes)
-    val l = codes.join(emb, Seq("id")).select(col("id").as("a"), col("code"), col("vec").as("va"))
-    val r = codes.join(emb, Seq("id")).select(col("id").as("b"), col("code"), col("vec").as("vb"))
-    l.join(r, Seq("code")).where(col("a") < col("b"))
+    val banded = codes.select(col("id"), posexplode(
+      array((0 until nb).map(b =>
+        shiftright(col("code"), b * rowsPerBand) % (1 << rowsPerBand)): _*))
+      .as(Seq("band", "bv")))
+    val cand = banded.select(col("id").as("a"), col("band"), col("bv"))
+      .join(banded.select(col("id").as("b"), col("band"), col("bv")), Seq("band", "bv"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(emb.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
+      .join(emb.select(col("id").as("b"), col("vec").as("vb")), Seq("b"))
       .withColumn("cos_dist", graft.functions.dist.cos(col("va"), col("vb")))
       .where(col("cos_dist") < maxCosDist)
       .select(col("a"), col("b"), round(col("cos_dist"), 4).as("cos_dist"))
-      .distinct()
   }
 }

@@ -49,6 +49,24 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.exceptAll(again).count() === 0)
   }
 
+  test("banded LSH near-dup: sound vs the brute oracle, and non-trivial recall") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val brute = Dedup.embeddingPairs(emb, 0.6)
+      .select("a", "b", "cos_dist").as[(Long, Long, Double)].collect()
+      .map { case (a, b, cd) => (a, b) -> cd }.toMap
+    val lsh = SimilaritySearch.lshNearDup(emb, dims = 64, maxCosDist = 0.6)
+      .select("a", "b", "cos_dist").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "banded blocking surfaced no candidates")
+    // soundness: every reported pair IS a brute pair with the same distance
+    lsh.foreach { case (a, b, cd) =>
+      assert(brute.contains((a, b)), s"($a,$b) not in the brute pair set")
+      assert(math.abs(brute((a, b)) - cd) < 1e-9)
+    }
+    // no duplicates despite multi-band agreement
+    assert(lsh.map(p => (p._1, p._2)).distinct.length === lsh.length)
+  }
+
   test("planeWeight matches the Hash60 definition") {
     import graft.functions.Hash60
     import spark.implicits._
