@@ -175,9 +175,17 @@ object SparkEntry {
       ordered(Dedup.exact(Tables.documents(s, d)))),
     "q33_dedup_minhash" -> ((s, d) =>
       ordered(Dedup.minhashDedup(Tables.documents(s, d), 0.3))),
-    "q34_dedup_jaccard" -> ((s, d) =>
-      ordered(Dedup.jaccard(Dedup.shingles(Tables.documents(s, d)))
-        .where(col("jaccard") >= 0.3))),
+    // exact n-gram Jaccard through the PAIR-FIRST path: LSH candidates feed
+    // jaccard's per-pair semi-join verify — the all-pairs shingle self-join
+    // (pairs=None) fans out quadratically on hot shingles at scale and is
+    // kept only as the spec oracle. Same verified output as q33 by
+    // construction (same candidates, same measure); what this entry gates is
+    // the candidate-first dataflow of `jaccard(sh, Some(pairs))`.
+    "q34_dedup_jaccard" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d))
+      val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh)))
+      ordered(Dedup.jaccard(sh, Some(cands)).where(col("jaccard") >= 0.3))
+    }),
     "q35_dedup_simhash" -> ((s, d) =>
       ordered(Dedup.simhash16(Tables.documents(s, d)))),
     // embedding near-dup on the SCALE path: banded-LSH candidate blocking
@@ -235,15 +243,20 @@ object SparkEntry {
           size(col("qvec")).as("dim"),
           col("qvec").getItem(0).cast("int").as("v0")))
     }),
-    // S6: save → load roundtrip through the bucketed-parquet index layout;
-    // the loaded postings must equal the built ones (≡ q07's oracle)
+    // S6: save → load roundtrip through the bucketed-parquet index layout,
+    // INCLUDING the metadata table (`VectorIndex.h:85-101` persists vectors +
+    // metadata + metaindex; a bare loaded index must still serve Q3): the
+    // loaded postings hydrated with the loaded meta must equal the built
+    // postings joined to the corpus meta (≡ q07's oracle + meta)
     "q46_index_roundtrip" -> ((s, d) => {
       val dir = scratch("q46_idx")
       graft.sources.IndexStore.save(dir, heads(s, d), postings(s, d), None,
-        graft.sources.IndexStore.IndexConfig("l2sq", 6, Replicas, 16))
+        graft.sources.IndexStore.IndexConfig("l2sq", 6, Replicas, 16),
+        meta = Some(Tables.lineitemVec(s, d).select(col("id"), col("meta"))))
       val loaded = graft.sources.IndexStore.load(s, dir)
-      ordered(loaded.postings
-        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))
+      ordered(loaded.postings.join(loaded.meta.get, Seq("id"))
+        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist"),
+          col("meta")))
     }),
     // M1: base + appended batch searched together ≡ exact kNN over the union
     "q47_add_search" -> ((s, d) => {
@@ -252,10 +265,14 @@ object SparkEntry {
       val batch = all.where(col("id") % 3 === 0)
       ordered(Knn.search(q(s, d), Mutations.add(base, batch), K, "l2sq"))
     }),
-    // M4: meta → ids via the meta mapping, then tombstone-aware search
+    // M4: meta → ids via the meta mapping, then tombstone-aware search.
+    // The meta set comes from a real (non-foldable) scan — a literal 1-row
+    // frame would constant-fold the equi-key away and degrade the semi-join
+    // to a nested loop, which is not the plan a real meta table produces
     "q48_delete_by_meta" -> ((s, d) => {
       val corpus = Tables.lineitemVec(s, d)
-      val metaValues = s.range(1).select(lit("RF").as("meta"))
+      val metaValues = corpus.select(col("meta"))
+        .where(col("meta") === "RF").distinct()
       val delIds = Mutations.deleteByMeta(corpus, metaValues)
       ordered(Knn.searchWithDeletes(q(s, d), corpus, delIds, K))
     }),
@@ -390,6 +407,30 @@ object SparkEntry {
     "q60_dedup_groups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       ordered(Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3)))
+    }),
+    // Q5 + MaxDistRatio on an oracle path: stage-1 candidate heads farther
+    // than ratio× the per-query best head are pruned before stage 2
+    // (`SPANNIndex.cpp:217-236`; SearchSSDIndex defaults MaxDistRatio=8.0 on
+    // SIFT1B, docs/GettingStart.md). Ratio 2.0 here: the fixture's top-8
+    // heads all sit within 8× of best (max observed 4.4×), so 2.0 is the
+    // setting at which the prune provably drops candidates (PlanSpec asserts
+    // it) while the reference's code path is identical
+    "q63_spann_ratio" -> ((s, d) =>
+      ordered(Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K,
+        InternalK, maxDistRatio = 2.0))),
+    // B1+B6 on an oracle path: the FULL balanced-Lloyd head selection
+    // (selectHeadsKMeans → BalancedKMeans.fit, 3 iterations) over the
+    // integer-scaled corpus — scaling makes every centroid mean a sum of
+    // exact integers divided once, so Lloyd is bit-deterministic in both
+    // engines (the q42 trick) — then the SPANN posting build over the
+    // learned heads. Oracle = 3 unrolled Lloyd rounds as CTEs.
+    "q62_kmeans_heads" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val kheads = Spann.selectHeadsKMeans(corpus, k = 8, maxIter = 3)
+      ordered(Spann.buildPostings(corpus, kheads, 2)
+        .select(col("head_id"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
     })
   )
 
@@ -498,11 +539,17 @@ object SparkEntry {
   /** Shared CTE block for the SPANN pipeline oracles: corpus `v`, heads `h`,
     * queries `q`, postings `p` (top-Replicas heads per vector), candidate
     * heads `ch` (top-InternalK per query), two-stage results `sp`.
+    *
+    * `maxDistRatio`: mirror of `Spann.candidateHeads`' prune — candidates
+    * with `hdist > ratio * best` (best = the per-query nearest head) are
+    * dropped from `ch` before stage 2 (`SPANNIndex.cpp:217-236`).
     */
-  private def spannCtes: String = {
+  private def spannCtes(maxDistRatio: Option[Double] = None): String = {
     val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
     val hDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
     val sDist = Tables.distSql("l2sq", "ch.qvec", "p.vec")
+    val ratioPrune =
+      maxDistRatio.map(r => s" AND hdist <= $r * best").getOrElse("")
     s"""v AS (${Tables.lineitemVecSql}),
        |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
        |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
@@ -514,8 +561,9 @@ object SparkEntry {
        |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist FROM q CROSS JOIN h),
        |ch AS (SELECT * FROM (
        |    SELECT query_id, qvec, head_id, hdist,
-       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank
-       |    FROM chd) WHERE rank <= $InternalK),
+       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank,
+       |           min(hdist) OVER (PARTITION BY query_id) AS best
+       |    FROM chd) WHERE rank <= $InternalK$ratioPrune),
        |sphits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
        |           FROM ch JOIN p ON ch.head_id = p.head_id
        |           GROUP BY ch.query_id, p.id),
@@ -533,15 +581,15 @@ object SparkEntry {
     "q05_knn_deletes" -> knnOracle("l2sq", antiDeletes = true),
     "q06_knn_meta" -> knnOracle("l2sq", withMeta = true),
     "q07_spann_postings" ->
-      s"""WITH $spannCtes
+      s"""WITH ${spannCtes()}
          |SELECT head_id, id, round(dist, 4) AS dist FROM p
          |ORDER BY head_id, id, dist""".stripMargin,
     "q08_spann_search" ->
-      s"""WITH $spannCtes
+      s"""WITH ${spannCtes()}
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
          |ORDER BY query_id, rank, id, dist""".stripMargin,
     "q09_search_tree" ->
-      s"""WITH $spannCtes
+      s"""WITH ${spannCtes()}
          |SELECT query_id, rank, head_id, round(hdist, 4) AS dist FROM ch
          |ORDER BY query_id, rank, head_id, dist""".stripMargin,
     "q10_multi_index" -> {
@@ -555,7 +603,7 @@ object SparkEntry {
     },
     "q11_truth_recall" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
-      s"""WITH $spannCtes,
+      s"""WITH ${spannCtes()},
          |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
          |ex AS (SELECT * FROM (
          |    SELECT query_id, id, dist,
@@ -661,7 +709,7 @@ object SparkEntry {
     },
     "q19_mrr" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
-      s"""WITH $spannCtes,
+      s"""WITH ${spannCtes()},
          |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
          |ex AS (SELECT * FROM (
          |    SELECT query_id, id,
@@ -702,11 +750,12 @@ object SparkEntry {
          |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
          |WHERE j.jaccard >= 0.3
          |ORDER BY 1, 2, 3""".stripMargin,
+    // candidate-first: exact Jaccard evaluated over the LSH candidate pairs
     "q34_dedup_jaccard" ->
-      s"""WITH $shingleCtes,
-         |$jaccardCtes
-         |SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.3
-         |ORDER BY a, b, jaccard""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= 0.3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q35_dedup_simhash" -> {
       val sums = (0 until 16).map(b =>
         s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
@@ -835,11 +884,13 @@ object SparkEntry {
         |SELECT query_id, k, index_name, len(qvec) AS dim, CAST(qvec[1] AS INT) AS v0
         |FROM parsed
         |ORDER BY query_id, k, index_name, dim, v0""".stripMargin,
-    // the roundtripped index must be exactly the built postings
+    // the roundtripped index must be exactly the built postings + the
+    // roundtripped metadata per posting row
     "q46_index_roundtrip" ->
-      s"""WITH $spannCtes
-         |SELECT head_id, id, round(dist, 4) AS dist FROM p
-         |ORDER BY head_id, id, dist""".stripMargin,
+      s"""WITH ${spannCtes()}
+         |SELECT p.head_id, p.id, round(p.dist, 4) AS dist, v.meta
+         |FROM p JOIN v ON v.id = p.id
+         |ORDER BY p.head_id, p.id, dist, meta""".stripMargin,
     // add = union: searching base+batch is exact kNN over the whole corpus
     "q47_add_search" -> knnOracle("l2sq"),
     "q48_delete_by_meta" -> knnOracle("l2sq", corpusFilter = "AND meta <> 'RF'"),
@@ -904,7 +955,7 @@ object SparkEntry {
       val hsDist = Tables.distSql("l2sq", "h.head_vec", "s.super_vec")
       val qhDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
       val sDist = Tables.distSql("l2sq", "ch2.qvec", "p.vec")
-      s"""WITH $spannCtes,
+      s"""WITH ${spannCtes()},
          |s AS (SELECT head_id AS super_id, head_vec AS super_vec FROM h
          |      WHERE head_id % $SuperNth = 0),
          |shd AS (SELECT q.query_id, s.super_id, $qsDist AS sdist FROM q CROSS JOIN s),
@@ -937,7 +988,7 @@ object SparkEntry {
          |ORDER BY query_id, rank, id, dist""".stripMargin
     },
     "q54_posting_truncate" ->
-      s"""WITH $spannCtes,
+      s"""WITH ${spannCtes()},
          |tp AS (SELECT head_id, id, dist,
          |         row_number() OVER (PARTITION BY head_id ORDER BY dist, id) AS trn
          |       FROM p)
@@ -990,7 +1041,7 @@ object SparkEntry {
     },
     "q55_head_recall" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
-      s"""WITH $spannCtes,
+      s"""WITH ${spannCtes()},
          |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
          |ex AS (SELECT * FROM (
          |    SELECT query_id, id, dist,
@@ -1009,6 +1060,11 @@ object SparkEntry {
     // connected components by recursive reachability: walk(id, lbl) = "lbl's
     // doc can reach id over near-dup edges"; edges are undirected, so the
     // min reachable lbl per id IS the component minimum
+    "q62_kmeans_heads" -> kmeansHeadsOracleSql,
+    "q63_spann_ratio" ->
+      s"""WITH ${spannCtes(Some(2.0))}
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
+         |ORDER BY query_id, rank, id, dist""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1077,6 +1133,43 @@ object SparkEntry {
        |      FROM dd)
        |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
        |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** q62 oracle: 3 unrolled Lloyd rounds of full-dimension k-means (k=8,
+    * init = the 8 lowest-id vectors, ties on cluster id) over the
+    * integer-scaled corpus, then top-2 posting assignment against the final
+    * centers. Mirrors `BalancedKMeans.fit` + `Spann.buildPostings` exactly:
+    * integer-valued doubles make each `sum(x)/count(*)` centroid mean
+    * bit-identical to Spark's avg, and empty clusters keep their previous
+    * center via the same coalesce.
+    */
+  private def kmeansHeadsOracleSql: String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    val scaleSql = "list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    val mean = (1 to 6).map(i => s"sum(vec[$i]) / count(*)").mkString("[", ", ", "]")
+    val lloyd = (i: Int) =>
+      s"""a${i + 1} AS (SELECT * FROM (
+         |    SELECT vi.id, vi.vec, c.cid,
+         |           row_number() OVER (PARTITION BY vi.id
+         |             ORDER BY ${l2("vi.vec", "c.center")}, c.cid) AS rn
+         |    FROM vi CROSS JOIN c$i c) WHERE rn = 1),
+         |u${i + 1} AS (SELECT cid, $mean AS center FROM a${i + 1} GROUP BY cid),
+         |c${i + 1} AS (SELECT c.cid, coalesce(u.center, c.center) AS center
+         |       FROM c$i c LEFT JOIN u${i + 1} u ON u.cid = c.cid)""".stripMargin
+    s"""WITH v0 AS (${Tables.lineitemVecSql}),
+       |vi AS (SELECT id, $scaleSql AS vec FROM v0),
+       |c0 AS (SELECT id - 1 AS cid, vec AS center FROM vi WHERE id <= 8),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |pd AS (SELECT vi.id, c.cid, ${l2("vi.vec", "c.center")} AS dist
+       |       FROM vi CROSS JOIN c3 c),
+       |p AS (SELECT * FROM (
+       |    SELECT id, cid, dist,
+       |           row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+       |    FROM pd) WHERE rn <= 2)
+       |SELECT cid AS head_id, id, round(dist / 1000000.0, 4) AS dist FROM p
+       |ORDER BY head_id, id, dist""".stripMargin
   }
 
   /** DuckDB recursive-CTE rendering of the order-sensitive RNG prune

@@ -118,6 +118,55 @@ object PQ {
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
+  /** SDC sub-tables (symmetric distance computation, the other half of Q11 —
+    * `Common/PQQuantizer.h:110-128` precomputes 256×256 float tables per
+    * subspace at quantizer load): `tables(sub)(a)(b)` = l2sq between
+    * codewords `a` and `b` of subspace `sub`. Code-to-code distance is then
+    * Σ_sub tables(sub)(codeA(sub))(codeB(sub)) — by construction EXACTLY
+    * l2sq(reconstruct(codesA), reconstruct(codesB)), no vector math at
+    * query time. Tables are m·k² doubles — driver-resident and broadcast,
+    * like the codebooks themselves.
+    */
+  def sdcTables(cb: Codebooks): Array[Array[Array[Double]]] =
+    Array.tabulate(cb.m) { s =>
+      val cs = cb.centers(s)
+      Array.tabulate(cs.length, cs.length) { (a, b) =>
+        var d = 0.0; var i = 0
+        while (i < cb.dsub) { val x = cs(a)(i) - cs(b)(i); d += x * x; i += 1 }
+        d
+      }
+    }
+
+  /** SDC distance column between two `codes` columns (both sides quantized). */
+  def sdcDistance(codesA: Column, codesB: Column, cb: Codebooks): Column = {
+    val tables = sdcTables(cb)
+    val f = udf((a: Seq[Int], b: Seq[Int]) => {
+      var s = 0; var total = 0.0
+      while (s < tables.length) { total += tables(s)(a(s))(b(s)); s += 1 }
+      total
+    })
+    f(codesA, codesB)
+  }
+
+  /** SDC top-k: QUANTIZED queries (query_id, codes) × quantized corpus
+    * (id, codes) — the symmetric analogue of [[adcSearch]] for when the
+    * query side is itself stored quantized (code-to-code joins at scale pay
+    * only m bytes per side plus the broadcast LUT).
+    */
+  def sdcSearch(
+      quantizedQueries: DataFrame,
+      quantized: DataFrame,
+      cb: Codebooks,
+      k: Int): DataFrame = {
+    val scored = quantized
+      .crossJoin(broadcast(quantizedQueries.select(
+        col("query_id"), col("codes").as("qcodes"))))
+      .withColumn("dist", sdcDistance(col("qcodes"), col("codes"), cb))
+    graft.operators.Knn.explodeRanked(
+      scored.groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** OPQ-style rotated PQ (B13, `Common/OPQQuantizer.h:1-210`): the reference
     * learns an orthogonal rotation by alternating optimization; here the
     * rotation is the PCA basis (computed distributed via MLlib RowMatrix) —

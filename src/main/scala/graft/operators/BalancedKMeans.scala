@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.dist
@@ -30,18 +29,22 @@ object BalancedKMeans {
       lambda: Double = 0.0,
       metric: String = "l2sq"): DataFrame = {
     val spark = points.sparkSession
-    // deterministic init: the k smallest-id points are the seed centers
-    var centers = points.orderBy(col("id")).limit(k)
-      .select(
-        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long").as("cluster_id"),
-        col("vec").cast("array<double>").as("center"))
-      .withColumn("count", lit(0L))
+    import spark.implicits._
+    // deterministic init: the k smallest-id points are the seed centers.
+    // k rows by contract (centers broadcast every iteration), so the
+    // collect is bounded; numbering driver-side avoids a single-partition
+    // row_number window in the plan.
+    val seed = points.orderBy(col("id")).limit(k)
+      .select(col("vec").cast("array<double>")).collect()
+    var centers = seed.toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0), 0L) }
+      .toDF("cluster_id", "center", "count")
       .localCheckpoint(true)
 
     var iter = 0
     while (iter < maxIter) {
       val assigned = assign(points, centers, lambda, metric)
-      centers = recomputeCenters(assigned, centers.sparkSession)
+      centers = recomputeCenters(assigned, centers)
         .localCheckpoint(true)
       iter += 1
     }
@@ -50,27 +53,35 @@ object BalancedKMeans {
 
   /** One assignment step: `(id, vec, cluster_id, dist)`; cost =
     * dist + λ·count(cluster) with count from the centers frame.
+    *
+    * argmin via `min_by(struct(...), struct(cost, cluster_id))`: a declarative
+    * aggregate with map-side partials, so ONE exchange of n rows — the
+    * row_number-window formulation shuffled all n·k scored rows per call
+    * (maxIter× inside [[fit]]). Ties break on cluster_id, same as the window's
+    * (cost, cluster_id) order.
     */
   def assign(
       points: DataFrame,
       centers: DataFrame,
       lambda: Double = 0.0,
-      metric: String = "l2sq"): DataFrame = {
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cost"), col("cluster_id"))
+      metric: String = "l2sq"): DataFrame =
     points.crossJoin(broadcast(centers))
       .withColumn("dist", dist.byName(metric)(col("vec"), col("center")))
       .withColumn("cost", col("dist") + lit(lambda) * col("count"))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col("id"), col("vec"), col("cluster_id"), col("dist"))
-  }
+      .groupBy(col("id"))
+      .agg(min_by(
+        struct(col("vec"), col("cluster_id"), col("dist")),
+        struct(col("cost"), col("cluster_id"))).as("best"))
+      .select(col("id"), col("best.vec").as("vec"),
+        col("best.cluster_id").as("cluster_id"), col("best.dist").as("dist"))
 
   /** groupBy(cluster) per-dimension mean, via posexplode so no vector UDAF
-    * is needed; all double math.
+    * is needed; all double math. A cluster that received zero points keeps
+    * its previous center (count 0) instead of vanishing — k is stable across
+    * iterations, matching the unrolled-Lloyd oracle's coalesce.
     */
-  private def recomputeCenters(assigned: DataFrame, spark: SparkSession): DataFrame =
-    assigned
+  private def recomputeCenters(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val upd = assigned
       .select(col("cluster_id"), posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col("cluster_id"), col("pos"))
       .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
@@ -80,6 +91,13 @@ object BalancedKMeans {
           sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("center"),
         first(col("n")).as("count"))
+    prev.select(col("cluster_id"),
+        col("center").as("_prev_center"))
+      .join(upd, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("center"), col("_prev_center")).as("center"),
+        coalesce(col("count"), lit(0L)).as("count"))
+  }
 
   /** B14 (`src/BalancedDataPartition/main.cpp:29-66`): balanced distributed
     * partition — assign every vector to its (λ-balanced) cluster and write

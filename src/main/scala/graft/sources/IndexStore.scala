@@ -6,9 +6,24 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
+import graft.functions.PQ
+
 /** Index persistence (S6, `VectorIndex.h:85-101` SaveIndex/LoadIndex): the
-  * reference writes a folder of binary blobs + ini; here each artifact is a
-  * Parquet table and the config is JSON.
+  * reference writes a folder of binary blobs + ini — vectors, metadata,
+  * metaindex, quantizer, deletes (`BKT/ParameterDefinitionList.h:7-10`); here
+  * each artifact is a Parquet table and the config is JSON:
+  *
+  *  - `heads/`, `postings/` — the index proper (postings bucketed, below);
+  *  - `deletes/` — tombstones (optional);
+  *  - `meta/` — `(id, meta)` metadata table (optional, the reference's
+  *    metadata + metaindex pair collapses into one keyed table);
+  *  - `codebooks/` — PQ codebooks `(sub, code, center)` (optional);
+  *  - `rotation/` — OPQ rotation rows `(i, row)` (optional);
+  *  - `config.json` — scalars.
+  *
+  * Optional artifacts are DELETED from the directory when absent in a save:
+  * a reused directory must end up exactly mirroring the saved state, never
+  * resurrecting a prior save's tombstones or quantizer.
   *
   * `postings` is written PARTITIONED BY head_id bucket — the layout that maps
   * the reference's page-aligned SSD posting file + selective reads
@@ -34,13 +49,20 @@ object IndexStore {
       heads: DataFrame,
       postings: DataFrame,
       deletes: Option[DataFrame],
-      config: IndexConfig): Unit = {
+      config: IndexConfig,
+      meta: Option[DataFrame] = None,
+      quantizer: Option[PQ.RotatedCodebooks] = None): Unit = {
+    val spark = heads.sparkSession
     heads.write.mode("overwrite").parquet(s"$dir/heads")
     withBucket(postings, config.headBuckets)
       .write.mode("overwrite")
       .partitionBy("head_bucket")
       .parquet(s"$dir/postings")
-    deletes.foreach(_.write.mode("overwrite").parquet(s"$dir/deletes"))
+    saveOrClear(spark, s"$dir/deletes", deletes)
+    saveOrClear(spark, s"$dir/meta", meta)
+    saveOrClear(spark, s"$dir/codebooks", quantizer.map(q => codebookDf(spark, q.cb)))
+    saveOrClear(spark, s"$dir/rotation",
+      quantizer.filter(q => !isIdentity(q.rotation)).map(q => rotationDf(spark, q.rotation)))
     val json =
       s"""{"metric":"${config.metric}","dimension":${config.dimension},
          |"replicaCount":${config.replicaCount},"headBuckets":${config.headBuckets}}""".stripMargin
@@ -48,11 +70,51 @@ object IndexStore {
     Files.write(Paths.get(s"$dir/config.json"), json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Write the artifact, or REMOVE a stale copy from a prior save into the
+    * same directory — `load` detects artifacts by existence, so leftovers
+    * would resurrect state the caller explicitly dropped (the stale-deletes
+    * trap).
+    */
+  private def saveOrClear(spark: SparkSession, path: String, df: Option[DataFrame]): Unit =
+    df match {
+      case Some(d) => d.write.mode("overwrite").parquet(path)
+      case None => deleteDir(spark, path)
+    }
+
+  /** Scheme-aware recursive delete (local FS in tests, HDFS/object store on a
+    * cluster — whatever the session's Hadoop conf resolves).
+    */
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  private def codebookDf(spark: SparkSession, cb: PQ.Codebooks): DataFrame = {
+    import spark.implicits._
+    (for {
+      s <- 0 until cb.m
+      c <- cb.centers(s).indices
+    } yield (s, c, cb.centers(s)(c).toSeq)).toDF("sub", "code", "center")
+  }
+
+  private def rotationDf(spark: SparkSession, rot: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    rot.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toDF("i", "row")
+  }
+
+  private def isIdentity(rot: Array[Array[Double]]): Boolean =
+    rot.zipWithIndex.forall { case (row, i) =>
+      row.zipWithIndex.forall { case (x, j) => x == (if (i == j) 1.0 else 0.0) }
+    }
+
   case class LoadedIndex(
       heads: DataFrame,
       postings: DataFrame,
       deletes: Option[DataFrame],
-      config: IndexConfig)
+      config: IndexConfig,
+      meta: Option[DataFrame] = None,
+      quantizer: Option[PQ.RotatedCodebooks] = None)
 
   def load(spark: SparkSession, dir: String): LoadedIndex = {
     val cfgText = new String(Files.readAllBytes(Paths.get(s"$dir/config.json")), StandardCharsets.UTF_8)
@@ -61,12 +123,37 @@ object IndexStore {
         .map(_.group(1)).getOrElse(sys.error(s"missing $name in $dir/config.json"))
     val cfg = IndexConfig(field("metric"), field("dimension").toInt,
       field("replicaCount").toInt, field("headBuckets").toInt)
-    val deletesPath = Paths.get(s"$dir/deletes")
+    def opt(name: String): Option[DataFrame] =
+      if (Files.exists(Paths.get(s"$dir/$name"))) Some(spark.read.parquet(s"$dir/$name")) else None
     LoadedIndex(
       spark.read.parquet(s"$dir/heads"),
       spark.read.parquet(s"$dir/postings"),
-      if (Files.exists(deletesPath)) Some(spark.read.parquet(s"$dir/deletes")) else None,
-      cfg)
+      opt("deletes"),
+      cfg,
+      opt("meta"),
+      opt("codebooks").map(cbDf => loadQuantizer(cbDf, opt("rotation"), cfg.dimension)))
+  }
+
+  /** Rebuild the in-memory quantizer from its tables; a missing rotation
+    * means plain PQ (identity rotation of the config dimension).
+    */
+  private def loadQuantizer(
+      cbDf: DataFrame,
+      rotDf: Option[DataFrame],
+      dim: Int): PQ.RotatedCodebooks = {
+    val rows = cbDf.select(col("sub"), col("code"), col("center")).collect()
+    val bySub = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+    val centers = bySub.map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val m = centers.length
+    val k = centers.map(_.length).max
+    val dsub = centers.head.head.length
+    val rot = rotDf match {
+      case Some(df) =>
+        df.select(col("i"), col("row")).collect().sortBy(_.getInt(0))
+          .map(_.getSeq[Double](1).toArray)
+      case None => Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    }
+    PQ.RotatedCodebooks(rot, PQ.Codebooks(m, k, dsub, centers))
   }
 
   /** Prune the postings scan to the head buckets a candidate set touches —

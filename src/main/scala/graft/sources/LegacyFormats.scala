@@ -120,6 +120,52 @@ object LegacyFormats {
       }.toDF("query_id", "rank", "id", "dist")
   }
 
+  // ---- truth XVEC/TXT (`Helper/DefinitionList.h:115-128` TruthFileType:
+  //      XVEC = per query record [int32 K][K int32 ids] (ivecs); TXT = one
+  //      line per query, ids space-separated) ----
+
+  def writeTruthXvec(path: String, truth: Seq[Seq[Int]]): Unit = {
+    val total = truth.map(t => 4 + t.length * 4).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    truth.foreach { t => bb.putInt(t.length); t.foreach(bb.putInt) }
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  /** XVEC truth file → `(query_id, rank, id)`; record order is query order. */
+  def readTruthXvec(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+        var qi = 0L
+        while (bb.remaining() >= 4) {
+          val k = bb.getInt()
+          var r = 0
+          while (r < k) { rows += ((qi, r + 1, bb.getInt().toLong)); r += 1 }
+          qi += 1
+        }
+        rows
+      }.toDF("query_id", "rank", "id")
+  }
+
+  def writeTruthTxt(path: String, truth: Seq[Seq[Int]]): Unit = {
+    val out = new java.io.PrintWriter(path, "UTF-8")
+    try truth.foreach(t => out.println(t.mkString(" "))) finally out.close()
+  }
+
+  /** TXT truth file → `(query_id, rank, id)`; line number is the query id. */
+  def readTruthTxt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).rdd.zipWithIndex()
+      .flatMap { case (row, qi) =>
+        row.getString(0).trim.split("\\s+").filter(_.nonEmpty).zipWithIndex
+          .map { case (id, r) => (qi, r + 1, id.toLong) }
+      }.toDF("query_id", "rank", "id")
+  }
+
   // ---- local writers (test fixtures / export parity) ----
 
   def writeDefault(path: String, vecs: Seq[Array[Float]]): Unit = {

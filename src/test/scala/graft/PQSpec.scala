@@ -39,6 +39,37 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("SDC distance == l2sq of the two reconstructions; ADC cross-check (Q11)") {
+    import spark.implicits._
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
+    val quant = PQ.reconstruct(PQ.quantize(corpus.where(col("id") <= 40), cb), cb)
+      .select(col("id"), col("codes"), col("recon")).cache()
+    val pairs = quant.select(col("id").as("ia"), col("codes").as("ca"), col("recon").as("ra"))
+      .crossJoin(quant.select(col("id").as("ib"), col("codes").as("cb"), col("recon").as("rb")))
+      .where(col("ia") < col("ib"))
+      .withColumn("sdc", PQ.sdcDistance(col("ca"), col("cb"), cb))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val ra = r.getSeq[Double](2); val rb = r.getSeq[Double](5)
+      val sdc = r.getDouble(6)
+      // LUT definition: SDC(a,b) == l2sq(reconstruct(a), reconstruct(b))
+      val viaRecon = ra.zip(rb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(sdc - viaRecon) < 1e-9)
+      // ADC cross-check: with the query AT a's reconstruction, ADC == SDC
+      val adc = cb.adcDistance(ra, r.getSeq[Int](4))
+      assert(math.abs(sdc - adc) < 1e-9)
+    }
+    // sdcSearch end-to-end: equals ADC search with reconstructed queries
+    val qq = quant.where(col("id") <= 5).select(col("id").as("query_id"), col("codes"))
+    val qr = quant.where(col("id") <= 5).select(col("id").as("query_id"), col("recon").as("qvec"))
+    val viaSdc = PQ.sdcSearch(qq, quant.select(col("id"), col("codes")), cb, 5)
+      .orderBy("query_id", "rank", "id").collect().toSeq
+    val viaAdc = PQ.adcSearch(qr, quant.select(col("id"), col("codes")), cb, 5)
+      .orderBy("query_id", "rank", "id").collect().toSeq
+    assert(viaSdc === viaAdc)
+  }
+
   test("ADC recall is high on clustered data (PQ's operating regime)") {
     import spark.implicits._
     // 10 tight 4-d blobs at c*100 ± small jitter; 16 centroids per 2-d

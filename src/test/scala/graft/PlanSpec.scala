@@ -110,6 +110,47 @@ class PlanSpec extends SparkSpec {
     assert(df2.count() > 0)
   }
 
+  test("scale-contract sweep: every query plan is CartesianProduct-free, " +
+    "nested-loop joins only against documented broadcast-tiny sides, " +
+    "no partition-less Window") {
+    // the cheap regression net over ALL driver-contract queries: a refactor
+    // that reintroduces an all-pairs join or a single-partition window fails
+    // here before any benchmark notices
+    val bnljOk = Set(
+      "q12_delete_by_vector", // 5 target vectors, broadcast
+      "q13_knn_window",       // the documented naive window baseline (|Q|=50 broadcast)
+      "q16_kmeans_assign",    // 8 centers, broadcast
+      "q42_pq_search",        // |Q|=50 queries, broadcast
+      "q56_opq_adc",          // |Q|=50 queries, broadcast
+      "q58_balanced_partition", // 8 centers, broadcast
+      "q62_kmeans_heads")     // 8 centers, broadcast (fit + assign)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"),
+        s"$name: CartesianProduct in plan — an O(n²) scale-killer:\n$phys")
+      if (!bnljOk(name))
+        assert(!phys.contains("BroadcastNestedLoopJoin"),
+          s"$name: undocumented nested-loop join:\n$phys")
+      val badWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(badWindows.isEmpty,
+        s"$name: Window without partitioning — single-partition shuffle")
+    }
+  }
+
+  test("MaxDistRatio prune provably drops candidate heads (q63)") {
+    import graft.operators.Spann
+    val q = Tables.ordersQuery(spark, sf0001).where(col("query_id") < 50)
+    val h = Spann.selectHeadsModulo(Tables.lineitemVec(spark, sf0001), 200)
+    val all = Spann.candidateHeads(q, h, 8).count()
+    val pruned = Spann.candidateHeads(q, h, 8, maxDistRatio = 2.0).count()
+    assert(pruned > 0)
+    assert(pruned < all, s"ratio=2.0 prune dropped nothing ($pruned of $all)")
+  }
+
   test("whole-stage codegen covers the distance computation") {
     // q13 keeps the window formulation whose dist expression is a projected
     // column (q01's distance now lives inside the batch_topk aggregate)

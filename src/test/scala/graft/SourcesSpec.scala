@@ -41,6 +41,25 @@ class SourcesSpec extends SparkSpec {
     assert(got(2).getSeq[Float](1) === Seq(2f, 2.5f))
   }
 
+  test("truth XVEC + TXT roundtrips (S5)") {
+    val dir = tmp()
+    val truth = Seq(Seq(3, 1, 4), Seq(1, 5, 9), Seq(2, 6, 5))
+    LegacyFormats.writeTruthXvec(s"$dir/t.ivecs", truth)
+    val xv = LegacyFormats.readTruthXvec(spark, s"$dir/t.ivecs")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    LegacyFormats.writeTruthTxt(s"$dir/t.txt", truth)
+    val tx = LegacyFormats.readTruthTxt(spark, s"$dir/t.txt")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expect = for {
+      (t, qi) <- truth.zipWithIndex
+      (id, r) <- t.zipWithIndex
+    } yield (qi.toLong, r + 1, id.toLong)
+    assert(xv.toSeq === expect)
+    assert(tx.toSeq === expect)
+  }
+
   test("index save/load roundtrip preserves search results (S6)") {
     val dir = tmp()
     val corpus = synthVectors(300).select("id", "vec")
@@ -57,6 +76,59 @@ class SourcesSpec extends SparkSpec {
     val after = Spann.searchTwoStage(q, loaded.heads,
       loaded.postings.drop("head_bucket"), 5, 4).collect().toSeq
     assert(before === after)
+  }
+
+  test("re-save without deletes clears a prior save's tombstones (S6)") {
+    val dir = tmp()
+    val corpus = synthVectors(120).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    val postings = Spann.buildPostings(corpus, heads, 2)
+    val cfg = IndexStore.IndexConfig("l2sq", 10, 2, 8)
+    IndexStore.save(dir, heads, postings, Some(Seq(5L, 7L).toDF("id")), cfg)
+    assert(IndexStore.load(spark, dir).deletes.isDefined)
+    // second save into the SAME directory, deletes dropped: the loaded index
+    // must carry ZERO tombstones, not the first save's leftovers
+    IndexStore.save(dir, heads, postings, None, cfg)
+    assert(IndexStore.load(spark, dir).deletes.isEmpty)
+  }
+
+  test("meta + quantizer round-trip; loaded codebooks serve ADC (S6/Q11)") {
+    import graft.functions.PQ
+    val dir = tmp()
+    val corpus = synthVectors(200).select("id", "vec")
+    val meta = corpus.select(col("id"), concat(lit("m"), col("id")).as("meta"))
+    val heads = Spann.selectHeadsModulo(corpus, 40)
+    val postings = Spann.buildPostings(corpus, heads, 2)
+    val cb = PQ.train(corpus, dim = 10, m = 2, k = 8, maxIter = 2)
+    val ident = Array.tabulate(10, 10)((i, j) => if (i == j) 1.0 else 0.0)
+    IndexStore.save(dir, heads, postings, None,
+      IndexStore.IndexConfig("l2sq", 10, 2, 8),
+      meta = Some(meta), quantizer = Some(PQ.RotatedCodebooks(ident, cb)))
+    val loaded = IndexStore.load(spark, dir)
+    // meta table survives
+    assert(loaded.meta.get.orderBy("id").collect().toSeq ===
+      meta.orderBy("id").collect().toSeq)
+    // codebooks survive bit-for-bit and serve ADC identically
+    val lcb = loaded.quantizer.get.cb
+    assert(lcb.m === cb.m && lcb.k === cb.k && lcb.dsub === cb.dsub)
+    assert(lcb.centers.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = Seq((0L, Seq.fill(10)(42.0))).toDF("query_id", "qvec")
+    val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes"))
+    assert(PQ.adcSearch(q, quant, lcb, 5).collect().toSeq ===
+      PQ.adcSearch(q, quant, cb, 5).collect().toSeq)
+    // identity rotation is not materialized; loaded quantizer rebuilds it
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/rotation")))
+    assert(loaded.quantizer.get.rotation.map(_.toSeq).toSeq === ident.map(_.toSeq).toSeq)
+    // an OPQ rotation IS materialized and survives
+    val rot = Array.tabulate(10, 10)((i, j) => if ((i + 1) % 10 == j) 1.0 else 0.0)
+    IndexStore.save(dir, heads, postings, None,
+      IndexStore.IndexConfig("l2sq", 10, 2, 8),
+      quantizer = Some(PQ.RotatedCodebooks(rot, cb)))
+    val loaded2 = IndexStore.load(spark, dir)
+    assert(loaded2.quantizer.get.rotation.map(_.toSeq).toSeq === rot.map(_.toSeq).toSeq)
+    // and the meta artifact from the FIRST save was cleared by the second
+    assert(loaded2.meta.isEmpty)
   }
 
   test("posting store partition pruning kicks in on head_bucket (S6/B9)") {
