@@ -431,6 +431,21 @@ object SparkEntry {
       ordered(Spann.buildPostings(corpus, kheads, 2)
         .select(col("head_id"), col("id"),
           round(col("dist") / 1e6, 4).as("dist")))
+    }),
+    // Q11 SDC on the correctness gate: corpus AND query sides stored as
+    // codes; distance = per-subspace code-to-code sub-table lookups
+    // (`PQQuantizer.h:110-128`), trained by the q42 bit-exact Lloyd chain
+    "q64_pq_sdc" -> ((s, d) => {
+      import graft.functions.PQ
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 3)
+      val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes"))
+      val qq = quant.where(col("id") <= 20)
+        .select(col("id").as("query_id"), col("codes"))
+      ordered(PQ.sdcSearch(qq, quant, cb, K)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
     })
   )
 
@@ -1061,6 +1076,7 @@ object SparkEntry {
     // doc can reach id over near-dup edges"; edges are undirected, so the
     // min reachable lbl per id IS the component minimum
     "q62_kmeans_heads" -> kmeansHeadsOracleSql,
+    "q64_pq_sdc" -> pqSdcOracleSql,
     "q63_spann_ratio" ->
       s"""WITH ${spannCtes(Some(2.0))}
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
@@ -1085,7 +1101,11 @@ object SparkEntry {
     * `rotated`, the q56 signed-permutation rotation is applied after scaling
     * (still integer-exact) — the OPQ pipeline shape.
     */
-  private def pqAdcOracleSql(rotated: Boolean): String = {
+  /** Shared train chunk for the PQ oracles: CTEs `v0 … codes`, where `codes`
+    * is each corpus vector's per-subspace assigned code + centroid after 3
+    * unrolled Lloyd rounds.
+    */
+  private def pqTrainCtes(rotated: Boolean): String = {
     val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
     val scaleSql = (c: String) =>
       s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
@@ -1101,7 +1121,7 @@ object SparkEntry {
          |       FROM a${i + 1} GROUP BY sub, code),
          |c${i + 1} AS (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
          |       FROM c$i c LEFT JOIN u${i + 1} u ON u.sub = c.sub AND u.code = c.code)""".stripMargin
-    s"""WITH v0 AS (${Tables.lineitemVecSql}),
+    s"""v0 AS (${Tables.lineitemVecSql}),
        |vi AS (SELECT id, ${rot("sv")} AS vec
        |       FROM (SELECT id, ${scaleSql("vec")} AS sv FROM v0)),
        |sub AS (
@@ -1116,7 +1136,15 @@ object SparkEntry {
        |    SELECT s.id, s.sub, c.code, c.center,
        |           row_number() OVER (PARTITION BY s.id, s.sub
        |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
-       |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1),
+       |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqAdcOracleSql(rotated: Boolean): String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    val scaleSql = (c: String) =>
+      s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    val rot = (c: String) => if (rotated) rotateSql(c) else c
+    s"""WITH ${pqTrainCtes(rotated)},
        |q0 AS (SELECT query_id, ${rot("sq")} AS qvec
        |       FROM (SELECT query_id, ${scaleSql("qvec")} AS sq
        |             FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN)),
@@ -1126,6 +1154,25 @@ object SparkEntry {
        |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
        |pdist AS (SELECT q.query_id, cd.id, cd.sub, ${l2("q.qv", "cd.center")} AS pdsub
        |          FROM qsub q JOIN codes cd ON cd.sub = q.sub),
+       |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
+       |       FROM pdist GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
+       |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** q64 oracle: SDC — both sides quantized by the q42 train chain; distance
+    * = Σ_sub l2sq(center[codeQ], center[codeC]), exactly the LUT definition
+    * (`PQQuantizer.h:110-128`).
+    */
+  private def pqSdcOracleSql: String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    s"""WITH ${pqTrainCtes(rotated = false)},
+       |qc AS (SELECT id AS query_id, sub, center AS qcenter FROM codes WHERE id <= 20),
+       |pdist AS (SELECT qc.query_id, cd.id, qc.sub, ${l2("qc.qcenter", "cd.center")} AS pdsub
+       |          FROM qc JOIN codes cd ON cd.sub = qc.sub),
        |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
        |       FROM pdist GROUP BY query_id, id),
        |r AS (SELECT query_id, id, dist,

@@ -40,6 +40,20 @@ object PQ {
       total
     }
 
+    /** Per-query ADC lookup table (`PQQuantizer.h:96-108` builds exactly
+      * this per query): lut(s)(c) = l2sq(q_sub(s), centers(s)(c)). ADC for
+      * any corpus code is then `m` array lookups instead of `m·dsub`
+      * multiply-adds — the values are the same doubles [[adcDistance]]
+      * computes, just hoisted out of the per-(query, vector) hot loop.
+      */
+    def adcLut(q: Seq[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { s =>
+        val sub = q.slice(s * dsub, (s + 1) * dsub)
+        Array.tabulate(centers(s).length) { c =>
+          l2(sub, scala.collection.immutable.ArraySeq.unsafeWrapArray(centers(s)(c)))
+        }
+      }
+
     private def l2(a: Seq[Double], b: Seq[Double]): Double = {
       var i = 0; var acc = 0.0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -107,12 +121,27 @@ object PQ {
     vectors.withColumn("codes", qUdf(col("vec").cast("array<double>")))
   }
 
-  /** ADC top-k: queries (query_id, qvec) × quantized corpus (id, codes). */
+  /** ADC top-k: queries (query_id, qvec) × quantized corpus (id, codes).
+    *
+    * The per-query LUT ([[Codebooks.adcLut]]) is computed ONCE per query row
+    * on the (broadcast-tiny) query side; the per-(query, vector) work is then
+    * `m` lookups + adds. Same doubles as the direct [[Codebooks.adcDistance]]
+    * (each LUT entry is that very subspace distance), so results are
+    * bit-identical — only the hot-loop cost changes (m·dsub → m per pair).
+    */
   def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(cb)
-    val dUdf = udf((q: Seq[Double], codes: Seq[Int]) => bc.value.adcDistance(q, codes))
-    val scored = quantized.crossJoin(broadcast(queries))
-      .withColumn("dist", dUdf(col("qvec").cast("array<double>"), col("codes")))
+    val lutUdf = udf((q: Seq[Double]) => bc.value.adcLut(q))
+    val dUdf = udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
+      var s = 0; var total = 0.0
+      while (s < codes.length) { total += lut(s)(codes(s)); s += 1 }
+      total
+    })
+    val withLut = queries
+      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val scored = quantized.crossJoin(broadcast(withLut))
+      .withColumn("dist", dUdf(col("_lut"), col("codes")))
     graft.operators.Knn.explodeRanked(
       scored.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
