@@ -432,6 +432,19 @@ object SparkEntry {
         .select(col("head_id"), col("id"),
           round(col("dist") / 1e6, 4).as("dist")))
     }),
+    // terminal dedup APPLY: detect (q33) → group (q60) → keep one canonical
+    // doc per near-dup group — the full pipeline a training-data corpus runs
+    "q66_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
+      ordered(Dedup.applyDedup(docs, groups).select(col("doc_id")))
+    }),
+    // ANN search via banded-LSH blocking: candidates share a 2-plane code
+    // band with the query, exact cosine rerank — the search-time form of
+    // q36's blocking (equi-joins only; recall governed by the banding)
+    "q65_ann_lsh_search" -> ((s, d) =>
+      ordered(SimilaritySearch.lshSearch(
+        embQueries(s, d), Tables.embeddingVec(s, d), dims = 64, k = K))),
     // Q11 SDC on the correctness gate: corpus AND query sides stored as
     // codes; distance = per-subspace code-to-code sub-table lookups
     // (`PQQuantizer.h:110-128`), trained by the q42 bit-exact Lloyd chain
@@ -1077,10 +1090,49 @@ object SparkEntry {
     // min reachable lbl per id IS the component minimum
     "q62_kmeans_heads" -> kmeansHeadsOracleSql,
     "q64_pq_sdc" -> pqSdcOracleSql,
+    // mirrors lshSearch(dims=64, planes=8, rowsPerBand=2): the q36 banding
+    // chain, query side = the embQueries prefix (vec_id < 10), exact rerank
+    "q65_ann_lsh_search" -> {
+      val cd = Tables.distSql("cos", "q.vec", "v.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec,
+         |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+         |w AS (SELECT p, d,
+         |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+         |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p),
+         |codes AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+         |          FROM dots GROUP BY id),
+         |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
+         |          FROM codes, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT qb.id AS query_id, cb.id AS id
+         |         FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bv = cb.bv
+         |         WHERE qb.id < 10),
+         |dd AS (SELECT c.query_id, c.id, $cd AS dist
+         |       FROM cand c JOIN e q ON q.id = c.query_id JOIN e v ON v.id = c.id),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
     "q63_spann_ratio" ->
       s"""WITH ${spannCtes(Some(2.0))}
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
          |ORDER BY query_id, rank, id, dist""".stripMargin,
+    // the kept set = docs that are their own component minimum (same walk
+    // CTE as q60, filtered to the canonical representative)
+    "q66_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |          WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |)
+         |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(lbl) = id
+         |ORDER BY 1""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

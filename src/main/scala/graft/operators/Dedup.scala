@@ -226,6 +226,20 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("canon_id"))
   }
 
+  /** Terminal dedup step: keep exactly ONE canonical document per near-dup
+    * group (the doc whose id IS its group's canon_id — the min id, so the
+    * kept set is deterministic). `groups` is [[canonicalGroups]]' output;
+    * the semi-join streams the corpus once, groups are O(corpus) rows keyed
+    * by id. The reference applies this in place by tombstoning duplicate
+    * hits (`BKTIndex.cpp:875-890`); here it is a pure projection of the
+    * corpus — the shape a 100 TB pipeline wants (no mutation, re-runnable).
+    */
+  def applyDedup(docs: DataFrame, groups: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      groups.where(col(idCol) === col("canon_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** 16-bit SimHash over the token multiset: bit b is set when
     * Σ_tokens (bit_b(hash60(token)) ? +1 : −1) > 0. Output `(doc_id, simhash)`.
     */

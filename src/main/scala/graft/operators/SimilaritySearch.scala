@@ -70,6 +70,46 @@ object SimilaritySearch {
     java.lang.Long.parseLong(hex, 16) % 2001 - 1000
   }
 
+  /** ANN search via banded-LSH blocking — the query-side complement of
+    * [[lshNearDup]]: a query's candidates are the corpus vectors agreeing
+    * with it on ANY `rowsPerBand`-plane band of the hyperplane code, exact
+    * re-ranked to top-k. All equi-joins (shuffle ∝ corpus·bands); recall is
+    * governed by (planes, rowsPerBand) exactly like LSH-bucketed dedup.
+    * Queries yielding fewer than k candidates return what the blocking
+    * surfaced — the approximate-search contract.
+    *
+    * Output `(query_id, rank, id, dist)` like [[bruteForce]]; deterministic
+    * (integer-exact hyperplanes), so the oracle mirrors it band-for-band.
+    */
+  def lshSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      planes: Int = 8,
+      rowsPerBand: Int = 2,
+      metric: String = "cos"): DataFrame = {
+    require(planes % rowsPerBand == 0, s"planes $planes not divisible by band width $rowsPerBand")
+    val nb = planes / rowsPerBand
+    def banded(df: DataFrame): DataFrame =
+      lshCodes(df, dims, planes).select(col("id"), posexplode(
+        array((0 until nb).map(b =>
+          shiftright(col("code"), b * rowsPerBand) % (1 << rowsPerBand)): _*))
+        .as(Seq("band", "bv")))
+    val qbands = banded(queries.select(col("query_id").as("id"), col("qvec").as("vec")))
+      .select(col("id").as("query_id"), col("band"), col("bv"))
+    val cand = banded(corpus)
+      .join(qbands, Seq("band", "bv"))
+      .select(col("query_id"), col("id")).distinct()
+    val scored = cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    graft.operators.Knn.explodeRanked(
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** Near-dup blocking via banded LSH codes: split the `planes`-bit code into
     * bands of `rowsPerBand` planes; candidates = pairs agreeing on ANY band
     * (equi-join on `(band, band_value)` — shuffle ∝ corpus·bands, never an

@@ -108,6 +108,17 @@ class DedupSpec extends SparkSpec {
     groups.groupBy(_._2).foreach { case (lbl, m) => assert(lbl === m.keys.min) }
   }
 
+  test("applyDedup keeps exactly the canonical doc of every group") {
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+      .withColumn("text", concat(lit("t"), col("doc_id")))
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val groups = Dedup.canonicalGroups(docs, pairs)
+    val kept = Dedup.applyDedup(docs, groups)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {0,1,2} collapse to 0; 3 is a singleton
+    assert(kept === Seq(0L, 3L))
+  }
+
   test("embedding near-dup pairs by cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f)),

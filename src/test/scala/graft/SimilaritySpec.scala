@@ -67,6 +67,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.map(p => (p._1, p._2)).distinct.length === lsh.length)
   }
 
+  test("LSH-blocked search: self is rank-1, distances exact, results ⊆ corpus") {
+    import spark.implicits._
+    val res = SimilaritySearch.lshSearch(queries, emb, dims = 64, k = 10)
+    val byQ = res.select("query_id", "rank", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect().groupBy(_._1)
+    assert(byQ.size === 10)
+    // a query always shares every band with itself → candidate → dist 0, rank 1
+    byQ.foreach { case (q, rows) =>
+      val top = rows.find(_._2 == 1).get
+      assert(top._3 === q && top._4 === 0.0, s"query $q top-1 is not itself")
+    }
+    // every reported distance equals the exact distance for that pair
+    val exact = SimilaritySearch.bruteForce(queries, emb, 500)
+      .select("query_id", "id", "dist").as[(Long, Long, Double)].collect()
+      .map { case (q, i, d) => (q, i) -> d }.toMap
+    byQ.values.flatten.foreach { case (q, _, i, d) =>
+      assert(exact((q, i)) === d, s"pair ($q,$i) dist drifted from exact")
+    }
+  }
+
   test("planeWeight matches the Hash60 definition") {
     import graft.functions.Hash60
     import spark.implicits._
