@@ -796,21 +796,11 @@ object SparkEntry {
          |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits
          |ORDER BY doc_id, simhash""".stripMargin
     },
-    // mirrors lshNearDup(dims=64, planes=8, rowsPerBand=2): integer-exact
-    // hyperplane codes (the q40 chain), 4 two-plane bands, candidate pairs
-    // from the band equi-join, exact cosine verify
+    // mirrors lshNearDup(dims=64, planes=8, rowsPerBand=2): the shared
+    // banding chain, candidate pairs from the band equi-join, exact cosine
     "q36_dedup_embedding" -> {
       val cd = Tables.distSql("cos", "a.vec", "b.vec")
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec,
-         |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |w AS (SELECT p, d,
-         |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
-         |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
-         |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p),
-         |codes AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
-         |          FROM dots GROUP BY id),
-         |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
-         |          FROM codes, generate_series(0, 3) g(b)),
+      s"""WITH $lshBandCtes,
          |cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM bands l
          |         JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id)
          |SELECT c.a, c.b, round($cd, 4) AS cos_dist
@@ -1090,20 +1080,12 @@ object SparkEntry {
     // min reachable lbl per id IS the component minimum
     "q62_kmeans_heads" -> kmeansHeadsOracleSql,
     "q64_pq_sdc" -> pqSdcOracleSql,
-    // mirrors lshSearch(dims=64, planes=8, rowsPerBand=2): the q36 banding
-    // chain, query side = the embQueries prefix (vec_id < 10), exact rerank
+    // mirrors lshSearch(dims=64, planes=8, rowsPerBand=2): the shared
+    // banding chain, query side = the embQueries prefix (vec_id < 10),
+    // exact rerank
     "q65_ann_lsh_search" -> {
       val cd = Tables.distSql("cos", "q.vec", "v.vec")
-      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec,
-         |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
-         |w AS (SELECT p, d,
-         |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
-         |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
-         |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p),
-         |codes AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
-         |          FROM dots GROUP BY id),
-         |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
-         |          FROM codes, generate_series(0, 3) g(b)),
+      s"""WITH $lshBandCtes,
          |cand AS (SELECT DISTINCT qb.id AS query_id, cb.id AS id
          |         FROM bands qb JOIN bands cb ON qb.band = cb.band AND qb.bv = cb.bv
          |         WHERE qb.id < 10),
@@ -1307,6 +1289,24 @@ object SparkEntry {
        |),
        |fin AS (SELECT s.$idCol, s.acc_ids FROM step s JOIN n USING ($idCol) WHERE s.rn = n.mx)""".stripMargin
   }
+
+  /** Shared DuckDB CTEs for the 64-dim embedding LSH banding chain — the one
+    * SQL rendering of `SimilaritySearch.bandedCodes(planes=8, rowsPerBand=2)`
+    * that both q36 (pair blocking) and q65 (search blocking) build on:
+    * `e` (id, vec, integer-quantized qv), hyperplane weights `w`, `dots`,
+    * 8-bit `codes`, 4 two-plane `bands`.
+    */
+  private def lshBandCtes: String =
+    s"""e AS (SELECT vec_id AS id, embedding AS vec,
+       |       list_transform(embedding, v -> round(v::DOUBLE * 1000)::BIGINT) AS qv FROM embeddings),
+       |w AS (SELECT p, d,
+       |        ${graft.functions.Hash60.sql("p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+       |      FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+       |dots AS (SELECT e.id, w.p, sum(e.qv[w.d + 1] * w.wt) AS dot FROM e, w GROUP BY e.id, w.p),
+       |codes AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+       |          FROM dots GROUP BY id),
+       |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
+       |          FROM codes, generate_series(0, 3) g(b))""".stripMargin
 
   /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`. */
   private def shingleCtes: String =

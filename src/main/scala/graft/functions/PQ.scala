@@ -166,10 +166,19 @@ object PQ {
       }
     }
 
-  /** SDC distance column between two `codes` columns (both sides quantized). */
-  def sdcDistance(codesA: Column, codesB: Column, cb: Codebooks): Column = {
-    val tables = sdcTables(cb)
+  /** SDC distance column between two `codes` columns (both sides quantized).
+    * `spark` broadcasts the m·k² tables once per executor (at the reference's
+    * 256-codeword scale the tables are ~MBs — too big for a per-task
+    * closure).
+    */
+  def sdcDistance(
+      codesA: Column,
+      codesB: Column,
+      cb: Codebooks,
+      spark: org.apache.spark.sql.SparkSession): Column = {
+    val bc = spark.sparkContext.broadcast(sdcTables(cb))
     val f = udf((a: Seq[Int], b: Seq[Int]) => {
+      val tables = bc.value
       var s = 0; var total = 0.0
       while (s < tables.length) { total += tables(s)(a(s))(b(s)); s += 1 }
       total
@@ -190,7 +199,8 @@ object PQ {
     val scored = quantized
       .crossJoin(broadcast(quantizedQueries.select(
         col("query_id"), col("codes").as("qcodes"))))
-      .withColumn("dist", sdcDistance(col("qcodes"), col("codes"), cb))
+      .withColumn("dist",
+        sdcDistance(col("qcodes"), col("codes"), cb, quantized.sparkSession))
     graft.operators.Knn.explodeRanked(
       scored.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))

@@ -60,6 +60,23 @@ object SimilaritySearch {
     withQ.select(col("id"), code.as("code"))
   }
 
+  /** `(id, band, bv)` rows: the `planes`-bit hyperplane code split into
+    * `rowsPerBand`-plane bands — the one banding definition [[lshNearDup]]
+    * and [[lshSearch]] (and their mirrored oracles) share.
+    */
+  private def bandedCodes(
+      emb: DataFrame,
+      dims: Int,
+      planes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(planes % rowsPerBand == 0, s"planes $planes not divisible by band width $rowsPerBand")
+    val nb = planes / rowsPerBand
+    lshCodes(emb, dims, planes).select(col("id"), posexplode(
+      array((0 until nb).map(b =>
+        shiftright(col("code"), b * rowsPerBand) % (1 << rowsPerBand)): _*))
+      .as(Seq("band", "bv")))
+  }
+
   /** Integer weight of LSH plane `p`, dimension `d` — host-side mirror of
     * hash60(s"${p}_${d}") % 2001 - 1000 (md5-based, engine-independent).
     */
@@ -89,16 +106,11 @@ object SimilaritySearch {
       planes: Int = 8,
       rowsPerBand: Int = 2,
       metric: String = "cos"): DataFrame = {
-    require(planes % rowsPerBand == 0, s"planes $planes not divisible by band width $rowsPerBand")
-    val nb = planes / rowsPerBand
-    def banded(df: DataFrame): DataFrame =
-      lshCodes(df, dims, planes).select(col("id"), posexplode(
-        array((0 until nb).map(b =>
-          shiftright(col("code"), b * rowsPerBand) % (1 << rowsPerBand)): _*))
-        .as(Seq("band", "bv")))
-    val qbands = banded(queries.select(col("query_id").as("id"), col("qvec").as("vec")))
+    val qbands = bandedCodes(
+      queries.select(col("query_id").as("id"), col("qvec").as("vec")),
+      dims, planes, rowsPerBand)
       .select(col("id").as("query_id"), col("band"), col("bv"))
-    val cand = banded(corpus)
+    val cand = bandedCodes(corpus, dims, planes, rowsPerBand)
       .join(qbands, Seq("band", "bv"))
       .select(col("query_id"), col("id")).distinct()
     val scored = cand
@@ -130,13 +142,7 @@ object SimilaritySearch {
       maxCosDist: Double,
       planes: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    require(planes % rowsPerBand == 0, s"planes $planes not divisible by band width $rowsPerBand")
-    val nb = planes / rowsPerBand
-    val codes = lshCodes(emb, dims, planes)
-    val banded = codes.select(col("id"), posexplode(
-      array((0 until nb).map(b =>
-        shiftright(col("code"), b * rowsPerBand) % (1 << rowsPerBand)): _*))
-      .as(Seq("band", "bv")))
+    val banded = bandedCodes(emb, dims, planes, rowsPerBand)
     val cand = banded.select(col("id").as("a"), col("band"), col("bv"))
       .join(banded.select(col("id").as("b"), col("band"), col("bv")), Seq("band", "bv"))
       .where(col("a") < col("b"))

@@ -123,8 +123,14 @@ object IndexStore {
         .map(_.group(1)).getOrElse(sys.error(s"missing $name in $dir/config.json"))
     val cfg = IndexConfig(field("metric"), field("dimension").toInt,
       field("replicaCount").toInt, field("headBuckets").toInt)
-    def opt(name: String): Option[DataFrame] =
-      if (Files.exists(Paths.get(s"$dir/$name"))) Some(spark.read.parquet(s"$dir/$name")) else None
+    // existence checks go through the SAME scheme-aware filesystem save's
+    // deleteDir uses — java.nio would always answer "absent" for an
+    // hdfs://-or-object-store index and silently drop tombstones/meta
+    def opt(name: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(s"$dir/$name")) else None
+    }
     LoadedIndex(
       spark.read.parquet(s"$dir/heads"),
       spark.read.parquet(s"$dir/postings"),

@@ -132,22 +132,30 @@ object LegacyFormats {
     try out.write(bb.array()) finally out.close()
   }
 
-  /** XVEC truth file → `(query_id, rank, id)`; record order is query order. */
+  /** XVEC truth file(s) → `(query_id, rank, id)`. Query ids number GLOBALLY
+    * across files in path order (same multi-file semantics as
+    * [[readTruthTxt]]'s line numbering); a record truncated mid-ids fails
+    * with the offending path instead of a bare buffer underflow.
+    */
   def readTruthXvec(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap { bytes =>
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .rdd.sortBy(_._1)
+      .flatMap { case (p, bytes) =>
         val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
-        var qi = 0L
+        val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         while (bb.remaining() >= 4) {
           val k = bb.getInt()
-          var r = 0
-          while (r < k) { rows += ((qi, r + 1, bb.getInt().toLong)); r += 1 }
-          qi += 1
+          require(bb.remaining() >= k * 4,
+            s"truncated XVEC truth record (k=$k, ${bb.remaining()} bytes left) in $p")
+          recs += Array.fill(k)(bb.getInt())
         }
-        rows
+        recs
+      }
+      .zipWithIndex()
+      .flatMap { case (ids, qi) =>
+        ids.zipWithIndex.map { case (id, r) => (qi, r + 1, id.toLong) }
       }.toDF("query_id", "rank", "id")
   }
 

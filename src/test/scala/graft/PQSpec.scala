@@ -47,7 +47,7 @@ class PQSpec extends SparkSpec {
     val pairs = quant.select(col("id").as("ia"), col("codes").as("ca"), col("recon").as("ra"))
       .crossJoin(quant.select(col("id").as("ib"), col("codes").as("cb"), col("recon").as("rb")))
       .where(col("ia") < col("ib"))
-      .withColumn("sdc", PQ.sdcDistance(col("ca"), col("cb"), cb))
+      .withColumn("sdc", PQ.sdcDistance(col("ca"), col("cb"), cb, spark))
       .collect()
     assert(pairs.nonEmpty)
     pairs.foreach { r =>

@@ -60,6 +60,18 @@ class SourcesSpec extends SparkSpec {
     assert(tx.toSeq === expect)
   }
 
+  test("truth XVEC numbers queries globally across sharded files (S5)") {
+    val dir = tmp()
+    LegacyFormats.writeTruthXvec(s"$dir/a.ivecs", Seq(Seq(1, 2), Seq(3, 4)))
+    LegacyFormats.writeTruthXvec(s"$dir/b.ivecs", Seq(Seq(5, 6)))
+    val got = LegacyFormats.readTruthXvec(spark, s"$dir/*.ivecs")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (0L, 1, 1L), (0L, 2, 2L), (1L, 1, 3L), (1L, 2, 4L),
+      (2L, 1, 5L), (2L, 2, 6L)))
+  }
+
   test("index save/load roundtrip preserves search results (S6)") {
     val dir = tmp()
     val corpus = synthVectors(300).select("id", "vec")
