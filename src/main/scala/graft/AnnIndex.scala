@@ -41,14 +41,23 @@ class AnnIndex private (
 
   def count: Long = Mutations.liveView(vectors, deleted).count()
 
-  /** BuildIndex: select heads (ratio-sized) + assign postings. */
+  /** BuildIndex: select heads (ratio-sized) + assign postings. A head set
+    * beyond `conf.hierThreshold` assigns through the routed two-level path
+    * ([[Spann.buildPostingsHier]]) — the build never broadcasts a head set
+    * the search side wouldn't.
+    */
   def build(): AnnIndex = {
     val live = Mutations.liveView(vectors, deleted)
     val everyNth = math.max((1.0 / conf.headRatio).round.toInt, 1)
     val h = Spann.selectHeadsModulo(live, everyNth)
-    val p = Spann.truncatePostings(
-      Spann.buildPostings(live, h, conf.replicaCount, conf.metric),
-      conf.postingLimit)
+    val raw = hierOver(h) match {
+      case Some((sh, routing)) =>
+        Spann.buildPostingsHier(live, sh, routing, conf.replicaCount,
+          conf.superK, conf.metric)
+      case None =>
+        Spann.buildPostings(live, h, conf.replicaCount, conf.metric)
+    }
+    val p = Spann.truncatePostings(raw, conf.postingLimit)
     // eager checkpoint: materialize under this plan's own execution (a lazy
     // one would compute inside a later search and log unregistered-accumulator
     // errors from DAGScheduler)
@@ -67,7 +76,13 @@ class AnnIndex private (
     * `SPANN/ParameterDefinitionList.h:38-67`), and heads route to their
     * `routeReplicas` nearest super-heads.
     */
-  private lazy val hierState: Option[(DataFrame, DataFrame)] = heads.flatMap { h =>
+  private lazy val hierState: Option[(DataFrame, DataFrame)] = heads.flatMap(hierOver)
+
+  /** Routing state over an arbitrary head set — shared by [[build]] (posting
+    * assignment) and the search path, so both switch levels at the SAME
+    * threshold.
+    */
+  private def hierOver(h: DataFrame): Option[(DataFrame, DataFrame)] =
     if (h.count() <= conf.hierThreshold) None
     else {
       val m = math.max((1.0 / conf.superRatio).round.toInt, 2)
@@ -76,7 +91,6 @@ class AnnIndex private (
       if (sh.isEmpty) None
       else Some((sh, Spann.routeHeads(h, sh, conf.routeReplicas, conf.metric)))
     }
-  }
 
   /** SearchIndex: two-stage SPANN search; deleted ids are filtered from the
     * result (search-time tombstone skip, `BKTIndex.cpp:875-899`). Head sets

@@ -108,6 +108,43 @@ object Spann {
       .select(col("head_id"), col("id"), col("vec"))
   }
 
+  /** Posting assignment for head sets BEYOND a broadcast — the build-time
+    * analogue of [[candidateHeadsHier]] (the reference descends its
+    * in-memory head tree per vector, `SPANNIndex.cpp:848-887`; here the
+    * descent is one routed level): each vector ranks the tiny super-head
+    * set in-expression, fans ONLY to the heads routed to its `superK`
+    * nearest super-heads via an equi-join on `super_id`, and keeps its
+    * `replicaCount` nearest distinct heads. With full fan (superK = all
+    * supers, routing = all (super, head) pairs) this equals
+    * [[buildPostings]] exactly; partial fan trades assignment recall for a
+    * per-vector candidate set bounded by superK · heads-per-super — no
+    * full-head broadcast anywhere.
+    */
+  def buildPostingsHier(
+      vectors: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      replicaCount: Int,
+      superK: Int,
+      metric: String = "l2sq"): DataFrame = {
+    val sh = graft.functions.NearestHeadsExpr.fromHeads(
+      superHeads.select(col("super_id").as("head_id"), col("super_vec").as("head_vec")),
+      col("vec"), superK, metric)
+    val fanned = vectors
+      .select(col("id"), col("vec"), explode(sh).as("s"))
+      .select(col("id"), col("vec"), col("s.id").as("super_id"))
+      .join(routing.select(col("super_id"), col("head_id"), col("head_vec")), Seq("super_id"))
+      .withColumn("hdist", dist.byName(metric)(col("vec"), col("head_vec")))
+    fanned
+      .groupBy(col("id"))
+      .agg(
+        TopKByDistance.topkDistinct(col("head_id"), col("hdist"), replicaCount).as("nn"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), explode(col("nn")).as("r"))
+      .select(col("r.id").as("head_id"), col("id"), col("vec"),
+        col("r.dist").as("dist"))
+  }
+
   /** Truncate postings per head (B9 `PostingPageLimit` semantics,
     * `ExtraFullGraphSearcher.h:723-760`): keep the `limit` closest vectors
     * per head, dropping the farthest replicas first.

@@ -40,6 +40,29 @@ class SpannSpec extends SparkSpec {
     assert(hier === flat)
   }
 
+  test("hier posting build with full fan equals the flat build (B8 hier)") {
+    import spark.implicits._
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val supers = Spann.selectHeadsModulo(
+        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 200)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+    val nSupers = supers.count().toInt
+    val routing = Spann.routeHeads(heads, supers, routeReplicas = nSupers)
+    val hier = Spann.buildPostingsHier(corpus, supers, routing, 4, nSupers)
+      .select("head_id", "id", "dist").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    val flat = Spann.buildPostings(corpus, heads, 4)
+      .select("head_id", "id", "dist").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    assert(hier === flat)
+    // partial fan: approximate assignment, but every vector still lands in
+    // replicaCount postings and every chosen head is a real candidate
+    val partial = Spann.buildPostingsHier(corpus, supers,
+      Spann.routeHeads(heads, supers, routeReplicas = 2), 4, superK = 2)
+    assert(partial.select("id").distinct().count() === corpus.count())
+    assert(partial.groupBy("id").count().agg(max("count")).head().getLong(0) <= 4)
+  }
+
   test("hierarchical two-stage search keeps recall under partial fan (Q5 hier)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val supers = Spann.selectHeadsModulo(
