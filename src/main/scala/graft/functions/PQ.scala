@@ -266,9 +266,11 @@ object PQ {
     vectors.withColumn("vec", rUdf(col("vec").cast("array<double>")))
   }
 
+  /** Quantize in the rotated space (the `vec` column stays rotated; the
+    * codes are what downstream ADC consumes).
+    */
   def quantizeOpq(vectors: DataFrame, rcb: RotatedCodebooks): DataFrame =
     quantize(rotateDf(vectors, rcb.rotation), rcb.cb)
-      .withColumn("vec", col("vec")) // rotated space; codes are what matters
 
   /** ADC in the rotated space: rotate the query, then standard ADC. */
   def adcSearchOpq(queries: DataFrame, quantized: DataFrame, rcb: RotatedCodebooks, k: Int): DataFrame = {
