@@ -207,6 +207,47 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("SDC tables: symmetric, zero diagonal, equal to reconstruction l2sq") {
+    import graft.functions.PQ
+    val genCb: Gen[PQ.Codebooks] = for {
+      m <- Gen.chooseNum(1, 4)
+      k <- Gen.chooseNum(2, 8)
+      dsub <- Gen.chooseNum(1, 4)
+      cs <- Gen.listOfN(m, Gen.listOfN(k,
+        Gen.listOfN(dsub, Gen.chooseNum(-100.0, 100.0))))
+    } yield PQ.Codebooks(m, k, dsub, cs.map(_.map(_.toArray).toArray).toArray)
+    check("sdc laws", Prop.forAll(genCb) { cb =>
+      val t = PQ.sdcTables(cb)
+      val sym = t.forall(sub => sub.indices.forall(a =>
+        sub.indices.forall(b => sub(a)(b) == sub(b)(a))))
+      val diag = t.forall(sub => sub.indices.forall(a => sub(a)(a) == 0.0))
+      // table entry IS the subspace reconstruction distance
+      val recon = t.zipWithIndex.forall { case (sub, s) =>
+        sub.indices.forall { a =>
+          sub.indices.forall { b =>
+            val ca = cb.centers(s)(a); val cs2 = cb.centers(s)(b)
+            val d = ca.zip(cs2).map { case (x, y) => (x - y) * (x - y) }.sum
+            math.abs(sub(a)(b) - d) < 1e-9
+          }
+        }
+      }
+      sym && diag && recon
+    })
+  }
+
+  test("LSH band split: bands reassemble the code exactly (lossless banding)") {
+    val genCode: Gen[Long] = Gen.chooseNum(0L, 255L)
+    check("band reassembly", Prop.forAll(genCode) { code =>
+      // 4 bands of 2 planes, as bandedCodes/lshBandCtes define them
+      val bands = (0 until 4).map(b => (code >> (b * 2)) % 4)
+      val rebuilt = bands.zipWithIndex.map { case (bv, b) => bv << (b * 2) }.sum
+      rebuilt == code &&
+      // two codes agree on band b iff their b-th 2-bit slices are equal —
+      // the pigeonhole the candidate equi-join relies on
+      bands.forall(bv => bv >= 0 && bv < 4)
+    })
+  }
+
   test("minhash coefficients: affine products stay int64-exact under M31") {
     // (a_j·h + b_j) with h < M31 must not overflow 2^62 (Dedup.scala contract)
     for (j <- 0 until 64) {
