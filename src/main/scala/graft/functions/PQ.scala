@@ -94,18 +94,20 @@ object PQ {
         }
         best
       })
+      // flat per-dimension sums (dsub is fixed): map-side partials, one
+      // m·k-row exchange — the posexplode formulation shuffled n·m·dsub
+      // rows per Lloyd round. sum/count division = exactly what avg computes.
+      val sums = (0 until dsub).map(i => sum(col("sv").getItem(i)).as(s"_s$i"))
       val newCenters = subRows
         .withColumn("code", assignUdf(col("sub"), col("sv")))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("cm"))
         .groupBy(col("sub"), col("code"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cm")))),
-          s => s.getField("cm")).as("center"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
         .collect()
       val updated = centers.map(_.map(identity)) // copy; empty clusters keep old center
       newCenters.foreach { r =>
-        updated(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+        val n = r.getLong(2 + dsub).toDouble
+        updated(r.getInt(0))(r.getInt(1)) =
+          Array.tabulate(dsub)(i => r.getDouble(2 + i) / n)
       }
       centers = updated
       iter += 1

@@ -75,22 +75,24 @@ object BalancedKMeans {
       .select(col("id"), col("best.vec").as("vec"),
         col("best.cluster_id").as("cluster_id"), col("best.dist").as("dist"))
 
-  /** groupBy(cluster) per-dimension mean, via posexplode so no vector UDAF
-    * is needed; all double math. A cluster that received zero points keeps
-    * its previous center (count 0) instead of vanishing — k is stable across
-    * iterations, matching the unrolled-Lloyd oracle's coalesce.
+  /** groupBy(cluster) per-dimension mean as FLAT sum columns (dims are known
+    * from the centers): map-side partial sums, ONE exchange of k rows — the
+    * posexplode formulation pushed n·dims rows through the shuffle every
+    * Lloyd iteration. Same doubles (sum/count division, exactly what avg
+    * computes). A cluster that received zero points keeps its previous
+    * center (count 0) instead of vanishing — k is stable across iterations,
+    * matching the unrolled-Lloyd oracle's coalesce.
     */
   private def recomputeCenters(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val dim = prev.select(size(col("center"))).head.getInt(0)
+    val sums = (0 until dim).map(i =>
+      sum(col("vec").getItem(i).cast("double")).as(s"_s$i"))
     val upd = assigned
-      .select(col("cluster_id"), posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .groupBy(col("cluster_id"))
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("center"),
-        first(col("n")).as("count"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
+      .select(col("cluster_id"),
+        array((0 until dim).map(i => col(s"_s$i") / col("_n")): _*).as("center"),
+        col("_n").as("count"))
     prev.select(col("cluster_id"),
         col("center").as("_prev_center"))
       .join(upd, Seq("cluster_id"), "left")

@@ -58,6 +58,11 @@ class SimilaritySpec extends SparkSpec {
     val lsh = SimilaritySearch.lshNearDup(emb, dims = 64, maxCosDist = 0.6)
       .select("a", "b", "cos_dist").as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty, "banded blocking surfaced no candidates")
+    // 4 bands of 2 planes recover most of the exact pair set at this
+    // threshold (86% on this fixture) — guard the recall floor so a banding
+    // regression is caught here, not by a shrinking q36 row count
+    assert(lsh.length >= (0.7 * brute.size).toInt,
+      s"LSH recall collapsed: ${lsh.length} of ${brute.size} exact pairs")
     // soundness: every reported pair IS a brute pair with the same distance
     lsh.foreach { case (a, b, cd) =>
       assert(brute.contains((a, b)), s"($a,$b) not in the brute pair set")
