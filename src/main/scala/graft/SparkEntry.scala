@@ -507,11 +507,18 @@ object SparkEntry {
   private def tpchQ3(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(18, 4)
     val cutoff = lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+    // star-join order: shrink orders by BOTH dimensions (date pushdown +
+    // broadcast customer semi) BEFORE the fact join, so the orderkey
+    // shuffle join builds on ~1/5 of orders instead of filtering after —
+    // inner joins commute, result identical, and at 100× the fact join is
+    // the cost that matters
+    val ordersF = Tables.orders(s, d).where(col("o_orderdate") < cutoff)
+      .join(broadcast(Tables.customer(s, d)
+        .where(col("c_mktsegment") === "FURNITURE")
+        .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
     val top = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).where(col("o_orderdate") < cutoff),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d).where(col("c_mktsegment") === "FURNITURE")),
-        col("o_custkey") === col("c_custkey"))
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
         .cast("double").as("revenue"))
