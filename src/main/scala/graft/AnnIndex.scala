@@ -26,17 +26,19 @@ class AnnIndex private (
     val vectors: DataFrame,
     val deleted: DataFrame,
     val heads: Option[DataFrame],
-    val postings: Option[DataFrame]) {
+    val postings: Option[DataFrame],
+    val quantizer: Option[graft.functions.PQ.RotatedCodebooks] = None) {
 
   private def copy(
       vectors: DataFrame = vectors,
       deleted: DataFrame = deleted,
       heads: Option[DataFrame] = heads,
-      postings: Option[DataFrame] = postings): AnnIndex =
-    new AnnIndex(spark, conf, vectors, deleted, heads, postings)
+      postings: Option[DataFrame] = postings,
+      quantizer: Option[graft.functions.PQ.RotatedCodebooks] = quantizer): AnnIndex =
+    new AnnIndex(spark, conf, vectors, deleted, heads, postings, quantizer)
 
   def setParameter(name: String, value: String): AnnIndex =
-    new AnnIndex(spark, conf.set(name, value), vectors, deleted, heads, postings)
+    new AnnIndex(spark, conf.set(name, value), vectors, deleted, heads, postings, quantizer)
   def getParameter(name: String): String = conf.get(name)
 
   def count: Long = Mutations.liveView(vectors, deleted).count()
@@ -117,6 +119,38 @@ class AnnIndex private (
   def searchExact(queries: DataFrame, k: Int): DataFrame =
     Knn.search(queries, Mutations.liveView(vectors, deleted), k, conf.metric)
 
+  /** Attach a trained product quantizer (the reference's SetQuantizer /
+    * `QuantizerFilePath` flow, `VectorIndex.h:137-153`): trains plain PQ on
+    * the live vectors (identity rotation; attach codebooks from
+    * `PQ.trainOpqAlternating` via [[withQuantizer]] for OPQ). Persisted by
+    * [[save]], restored by [[AnnIndex.load]].
+    */
+  def trainQuantizer(m: Int, k: Int = 256, maxIter: Int = 5): AnnIndex = {
+    import graft.functions.PQ
+    val live = Mutations.liveView(vectors, deleted)
+    val cb = PQ.train(live, dimension, m, k, maxIter)
+    val ident = Array.tabulate(dimension, dimension)((i, j) => if (i == j) 1.0 else 0.0)
+    copy(quantizer = Some(PQ.RotatedCodebooks(ident, cb)))
+  }
+
+  /** Attach an externally trained (e.g. OPQ) quantizer. */
+  def withQuantizer(q: graft.functions.PQ.RotatedCodebooks): AnnIndex =
+    copy(quantizer = Some(q))
+
+  /** ADC search against the quantized live corpus (Q11 compressed-domain
+    * search): vectors are stored as `m` codes, query-to-code distance via
+    * the per-query LUT — the memory-constrained serving mode the reference
+    * runs when a quantizer is attached.
+    */
+  def searchAdc(queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.PQ
+    val q = quantizer.getOrElse(sys.error("no quantizer — call trainQuantizer() first"))
+    val live = Mutations.liveView(vectors, deleted)
+    val quant = PQ.quantizeOpq(live.select(col("id"), col("vec")), q)
+      .select(col("id"), col("codes"))
+    PQ.adcSearchOpq(queries, quant, q, k)
+  }
+
   /** Search with metadata hydration. */
   def searchWithMeta(queries: DataFrame, k: Int): DataFrame =
     search(queries, k)
@@ -159,10 +193,14 @@ class AnnIndex private (
   def needRefine: Boolean =
     Mutations.needRefine(vectors, deleted, conf.deleteRefineThreshold)
 
-  /** RefineIndex: compact tombstones away and rebuild. */
+  /** RefineIndex: compact tombstones away and rebuild (the quantizer, when
+    * attached, survives compaction — codebooks describe the space, not the
+    * row set).
+    */
   def refineIndex(): AnnIndex = {
     val live = Mutations.liveView(vectors, deleted)
-    new AnnIndex(spark, conf, live, AnnIndex.emptyDeletes(spark), None, None).build()
+    new AnnIndex(spark, conf, live, AnnIndex.emptyDeletes(spark), None, None, quantizer)
+      .build()
   }
 
   /** Recall@k of the approximate path vs exact, on given queries. */
@@ -173,7 +211,8 @@ class AnnIndex private (
   def save(dir: String): Unit = {
     val (h, p) = requireBuilt()
     IndexStore.save(dir, h, p, Some(deleted),
-      IndexStore.IndexConfig(conf.metric, dimension, conf.replicaCount, conf.headBuckets))
+      IndexStore.IndexConfig(conf.metric, dimension, conf.replicaCount, conf.headBuckets),
+      quantizer = quantizer)
     vectors.write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
@@ -205,6 +244,7 @@ object AnnIndex {
     val vectors = spark.read.parquet(s"$dir/vectors")
     new AnnIndex(spark, conf, vectors,
       l.deletes.getOrElse(emptyDeletes(spark)),
-      Some(l.heads), Some(l.postings)) // head_bucket kept → pruned stage-2 scans
+      Some(l.heads), Some(l.postings), // head_bucket kept → pruned stage-2 scans
+      l.quantizer)
   }
 }

@@ -71,6 +71,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(loaded.getParameter("metric") === "l2sq")
   }
 
+  test("quantizer: train → ADC search → survives save/load (Q11/S6)") {
+    val dir = Files.createTempDirectory("graft_annidx_pq").toString
+    val idx = freshIndex.build().trainQuantizer(m = 2, k = 8, maxIter = 2)
+    val q = synthQueries(3)
+    val before = idx.searchAdc(q, 5).collect().toSeq
+    assert(before.nonEmpty)
+    // compressed-domain results carry every query, k rows each
+    assert(before.groupBy(_.getLong(0)).forall(_._2.size == 5))
+    idx.save(s"$dir/idx")
+    val loaded = AnnIndex.load(spark, s"$dir/idx")
+    assert(loaded.quantizer.isDefined, "quantizer lost in the roundtrip")
+    val after = loaded.searchAdc(q, 5).collect().toSeq
+    assert(before.toSet === after.toSet)
+    // and refine keeps the quantizer attached
+    assert(idx.deleteByIds(Seq(1L).toDF("id")).refineIndex().quantizer.isDefined)
+  }
+
   test("oversized head sets auto-route through super-heads (hier path)") {
     val corpus = synthVectors(600).select("id", "vec")
     val flat = AnnIndex(spark, corpus,
