@@ -78,6 +78,30 @@ object StreamingIngest {
       .toDF("head_id", "n_postings", "needs_split")
   }
 
+  /** Online query serving (V1 as a stream, `SocketServer.h` request loop →
+    * micro-batches): each trigger's query batch runs the two-stage search
+    * against the STATIC index — per-trigger cost ∝ batch size, the postings
+    * side stays the same partition-pruned equi-join as batch serving, and
+    * the head set rides in the stage-1 expression exactly as in
+    * [[graft.operators.Spann.searchTwoStage]]. `emit` receives each batch's
+    * ranked results (the reference's per-connection response write).
+    */
+  def searchStream(
+      queryStream: DataFrame, // streaming (query_id, qvec)
+      heads: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      internalK: Int,
+      emit: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          emit(Spann.searchTwoStage(batch, heads, postings, k, internalK))
+        }
+      }
+
   /** Micro-batch index ingest: for each incoming vector batch, compute its
     * posting assignments against the CURRENT heads (B8 on the delta only —
     * cost ∝ batch size, not corpus size) and append to the postings store.

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming query serving equals batch two-stage search (V1 stream)") {
+    val corpus = synthVectors(300).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    val postings = Spann.buildPostings(corpus, heads, 2)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val queries = (0 until 5).map(i => (i.toLong, Seq.fill(10)(i * 40f)))
+    stream.addData(queries)
+
+    val outDir = Files.createTempDirectory("graft_serve").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val writer = StreamingIngest.searchStream(
+      stream.toDF().toDF("query_id", "qvec"), heads, postings, 3, 4,
+      res => collected ++= res.select("query_id", "rank", "id", "dist")
+        .as[(Long, Int, Long, Double)].collect())
+      .option("checkpointLocation", s"$outDir/ckpt")
+    val q = writer.start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    val batch = Spann.searchTwoStage(
+      queries.toDF("query_id", "qvec"), heads, postings, 3, 4)
+      .select("query_id", "rank", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(collected.toSet === batch.toSet)
+  }
+
   test("micro-batch ingest assigns postings for the delta only (M1)") {
     val corpus = synthVectors(200).select("id", "vec")
     val heads = Spann.selectHeadsModulo(corpus, 20)
