@@ -90,6 +90,11 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.flatten.foreach { case (q, _, i, d) =>
       assert(exact((q, i)) === d, s"pair ($q,$i) dist drifted from exact")
     }
+    // banded blocking keeps useful recall (0.82 avg at sf0.01; floor is the
+    // regression tripwire, not the target)
+    val rec = Eval.recallSummary(Eval.recallAt(
+      res, SimilaritySearch.bruteForce(queries, emb, 10), 10)).head().getDouble(0)
+    assert(rec >= 0.5, s"LSH search avg recall collapsed: $rec")
   }
 
   test("planeWeight matches the Hash60 definition") {
