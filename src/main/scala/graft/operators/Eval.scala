@@ -50,6 +50,25 @@ object Eval {
       round(max(col("recall")), 4).as("max_recall"),
       count(lit(1)).as("n_queries"))
 
+  /** QPS/latency report (V4, the serving harness's metric block —
+    * `SSDServing/SSDIndex.h:152-158,284-310` prints QPS and latency
+    * P50/90/95/99/99.9): percentiles + mean over a latency column, QPS as
+    * n / Σlatency (the harness's serial-time definition). Input: one row
+    * per query/trigger with `latencyMs`; output: one summary row.
+    */
+  def latencyReport(lat: DataFrame, latencyMs: String = "latency_ms"): DataFrame = {
+    val c = col(latencyMs).cast("double")
+    lat.agg(
+      count(lit(1)).as("n"),
+      round(lit(1000.0) * count(lit(1)) / sum(c), 2).as("qps"),
+      round(avg(c), 3).as("mean_ms"),
+      round(percentile_approx(c, lit(0.5), lit(10000)), 3).as("p50_ms"),
+      round(percentile_approx(c, lit(0.9), lit(10000)), 3).as("p90_ms"),
+      round(percentile_approx(c, lit(0.95), lit(10000)), 3).as("p95_ms"),
+      round(percentile_approx(c, lit(0.99), lit(10000)), 3).as("p99_ms"),
+      round(percentile_approx(c, lit(0.999), lit(10000)), 3).as("p999_ms"))
+  }
+
   /** Head-recall analysis (Q14, `SSDServing/SSDIndex.h:355-490`): for each
     * query, the fraction of its true top-k neighbors whose posting head was
     * among the probed candidate heads — separates stage-1 miss (head not

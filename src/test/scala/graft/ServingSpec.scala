@@ -35,6 +35,22 @@ class ServingSpec extends SparkSpec {
     assert(direct.exceptAll(gathered).count() === 0)
   }
 
+  test("latency report: percentiles + serial-time QPS (V4)") {
+    import graft.operators.Eval
+    // 1..1000 ms, uniform: percentiles are exact rank statistics
+    val lat = spark.range(1, 1001).select(col("id").cast("double").as("latency_ms"))
+    val r = Eval.latencyReport(lat).head()
+    assert(r.getLong(0) === 1000L)
+    // QPS = n / (sum/1000) = 1000 / 500.5s
+    assert(math.abs(r.getDouble(1) - 1000.0 / 500.5) < 0.01)
+    assert(math.abs(r.getDouble(2) - 500.5) < 1e-6) // mean
+    assert(math.abs(r.getDouble(3) - 500.0) <= 1.0) // p50
+    assert(math.abs(r.getDouble(4) - 900.0) <= 1.0) // p90
+    assert(math.abs(r.getDouble(5) - 950.0) <= 1.0) // p95
+    assert(math.abs(r.getDouble(6) - 990.0) <= 1.0) // p99
+    assert(math.abs(r.getDouble(7) - 999.0) <= 1.0) // p99.9
+  }
+
   test("truth file roundtrip (S5) + recall eval over it") {
     val dir = Files.createTempDirectory("graft_truth").toString
     val truth = Seq(
