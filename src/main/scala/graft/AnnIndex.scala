@@ -27,18 +27,24 @@ class AnnIndex private (
     val deleted: DataFrame,
     val heads: Option[DataFrame],
     val postings: Option[DataFrame],
-    val quantizer: Option[graft.functions.PQ.RotatedCodebooks] = None) {
+    val quantizer: Option[graft.functions.PQ.RotatedCodebooks] = None,
+    private val headCountHint: Option[Long] = None,
+    private val storedCodes: Option[DataFrame] = None) {
 
   private def copy(
       vectors: DataFrame = vectors,
       deleted: DataFrame = deleted,
       heads: Option[DataFrame] = heads,
       postings: Option[DataFrame] = postings,
-      quantizer: Option[graft.functions.PQ.RotatedCodebooks] = quantizer): AnnIndex =
-    new AnnIndex(spark, conf, vectors, deleted, heads, postings, quantizer)
+      quantizer: Option[graft.functions.PQ.RotatedCodebooks] = quantizer,
+      headCountHint: Option[Long] = headCountHint,
+      storedCodes: Option[DataFrame] = storedCodes): AnnIndex =
+    new AnnIndex(spark, conf, vectors, deleted, heads, postings, quantizer,
+      headCountHint, storedCodes)
 
   def setParameter(name: String, value: String): AnnIndex =
-    new AnnIndex(spark, conf.set(name, value), vectors, deleted, heads, postings, quantizer)
+    new AnnIndex(spark, conf.set(name, value), vectors, deleted, heads, postings,
+      quantizer, headCountHint, storedCodes)
   def getParameter(name: String): String = conf.get(name)
 
   def count: Long = Mutations.liveView(vectors, deleted).count()
@@ -52,7 +58,11 @@ class AnnIndex private (
     val live = Mutations.liveView(vectors, deleted)
     val everyNth = math.max((1.0 / conf.headRatio).round.toInt, 1)
     val h = Spann.selectHeadsModulo(live, everyNth)
-    val raw = hierOver(h) match {
+    // count ONCE at build; the hint rides in the instance (and into save's
+    // config), so neither this build's routing decision nor any later
+    // search-path hierState recomputes the head frame
+    val hn = h.count()
+    val raw = hierOver(h, hn) match {
       case Some((sh, routing)) =>
         Spann.buildPostingsHier(live, sh, routing, conf.replicaCount,
           conf.superK, conf.metric)
@@ -63,7 +73,8 @@ class AnnIndex private (
     // eager checkpoint: materialize under this plan's own execution (a lazy
     // one would compute inside a later search and log unregistered-accumulator
     // errors from DAGScheduler)
-    copy(heads = Some(h), postings = Some(p.localCheckpoint(true)))
+    copy(heads = Some(h), postings = Some(p.localCheckpoint(true)),
+      headCountHint = Some(hn))
   }
 
   private def requireBuilt(): (DataFrame, DataFrame) =
@@ -78,14 +89,22 @@ class AnnIndex private (
     * `SPANN/ParameterDefinitionList.h:38-67`), and heads route to their
     * `routeReplicas` nearest super-heads.
     */
-  private lazy val hierState: Option[(DataFrame, DataFrame)] = heads.flatMap(hierOver)
+  private lazy val hierState: Option[(DataFrame, DataFrame)] =
+    heads.flatMap(h => hierOver(h, cachedHeadCount.getOrElse(0L)))
+
+  /** Head count, computed at most once per instance: the build/load hint when
+    * present, else one bounded count job (heads are the small side by
+    * contract) memoized for the instance's lifetime.
+    */
+  private lazy val cachedHeadCount: Option[Long] =
+    heads.map(h => headCountHint.getOrElse(h.count()))
 
   /** Routing state over an arbitrary head set — shared by [[build]] (posting
     * assignment) and the search path, so both switch levels at the SAME
-    * threshold.
+    * threshold. `n` = the head count (passed in, never recomputed here).
     */
-  private def hierOver(h: DataFrame): Option[(DataFrame, DataFrame)] =
-    if (h.count() <= conf.hierThreshold) None
+  private def hierOver(h: DataFrame, n: Long): Option[(DataFrame, DataFrame)] =
+    if (n <= conf.hierThreshold) None
     else {
       val m = math.max((1.0 / conf.superRatio).round.toInt, 2)
       val sh = h.where(pmod(xxhash64(col("head_id")), lit(m)) === 0)
@@ -130,25 +149,72 @@ class AnnIndex private (
     val live = Mutations.liveView(vectors, deleted)
     val cb = PQ.train(live, dimension, m, k, maxIter)
     val ident = Array.tabulate(dimension, dimension)((i, j) => if (i == j) 1.0 else 0.0)
-    copy(quantizer = Some(PQ.RotatedCodebooks(ident, cb)))
+    withQuantizer(PQ.RotatedCodebooks(ident, cb))
   }
 
-  /** Attach an externally trained (e.g. OPQ) quantizer. */
-  def withQuantizer(q: graft.functions.PQ.RotatedCodebooks): AnnIndex =
-    copy(quantizer = Some(q))
+  /** Attach an externally trained (e.g. OPQ) quantizer. The corpus is
+    * quantized ONCE, here (the reference quantizes at build,
+    * `VectorIndex.h:137-153`) — searches read the stored codes; nothing
+    * re-quantizes at query time. Codes persist through [[save]].
+    */
+  def withQuantizer(q: graft.functions.PQ.RotatedCodebooks): AnnIndex = {
+    import graft.functions.PQ
+    val c = PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
+      .select(col("id"), col("codes"))
+      .localCheckpoint(true)
+    copy(quantizer = Some(q), storedCodes = Some(c))
+  }
 
-  /** ADC search against the quantized live corpus (Q11 compressed-domain
-    * search): vectors are stored as `m` codes, query-to-code distance via
-    * the per-query LUT — the memory-constrained serving mode the reference
-    * runs when a quantizer is attached.
+  /** The quantized corpus `(id, codes)` — the stored table when the quantizer
+    * was attached/loaded with codes; computed at most once per instance as a
+    * backfill for a legacy save that persisted codebooks only.
+    */
+  private lazy val codesTable: Option[DataFrame] = quantizer.map { q =>
+    storedCodes.getOrElse {
+      graft.functions.PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
+        .select(col("id"), col("codes"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Postings carrying their entries' PQ codes — the reference's quantized
+    * posting layout (`SPANN/Index.h:46-59`), materialized once per instance
+    * (one corpus-keyed equi-join, checkpointed; `head_bucket` survives for
+    * partition pruning on a loaded index).
+    */
+  private lazy val codedPostings: Option[DataFrame] =
+    (postings, codesTable) match {
+      case (Some(p), Some(c)) =>
+        Some(p.drop("vec").join(c, Seq("id")).localCheckpoint(true))
+      case _ => None
+    }
+
+  /** ADC search over the quantized index (Q11 compressed-domain serving):
+    * stage-1 head pruning exactly as [[search]], stage-2 scores the PRUNED
+    * postings from their STORED codes via the per-query LUT — the
+    * memory-constrained mode the reference runs when a quantizer is
+    * attached. On an unbuilt index this degrades to a full compressed scan
+    * of the stored codes (still no per-call re-quantization).
     */
   def searchAdc(queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.PQ
     val q = quantizer.getOrElse(sys.error("no quantizer — call trainQuantizer() first"))
-    val live = Mutations.liveView(vectors, deleted)
-    val quant = PQ.quantizeOpq(live.select(col("id"), col("vec")), q)
-      .select(col("id"), col("codes"))
-    PQ.adcSearchOpq(queries, quant, q, k)
+    (heads, codedPostings) match {
+      case (Some(h), Some(cp)) =>
+        val live = cp.join(deleted, Seq("id"), "left_anti")
+        hierState match {
+          case Some((sh, routing)) =>
+            Spann.searchTwoStageHierAdc(
+              queries, sh, routing, live, q, k, conf.internalK, conf.superK, conf.metric)
+          case None =>
+            val buckets = if (cp.columns.contains("head_bucket")) Some(conf.headBuckets) else None
+            Spann.searchTwoStageAdc(
+              queries, h, live, q, k, conf.internalK, conf.maxDistRatio, conf.metric, buckets)
+        }
+      case _ =>
+        val live = codesTable.get.join(deleted, Seq("id"), "left_anti")
+        PQ.adcSearchOpq(queries, live, q, k)
+    }
   }
 
   /** Search with metadata hydration. */
@@ -164,7 +230,16 @@ class AnnIndex private (
     * heads (delta-only cost — the reference's incremental insert path).
     */
   def add(batch: DataFrame): AnnIndex = {
-    val grown = copy(vectors = Mutations.add(vectors, batch))
+    // delta-only quantization: the appended batch gets codes against the
+    // FIXED codebooks (codebooks describe the space, not the row set)
+    val grownCodes = (storedCodes, quantizer) match {
+      case (Some(c), Some(qz)) =>
+        Some(c.unionByName(
+          graft.functions.PQ.quantizeOpq(batch.select(col("id"), col("vec")), qz)
+            .select(col("id"), col("codes"))))
+      case _ => storedCodes
+    }
+    val grown = copy(vectors = Mutations.add(vectors, batch), storedCodes = grownCodes)
     postings match {
       case Some(p) =>
         val delta0 = Spann.buildPostings(
@@ -199,7 +274,10 @@ class AnnIndex private (
     */
   def refineIndex(): AnnIndex = {
     val live = Mutations.liveView(vectors, deleted)
-    new AnnIndex(spark, conf, live, AnnIndex.emptyDeletes(spark), None, None, quantizer)
+    // stored codes survive compaction too — just drop the tombstoned rows
+    val liveCodes = storedCodes.map(_.join(deleted, Seq("id"), "left_anti"))
+    new AnnIndex(spark, conf, live, AnnIndex.emptyDeletes(spark), None, None,
+      quantizer, None, liveCodes)
       .build()
   }
 
@@ -211,8 +289,10 @@ class AnnIndex private (
   def save(dir: String): Unit = {
     val (h, p) = requireBuilt()
     IndexStore.save(dir, h, p, Some(deleted),
-      IndexStore.IndexConfig(conf.metric, dimension, conf.replicaCount, conf.headBuckets),
-      quantizer = quantizer)
+      IndexStore.IndexConfig(conf.metric, dimension, conf.replicaCount,
+        conf.headBuckets, cachedHeadCount.getOrElse(-1L)),
+      quantizer = quantizer,
+      codes = codesTable)
     vectors.write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
@@ -245,6 +325,8 @@ object AnnIndex {
     new AnnIndex(spark, conf, vectors,
       l.deletes.getOrElse(emptyDeletes(spark)),
       Some(l.heads), Some(l.postings), // head_bucket kept → pruned stage-2 scans
-      l.quantizer)
+      l.quantizer,
+      headCountHint = Some(l.config.headCount).filter(_ >= 0),
+      storedCodes = l.codes)
   }
 }

@@ -459,6 +459,28 @@ object SparkEntry {
       ordered(PQ.sdcSearch(qq, quant, cb, K)
         .select(col("query_id"), col("rank"), col("id"),
           round(col("dist") / 1e6, 4).as("dist")))
+    }),
+    // Q5+Q11 INTEGRATED: two-stage SPANN with the compressed stage-2 —
+    // posting entries carry their stored PQ codes (corpus quantized ONCE at
+    // build, `SPANN/Index.h:46-59`), stage-1 prunes heads exactly as q08,
+    // and stage-2 scores only the pruned postings via the per-query ADC LUT.
+    // Trained by the q42 bit-exact integer-scaled Lloyd chain.
+    "q67_spann_adc" -> ((s, d) => {
+      import graft.functions.PQ
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      val h = Spann.selectHeadsModulo(corpus, HeadNth)
+      val p = Spann.buildPostings(corpus, h, Replicas)
+      val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 3)
+      val ident = Array.tabulate(6, 6)((i, j) => if (i == j) 1.0 else 0.0)
+      val coded = p.select(col("head_id"), col("id"))
+        .join(PQ.quantize(corpus, cb).select(col("id"), col("codes")), Seq("id"))
+      ordered(Spann.searchTwoStageAdc(
+        queries, h, coded, PQ.RotatedCodebooks(ident, cb), K, InternalK)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
     })
   )
 
@@ -1087,6 +1109,7 @@ object SparkEntry {
     // min reachable lbl per id IS the component minimum
     "q62_kmeans_heads" -> kmeansHeadsOracleSql,
     "q64_pq_sdc" -> pqSdcOracleSql,
+    "q67_spann_adc" -> spannAdcOracleSql,
     // mirrors lshSearch(dims=64, planes=8, rowsPerBand=2): the shared
     // banding chain, query side = the embQueries prefix (vec_id < 10),
     // exact rerank
@@ -1258,6 +1281,50 @@ object SparkEntry {
        |    FROM pd) WHERE rn <= 2)
        |SELECT cid AS head_id, id, round(dist / 1000000.0, 4) AS dist FROM p
        |ORDER BY head_id, id, dist""".stripMargin
+  }
+
+  /** q67 oracle: the q42 train chain (integer-scaled Lloyd → per-vector
+    * codes), the q07/q08 SPANN stages (modulo heads, top-Replicas postings,
+    * top-InternalK candidate heads per query), then ADC distance — per-
+    * subspace l2sq(query-sub, center-of-code) summed in subspace order —
+    * evaluated ONLY over the (query, posting-entry) pairs the stage-1 heads
+    * name. Mirrors `Spann.searchTwoStageAdc` stage for stage.
+    */
+  private def spannAdcOracleSql: String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    val scaleSql = (c: String) =>
+      s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    s"""WITH ${pqTrainCtes(rotated = false)},
+       |h AS (SELECT id AS head_id, vec AS head_vec FROM vi WHERE id % $HeadNth = 0),
+       |pd AS (SELECT vi.id, h.head_id, ${l2("vi.vec", "h.head_vec")} AS dist
+       |       FROM vi CROSS JOIN h),
+       |p AS (SELECT * FROM (
+       |    SELECT id, head_id, dist,
+       |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+       |    FROM pd) WHERE rn <= $Replicas),
+       |q0 AS (SELECT query_id, ${scaleSql("qvec")} AS qvec
+       |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |chd AS (SELECT q0.query_id, h.head_id, ${l2("q0.qvec", "h.head_vec")} AS hdist
+       |        FROM q0 CROSS JOIN h),
+       |ch AS (SELECT * FROM (
+       |    SELECT query_id, head_id, hdist,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS rn
+       |    FROM chd) WHERE rn <= $InternalK),
+       |cp AS (SELECT DISTINCT ch.query_id, p.id FROM ch JOIN p ON ch.head_id = p.head_id),
+       |qsub AS (
+       |  SELECT query_id, 0 AS sub, [qvec[1], qvec[2]] AS qv FROM q0
+       |  UNION ALL SELECT query_id, 1, [qvec[3], qvec[4]] FROM q0
+       |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
+       |pdist AS (SELECT cp.query_id, cp.id, cd.sub, ${l2("qs.qv", "cd.center")} AS pdsub
+       |          FROM cp JOIN codes cd ON cd.id = cp.id
+       |          JOIN qsub qs ON qs.query_id = cp.query_id AND qs.sub = cd.sub),
+       |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
+       |       FROM pdist GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
+       |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
   }
 
   /** DuckDB recursive-CTE rendering of the order-sensitive RNG prune

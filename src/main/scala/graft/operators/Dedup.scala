@@ -267,6 +267,11 @@ object Dedup {
     * like MinHash-LSH), never an all-pairs crossJoin; the exact hamming
     * filter then verifies in-row. Same output as the brute-force form
     * ([[simhashPairsBrute]], test-only) — `(a, b, hamming)`, a < b.
+    *
+    * Contract change (round 6, intended): `maxHamming >= 16` now REJECTS
+    * instead of silently capping the band count — at that threshold every
+    * pair is within distance, so the caller almost certainly mis-sized the
+    * parameter, and the capped banding could no longer guarantee recall.
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bits = 16

@@ -210,6 +210,89 @@ object Spann {
         .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), k).as("nn")))
   }
 
+  /** Two-stage SPANN search in the COMPRESSED domain (Q5 + Q11 integrated —
+    * the reference's quantized posting entries, `SPANN/Index.h:46-59`,
+    * searched through the per-query ADC table,
+    * `ExtraFullGraphSearcher.h:587-910`): stage-1 ranks heads on the
+    * full-precision query exactly as [[searchTwoStage]]; stage-2 probes ONLY
+    * the pruned postings, and scores each entry from its STORED `codes`
+    * column — no full-precision corpus vector is read in stage 2 and nothing
+    * re-quantizes at query time.
+    *
+    * `codedPostings` = `(head_id, id, codes[, head_bucket])`, i.e. the
+    * posting table joined once (at build/load) with the persisted PQ codes.
+    */
+  def searchTwoStageAdc(
+      queries: DataFrame,
+      heads: DataFrame,
+      codedPostings: DataFrame,
+      rcb: graft.functions.PQ.RotatedCodebooks,
+      k: Int,
+      internalK: Int,
+      maxDistRatio: Double = Double.MaxValue,
+      metric: String = "l2sq",
+      headBuckets: Option[Int] = None): DataFrame = {
+    val cand0 = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+    val bucketed = headBuckets.filter(_ => codedPostings.columns.contains("head_bucket"))
+    val cand = bucketed match {
+      case Some(b) =>
+        cand0.withColumn("head_bucket", (col("head_id") % b).cast("int"))
+      case None => cand0
+    }
+    val joinKeys = if (bucketed.isDefined) Seq("head_bucket", "head_id") else Seq("head_id")
+    adcStage2(cand, codedPostings, queries, joinKeys, rcb, k)
+  }
+
+  /** [[searchTwoStageHier]] with the compressed stage-2 — the routed stage-0/1
+    * feeding ADC scoring over stored codes.
+    */
+  def searchTwoStageHierAdc(
+      queries: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      codedPostings: DataFrame,
+      rcb: graft.functions.PQ.RotatedCodebooks,
+      k: Int,
+      internalK: Int,
+      superK: Int,
+      metric: String = "l2sq"): DataFrame =
+    adcStage2(
+      candidateHeadsHier(queries, superHeads, routing, internalK, superK, metric),
+      codedPostings, queries, Seq("head_id"), rcb, k)
+
+  /** Compressed stage-2: the per-query ADC LUT is computed once on the
+    * (broadcast-tiny) query side ([[graft.functions.PQ.Codebooks.adcLut]]);
+    * each probed posting entry costs `m` table lookups. Replica dedup rides
+    * inside the bounded distinct-id top-k exactly as the full-precision
+    * [[stage2]].
+    */
+  private def adcStage2(
+      cand: DataFrame,
+      codedPostings: DataFrame,
+      queries: DataFrame,
+      joinKeys: Seq[String],
+      rcb: graft.functions.PQ.RotatedCodebooks,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(rcb)
+    val lutUdf = udf((q: Seq[Double]) => bc.value.cb.adcLut(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bc.value.rotate(q))))
+    val dUdf = udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
+      var s = 0; var total = 0.0
+      while (s < codes.length) { total += lut(s)(codes(s)); s += 1 }
+      total
+    })
+    val withLut = queries
+      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val hits = cand.join(codedPostings, joinKeys)
+      .join(broadcast(withLut), Seq("query_id"))
+      .withColumn("pdist", dUdf(col("_lut"), col("codes")))
+    Knn.explodeRanked(
+      hits.groupBy(col("query_id"))
+        .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), k).as("nn")))
+  }
+
   /** Route each head to its `routeReplicas` nearest super-heads — the
     * broadcast-free routing table for [[searchTwoStageHier]]. Output
     * `(super_id, head_id, head_vec, rdist)`.

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -32,11 +31,16 @@ import graft.functions.PQ
   */
 object IndexStore {
 
+  /** `headCount` < 0 = unknown (older saves); a known count lets the loaded
+    * index pick its routing level (flat vs two-level) without a count job on
+    * the first search.
+    */
   case class IndexConfig(
       metric: String,
       dimension: Int,
       replicaCount: Int,
-      headBuckets: Int)
+      headBuckets: Int,
+      headCount: Long = -1L)
 
   /** head_id is hash-bucketed so the partition count stays bounded at any
     * corpus scale (raw head_id partitioning would create millions of dirs).
@@ -51,7 +55,8 @@ object IndexStore {
       deletes: Option[DataFrame],
       config: IndexConfig,
       meta: Option[DataFrame] = None,
-      quantizer: Option[PQ.RotatedCodebooks] = None): Unit = {
+      quantizer: Option[PQ.RotatedCodebooks] = None,
+      codes: Option[DataFrame] = None): Unit = {
     val spark = heads.sparkSession
     heads.write.mode("overwrite").parquet(s"$dir/heads")
     withBucket(postings, config.headBuckets)
@@ -60,14 +65,40 @@ object IndexStore {
       .parquet(s"$dir/postings")
     saveOrClear(spark, s"$dir/deletes", deletes)
     saveOrClear(spark, s"$dir/meta", meta)
+    // `codes` = the quantized corpus `(id, codes)` — stored NORMALIZED (one
+    // row per vector, not per posting replica); load re-attaches them to the
+    // postings once. The reference's quantized posting entries
+    // (`SPANN/Index.h:46-59`) as a table.
+    saveOrClear(spark, s"$dir/codes", codes)
     saveOrClear(spark, s"$dir/codebooks", quantizer.map(q => codebookDf(spark, q.cb)))
     saveOrClear(spark, s"$dir/rotation",
       quantizer.filter(q => !isIdentity(q.rotation)).map(q => rotationDf(spark, q.rotation)))
     val json =
       s"""{"metric":"${config.metric}","dimension":${config.dimension},
-         |"replicaCount":${config.replicaCount},"headBuckets":${config.headBuckets}}""".stripMargin
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/config.json"), json.getBytes(StandardCharsets.UTF_8))
+         |"replicaCount":${config.replicaCount},"headBuckets":${config.headBuckets},
+         |"headCount":${config.headCount}}""".stripMargin
+    // config goes through the SAME scheme-aware Hadoop FS as every other
+    // artifact — java.nio here would write to a bogus local path for an
+    // hdfs://-or-object-store dir and load would never find it
+    writeText(spark, s"$dir/config.json", json)
+  }
+
+  private def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Write the artifact, or REMOVE a stale copy from a prior save into the
@@ -114,15 +145,18 @@ object IndexStore {
       deletes: Option[DataFrame],
       config: IndexConfig,
       meta: Option[DataFrame] = None,
-      quantizer: Option[PQ.RotatedCodebooks] = None)
+      quantizer: Option[PQ.RotatedCodebooks] = None,
+      codes: Option[DataFrame] = None)
 
   def load(spark: SparkSession, dir: String): LoadedIndex = {
-    val cfgText = new String(Files.readAllBytes(Paths.get(s"$dir/config.json")), StandardCharsets.UTF_8)
+    val cfgText = readText(spark, s"$dir/config.json")
+    def fieldOpt(name: String): Option[String] =
+      s""""$name":\\s*"?([^,"}\\n]+)"?""".r.findFirstMatchIn(cfgText).map(_.group(1))
     def field(name: String): String =
-      s""""$name":\\s*"?([^,"}\\n]+)"?""".r.findFirstMatchIn(cfgText)
-        .map(_.group(1)).getOrElse(sys.error(s"missing $name in $dir/config.json"))
+      fieldOpt(name).getOrElse(sys.error(s"missing $name in $dir/config.json"))
     val cfg = IndexConfig(field("metric"), field("dimension").toInt,
-      field("replicaCount").toInt, field("headBuckets").toInt)
+      field("replicaCount").toInt, field("headBuckets").toInt,
+      fieldOpt("headCount").map(_.toLong).getOrElse(-1L))
     // existence checks go through the SAME scheme-aware filesystem save's
     // deleteDir uses — java.nio would always answer "absent" for an
     // hdfs://-or-object-store index and silently drop tombstones/meta
@@ -137,7 +171,8 @@ object IndexStore {
       opt("deletes"),
       cfg,
       opt("meta"),
-      opt("codebooks").map(cbDf => loadQuantizer(cbDf, opt("rotation"), cfg.dimension)))
+      opt("codebooks").map(cbDf => loadQuantizer(cbDf, opt("rotation"), cfg.dimension)),
+      opt("codes"))
   }
 
   /** Rebuild the in-memory quantizer from its tables; a missing rotation

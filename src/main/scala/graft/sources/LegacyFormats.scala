@@ -147,6 +147,9 @@ object LegacyFormats {
         val recs = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         while (bb.remaining() >= 4) {
           val k = bb.getInt()
+          // a corrupt/negative length would pass the remaining-bytes check
+          // (k*4 < 0) and silently misnumber every later query
+          require(k >= 0, s"negative XVEC truth record length $k in $p")
           require(bb.remaining() >= k * 4,
             s"truncated XVEC truth record (k=$k, ${bb.remaining()} bytes left) in $p")
           recs += Array.fill(k)(bb.getInt())

@@ -82,6 +82,10 @@ class AnnIndexSpec extends SparkSpec {
     idx.save(s"$dir/idx")
     val loaded = AnnIndex.load(spark, s"$dir/idx")
     assert(loaded.quantizer.isDefined, "quantizer lost in the roundtrip")
+    // codes are PERSISTED at save (quantize-once contract): the loaded index
+    // serves ADC from the stored table, never re-quantizing the corpus
+    assert(new java.io.File(s"$dir/idx/codes").exists(), "codes table not saved")
+    assert(spark.read.parquet(s"$dir/idx/codes").count() === idx.count)
     val after = loaded.searchAdc(q, 5).collect().toSeq
     assert(before.toSet === after.toSet)
     // and refine keeps the quantizer attached

@@ -129,6 +129,18 @@ class SourcesSpec extends SparkSpec {
     val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes"))
     assert(PQ.adcSearch(q, quant, lcb, 5).collect().toSeq ===
       PQ.adcSearch(q, quant, cb, 5).collect().toSeq)
+    // stored CODES round-trip: save again with the quantized corpus attached;
+    // the loaded table must carry every (id, codes) row bit-identically
+    IndexStore.save(dir, heads, postings, None,
+      IndexStore.IndexConfig("l2sq", 10, 2, 8),
+      meta = Some(meta), quantizer = Some(PQ.RotatedCodebooks(ident, cb)),
+      codes = Some(quant))
+    val withCodes = IndexStore.load(spark, dir)
+    assert(withCodes.codes.isDefined, "codes artifact missing after save")
+    assert(withCodes.codes.get.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getSeq[Int](1))).toSeq ===
+      quant.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getSeq[Int](1))).toSeq)
     // identity rotation is not materialized; loaded quantizer rebuilds it
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/rotation")))
     assert(loaded.quantizer.get.rotation.map(_.toSeq).toSeq === ident.map(_.toSeq).toSeq)

@@ -23,6 +23,31 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("compressed stage-2: full head coverage equals the full ADC scan (Q5+Q11)") {
+    import graft.functions.PQ
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val nHeads = heads.count().toInt
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 8, maxIter = 2)
+    val ident = Array.tabulate(6, 6)((i, j) => if (i == j) 1.0 else 0.0)
+    val rcb = PQ.RotatedCodebooks(ident, cb)
+    val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes"))
+    val coded = postings.select(col("head_id"), col("id")).join(quant, Seq("id"))
+    // internalK = ALL heads → every posting entry is probed → the pruned
+    // two-stage ADC must reproduce the full compressed scan exactly
+    val twoStage = Spann.searchTwoStageAdc(queries, heads, coded, rcb, 10, nHeads)
+      .collect().toSet
+    val fullScan = PQ.adcSearch(queries, quant, cb, 10).collect().toSet
+    assert(twoStage === fullScan)
+    // pruned probe (internalK = 8) keeps compressed-domain recall against
+    // the full scan — the integration actually prunes AND still serves
+    val pruned = Spann.searchTwoStageAdc(queries, heads, coded, rcb, 10, 8)
+    val rec = Eval.recallSummary(
+      Eval.recallAt(pruned, PQ.adcSearch(queries, quant, cb, 10), 10))
+      .head().getDouble(0)
+    assert(rec >= 0.8, s"pruned ADC recall $rec")
+  }
+
   test("hierarchical routing with full fan equals flat candidate heads (Q5 hier)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val supers = Spann.selectHeadsModulo(
