@@ -481,6 +481,19 @@ object SparkEntry {
         queries, h, coded, PQ.RotatedCodebooks(ident, cb), K, InternalK)
         .select(col("query_id"), col("rank"), col("id"),
           round(col("dist") / 1e6, 4).as("dist")))
+    }),
+    // Q6 over the TWO-STAGE index: resumable SPANN iterator — batch 1 serves
+    // the top-K from the first InternalK heads' postings; batch 2 expands the
+    // NEXT InternalK heads off the retained stage-1 frame, pulls only their
+    // postings, and serves the next K (already-emitted ids excluded, relaxed-
+    // monotonicity flagged past the first posting budget) — the dataflow form
+    // of SearchIndexIterative's head-queue/posting interleave
+    "q68_spann_iter" -> ((s, d) => {
+      val it = Spann.iterate(q(s, d), heads(s, d), postings(s, d),
+        headBatch = InternalK, maxInternalK = InternalK * 2)
+      // materialize the union BEFORE close() releases the retained pool
+      try ordered(it.next(K).unionByName(it.next(K))).localCheckpoint(true)
+      finally it.close()
     })
   )
 
@@ -601,7 +614,9 @@ object SparkEntry {
     * with `hdist > ratio * best` (best = the per-query nearest head) are
     * dropped from `ch` before stage 2 (`SPANNIndex.cpp:217-236`).
     */
-  private def spannCtes(maxDistRatio: Option[Double] = None): String = {
+  private def spannCtes(
+      maxDistRatio: Option[Double] = None,
+      internalK: Int = InternalK): String = {
     val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
     val hDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
     val sDist = Tables.distSql("l2sq", "ch.qvec", "p.vec")
@@ -620,7 +635,7 @@ object SparkEntry {
        |    SELECT query_id, qvec, head_id, hdist,
        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank,
        |           min(hdist) OVER (PARTITION BY query_id) AS best
-       |    FROM chd) WHERE rank <= $InternalK$ratioPrune),
+       |    FROM chd) WHERE rank <= $internalK$ratioPrune),
        |sphits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
        |           FROM ch JOIN p ON ch.head_id = p.head_id
        |           GROUP BY ch.query_id, p.id),
@@ -1110,6 +1125,7 @@ object SparkEntry {
     "q62_kmeans_heads" -> kmeansHeadsOracleSql,
     "q64_pq_sdc" -> pqSdcOracleSql,
     "q67_spann_adc" -> spannAdcOracleSql,
+    "q68_spann_iter" -> spannIterOracleSql,
     // mirrors lshSearch(dims=64, planes=8, rowsPerBand=2): the shared
     // banding chain, query side = the embQueries prefix (vec_id < 10),
     // exact rerank
@@ -1325,6 +1341,38 @@ object SparkEntry {
        |      FROM dd)
        |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
        |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** q68 oracle: the SPANN iterator's two batches in SQL — `ch` ranked to the
+    * full iteration budget (2·InternalK heads per query); batch 1 = top-K over
+    * the first InternalK heads' postings; batch 2 = top-K over ALL pulled
+    * postings minus batch-1's emitted ids, flagged relaxed_mono. Mirrors
+    * `Spann.iterate` batch for batch.
+    */
+  private def spannIterOracleSql: String = {
+    val sDist = Tables.distSql("l2sq", "ch.qvec", "p.vec")
+    s"""WITH ${spannCtes(internalK = InternalK * 2)},
+       |b1h AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+       |        FROM ch JOIN p ON ch.head_id = p.head_id
+       |        WHERE ch.rank <= $InternalK
+       |        GROUP BY ch.query_id, p.id),
+       |b1 AS (SELECT * FROM (
+       |    SELECT query_id, id, dist,
+       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |    FROM b1h) WHERE rank <= $K),
+       |b2h AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+       |        FROM ch JOIN p ON ch.head_id = p.head_id
+       |        GROUP BY ch.query_id, p.id),
+       |b2f AS (SELECT * FROM b2h WHERE NOT EXISTS (
+       |          SELECT 1 FROM b1 WHERE b1.query_id = b2h.query_id AND b1.id = b2h.id)),
+       |b2 AS (SELECT * FROM (
+       |    SELECT query_id, id, dist,
+       |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |    FROM b2f) WHERE rank <= $K)
+       |SELECT query_id, rank, id, round(dist, 4) AS dist, FALSE AS relaxed_mono FROM b1
+       |UNION ALL
+       |SELECT query_id, rank, id, round(dist, 4) AS dist, TRUE AS relaxed_mono FROM b2
+       |ORDER BY query_id, rank, id, dist, relaxed_mono""".stripMargin
   }
 
   /** DuckDB recursive-CTE rendering of the order-sensitive RNG prune

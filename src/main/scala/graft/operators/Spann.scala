@@ -359,6 +359,27 @@ object Spann {
     stage2(cand, postings, queries, Seq("head_id"), k, metric)
   }
 
+  /** Resumable two-stage iterator (Q6 over SPANN —
+    * `SPANNResultIterator.h:1-88`, `SPANNIndex.cpp:261-302`
+    * SearchIndexIterative): the stage-1 head ranking is computed ONCE to the
+    * full iteration budget (`maxInternalK`) and retained; each `next(b)`
+    * consumes the next `headBatch` heads off that frame, pulls ONLY their
+    * postings (the reference's incremental posting loads), merges them into
+    * the retained scored pool, and serves the best `b` not-yet-emitted ids
+    * per query. Batches past the first head batch carry
+    * `relaxed_mono = true` — the reference's continuation flag for results
+    * served beyond the initial posting budget without the strict global-order
+    * guarantee.
+    */
+  def iterate(
+      queries: DataFrame,
+      heads: DataFrame,
+      postings: DataFrame,
+      headBatch: Int,
+      maxInternalK: Int,
+      metric: String = "l2sq"): SpannResultIterator =
+    new SpannResultIterator(queries, heads, postings, headBatch, maxInternalK, metric)
+
   /** Stage-1 candidate heads per query: `(query_id, head_id)` (Q8
     * SearchTree semantics when used alone, `BKTIndex.cpp:713-736`).
     */
@@ -384,5 +405,70 @@ object Spann {
       if (maxDistRatio == Double.MaxValue) exploded
       else exploded.where(col("hdist") <= lit(maxDistRatio) * col("_best"))
     pruned.drop("_best")
+  }
+}
+
+/** Handle for [[Spann.iterate]] — the two-stage analogue of
+  * [[graft.operators.ResultIterator]]: state is the cached stage-1 head
+  * ranking (the reference's retained head-query workspace), the scored
+  * posting pool accumulated so far, and the set of already-emitted
+  * `(query_id, id)` pairs. Successive batches are disjoint per query;
+  * `close()` releases every retained frame (`SPANNResultIterator::Close`).
+  */
+final class SpannResultIterator private[operators] (
+    queries: DataFrame,
+    heads: DataFrame,
+    postings: DataFrame,
+    headBatch: Int,
+    maxInternalK: Int,
+    metric: String) {
+  import org.apache.spark.sql.functions._
+
+  private val stage1 =
+    Spann.candidateHeads(queries, heads, maxInternalK, metric = metric).cache()
+  private var consumed = 0
+  private var pool: Option[DataFrame] = None
+  private var emitted: Option[DataFrame] = None
+  private val retained = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  def hasNext: Boolean = consumed < maxInternalK
+
+  def next(b: Int): DataFrame = {
+    // the next head batch off the retained stage-1 frame (no recompute)
+    val newCand = stage1
+      .where(col("rank") > consumed && col("rank") <= consumed + headBatch)
+    val relaxed = consumed >= headBatch // past the first posting budget
+    consumed = math.min(consumed + headBatch, maxInternalK)
+    // pull ONLY the new heads' postings, score, fold into the pool
+    val newHits = newCand.select(col("query_id"), col("head_id"))
+      .join(postings, Seq("head_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
+      .select(col("query_id"), col("id"), col("pdist"))
+    val merged = pool.map(_.unionByName(newHits)).getOrElse(newHits).cache()
+    retained += merged
+    pool = Some(merged)
+    // serve the best b per query among ids not emitted by earlier batches
+    // (replica duplicates collapse inside the bounded distinct-id top-k)
+    val avail = emitted.map(e => merged.join(e, Seq("query_id", "id"), "left_anti"))
+      .getOrElse(merged)
+    val out = Knn.explodeRanked(
+      avail.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topkDistinct(col("id"), col("pdist"), b).as("nn")))
+      .withColumn("relaxed_mono", lit(relaxed))
+      .cache()
+    retained += out
+    emitted = Some(emitted match {
+      case Some(e) => e.unionByName(out.select(col("query_id"), col("id")))
+      case None => out.select(col("query_id"), col("id"))
+    })
+    out
+  }
+
+  /** Release the retained workspace (reference `SPANNResultIterator::Close`). */
+  def close(): Unit = {
+    stage1.unpersist()
+    retained.foreach(_.unpersist())
+    retained.clear()
   }
 }

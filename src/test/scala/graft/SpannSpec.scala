@@ -48,6 +48,37 @@ class SpannSpec extends SparkSpec {
     assert(rec >= 0.8, s"pruned ADC recall $rec")
   }
 
+  test("SPANN iterator: batch 1 ≡ two-stage top-k; union covers the wider search (Q6)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val it = Spann.iterate(queries, heads, postings, headBatch = 8, maxInternalK = 16)
+    try {
+      val b1 = it.next(10)
+      // first batch is within the posting budget: no relaxed flag, and it IS
+      // the plain two-stage result over the first head batch
+      assert(b1.collect().forall(!_.getBoolean(4)))
+      val direct = Spann.searchTwoStage(queries, heads, postings, 10, 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(b1.drop("relaxed_mono")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        === direct)
+      assert(it.hasNext)
+      val b2 = it.next(10)
+      // continuation batch: relaxed-monotonicity flagged, disjoint ids,
+      // full batch served per query
+      assert(b2.collect().forall(_.getBoolean(4)))
+      val union = b1.drop("relaxed_mono").unionByName(b2.drop("relaxed_mono"))
+      assert(union.groupBy("query_id").count().collect().forall(_.getLong(1) == 20))
+      assert(union.select("query_id", "id").distinct().count() === union.count())
+      // the two batches together dominate the wider one-shot search: every id
+      // the internalK=16 two-stage top-10 finds is in the union
+      val wide = Spann.searchTwoStage(queries, heads, postings, 10, 16)
+      assert(wide.select("query_id", "id")
+        .except(union.select("query_id", "id")).isEmpty)
+      assert(!it.hasNext)
+    } finally it.close()
+  }
+
   test("hierarchical routing with full fan equals flat candidate heads (Q5 hier)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val supers = Spann.selectHeadsModulo(
