@@ -115,7 +115,68 @@ object BalancedKMeans {
     assign(points, centers, lambda, metric)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
-  /** Balance diagnostic: stddev/avg of cluster sizes (lower = more balanced). */
+  /** Mean distance of points to their assigned center (distortion diagnostic). */
+  def distortion(assigned: DataFrame): Double =
+    assigned.agg(avg(col("dist"))).head().getDouble(0)
+
+  /** λ auto-tune (the reference's DynamicFactorSelect, `BKTree.h:434-463`):
+    * fit once per candidate penalty and keep the λ minimizing the
+    * cluster-size skew — stddev/avg over ALL k clusters, the reference's
+    * CountStd criterion — of the partition the pipeline would actually use
+    * (`assign` at that same λ; the reference scores a penalty-free final
+    * pass, `BKTree.h:388-399`, but its sequential in-pass count updates
+    * damp the penalty in a way a batch declarative assignment cannot —
+    * scoring OUR λ-assignment is the faithful criterion for B14's
+    * `writePartitioned`, which partitions with the chosen λ). Ties prefer
+    * the smaller λ (least distortion interference).
+    *
+    * Candidates are λ = f·c/n, mirroring the reference's Base²/factor/size
+    * ladder (`BKTree.h:352`) with `c` = the corpus' mean squared norm — the
+    * float-data analogue of the fixed-value-range Base² constant. Everything
+    * is deterministic: fixed ladder, seeded fits, declarative aggregates.
+    *
+    * Cost = `factors.size` full fits; at corpus scale pass a (deterministic)
+    * sample as `points` — the reference likewise tunes on a 1000-row batch.
+    * Returns (chosenLambda, centers-of-that-fit).
+    */
+  def fitAuto(
+      points: DataFrame,
+      k: Int,
+      maxIter: Int = 5,
+      metric: String = "l2sq",
+      factors: Seq[Double] = Seq(0.0, 1.0, 10.0, 100.0)): (Double, DataFrame) = {
+    val stats = points.agg(
+      avg(aggregate(col("vec").cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x * x)).as("c"),
+      count(lit(1)).as("n")).head()
+    val c = stats.getDouble(0)
+    val n = stats.getLong(1).toDouble
+    val best = factors.map { f =>
+      val lam = f * c / n
+      val centers = fit(points, k, maxIter, lam, metric)
+      val skew = sizeSkew(assign(points, centers, lam, metric), k)
+      (skew, lam, centers)
+    }.minBy(t => (t._1, t._2))
+    (best._2, best._3)
+  }
+
+  /** [[sizeSkew]] counting EMPTY clusters too (the reference's CountStd
+    * divides by the full _DK, `BKTree.h:400-408`) — without this a
+    * degenerate fit that starves k−1 clusters scores a perfect 0.
+    */
+  def sizeSkew(assigned: DataFrame, k: Int): Double = {
+    val counts = assigned.groupBy(col("cluster_id")).count()
+      .collect().map(_.getLong(1)) // ≤ k rows by construction
+    val all = counts ++ Array.fill(k - counts.length)(0L)
+    val avgC = all.sum.toDouble / k
+    val sd = math.sqrt(all.map(c => (c - avgC) * (c - avgC)).sum / k)
+    sd / math.max(avgC, 1e-9)
+  }
+
+  /** Balance diagnostic: stddev/avg of cluster sizes (lower = more balanced).
+    * NOTE: sees only non-empty clusters; prefer the k-aware overload when a
+    * cluster could starve.
+    */
   def sizeSkew(assigned: DataFrame): Double = {
     val sizes = assigned.groupBy(col("cluster_id")).count()
       .agg(stddev_pop(col("count")).as("sd"), avg(col("count")).as("m"))
