@@ -296,6 +296,21 @@ class AnnIndex private (
     vectors.write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Single-file save (`VectorIndex.h:89` SaveIndexToFile): the folder save
+    * zipped into one archive — handed around as one object-store key/file.
+    */
+  def saveToFile(file: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_file").toString
+    try {
+      save(tmp)
+      IndexStore.saveToFile(spark, tmp, file)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   def dimension: Int =
     vectors.select(size(col("vec"))).head().getInt(0)
 }
@@ -328,5 +343,58 @@ object AnnIndex {
       l.quantizer,
       headCountHint = Some(l.config.headCount).filter(_ >= 0),
       storedCodes = l.codes)
+  }
+
+  /** Restore from a [[AnnIndex#saveToFile]] single-file archive (extracted
+    * into a fresh scratch dir that lives until JVM exit).
+    */
+  def loadFromFile(spark: SparkSession, file: String): AnnIndex = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_load").toString
+    IndexStore.extractFile(spark, file, tmp)
+    load(spark, tmp)
+  }
+
+  /** Per-vector resident bytes — the reference's sizing unit
+    * (`VectorIndex.cpp:786-832`): vector payload + metadata + meta index
+    * (8 B) + graph neighbors (4 B each) + delete flag + BKT tree nodes
+    * (12 B per tree).
+    */
+  private def memoryUnit(
+      dimension: Int, valueBytes: Int, maxMetaLen: Int,
+      treeNumber: Int, neighborhoodSize: Int): Long =
+    valueBytes.toLong * dimension + maxMetaLen + 8L +
+      4L * neighborhoodSize + 1L + 12L * treeNumber
+
+  /** `VectorIndex.h:164` EstimatedMemoryUsage: resident bytes for `count`
+    * vectors, count first rounded UP to the allocation block. Used to size
+    * executor partitions the same way the reference sizes its in-memory
+    * index.
+    */
+  def estimatedMemoryUsage(
+      vectorCount: Long,
+      dimension: Int,
+      valueBytes: Int = 4,
+      vectorsInBlock: Int = 1,
+      maxMetaLen: Int = 0,
+      treeNumber: Int = 1,
+      neighborhoodSize: Int = 32): Long = {
+    val blocked = ((vectorCount + vectorsInBlock - 1) / vectorsInBlock) * vectorsInBlock
+    memoryUnit(dimension, valueBytes, maxMetaLen, treeNumber, neighborhoodSize) * blocked
+  }
+
+  /** `VectorIndex.h:163` EstimatedVectorCount: how many vectors fit in
+    * `memoryBytes`, rounded DOWN to the allocation block — the exact inverse
+    * of [[estimatedMemoryUsage]]'s unit arithmetic.
+    */
+  def estimatedVectorCount(
+      memoryBytes: Long,
+      dimension: Int,
+      valueBytes: Int = 4,
+      vectorsInBlock: Int = 1,
+      maxMetaLen: Int = 0,
+      treeNumber: Int = 1,
+      neighborhoodSize: Int = 32): Long = {
+    val unit = memoryUnit(dimension, valueBytes, maxMetaLen, treeNumber, neighborhoodSize)
+    ((memoryBytes / unit) / vectorsInBlock) * vectorsInBlock
   }
 }

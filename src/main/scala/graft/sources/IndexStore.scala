@@ -165,13 +165,34 @@ object IndexStore {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) Some(spark.read.parquet(s"$dir/$name")) else None
     }
+    // parquet codebooks are the primary store; a reference-layout binary
+    // blob (`quantizer.bin`, docs/GettingStart.md "Quantizer File Format")
+    // dropped into the directory is accepted as the fallback — an index
+    // migrated from the reference serves ADC without conversion
+    val quantizer =
+      opt("codebooks").map(cbDf => loadQuantizer(cbDf, opt("rotation"), cfg.dimension))
+        .orElse {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/quantizer.bin")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            val bytes =
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+                buf.toByteArray
+              } finally in.close()
+            Some(LegacyFormats.decodeQuantizer(bytes, s"$dir/quantizer.bin"))
+          }
+        }
     LoadedIndex(
       spark.read.parquet(s"$dir/heads"),
       spark.read.parquet(s"$dir/postings"),
       opt("deletes"),
       cfg,
       opt("meta"),
-      opt("codebooks").map(cbDf => loadQuantizer(cbDf, opt("rotation"), cfg.dimension)),
+      quantizer,
       opt("codes"))
   }
 
@@ -196,6 +217,73 @@ object IndexStore {
     }
     PQ.RotatedCodebooks(rot, PQ.Codebooks(m, k, dsub, centers))
   }
+
+  /** Single-file index (`VectorIndex.h:89` SaveIndexToFile,
+    * `VectorIndex.cpp:382-430`: config blob + concatenated index blobs in
+    * one binary): zip a saved index directory into ONE archive, streamed
+    * through the scheme-aware Hadoop FS on both ends. Entries are stored
+    * uncompressed-level (parquet blocks are already compressed) in sorted
+    * path order, so the archive is byte-deterministic for a given save.
+    */
+  def saveToFile(spark: SparkSession, dir: String, file: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(dir)
+    val srcFs = srcRoot.getFileSystem(conf)
+    val dstPath = new org.apache.hadoop.fs.Path(file)
+    val out = new java.util.zip.ZipOutputStream(
+      dstPath.getFileSystem(conf).create(dstPath, true))
+    out.setLevel(0)
+    try {
+      val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      val it = srcFs.listFiles(srcRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) files += st.getPath
+      }
+      val rootUri = srcFs.makeQualified(srcRoot).toUri
+      files
+        .map(p => (rootUri.relativize(srcFs.makeQualified(p).toUri).getPath, p))
+        .sortBy(_._1)
+        .foreach { case (rel, p) =>
+          out.putNextEntry(new java.util.zip.ZipEntry(rel))
+          val in = srcFs.open(p)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally in.close()
+          out.closeEntry()
+        }
+    } finally out.close()
+  }
+
+  /** Extract a [[saveToFile]] archive into `scratchDir` (any Hadoop-FS
+    * scheme); returns the scratch dir for a follow-up [[load]].
+    */
+  def extractFile(spark: SparkSession, file: String, scratchDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(file)
+    val dstRoot = new org.apache.hadoop.fs.Path(scratchDir)
+    val dstFs = dstRoot.getFileSystem(conf)
+    val in = new java.util.zip.ZipInputStream(
+      srcPath.getFileSystem(conf).open(srcPath))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          require(!e.getName.split("/").contains(".."),
+            s"unsafe archive entry ${e.getName}") // zip-slip guard
+          val out = dstFs.create(new org.apache.hadoop.fs.Path(dstRoot, e.getName), true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally out.close()
+        }
+        in.closeEntry()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    scratchDir
+  }
+
+  /** [[saveToFile]]'s read side: extract + [[load]]. */
+  def loadFromFile(spark: SparkSession, file: String, scratchDir: String): LoadedIndex =
+    load(spark, extractFile(spark, file, scratchDir))
 
   /** Prune the postings scan to the head buckets a candidate set touches —
     * the query-side half of the partition-pruning contract.

@@ -177,6 +177,68 @@ object LegacyFormats {
       }.toDF("query_id", "rank", "id")
   }
 
+  // ---- legacy quantizer blob (`docs/GettingStart.md` "Quantizer File
+  //      Format"): [u8 QuantizerType 0 NONE/1 PQ/2 OPQ][u8 ReconstructDataType
+  //      0 int8/1 uint8/2 int16/3 float][i32 m][i32 k][i32 dsub]
+  //      [m·k·dsub float32 codebooks][dim·dim float32 rotation when OPQ,
+  //      row-major], little-endian ----
+
+  /** Write codebooks (+ rotation when non-identity → OPQ type byte) in the
+    * reference's binary quantizer layout. Centers are float32 on disk (the
+    * reference's float ReconstructDataType) — double-precision centers round
+    * through Float, so a roundtrip reproduces the FLOAT value exactly but
+    * not arbitrary doubles; byte-level interop is the point of this format,
+    * [[IndexStore]]'s parquet codebooks remain the lossless store.
+    */
+  def writeQuantizer(path: String, rcb: graft.functions.PQ.RotatedCodebooks): Unit = {
+    val cb = rcb.cb
+    val dim = rcb.rotation.length
+    val isOpq = !rcb.rotation.zipWithIndex.forall { case (row, i) =>
+      row.zipWithIndex.forall { case (x, j) => x == (if (i == j) 1.0 else 0.0) }
+    }
+    val total = 2 + 12 + 4 * cb.m * cb.k * cb.dsub + (if (isOpq) 4 * dim * dim else 0)
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put((if (isOpq) 2 else 1).toByte) // QuantizerType
+    bb.put(3.toByte) // ReconstructDataType float
+    bb.putInt(cb.m).putInt(cb.k).putInt(cb.dsub)
+    for (s <- 0 until cb.m; c <- 0 until cb.k; j <- 0 until cb.dsub)
+      bb.putFloat(cb.centers(s)(c)(j).toFloat)
+    if (isOpq)
+      for (i <- 0 until dim; j <- 0 until dim) bb.putFloat(rcb.rotation(i)(j).toFloat)
+    val out = new FileOutputStream(path)
+    try out.write(bb.array()) finally out.close()
+  }
+
+  /** Read the reference quantizer blob back into codebooks (+ rotation for
+    * OPQ; identity for plain PQ). Rejects NONE-type and non-float
+    * reconstruct types (the other layouts are byte-quantized codebooks this
+    * double-precision pipeline does not model).
+    */
+  def readQuantizer(path: String): graft.functions.PQ.RotatedCodebooks =
+    decodeQuantizer(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)
+
+  /** [[readQuantizer]] over in-memory bytes (callers that read through a
+    * non-local filesystem, e.g. [[IndexStore.load]]).
+    */
+  def decodeQuantizer(
+      bytes: Array[Byte], path: String): graft.functions.PQ.RotatedCodebooks = {
+    import graft.functions.PQ
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val qType = bb.get()
+    val rType = bb.get()
+    require(qType == 1 || qType == 2, s"unsupported QuantizerType $qType in $path")
+    require(rType == 3, s"unsupported ReconstructDataType $rType (only float) in $path")
+    val m = bb.getInt(); val k = bb.getInt(); val dsub = bb.getInt()
+    require(m > 0 && k > 0 && dsub > 0, s"corrupt quantizer header ($m,$k,$dsub) in $path")
+    val centers = Array.fill(m, k, dsub)(bb.getFloat().toDouble)
+    val dim = m * dsub
+    val rotation =
+      if (qType == 2) Array.fill(dim, dim)(bb.getFloat().toDouble)
+      else Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    PQ.RotatedCodebooks(rotation, PQ.Codebooks(m, k, dsub, centers))
+  }
+
   // ---- local writers (test fixtures / export parity) ----
 
   def writeDefault(path: String, vecs: Seq[Array[Float]]): Unit = {

@@ -92,6 +92,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.deleteByIds(Seq(1L).toDF("id")).refineIndex().quantizer.isDefined)
   }
 
+  test("single-file save/load roundtrip; memory estimator arithmetic (S6)") {
+    val dir = Files.createTempDirectory("graft_annidx_file").toString
+    val idx = freshIndex.build().trainQuantizer(m = 2, k = 8, maxIter = 2)
+    idx.saveToFile(s"$dir/index.graft")
+    // ONE file on disk, and it round-trips searches exactly — including the
+    // quantized serving path (codes + codebooks ride inside the archive)
+    assert(new java.io.File(s"$dir/index.graft").isFile)
+    val loaded = AnnIndex.loadFromFile(spark, s"$dir/index.graft")
+    val q = synthQueries(3)
+    assert(idx.search(q, 5).collect().toSet === loaded.search(q, 5).collect().toSet)
+    assert(idx.searchAdc(q, 5).collect().toSet === loaded.searchAdc(q, 5).collect().toSet)
+    // estimator: usage covers at least the raw vector payload, and
+    // count(usage(n)) inverts exactly at block size 1
+    val usage = AnnIndex.estimatedMemoryUsage(1000, 10)
+    assert(usage >= 1000L * 10 * 4)
+    assert(AnnIndex.estimatedVectorCount(usage, 10) === 1000L)
+    // block rounding mirrors the reference: UP for usage, DOWN for capacity
+    assert(AnnIndex.estimatedMemoryUsage(1001, 10, vectorsInBlock = 500) ===
+      AnnIndex.estimatedMemoryUsage(1500, 10))
+    assert(AnnIndex.estimatedVectorCount(usage - 1, 10, vectorsInBlock = 500) === 500L)
+    // and the estimate is the right order for the fixture index: within 32x
+    // of the single-file archive's bytes (archive = compressed parquet)
+    val fileBytes = new java.io.File(s"$dir/index.graft").length()
+    val est = AnnIndex.estimatedMemoryUsage(idx.count, 10)
+    assert(est >= fileBytes / 32 && est <= fileBytes * 32,
+      s"estimate $est vs archive $fileBytes")
+  }
+
   test("oversized head sets auto-route through super-heads (hier path)") {
     val corpus = synthVectors(600).select("id", "vec")
     val flat = AnnIndex(spark, corpus,

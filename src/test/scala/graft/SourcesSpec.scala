@@ -155,6 +155,38 @@ class SourcesSpec extends SparkSpec {
     assert(loaded2.meta.isEmpty)
   }
 
+  test("legacy quantizer blob roundtrip; IndexStore.load accepts it (S6/Q11)") {
+    import graft.functions.PQ
+    val dir = tmp()
+    val corpus = synthVectors(200).select("id", "vec")
+    val cb = PQ.train(corpus, dim = 10, m = 2, k = 8, maxIter = 2)
+    val ident = Array.tabulate(10, 10)((i, j) => if (i == j) 1.0 else 0.0)
+    // plain PQ: type byte 1, no rotation payload
+    LegacyFormats.writeQuantizer(s"$dir/q_pq.bin", PQ.RotatedCodebooks(ident, cb))
+    val rpq = LegacyFormats.readQuantizer(s"$dir/q_pq.bin")
+    assert(rpq.cb.m === 2 && rpq.cb.k === 8 && rpq.cb.dsub === 5)
+    // float32 on disk (the reference layout): the roundtrip reproduces the
+    // float-rounded centers exactly
+    assert(rpq.cb.centers.flatten.flatten.toSeq ===
+      cb.centers.flatten.flatten.map(x => x.toFloat.toDouble).toSeq)
+    assert(rpq.rotation.map(_.toSeq).toSeq === ident.map(_.toSeq).toSeq)
+    // OPQ: the rotation rides in the blob after the codebooks
+    val rot = Array.tabulate(10, 10)((i, j) => if ((i + 1) % 10 == j) 1.0 else 0.0)
+    LegacyFormats.writeQuantizer(s"$dir/q_opq.bin", PQ.RotatedCodebooks(rot, cb))
+    val ropq = LegacyFormats.readQuantizer(s"$dir/q_opq.bin")
+    assert(ropq.rotation.map(_.toSeq).toSeq === rot.map(_.toSeq).toSeq)
+    assert(ropq.cb.centers.flatten.flatten.toSeq === rpq.cb.centers.flatten.flatten.toSeq)
+    // a reference-layout quantizer.bin dropped into a save WITHOUT parquet
+    // codebooks is picked up by load — migrated indexes serve ADC directly
+    val heads = Spann.selectHeadsModulo(corpus, 40)
+    IndexStore.save(dir, heads, Spann.buildPostings(corpus, heads, 2), None,
+      IndexStore.IndexConfig("l2sq", 10, 2, 8))
+    LegacyFormats.writeQuantizer(s"$dir/quantizer.bin", PQ.RotatedCodebooks(rot, cb))
+    val loaded = IndexStore.load(spark, dir)
+    assert(loaded.quantizer.isDefined, "legacy quantizer.bin not picked up")
+    assert(loaded.quantizer.get.rotation.map(_.toSeq).toSeq === rot.map(_.toSeq).toSeq)
+  }
+
   test("posting store partition pruning kicks in on head_bucket (S6/B9)") {
     val dir = tmp()
     val corpus = synthVectors(300).select("id", "vec")
