@@ -178,15 +178,18 @@ class AnnIndex private (
   }
 
   /** Postings carrying their entries' PQ codes — the reference's quantized
-    * posting layout (`SPANN/Index.h:46-59`), materialized once per instance
-    * (one corpus-keyed equi-join, checkpointed; `head_bucket` survives for
-    * partition pruning on a loaded index).
+    * posting layout (`SPANN/Index.h:46-59`). A loaded index already stores
+    * codes INSIDE the bucketed posting rows (IndexStore writes them joined),
+    * so the partition-pruned parquet scan IS the compressed store; an
+    * in-memory built index materializes the corpus-keyed join once
+    * (checkpointed) instead.
     */
   private lazy val codedPostings: Option[DataFrame] =
-    (postings, codesTable) match {
-      case (Some(p), Some(c)) =>
-        Some(p.drop("vec").join(c, Seq("id")).localCheckpoint(true))
-      case _ => None
+    postings match {
+      case Some(p) if p.columns.contains("codes") => Some(p.drop("vec"))
+      case Some(p) =>
+        codesTable.map(c => p.drop("vec").join(c, Seq("id")).localCheckpoint(true))
+      case None => None
     }
 
   /** ADC search over the quantized index (Q11 compressed-domain serving):
@@ -232,11 +235,12 @@ class AnnIndex private (
   def add(batch: DataFrame): AnnIndex = {
     // delta-only quantization: the appended batch gets codes against the
     // FIXED codebooks (codebooks describe the space, not the row set)
-    val grownCodes = (storedCodes, quantizer) match {
-      case (Some(c), Some(qz)) =>
-        Some(c.unionByName(
-          graft.functions.PQ.quantizeOpq(batch.select(col("id"), col("vec")), qz)
-            .select(col("id"), col("codes"))))
+    val batchCodes = quantizer.map { qz =>
+      graft.functions.PQ.quantizeOpq(batch.select(col("id"), col("vec")), qz)
+        .select(col("id"), col("codes"))
+    }
+    val grownCodes = (storedCodes, batchCodes) match {
+      case (Some(c), Some(bc)) => Some(c.unionByName(bc))
       case _ => storedCodes
     }
     val grown = copy(vectors = Mutations.add(vectors, batch), storedCodes = grownCodes)
@@ -245,12 +249,16 @@ class AnnIndex private (
         val delta0 = Spann.buildPostings(
           batch.select(col("id"), col("vec")), heads.get,
           conf.replicaCount, conf.metric)
-        // a loaded index carries the head_bucket partition column — bucket
-        // the delta identically so the union stays schema-aligned
-        val delta =
+        // a loaded index carries the head_bucket partition column (and, with
+        // a quantizer, per-entry codes) — shape the delta identically so the
+        // union stays schema-aligned
+        val delta1 =
           if (p.columns.contains("head_bucket"))
             IndexStore.withBucket(delta0, conf.headBuckets)
           else delta0
+        val delta =
+          if (p.columns.contains("codes")) delta1.join(batchCodes.get, Seq("id"))
+          else delta1
         grown.copy(postings = Some(p.unionByName(delta)))
       case None => grown
     }

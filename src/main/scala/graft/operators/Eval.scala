@@ -56,17 +56,33 @@ object Eval {
     * n / Σlatency (the harness's serial-time definition). Input: one row
     * per query/trigger with `latencyMs`; output: one summary row.
     */
-  def latencyReport(lat: DataFrame, latencyMs: String = "latency_ms"): DataFrame = {
-    val c = col(latencyMs).cast("double")
-    lat.agg(
-      count(lit(1)).as("n"),
-      round(lit(1000.0) * count(lit(1)) / sum(c), 2).as("qps"),
-      round(avg(c), 3).as("mean_ms"),
-      round(percentile_approx(c, lit(0.5), lit(10000)), 3).as("p50_ms"),
-      round(percentile_approx(c, lit(0.9), lit(10000)), 3).as("p90_ms"),
-      round(percentile_approx(c, lit(0.95), lit(10000)), 3).as("p95_ms"),
-      round(percentile_approx(c, lit(0.99), lit(10000)), 3).as("p99_ms"),
-      round(percentile_approx(c, lit(0.999), lit(10000)), 3).as("p999_ms"))
+  def latencyReport(lat: DataFrame, latencyMs: String = "latency_ms"): DataFrame =
+    lat.agg(latencyAggCols(col(latencyMs).cast("double")).head,
+      latencyAggCols(col(latencyMs).cast("double")).tail: _*)
+
+  private def latencyAggCols(c: org.apache.spark.sql.Column) = Seq(
+    count(lit(1)).as("n"),
+    round(lit(1000.0) * count(lit(1)) / sum(c), 2).as("qps"),
+    round(avg(c), 3).as("mean_ms"),
+    round(percentile_approx(c, lit(0.5), lit(10000)), 3).as("p50_ms"),
+    round(percentile_approx(c, lit(0.9), lit(10000)), 3).as("p90_ms"),
+    round(percentile_approx(c, lit(0.95), lit(10000)), 3).as("p95_ms"),
+    round(percentile_approx(c, lit(0.99), lit(10000)), 3).as("p99_ms"),
+    round(percentile_approx(c, lit(0.999), lit(10000)), 3).as("p999_ms"))
+
+  /** Stage-split latency report (the reference's serving harness prints the
+    * head-search and SSD-"Ex" percentile blocks SEPARATELY,
+    * `SSDServing/SSDIndex.h:284-310`): unpivot the given per-stage latency
+    * columns into `(stage, latency_ms)` and emit one [[latencyReport]] row
+    * per stage (stage order = the given column order).
+    */
+  def latencyReportByStage(lat: DataFrame, stageCols: Seq[String]): DataFrame = {
+    val stacked = lat.select(explode(array(stageCols.map(s =>
+        struct(lit(s).as("stage"), col(s).cast("double").as("latency_ms"))): _*)).as("e"))
+      .select(col("e.stage").as("stage"), col("e.latency_ms").as("latency_ms"))
+    val c = col("latency_ms")
+    stacked.groupBy(col("stage"))
+      .agg(latencyAggCols(c).head, latencyAggCols(c).tail: _*)
   }
 
   /** Head-recall analysis (Q14, `SSDServing/SSDIndex.h:355-490`): for each

@@ -172,7 +172,22 @@ object Spann {
       maxDistRatio: Double = Double.MaxValue,
       metric: String = "l2sq",
       headBuckets: Option[Int] = None): DataFrame = {
-    val cand0 = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+    val cand = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+    searchFromCandidates(cand, queries, postings, k, metric, headBuckets)
+  }
+
+  /** Stage-2 from PRECOMPUTED stage-1 candidates `(query_id, head_id)` —
+    * the entry for callers that time or cache the stages separately (the
+    * serving path's head-vs-disk latency split, `SSDServing/SSDIndex.h:
+    * 284-310`). Identical plan to the fused [[searchTwoStage]].
+    */
+  def searchFromCandidates(
+      cand0: DataFrame,
+      queries: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      metric: String = "l2sq",
+      headBuckets: Option[Int] = None): DataFrame = {
     // disk-resident index path: postings carry the IndexStore partition
     // column `head_bucket`; joining on it lets dynamic partition pruning
     // skip every bucket the stage-1 candidates don't name — the dataflow

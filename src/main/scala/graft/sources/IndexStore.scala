@@ -59,16 +59,22 @@ object IndexStore {
       codes: Option[DataFrame] = None): Unit = {
     val spark = heads.sparkSession
     heads.write.mode("overwrite").parquet(s"$dir/heads")
-    withBucket(postings, config.headBuckets)
+    // with a quantizer attached, each posting entry carries its PQ codes
+    // IN the bucketed layout — the reference's quantized posting entries
+    // (`SPANN/Index.h:46-59`): a loaded index serves compressed stage-2
+    // straight off the partition-pruned scan, no corpus-wide codes join
+    val postingRows = codes match {
+      case Some(c) if !postings.columns.contains("codes") => postings.join(c, Seq("id"))
+      case _ => postings // already coded (re-save of a loaded index)
+    }
+    withBucket(postingRows, config.headBuckets)
       .write.mode("overwrite")
       .partitionBy("head_bucket")
       .parquet(s"$dir/postings")
     saveOrClear(spark, s"$dir/deletes", deletes)
     saveOrClear(spark, s"$dir/meta", meta)
-    // `codes` = the quantized corpus `(id, codes)` — stored NORMALIZED (one
-    // row per vector, not per posting replica); load re-attaches them to the
-    // postings once. The reference's quantized posting entries
-    // (`SPANN/Index.h:46-59`) as a table.
+    // `codes` also persists NORMALIZED `(id, codes)` — one row per vector —
+    // as the lossless source of truth (delta quantization on add, re-save)
     saveOrClear(spark, s"$dir/codes", codes)
     saveOrClear(spark, s"$dir/codebooks", quantizer.map(q => codebookDf(spark, q.cb)))
     saveOrClear(spark, s"$dir/rotation",

@@ -102,6 +102,39 @@ object StreamingIngest {
         }
       }
 
+  /** [[searchStream]] with the reference's stage-split timing
+    * (`SSDServing/SSDIndex.h:284-310` prints head-search vs SSD-"Ex"
+    * percentiles separately): stage-1 candidates are materialized per
+    * trigger so the head search is timed apart from the posting probe.
+    * Each trigger appends one `(batch_id, n_queries, stage1_ms, stage2_ms)`
+    * row through `record` — feed the collected rows to
+    * [[graft.operators.Eval.latencyReportByStage]].
+    */
+  def searchStreamTimed(
+      queryStream: DataFrame, // streaming (query_id, qvec)
+      heads: DataFrame,
+      postings: DataFrame,
+      k: Int,
+      internalK: Int,
+      emit: DataFrame => Unit,
+      record: (Long, Long, Double, Double) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(true)
+          val n = b.count()
+          val t0 = System.nanoTime()
+          val cand = Spann.candidateHeads(b, heads, internalK).localCheckpoint(true)
+          val t1 = System.nanoTime()
+          val res = Spann.searchFromCandidates(cand, b, postings, k).localCheckpoint(true)
+          val t2 = System.nanoTime()
+          emit(res)
+          record(batchId, n, (t1 - t0) / 1e6, (t2 - t1) / 1e6)
+        }
+      }
+
   /** Micro-batch index ingest: for each incoming vector batch, compute its
     * posting assignments against the CURRENT heads (B8 on the delta only —
     * cost ∝ batch size, not corpus size) and append to the postings store.

@@ -208,7 +208,7 @@ class SourcesSpec extends SparkSpec {
     val corpus = synthVectors(300).select("id", "vec")
     val idx = AnnIndex(spark, corpus,
       GraftConf(headRatio = 1.0 / 30, replicaCount = 2, internalK = 2, headBuckets = 8))
-      .build()
+      .build().trainQuantizer(m = 2, k = 8, maxIter = 2)
     idx.save(dir)
     val loaded = AnnIndex.load(spark, dir)
     val q = Seq((0L, Seq.fill(10)(42f)), (1L, Seq.fill(10)(250f)))
@@ -220,6 +220,15 @@ class SourcesSpec extends SparkSpec {
     // and pruning must not change results vs the in-memory index
     assert(res.orderBy("query_id", "rank").collect().toSeq ===
       idx.search(q, 3).orderBy("query_id", "rank").collect().toSeq)
+    // the COMPRESSED serving path prunes the same way: codes ride inside the
+    // bucketed posting rows, so stage-2 ADC scans only the candidate buckets
+    // — and never re-quantizes (no codes-table join in the plan either)
+    val adc = loaded.searchAdc(q, 3)
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(adcPlan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in loaded-index ADC plan:\n$adcPlan")
+    assert(adc.orderBy("query_id", "rank").collect().toSeq ===
+      idx.searchAdc(q, 3).orderBy("query_id", "rank").collect().toSeq)
   }
 
   test("query parser extracts options, vector, base64 (S7)") {

@@ -95,6 +95,45 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSet === batch.toSet)
   }
 
+  test("timed serving splits stage-1 vs stage-2 latency; per-stage report (V4)") {
+    val corpus = synthVectors(300).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    val postings = Spann.buildPostings(corpus, heads, 2)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val queries = (0 until 5).map(i => (i.toLong, Seq.fill(10)(i * 40f)))
+    stream.addData(queries)
+
+    val outDir = Files.createTempDirectory("graft_serve_timed").toString
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val writer = StreamingIngest.searchStreamTimed(
+      stream.toDF().toDF("query_id", "qvec"), heads, postings, 3, 4,
+      res => results ++= res.select("query_id", "rank", "id", "dist")
+        .as[(Long, Int, Long, Double)].collect(),
+      (bid, n, s1, s2) => timings += ((bid, n, s1, s2)))
+      .option("checkpointLocation", s"$outDir/ckpt")
+    val q = writer.start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    // same results as the fused batch search
+    val batch = Spann.searchTwoStage(
+      queries.toDF("query_id", "qvec"), heads, postings, 3, 4)
+      .select("query_id", "rank", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(results.toSet === batch.toSet)
+    // both stages were timed (positive millis), per processed trigger
+    assert(timings.nonEmpty)
+    assert(timings.forall { case (_, n, s1, s2) => n > 0 && s1 > 0 && s2 > 0 })
+    // and the per-stage report carries one percentile block PER stage
+    val lat = timings.toSeq.toDF("batch_id", "n_queries", "stage1_ms", "stage2_ms")
+    val rep = graft.operators.Eval.latencyReportByStage(lat, Seq("stage1_ms", "stage2_ms"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet === Set("stage1_ms", "stage2_ms"))
+    assert(rep.values.forall(_.getDouble(4) > 0)) // p50 positive for both stages
+  }
+
   test("micro-batch ingest assigns postings for the delta only (M1)") {
     val corpus = synthVectors(200).select("id", "vec")
     val heads = Spann.selectHeadsModulo(corpus, 20)
