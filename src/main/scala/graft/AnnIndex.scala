@@ -162,7 +162,11 @@ class AnnIndex private (
     val c = PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
       .select(col("id"), col("codes"))
       .localCheckpoint(true)
-    copy(quantizer = Some(q), storedCodes = Some(c))
+    // a loaded index may carry the PREVIOUS quantizer's codes embedded in
+    // its posting rows — drop them, or the new LUT would score stale codes
+    copy(quantizer = Some(q), storedCodes = Some(c),
+      postings = postings.map(p =>
+        if (p.columns.contains("codes")) p.drop("codes") else p))
   }
 
   /** The quantized corpus `(id, codes)` — the stored table when the quantizer
@@ -257,8 +261,14 @@ class AnnIndex private (
             IndexStore.withBucket(delta0, conf.headBuckets)
           else delta0
         val delta =
-          if (p.columns.contains("codes")) delta1.join(batchCodes.get, Seq("id"))
-          else delta1
+          if (p.columns.contains("codes")) {
+            // coded postings without a restorable quantizer (codebooks
+            // artifact missing) cannot code the delta — fail diagnosably
+            require(batchCodes.isDefined,
+              "postings carry PQ codes but no quantizer is attached/loadable; " +
+                "cannot quantize the added batch")
+            delta1.join(batchCodes.get, Seq("id"))
+          } else delta1
         grown.copy(postings = Some(p.unionByName(delta)))
       case None => grown
     }
@@ -306,15 +316,19 @@ class AnnIndex private (
 
   /** Single-file save (`VectorIndex.h:89` SaveIndexToFile): the folder save
     * zipped into one archive — handed around as one object-store key/file.
+    * Stages through `<file>.staging` on the TARGET's filesystem (executors
+    * write the parquet artifacts there — a driver-local temp dir would be
+    * invisible to them on a multi-node cluster), then removed.
     */
   def saveToFile(file: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_file").toString
+    val staging = s"$file.staging"
+    val p = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      save(tmp)
-      IndexStore.saveToFile(spark, tmp, file)
+      save(staging)
+      IndexStore.saveToFile(spark, staging, file)
     } finally {
-      val p = new org.apache.hadoop.fs.Path(tmp)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      fs.delete(p, true)
       ()
     }
   }
@@ -353,14 +367,14 @@ object AnnIndex {
       storedCodes = l.codes)
   }
 
-  /** Restore from a [[AnnIndex#saveToFile]] single-file archive (extracted
-    * into a fresh scratch dir that lives until JVM exit).
+  /** Restore from a [[AnnIndex#saveToFile]] single-file archive. Extracts
+    * into `<file>.extracted` NEXT TO the archive (same filesystem, so
+    * executors can read the parquet artifacts on a multi-node cluster);
+    * the directory persists — lazy frames read from it — and a re-load
+    * overwrites it in place.
     */
-  def loadFromFile(spark: SparkSession, file: String): AnnIndex = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_load").toString
-    IndexStore.extractFile(spark, file, tmp)
-    load(spark, tmp)
-  }
+  def loadFromFile(spark: SparkSession, file: String): AnnIndex =
+    load(spark, IndexStore.extractFile(spark, file, s"$file.extracted"))
 
   /** Per-vector resident bytes — the reference's sizing unit
     * (`VectorIndex.cpp:786-832`): vector payload + metadata + meta index

@@ -131,19 +131,25 @@ object PQ {
     * (each LUT entry is that very subspace distance), so results are
     * bit-identical — only the hot-loop cost changes (m·dsub → m per pair).
     */
-  def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(cb)
-    val lutUdf = udf((q: Seq[Double]) => bc.value.adcLut(q))
-    val dUdf = udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
+  /** LUT×codes scoring kernel — ONE definition shared by [[adcSearch]] and
+    * SPANN's compressed stage-2 (`Spann.adcStage2`), so a fix to the ADC hot
+    * loop can never apply to one path and not the other.
+    */
+  private[graft] val lutCodesDist: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
       var s = 0; var total = 0.0
       while (s < codes.length) { total += lut(s)(codes(s)); s += 1 }
       total
     })
+
+  def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(cb)
+    val lutUdf = udf((q: Seq[Double]) => bc.value.adcLut(q))
     val withLut = queries
       .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
       .select(col("query_id"), col("_lut"))
     val scored = quantized.crossJoin(broadcast(withLut))
-      .withColumn("dist", dUdf(col("_lut"), col("codes")))
+      .withColumn("dist", lutCodesDist(col("_lut"), col("codes")))
     graft.operators.Knn.explodeRanked(
       scored.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))

@@ -77,12 +77,16 @@ object Eval {
     * per stage (stage order = the given column order).
     */
   def latencyReportByStage(lat: DataFrame, stageCols: Seq[String]): DataFrame = {
-    val stacked = lat.select(explode(array(stageCols.map(s =>
-        struct(lit(s).as("stage"), col(s).cast("double").as("latency_ms"))): _*)).as("e"))
-      .select(col("e.stage").as("stage"), col("e.latency_ms").as("latency_ms"))
+    val stacked = lat.select(explode(array(stageCols.zipWithIndex.map { case (s, i) =>
+        struct(lit(i).as("idx"), lit(s).as("stage"),
+          col(s).cast("double").as("latency_ms"))
+      }: _*)).as("e"))
+      .select(col("e.idx").as("idx"), col("e.stage").as("stage"),
+        col("e.latency_ms").as("latency_ms"))
     val c = col("latency_ms")
-    stacked.groupBy(col("stage"))
+    stacked.groupBy(col("idx"), col("stage"))
       .agg(latencyAggCols(c).head, latencyAggCols(c).tail: _*)
+      .orderBy(col("idx")).drop("idx") // rows in the given column order
   }
 
   /** Head-recall analysis (Q14, `SSDServing/SSDIndex.h:355-490`): for each

@@ -292,17 +292,13 @@ object Spann {
     val bc = spark.sparkContext.broadcast(rcb)
     val lutUdf = udf((q: Seq[Double]) => bc.value.cb.adcLut(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(bc.value.rotate(q))))
-    val dUdf = udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
-      var s = 0; var total = 0.0
-      while (s < codes.length) { total += lut(s)(codes(s)); s += 1 }
-      total
-    })
     val withLut = queries
       .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
       .select(col("query_id"), col("_lut"))
     val hits = cand.join(codedPostings, joinKeys)
       .join(broadcast(withLut), Seq("query_id"))
-      .withColumn("pdist", dUdf(col("_lut"), col("codes")))
+      .withColumn("pdist",
+        graft.functions.PQ.lutCodesDist(col("_lut"), col("codes")))
     Knn.explodeRanked(
       hits.groupBy(col("query_id"))
         .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), k).as("nn")))

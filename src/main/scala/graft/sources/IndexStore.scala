@@ -31,6 +31,10 @@ import graft.functions.PQ
   */
 object IndexStore {
 
+  // fixed archive entry mtime (1980-01-01, the zip epoch floor) so
+  // re-archiving identical content yields identical bytes
+  private val FixedZipTime = 315532800000L
+
   /** `headCount` < 0 = unknown (older saves); a known count lets the loaded
     * index pick its routing level (flat vs two-level) without a count job on
     * the first search.
@@ -251,7 +255,9 @@ object IndexStore {
         .map(p => (rootUri.relativize(srcFs.makeQualified(p).toUri).getPath, p))
         .sortBy(_._1)
         .foreach { case (rel, p) =>
-          out.putNextEntry(new java.util.zip.ZipEntry(rel))
+          val entry = new java.util.zip.ZipEntry(rel)
+          entry.setTime(FixedZipTime) // wall-clock mtimes would break determinism
+          out.putNextEntry(entry)
           val in = srcFs.open(p)
           try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
           finally in.close()
@@ -274,8 +280,10 @@ object IndexStore {
       var e = in.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
-          require(!e.getName.split("/").contains(".."),
-            s"unsafe archive entry ${e.getName}") // zip-slip guard
+          // zip-slip guard: both '..' components and absolute names escape
+          // the scratch root (Path(parent, "/abs") discards the parent)
+          require(!e.getName.split("/").contains("..") && !e.getName.startsWith("/"),
+            s"unsafe archive entry ${e.getName}")
           val out = dstFs.create(new org.apache.hadoop.fs.Path(dstRoot, e.getName), true)
           try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
           finally out.close()

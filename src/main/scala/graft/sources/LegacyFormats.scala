@@ -150,7 +150,8 @@ object LegacyFormats {
           // a corrupt/negative length would pass the remaining-bytes check
           // (k*4 < 0) and silently misnumber every later query
           require(k >= 0, s"negative XVEC truth record length $k in $p")
-          require(bb.remaining() >= k * 4,
+          // long arithmetic: a huge k would overflow k*4 past the check
+          require(bb.remaining() >= k.toLong * 4,
             s"truncated XVEC truth record (k=$k, ${bb.remaining()} bytes left) in $p")
           recs += Array.fill(k)(bb.getInt())
         }

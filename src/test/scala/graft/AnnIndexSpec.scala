@@ -88,6 +88,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/codes").count() === idx.count)
     val after = loaded.searchAdc(q, 5).collect().toSeq
     assert(before.toSet === after.toSet)
+    // re-attaching a NEW quantizer on the loaded index must invalidate the
+    // old quantizer's posting-embedded codes (stale-codes regression): the
+    // retrained loaded index must score exactly like the same retrain on the
+    // in-memory index, not against the archived codes
+    val retrained = loaded.setParameter("InternalK", "8")
+      .trainQuantizer(m = 5, k = 8, maxIter = 2)
+    val freshTrain = idx.trainQuantizer(m = 5, k = 8, maxIter = 2)
+    assert(retrained.searchAdc(q, 5).collect().toSet ===
+      freshTrain.searchAdc(q, 5).collect().toSet)
     // and refine keeps the quantizer attached
     assert(idx.deleteByIds(Seq(1L).toDF("id")).refineIndex().quantizer.isDefined)
   }
