@@ -224,6 +224,21 @@ class AnnIndex private (
     }
   }
 
+  /** Resumable iterative search over the built index (Q6 on the facade —
+    * the reference's `GetIterator`, `SPANNIndex.cpp:305-316`): each
+    * `next(b)` expands the next `headBatch` stage-1 heads and pulls only
+    * their postings; deleted ids never enter the pool. `close()` releases
+    * the retained frames.
+    */
+  def iterate(
+      queries: DataFrame,
+      headBatch: Int,
+      maxBatches: Int = 4): graft.operators.SpannResultIterator = {
+    val (h, p) = requireBuilt()
+    val live = p.join(deleted, Seq("id"), "left_anti")
+    Spann.iterate(queries, h, live, headBatch, headBatch * maxBatches, conf.metric)
+  }
+
   /** Search with metadata hydration. */
   def searchWithMeta(queries: DataFrame, k: Int): DataFrame =
     search(queries, k)

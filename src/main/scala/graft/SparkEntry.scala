@@ -494,7 +494,22 @@ object SparkEntry {
       // materialize the union BEFORE close() releases the retained pool
       try ordered(it.next(K).unionByName(it.next(K))).localCheckpoint(true)
       finally it.close()
-    })
+    }),
+    // eval-set decontamination: every 10th doc plays the benchmark set; each
+    // remaining corpus doc reports what fraction of its distinct 3-gram
+    // shingles appears anywhere in that set — ONE semi-join on the shingle
+    // string, never a doc-pair space (the pre-training leakage check)
+    "q69_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.contamination(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7)))
+    }),
+    // intra-document repetition (duplicate-n-gram quality signals): total /
+    // distinct trigram occurrences, duplicate fraction, top-trigram share —
+    // a two-level aggregation keyed (doc, ngram) then (doc)
+    "q70_repetition" -> ((s, d) =>
+      ordered(TextAnalysis.repetition(Tables.documents(s, d))))
   )
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
@@ -1161,6 +1176,36 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(lbl) = id
          |ORDER BY 1""".stripMargin,
+    // corpus = doc_id%10<>7, eval = %10=7; same shingle chain as q33/q34;
+    // contamination = |doc shingles ∩ eval shingle set| / |doc shingles|
+    "q69_decontaminate" ->
+      s"""WITH $shingleCtes,
+         |csh AS (SELECT * FROM sh WHERE doc_id % 10 <> 7),
+         |esh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 7),
+         |hits AS (SELECT c.doc_id, count(*) AS n_cont
+         |         FROM csh c JOIN esh e ON c.sh = e.sh GROUP BY c.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_shingles,
+         |       coalesce(h.n_cont, 0) AS n_contaminated,
+         |       round(coalesce(h.n_cont, 0)::DOUBLE / s.n_shingles::DOUBLE, 4) AS contamination
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // NON-distinct trigram occurrences (unlike the dedup shingle chain):
+    // total, distinct, duplicate fraction, top single trigram's share
+    "q70_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |        generate_series(1, greatest(len(toks) - 2, 1)),
+         |        i -> array_to_string(toks[i:i+2], ' '))) AS g FROM t),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+         |r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         |        count(*) AS n_distinct, max(c) AS top_count
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_ngrams, n_distinct,
+         |       round(1.0::DOUBLE - n_distinct::DOUBLE / n_ngrams::DOUBLE, 4) AS dup_ratio,
+         |       round(top_count::DOUBLE / n_ngrams::DOUBLE, 4) AS top_ngram_ratio
+         |FROM r
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

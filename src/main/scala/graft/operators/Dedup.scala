@@ -240,6 +240,42 @@ object Dedup {
       groups.where(col(idCol) === col("canon_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Eval-set decontamination check (pre-training hygiene: training docs
+    * that overlap a benchmark/eval set leak the test): for each corpus doc,
+    * the fraction of its DISTINCT n-gram shingles that appear anywhere in
+    * the eval set. Output `(doc_id, n_shingles, n_contaminated,
+    * contamination)`.
+    *
+    * Scale: the eval shingle set is distinct-deduped once; the check is ONE
+    * left-semi equi-join on the shingle string — shuffle ∝ corpus shingles,
+    * never a doc-pair space, and the (typically tiny) eval side broadcasts.
+    */
+  def contamination(
+      docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docSh = shingles(docs, n, idCol, textCol)
+    val evalSh = shingles(evalDocs, n, idCol, textCol).select(col("sh")).distinct()
+    val hits = docSh.join(evalSh, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 4).as("contamination"))
+  }
+
+  /** Terminal decontamination apply: the corpus minus docs whose eval
+    * overlap reaches `maxOverlap` (anti-join on the flagged id set).
+    */
+  def decontaminate(
+      docs: DataFrame, evalDocs: DataFrame, maxOverlap: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      contamination(docs, evalDocs, n, idCol, textCol)
+        .where(col("contamination") >= maxOverlap).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** 16-bit SimHash over the token multiset: bit b is set when
     * Σ_tokens (bit_b(hash60(token)) ? +1 : −1) > 0. Output `(doc_id, simhash)`.
     */

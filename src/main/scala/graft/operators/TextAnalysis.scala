@@ -58,6 +58,36 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Intra-document repetition (the duplicate-n-gram family of quality
+    * signals large-corpus filters use — a heavily repeated page is boiler-
+    * plate/spam): per doc, total n-gram occurrences, distinct n-grams, the
+    * duplicate fraction `1 − distinct/total`, and the single most frequent
+    * n-gram's share of all occurrences. One (doc, ngram) group-count —
+    * shuffle ∝ corpus tokens, no pair space; at 100 TB this is a plain
+    * two-level aggregation.
+    */
+  def repetition(
+      docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col(idCol),
+        col("n_ngrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 4)
+          .as("dup_ratio"),
+        round(col("top_count").cast("double") / col("n_ngrams").cast("double"), 4)
+          .as("top_ngram_ratio"))
+  }
+
   /** Stopword-profile language ID: pick the language with the most stopword
     * hits (ties broken by list order, 'und' when nothing matches).
     */

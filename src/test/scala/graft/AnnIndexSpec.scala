@@ -148,6 +148,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(flat.search(q, 5).count() === 25)
   }
 
+  test("facade iterator: first batch equals search; deletes never surface (Q6)") {
+    val idx = freshIndex.build()
+    val q = synthQueries(3)
+    val it = idx.iterate(q, headBatch = 8, maxBatches = 2)
+    try {
+      val b1 = it.next(5)
+      assert(b1.drop("relaxed_mono").collect().toSet ===
+        idx.search(q, 5).collect().toSet)
+      assert(it.hasNext)
+      // continuation batch is disjoint and flagged
+      val b2 = it.next(5)
+      assert(b2.collect().forall(_.getBoolean(4)))
+      assert(b1.select("query_id", "id").intersect(b2.select("query_id", "id")).isEmpty)
+    } finally it.close()
+    // tombstoned ids never enter the pool
+    val del = idx.deleteByIds(Seq(0L, 2L, 4L).toDF("id"))
+    val it2 = del.iterate(synthQueries(3), headBatch = 8)
+    try assert(!it2.next(5).collect().map(_.getLong(2)).toSet.exists(Set(0L, 2L, 4L)))
+    finally it2.close()
+  }
+
   test("parameters flow through the facade (M6)") {
     val idx = freshIndex.setParameter("InternalK", "16")
     assert(idx.getParameter("SearchInternalResultNum") === "16")

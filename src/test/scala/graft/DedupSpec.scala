@@ -119,6 +119,25 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(0L, 3L))
   }
 
+  test("contamination measures eval overlap; decontaminate drops leaked docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = eval doc → 1.0
+      (2L, "completely unrelated text about databases and spark engines"),
+      (3L, "the quick brown fox runs through entirely different meadows today")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val c = Dedup.contamination(corpus, evalSet)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(c(1L) === 1.0, s"verbatim eval copy must be fully contaminated: $c")
+    assert(c(2L) === 0.0, s"unrelated doc must be clean: $c")
+    assert(c(3L) > 0.0 && c(3L) < 1.0, s"partial overlap must be fractional: $c")
+    // terminal apply: the verbatim copy goes, the clean + partial docs stay
+    assert(Dedup.decontaminate(corpus, evalSet, maxOverlap = 0.8)
+      .select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
   test("embedding near-dup pairs by cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f, 0f)),

@@ -26,6 +26,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "fr", "und"))
   }
 
+  test("repetition scores duplicate n-grams; distinct text scores zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // one trigram repeated
+      (2L, "every word here is used exactly once today")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.repetition(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1: 6 trigram slots, all "spam spam spam" → dup 5/6, top share 1.0
+    assert(r(1L).getLong(1) === 6L && r(1L).getLong(2) === 1L)
+    assert(r(1L).getDouble(3) === 0.8333 && r(1L).getDouble(4) === 1.0)
+    // doc 2: all trigrams distinct → dup 0, top share 1/total
+    assert(r(2L).getDouble(3) === 0.0)
+    assert(r(2L).getLong(1) === r(2L).getLong(2))
+  }
+
   test("BPE-ish token count splits runs and symbols") {
     val docs = Seq((1L, "abc123 def!")).toDF("doc_id", "text")
     // abc | 123 | def | ! → 4
