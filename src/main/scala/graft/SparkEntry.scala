@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BalancedKMeans, Dedup, Eval, Knn, MultiIndex, Multimodal, Mutations, SimilaritySearch, Spann, TextAnalysis}
+import graft.operators.{BalancedKMeans, Dedup, Eval, Knn, MultiIndex, Multimodal, Mutations, Pipeline, SimilaritySearch, Spann, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -509,7 +509,19 @@ object SparkEntry {
     // distinct trigram occurrences, duplicate fraction, top-trigram share —
     // a two-level aggregation keyed (doc, ngram) then (doc)
     "q70_repetition" -> ((s, d) =>
-      ordered(TextAnalysis.repetition(Tables.documents(s, d))))
+      ordered(TextAnalysis.repetition(Tables.documents(s, d)))),
+    // the FULL curation pipeline in one oracle-gated composition: quality
+    // floor → exact dedup keep-canonical → MinHash near-dup keep-canonical →
+    // eval decontamination — the end-to-end hygiene pass a pre-training
+    // corpus runs; emits the surviving doc ids
+    "q71_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Pipeline.curate(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7),
+        minQuality = 0.36, jaccardThreshold = 0.3, maxOverlap = 0.3)
+        .select(col("doc_id")))
+    })
   )
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
@@ -1206,6 +1218,7 @@ object SparkEntry {
          |       round(top_count::DOUBLE / n_ngrams::DOUBLE, 4) AS top_ngram_ratio
          |FROM r
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "q71_curate" -> curateOracleSql,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1475,22 +1488,69 @@ object SparkEntry {
        |bands AS (SELECT id, b AS band, (code >> (b * 2)) & 3 AS bv
        |          FROM codes, generate_series(0, 3) g(b))""".stripMargin
 
-  /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`. */
-  private def shingleCtes: String =
-    s"""t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM documents),
+  /** q71 oracle — the curation pipeline stage for stage: quality floor
+    * (q30's score expression), exact dedup keep-canonical (q32's chain),
+    * the q33 MinHash chain + q60 reachability walk over the exact-deduped
+    * survivors `d2`, then the q69 contamination check over the near-dup
+    * survivors `d3` against the eval split. Thresholds mirror the Spark
+    * entry (0.36 / 0.3 / 0.3).
+    */
+  private def curateOracleSql: String = {
+    val h60 = graft.functions.Hash60.sql("text")
+    s"""WITH RECURSIVE
+       |corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |dq AS (SELECT * FROM corp WHERE ${TextAnalysis.Sql.qualityExpr} >= 0.36),
+       |exh AS (SELECT doc_id, $h60 AS h FROM dq),
+       |exc AS (SELECT h, min(doc_id) AS canon FROM exh GROUP BY h),
+       |d2 AS (SELECT dq.* FROM dq JOIN exh ON dq.doc_id = exh.doc_id
+       |       JOIN exc ON exh.h = exc.h AND dq.doc_id = exc.canon),
+       |${minhashCtesFrom("d2")},
+       |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+       |          WHERE j.jaccard >= 0.3),
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM d2
+       |  UNION
+       |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+       |),
+       |d3 AS (SELECT d2.* FROM d2 JOIN (
+       |         SELECT id FROM walk GROUP BY id HAVING min(lbl) = id) kk
+       |       ON d2.doc_id = kk.id),
+       |et AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks
+       |       FROM documents WHERE doc_id % 10 = 7),
+       |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(toks) - 2, 1)),
+       |          i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM et),
+       |csh AS (SELECT s.doc_id, s.sh FROM sh s JOIN d3 ON s.doc_id = d3.doc_id),
+       |hits AS (SELECT c.doc_id, count(*) AS n_cont FROM csh c
+       |         WHERE c.sh IN (SELECT sh FROM esh) GROUP BY c.doc_id),
+       |sizes2 AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id)
+       |SELECT s.doc_id FROM sizes2 s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |WHERE round(coalesce(h.n_cont, 0)::DOUBLE / s.n_shingles::DOUBLE, 4) < 0.3
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`,
+    * over any document-shaped relation `src` (q71 runs the chain over the
+    * pipeline's intermediate survivor sets).
+    */
+  private def shingleCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM $src),
        |sh AS (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(len(toks) - 2, 1)),
        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM t))""".stripMargin
 
-  /** Full MinHash+LSH CTE chain (shared by q33/q60): shingles, M31 hashes,
-    * 16 minhashes, 4-row bands, LSH candidates `cand(a,b)`, exact Jaccard
-    * `jac(a,b,jaccard)`.
+  private def shingleCtes: String = shingleCtesFrom("documents")
+
+  /** Full MinHash+LSH CTE chain (shared by q33/q60/q71): shingles, M31
+    * hashes, 16 minhashes, 4-row bands, LSH candidates `cand(a,b)`, exact
+    * Jaccard `jac(a,b,jaccard)` — over any document-shaped relation.
     */
-  private def minhashCtes: String = {
+  private def minhashCtesFrom(src: String): String = {
     val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
     val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")
-    s"""$shingleCtes,
+    s"""${shingleCtesFrom(src)},
        |h32 AS (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
        |mh AS (SELECT doc_id, j,
        |         min(($aArr[j + 1] * h32 + $bArr[j + 1]) % ${Dedup.M31}) AS mh
@@ -1502,6 +1562,8 @@ object SparkEntry {
        |         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
        |$jaccardCtes""".stripMargin
   }
+
+  private def minhashCtes: String = minhashCtesFrom("documents")
 
   /** Jaccard CTEs over `sh`: pair intersections, sizes, `jac(a,b,jaccard)`. */
   private def jaccardCtes: String =

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the full training-data hygiene pipeline a
+  * pre-training corpus runs, composed from the individually-verified
+  * operators in execution order:
+  *
+  *   1. quality filter ([[TextAnalysis.stats]] score ≥ `minQuality`);
+  *   2. exact dedup, keep the canonical (min-id) copy ([[Dedup.exact]]);
+  *   3. near-dup dedup: MinHash+LSH detect → connected components → keep
+  *      one doc per group ([[Dedup.minhashDedup]] → [[Dedup.canonicalGroups]]
+  *      → [[Dedup.applyDedup]]);
+  *   4. eval-set decontamination ([[Dedup.decontaminate]]).
+  *
+  * Scale posture: every stage is a semi/anti-join projection of the previous
+  * survivor set — per-row column math, hash groupBys, and band equi-joins;
+  * the whole pipeline shuffles ∝ corpus size and never materializes a
+  * doc-pair space. Stage order matters and is part of the contract (dedup
+  * canonicals are chosen among QUALITY-PASSING docs; contamination is only
+  * paid for survivors).
+  */
+object Pipeline {
+
+  /** Returns the surviving rows of `docs` (all original columns). Both
+    * frames follow the standard `(doc_id, text, …)` document contract.
+    */
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minQuality: Double,
+      jaccardThreshold: Double,
+      maxOverlap: Double): DataFrame = {
+    // 1. quality floor
+    val passing = TextAnalysis.stats(docs)
+      .where(col("quality") >= minQuality).select(col("doc_id"))
+    val d1 = docs.join(passing, Seq("doc_id"), "left_semi")
+    // 2. exact dedup (canonical = min id among identical quality-passing texts)
+    val exactKept = Dedup.exact(d1)
+      .where(col("doc_id") === col("canon_id")).select(col("doc_id"))
+    val d2 = d1.join(exactKept, Seq("doc_id"), "left_semi")
+    // 3. near-dup dedup over the exact-deduped survivors
+    val d3 = Dedup.applyDedup(d2,
+      Dedup.canonicalGroups(d2, Dedup.minhashDedup(d2, jaccardThreshold)))
+    // 4. eval decontamination of what remains
+    Dedup.decontaminate(d3, evalDocs, maxOverlap)
+  }
+}

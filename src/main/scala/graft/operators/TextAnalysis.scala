@@ -111,6 +111,22 @@ object TextAnalysis {
     def hitCount(toksE: String, words: Seq[String]): String =
       s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+    /** The quality-score expression alone — [[statsSelect]]'s last column,
+      * also the q71 curation oracle's filter predicate.
+      */
+    val qualityExpr: String = {
+      val t = toks("text")
+      val nTok = s"len($t)::DOUBLE"
+      val nUniq = s"len(list_distinct($t))::DOUBLE"
+      val stop = s"${hitCount(t, Stopwords.head._2)}::DOUBLE"
+      val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE"
+      val chars = "length(text)::DOUBLE"
+      s"""round(0.4::DOUBLE * ($nUniq / greatest($nTok, 1.0))
+         |      + 0.3::DOUBLE * ($stop / greatest($nTok, 1.0))
+         |      + 0.2::DOUBLE * least($nTok / 200.0, 1.0)
+         |      + 0.1::DOUBLE * (1.0 - $punct / greatest($chars, 1.0)), 4)""".stripMargin
+    }
+
     val statsSelect: String = {
       val t = toks("text")
       val nTok = s"len($t)::DOUBLE"
@@ -124,10 +140,7 @@ object TextAnalysis {
          |  round($nUniq / greatest($nTok, 1.0), 4) AS uniq_ratio,
          |  round($stop / greatest($nTok, 1.0), 4) AS stop_ratio,
          |  round($punct / greatest($chars, 1.0), 4) AS punct_ratio,
-         |  round(0.4::DOUBLE * ($nUniq / greatest($nTok, 1.0))
-         |      + 0.3::DOUBLE * ($stop / greatest($nTok, 1.0))
-         |      + 0.2::DOUBLE * least($nTok / 200.0, 1.0)
-         |      + 0.1::DOUBLE * (1.0 - $punct / greatest($chars, 1.0)), 4) AS quality""".stripMargin
+         |  $qualityExpr AS quality""".stripMargin
     }
 
     /** DuckDB 1.0 lacks greatest() over structs; the priority-ordered argmax

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Pipeline
+
+/** End-to-end curation pipeline composition (q71's operator): each stage
+  * must remove exactly its kind of offender and nothing else.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate composes quality floor, exact dedup, near-dup dedup, decontamination") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (1L, base), // keeper (canonical of 2 and 3)
+      (2L, base), // exact duplicate → dropped
+      (3L, base + " today"), // near duplicate → dropped
+      (4L, "!!!???!!!"), // tokenless garbage → quality floor drops it
+      (5L, "completely separate eval benchmark question about spark engines"), // leaked eval doc
+      (6L, "an entirely different clean document with plenty of the usual words in it")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "completely separate eval benchmark question about spark engines")
+    ).toDF("doc_id", "text")
+    val kept = Pipeline.curate(corpus, evalSet,
+      minQuality = 0.3, jaccardThreshold = 0.3, maxOverlap = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 6L), s"kept $kept")
+    // an empty eval set only disables decontamination, nothing else
+    val keptNoEval = Pipeline.curate(corpus, evalSet.limit(0),
+      minQuality = 0.3, jaccardThreshold = 0.3, maxOverlap = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNoEval === Set(1L, 5L, 6L), s"kept $keptNoEval")
+  }
+}
