@@ -521,7 +521,11 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 7),
         minQuality = 0.36, jaccardThreshold = 0.3, maxOverlap = 0.3)
         .select(col("doc_id")))
-    })
+    }),
+    // per-source reputation: doc count, DECIMAL-exact mean quality, and the
+    // exact-duplicate rate — the domain-level keep/drop signals
+    "q72_source_stats" -> ((s, d) =>
+      ordered(Pipeline.sourceStats(Tables.documents(s, d))))
   )
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
@@ -1219,6 +1223,21 @@ object SparkEntry {
          |FROM r
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "q71_curate" -> curateOracleSql,
+    "q72_source_stats" -> {
+      val h60 = graft.functions.Hash60.sql("text")
+      s"""WITH q AS (SELECT doc_id, source, ${TextAnalysis.Sql.qualityExpr} AS quality
+         |           FROM documents),
+         |h AS (SELECT doc_id, $h60 AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS canon FROM h GROUP BY h),
+         |d AS (SELECT h.doc_id, CASE WHEN h.doc_id <> c.canon THEN 1 ELSE 0 END AS is_dup
+         |      FROM h JOIN c ON h.h = c.h)
+         |SELECT q.source, count(*) AS n_docs,
+         |       round(CAST(SUM(CAST(q.quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_quality,
+         |       round(sum(d.is_dup)::DOUBLE / count(*), 4) AS dup_rate
+         |FROM q JOIN d ON q.doc_id = d.doc_id
+         |GROUP BY q.source
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

@@ -46,4 +46,29 @@ object Pipeline {
     // 4. eval decontamination of what remains
     Dedup.decontaminate(d3, evalDocs, maxOverlap)
   }
+
+  /** Per-source reputation (domain-level filtering signals — pipelines keep
+    * or drop WHOLE sources on these): doc count, mean quality, and the
+    * exact-duplicate rate (fraction of docs whose canonical copy is another
+    * doc). Quality means go through an exact DECIMAL sum (the scores are
+    * 4-dp-rounded, so the sum is exact and aggregation-order independent).
+    * One groupBy on `source` — at 100 TB, sources are few relative to docs
+    * and the aggregation is map-side partial.
+    */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = TextAnalysis.stats(docs).select(col("doc_id"), col("quality"))
+    val dup = Dedup.exact(docs)
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("canon_id")).cast("int").as("is_dup"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast(DecimalType(18, 4))).cast("double") /
+          count(lit(1)), 4).as("mean_quality"),
+        round(sum(col("is_dup")).cast("double") / count(lit(1)), 4).as("dup_rate"))
+  }
 }

@@ -102,6 +102,29 @@ object StreamingIngest {
         }
       }
 
+  /** [[searchStream]] in the COMPRESSED domain: each trigger's query batch
+    * runs the two-stage ADC search — stage-1 on full-precision heads,
+    * stage-2 scoring the static index's STORED codes via the per-query LUT
+    * ([[graft.operators.Spann.searchTwoStageAdc]]) — the streaming form of
+    * the reference's quantized serving mode.
+    */
+  def searchStreamAdc(
+      queryStream: DataFrame, // streaming (query_id, qvec)
+      heads: DataFrame,
+      codedPostings: DataFrame, // (head_id, id, codes[, head_bucket])
+      rcb: graft.functions.PQ.RotatedCodebooks,
+      k: Int,
+      internalK: Int,
+      emit: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          emit(Spann.searchTwoStageAdc(batch, heads, codedPostings, rcb, k, internalK))
+        }
+      }
+
   /** [[searchStream]] with the reference's stage-split timing
     * (`SSDServing/SSDIndex.h:284-310` prints head-search vs SSD-"Ex"
     * percentiles separately): stage-1 candidates are materialized per

@@ -31,4 +31,24 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptNoEval === Set(1L, 5L, 6L), s"kept $keptNoEval")
   }
+
+  test("sourceStats reports per-source count, mean quality, and dup rate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "srcA"),
+      (2L, "the quick brown fox jumps over the lazy dog", "srcA"), // dup of 1
+      (3L, "a different document for the first source today", "srcA"),
+      (4L, "the only document of the second source", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val r = Pipeline.sourceStats(docs)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("srcA").getLong(1) === 3L && r("srcB").getLong(1) === 1L)
+    // srcA has one non-canonical duplicate of three docs
+    assert(r("srcA").getDouble(3) === 0.3333 && r("srcB").getDouble(3) === 0.0)
+    // mean quality matches the per-doc scores exactly (DECIMAL-summed)
+    val perDoc = graft.operators.TextAnalysis.stats(docs)
+      .collect().map(x => x.getLong(0) -> x.getDouble(6)).toMap
+    val expectA = BigDecimal((perDoc(1L) + perDoc(2L) + perDoc(3L)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("srcA").getDouble(2) === expectA)
+  }
 }

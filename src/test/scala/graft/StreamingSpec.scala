@@ -95,6 +95,40 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSet === batch.toSet)
   }
 
+  test("streaming ADC serving equals the batch compressed two-stage search") {
+    import graft.functions.PQ
+    val corpus = synthVectors(300).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 30)
+    val cb = PQ.train(corpus, dim = 10, m = 2, k = 8, maxIter = 2)
+    val ident = Array.tabulate(10, 10)((i, j) => if (i == j) 1.0 else 0.0)
+    val rcb = PQ.RotatedCodebooks(ident, cb)
+    val coded = Spann.buildPostings(corpus, heads, 2)
+      .select(col("head_id"), col("id"))
+      .join(PQ.quantize(corpus, cb).select(col("id"), col("codes")), Seq("id"))
+      .localCheckpoint(true)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val queries = (0 until 5).map(i => (i.toLong, Seq.fill(10)(i * 40f)))
+    stream.addData(queries)
+
+    val outDir = Files.createTempDirectory("graft_serve_adc").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val writer = StreamingIngest.searchStreamAdc(
+      stream.toDF().toDF("query_id", "qvec"), heads, coded, rcb, 3, 4,
+      res => collected ++= res.select("query_id", "rank", "id", "dist")
+        .as[(Long, Int, Long, Double)].collect())
+      .option("checkpointLocation", s"$outDir/ckpt")
+    val q = writer.start()
+    try q.awaitTermination(60000) finally q.stop()
+
+    val batch = Spann.searchTwoStageAdc(
+      queries.toDF("query_id", "qvec"), heads, coded, rcb, 3, 4)
+      .select("query_id", "rank", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(collected.toSet === batch.toSet)
+  }
+
   test("timed serving splits stage-1 vs stage-2 latency; per-stage report (V4)") {
     val corpus = synthVectors(300).select("id", "vec")
     val heads = Spann.selectHeadsModulo(corpus, 30)
