@@ -157,10 +157,21 @@ class AnnIndex private (
     * `VectorIndex.h:137-153`) — searches read the stored codes; nothing
     * re-quantizes at query time. Codes persist through [[save]].
     */
+  /** Give a frame fresh attribute ids (two fresh Aliases per column): the
+    * codes table is joined against the postings — both descend from the same
+    * `vectors` lineage and would otherwise share expression ids. Defense in
+    * depth for the join's attribute hygiene; the double-save
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND itself is fixed at the save site
+    * (IndexStore.save disables constraint propagation — see there).
+    */
+  private def reId(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${c}_r")).toIndexedSeq: _*)
+      .select(df.columns.map(c => col(s"${c}_r").as(c)).toIndexedSeq: _*)
+
   def withQuantizer(q: graft.functions.PQ.RotatedCodebooks): AnnIndex = {
     import graft.functions.PQ
-    val c = PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
-      .select(col("id"), col("codes"))
+    val c = reId(PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
+      .select(col("id"), col("codes")))
       .localCheckpoint(true)
     // a loaded index may carry the PREVIOUS quantizer's codes embedded in
     // its posting rows — drop them, or the new LUT would score stale codes
@@ -175,8 +186,8 @@ class AnnIndex private (
     */
   private lazy val codesTable: Option[DataFrame] = quantizer.map { q =>
     storedCodes.getOrElse {
-      graft.functions.PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
-        .select(col("id"), col("codes"))
+      reId(graft.functions.PQ.quantizeOpq(vectors.select(col("id"), col("vec")), q)
+        .select(col("id"), col("codes")))
         .localCheckpoint(true)
     }
   }
@@ -192,9 +203,23 @@ class AnnIndex private (
     postings match {
       case Some(p) if p.columns.contains("codes") => Some(p.drop("vec"))
       case Some(p) =>
-        codesTable.map(c => p.drop("vec").join(c, Seq("id")).localCheckpoint(true))
+        // the guard matters for sessions that keep constraint propagation on:
+        // both join sides are checkpointed frames whose origin constraints
+        // can mis-bind across the join (see IndexStore.save)
+        codesTable.map(c => withoutConstraintProp(
+          p.drop("vec").join(c, Seq("id")).localCheckpoint(true)))
       case None => None
     }
+
+  /** Run `body` (a plan-building + EAGER-executing block) with constraint
+    * propagation disabled, restoring the session's prior setting after.
+    */
+  private def withoutConstraintProp[T](body: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** ADC search over the quantized index (Q11 compressed-domain serving):
     * stage-1 head pruning exactly as [[search]], stage-2 scores the PRUNED
@@ -255,8 +280,8 @@ class AnnIndex private (
     // delta-only quantization: the appended batch gets codes against the
     // FIXED codebooks (codebooks describe the space, not the row set)
     val batchCodes = quantizer.map { qz =>
-      graft.functions.PQ.quantizeOpq(batch.select(col("id"), col("vec")), qz)
-        .select(col("id"), col("codes"))
+      reId(graft.functions.PQ.quantizeOpq(batch.select(col("id"), col("vec")), qz)
+        .select(col("id"), col("codes"))) // fresh ids: joined against the delta
     }
     val grownCodes = (storedCodes, batchCodes) match {
       case (Some(c), Some(bc)) => Some(c.unionByName(bc))

@@ -15,6 +15,13 @@ object Verify {
       // posting assignment); the 128-key default would silently degrade
       // ObjectHashAggregate to sort-based over the full crossjoin
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // checkpointed frames carry origin constraints minted from their
+      // pre-checkpoint lineage; constraint propagation over them can push a
+      // stale-attribute filter across later joins and die in task binding
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — results are unaffected by the
+      // rule, so keep it off (IndexStore.save also guards itself for
+      // sessions that leave it on)
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

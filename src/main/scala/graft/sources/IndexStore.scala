@@ -62,6 +62,30 @@ object IndexStore {
       quantizer: Option[PQ.RotatedCodebooks] = None,
       codes: Option[DataFrame] = None): Unit = {
     val spark = heads.sparkSession
+    // Checkpointed frames (postings from build, codes from quantizer attach)
+    // carry origin CONSTRAINTS minted from their pre-checkpoint lineage; on
+    // a repeated save of one index instance the optimizer can push such a
+    // stale-attribute constraint across the posting⋈codes join and the task
+    // fails binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — AnnIndexSpec
+    // double-save regression). Constraint propagation buys nothing for
+    // straight artifact writes — disable it for the save's duration.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val prevCp = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
+    try saveArtifacts(spark, dir, heads, postings, deletes, config, meta, quantizer, codes)
+    finally spark.conf.set(cpKey, prevCp)
+  }
+
+  private def saveArtifacts(
+      spark: SparkSession,
+      dir: String,
+      heads: DataFrame,
+      postings: DataFrame,
+      deletes: Option[DataFrame],
+      config: IndexConfig,
+      meta: Option[DataFrame],
+      quantizer: Option[PQ.RotatedCodebooks],
+      codes: Option[DataFrame]): Unit = {
     heads.write.mode("overwrite").parquet(s"$dir/heads")
     // with a quantizer attached, each posting entry carries its PQ codes
     // IN the bucketed layout — the reference's quantized posting entries
@@ -233,7 +257,9 @@ object IndexStore {
     * one binary): zip a saved index directory into ONE archive, streamed
     * through the scheme-aware Hadoop FS on both ends. Entries are stored
     * uncompressed-level (parquet blocks are already compressed) in sorted
-    * path order, so the archive is byte-deterministic for a given save.
+    * path order with fixed mtimes — archive bytes depend only on the saved
+    * files (the parquet writer's per-job part-file UUIDs still vary between
+    * saves, so two saves of one index are equivalent but not byte-equal).
     */
   def saveToFile(spark: SparkSession, dir: String, file: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

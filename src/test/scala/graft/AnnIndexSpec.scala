@@ -101,6 +101,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.deleteByIds(Seq(1L).toDF("id")).refineIndex().quantizer.isDefined)
   }
 
+  test("a quantized index saves twice from one instance (constraint regression)") {
+    // checkpointed postings/codes carry origin constraints from their
+    // pre-checkpoint lineage; the SECOND save of one instance used to die in
+    // task binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the optimizer
+    // pushed a stale-attribute constraint across the posting⋈codes join —
+    // IndexStore.save now disables constraint propagation for its writes
+    val dir = Files.createTempDirectory("graft_annidx_resave").toString
+    val idx = freshIndex.build().trainQuantizer(m = 2, k = 8, maxIter = 1)
+    idx.save(s"$dir/a")
+    idx.save(s"$dir/b")
+    val q = synthQueries(3)
+    assert(AnnIndex.load(spark, s"$dir/b").searchAdc(q, 5).collect().toSet ===
+      idx.searchAdc(q, 5).collect().toSet)
+  }
+
   test("single-file save/load roundtrip; memory estimator arithmetic (S6)") {
     val dir = Files.createTempDirectory("graft_annidx_file").toString
     val idx = freshIndex.build().trainQuantizer(m = 2, k = 8, maxIter = 2)
@@ -112,6 +127,11 @@ class AnnIndexSpec extends SparkSpec {
     val q = synthQueries(3)
     assert(idx.search(q, 5).collect().toSet === loaded.search(q, 5).collect().toSet)
     assert(idx.searchAdc(q, 5).collect().toSet === loaded.searchAdc(q, 5).collect().toSet)
+    // a SECOND archive from the same instance (the parquet writer's part
+    // UUIDs differ, so bytes aren't identical) loads and serves identically
+    idx.saveToFile(s"$dir/index2.graft")
+    assert(AnnIndex.loadFromFile(spark, s"$dir/index2.graft")
+      .search(q, 5).collect().toSet === idx.search(q, 5).collect().toSet)
     // estimator: usage covers at least the raw vector payload, and
     // count(usage(n)) inverts exactly at block size 1
     val usage = AnnIndex.estimatedMemoryUsage(1000, 10)

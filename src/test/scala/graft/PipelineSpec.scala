@@ -32,6 +32,21 @@ class PipelineSpec extends SparkSpec {
     assert(keptNoEval === Set(1L, 5L, 6L), s"kept $keptNoEval")
   }
 
+  test("contamination is bounded and monotone in the eval set") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val evalSmall = docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+    val evalBig = docs.where(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val small = graft.operators.Dedup.contamination(corpus, evalSmall)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val big = graft.operators.Dedup.contamination(corpus, evalBig)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(small.values.forall(c => c >= 0.0 && c <= 1.0))
+    // a SUPERSET eval set can only raise (never lower) any doc's overlap
+    assert(small.forall { case (id, c) => big(id) >= c - 1e-9 },
+      "contamination decreased under a larger eval set")
+  }
+
   test("sourceStats reports per-source count, mean quality, and dup rate") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "srcA"),
