@@ -525,8 +525,39 @@ object SparkEntry {
     // per-source reputation: doc count, DECIMAL-exact mean quality, and the
     // exact-duplicate rate — the domain-level keep/drop signals
     "q72_source_stats" -> ((s, d) =>
-      ordered(Pipeline.sourceStats(Tables.documents(s, d))))
+      ordered(Pipeline.sourceStats(Tables.documents(s, d)))),
+    // PII / deny-list scrubbing: the default PII regexes (which this clean
+    // synthetic corpus must count at ZERO — a real assertion, not a no-op)
+    // plus a deny-list that does fire, so counts and the redacted text are
+    // both non-trivially oracle-hashed
+    "q73_pii_scrub" -> ((s, d) =>
+      ordered(TextAnalysis.scrub(Tables.documents(s, d), ScrubPatterns))),
+    // domain-mixture sampling: deterministic per-id hash draws against
+    // per-source target weights — the corpus-assembly downweighting step
+    "q74_mixture_sample" -> ((s, d) =>
+      ordered(Pipeline.mixtureSample(
+        Tables.documents(s, d), MixWeights, MixDefault, MixSalt)
+        .select(col("doc_id"), col("source")))),
+    // sequence packing (concat-and-chunk): per hash-bucket token streams cut
+    // every 256 tokens; each doc reports its pack and offset
+    "q75_pack_sequences" -> ((s, d) =>
+      ordered(Pipeline.packSequences(Tables.documents(s, d), PackBudget, PackBuckets))),
+    // corpus-level boilerplate detection: trigram document frequency over
+    // distinct-per-doc shingles, shingles in >= 5 docs with corpus share
+    "q76_boilerplate" -> ((s, d) =>
+      ordered(TextAnalysis.boilerplate(Tables.documents(s, d), n = 3, minDf = 5L)))
   )
+
+  // ---- q73/q74/q75 pipeline constants (mirrored verbatim in the oracles) ----
+  private val ScrubPatterns: Seq[(String, String)] =
+    TextAnalysis.PiiPatterns ++ Seq(
+      "term_customer" -> "\\bcustomer\\b",
+      "term_vector" -> "\\bvector\\b")
+  private val MixWeights = Seq("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75)
+  private val MixDefault = 0.9
+  private val MixSalt = "r7"
+  private val PackBudget = 256L
+  private val PackBuckets = 8
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1238,6 +1269,40 @@ object SparkEntry {
          |GROUP BY q.source
          |ORDER BY 1, 2, 3, 4""".stripMargin
     },
+    // same projection as TextAnalysis.scrub over the shared dual-dialect
+    // regex list (counts on the original text; replacements in list order)
+    "q73_pii_scrub" ->
+      s"""SELECT ${TextAnalysis.Sql.scrubSelect(ScrubPatterns)}
+         |FROM documents ORDER BY 1""".stripMargin,
+    // the hash-draw keep predicate, verbatim
+    "q74_mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${Pipeline.mixtureSampleSql(MixWeights, MixDefault, MixSalt)}
+         |ORDER BY 1, 2""".stripMargin,
+    // per-bucket running token totals; integer window sums are exact in
+    // both engines, so pack boundaries hash-match
+    "q75_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackBuckets AS bucket,
+         |        len(${TextAnalysis.Sql.toks("text")})::BIGINT AS n_tokens
+         |      FROM documents),
+         |w AS (SELECT doc_id, bucket, n_tokens,
+         |        (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         - n_tokens)::BIGINT AS start_off
+         |      FROM t)
+         |SELECT doc_id, bucket, n_tokens,
+         |       CAST(floor(start_off::DOUBLE / $PackBudget.0) AS BIGINT) AS pack_id,
+         |       (start_off % $PackBudget)::BIGINT AS pack_off
+         |FROM w ORDER BY 1""".stripMargin,
+    // distinct-per-doc shingle chain shared with q33/q69; df >= 5
+    "q76_boilerplate" ->
+      s"""WITH $shingleCtes,
+         |freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh
+         |         HAVING count(*) >= 5),
+         |tot AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT f.sh, f.df,
+         |       round(f.df::DOUBLE / tot.n_docs::DOUBLE, 4) AS doc_share
+         |FROM freq f CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

@@ -47,6 +47,67 @@ object Pipeline {
     Dedup.decontaminate(d3, evalDocs, maxOverlap)
   }
 
+  /** Domain-mixture sampling — the corpus-assembly step that downweights
+    * over-represented sources to hit a target mixture. Keeps a doc iff its
+    * deterministic uniform draw `u = hash60(doc_id:salt) mod 10000` falls
+    * under `weight(source)·10000`; unlisted sources use `defaultWeight`.
+    * The draw is a pure per-row hash of the id (NOT the text), so re-runs
+    * and engine mirrors agree exactly, and changing `salt` re-draws without
+    * correlation to the previous sample. No shuffle — a filter at scan
+    * speed; expected kept fraction per source = its weight.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0,
+      salt: String = "mix",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val u = graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
+    val w = weights.reverse.foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    docs.where(u.cast("double") < w * lit(10000.0))
+  }
+
+  /** DuckDB predicate mirroring [[mixtureSample]]'s keep condition. */
+  def mixtureSampleSql(
+      weights: Seq[(String, Double)],
+      defaultWeight: Double,
+      salt: String): String = {
+    val u = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'") + " % 10000"
+    val cases = weights.map { case (src, wt) =>
+      s"WHEN source = '$src' THEN ${wt}" }.mkString(" ")
+    s"($u)::DOUBLE < (CASE $cases ELSE $defaultWeight END) * 10000.0"
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are laid end-to-end in
+    * id order and cut every `budgetTokens` tokens — each doc reports the
+    * pack its first token lands in and its offset inside that pack. Docs
+    * are first hash-bucketed (`doc_id mod buckets`) and packed per bucket,
+    * so the cumulative sum is a window over each bucket, not one global
+    * single-partition window — the layout a 1000-executor job needs; each
+    * bucket is an independent token stream. Output: `(doc_id, bucket,
+    * n_tokens, pack_id, pack_off)`.
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Long = 256L,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("bucket"), col("n_tokens"),
+        floor(col("start_off") / lit(budgetTokens.toDouble)).cast("long").as("pack_id"),
+        (col("start_off") % lit(budgetTokens)).as("pack_off"))
+  }
+
   /** Per-source reputation (domain-level filtering signals — pipelines keep
     * or drop WHOLE sources on these): doc count, mean quality, and the
     * exact-duplicate rate (fraction of docs whose canonical copy is another

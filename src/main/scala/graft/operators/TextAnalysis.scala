@@ -103,6 +103,57 @@ object TextAnalysis {
         .otherwise(lit("und")).as("pred_lang"))
   }
 
+  /** Default PII patterns for [[scrub]] — each `(name, regex)` valid in BOTH
+    * Java regex (Spark) and RE2 (DuckDB): no backrefs/lookaround, inline
+    * `(?i)` for case-insensitivity. The usual pre-training scrub targets:
+    * emails, NANP-style phone numbers, dotted-quad IPs, SSN-shaped ids.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** PII / deny-list scrubbing: per doc, one match count per pattern
+    * (`n_<name>`, counted on the ORIGINAL text), the total (`n_scrubbed`),
+    * and the redacted text (`scrubbed`) with each pattern's matches replaced
+    * by `<NAME>`, patterns applied in list order. Pure per-row regex column
+    * math — no shuffle, runs at scan speed at any corpus size; the regexes
+    * are the dual-dialect set in [[PiiPatterns]] (or any caller-supplied
+    * deny-list obeying the same Java∩RE2 contract so the oracle can mirror
+    * them verbatim).
+    */
+  def scrub(docs: DataFrame, patterns: Seq[(String, String)] = PiiPatterns,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val countExprs = patterns.map { case (_, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))) }
+    val counts = countExprs.zip(patterns).map { case (e, (name, _)) =>
+      e.as(s"n_$name") }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (name, re)) =>
+      regexp_replace(c, lit(re), lit(s"<${name.toUpperCase}>")) }
+    docs.select(col(idCol) +: counts :+
+      countExprs.reduce(_ + _).as("n_scrubbed") :+ redacted.as("scrubbed"): _*)
+  }
+
+  /** Corpus-level boilerplate detection: distinct n-gram shingles per doc →
+    * document frequency per shingle → shingles appearing in ≥ `minDf` docs,
+    * with their share of the corpus. The repeated-fragment signal web
+    * pipelines use to strip navigation chrome / license banners. One
+    * hash-groupBy on the shingle (shuffle ∝ corpus tokens) plus a broadcast
+    * one-row cross join for the denominator — no pair space, safe at 100 TB.
+    */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDf: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val df = Dedup.shingles(docs, n, idCol, textCol)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(total))
+      .select(col("sh"), col("df"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 4)
+          .as("doc_share"))
+  }
+
   /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
   object Sql {
     def toks(e: String): String =
@@ -110,6 +161,20 @@ object TextAnalysis {
 
     def hitCount(toksE: String, words: Seq[String]): String =
       s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+    /** Mirror of [[TextAnalysis.scrub]]'s projection (regexes must be in the
+      * Java∩RE2 dialect and contain no single quotes).
+      */
+    def scrubSelect(patterns: Seq[(String, String)]): String = {
+      val counts = patterns.map { case (name, re) =>
+        s"len(regexp_extract_all(text, '$re')) AS n_$name" }
+      val total = patterns.map { case (_, re) =>
+        s"len(regexp_extract_all(text, '$re'))" }.mkString(" + ")
+      val redacted = patterns.foldLeft("text") { case (e, (name, re)) =>
+        s"regexp_replace($e, '$re', '<${name.toUpperCase}>', 'g')" }
+      (s"doc_id" +: counts :+ s"$total AS n_scrubbed" :+ s"$redacted AS scrubbed")
+        .mkString(",\n  ")
+    }
 
     /** The quality-score expression alone — [[statsSelect]]'s last column,
       * also the q71 curation oracle's filter predicate.

@@ -66,4 +66,55 @@ class PipelineSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r("srcA").getDouble(2) === expectA)
   }
+
+  test("mixtureSample keeps each source near its target weight, deterministically") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(4000).select(
+      col("id").as("doc_id"), lit("text").as("text"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"))
+    val weights = Seq("s0" -> 0.1, "s1" -> 0.5, "s2" -> 1.0)
+    val kept = Pipeline.mixtureSample(docs, weights, defaultWeight = 0.9)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 draws per source; the hash draw should land within ±6% absolute
+    assert(math.abs(kept.getOrElse("s0", 0L) - 100L) <= 60, s"s0=${kept.get("s0")}")
+    assert(math.abs(kept("s1") - 500L) <= 60, s"s1=${kept("s1")}")
+    assert(kept("s2") === 1000L, "weight 1.0 must keep everything")
+    assert(math.abs(kept("s3") - 900L) <= 60, s"s3=${kept("s3")}")
+    // deterministic: the same salt re-selects the identical doc set
+    val a = Pipeline.mixtureSample(docs, weights).select("doc_id").collect().toSet
+    val b = Pipeline.mixtureSample(docs, weights).select("doc_id").collect().toSet
+    assert(a === b)
+    // a different salt draws a genuinely different sample
+    val c = Pipeline.mixtureSample(docs, weights, salt = "other")
+      .select("doc_id").collect().toSet
+    assert(a !== c)
+  }
+
+  test("packSequences cuts per-bucket token streams at the budget") {
+    import org.apache.spark.sql.functions._
+    // 40 docs of 10 tokens each, ONE bucket, budget 64: packs of 6.4 docs
+    val docs = spark.range(40).select(col("id").as("doc_id"),
+      lit(Seq.fill(10)("tok").mkString(" ")).as("text"))
+    val r = Pipeline.packSequences(docs, budgetTokens = 64L, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getLong(1) === 0L), "one bucket expected")
+    assert(r.forall(x => x.getLong(4) >= 0 && x.getLong(4) < 64),
+      "pack offsets must sit inside the budget")
+    // pack ids are non-decreasing in id order and start at 0
+    val packs = r.map(_.getLong(3)).toSeq
+    assert(packs.head === 0L && packs.zip(packs.tail).forall { case (p, n) => n >= p })
+    // total tokens 400 → first token of the last doc is at offset 390 → pack 6
+    assert(packs.last === (390 / 64).toLong)
+    // multi-bucket: each bucket's stream packs independently from offset 0
+    val multi = Pipeline.packSequences(docs, budgetTokens = 64L, buckets = 4)
+      .collect()
+    val byBucket = multi.groupBy(_.getLong(1))
+    assert(byBucket.keySet === Set(0L, 1L, 2L, 3L))
+    byBucket.values.foreach { rows =>
+      val first = rows.minBy(_.getLong(0))
+      assert(first.getLong(3) === 0L && first.getLong(4) === 0L,
+        "every bucket stream must start at pack 0 offset 0")
+    }
+  }
 }

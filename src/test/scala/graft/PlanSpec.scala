@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
       "q56_opq_adc",          // |Q|=50 queries, broadcast
       "q58_balanced_partition", // 8 centers, broadcast
       "q62_kmeans_heads",     // 8 centers, broadcast (fit + assign)
-      "q64_pq_sdc")           // 20 quantized queries, broadcast
+      "q64_pq_sdc",           // 20 quantized queries, broadcast
+      "q76_boilerplate")      // ONE-row corpus-count scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -46,4 +46,50 @@ class TextAnalysisSpec extends SparkSpec {
     // abc | 123 | def | ! → 4
     assert(TextAnalysis.stats(docs).head().getInt(2) === 4)
   }
+
+  test("scrub redacts the default PII shapes and counts per pattern") {
+    val docs = Seq(
+      (1L, "mail Bob.Smith+x@Example.COM or call 555-867-5309 now"),
+      (2L, "server at 10.0.254.3 holds ssn 123-45-6789 twice: 123-45-6789"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // columns: doc_id, n_email, n_phone, n_ipv4, n_ssn, n_scrubbed, scrubbed
+    assert(r(1L).getInt(1) === 1 && r(1L).getInt(2) === 1)
+    assert(r(1L).getString(6) === "mail <EMAIL> or call <PHONE> now")
+    assert(r(2L).getInt(3) === 1 && r(2L).getInt(4) === 2 && r(2L).getInt(5) === 3)
+    assert(r(2L).getString(6) === "server at <IPV4> holds ssn <SSN> twice: <SSN>")
+    assert(r(3L).getInt(5) === 0 && r(3L).getString(6) === "nothing sensitive here at all")
+  }
+
+  test("scrub applies caller deny-lists in order, counting on the original text") {
+    val docs = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(docs, Seq(
+      "a" -> "\\balpha\\b",
+      // fires on the ORIGINAL 'beta' even though pattern 'a' rewrote nothing
+      // near it; counts are original-text counts by contract
+      "b" -> "\\bbeta\\b")).head()
+    assert(r.getInt(1) === 2 && r.getInt(2) === 1 && r.getInt(3) === 3)
+    assert(r.getString(4) === "<A> <B> <A> gamma")
+  }
+
+  test("boilerplate reports shingle document frequency above the floor") {
+    val docs = Seq(
+      (1L, "all rights reserved copyright two thousand"),
+      (2L, "all rights reserved by somebody else"),
+      (3L, "all rights reserved for this test"),
+      (4L, "a totally original document body")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.boilerplate(docs, n = 3, minDf = 3L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "all rights reserved")
+    assert(rows.head.getLong(1) === 3L)
+    assert(rows.head.getDouble(2) === 0.75)
+    // repeated shingles WITHIN one doc count that doc once (distinct-per-doc)
+    val rep = Seq((1L, "x y z x y z"), (2L, "x y z w")).toDF("doc_id", "text")
+    val m = TextAnalysis.boilerplate(rep, n = 3, minDf = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("x y z") === 2L)
+  }
 }
