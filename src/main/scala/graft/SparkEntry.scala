@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BalancedKMeans, Dedup, Eval, Knn, MultiIndex, Multimodal, Mutations, Pipeline, SimilaritySearch, Spann, TextAnalysis}
+import graft.operators.{BalancedKMeans, Dedup, Eval, KdTree, Knn, MultiIndex, Multimodal, Mutations, Pipeline, SimilaritySearch, Spann, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -545,8 +545,36 @@ object SparkEntry {
     // corpus-level boilerplate detection: trigram document frequency over
     // distinct-per-doc shingles, shingles in >= 5 docs with corpus share
     "q76_boilerplate" -> ((s, d) =>
-      ordered(TextAnalysis.boilerplate(Tables.documents(s, d), n = 3, minDf = 5L)))
+      ordered(TextAnalysis.boilerplate(Tables.documents(s, d), n = 3, minDf = 5L))),
+    // B5 KD-tree build: level-synchronous variance splits over the
+    // integer-scaled corpus (depth 3 → 8 leaves); emits each point's leaf.
+    // Oracle = 3 unrolled levels of per-node stats CTEs (the q62 trick on
+    // the variance proxy n·Σx²−(Σx)²)
+    "q77_kdtree_build" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val (_, assign) = KdTree.build(corpus, dim = 6, depth = KdDepth)
+      ordered(assign.select(col("id"), col("leaf")))
+    }),
+    // KD-tree routed search (tree-only descent, no backtracking): queries
+    // ride the same split table to their leaf; exact top-k inside the leaf
+    "q78_kdtree_search" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val (splits, assign) = KdTree.build(corpus, dim = 6, depth = KdDepth)
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      // dist stays UNROUNDED: the scaled-integer l2sq is float-exact, so the
+      // one /1e6 division is bit-identical in both engines — while round(,4)
+      // can disagree on exact .5 boundaries (Spark rounds the shortest
+      // decimal repr, DuckDB the binary double)
+      ordered(KdTree.searchLeaf(queries, splits, assign, KdDepth, K)
+        .select(col("query_id"), col("rank"), col("id"),
+          (col("dist") / 1e6).as("dist")))
+    })
   )
+
+  private val KdDepth = 3
 
   // ---- q73/q74/q75 pipeline constants (mirrored verbatim in the oracles) ----
   private val ScrubPatterns: Seq[(String, String)] =
@@ -1303,6 +1331,10 @@ object SparkEntry {
          |SELECT f.sh, f.df,
          |       round(f.df::DOUBLE / tot.n_docs::DOUBLE, 4) AS doc_share
          |FROM freq f CROSS JOIN tot ORDER BY 1, 2, 3""".stripMargin,
+    "q77_kdtree_build" ->
+      s"""WITH ${kdtreeCtes(KdDepth)}
+         |SELECT id, node AS leaf FROM a$KdDepth ORDER BY 1, 2""".stripMargin,
+    "q78_kdtree_search" -> kdtreeSearchOracleSql,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1612,6 +1644,67 @@ object SparkEntry {
        |SELECT s.doc_id FROM sizes2 s LEFT JOIN hits h ON s.doc_id = h.doc_id
        |WHERE round(coalesce(h.n_cont, 0)::DOUBLE / s.n_shingles::DOUBLE, 4) < 0.3
        |ORDER BY 1""".stripMargin
+  }
+
+  /** q77/q78 oracle chain: `depth` unrolled KD-tree levels over the
+    * integer-scaled corpus. Per level l: `s{l}` = per-node count + per-dim
+    * Σx/Σx² (exact — integer-valued doubles), `d{l}` = split dim via the
+    * first-max cascade on the variance proxy `n·Σx²−(Σx)²` (ties → lowest
+    * dim, exactly [[KdTree.build]]'s (−proxy, dim) sort) + split value
+    * `Σx/n`, `a{l+1}` = child re-assignment. Mirrors `KdTree.build` rounding
+    * for rounding.
+    */
+  private def kdtreeCtes(depth: Int): String = {
+    val dims = 1 to 6
+    def proxy(d: Int) = s"(n*q$d - s$d*s$d)"
+    val levels = (0 until depth).map { l =>
+      val statCols = dims.map(d =>
+        s"sum(vec[$d]) AS s$d, sum(vec[$d]*vec[$d]) AS q$d").mkString(", ")
+      val cascade = dims.init.map { d =>
+        val conds = dims.filter(_ > d).map(o => s"${proxy(d)} >= ${proxy(o)}")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $d"
+      }.mkString(" ") + s" ELSE ${dims.last}"
+      val svCase = dims.map(d => s"WHEN $d THEN s$d/n").mkString(" ")
+      s"""s$l AS (SELECT node, count(*)::DOUBLE AS n, $statCols
+         |        FROM a$l GROUP BY node),
+         |d$l AS (SELECT node, split_dim, CASE split_dim $svCase END AS split_val
+         |        FROM (SELECT *, CASE $cascade END AS split_dim FROM s$l)),
+         |a${l + 1} AS (SELECT a.id, a.vec,
+         |        a.node*2 + CASE WHEN list_extract(a.vec, d.split_dim) <= d.split_val
+         |                        THEN 0 ELSE 1 END AS node
+         |        FROM a$l a JOIN d$l d ON a.node = d.node)""".stripMargin
+    }
+    val scaleSql = "list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    s"""v0 AS (${Tables.lineitemVecSql}),
+       |a0 AS (SELECT id, $scaleSql AS vec, 1::BIGINT AS node FROM v0),
+       |${levels.mkString(",\n")}""".stripMargin
+  }
+
+  /** q78: route the scaled query vectors down the same `d{l}` split tables,
+    * then exact leaf-local top-k (row_number over (dist, id), the q62 shape).
+    */
+  private def kdtreeSearchOracleSql: String = {
+    val routes = (0 until KdDepth).map { l =>
+      s"""k${l + 1} AS (SELECT k.query_id, k.qvec,
+         |        k.node*2 + CASE WHEN list_extract(k.qvec, d.split_dim) <= d.split_val
+         |                        THEN 0 ELSE 1 END AS node
+         |        FROM k$l k JOIN d$l d ON k.node = d.node)""".stripMargin
+    }
+    val scaleQ = "list_transform(qvec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    s"""WITH ${kdtreeCtes(KdDepth)},
+       |qv AS (SELECT query_id, $scaleQ AS qvec
+       |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |k0 AS (SELECT query_id, qvec, 1::BIGINT AS node FROM qv),
+       |${routes.mkString(",\n")},
+       |cand AS (SELECT k.query_id, a.id,
+       |           ${Tables.distSql("l2sq", "k.qvec", "a.vec")} AS dist
+       |         FROM k$KdDepth k JOIN a$KdDepth a ON a.node = k.node),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM cand)
+       |SELECT query_id, rank, id, dist / 1000000.0 AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
   }
 
   /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`,

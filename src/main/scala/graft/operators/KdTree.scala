@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** B5: KD-tree build + tree-routed search, Spark-first.
+  *
+  * The reference builds per-tree recursion node-by-node: per node it computes
+  * each dimension's mean and variance over the node's points, splits on a
+  * top-variance dimension at that dimension's mean, and recurses
+  * (`Common/KDTree.h:275-301` DivideTree, `:303-367` ChooseDivision,
+  * `:369-399` SelectDivisionDimension — the reference picks RANDOMLY among
+  * the top-5 variance dims; here `dimRank` makes that choice deterministic:
+  * rank 0 = the max-variance dim, rank t = the (t+1)-th — multi-tree forests
+  * build one tree per rank).
+  *
+  * Spark-native shape: the recursion is level-synchronous — ONE groupBy per
+  * level computes every node's per-dimension count/sum/sum-of-squares in a
+  * single map-side-partial aggregation (all 2^l nodes at once), and the
+  * level's split table (≤ 2^l rows) broadcasts back to re-key each point to
+  * its child node. `depth` levels = `depth` n-row aggregations — no
+  * per-node jobs, no driver recursion; at 100 TB each level is one scan.
+  *
+  * Numeric contract (oracle-hashable like the k-means/PQ chain): on
+  * integer-valued vectors every sum/sum-of-squares is float-exact and
+  * order-independent, the variance PROXY `n·Σx² − (Σx)²` (= n²·var) is one
+  * deterministic rounding per term, and the split value `Σx/n` is a single
+  * division — so split choices and assignments are bit-identical in any
+  * engine that aggregates doubles.
+  *
+  * Node ids: root 1, children of n are 2n / 2n+1 (left = value ≤ split);
+  * the leaves of a depth-D tree are ids in [2^D, 2^{D+1}).
+  */
+object KdTree {
+
+  import org.apache.spark.sql.Column
+
+  /** `2·node + (vec[dim] ≤ val ? 0 : 1)` — the child re-assignment. */
+  private def childNode(
+      node: Column,
+      split: (Column, Column),
+      vecCol: String = "vec"): Column =
+    (node * 2 + when(
+      element_at(col(vecCol), split._1).cast("double") <= split._2, 0L)
+      .otherwise(1L)).as("node")
+
+  /** The root level's single split row, as literal columns. */
+  private def rootSplit(splits: DataFrame): (Column, Column) = {
+    val r = splits.head()
+    (lit(r.getAs[Int]("split_dim")), lit(r.getAs[Double]("split_val")))
+  }
+
+  /** Per-level split selection + assignment. Returns
+    * `(splits, assign)`: `splits(node, split_dim, split_val)` for every
+    * internal node (split_dim is 1-based), and `assign(id, vec, leaf)` with
+    * each point's depth-D leaf. Each level's tiny split table is eagerly
+    * checkpointed so level l+1's aggregation does not recompute level l's.
+    */
+  def build(
+      corpus: DataFrame,
+      dim: Int,
+      depth: Int,
+      dimRank: Int = 0): (DataFrame, DataFrame) = {
+    require(depth >= 1, s"depth $depth must be >= 1")
+    require(dimRank >= 0 && dimRank < dim, s"dimRank $dimRank outside [0, $dim)")
+    val dims = 1 to dim
+    var assigned = corpus.select(
+      col("id"), col("vec"), lit(1L).as("node"))
+    var splitLevels = Vector.empty[DataFrame]
+    for (level <- 0 until depth) {
+      val x = (d: Int) => element_at(col("vec"), d).cast("double")
+      val stats = assigned.groupBy(col("node")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dims.flatMap(d => Seq(
+          sum(x(d)).as(s"s$d"),
+          sum(x(d) * x(d)).as(s"q$d"))): _*)
+      // variance proxy n·Σx²−(Σx)² per dim; pick the dimRank-th largest
+      // (ties → lowest dim: sort key (−proxy, dim) ascending)
+      val ranked = array_sort(array(dims.map(d => struct(
+        (-(col("n") * col(s"q$d") - col(s"s$d") * col(s"s$d"))).as("np"),
+        lit(d).as("d"))): _*))
+      val splits = stats
+        .withColumn("split_dim", element_at(ranked, dimRank + 1).getField("d"))
+        .select(col("node"), col("split_dim"),
+          element_at(array(dims.map(d => col(s"s$d") / col("n")): _*),
+            col("split_dim")).as("split_val"))
+        .localCheckpoint(true)
+      splitLevels :+= splits
+      // level 0 has exactly one split (the root): apply it as literals —
+      // joining on the constant node key would fold into a nested-loop join
+      assigned =
+        if (level == 0) assigned.select(col("id"), col("vec"),
+          childNode(col("node"), rootSplit(splits)))
+        else assigned
+          .join(broadcast(splits), Seq("node"))
+          .select(col("id"), col("vec"),
+            childNode(col("node"), col("split_dim") -> col("split_val")))
+    }
+    (splitLevels.reduce(_ unionByName _),
+      assigned.withColumnRenamed("node", "leaf"))
+  }
+
+  /** Tree-only search (the KDT analog of SearchTree, `KDTree.h:214-272`
+    * descent without backtracking): route each query down the split table to
+    * its leaf, then exact top-k among that leaf's points. The leaf join is an
+    * equi-join on the leaf id — with `assign` stored partitioned by leaf this
+    * is the same partition-pruned probe as the SPANN posting read; recall is
+    * bounded by the single-leaf probe, the documented tree-only semantics.
+    */
+  def searchLeaf(
+      queries: DataFrame,
+      splits: DataFrame,
+      assign: DataFrame,
+      depth: Int,
+      k: Int,
+      metric: String = "l2sq"): DataFrame = {
+    var routed = queries.select(
+      col("query_id"), col("qvec"), lit(1L).as("node"))
+    for (level <- 0 until depth)
+      routed =
+        if (level == 0) routed.select(col("query_id"), col("qvec"),
+          childNode(col("node"), rootSplit(splits), vecCol = "qvec"))
+        else routed
+          .join(broadcast(splits), Seq("node"))
+          .select(col("query_id"), col("qvec"),
+            childNode(col("node"), col("split_dim") -> col("split_val"),
+              vecCol = "qvec"))
+    val cand = routed.withColumnRenamed("node", "leaf")
+      .join(assign, Seq("leaf"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KdTree
+
+/** B5 KD-tree: level-synchronous variance splits + tree-routed search
+  * (`Common/KDTree.h:275-399` semantics, deterministic dim choice).
+  */
+class KdTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toVec(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("id", "vec")
+
+  test("build splits on the max-variance dimension at its mean") {
+    // dim 2 has variance 2500 (values 0/100), dim 1 has 0.25 (values 0/1)
+    val pts = toVec(Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 100.0)), (4L, Seq(1.0, 100.0))))
+    val (splits, assign) = KdTree.build(pts, dim = 2, depth = 1)
+    val s = splits.collect()
+    assert(s.length === 1)
+    assert(s.head.getAs[Long]("node") === 1L)
+    assert(s.head.getAs[Int]("split_dim") === 2)
+    assert(s.head.getAs[Double]("split_val") === 50.0)
+    val leaves = assign.collect().map(r => r.getLong(0) -> r.getAs[Long]("leaf")).toMap
+    // value <= mean goes left (node 2), else right (node 3)
+    assert(leaves(1L) === 2L && leaves(2L) === 2L)
+    assert(leaves(3L) === 3L && leaves(4L) === 3L)
+  }
+
+  test("dimRank selects the t-th best variance dim (multi-tree choice)") {
+    val pts = toVec(Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0)),
+      (3L, Seq(0.0, 100.0)), (4L, Seq(10.0, 100.0))))
+    val (splits, _) = KdTree.build(pts, dim = 2, depth = 1, dimRank = 1)
+    assert(splits.head().getAs[Int]("split_dim") === 1,
+      "rank 1 must pick the SECOND-highest variance dim")
+  }
+
+  test("variance ties break to the lowest dimension") {
+    val pts = toVec(Seq((1L, Seq(0.0, 0.0)), (2L, Seq(4.0, 4.0))))
+    val (splits, _) = KdTree.build(pts, dim = 2, depth = 1)
+    assert(splits.head().getAs[Int]("split_dim") === 1)
+  }
+
+  test("depth-3 build over the fixture corpus fills all 8 leaves near-evenly") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), transform(col("vec"),
+        x => round(x.cast("double") * 1000).cast("long").cast("double")).as("vec"))
+    val (splits, assign) = KdTree.build(corpus, dim = 6, depth = 3)
+    assert(splits.count() === 7L, "1 + 2 + 4 internal nodes")
+    val sizes = assign.groupBy("leaf").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (8L to 15L).toSet, s"leaves ${sizes.keySet}")
+    val n = sizes.values.sum
+    // mean splits keep leaves within 2x of perfect balance on this data
+    assert(sizes.values.forall(c => c > n / 16 && c < n / 4), s"sizes $sizes")
+  }
+
+  test("searchLeaf routes a corpus point's own vector to itself at rank 1") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val (splits, assign) = KdTree.build(corpus, dim = 6, depth = 2)
+    val queries = corpus.where(col("id").isin(3L, 77L, 500L))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val top1 = KdTree.searchLeaf(queries, splits, assign, depth = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(top1.keySet === Set(3L, 77L, 500L))
+    top1.foreach { case (q, (hit, dist)) =>
+      assert(hit === q && dist === 0.0, s"query $q found ($hit, $dist)")
+    }
+  }
+
+  test("searchLeaf results are the exact top-k restricted to the query's leaf") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val (splits, assign) = KdTree.build(corpus, dim = 6, depth = 2)
+    val queries = Tables.ordersQuery(spark, sf0001)
+      .where(col("query_id") < 5)
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+    val got = KdTree.searchLeaf(queries, splits, assign, depth = 2, k = 5).collect()
+    assert(got.map(_.getLong(0)).distinct.length === 5)
+    // per query: ranks are 1..5 with non-decreasing distances
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to 5))
+      val d = sorted.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
