@@ -571,10 +571,25 @@ object SparkEntry {
       ordered(KdTree.searchLeaf(queries, splits, assign, KdDepth, K)
         .select(col("query_id"), col("rank"), col("id"),
           (col("dist") / 1e6).as("dist")))
+    }),
+    // KD-tree BACKTRACKING search (KDTSearch's SPT-queue as a beam): the
+    // per-query frontier forks at every level, the non-preferred child
+    // carries the split-plane bound (q[dim]−split)², the 3 best nodes
+    // survive per level; exact top-k over the union of the 3 leaves
+    "q79_kdtree_beam" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val (splits, assign) = KdTree.build(corpus, dim = 6, depth = KdDepth)
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      ordered(KdTree.searchBeam(queries, splits, assign, KdDepth, K, KdBeam)
+        .select(col("query_id"), col("rank"), col("id"),
+          (col("dist") / 1e6).as("dist")))
     })
   )
 
   private val KdDepth = 3
+  private val KdBeam = 3
 
   // ---- q73/q74/q75 pipeline constants (mirrored verbatim in the oracles) ----
   private val ScrubPatterns: Seq[(String, String)] =
@@ -1335,6 +1350,7 @@ object SparkEntry {
       s"""WITH ${kdtreeCtes(KdDepth)}
          |SELECT id, node AS leaf FROM a$KdDepth ORDER BY 1, 2""".stripMargin,
     "q78_kdtree_search" -> kdtreeSearchOracleSql,
+    "q79_kdtree_beam" -> kdtreeBeamOracleSql,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1700,6 +1716,41 @@ object SparkEntry {
        |cand AS (SELECT k.query_id, a.id,
        |           ${Tables.distSql("l2sq", "k.qvec", "a.vec")} AS dist
        |         FROM k$KdDepth k JOIN a$KdDepth a ON a.node = k.node),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM cand)
+       |SELECT query_id, rank, id, dist / 1000000.0 AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** q79: the beam descent — per level, fork both children (non-preferred
+    * adds the split-plane diff², exactly [[KdTree.searchBeam]]'s terms, in
+    * the same order), keep the `KdBeam` best `(bound, node)` per query.
+    */
+  private def kdtreeBeamOracleSql: String = {
+    val levels = (0 until KdDepth).map { l =>
+      val diff = "(list_extract(f.qvec, d.split_dim) - d.split_val)"
+      s"""c$l AS (
+         |  SELECT f.query_id, f.qvec, f.node*2 AS node,
+         |         f.bound + CASE WHEN $diff > 0 THEN $diff*$diff ELSE 0.0 END AS bound
+         |  FROM b$l f JOIN d$l d ON f.node = d.node
+         |  UNION ALL
+         |  SELECT f.query_id, f.qvec, f.node*2 + 1 AS node,
+         |         f.bound + CASE WHEN $diff <= 0 THEN $diff*$diff ELSE 0.0 END AS bound
+         |  FROM b$l f JOIN d$l d ON f.node = d.node),
+         |b${l + 1} AS (SELECT query_id, qvec, node, bound FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bound, node) AS rnk
+         |  FROM c$l) WHERE rnk <= $KdBeam)""".stripMargin
+    }
+    val scaleQ = "list_transform(qvec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    s"""WITH ${kdtreeCtes(KdDepth)},
+       |qv AS (SELECT query_id, $scaleQ AS qvec
+       |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |b0 AS (SELECT query_id, qvec, 1::BIGINT AS node, 0.0::DOUBLE AS bound FROM qv),
+       |${levels.mkString(",\n")},
+       |cand AS (SELECT f.query_id, a.id,
+       |           ${Tables.distSql("l2sq", "f.qvec", "a.vec")} AS dist
+       |         FROM b$KdDepth f JOIN a$KdDepth a ON a.node = f.node),
        |r AS (SELECT query_id, id, dist,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
        |      FROM cand)

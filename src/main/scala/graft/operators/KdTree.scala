@@ -101,6 +101,141 @@ object KdTree {
       assigned.withColumnRenamed("node", "leaf"))
   }
 
+  /** Backtracking search as dataflow (`KDTree.h:240-271` KDTSearch: the
+    * best child is descended, the OTHER child enters `m_SPTQueue` with
+    * `distBound + diff²` — a bounded priority queue over tree nodes). Here
+    * the queue is a per-query FRONTIER of `(node, bound)` rows advanced one
+    * level at a time: each node forks into both children (the preferred
+    * child keeps its bound, the other adds the split-plane distance
+    * `(q[dim]−split)²`), then a per-query window keeps the `beam` best
+    * nodes by bound. After `depth` levels the frontier holds up to `beam`
+    * candidate leaves; exact top-k runs over their union. `beam = 2^depth`
+    * degenerates to exact search, `beam = 1` to [[searchLeaf]]'s descent.
+    * All equi-joins against the broadcast split table + per-query windows —
+    * no pair space; candidate volume is `beam · |leaf|` per query.
+    */
+  def searchBeam(
+      queries: DataFrame,
+      splits: DataFrame,
+      assign: DataFrame,
+      depth: Int,
+      k: Int,
+      beam: Int,
+      metric: String = "l2sq",
+      leafBuckets: Option[Int] = None): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("bound"), col("node"))
+    var frontier = queries.select(
+      col("query_id"), col("qvec"), lit(1L).as("node"), lit(0.0).as("bound"))
+    for (level <- 0 until depth) {
+      val withSplit =
+        if (level == 0) {
+          val (sd, sv) = rootSplit(splits)
+          frontier.withColumn("split_dim", sd).withColumn("split_val", sv)
+        } else frontier.join(broadcast(splits), Seq("node"))
+      val diff = element_at(col("qvec"), col("split_dim")).cast("double") -
+        col("split_val")
+      val children = withSplit
+        .select(col("query_id"), col("qvec"),
+          explode(array(
+            struct((col("node") * 2).as("node"),
+              (col("bound") + when(diff > 0, diff * diff).otherwise(lit(0.0)))
+                .as("bound")),
+            struct((col("node") * 2 + 1).as("node"),
+              (col("bound") + when(diff <= 0, diff * diff).otherwise(lit(0.0)))
+                .as("bound")))).as("c"))
+        .select(col("query_id"), col("qvec"),
+          col("c.node").as("node"), col("c.bound").as("bound"))
+      frontier = children
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= beam)
+        .drop("rnk")
+    }
+    val probes = frontier.withColumnRenamed("node", "leaf")
+    // a stored tree's assign is partitioned by leaf_bucket: deriving the
+    // bucket on the probe side and joining on it too lets Catalyst insert a
+    // dynamic-pruning subquery over the partition column
+    val (probeSide, keys) = leafBuckets match {
+      case Some(b) => (probes.withColumn("leaf_bucket",
+        (col("leaf") % b).cast("int")), Seq("leaf_bucket", "leaf"))
+      case None => (probes, Seq("leaf"))
+    }
+    val cand = probeSide
+      .join(assign, keys)
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+  }
+
+  /** A persisted tree (`KDTree.h:124-142` SaveTrees / `:144-211` LoadTrees —
+    * the reference's flattened node array + per-tree start offsets become two
+    * Parquet tables + a JSON scalar file).
+    */
+  case class Stored(splits: DataFrame, assign: DataFrame, depth: Int, leafBuckets: Int)
+
+  /** Save the tree: `splits/` as-is (≤ 2^depth−1 rows), `assign/`
+    * PARTITIONED BY the hash-bucketed leaf — the same layout trick as the
+    * SPANN posting store: a stored-tree search prunes to the probed leaves'
+    * directories instead of scanning the corpus. Scheme-aware Hadoop FS
+    * throughout (works on hdfs:// / object stores, not just local paths).
+    */
+  def save(
+      dir: String,
+      splits: DataFrame,
+      assign: DataFrame,
+      depth: Int,
+      leafBuckets: Int = 64): Unit = {
+    val spark = splits.sparkSession
+    splits.write.mode("overwrite").parquet(s"$dir/splits")
+    assign
+      .withColumn("leaf_bucket", (col("leaf") % leafBuckets).cast("int"))
+      .write.mode("overwrite").partitionBy("leaf_bucket")
+      .parquet(s"$dir/assign")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/config.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"depth":$depth,"leafBuckets":$leafBuckets}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Stored = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/config.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    def intOf(key: String): Int = {
+      val m = s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(json)
+      m.map(_.group(1).toInt).getOrElse(
+        throw new IllegalArgumentException(s"missing $key in $dir/config.json"))
+    }
+    Stored(
+      spark.read.parquet(s"$dir/splits"),
+      spark.read.parquet(s"$dir/assign"),
+      intOf("depth"), intOf("leafBuckets"))
+  }
+
+  /** [[searchBeam]] over a stored tree: the routed frontier carries the
+    * derived `leaf_bucket`, so the assign join keys on the PARTITION column
+    * too — Catalyst inserts a dynamic-pruning subquery and the scan touches
+    * only the probed leaves' directories (the page-selective read).
+    */
+  def searchStored(
+      queries: DataFrame,
+      st: Stored,
+      k: Int,
+      beam: Int,
+      metric: String = "l2sq"): DataFrame =
+    searchBeam(queries, st.splits,
+      st.assign.select(col("id"), col("vec"), col("leaf"), col("leaf_bucket")),
+      st.depth, k, beam, metric, leafBuckets = Some(st.leafBuckets))
+
   /** Tree-only search (the KDT analog of SearchTree, `KDTree.h:214-272`
     * descent without backtracking): route each query down the split table to
     * its leaf, then exact top-k among that leaf's points. The leaf join is an

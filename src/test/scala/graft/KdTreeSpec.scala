@@ -73,6 +73,57 @@ class KdTreeSpec extends SparkSpec {
     }
   }
 
+  test("searchBeam with a full-width beam IS exact kNN; beam 1 IS the leaf descent") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val (splits, assign) = KdTree.build(corpus, dim = 6, depth = 2)
+    val queries = Tables.ordersQuery(spark, sf0001)
+      .where(col("query_id") < 10)
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // beam = 2^depth keeps every leaf → identical to exact brute-force kNN
+    val full = rows(KdTree.searchBeam(queries, splits, assign, 2, k = 5, beam = 4))
+    val exact = rows(graft.operators.Knn.search(queries, corpus, 5, "l2sq"))
+    assert(full === exact, "full-width beam must reproduce exact kNN")
+    // beam = 1 degenerates to the tree-only single-leaf descent
+    val one = rows(KdTree.searchBeam(queries, splits, assign, 2, k = 5, beam = 1))
+    val leaf = rows(KdTree.searchLeaf(queries, splits, assign, 2, k = 5))
+    assert(one === leaf, "beam 1 must equal searchLeaf")
+    // intermediate beams can only add candidates: recall vs exact is monotone
+    def recall(s: Set[(Long, Int, Long)]) =
+      s.map(t => (t._1, t._3)).intersect(exact.map(t => (t._1, t._3))).size
+    val mid = rows(KdTree.searchBeam(queries, splits, assign, 2, k = 5, beam = 2))
+    assert(recall(one) <= recall(mid) && recall(mid) <= recall(full),
+      s"recall not monotone in beam: ${recall(one)}/${recall(mid)}/${recall(full)}")
+  }
+
+  test("save/load roundtrips the tree and stored search partition-prunes on leaf_bucket") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val (splits, assign) = KdTree.build(corpus, dim = 6, depth = 2)
+    val dir = java.nio.file.Files.createTempDirectory("kdt").toString
+    KdTree.save(dir, splits, assign, depth = 2, leafBuckets = 4)
+    val st = KdTree.load(spark, dir)
+    assert(st.depth === 2 && st.leafBuckets === 4)
+    assert(st.splits.collect().toSet === splits.collect().toSet)
+    assert(st.assign.select("id", "leaf").collect().toSet ===
+      assign.select("id", "leaf").collect().toSet)
+    val queries = Tables.ordersQuery(spark, sf0001)
+      .where(col("query_id") < 5)
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+    val live = KdTree.searchBeam(queries, splits, assign, 2, k = 5, beam = 2)
+      .select("query_id", "rank", "id").collect().toSet
+    val stored = KdTree.searchStored(queries, st, k = 5, beam = 2)
+    assert(stored.select("query_id", "rank", "id").collect().toSet === live,
+      "stored-tree search must reproduce the live search")
+    // the assign join keys on the partition column → dynamic pruning
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery over leaf_bucket in:\n$plan")
+  }
+
   test("searchLeaf results are the exact top-k restricted to the query's leaf") {
     val corpus = Tables.lineitemVec(spark, sf0001)
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
