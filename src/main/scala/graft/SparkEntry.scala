@@ -585,6 +585,19 @@ object SparkEntry {
       ordered(KdTree.searchBeam(queries, splits, assign, KdDepth, K, KdBeam)
         .select(col("query_id"), col("rank"), col("id"),
           (col("dist") / 1e6).as("dist")))
+    }),
+    // KD-tree FOREST (m_iTreeNumber trees): tree t splits on the t-th best
+    // variance dim — two diversified trees, each a narrow beam; candidates
+    // union + dedup before the final top-k
+    "q80_kdtree_forest" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val trees = Seq(0, 1).map(r => KdTree.build(corpus, dim = 6, depth = KdDepth, dimRank = r))
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      ordered(KdTree.searchForest(queries, trees, KdDepth, K, beam = 2)
+        .select(col("query_id"), col("rank"), col("id"),
+          (col("dist") / 1e6).as("dist")))
     })
   )
 
@@ -1351,6 +1364,7 @@ object SparkEntry {
          |SELECT id, node AS leaf FROM a$KdDepth ORDER BY 1, 2""".stripMargin,
     "q78_kdtree_search" -> kdtreeSearchOracleSql,
     "q79_kdtree_beam" -> kdtreeBeamOracleSql,
+    "q80_kdtree_forest" -> kdtreeForestOracleSql,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1754,6 +1768,78 @@ object SparkEntry {
        |r AS (SELECT query_id, id, dist,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
        |      FROM cand)
+       |SELECT query_id, rank, id, dist / 1000000.0 AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** One whole tree's CTE chain with name prefix `p` and variance rank
+    * `rank` — the dim pick is spelled as the SAME (−proxy, dim) struct sort
+    * [[KdTree.build]] runs (`list_sort(...)[rank+1].d`), which DuckDB sorts
+    * lexicographically exactly like Spark's `array_sort` of structs.
+    */
+  private def kdtreeTreeCtes(depth: Int, rank: Int, p: String): String = {
+    val dims = 1 to 6
+    val scaleSql = "list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    val levels = (0 until depth).map { l =>
+      val statCols = dims.map(d =>
+        s"sum(vec[$d]) AS s$d, sum(vec[$d]*vec[$d]) AS q$d").mkString(", ")
+      val entries = dims.map(d =>
+        s"{'np': -(n*q$d - s$d*s$d), 'd': $d}").mkString("[", ", ", "]")
+      val svCase = dims.map(d => s"WHEN $d THEN s$d/n").mkString(" ")
+      s"""${p}s$l AS (SELECT node, count(*)::DOUBLE AS n, $statCols
+         |        FROM ${p}a$l GROUP BY node),
+         |${p}d$l AS (SELECT node, sdim AS split_dim, CASE sdim $svCase END AS split_val
+         |        FROM (SELECT *, list_sort($entries)[${rank + 1}].d AS sdim FROM ${p}s$l)),
+         |${p}a${l + 1} AS (SELECT a.id, a.vec,
+         |        a.node*2 + CASE WHEN list_extract(a.vec, d.split_dim) <= d.split_val
+         |                        THEN 0 ELSE 1 END AS node
+         |        FROM ${p}a$l a JOIN ${p}d$l d ON a.node = d.node)""".stripMargin
+    }
+    s"""${p}a0 AS (SELECT id, $scaleSql AS vec, 1::BIGINT AS node FROM v0),
+       |${levels.mkString(",\n")}""".stripMargin
+  }
+
+  /** q80: two trees (ranks 0 and 1), beam-2 descent each, candidates
+    * unioned + deduped on (query, id) before the final top-k.
+    */
+  private def kdtreeForestOracleSql: String = {
+    val beam = 2
+    def routeCtes(p: String): String = (0 until KdDepth).map { l =>
+      val diff = s"(list_extract(f.qvec, d.split_dim) - d.split_val)"
+      s"""${p}c$l AS (
+         |  SELECT f.query_id, f.qvec, f.node*2 AS node,
+         |         f.bound + CASE WHEN $diff > 0 THEN $diff*$diff ELSE 0.0 END AS bound
+         |  FROM ${p}b$l f JOIN ${p}d$l d ON f.node = d.node
+         |  UNION ALL
+         |  SELECT f.query_id, f.qvec, f.node*2 + 1 AS node,
+         |         f.bound + CASE WHEN $diff <= 0 THEN $diff*$diff ELSE 0.0 END AS bound
+         |  FROM ${p}b$l f JOIN ${p}d$l d ON f.node = d.node),
+         |${p}b${l + 1} AS (SELECT query_id, qvec, node, bound FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bound, node) AS rnk
+         |  FROM ${p}c$l) WHERE rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    val scaleQ = "list_transform(qvec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    def candCte(p: String): String =
+      s"""${p}cand AS (SELECT f.query_id, a.id,
+         |  ${Tables.distSql("l2sq", "f.qvec", "a.vec")} AS dist
+         |  FROM ${p}b$KdDepth f JOIN ${p}a$KdDepth a ON a.node = f.node)""".stripMargin
+    s"""WITH v0 AS (${Tables.lineitemVecSql}),
+       |${kdtreeTreeCtes(KdDepth, 0, "ta")},
+       |${kdtreeTreeCtes(KdDepth, 1, "tb")},
+       |qv AS (SELECT query_id, $scaleQ AS qvec
+       |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |tab0 AS (SELECT query_id, qvec, 1::BIGINT AS node, 0.0::DOUBLE AS bound FROM qv),
+       |tbb0 AS (SELECT query_id, qvec, 1::BIGINT AS node, 0.0::DOUBLE AS bound FROM qv),
+       |${routeCtes("ta")},
+       |${routeCtes("tb")},
+       |${candCte("ta")},
+       |${candCte("tb")},
+       |dd AS (SELECT query_id, id, min(dist) AS dist FROM (
+       |         SELECT * FROM tacand UNION ALL SELECT * FROM tbcand)
+       |       GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
        |SELECT query_id, rank, id, dist / 1000000.0 AS dist FROM r WHERE rank <= $K
        |ORDER BY query_id, rank, id, dist""".stripMargin
   }

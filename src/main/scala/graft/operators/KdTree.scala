@@ -122,7 +122,47 @@ object KdTree {
       k: Int,
       beam: Int,
       metric: String = "l2sq",
-      leafBuckets: Option[Int] = None): DataFrame = {
+      leafBuckets: Option[Int] = None): DataFrame =
+    topK(beamCandidates(queries, splits, assign, depth, beam, metric, leafBuckets), k)
+
+  /** Multi-tree forest search (`m_iTreeNumber`, `KDTree.h:95-116` — the
+    * reference builds several trees over shuffled orders and searches them
+    * together; here tree t is [[build]] with `dimRank = t`, the
+    * deterministic diversification). Each tree contributes its beam's
+    * candidates; the union dedups on (query, id) before the final top-k —
+    * per-tree dataflows are independent unions, so the plan stays
+    * equi-join-only at any tree count.
+    */
+  def searchForest(
+      queries: DataFrame,
+      trees: Seq[(DataFrame, DataFrame)],
+      depth: Int,
+      k: Int,
+      beam: Int,
+      metric: String = "l2sq"): DataFrame = {
+    require(trees.nonEmpty, "forest needs at least one tree")
+    val cands = trees.map { case (splits, assign) =>
+      beamCandidates(queries, splits, assign, depth, beam, metric, None) }
+    topK(cands.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist")), k)
+  }
+
+  private def topK(cand: DataFrame, k: Int): DataFrame =
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+
+  /** The beam descent + leaf probe, unranked: `(query_id, id, dist)`. */
+  private def beamCandidates(
+      queries: DataFrame,
+      splits: DataFrame,
+      assign: DataFrame,
+      depth: Int,
+      beam: Int,
+      metric: String,
+      leafBuckets: Option[Int]): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("bound"), col("node"))
     var frontier = queries.select(
       col("query_id"), col("qvec"), lit(1L).as("node"), lit(0.0).as("bound"))
@@ -159,14 +199,10 @@ object KdTree {
         (col("leaf") % b).cast("int")), Seq("leaf_bucket", "leaf"))
       case None => (probes, Seq("leaf"))
     }
-    val cand = probeSide
+    probeSide
       .join(assign, keys)
       .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
-    cand
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+      .select(col("query_id"), col("id"), col("dist"))
   }
 
   /** A persisted tree (`KDTree.h:124-142` SaveTrees / `:144-211` LoadTrees —

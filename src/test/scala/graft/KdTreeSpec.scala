@@ -99,6 +99,28 @@ class KdTreeSpec extends SparkSpec {
       s"recall not monotone in beam: ${recall(one)}/${recall(mid)}/${recall(full)}")
   }
 
+  test("searchForest unions diversified trees; one tree degenerates to searchBeam") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val trees = Seq(0, 1).map(r => KdTree.build(corpus, dim = 6, depth = 2, dimRank = r))
+    val queries = Tables.ordersQuery(spark, sf0001)
+      .where(col("query_id") < 10)
+      .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(graft.operators.Knn.search(queries, corpus, 5, "l2sq"))
+    val single = hits(KdTree.searchBeam(
+      queries, trees.head._1, trees.head._2, 2, k = 5, beam = 1))
+    val forest = hits(KdTree.searchForest(queries, trees, 2, k = 5, beam = 1))
+    // the second tree splits on different dims → its leaves cut the space
+    // differently; the union can only widen the candidate pool
+    assert(forest.intersect(exact).size >= single.intersect(exact).size,
+      s"forest recall ${forest.intersect(exact).size} < single ${single.intersect(exact).size}")
+    val one = hits(KdTree.searchForest(queries, Seq(trees.head), 2, k = 5, beam = 1))
+    assert(one === single, "a one-tree forest must equal searchBeam")
+  }
+
   test("save/load roundtrips the tree and stored search partition-prunes on leaf_bucket") {
     val corpus = Tables.lineitemVec(spark, sf0001)
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
