@@ -205,6 +205,25 @@ object KdTree {
       .select(col("query_id"), col("id"), col("dist"))
   }
 
+  /** Route points (`id`, `vec`) down an EXISTING split table to their leaf —
+    * the delta-ingest path: appended vectors join the tree without
+    * re-splitting (the reference appends into the dataset and defers
+    * structural change to refine/rebuild). Same descent as the build's
+    * re-keying; returns `(id, vec, leaf)`.
+    */
+  def assignTo(points: DataFrame, splits: DataFrame, depth: Int): DataFrame = {
+    var routed = points.select(col("id"), col("vec"), lit(1L).as("node"))
+    for (level <- 0 until depth)
+      routed =
+        if (level == 0) routed.select(col("id"), col("vec"),
+          childNode(col("node"), rootSplit(splits)))
+        else routed
+          .join(broadcast(splits), Seq("node"))
+          .select(col("id"), col("vec"),
+            childNode(col("node"), col("split_dim") -> col("split_val")))
+    routed.withColumnRenamed("node", "leaf")
+  }
+
   /** A persisted tree (`KDTree.h:124-142` SaveTrees / `:144-211` LoadTrees —
     * the reference's flattened node array + per-tree start offsets become two
     * Parquet tables + a JSON scalar file).
