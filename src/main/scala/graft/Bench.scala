@@ -39,16 +39,47 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.benchQueryNames.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md protocol: never commit a single run — the artifact carries
+    // every run plus per-query MEDIANS, so a judge diffs medians, not
+    // snapshots (single runs vary ±15%, worse under load). Each run times the
+    // queries under a FRESH child session: the per-(session, dir) fixture and
+    // posting caches miss, so every run rebuilds what it measures (the
+    // in-JVM equivalent of the old 3-separate-invocations protocol, minus
+    // re-paying JVM startup + JIT). Fixtures re-materialize per session
+    // BEFORE timing, as for the first run.
+    val numRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def runOnce(sess: SparkSession): Seq[(String, Double)] = {
+      graft.Tables.lineitemVec(sess, sfDir).count()
+      SparkEntry.benchQueryNames.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(sess, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val runs = (1 to numRuns).map { i =>
+      val r = runOnce(if (i == 1) spark else spark.newSession())
+      System.gc() // drop orphaned checkpoint/cache blocks between runs
+      r
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = SparkEntry.benchQueryNames.map { name =>
+      name -> median(runs.map(_.toMap.apply(name)))
+    }
+    def fmtQs(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val runsJson = runs.map(r =>
+      s"""{"total":${f"${r.map(_._2).sum}%.3f"},"queries":${fmtQs(r)}}""")
+      .mkString("[", ",", "]")
+    // headline "queries"/"value" are the medians — the number the 2x-per-query
+    // contract reads; raw runs ride alongside for noise attribution
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":${fmtQs(medians)},"medians":${fmtQs(medians)},""" +
+      s""""runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

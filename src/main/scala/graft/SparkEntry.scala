@@ -598,6 +598,43 @@ object SparkEntry {
       ordered(KdTree.searchForest(queries, trees, KdDepth, K, beam = 2)
         .select(col("query_id"), col("rank"), col("id"),
           (col("dist") / 1e6).as("dist")))
+    }),
+    // S1/S2 typed-element parity (`Core/DefinitionList.h:6-11` Int8/UInt8/
+    // Int16; typed readers `Helper/VectorSetReaders/DefaultReader.cpp`):
+    // derive integer values that fit each range, write int8/uint8/int16
+    // legacy files, read back widened-to-float. The oracle recomputes the
+    // same derivation from the fixture, so the on-disk roundtrip must be
+    // value-exact. Bounded 1000-row collect — a format harness like q52,
+    // not a query path.
+    "q81_legacy_typed" -> ((s, d) => {
+      import graft.sources.LegacyFormats
+      val iv = transform(col("vec"), x => round(x.cast("double") * 1000).cast("long"))
+      val rows = Tables.lineitemVec(s, d).where(col("id") <= 1000)
+        .orderBy(col("id"))
+        .select(
+          transform(iv, v => (v % 127).cast("float")).as("i8"),
+          transform(iv, v => (abs(v) % 255).cast("float")).as("u8"),
+          transform(iv, v => (v % 32767).cast("float")).as("i16"))
+        .collect()
+      def arrs(i: Int) = rows.map(_.getSeq[Float](i).toArray).toSeq
+      val dir = scratch("q81_fmt")
+      LegacyFormats.writeDefault(s"$dir/v8.bin", arrs(0), "int8")
+      LegacyFormats.writeDefault(s"$dir/vu8.bin", arrs(1), "uint8")
+      LegacyFormats.writeDefault(s"$dir/v16.bin", arrs(2), "int16")
+      LegacyFormats.writeXvec(s"$dir/vu8.xvec", arrs(1), "uint8")
+      val all = Seq(
+        LegacyFormats.readDefault(s, s"$dir/v8.bin", "int8")
+          .withColumn("tag", lit("default_int8")),
+        LegacyFormats.readDefault(s, s"$dir/vu8.bin", "uint8")
+          .withColumn("tag", lit("default_uint8")),
+        LegacyFormats.readDefault(s, s"$dir/v16.bin", "int16")
+          .withColumn("tag", lit("default_int16")),
+        LegacyFormats.readXvec(s, s"$dir/vu8.xvec", "uint8")
+          .withColumn("tag", lit("xvec_uint8")))
+        .reduce(_ unionByName _)
+      ordered(all.select(
+        col("tag") +: col("id") +:
+          (0 until 6).map(i => col("vec").getItem(i).as(s"v${i + 1}")): _*))
     })
   )
 
@@ -1365,6 +1402,25 @@ object SparkEntry {
     "q78_kdtree_search" -> kdtreeSearchOracleSql,
     "q79_kdtree_beam" -> kdtreeBeamOracleSql,
     "q80_kdtree_forest" -> kdtreeForestOracleSql,
+    // same integer derivations as the Spark side (reader ids are 0-based per
+    // file in collect order → id - 1, the q52 convention); DuckDB and Spark
+    // share sign-of-dividend % semantics
+    "q81_legacy_typed" -> {
+      def vcols(expr: Int => String): String =
+        (1 to 6).map(i => s"CAST(${expr(i)} AS FLOAT) AS v$i").mkString(", ")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |base AS (SELECT id - 1 AS id,
+         |           list_transform(vec, x -> round(x::DOUBLE*1000)::BIGINT) AS iv
+         |         FROM v WHERE id <= 1000)
+         |SELECT 'default_int8' AS tag, id, ${vcols(i => s"iv[$i] % 127")} FROM base
+         |UNION ALL
+         |SELECT 'default_uint8' AS tag, id, ${vcols(i => s"abs(iv[$i]) % 255")} FROM base
+         |UNION ALL
+         |SELECT 'default_int16' AS tag, id, ${vcols(i => s"iv[$i] % 32767")} FROM base
+         |UNION ALL
+         |SELECT 'xvec_uint8' AS tag, id, ${vcols(i => s"abs(iv[$i]) % 255")} FROM base
+         |ORDER BY tag, id, v1, v2, v3, v4, v5, v6""".stripMargin
+    },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
@@ -1696,14 +1752,21 @@ object SparkEntry {
         s"WHEN $conds THEN $d"
       }.mkString(" ") + s" ELSE ${dims.last}"
       val svCase = dims.map(d => s"WHEN $d THEN s$d/n").mkString(" ")
+      val proxyCase = dims.map(d => s"WHEN $d THEN ${proxy(d)}").mkString(" ")
+      // leaf-stop mirror of KdTree.build: indivisible nodes (chosen-dim
+      // proxy = 0) emit no split row; their points STAY via the anti-join arm
       s"""s$l AS (SELECT node, count(*)::DOUBLE AS n, $statCols
          |        FROM a$l GROUP BY node),
          |d$l AS (SELECT node, split_dim, CASE split_dim $svCase END AS split_val
-         |        FROM (SELECT *, CASE $cascade END AS split_dim FROM s$l)),
+         |        FROM (SELECT *, CASE $cascade END AS split_dim FROM s$l)
+         |        WHERE CASE split_dim $proxyCase END > 0),
          |a${l + 1} AS (SELECT a.id, a.vec,
          |        a.node*2 + CASE WHEN list_extract(a.vec, d.split_dim) <= d.split_val
          |                        THEN 0 ELSE 1 END AS node
-         |        FROM a$l a JOIN d$l d ON a.node = d.node)""".stripMargin
+         |        FROM a$l a JOIN d$l d ON a.node = d.node
+         |        UNION ALL
+         |        SELECT a.id, a.vec, a.node
+         |        FROM a$l a ANTI JOIN d$l d ON a.node = d.node)""".stripMargin
     }
     val scaleSql = "list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
     s"""v0 AS (${Tables.lineitemVecSql}),
@@ -1719,7 +1782,10 @@ object SparkEntry {
       s"""k${l + 1} AS (SELECT k.query_id, k.qvec,
          |        k.node*2 + CASE WHEN list_extract(k.qvec, d.split_dim) <= d.split_val
          |                        THEN 0 ELSE 1 END AS node
-         |        FROM k$l k JOIN d$l d ON k.node = d.node)""".stripMargin
+         |        FROM k$l k JOIN d$l d ON k.node = d.node
+         |        UNION ALL
+         |        SELECT k.query_id, k.qvec, k.node
+         |        FROM k$l k ANTI JOIN d$l d ON k.node = d.node)""".stripMargin
     }
     val scaleQ = "list_transform(qvec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
     s"""WITH ${kdtreeCtes(KdDepth)},
@@ -1751,7 +1817,10 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT f.query_id, f.qvec, f.node*2 + 1 AS node,
          |         f.bound + CASE WHEN $diff <= 0 THEN $diff*$diff ELSE 0.0 END AS bound
-         |  FROM b$l f JOIN d$l d ON f.node = d.node),
+         |  FROM b$l f JOIN d$l d ON f.node = d.node
+         |  UNION ALL
+         |  SELECT f.query_id, f.qvec, f.node, f.bound
+         |  FROM b$l f ANTI JOIN d$l d ON f.node = d.node),
          |b${l + 1} AS (SELECT query_id, qvec, node, bound FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bound, node) AS rnk
          |  FROM c$l) WHERE rnk <= $KdBeam)""".stripMargin
@@ -1789,11 +1858,16 @@ object SparkEntry {
       s"""${p}s$l AS (SELECT node, count(*)::DOUBLE AS n, $statCols
          |        FROM ${p}a$l GROUP BY node),
          |${p}d$l AS (SELECT node, sdim AS split_dim, CASE sdim $svCase END AS split_val
-         |        FROM (SELECT *, list_sort($entries)[${rank + 1}].d AS sdim FROM ${p}s$l)),
+         |        FROM (SELECT *, list_sort($entries)[${rank + 1}].d AS sdim,
+         |                list_sort($entries)[${rank + 1}].np AS snp FROM ${p}s$l)
+         |        WHERE -snp > 0),
          |${p}a${l + 1} AS (SELECT a.id, a.vec,
          |        a.node*2 + CASE WHEN list_extract(a.vec, d.split_dim) <= d.split_val
          |                        THEN 0 ELSE 1 END AS node
-         |        FROM ${p}a$l a JOIN ${p}d$l d ON a.node = d.node)""".stripMargin
+         |        FROM ${p}a$l a JOIN ${p}d$l d ON a.node = d.node
+         |        UNION ALL
+         |        SELECT a.id, a.vec, a.node
+         |        FROM ${p}a$l a ANTI JOIN ${p}d$l d ON a.node = d.node)""".stripMargin
     }
     s"""${p}a0 AS (SELECT id, $scaleSql AS vec, 1::BIGINT AS node FROM v0),
        |${levels.mkString(",\n")}""".stripMargin
@@ -1813,7 +1887,10 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT f.query_id, f.qvec, f.node*2 + 1 AS node,
          |         f.bound + CASE WHEN $diff <= 0 THEN $diff*$diff ELSE 0.0 END AS bound
-         |  FROM ${p}b$l f JOIN ${p}d$l d ON f.node = d.node),
+         |  FROM ${p}b$l f JOIN ${p}d$l d ON f.node = d.node
+         |  UNION ALL
+         |  SELECT f.query_id, f.qvec, f.node, f.bound
+         |  FROM ${p}b$l f ANTI JOIN ${p}d$l d ON f.node = d.node),
          |${p}b${l + 1} AS (SELECT query_id, qvec, node, bound FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bound, node) AS rnk
          |  FROM ${p}c$l) WHERE rnk <= $beam)""".stripMargin

@@ -45,11 +45,24 @@ object KdTree {
       element_at(col(vecCol), split._1).cast("double") <= split._2, 0L)
       .otherwise(1L)).as("node")
 
-  /** The root level's single split row, as literal columns. */
-  private def rootSplit(splits: DataFrame): (Column, Column) = {
-    val r = splits.head()
-    (lit(r.getAs[Int]("split_dim")), lit(r.getAs[Double]("split_val")))
-  }
+  /** The root's split row as literal columns; None when the root is itself a
+    * leaf (indivisible or empty corpus — no `node = 1` split row).
+    */
+  private def rootSplit(splits: DataFrame): Option[(Column, Column)] =
+    splits.where(col("node") === 1).collect().headOption.map(r =>
+      (lit(r.getAs[Int]("split_dim")), lit(r.getAs[Double]("split_val"))))
+
+  /** Split tables broadcast up to this many nodes (rows); a deeper tree's
+    * table rides a shuffle join instead — the `hierThreshold` pattern: a
+    * depth-30 tree would otherwise try to broadcast 2^30 split rows.
+    */
+  val BroadcastNodeLimit: Long = 1L << 21
+
+  /** Broadcast hint iff the table's node-count bound 2^depth stays under the
+    * limit (arithmetic only — no count job on the hot path).
+    */
+  private def maybeBroadcast(splits: DataFrame, depth: Int, limit: Long): DataFrame =
+    if (depth < 62 && (1L << depth) <= limit) broadcast(splits) else splits
 
   /** Per-level split selection + assignment. Returns
     * `(splits, assign)`: `splits(node, split_dim, split_val)` for every
@@ -61,7 +74,8 @@ object KdTree {
       corpus: DataFrame,
       dim: Int,
       depth: Int,
-      dimRank: Int = 0): (DataFrame, DataFrame) = {
+      dimRank: Int = 0,
+      bcastLimit: Long = BroadcastNodeLimit): (DataFrame, DataFrame) = {
     require(depth >= 1, s"depth $depth must be >= 1")
     require(dimRank >= 0 && dimRank < dim, s"dimRank $dimRank outside [0, $dim)")
     val dims = 1 to dim
@@ -80,8 +94,17 @@ object KdTree {
       val ranked = array_sort(array(dims.map(d => struct(
         (-(col("n") * col(s"q$d") - col(s"s$d") * col(s"s$d"))).as("np"),
         lit(d).as("d"))): _*))
+      val chosen = element_at(ranked, dimRank + 1)
+      // leaf-stop: a node whose chosen dim does not vary (proxy = 0 — single
+      // point, or identical coordinates) cannot separate — emit NO split row
+      // and let its points STAY at the node as their leaf. Every emitted
+      // split therefore has BOTH children non-empty (mean strictly between
+      // min and max), so descent can never reach an unoccupied node — the
+      // reference's indivisible-leaf semantics (`KDTree.h:275-301` DivideTree
+      // stops when a node cannot be divided further).
       val splits = stats
-        .withColumn("split_dim", element_at(ranked, dimRank + 1).getField("d"))
+        .withColumn("split_dim", chosen.getField("d"))
+        .where(-chosen.getField("np") > 0)
         .select(col("node"), col("split_dim"),
           element_at(array(dims.map(d => col(s"s$d") / col("n")): _*),
             col("split_dim")).as("split_val"))
@@ -90,12 +113,17 @@ object KdTree {
       // level 0 has exactly one split (the root): apply it as literals —
       // joining on the constant node key would fold into a nested-loop join
       assigned =
-        if (level == 0) assigned.select(col("id"), col("vec"),
-          childNode(col("node"), rootSplit(splits)))
+        if (level == 0) rootSplit(splits) match {
+          case Some(rs) => assigned.select(col("id"), col("vec"),
+            childNode(col("node"), rs))
+          case None => assigned // indivisible root: the whole corpus is one leaf
+        }
         else assigned
-          .join(broadcast(splits), Seq("node"))
+          .join(maybeBroadcast(splits, level, bcastLimit), Seq("node"), "left")
           .select(col("id"), col("vec"),
-            childNode(col("node"), col("split_dim") -> col("split_val")))
+            when(col("split_dim").isNull, col("node"))
+              .otherwise(childNode(col("node"),
+                col("split_dim") -> col("split_val"))).as("node"))
     }
     (splitLevels.reduce(_ unionByName _),
       assigned.withColumnRenamed("node", "leaf"))
@@ -122,8 +150,10 @@ object KdTree {
       k: Int,
       beam: Int,
       metric: String = "l2sq",
-      leafBuckets: Option[Int] = None): DataFrame =
-    topK(beamCandidates(queries, splits, assign, depth, beam, metric, leafBuckets), k)
+      leafBuckets: Option[Int] = None,
+      bcastLimit: Long = BroadcastNodeLimit): DataFrame =
+    topK(beamCandidates(
+      queries, splits, assign, depth, beam, metric, leafBuckets, bcastLimit), k)
 
   /** Multi-tree forest search (`m_iTreeNumber`, `KDTree.h:95-116` — the
     * reference builds several trees over shuffled orders and searches them
@@ -139,10 +169,13 @@ object KdTree {
       depth: Int,
       k: Int,
       beam: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      leafBuckets: Option[Int] = None,
+      bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     require(trees.nonEmpty, "forest needs at least one tree")
     val cands = trees.map { case (splits, assign) =>
-      beamCandidates(queries, splits, assign, depth, beam, metric, None) }
+      beamCandidates(queries, splits, assign, depth, beam, metric, leafBuckets,
+        bcastLimit) }
     topK(cands.reduce(_ unionByName _)
       .groupBy(col("query_id"), col("id")).agg(min(col("dist")).as("dist")), k)
   }
@@ -154,7 +187,12 @@ object KdTree {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("dist"))
 
-  /** The beam descent + leaf probe, unranked: `(query_id, id, dist)`. */
+  /** The beam descent + leaf probe, unranked: `(query_id, id, dist)`.
+    * A frontier node with no split row is a terminal leaf (build emits splits
+    * only for divisible nodes): it passes through the level unchanged,
+    * keeping its bound — so on degenerate data every query still probes an
+    * occupied node and produces results.
+    */
   private def beamCandidates(
       queries: DataFrame,
       splits: DataFrame,
@@ -162,27 +200,35 @@ object KdTree {
       depth: Int,
       beam: Int,
       metric: String,
-      leafBuckets: Option[Int]): DataFrame = {
+      leafBuckets: Option[Int],
+      bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("bound"), col("node"))
     var frontier = queries.select(
       col("query_id"), col("qvec"), lit(1L).as("node"), lit(0.0).as("bound"))
     for (level <- 0 until depth) {
       val withSplit =
-        if (level == 0) {
-          val (sd, sv) = rootSplit(splits)
-          frontier.withColumn("split_dim", sd).withColumn("split_val", sv)
-        } else frontier.join(broadcast(splits), Seq("node"))
+        if (level == 0) rootSplit(splits) match {
+          case Some((sd, sv)) =>
+            frontier.withColumn("split_dim", sd).withColumn("split_val", sv)
+          case None => frontier
+            .withColumn("split_dim", lit(null).cast("int"))
+            .withColumn("split_val", lit(null).cast("double"))
+        }
+        else frontier.join(
+          maybeBroadcast(splits, depth, bcastLimit), Seq("node"), "left")
       val diff = element_at(col("qvec"), col("split_dim")).cast("double") -
         col("split_val")
       val children = withSplit
         .select(col("query_id"), col("qvec"),
-          explode(array(
+          explode(when(col("split_dim").isNull,
+            array(struct(col("node").as("node"), col("bound").as("bound"))))
+          .otherwise(array(
             struct((col("node") * 2).as("node"),
               (col("bound") + when(diff > 0, diff * diff).otherwise(lit(0.0)))
                 .as("bound")),
             struct((col("node") * 2 + 1).as("node"),
               (col("bound") + when(diff <= 0, diff * diff).otherwise(lit(0.0)))
-                .as("bound")))).as("c"))
+                .as("bound"))))).as("c"))
         .select(col("query_id"), col("qvec"),
           col("c.node").as("node"), col("c.bound").as("bound"))
       frontier = children
@@ -211,16 +257,26 @@ object KdTree {
     * structural change to refine/rebuild). Same descent as the build's
     * re-keying; returns `(id, vec, leaf)`.
     */
-  def assignTo(points: DataFrame, splits: DataFrame, depth: Int): DataFrame = {
+  def assignTo(
+      points: DataFrame, splits: DataFrame, depth: Int,
+      bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     var routed = points.select(col("id"), col("vec"), lit(1L).as("node"))
     for (level <- 0 until depth)
       routed =
-        if (level == 0) routed.select(col("id"), col("vec"),
-          childNode(col("node"), rootSplit(splits)))
+        if (level == 0) rootSplit(splits) match {
+          case Some(rs) => routed.select(col("id"), col("vec"),
+            childNode(col("node"), rs))
+          case None => routed
+        }
+        // left join: a point routed into a node with no split row (terminal
+        // leaf) STAYS there — appended vectors are never silently dropped
+        // from the tree, matching search's terminal-leaf probe
         else routed
-          .join(broadcast(splits), Seq("node"))
+          .join(maybeBroadcast(splits, depth, bcastLimit), Seq("node"), "left")
           .select(col("id"), col("vec"),
-            childNode(col("node"), col("split_dim") -> col("split_val")))
+            when(col("split_dim").isNull, col("node"))
+              .otherwise(childNode(col("node"),
+                col("split_dim") -> col("split_val"))).as("node"))
     routed.withColumnRenamed("node", "leaf")
   }
 
@@ -304,18 +360,27 @@ object KdTree {
       assign: DataFrame,
       depth: Int,
       k: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      bcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     var routed = queries.select(
       col("query_id"), col("qvec"), lit(1L).as("node"))
     for (level <- 0 until depth)
       routed =
-        if (level == 0) routed.select(col("query_id"), col("qvec"),
-          childNode(col("node"), rootSplit(splits), vecCol = "qvec"))
+        if (level == 0) rootSplit(splits) match {
+          case Some(rs) => routed.select(col("query_id"), col("qvec"),
+            childNode(col("node"), rs, vecCol = "qvec"))
+          case None => routed
+        }
+        // left join: a query reaching a terminal (split-less) leaf stops
+        // there and probes it — occupied by construction, so every query
+        // produces k results even on degenerate data
         else routed
-          .join(broadcast(splits), Seq("node"))
+          .join(maybeBroadcast(splits, depth, bcastLimit), Seq("node"), "left")
           .select(col("query_id"), col("qvec"),
-            childNode(col("node"), col("split_dim") -> col("split_val"),
-              vecCol = "qvec"))
+            when(col("split_dim").isNull, col("node"))
+              .otherwise(childNode(col("node"),
+                col("split_dim") -> col("split_val"), vecCol = "qvec"))
+              .as("node"))
     val cand = routed.withColumnRenamed("node", "leaf")
       .join(assign, Seq("leaf"))
       .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))

@@ -28,18 +28,53 @@ object LegacyFormats {
     StructField("id", LongType, nullable = false),
     StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  private def decodeDefault(bytes: Array[Byte]): Iterator[(Long, Array[Float])] = {
+  /** The reference's four vector value types (`Core/DefinitionList.h:6-11`:
+    * Int8/UInt8/Int16/Float; typed readers instantiated per type in
+    * `Helper/VectorSetReaders/DefaultReader.cpp` via GetValueTypeSize).
+    * SURVEY §1.2 prescribes widen-to-float on read, so every reader yields
+    * `ARRAY<FLOAT>` regardless of the on-disk element type — int8/uint8/int16
+    * are exactly representable in float32, so reads are lossless.
+    */
+  private def elemWidth(valueType: String): Int = valueType.toLowerCase match {
+    case "float" | "float32" => 4
+    case "int8" | "uint8" => 1
+    case "int16" => 2
+    case other => sys.error(s"unknown vector value type $other")
+  }
+
+  private def readElem(bb: ByteBuffer, valueType: String): Float =
+    valueType match {
+      case "float" | "float32" => bb.getFloat()
+      case "int8" => bb.get().toFloat
+      case "uint8" => (bb.get() & 0xff).toFloat
+      case "int16" => bb.getShort().toFloat
+    }
+
+  private def putElem(bb: ByteBuffer, valueType: String, x: Float): Unit =
+    valueType match {
+      case "float" | "float32" => bb.putFloat(x)
+      case "int8" | "uint8" => bb.put(x.toInt.toByte)
+      case "int16" => bb.putShort(x.toInt.toShort)
+    }
+
+  private def decodeDefault(
+      bytes: Array[Byte], valueType: String): Iterator[(Long, Array[Float])] = {
+    val vt = valueType.toLowerCase
+    elemWidth(vt) // validate before the lazy iterator runs
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt(); val d = bb.getInt()
     (0L until n.toLong).iterator.map { i =>
       val v = new Array[Float](d)
       var j = 0
-      while (j < d) { v(j) = bb.getFloat(); j += 1 }
+      while (j < d) { v(j) = readElem(bb, vt); j += 1 }
       (i, v)
     }
   }
 
-  private def decodeXvec(bytes: Array[Byte]): Iterator[(Long, Array[Float])] = {
+  private def decodeXvec(
+      bytes: Array[Byte], valueType: String): Iterator[(Long, Array[Float])] = {
+    val vt = valueType.toLowerCase
+    elemWidth(vt)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     new Iterator[(Long, Array[Float])] {
       private var i = 0L
@@ -48,7 +83,7 @@ object LegacyFormats {
         val d = bb.getInt()
         val v = new Array[Float](d)
         var j = 0
-        while (j < d) { v(j) = bb.getFloat(); j += 1 }
+        while (j < d) { v(j) = readElem(bb, vt); j += 1 }
         val r = (i, v); i += 1; r
       }
     }
@@ -65,11 +100,17 @@ object LegacyFormats {
       .toDF("id", "vec")
   }
 
-  def readDefault(spark: SparkSession, path: String): DataFrame =
-    readBinary(spark, path, decodeDefault)
+  def readDefault(
+      spark: SparkSession, path: String, valueType: String = "float32"): DataFrame = {
+    elemWidth(valueType) // validate on the driver, not inside a task
+    readBinary(spark, path, decodeDefault(_, valueType))
+  }
 
-  def readXvec(spark: SparkSession, path: String): DataFrame =
-    readBinary(spark, path, decodeXvec)
+  def readXvec(
+      spark: SparkSession, path: String, valueType: String = "float32"): DataFrame = {
+    elemWidth(valueType)
+    readBinary(spark, path, decodeXvec(_, valueType))
+  }
 
   /** TXT: `meta\tv1|v2|...`; line number (per file) becomes the id. */
   def readTxt(spark: SparkSession, path: String, delimiter: String = "|"): DataFrame = {
@@ -242,19 +283,29 @@ object LegacyFormats {
 
   // ---- local writers (test fixtures / export parity) ----
 
-  def writeDefault(path: String, vecs: Seq[Array[Float]]): Unit = {
+  /** Write in any of the four element types; callers are responsible for the
+    * values fitting the target range (the reference likewise truncates on its
+    * int writers) — integral floats in range roundtrip exactly.
+    */
+  def writeDefault(
+      path: String, vecs: Seq[Array[Float]], valueType: String = "float32"): Unit = {
+    val vt = valueType.toLowerCase
+    val w = elemWidth(vt)
     val d = vecs.headOption.map(_.length).getOrElse(0)
-    val bb = ByteBuffer.allocate(8 + vecs.length * d * 4).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(8 + vecs.length * d * w).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(vecs.length).putInt(d)
-    vecs.foreach(_.foreach(bb.putFloat))
+    vecs.foreach(_.foreach(putElem(bb, vt, _)))
     val out = new FileOutputStream(path)
     try out.write(bb.array()) finally out.close()
   }
 
-  def writeXvec(path: String, vecs: Seq[Array[Float]]): Unit = {
-    val total = vecs.map(v => 4 + v.length * 4).sum
+  def writeXvec(
+      path: String, vecs: Seq[Array[Float]], valueType: String = "float32"): Unit = {
+    val vt = valueType.toLowerCase
+    val w = elemWidth(vt)
+    val total = vecs.map(v => 4 + v.length * w).sum
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    vecs.foreach { v => bb.putInt(v.length); v.foreach(bb.putFloat) }
+    vecs.foreach { v => bb.putInt(v.length); v.foreach(putElem(bb, vt, _)) }
     val out = new FileOutputStream(path)
     try out.write(bb.array()) finally out.close()
   }

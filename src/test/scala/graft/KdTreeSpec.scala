@@ -146,6 +146,77 @@ class KdTreeSpec extends SparkSpec {
       s"no dynamic-pruning subquery over leaf_bucket in:\n$plan")
   }
 
+  test("indivisible nodes become terminal leaves: appended vectors and queries are never dropped") {
+    // left child of the root holds three IDENTICAL points → no split row
+    // below it; right child keeps splitting. Before the leaf-stop semantics
+    // the inner joins silently dropped anything routed into a split-less node.
+    val pts = toVec(Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.0, 0.0)),
+      (4L, Seq(10.0, 0.0)), (5L, Seq(10.0, 5.0)), (6L, Seq(10.0, 9.0))))
+    val (splits, assign) = KdTree.build(pts, dim = 2, depth = 3)
+    val leaves = assign.collect().map(r => r.getLong(0) -> r.getAs[Long]("leaf")).toMap
+    assert(leaves.keySet === (1L to 6L).toSet, "build must keep every point")
+    assert(Set(1L, 2L, 3L).map(leaves) === Set(2L),
+      "identical points stay at the indivisible node 2")
+    // splits exist only for divisible nodes: root, node 3, node 7
+    val splitNodes = splits.select("node").collect().map(_.getLong(0)).toSet
+    assert(!splitNodes.contains(2L), "indivisible node must emit no split row")
+    // ADVICE fix: a vector appended into the indivisible subtree lands AT the
+    // terminal leaf instead of vanishing
+    val added = KdTree.assignTo(toVec(Seq((7L, Seq(0.0, 1.0)))), splits, depth = 3)
+      .collect()
+    assert(added.length === 1 && added.head.getAs[Long]("leaf") === 2L)
+    // ADVICE fix: a query routed into the terminal leaf still returns k rows
+    val queries = Seq((100L, Seq(0.0, 0.5)), (101L, Seq(10.0, 4.0)))
+      .toDF("query_id", "qvec")
+    val leafHits = KdTree.searchLeaf(queries, splits, assign, depth = 3, k = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(leafHits(100L).length === 2, "query into terminal leaf must get k results")
+    assert(leafHits(100L).map(_.getLong(2)).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(leafHits(101L).nonEmpty)
+    val beamHits = KdTree.searchBeam(queries, splits, assign, depth = 3, k = 2, beam = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(beamHits(100L).length === 2 && beamHits(101L).length === 2)
+    // the searched union (assign + appended) also finds the appended vector
+    val all = assign.unionByName(
+      KdTree.assignTo(toVec(Seq((7L, Seq(0.0, 1.0)))), splits, depth = 3))
+    val top1 = KdTree.searchLeaf(
+      Seq((200L, Seq(0.0, 1.0))).toDF("query_id", "qvec"), splits, all,
+      depth = 3, k = 1).collect()
+    assert(top1.length === 1 && top1.head.getLong(2) === 7L,
+      "appended vector must be findable at rank 1 for its own position")
+  }
+
+  test("deep-tree broadcast guard: past bcastLimit the split join is not broadcast") {
+    val corpus = Tables.lineitemVec(spark, sf0001)
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (s0, a0) = KdTree.build(corpus, dim = 6, depth = 3)
+      val (s1, a1) = KdTree.build(corpus, dim = 6, depth = 3, bcastLimit = 0L)
+      assert(s1.collect().toSet === s0.collect().toSet,
+        "guarded build must produce identical splits")
+      assert(a1.select("id", "leaf").collect().toSet ===
+        a0.select("id", "leaf").collect().toSet)
+      val queries = Tables.ordersQuery(spark, sf0001)
+        .where(col("query_id") < 5)
+        .select(col("query_id"), col("qvec").cast("array<double>").as("qvec"))
+      val hinted = KdTree.searchLeaf(queries, s0, a0, depth = 3, k = 3)
+      // the guarded search must run over the guarded build's frames — a0's
+      // lineage carries the default build's broadcast-hinted routing joins
+      val guarded = KdTree.searchLeaf(queries, s1, a1, depth = 3, k = 3,
+        bcastLimit = 0L)
+      assert(guarded.select("query_id", "rank", "id").collect().toSet ===
+        hinted.select("query_id", "rank", "id").collect().toSet,
+        "guard must not change results")
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "within the limit the split join broadcasts")
+      assert(!guarded.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "past the limit no split-table broadcast may remain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("searchLeaf results are the exact top-k restricted to the query's leaf") {
     val corpus = Tables.lineitemVec(spark, sf0001)
       .select(col("id"), col("vec").cast("array<double>").as("vec"))

@@ -31,6 +31,39 @@ class SourcesSpec extends SparkSpec {
     assert(got(6).getSeq[Float](1) === vecs(6).toSeq)
   }
 
+  test("typed DEFAULT/XVEC roundtrips: int8/uint8/int16 widen to float (S1/S2)") {
+    val dir = tmp()
+    // per-type extreme values (negative for signed, >127 for uint8) so a
+    // sign/width bug cannot pass
+    val cases = Seq(
+      "int8" -> (-128 to 127 by 17).map(_.toFloat),
+      "uint8" -> (0 to 255 by 19).map(_.toFloat),
+      "int16" -> (-32768 to 32767 by 4099).map(_.toFloat))
+    for ((vt, vals) <- cases) {
+      val vecs = vals.grouped(4).filter(_.size == 4).map(_.toArray).toSeq
+      LegacyFormats.writeDefault(s"$dir/$vt.bin", vecs, vt)
+      LegacyFormats.writeXvec(s"$dir/$vt.xvec", vecs, vt)
+      val gotD = LegacyFormats.readDefault(spark, s"$dir/$vt.bin", vt)
+        .orderBy("id").collect()
+      val gotX = LegacyFormats.readXvec(spark, s"$dir/$vt.xvec", vt)
+        .orderBy("id").collect()
+      assert(gotD.length === vecs.length, vt)
+      assert(gotX.length === vecs.length, vt)
+      for (i <- vecs.indices) {
+        assert(gotD(i).getSeq[Float](1) === vecs(i).toSeq, s"$vt default row $i")
+        assert(gotX(i).getSeq[Float](1) === vecs(i).toSeq, s"$vt xvec row $i")
+      }
+    }
+    // float32 remains the default and is unchanged by the valueType plumbing
+    val f = Seq(Array(1.5f, -2.25f), Array(3f, 4f))
+    LegacyFormats.writeDefault(s"$dir/f.bin", f)
+    assert(LegacyFormats.readDefault(spark, s"$dir/f.bin", "float32")
+      .orderBy("id").collect()(0).getSeq[Float](1) === Seq(1.5f, -2.25f))
+    intercept[RuntimeException] {
+      LegacyFormats.readDefault(spark, s"$dir/f.bin", "int4")
+    }
+  }
+
   test("TXT roundtrip with metadata (S3)") {
     val dir = tmp()
     val rows = (0 until 5).map(i => (s"meta$i", Array(i.toFloat, i + 0.5f)))
