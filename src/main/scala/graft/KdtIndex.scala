@@ -31,21 +31,31 @@ class KdtIndex private (
     val metric: String,
     val vectors: DataFrame,
     val deleted: DataFrame,
-    val trees: Seq[(DataFrame, DataFrame)]) {
+    val trees: Seq[(DataFrame, DataFrame)],
+    /** Set on a loaded index: each stored tree's assign is partitioned by
+      * `leaf_bucket = leaf % leafBuckets`, and search keys the probe join on
+      * the partition column too — Catalyst then inserts a dynamic-pruning
+      * subquery so the scan touches only the probed leaves' directories (the
+      * same loaded-index DPP path the SPANN side has).
+      */
+    val leafBuckets: Option[Int] = None) {
 
   private def copy(
       vectors: DataFrame = vectors,
       deleted: DataFrame = deleted,
-      trees: Seq[(DataFrame, DataFrame)] = trees): KdtIndex =
-    new KdtIndex(spark, dim, depth, numTrees, beam, metric, vectors, deleted, trees)
+      trees: Seq[(DataFrame, DataFrame)] = trees,
+      leafBuckets: Option[Int] = leafBuckets): KdtIndex =
+    new KdtIndex(spark, dim, depth, numTrees, beam, metric, vectors, deleted,
+      trees, leafBuckets)
 
   def count: Long = Mutations.liveView(vectors, deleted).count()
 
   /** BuildTrees (`KDTree.h:62-116`): one diversified tree per `numTrees`. */
   def build(): KdtIndex = {
     val live = Mutations.liveView(vectors, deleted)
+    // freshly built assigns are in-memory frames without the stored layout
     copy(trees = (0 until numTrees).map(t =>
-      KdTree.build(live, dim, depth, dimRank = t)))
+      KdTree.build(live, dim, depth, dimRank = t)), leafBuckets = None)
   }
 
   private def requireBuilt(): Seq[(DataFrame, DataFrame)] = {
@@ -53,22 +63,35 @@ class KdtIndex private (
     trees
   }
 
-  /** SearchIndex: forest beam search over the live (non-tombstoned) corpus. */
+  /** SearchIndex: forest beam search over the live (non-tombstoned) corpus.
+    * On a loaded index the probe join also keys on the stored `leaf_bucket`
+    * partition column → dynamic-partition-pruned scans of only the probed
+    * leaves (KdTreeSpec/KdtIndexSpec assert the pruning subquery).
+    */
   def search(queries: DataFrame, k: Int): DataFrame = {
     val ts = requireBuilt().map { case (s, a) =>
       (s, Mutations.liveView(a, deleted)) }
-    KdTree.searchForest(queries, ts, depth, k, beam, metric)
+    KdTree.searchForest(queries, ts, depth, k, beam, metric,
+      leafBuckets = leafBuckets)
   }
 
   /** AddIndex: append vectors; route them down each EXISTING tree's splits
     * (structure unchanged until refine — the reference's append semantics).
+    * On a loaded index the appended rows derive the same `leaf_bucket` so
+    * the bucketed probe keys stay consistent across the union.
     */
   def add(batch: DataFrame): KdtIndex = {
     val b = batch.select(col("id"), col("vec"))
     copy(
       vectors = vectors.select(col("id"), col("vec")).unionByName(b),
       trees = requireBuilt().map { case (s, a) =>
-        (s, a.unionByName(KdTree.assignTo(b, s, depth))) })
+        val routed = KdTree.assignTo(b, s, depth)
+        val withBucket = leafBuckets match {
+          case Some(lb) => routed.withColumn(
+            "leaf_bucket", (col("leaf") % lb).cast("int"))
+          case None => routed
+        }
+        (s, a.unionByName(withBucket)) })
   }
 
   def deleteByIds(ids: Seq[Long]): KdtIndex = {
@@ -138,12 +161,16 @@ object KdtIndex {
           throw new IllegalArgumentException(s"missing $key in $dir/kdt_config.json"))
     val (d, dep, nt, bm) =
       (field("dim").toInt, field("depth").toInt, field("numTrees").toInt, field("beam").toInt)
-    val trees = (0 until nt).map { t =>
-      val st = KdTree.load(spark, s"$dir/tree$t")
-      (st.splits, st.assign.select(col("id"), col("vec"), col("leaf")))
-    }
+    // keep the stored partition column: search keys the probe join on
+    // (leaf_bucket, leaf) so Catalyst dynamic-partition-prunes the scan to
+    // the probed leaves' directories (save() laid the layout out for this)
+    val stored = (0 until nt).map(t => KdTree.load(spark, s"$dir/tree$t"))
+    val trees = stored.map(st =>
+      (st.splits,
+        st.assign.select(col("id"), col("vec"), col("leaf"), col("leaf_bucket"))))
     new KdtIndex(spark, d, dep, nt, bm, field("metric"),
       spark.read.parquet(s"$dir/vectors"),
-      spark.read.parquet(s"$dir/deletes"), trees)
+      spark.read.parquet(s"$dir/deletes"), trees,
+      leafBuckets = stored.headOption.map(_.leafBuckets))
   }
 }

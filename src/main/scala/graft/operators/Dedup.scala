@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hash60
@@ -105,12 +106,42 @@ object Dedup {
       .as(Seq("band", "band_hash")))
   }
 
-  /** Candidate pairs = docs sharing any LSH band bucket: `(a, b)`, a < b. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val l = bands.select(col("doc_id").as("a"), col("band"), col("band_hash"))
-    val r = bands.select(col("doc_id").as("b"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+  /** Per-bucket pair cap for [[lshCandidates]]: buckets at or under the cap
+    * contribute all `n·(n−1)/2` pairs; larger ones fall back to star edges.
+    * 1024 keeps the worst bucket's pair count ≤ ~524k while real near-dup
+    * clusters (copies of one document) stay far below it.
+    */
+  val MaxBandBucket: Int = 1024
+
+  /** Candidate pairs = docs sharing any LSH band bucket: `(a, b)`, a < b.
+    *
+    * Skew guard: the self-join is QUADRATIC within a bucket — on a real web
+    * corpus a boilerplate-heavy band can put millions of docs in one
+    * `(band, band_hash)` bucket and that join becomes the hot spot. Buckets
+    * over `maxBucket` therefore emit STAR edges (bucket-min doc id → every
+    * other member, computed in-row from the same window — no join at all)
+    * instead of all pairs: O(bucket) rows, and the bucket stays CONNECTED,
+    * so [[canonicalGroups]] still recovers the duplicate component after the
+    * exact verify. The corpus-side analogue of the reference's posting
+    * truncation (`ExtraFullGraphSearcher.h:744-760`) — bound the per-bucket
+    * work, keep the semantics that matter. The window shuffles on the same
+    * `(band, band_hash)` key the join needs, so the guard adds no extra
+    * exchange over the unguarded form.
+    */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val annotated = bands
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_rep", min(col("doc_id")).over(w))
+    val small = annotated.where(col("_cnt") <= maxBucket)
+    val l = small.select(col("doc_id").as("a"), col("band"), col("band_hash"))
+    val r = small.select(col("doc_id").as("b"), col("band"), col("band_hash"))
+    val smallPairs = l.join(r, Seq("band", "band_hash"))
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+    val hotPairs = annotated
+      .where(col("_cnt") > maxBucket && col("doc_id") =!= col("_rep"))
+      .select(col("_rep").as("a"), col("doc_id").as("b"))
+    smallPairs.union(hotPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for given pairs (or all pairs if `pairs` empty):

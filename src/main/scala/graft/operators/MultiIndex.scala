@@ -43,4 +43,54 @@ object MultiIndex {
         col("r.id").as("id"),
         round(col("r.dist"), 4).as("score"))
   }
+
+  /** Streaming facade over [[weightedScan]] — the reference's
+    * `MultiIndexScan::Next`/`Close` handle (`src/Core/MultiIndexScan.cpp:
+    * 87-178`, exercised by `Test/src/MultiIndexScanTest.cpp:36-62`): results
+    * stream out smallest weighted score first, one batch per `next` call,
+    * from a retained workspace ([[graft.operators.ResultIterator]]'s
+    * pattern — computed once, sliced per call, `close()` releases it).
+    *
+    * Termination budget: the reference round-robins per-index ANN iterators
+    * and stops after `termCondVal` consecutive candidates fail to improve
+    * the heap (or a timer / `searchLimit` seen-set cap) — an
+    * early-termination HEURISTIC whose result may miss true top-k entries.
+    * Here the scan is exact (one bounded top-k pass over the corpus), so
+    * the stream is already globally ordered and terminates at exactly `k`
+    * rows: `termCond` is accepted for API parity and recorded on the handle,
+    * but cannot change the (strictly better) exact results — the same
+    * exact-improvement adjudication as q10's weightedScan itself.
+    */
+  def scanIterator(
+      corpus: DataFrame,
+      vecCols: Seq[String],
+      targets: Seq[Array[Double]],
+      weights: Seq[Double],
+      k: Int,
+      metric: String = "l2sq",
+      termCond: Int = 10): MultiIndexScanIterator = {
+    val ranked = weightedScan(corpus, vecCols, targets, weights, k, metric).cache()
+    new MultiIndexScanIterator(ranked, k, termCond)
+  }
+}
+
+/** Handle for [[MultiIndex.scanIterator]]: serves successive batches of the
+  * weighted top-k in ascending-score order. Batches are disjoint and
+  * contiguous; `next` past `k` (or past the corpus size) returns an empty
+  * frame, `hasNext` mirrors the reference's stream-out stack draining.
+  */
+final class MultiIndexScanIterator private[operators] (
+    ranked: DataFrame, k: Int, val termCond: Int) {
+  private var offset = 0
+
+  def next(batch: Int): DataFrame = {
+    val out = ranked.where(col("rank") > offset && col("rank") <= offset + batch)
+    offset = math.min(offset + batch, k)
+    out
+  }
+
+  def hasNext: Boolean = offset < k
+
+  /** Release the retained workspace (reference `MultiIndexScan::Close`). */
+  def close(): Unit = { ranked.unpersist(); () }
 }

@@ -56,6 +56,37 @@ class DedupSpec extends SparkSpec {
     assert(arrForm === rowForm)
   }
 
+  test("band-bucket skew guard: fixture results unchanged, hot buckets bounded") {
+    // at fixture scale no bucket nears the cap → guarded output IDENTICAL
+    // to the uncapped form on the q33 corpus shape
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val bands = Dedup.lshBands(Dedup.minhash(Dedup.shingles(d)))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.lshCandidates(bands)) ===
+      pairs(Dedup.lshCandidates(bands, maxBucket = Int.MaxValue)),
+      "default guard must not change candidates when no bucket is hot")
+    // one synthetic hot bucket: 50 docs share (band 0, hash 7); cap at 10
+    val hot = (0L until 50L).map(i => (i, 0, 7L)) ++
+      Seq((100L, 1, 9L), (101L, 1, 9L)) // plus one small 2-doc bucket
+    val hotBands = hot.toDF("doc_id", "band", "band_hash")
+    val guarded = pairs(Dedup.lshCandidates(hotBands, maxBucket = 10))
+    // star edges: 49 rows for the hot bucket instead of 1225, small bucket
+    // keeps its full pair
+    assert(guarded.size === 50, s"expected 49 star + 1 small pair, got ${guarded.size}")
+    assert(guarded.count { case (a, _) => a == 0L } === 49,
+      "hot-bucket pairs must all anchor at the bucket-min doc id")
+    assert(guarded.contains((100L, 101L)))
+    // connectivity survives the cap: one component under min-label propagation
+    val members = (0L until 50L).toDF("doc_id")
+    val groups = Dedup.canonicalGroups(members,
+      Dedup.lshCandidates(hotBands, maxBucket = 10)
+        .where(col("a") < 50L).toDF("a", "b"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(groups === Set(0L), "capped bucket must stay one connected component")
+  }
+
   test("identical docs have identical minhash signature and simhash") {
     val sig = Dedup.minhash(Dedup.shingles(docs)).orderBy("doc_id").collect()
     assert(sig(0).getSeq[Long](1) === sig(1).getSeq[Long](1))

@@ -62,5 +62,25 @@ class KdtIndexSpec extends SparkSpec {
     val a = idx.search(q, 3).select("query_id", "rank", "id").collect().toSet
     val b = loaded.search(q, 3).select("query_id", "rank", "id").collect().toSet
     assert(a === b, "loaded index must reproduce the live index's results")
+    // the stored layout must actually be USED: the loaded-forest search keys
+    // the probe join on the leaf_bucket partition column → dynamic-pruning
+    // subquery (the positive DPP assertion the SPANN loaded path has)
+    assert(loaded.leafBuckets === Some(8))
+    val plan = loaded.search(q, 3).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"loaded KDT search must partition-prune on leaf_bucket; plan:\n${plan.take(3000)}")
+  }
+
+  test("add + delete on a LOADED index keep the bucketed layout consistent") {
+    val dir = Files.createTempDirectory("kdtidx2").toString
+    freshIndex.build().save(dir, leafBuckets = 8)
+    val loaded = KdtIndex.load(spark, dir)
+    val grown = loaded.add(Seq((5000L, Seq.fill(10)(1500f))).toDF("id", "vec"))
+    assert(grown.count === 1001)
+    val q = Seq((0L, Seq.fill(10)(1499f))).toDF("query_id", "qvec")
+    assert(grown.search(q, 1).head().getLong(2) === 5000L,
+      "vector appended to a loaded index must be findable")
+    val shrunk = grown.deleteByIds(Seq(5000L))
+    assert(shrunk.search(q, 1).head().getLong(2) !== 5000L)
   }
 }
