@@ -56,6 +56,15 @@ object Pipeline {
     * correlation to the previous sample. No shuffle — a filter at scan
     * speed; expected kept fraction per source = its weight.
     */
+  /** A weight's integer keep-threshold: the 10000-sided hash draw keeps the
+    * doc iff `u < round(wt·10000)`. Precomputed ONCE here and embedded as the
+    * SAME integer literal in both dialects — comparing the integer draw
+    * against a double product (`u < wt*10000.0`) would let a boundary draw
+    * land on either side of a non-exactly-representable product (e.g. 0.07)
+    * depending on each engine's float evaluation.
+    */
+  private def weightThreshold(wt: Double): Long = math.round(wt * 10000.0)
+
   def mixtureSample(
       docs: DataFrame,
       weights: Seq[(String, Double)],
@@ -65,21 +74,24 @@ object Pipeline {
       sourceCol: String = "source"): DataFrame = {
     val u = graft.functions.Hash60(
       concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
-    val w = weights.reverse.foldLeft(lit(defaultWeight)) {
-      case (acc, (src, wt)) => when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    val thr = weights.reverse.foldLeft(lit(weightThreshold(defaultWeight))) {
+      case (acc, (src, wt)) =>
+        when(col(sourceCol) === src, lit(weightThreshold(wt))).otherwise(acc)
     }
-    docs.where(u.cast("double") < w * lit(10000.0))
+    docs.where(u < thr)
   }
 
-  /** DuckDB predicate mirroring [[mixtureSample]]'s keep condition. */
+  /** DuckDB predicate mirroring [[mixtureSample]]'s keep condition — the
+    * integer thresholds come from the same [[weightThreshold]] computation.
+    */
   def mixtureSampleSql(
       weights: Seq[(String, Double)],
       defaultWeight: Double,
       salt: String): String = {
     val u = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'") + " % 10000"
     val cases = weights.map { case (src, wt) =>
-      s"WHEN source = '$src' THEN ${wt}" }.mkString(" ")
-    s"($u)::DOUBLE < (CASE $cases ELSE $defaultWeight END) * 10000.0"
+      s"WHEN source = '$src' THEN ${weightThreshold(wt)}" }.mkString(" ")
+    s"($u) < (CASE $cases ELSE ${weightThreshold(defaultWeight)} END)"
   }
 
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end in

@@ -171,8 +171,11 @@ object Spann {
       internalK: Int,
       maxDistRatio: Double = Double.MaxValue,
       metric: String = "l2sq",
-      headBuckets: Option[Int] = None): DataFrame = {
-    val cand = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
+      headBuckets: Option[Int] = None,
+      wideK: Int = 0,
+      closeRatio: Double = 1.0): DataFrame = {
+    val cand = candidateHeads(
+      queries, heads, internalK, maxDistRatio, metric, wideK, closeRatio)
     searchFromCandidates(cand, queries, postings, k, metric, headBuckets)
   }
 
@@ -393,18 +396,33 @@ object Spann {
 
   /** Stage-1 candidate heads per query: `(query_id, head_id)` (Q8
     * SearchTree semantics when used alone, `BKTIndex.cpp:713-736`).
+    *
+    * Adaptive widening (`wideK` > `internalK`): probe the top `internalK`
+    * heads ALWAYS, plus heads ranked up to `wideK` whose distance stays
+    * within `closeRatio` of the per-query best head. A query in a dense
+    * region — where the 9th..24th heads are nearly as close as the 1st, the
+    * geometry behind every sub-0.9 per-query recall in the q11 fixture —
+    * automatically probes more postings; a query with a steep head-distance
+    * profile pays nothing. This is the reference's dynamic-pivot
+    * compensation as a per-row predicate (`BKTIndex.cpp:150,204`: when
+    * unexplored tree pivots are still competitive with the current queue,
+    * SearchTrees pulls more of them), with `wideK` bounding the blowup on
+    * degenerate-flat geometry.
     */
   def candidateHeads(
       queries: DataFrame,
       heads: DataFrame,
       internalK: Int,
       maxDistRatio: Double = Double.MaxValue,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      wideK: Int = 0,
+      closeRatio: Double = 1.0): DataFrame = {
+    val probeK = math.max(internalK, wideK)
     // heads are ratio-bounded (broadcastable by contract) → tight-loop
     // expression per query row; nn arrives (dist, id)-sorted, so nn[0] is
     // the per-query best distance — no window needed for the ratio prune
     val nn = graft.functions.NearestHeadsExpr.fromHeads(
-      heads, col("qvec"), internalK, metric)
+      heads, col("qvec"), probeK, metric)
     val exploded = queries
       .select(col("query_id"), nn.as("nn"))
       .select(col("query_id"),
@@ -412,9 +430,14 @@ object Spann {
         posexplode(col("nn")).as(Seq("pos", "r")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("r.id").as("head_id"), col("r.dist").as("hdist"), col("_best"))
+    val widened =
+      if (probeK > internalK)
+        exploded.where(col("rank") <= internalK ||
+          col("hdist") <= lit(closeRatio) * col("_best"))
+      else exploded
     val pruned =
-      if (maxDistRatio == Double.MaxValue) exploded
-      else exploded.where(col("hdist") <= lit(maxDistRatio) * col("_best"))
+      if (maxDistRatio == Double.MaxValue) widened
+      else widened.where(col("hdist") <= lit(maxDistRatio) * col("_best"))
     pruned.drop("_best")
   }
 }

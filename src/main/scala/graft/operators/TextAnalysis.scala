@@ -122,9 +122,24 @@ object TextAnalysis {
     * are the dual-dialect set in [[PiiPatterns]] (or any caller-supplied
     * deny-list obeying the same Java∩RE2 contract so the oracle can mirror
     * them verbatim).
+    *
+    * Contract: because replacements apply sequentially while counts come
+    * from the original text, a later pattern must NOT match text injected by
+    * an earlier placeholder — otherwise `n_scrubbed` diverges from the
+    * redactions visible in `scrubbed`. Deny-lists whose patterns match a
+    * preceding placeholder token outright are rejected here; matches that
+    * only arise SPANNING a placeholder boundary cannot be detected
+    * statically and remain the caller's responsibility.
     */
   def scrub(docs: DataFrame, patterns: Seq[(String, String)] = PiiPatterns,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    for (((_, re), i) <- patterns.zipWithIndex;
+         (name, _) <- patterns.take(i)) {
+      val ph = s"<${name.toUpperCase}>"
+      require(!java.util.regex.Pattern.compile(re).matcher(ph).find(),
+        s"scrub pattern '$re' matches earlier placeholder '$ph' — " +
+          "counts would diverge from the visible redactions")
+    }
     val countExprs = patterns.map { case (_, re) =>
       size(regexp_extract_all(col(textCol), lit(re), lit(0))) }
     val counts = countExprs.zip(patterns).map { case (e, (name, _)) =>

@@ -91,6 +91,21 @@ class PipelineSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("mixtureSample draws against integer thresholds (no float-boundary ambiguity)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"), lit("t").as("text"), lit("s0").as("source"))
+    // 0.07·10000 is not exactly representable in double — the integer
+    // threshold round(0.07·10000)=700 makes the keep set engine-independent:
+    // exactly the docs whose draw is < 700
+    val kept = Pipeline.mixtureSample(docs, Seq("s0" -> 0.07))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val draws = docs.select(col("doc_id"),
+      (graft.functions.Hash60(concat(col("doc_id").cast("string"), lit(":mix")))
+        % 10000L).as("u")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === draws.filter(_._2 < 700L).keySet)
+  }
+
   test("packSequences cuts per-bucket token streams at the budget") {
     import org.apache.spark.sql.functions._
     // 40 docs of 10 tokens each, ONE bucket, budget 64: packs of 6.4 docs

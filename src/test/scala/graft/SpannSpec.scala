@@ -23,6 +23,33 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("adaptive stage-1 widening lifts the per-query recall FLOOR (dynamic-pivot compensation)") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val exact = Knn.search(queries, corpus, 10)
+    def minRecall(wideK: Int, closeRatio: Double): Double =
+      Eval.recallSummary(Eval.recallAt(
+        Spann.searchTwoStage(queries, heads, postings, 10, 8,
+          wideK = wideK, closeRatio = closeRatio), exact, 10))
+        .head().getDouble(1)
+    val fixed = minRecall(0, 1.0)
+    val widened = minRecall(24, 1.08)
+    assert(widened >= fixed, s"widening must not lower the floor ($fixed -> $widened)")
+    assert(widened >= 0.9, s"widened min per-query recall $widened")
+    // widening is a pure superset of the fixed probe: per-query recall is
+    // monotone, not just the floor
+    val perFixed = Eval.recallAt(
+      Spann.searchTwoStage(queries, heads, postings, 10, 8), exact, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perWide = Eval.recallAt(
+      Spann.searchTwoStage(queries, heads, postings, 10, 8,
+        wideK = 24, closeRatio = 1.08), exact, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    perFixed.foreach { case (q, r) =>
+      assert(perWide(q) >= r, s"query $q recall regressed $r -> ${perWide(q)}")
+    }
+  }
+
   test("compressed stage-2: full head coverage equals the full ADC scan (Q5+Q11)") {
     import graft.functions.PQ
     val heads = Spann.selectHeadsModulo(corpus, 50)

@@ -74,6 +74,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(4) === "<A> <B> <A> gamma")
   }
 
+  test("scrub rejects a deny-list whose pattern matches an earlier placeholder") {
+    val docs = Seq((1L, "whatever")).toDF("doc_id", "text")
+    val bad = Seq(
+      "email" -> "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      // would match inside the injected '<EMAIL>' token → counts and visible
+      // redactions diverge; the contract check refuses it up front
+      "shout" -> "[A-Z]{3,}")
+    val e = intercept[IllegalArgumentException] { TextAnalysis.scrub(docs, bad) }
+    assert(e.getMessage.contains("placeholder"))
+  }
+
   test("boilerplate reports shingle document frequency above the floor") {
     val docs = Seq(
       (1L, "all rights reserved copyright two thousand"),
