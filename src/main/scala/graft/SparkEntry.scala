@@ -645,7 +645,25 @@ object SparkEntry {
       ordered(all.select(
         col("tag") +: col("id") +:
           (0 until 6).map(i => col("vec").getItem(i).as(s"v${i + 1}")): _*))
-    })
+    }),
+    // incremental near-dup dedup: the NEW batch (ids >= IncrSplit) checked
+    // against the accumulated corpus (ids < IncrSplit) and itself WITHOUT
+    // re-pairing the corpus — the shape every recurring-ingest pipeline
+    // runs. With the id-ordered split this equals q33's pair set restricted
+    // to b >= IncrSplit, which is exactly what the oracle asserts.
+    "q82_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.minhashDedupIncremental(
+        docs.where(col("doc_id") < IncrSplit),
+        docs.where(col("doc_id") >= IncrSplit), 0.3))
+    }),
+    // mixture UPSAMPLING: weights above 1 repeat docs (floor(w) copies plus
+    // a fractional-draw extra), weights at or below 1 downsample — the
+    // corpus-assembly step that over-represents high-quality sources
+    "q83_mixture_upsample" -> ((s, d) =>
+      ordered(Pipeline.mixtureUpsample(
+        Tables.documents(s, d), UpWeights, UpDefault, MixSalt)
+        .select(col("doc_id"), col("rep"), col("source"))))
   )
 
   private val KdDepth = 3
@@ -659,6 +677,14 @@ object SparkEntry {
   private val MixWeights = Seq("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75)
   private val MixDefault = 0.9
   private val MixSalt = "r7"
+  // upsampling mixture (q83): src0 repeats 2-3× (2 whole copies + 50% draw),
+  // src1 keeps 30%, everything else passes through exactly once (threshold
+  // 10000 → one whole copy, zero fractional draw)
+  private val UpWeights = Seq("src0" -> 2.5, "src1" -> 0.3)
+  private val UpDefault = 1.0
+  // incremental-dedup corpus/batch split (q82): ids below are "the corpus",
+  // ids at/above are "today's batch"
+  private val IncrSplit = 400
   private val PackBudget = 256L
   private val PackBuckets = 8
 
@@ -1439,6 +1465,18 @@ object SparkEntry {
          |SELECT 'xvec_uint8' AS tag, id, ${vcols(i => s"abs(iv[$i]) % 255")} FROM base
          |ORDER BY tag, id, v1, v2, v3, v4, v5, v6""".stripMargin
     },
+    // the full-corpus pair set restricted to pairs whose b is in the batch:
+    // with the id-ordered split every (corpus→batch) and within-batch pair
+    // has a < b, so the incremental pipeline must reproduce q33 exactly on
+    // this slice — corpus-internal pairs (b < IncrSplit) never appear
+    "q82_dedup_incremental" ->
+      s"""WITH $minhashCtes
+         |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= 0.3 AND j.b >= $IncrSplit
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q83_mixture_upsample" ->
+      s"""${Pipeline.mixtureUpsampleSql(UpWeights, UpDefault, MixSalt)}
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

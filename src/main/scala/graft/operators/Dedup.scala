@@ -196,15 +196,73 @@ object Dedup {
     val da = shingleArrays(spread).localCheckpoint(true)
     val cands = lshCandidates(
       lshBands(minhashFromArrays(da, numHashes), numHashes, rowsPerBand))
+    verifiedPairs(cands, da, da, threshold)
+  }
+
+  /** Exact-Jaccard verify over candidate pairs: join each side's shingle
+    * array in, intersect in-row, keep pairs at or above `threshold`. Shared
+    * by the batch and incremental MinHash pipelines — two equi-joins keyed
+    * by doc id, no pair-space blowup beyond the candidate set itself.
+    */
+  private def verifiedPairs(cands: DataFrame, aArr: DataFrame,
+      bArr: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(da.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
-      .join(da.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
+      .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
+      .join(bArr.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
       .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .select(col("a"), col("b"),
         round(col("_inter").cast("double") /
           (size(col("_sa")) + size(col("_sb")) - col("_inter")).cast("double"), 4)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+
+  /** Incremental MinHash+LSH near-dup: match a NEW batch of documents
+    * against an EXISTING corpus (and within itself) WITHOUT re-pairing the
+    * corpus — the production shape at 100 TB, where the accumulated corpus
+    * is never re-deduped; each ingest round checks only the delta. The
+    * corpus side contributes its band buckets (at scale these are the
+    * STORED dedup index: persist `lshBands(minhashFromArrays(...))` keyed by
+    * `(band, band_hash)` at build time and the corpus-side recompute here
+    * disappears), and candidates are (corpus→batch) bucket joins plus the
+    * batch's internal pairs — corpus×corpus pairs are never formed, so the
+    * shuffle is ∝ batch size + matched buckets, not corpus².
+    *
+    * Output `(a, b, jaccard)` where `b` is always a batch doc and `a` is
+    * either a corpus doc or an earlier batch doc (`a < b` within the batch).
+    * Corpus and batch ids must be disjoint. Oversized corpus buckets (over
+    * `maxBucket`) are skipped as stop-buckets — the boilerplate analogue of
+    * [[lshCandidates]]' star-edge guard for the one-sided join (a bucket
+    * that hot carries no near-dup signal, only a quadratic join); the
+    * batch's internal pairs go through [[lshCandidates]]' own guard.
+    */
+  def minhashDedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val target = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    def spread(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val daC = shingleArrays(spread(corpus)).localCheckpoint(true)
+    val daB = shingleArrays(spread(batch)).localCheckpoint(true)
+    val bandsC = lshBands(minhashFromArrays(daC, numHashes), numHashes, rowsPerBand)
+    val bandsB = lshBands(minhashFromArrays(daB, numHashes), numHashes, rowsPerBand)
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    val bounded = bandsC
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .where(col("_cnt") <= maxBucket)
+    val cross = bounded
+      .select(col("doc_id").as("a"), col("band"), col("band_hash"))
+      .join(bandsB.select(col("doc_id").as("b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("a"), col("b"))
+    val cands = cross.union(lshCandidates(bandsB, maxBucket)).distinct()
+    verifiedPairs(cands,
+      daC.select(col("doc_id"), col("sharr"))
+        .union(daB.select(col("doc_id"), col("sharr"))),
+      daB, threshold)
   }
 
   /** Canonical near-dup grouping: connected components over a verified pair

@@ -94,6 +94,66 @@ object Pipeline {
     s"($u) < (CASE $cases ELSE ${weightThreshold(defaultWeight)} END)"
   }
 
+  /** Mixture sampling with UPSAMPLING: weights above 1 emit multiple copies
+    * of a document (high-quality sources are repeated in real pre-training
+    * mixtures — e.g. weight 2.3 means every doc appears twice and 30% of
+    * docs a third time), weights at or below 1 downsample exactly like
+    * [[mixtureSample]]. Copies come from `floor(w)` whole repeats plus one
+    * more when the doc's deterministic hash draw lands under the fractional
+    * part; the draw reuses [[mixtureSample]]'s integer-threshold contract
+    * (`thr = round(w·10000)`: whole copies `thr div 10000`, fractional keep
+    * iff `u < thr mod 10000`), so the two operators agree on which docs the
+    * fractional part keeps. Output adds a `rep` column (0-based copy index)
+    * so downstream shuffles see distinct rows. Zero-shuffle: a scan-speed
+    * generate per row — the 100 TB shape (never materialize repeats through
+    * an exchange; let the terminal writer stream them out).
+    */
+  def mixtureUpsample(
+      docs: DataFrame,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0,
+      salt: String = "mix",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val u = graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
+    val thr = weights.reverse.foldLeft(lit(weightThreshold(defaultWeight))) {
+      case (acc, (src, wt)) =>
+        when(col(sourceCol) === src, lit(weightThreshold(wt))).otherwise(acc)
+    }
+    val copies = floor(thr / lit(10000L)).cast("long") +
+      when(u < thr % 10000L, lit(1L)).otherwise(lit(0L))
+    // guard BEFORE sequence: Spark's sequence(0, -1) DESCENDS (yields
+    // [0, -1]) instead of being empty, so zero-copy docs must be filtered
+    // out first, exactly as the SQL mirror's WHERE does
+    docs.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
+  /** DuckDB mirror of [[mixtureUpsample]] restricted to the oracle's
+    * projection: emits `(doc_id, rep, source)` rows by unnesting the scalar
+    * list form of `generate_series` (the lateral table-function form rejects
+    * column arguments in DuckDB 1.0) against the same integer thresholds.
+    */
+  def mixtureUpsampleSql(
+      weights: Seq[(String, Double)],
+      defaultWeight: Double,
+      salt: String): String = {
+    val u = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'") + " % 10000"
+    val cases = weights.map { case (src, wt) =>
+      s"WHEN source = '$src' THEN ${weightThreshold(wt)}" }.mkString(" ")
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |         (CASE $cases ELSE ${weightThreshold(defaultWeight)} END) // 10000
+       |         + (CASE WHEN ($u) < (CASE $cases ELSE ${weightThreshold(defaultWeight)} END) % 10000
+       |            THEN 1 ELSE 0 END) AS copies
+       |  FROM documents)
+       |SELECT doc_id, unnest(generate_series(0, copies - 1)) AS rep, source
+       |FROM c WHERE copies > 0""".stripMargin
+  }
+
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end in
     * id order and cut every `budgetTokens` tokens — each doc reports the
     * pack its first token lands in and its offset inside that pack. Docs

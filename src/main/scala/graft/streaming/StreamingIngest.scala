@@ -78,6 +78,74 @@ object StreamingIngest {
       .toDF("head_id", "n_postings", "needs_split")
   }
 
+  /** Streaming NEAR-dup dedup: MinHash+LSH over a document stream, keyed by
+    * band bucket, with each bucket's membership held in stream state
+    * (`flatMapGroupsWithState`) — the continuous-ingest form of
+    * [[graft.operators.Dedup.minhashDedupIncremental]]: every arriving doc
+    * is checked against all earlier docs that share one of its LSH buckets,
+    * never against the whole corpus. Emits `(a, b, jaccard)` with `a` the
+    * earlier doc and `b` the newcomer, exact-verified in-state at or above
+    * `threshold`. A pair sharing several buckets is emitted once per shared
+    * bucket (identical values) — `.distinct()` downstream or dedup in the
+    * sink; state per bucket is capped at `maxBucket` members (the stop-
+    * bucket guard: an over-hot bucket is boilerplate, not dedup signal).
+    *
+    * Scale: state is partitioned by `(band, band_hash)` — the same key the
+    * batch pipeline shuffles on — so bucket membership lives next to its
+    * verifications and a 1000-executor cluster spreads buckets evenly.
+    */
+  def nearDupStream(
+      docs: DataFrame, // streaming (doc_id, text)
+      threshold: Double,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = graft.operators.Dedup.MaxBandBucket): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Dedup
+    import graft.functions.Hash60
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBands = numHashes / rowsPerBand
+    val sig = array((0 until numHashes).map(j =>
+      array_min(transform(col("h32arr"),
+        h => (lit(Dedup.minhashA(j)) * h + lit(Dedup.minhashB(j))) % Dedup.M31))): _*)
+    // same band hash as Dedup.lshBands, with the shingle array carried along
+    // (a streaming frame cannot self-join the arrays back in later)
+    val bandArr = array((0 until numBands).map(b =>
+      Hash60(concat_ws("|", (0 until rowsPerBand).map(r =>
+        col("_sig").getItem(b * rowsPerBand + r).cast("string")): _*))): _*)
+    Dedup.shingleArrays(docs)
+      .withColumn("_sig", sig)
+      .select(col("doc_id").cast("long"), col("sharr"),
+        posexplode(bandArr).as(Seq("band", "band_hash")))
+      .as[(Long, Seq[String], Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Seq[(Long, Seq[String])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[String], Int, Long)],
+            state: GroupState[Seq[(Long, Seq[String])]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val hits = Seq.newBuilder[(Long, Long, Double)]
+          // id-ordered within the trigger so within-batch pairs orient a < b
+          for ((id, sharr, _, _) <- rows.toSeq.sortBy(_._1)
+               if !members.exists(_._1 == id)) {
+            val sh = sharr.toSet
+            for ((mid, msh) <- members) {
+              val inter = msh.count(sh)
+              val j = inter.toDouble / (sh.size + msh.size - inter)
+              // HALF_UP to 4 decimals — the batch pipeline's round(_, 4)
+              val jr = BigDecimal(j)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (jr >= threshold) hits += ((mid, id, jr))
+            }
+            if (members.size < maxBucket) members = members :+ ((id, sharr))
+          }
+          state.update(members)
+          hits.result().iterator
+      }
+      .toDF("a", "b", "jaccard")
+  }
+
   /** Online query serving (V1 as a stream, `SocketServer.h` request loop →
     * micro-batches): each trigger's query batch runs the two-stage search
     * against the STATIC index — per-trigger cost ∝ batch size, the postings

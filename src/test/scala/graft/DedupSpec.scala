@@ -139,6 +139,34 @@ class DedupSpec extends SparkSpec {
     groups.groupBy(_._2).foreach { case (lbl, m) => assert(lbl === m.keys.min) }
   }
 
+  test("incremental dedup equals the full pair set restricted to batch-b pairs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val split = 60L
+    val full = Dedup.minhashDedup(d, 0.3)
+      .where(col("b") >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = Dedup.minhashDedupIncremental(
+      d.where(col("doc_id") < split), d.where(col("doc_id") >= split), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr === full)
+    assert(incr.nonEmpty, "fixture should contain cross-split near-dups")
+    // no corpus-internal pairs: b is always a batch doc
+    incr.foreach { case (_, b, _) => assert(b >= split) }
+  }
+
+  test("incremental dedup orients cross pairs corpus→batch regardless of id order") {
+    // batch ids BELOW the corpus ids: orientation must still be (a=corpus,
+    // b=batch), which breaks the a<b convention on purpose
+    val corpus = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta"), // dup of corpus 100
+      (6L, "unrelated words entirely here now ok")).toDF("doc_id", "text")
+    val got = Dedup.minhashDedupIncremental(corpus, batch, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 5L)))
+  }
+
   test("applyDedup keeps exactly the canonical doc of every group") {
     val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
       .withColumn("text", concat(lit("t"), col("doc_id")))

@@ -106,6 +106,29 @@ class PipelineSpec extends SparkSpec {
     assert(kept === draws.filter(_._2 < 700L).keySet)
   }
 
+  test("mixtureUpsample repeats by whole weight plus fractional draw; w<=1 matches mixtureSample") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"), lit("t").as("text"),
+      when(col("id") % 2 === 0, "hi").otherwise("lo").as("source"))
+    val up = Pipeline.mixtureUpsample(docs, Seq("hi" -> 2.5, "lo" -> 0.3))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"), max(col("rep")).as("maxRep"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val hi = up.filter(_._2 == "hi")
+    assert(hi.forall(t => t._3 == 2 || t._3 == 3), "hi docs get 2 or 3 copies")
+    assert(hi.exists(_._3 == 3) && hi.exists(_._3 == 2), "fractional draw splits hi docs")
+    // rep is a dense 0-based index
+    up.foreach(t => assert(t._4 == t._3 - 1, s"rep gap for ${t._1}"))
+    // the fractional-keep decision for w<=1 is mixtureSample's keep set
+    val lo = up.filter(_._2 == "lo").map(_._1).toSet
+    val sampled = Pipeline.mixtureSample(docs, Seq("hi" -> 2.5, "lo" -> 0.3))
+      .where(col("source") === "lo")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo === sampled)
+    assert(lo.nonEmpty && lo.size < 1000, "lo keeps a strict non-empty subset")
+  }
+
   test("packSequences cuts per-bucket token streams at the budget") {
     import org.apache.spark.sql.functions._
     // 40 docs of 10 tokens each, ONE bucket, budget 64: packs of 6.4 docs

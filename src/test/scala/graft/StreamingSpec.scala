@@ -48,6 +48,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup matches the batch pipeline across micro-batches") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val batch1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 0, same batch
+      (2L, "completely different text about spark engines and data"))
+    val batch2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup of 0, CROSS batch
+      (4L, "unrelated content with nothing shared at all"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.nearDupStream(
+      stream.toDF().toDF("doc_id", "text"), 0.3)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val got = spark.table("neardup_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Dedup.minhashDedup(
+        (batch1 ++ batch2).toDF("doc_id", "text"), 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, s"stream $got vs batch $want")
+      assert(got.exists { case (a, b, _) => a < 3 && b >= 3 },
+        "a cross-micro-batch pair must surface (state carried between triggers)")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup state caps bucket membership (stop-bucket guard)") {
+    implicit val sq = spark.sqlContext
+    // 5 identical docs, maxBucket=2: only the first two enter state, so
+    // pairs form against those representatives only — bounded, not quadratic
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.nearDupStream(
+      stream.toDF().toDF("doc_id", "text"), 0.3, maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap_out").outputMode("append")
+      .start()
+    try {
+      stream.addData((0L to 4L).map(i => (i, "same boilerplate text every single time")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_cap_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // members {0,1}: every later doc pairs against both, nothing else
+      assert(got === Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L),
+        (0L, 4L), (1L, 4L)))
+    } finally q.stop()
+  }
+
   test("posting pressure keeps per-head state across micro-batches") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Long)]
