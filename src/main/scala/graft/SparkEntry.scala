@@ -663,7 +663,29 @@ object SparkEntry {
     "q83_mixture_upsample" -> ((s, d) =>
       ordered(Pipeline.mixtureUpsample(
         Tables.documents(s, d), UpWeights, UpDefault, MixSalt)
-        .select(col("doc_id"), col("rep"), col("source"))))
+        .select(col("doc_id"), col("rep"), col("source")))),
+    // q82 through the PERSISTED band index: save the corpus layout, load it
+    // back, probe the batch against the stored buckets — gates the
+    // build-once-probe-many storage surface end-to-end (same oracle as q82,
+    // since the stored probe must reproduce the in-memory incremental form)
+    "q84_dedup_index_probe" -> ((s, d) => {
+      import graft.sources.DedupStore
+      val docs = Tables.documents(s, d)
+      val dir = scratch("q84_dedup_index")
+      DedupStore.save(dir, docs.where(col("doc_id") < IncrSplit))
+      ordered(DedupStore.probe(
+        DedupStore.load(s, dir), docs.where(col("doc_id") >= IncrSplit), 0.3))
+    }),
+    // adaptive per-source quality floor: each domain keeps its own top 60%
+    // by quality percentile — a shifted-distribution-proof filter, unlike
+    // q71's fixed threshold
+    "q85_quality_quantile" -> ((s, d) =>
+      ordered(Pipeline.qualityQuantileFloor(Tables.documents(s, d), 0.4)
+        .select(col("doc_id"), col("source")))),
+    // token-budget selection: fill each source's token budget with its best
+    // documents (quality-descending greedy, integer cumsum windows)
+    "q86_token_budget" -> ((s, d) =>
+      ordered(Pipeline.tokenBudgetSelect(Tables.documents(s, d), TokenBudget)))
   )
 
   private val KdDepth = 3
@@ -685,6 +707,9 @@ object SparkEntry {
   // incremental-dedup corpus/batch split (q82): ids below are "the corpus",
   // ids at/above are "today's batch"
   private val IncrSplit = 400
+  // per-source token budget for q86 (sf0.01 sources carry ~25 docs ×
+  // ~40 tokens each, so 500 keeps roughly the best third of every source)
+  private val TokenBudget = 500L
   private val PackBudget = 256L
   private val PackBuckets = 8
 
@@ -1476,6 +1501,18 @@ object SparkEntry {
          |ORDER BY 1, 2, 3""".stripMargin,
     "q83_mixture_upsample" ->
       s"""${Pipeline.mixtureUpsampleSql(UpWeights, UpDefault, MixSalt)}
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // identical pair set to q82: persistence must not change the answer
+    "q84_dedup_index_probe" ->
+      s"""WITH $minhashCtes
+         |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= 0.3 AND j.b >= $IncrSplit
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q85_quality_quantile" ->
+      s"""${Pipeline.qualityQuantileFloorSql(0.4)}
+         |ORDER BY 1, 2""".stripMargin,
+    "q86_token_budget" ->
+      s"""${Pipeline.tokenBudgetSelectSql(TokenBudget)}
          |ORDER BY 1, 2, 3""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -204,7 +204,7 @@ object Dedup {
     * by the batch and incremental MinHash pipelines — two equi-joins keyed
     * by doc id, no pair-space blowup beyond the candidate set itself.
     */
-  private def verifiedPairs(cands: DataFrame, aArr: DataFrame,
+  private[graft] def verifiedPairs(cands: DataFrame, aArr: DataFrame,
       bArr: DataFrame, threshold: Double): DataFrame =
     cands
       .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the full training-data hygiene pipeline a
@@ -153,6 +154,77 @@ object Pipeline {
        |SELECT doc_id, unnest(generate_series(0, copies - 1)) AS rep, source
        |FROM c WHERE copies > 0""".stripMargin
   }
+
+  /** Adaptive per-source quality floor: keep the documents whose quality
+    * score sits at or above their OWN source's `quantile` percentile —
+    * unlike a fixed threshold, each domain keeps its best (100·(1−q))%
+    * regardless of how its score distribution is shifted (web junk and
+    * curated prose get floored on their own scales). `percent_rank` over a
+    * `(quality, doc_id)` total order, windowed PER SOURCE — partitions are
+    * domains, so no global window; a domain's window sort is the same
+    * shuffle a groupBy(source) would pay.
+    */
+  def qualityQuantileFloor(
+      docs: DataFrame,
+      quantile: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(TextAnalysis.quality(col(textCol)), col(idCol))
+    docs.withColumn("_pr", percent_rank().over(w))
+      .where(col("_pr") >= quantile)
+      .drop("_pr")
+  }
+
+  /** DuckDB mirror of [[qualityQuantileFloor]]'s keep predicate, as a
+    * projection + QUALIFY-style subquery body over `documents`.
+    */
+  def qualityQuantileFloorSql(quantile: Double): String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |         percent_rank() OVER (PARTITION BY source
+       |           ORDER BY ${TextAnalysis.Sql.qualityExpr}, doc_id) AS pr
+       |  FROM documents)
+       |WHERE pr >= $quantile""".stripMargin
+
+  /** Token-budget corpus selection: per source, take documents in
+    * quality-descending order (ties by doc id) until the cumulative token
+    * count reaches `budget` — "fill N tokens per domain with that domain's
+    * best documents", the terminal corpus-assembly step once scores exist.
+    * A doc is kept iff the running total INCLUDING it stays within budget
+    * (documents larger than the remaining budget are skipped only if they
+    * overflow it — no bin-packing backtrack, the deterministic greedy every
+    * production pipeline uses). Output `(doc_id, source, cum_tokens)`.
+    *
+    * Scale: one window per source over integer cumsums — partition count =
+    * domain count; no global ordering anywhere.
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(TextAnalysis.quality(col(textCol)).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("_cum", sum(size(TextAnalysis.tokens(col(textCol)))).over(w))
+      .where(col("_cum") <= budget)
+      .select(col(idCol), col(sourceCol), col("_cum").as("cum_tokens"))
+  }
+
+  /** DuckDB mirror of [[tokenBudgetSelect]] over `documents`. */
+  def tokenBudgetSelectSql(budget: Long): String =
+    s"""SELECT doc_id, source, cum_tokens FROM (
+       |  SELECT doc_id, source,
+       |         sum(len(${TextAnalysis.Sql.toks("text")}))
+       |           OVER (PARTITION BY source
+       |                 ORDER BY ${TextAnalysis.Sql.qualityExpr} DESC, doc_id
+       |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM documents)
+       |WHERE cum_tokens <= $budget""".stripMargin
 
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end in
     * id order and cut every `budgetTokens` tokens — each doc reports the

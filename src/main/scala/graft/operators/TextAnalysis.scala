@@ -35,6 +35,26 @@ object TextAnalysis {
     * stop_ratio, punct_ratio, quality)` — the quality score is a fixed
     * weighted combination of length/stopword/uniqueness/punctuation signals.
     */
+  /** The quality score as a standalone column expression (the last column of
+    * [[stats]]; [[Sql.qualityExpr]] is its DuckDB mirror) — reusable by any
+    * operator that ranks or thresholds on quality without paying a join
+    * against the stats frame.
+    */
+  def quality(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val nUniq = size(array_distinct(t)).cast("double")
+    val stop = hitCount(t, Stopwords.head._2).cast("double")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
+    val chars = length(text).cast("double")
+    round(
+      lit(0.4) * (nUniq / greatest(nTok, lit(1.0))) +
+        lit(0.3) * (stop / greatest(nTok, lit(1.0))) +
+        lit(0.2) * least(nTok / lit(200.0), lit(1.0)) +
+        lit(0.1) * (lit(1.0) - punct / greatest(chars, lit(1.0))), 4)
+  }
+
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
     val nTok = size(t).cast("double")
@@ -50,12 +70,7 @@ object TextAnalysis {
       round(nUniq / greatest(nTok, lit(1.0)), 4).as("uniq_ratio"),
       round(stop / greatest(nTok, lit(1.0)), 4).as("stop_ratio"),
       round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
-      round(
-        lit(0.4) * (nUniq / greatest(nTok, lit(1.0))) +
-          lit(0.3) * (stop / greatest(nTok, lit(1.0))) +
-          lit(0.2) * least(nTok / lit(200.0), lit(1.0)) +
-          lit(0.1) * (lit(1.0) - punct / greatest(chars, lit(1.0))), 4)
-        .as("quality"))
+      quality(col(textCol)).as("quality"))
   }
 
   /** Intra-document repetition (the duplicate-n-gram family of quality

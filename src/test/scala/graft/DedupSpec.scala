@@ -167,6 +167,37 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((100L, 5L)))
   }
 
+  test("stored dedup index probe equals the in-memory incremental form and partition-prunes") {
+    import graft.sources.DedupStore
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val split = 60L
+    val corpus = d.where(col("doc_id") < split)
+    val batch = d.where(col("doc_id") >= split)
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupStore.save(dir, corpus, bandBuckets = 8)
+    val idx = DedupStore.load(spark, dir)
+    assert(idx.numHashes === 16 && idx.rowsPerBand === 4 &&
+      idx.nGram === 3 && idx.bandBuckets === 8)
+    val probe = DedupStore.probe(idx, batch, 0.3)
+    val want = Dedup.minhashDedupIncremental(corpus, batch, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = probe
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the stored layout must actually be USED: the probe keys the bucket
+    // join on the band_bucket partition column → dynamic-pruning subquery
+    // (the positive DPP assertion the loaded SPANN/KDT paths have)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"stored probe must partition-prune on band_bucket; plan:\n${plan.take(3000)}")
+    // the stop-bucket guard is a scan-time filter on the stored cnt column
+    val capped = DedupStore.probe(idx, batch, 0.3, maxBucket = 0)
+    assert(capped.collect().forall(r => r.getLong(1) >= split),
+      "maxBucket=0 must drop every corpus bucket, leaving only within-batch pairs")
+  }
+
   test("applyDedup keeps exactly the canonical doc of every group") {
     val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
       .withColumn("text", concat(lit("t"), col("doc_id")))

@@ -129,6 +129,48 @@ class PipelineSpec extends SparkSpec {
     assert(lo.nonEmpty && lo.size < 1000, "lo keeps a strict non-empty subset")
   }
 
+  test("qualityQuantileFloor keeps each source's own top quantile") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val kept = Pipeline.qualityQuantileFloor(docs, 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.quality(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    scored.groupBy(_._2).foreach { case (src, ds) =>
+      val inSrc = ds.sortBy(d => (d._3, d._1))
+      val keptSrc = inSrc.filter(d => kept(d._1))
+      // the kept set is the TOP of the per-source (quality, id) order —
+      // a suffix of the ascending sort — and roughly the top 60%
+      assert(keptSrc.toSeq === inSrc.takeRight(keptSrc.length).toSeq, s"source $src")
+      val frac = keptSrc.length.toDouble / inSrc.length
+      assert(frac > 0.4 && frac < 0.8, s"source $src kept $frac")
+    }
+  }
+
+  test("tokenBudgetSelect takes a quality-ordered prefix per source within budget") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val budget = 300L
+    val got = Pipeline.tokenBudgetSelect(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, cum) => assert(cum <= budget) }
+    val order = docs.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.quality(col("text")).as("q"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    order.groupBy(_._2).foreach { case (src, ds) =>
+      val ranked = ds.sortBy(d => (-d._3, d._1))
+      val keptIds = got.filter(_._2 == src).map(_._1).toSet
+      // greedy prefix: the kept docs are exactly the longest head of the
+      // quality-descending order whose token cumsum fits the budget
+      val prefix = ranked.map(_._4.toLong).scanLeft(0L)(_ + _).tail
+        .takeWhile(_ <= budget).length
+      assert(keptIds === ranked.take(prefix).map(_._1).toSet, s"source $src")
+    }
+  }
+
   test("packSequences cuts per-bucket token streams at the budget") {
     import org.apache.spark.sql.functions._
     // 40 docs of 10 tokens each, ONE bucket, budget 64: packs of 6.4 docs
