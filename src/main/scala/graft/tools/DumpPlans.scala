@@ -57,7 +57,21 @@ object DumpPlans {
         |per-query window over ≤ 2·beam rows, and the final leaf probe is an
         |equi-join (partition-pruned via leaf_bucket on a stored tree). The
         |build behind it is one groupBy per level — every node's variance
-        |stats in a single map-side-partial aggregation.""".stripMargin)
+        |stats in a single map-side-partial aggregation.""".stripMargin,
+    "q82_dedup_incremental" ->
+      """Incremental near-dup dedup: corpus band buckets join ONE-SIDED
+        |against the batch's buckets (corpus×corpus pairs never form), hot
+        |corpus buckets drop out via the windowed count guard, and the
+        |batch's internal pairs reuse the guarded candidate join. Shuffle is
+        |∝ batch + matched buckets — a daily-ingest probe against a 100 TB
+        |corpus never re-pairs the corpus.""".stripMargin,
+    "q84_dedup_index_probe" ->
+      """The same probe against the PERSISTED band index: stored bands are
+        |partitioned by band_bucket with membership counts precomputed, so
+        |the plan carries a dynamicpruning subquery on the partition column
+        |(only the buckets the batch touches are scanned) and the
+        |stop-bucket guard is a pushed scan filter on `cnt` — build the
+        |dedup index once, probe every ingest round.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
