@@ -69,15 +69,18 @@ object Bench {
     val medians = SparkEntry.benchQueryNames.map { name =>
       name -> median(runs.map(_.toMap.apply(name)))
     }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def fmtQs(qs: Seq[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      qs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val runsJson = runs.map(r =>
-      s"""{"total":${f"${r.map(_._2).sum}%.3f"},"queries":${fmtQs(r)}}""")
+      s"""{"total":${num(r.map(_._2).sum)},"queries":${fmtQs(r)}}""")
       .mkString("[", ",", "]")
     // headline "queries"/"value" are the medians — the number the 2x-per-query
     // contract reads; raw runs ride alongside for noise attribution
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${fmtQs(medians)},"medians":${fmtQs(medians)},""" +
       s""""runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -1951,8 +1951,13 @@ object SparkEntry {
       s"""${p}s$l AS (SELECT node, count(*)::DOUBLE AS n, $statCols
          |        FROM ${p}a$l GROUP BY node),
          |${p}d$l AS (SELECT node, sdim AS split_dim, CASE sdim $svCase END AS split_val
-         |        FROM (SELECT *, list_sort($entries)[${rank + 1}].d AS sdim,
-         |                list_sort($entries)[${rank + 1}].np AS snp FROM ${p}s$l)
+         |        FROM (SELECT *,
+         |                CASE WHEN -(list_sort($entries)[${rank + 1}].np) > 0
+         |                     THEN list_sort($entries)[${rank + 1}].d
+         |                     ELSE list_sort($entries)[1].d END AS sdim,
+         |                CASE WHEN -(list_sort($entries)[${rank + 1}].np) > 0
+         |                     THEN list_sort($entries)[${rank + 1}].np
+         |                     ELSE list_sort($entries)[1].np END AS snp FROM ${p}s$l)
          |        WHERE -snp > 0),
          |${p}a${l + 1} AS (SELECT a.id, a.vec,
          |        a.node*2 + CASE WHEN list_extract(a.vec, d.split_dim) <= d.split_val

@@ -118,30 +118,32 @@ object Dedup {
     * Skew guard: the self-join is QUADRATIC within a bucket — on a real web
     * corpus a boilerplate-heavy band can put millions of docs in one
     * `(band, band_hash)` bucket and that join becomes the hot spot. Buckets
-    * over `maxBucket` therefore emit STAR edges (bucket-min doc id → every
-    * other member, computed in-row from the same window — no join at all)
-    * instead of all pairs: O(bucket) rows, and the bucket stays CONNECTED,
-    * so [[canonicalGroups]] still recovers the duplicate component after the
-    * exact verify. The corpus-side analogue of the reference's posting
-    * truncation (`ExtraFullGraphSearcher.h:744-760`) — bound the per-bucket
-    * work, keep the semantics that matter. The window shuffles on the same
+    * over `maxBucket` are therefore dropped outright (STOP-buckets, the
+    * stop-words idea for banding): a bucket that hot is non-discriminative
+    * boilerplate collision, not dedup signal, and a genuine near-dup pair
+    * above the Jaccard threshold agrees on most of its `numBands` buckets —
+    * it is lost only if EVERY bucket the pair shares is hot (spec-covered:
+    * a dup pair inside a hot bucket still surfaces through its other,
+    * normal-sized band). Emitting capped "representative" edges instead
+    * would be worse, not safer: a pair routed through a representative the
+    * exact verify rejects silently disconnects, which breaks the
+    * [[canonicalGroups]] component without bounding anything real. Same
+    * semantics as the stored-index probe's `cnt` filter
+    * ([[graft.sources.DedupStore.probe]]) and the incremental corpus guard;
+    * the corpus-side analogue of the reference's posting truncation
+    * (`ExtraFullGraphSearcher.h:744-760`). The window shuffles on the same
     * `(band, band_hash)` key the join needs, so the guard adds no extra
     * exchange over the unguarded form.
     */
   def lshCandidates(bands: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
     val w = Window.partitionBy(col("band"), col("band_hash"))
-    val annotated = bands
+    val small = bands
       .withColumn("_cnt", count(lit(1)).over(w))
-      .withColumn("_rep", min(col("doc_id")).over(w))
-    val small = annotated.where(col("_cnt") <= maxBucket)
+      .where(col("_cnt") <= maxBucket)
     val l = small.select(col("doc_id").as("a"), col("band"), col("band_hash"))
     val r = small.select(col("doc_id").as("b"), col("band"), col("band_hash"))
-    val smallPairs = l.join(r, Seq("band", "band_hash"))
-      .where(col("a") < col("b")).select(col("a"), col("b"))
-    val hotPairs = annotated
-      .where(col("_cnt") > maxBucket && col("doc_id") =!= col("_rep"))
-      .select(col("_rep").as("a"), col("doc_id").as("b"))
-    smallPairs.union(hotPairs).distinct()
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
   }
 
   /** Exact n-gram Jaccard for given pairs (or all pairs if `pairs` empty):

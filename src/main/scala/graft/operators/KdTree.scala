@@ -94,14 +94,20 @@ object KdTree {
       val ranked = array_sort(array(dims.map(d => struct(
         (-(col("n") * col(s"q$d") - col(s"s$d") * col(s"s$d"))).as("np"),
         lit(d).as("d"))): _*))
-      val chosen = element_at(ranked, dimRank + 1)
-      // leaf-stop: a node whose chosen dim does not vary (proxy = 0 — single
-      // point, or identical coordinates) cannot separate — emit NO split row
-      // and let its points STAY at the node as their leaf. Every emitted
-      // split therefore has BOTH children non-empty (mean strictly between
-      // min and max), so descent can never reach an unoccupied node — the
-      // reference's indivisible-leaf semantics (`KDTree.h:275-301` DivideTree
-      // stops when a node cannot be divided further).
+      // diversified pick with degeneracy fallback: the dimRank-th ranked dim
+      // normally (tree diversity), but when THAT dim's proxy is 0 while
+      // better-ranked dims still vary, fall back to the top dim — a node is
+      // a leaf only when it is TRULY indivisible (every dim constant ⇒ the
+      // top proxy is 0), the reference's semantics (`KDTree.h:275-301`
+      // DivideTree stops only when a node cannot be divided further).
+      val pick = element_at(ranked, dimRank + 1)
+      val chosen = when(-pick.getField("np") > 0, pick)
+        .otherwise(element_at(ranked, 1))
+      // leaf-stop: a node whose chosen dim (post-fallback: its BEST dim)
+      // does not vary cannot separate — emit NO split row and let its points
+      // STAY at the node as their leaf. Every emitted split therefore has
+      // BOTH children non-empty (mean strictly between min and max), so
+      // descent can never reach an unoccupied node.
       val splits = stats
         .withColumn("split_dim", chosen.getField("d"))
         .where(-chosen.getField("np") > 0)

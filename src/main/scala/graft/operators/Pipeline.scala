@@ -66,6 +66,28 @@ object Pipeline {
     */
   private def weightThreshold(wt: Double): Long = math.round(wt * 10000.0)
 
+  /** The shared draw/threshold pair: `u` = the doc's deterministic
+    * 10000-sided hash draw, `thr` = its source's integer threshold.
+    * [[mixtureSample]] and [[mixtureUpsample]] both decide the fractional
+    * keep as `u < thr mod 10000` (for weights ≤ 1, `thr` IS the fractional
+    * part), so sharing this single definition is what makes the two
+    * operators provably agree on which docs a fractional weight keeps.
+    */
+  private def drawAndThreshold(
+      weights: Seq[(String, Double)],
+      defaultWeight: Double,
+      salt: String,
+      idCol: String,
+      sourceCol: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val u = graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
+    val thr = weights.reverse.foldLeft(lit(weightThreshold(defaultWeight))) {
+      case (acc, (src, wt)) =>
+        when(col(sourceCol) === src, lit(weightThreshold(wt))).otherwise(acc)
+    }
+    (u, thr)
+  }
+
   def mixtureSample(
       docs: DataFrame,
       weights: Seq[(String, Double)],
@@ -73,12 +95,7 @@ object Pipeline {
       salt: String = "mix",
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
-    val u = graft.functions.Hash60(
-      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
-    val thr = weights.reverse.foldLeft(lit(weightThreshold(defaultWeight))) {
-      case (acc, (src, wt)) =>
-        when(col(sourceCol) === src, lit(weightThreshold(wt))).otherwise(acc)
-    }
+    val (u, thr) = drawAndThreshold(weights, defaultWeight, salt, idCol, sourceCol)
     docs.where(u < thr)
   }
 
@@ -116,12 +133,7 @@ object Pipeline {
       salt: String = "mix",
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
-    val u = graft.functions.Hash60(
-      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
-    val thr = weights.reverse.foldLeft(lit(weightThreshold(defaultWeight))) {
-      case (acc, (src, wt)) =>
-        when(col(sourceCol) === src, lit(weightThreshold(wt))).otherwise(acc)
-    }
+    val (u, thr) = drawAndThreshold(weights, defaultWeight, salt, idCol, sourceCol)
     val copies = floor(thr / lit(10000L)).cast("long") +
       when(u < thr % 10000L, lit(1L)).otherwise(lit(0L))
     // guard BEFORE sequence: Spark's sequence(0, -1) DESCENDS (yields

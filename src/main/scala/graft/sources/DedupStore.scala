@@ -48,7 +48,15 @@ object DedupStore {
       nGram: Int = 3,
       bandBuckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
-    val da = Dedup.shingleArrays(corpus, nGram)
+    // spread an under-partitioned source before the heavy tokenize+hash map
+    // (single-file corpus reads as 1 partition), and checkpoint the shingle
+    // frame: both the shingles/ write and the bands path read it, and
+    // without the checkpoint the most expensive map stage runs twice
+    val target = spark.sessionState.conf.numShufflePartitions
+    val spread =
+      if (corpus.rdd.getNumPartitions < target) corpus.repartition(target)
+      else corpus
+    val da = Dedup.shingleArrays(spread, nGram).localCheckpoint(true)
     da.select(col("doc_id"), col("sharr"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     val bands = Dedup.lshBands(

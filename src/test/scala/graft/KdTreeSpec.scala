@@ -39,6 +39,25 @@ class KdTreeSpec extends SparkSpec {
       "rank 1 must pick the SECOND-highest variance dim")
   }
 
+  test("dimRank falls back to the best dim when its own pick is degenerate") {
+    // only dim 2 varies: a dimRank=1 tree's 2nd-ranked dim is constant, but
+    // the node IS divisible — the pick must fall back to dim 2, not turn the
+    // whole corpus into one terminal leaf
+    val pts = toVec(Seq(
+      (1L, Seq(7.0, 0.0)), (2L, Seq(7.0, 10.0)),
+      (3L, Seq(7.0, 20.0)), (4L, Seq(7.0, 30.0))))
+    val (splits, assign) = KdTree.build(pts, dim = 2, depth = 1, dimRank = 1)
+    val s = splits.collect()
+    assert(s.length === 1, "divisible root must split despite the degenerate rank-1 dim")
+    assert(s.head.getAs[Int]("split_dim") === 2)
+    assert(assign.select("leaf").distinct().count() === 2)
+    // truly indivisible corpus still stops: every dim constant
+    val const = toVec(Seq((1L, Seq(7.0, 3.0)), (2L, Seq(7.0, 3.0))))
+    val (s2, a2) = KdTree.build(const, dim = 2, depth = 1, dimRank = 1)
+    assert(s2.count() === 0)
+    assert(a2.select("leaf").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("variance ties break to the lowest dimension") {
     val pts = toVec(Seq((1L, Seq(0.0, 0.0)), (2L, Seq(4.0, 4.0))))
     val (splits, _) = KdTree.build(pts, dim = 2, depth = 1)
