@@ -127,10 +127,14 @@ class AnnIndex private (
           queries, sh, routing, live, k, conf.internalK, conf.superK, conf.metric)
       case None =>
         // a loaded index keeps IndexStore's head_bucket partition column →
-        // the bucketed join enables dynamic partition pruning of the scan
+        // the bucketed join enables dynamic partition pruning of the scan.
+        // conf.wideK > 0 engages the adaptive stage-1 widening (dense-region
+        // queries probe extra close-ranked heads; the hier route has its own
+        // superK recall knob instead)
         val buckets = if (p.columns.contains("head_bucket")) Some(conf.headBuckets) else None
         Spann.searchTwoStage(
-          queries, h, live, k, conf.internalK, conf.maxDistRatio, conf.metric, buckets)
+          queries, h, live, k, conf.internalK, conf.maxDistRatio, conf.metric,
+          buckets, conf.wideK, conf.closeRatio)
     }
   }
 

@@ -27,7 +27,13 @@ case class GraftConf(
     hierThreshold: Long = 2000000L,
     superRatio: Double = 0.05,
     superK: Int = 8,
-    routeReplicas: Int = 2) {
+    routeReplicas: Int = 2,
+    // adaptive stage-1 widening (the reference's dynamic-pivot compensation,
+    // `BKTIndex.cpp:150,204`): probe the top internalK heads always, plus
+    // heads ranked up to wideK within closeRatio of the per-query best.
+    // wideK = 0 (default) disables — fixed internalK probe
+    wideK: Int = 0,
+    closeRatio: Double = 1.0) {
 
   def set(name: String, value: String): GraftConf = name.toLowerCase match {
     case "distcalcmethod" | "metric" => copy(metric = value.toLowerCase match {
@@ -52,6 +58,8 @@ case class GraftConf(
     case "superratio" => copy(superRatio = value.toDouble)
     case "superk" => copy(superK = value.toInt)
     case "routereplicas" => copy(routeReplicas = value.toInt)
+    case "widek" => copy(wideK = value.toInt)
+    case "closeratio" => copy(closeRatio = value.toDouble)
     case other => sys.error(s"unknown parameter $other")
   }
 
@@ -73,6 +81,8 @@ case class GraftConf(
     case "superratio" => superRatio.toString
     case "superk" => superK.toString
     case "routereplicas" => routeReplicas.toString
+    case "widek" => wideK.toString
+    case "closeratio" => closeRatio.toString
     case other => sys.error(s"unknown parameter $other")
   }
 }

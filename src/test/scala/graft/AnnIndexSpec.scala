@@ -193,4 +193,15 @@ class AnnIndexSpec extends SparkSpec {
     val idx = freshIndex.setParameter("InternalK", "16")
     assert(idx.getParameter("SearchInternalResultNum") === "16")
   }
+
+  test("WideK widening flows through search: results are a recall superset") {
+    val fixed = freshIndex.setParameter("InternalK", "2").build()
+    val wide = fixed.setParameter("WideK", "8").setParameter("CloseRatio", "4.0")
+    assert(wide.getParameter("WideK") === "8")
+    val q = synthQueries(5)
+    val rFixed = fixed.recall(q, 5)
+    val rWide = wide.recall(q, 5)
+    assert(rWide >= rFixed,
+      s"widened probe must not lower recall ($rFixed -> $rWide)")
+  }
 }
