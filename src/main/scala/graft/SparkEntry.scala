@@ -197,7 +197,7 @@ object SparkEntry {
       ordered(Dedup.jaccard(sh, Some(cands)).where(col("jaccard") >= 0.3))
     }),
     "q35_dedup_simhash" -> ((s, d) =>
-      ordered(Dedup.simhash16(Tables.documents(s, d)))),
+      ordered(Dedup.simhash64(Tables.documents(s, d)))),
     // embedding near-dup on the SCALE path: banded-LSH candidate blocking
     // (equi-join on (band, band_value)) + exact cosine verify — no all-pairs
     // crossJoin anywhere in the plan. The brute O(n²) form
@@ -1053,15 +1053,22 @@ object SparkEntry {
          |WHERE j.jaccard >= 0.3
          |ORDER BY 1, 2, 3""".stripMargin,
     "q35_dedup_simhash" -> {
-      val sums = (0 until 16).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-      val code = (0 until 16).map(b =>
-        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      // 64-bit mirror of Dedup.simhash64: bits 0-31 from hash60(token),
+      // 32-63 from hash60(token || '#hi'); majority vote in-row per bit.
+      // Bit 63's addend is Long.MinValue — spelled (-MAX-1) because the bare
+      // literal would overflow DuckDB's BIGINT parser into HUGEINT
+      def term(b: Int): String = {
+        val (arr, bb) = if (b < 32) ("hlo", b) else ("hhi", b - 32)
+        val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+        s"CASE WHEN 2 * len(list_filter($arr, h -> (h >> $bb) & 1 = 1)) > len($arr) THEN $v ELSE 0 END"
+      }
+      val code = (0 until 64).map(term).mkString(" + ")
       s"""WITH t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
-         |h AS (SELECT doc_id, ${graft.functions.Hash60.sql("tk")} AS h FROM tok),
-         |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM bits
+         |h AS (SELECT doc_id,
+         |        list_transform(toks, tk -> ${graft.functions.Hash60.sql("tk")}) AS hlo,
+         |        list_transform(toks, tk -> ${graft.functions.Hash60.sql("tk || '#hi'")}) AS hhi
+         |      FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST($code AS BIGINT) AS simhash FROM h
          |ORDER BY doc_id, simhash""".stripMargin
     },
     // mirrors lshNearDup(dims=64, planes=8, rowsPerBand=2): the shared

@@ -49,17 +49,27 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — run (and emit oracle
+    // entries for) just that subset; local-debugging aid, driver passes none
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // oracle_sql.json is written FIRST: each query then flushes as its own
+    // parquet directory, so a stalled/killed run still leaves a comparable
+    // outDir for every query that finished (round 8's driver stall turned
+    // the whole round's correctness artifact into `{}` because this file
+    // was written last)
+    writeOracleJson(outDir, SparkEntry.oracleSql.filter(kv => keep(kv._1)))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeOracleJson(outDir, SparkEntry.oracleSql)
     spark.stop()
   }
 }

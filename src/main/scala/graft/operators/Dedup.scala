@@ -17,8 +17,8 @@ import graft.operators.TextAnalysis.tokens
   *  - MinHash/LSH avoids the O(n²) pair space: candidates come from
   *    equi-joins on (band, band_hash) buckets — shuffle ∝ corpus size, and
   *    only bucket-mates are compared;
-  *  - SimHash reduces each doc to one 16-bit int; near-dup = small
-  *    hamming ball;
+  *  - SimHash reduces each doc to one 64-bit code; near-dup = small
+  *    hamming ball, candidates from 16-bit-band equi-joins;
   *  - embedding near-dup: brute pairwise is the correctness baseline;
   *    the LSH-bucketed variant in [[SimilaritySearch]] is the scale path.
   */
@@ -106,10 +106,13 @@ object Dedup {
       .as(Seq("band", "band_hash")))
   }
 
-  /** Per-bucket pair cap for [[lshCandidates]]: buckets at or under the cap
-    * contribute all `n·(n−1)/2` pairs; larger ones fall back to star edges.
-    * 1024 keeps the worst bucket's pair count ≤ ~524k while real near-dup
-    * clusters (copies of one document) stay far below it.
+  /** Per-bucket pair cap for [[lshCandidates]] (and the SimHash/incremental/
+    * stored probe paths): buckets at or under the cap contribute all
+    * `n·(n−1)/2` pairs; larger ones are DROPPED outright as stop-buckets
+    * (non-discriminative boilerplate collisions — see the rationale on
+    * [[lshCandidates]]). 1024 keeps the worst surviving bucket's pair count
+    * ≤ ~524k while real near-dup clusters (copies of one document) stay far
+    * below it.
     */
   val MaxBandBucket: Int = 1024
 
@@ -367,27 +370,44 @@ object Dedup {
         .where(col("contamination") >= maxOverlap).select(col(idCol)),
       Seq(idCol), "left_anti")
 
-  /** 16-bit SimHash over the token multiset: bit b is set when
-    * Σ_tokens (bit_b(hash60(token)) ? +1 : −1) > 0. Output `(doc_id, simhash)`.
+  /** 64-bit SimHash over the token multiset: bit b is set when
+    * Σ_tokens (bit_b(h(token)) ? +1 : −1) > 0, where bits 0–31 come from
+    * `hash60(token)` and bits 32–63 from `hash60(token || "#hi")` ([[Hash60]]
+    * is 60-bit, so a second salted hash supplies the upper half with full
+    * per-bit uniformity). Docs with zero tokens are dropped (no signal —
+    * and the explode-form oracle SQL drops them too). Output
+    * `(doc_id, simhash)` — the code is a signed BIGINT (bit 63 lands on the
+    * sign; band extraction masks with `&`, so sign never matters).
+    *
+    * Widened from 16 bits in round 9: a 16-bit code has only 2¹⁶ distinct
+    * values, so any corpus with n ≫ 65k collapses banding into a disguised
+    * cartesian; 64 bits gives 16-bit bands (65k values each) and code
+    * collisions only for genuinely near-identical token profiles.
+    *
+    * In-row form (also new): per-token hashes live in array columns and each
+    * bit's majority vote is a `filter` count over them — no token explode,
+    * no per-doc groupBy; pure scan-speed column math at any corpus size.
     */
-  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bits = 16
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", Hash60(col("t")))
-    val sums = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b"))
-    tok
-      .groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) > 0)
       .select(col(idCol),
-        (0 until bits).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        transform(col("_toks"), tk => Hash60(tk)).as("_hlo"),
+        transform(col("_toks"), tk => Hash60(concat(tk, lit("#hi")))).as("_hhi"))
+    // majority vote: sum(±1) > 0  ⟺  2·(set-bit count) > token count
+    def bitSet(harr: Column, b: Int): Column =
+      size(filter(harr, h => shiftright(h, b) % 2 === 1)) * 2 > size(harr)
+    val code = (0 until 64).map { b =>
+      val c = if (b < 32) bitSet(col("_hlo"), b) else bitSet(col("_hhi"), b - 32)
+      when(c, lit(1L << b)).otherwise(lit(0L)) // 1L<<63 IS Long.MinValue: exact
+    }.reduce(_ + _)
+    hashed.select(col(idCol), code.as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming, banded.
     *
-    * Pigeonhole banding: split the 16-bit code into `maxHamming + 1` bit
+    * Pigeonhole banding: split the 64-bit code into `maxHamming + 1` bit
     * bands — two codes within hamming ≤ maxHamming differ in at most
     * maxHamming bands, so they AGREE on at least one. Candidates therefore
     * come from an equi-join on `(band, band_value)` (shuffle ∝ corpus size,
@@ -395,14 +415,24 @@ object Dedup {
     * filter then verifies in-row. Same output as the brute-force form
     * ([[simhashPairsBrute]], test-only) — `(a, b, hamming)`, a < b.
     *
-    * Contract change (round 6, intended): `maxHamming >= 16` now REJECTS
+    * Skew guard (round 9, closing the r8 verdict's quadratic-at-scale flag):
+    * buckets over `maxBucket` are dropped as stop-buckets, exactly like
+    * [[lshCandidates]] — a band value shared by that many docs is a
+    * non-discriminative code collision (boilerplate token profiles), and the
+    * window shuffles on the join's own `(band, bv)` key so the guard adds no
+    * extra exchange. With default banding (maxHamming 3 → four 16-bit bands)
+    * a genuine near-dup pair agrees on ≥1 band and is lost only if every
+    * agreeing band is hot.
+    *
+    * Contract change (round 6, intended): `maxHamming >= bits` REJECTS
     * instead of silently capping the band count — at that threshold every
     * pair is within distance, so the caller almost certainly mis-sized the
     * parameter, and the capped banding could no longer guarantee recall.
     */
-  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bits = 16
-    // the pigeonhole guarantee needs maxHamming + 1 <= bits one-bit bands;
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val bits = 64
+    // the pigeonhole guarantee needs maxHamming + 1 <= bits bands;
     // at maxHamming >= bits every pair qualifies anyway — degenerate input
     require(maxHamming < bits,
       s"maxHamming $maxHamming >= $bits bits: banding cannot guarantee recall")
@@ -410,12 +440,19 @@ object Dedup {
     val cuts = (0 to nb).map(i => i * bits / nb)
     val bandCols = (0 until nb).map { i =>
       val start = cuts(i); val len = cuts(i + 1) - start
-      shiftright(col("simhash"), start) % (1 << len)
+      // mask with &, never mod: bit 63 makes the code negative and >> is
+      // arithmetic — the AND keeps the banded bits exact regardless of sign
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      shiftright(col("simhash"), start).bitwiseAND(lit(mask))
     }
     val banded = sims.select(col("doc_id"), col("simhash"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val l = banded.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("bv"))
-    val r = banded.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"), col("bv"))
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val small = banded
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .where(col("_cnt") <= maxBucket)
+    val l = small.select(col("doc_id").as("a"), col("simhash").as("ha"), col("band"), col("bv"))
+    val r = small.select(col("doc_id").as("b"), col("simhash").as("hb"), col("band"), col("bv"))
     l.join(r, Seq("band", "bv")).where(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= maxHamming)

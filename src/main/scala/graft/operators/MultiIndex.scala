@@ -81,21 +81,20 @@ object MultiIndex {
   */
 final class MultiIndexScanIterator private[operators] (
     ranked: DataFrame, k: Int, val termCond: Int) {
+  // the ranked frame is cached and holds ≤ k rows: count it ONCE at
+  // construction (the stream may run out BELOW k when the corpus is smaller
+  // than k) so `next` is a pure slice — no per-batch drain-probe job
+  private val available: Long = math.min(ranked.count(), k.toLong)
   private var offset = 0
-  private var drained = false
 
   def next(batch: Int): DataFrame = {
     require(batch > 0, s"batch must be positive, got $batch")
     val out = ranked.where(col("rank") > offset && col("rank") <= offset + batch)
-    // a short batch means the ranked stream ran out BELOW k (corpus smaller
-    // than k): without this, hasNext would stay true and a drain loop would
-    // issue empty jobs until offset crawls to k
-    if (out.count() < batch) drained = true
     offset = math.min(offset + batch, k)
     out
   }
 
-  def hasNext: Boolean = !drained && offset < k
+  def hasNext: Boolean = offset < available
 
   /** Release the retained workspace (reference `MultiIndexScan::Close`). */
   def close(): Unit = { ranked.unpersist(); () }

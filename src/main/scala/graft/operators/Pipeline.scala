@@ -171,10 +171,26 @@ object Pipeline {
     * score sits at or above their OWN source's `quantile` percentile —
     * unlike a fixed threshold, each domain keeps its best (100·(1−q))%
     * regardless of how its score distribution is shifted (web junk and
-    * curated prose get floored on their own scales). `percent_rank` over a
-    * `(quality, doc_id)` total order, windowed PER SOURCE — partitions are
-    * domains, so no global window; a domain's window sort is the same
-    * shuffle a groupBy(source) would pay.
+    * curated prose get floored on their own scales).
+    *
+    * Semantics: `percent_rank` over quality PER SOURCE (standard SQL tie
+    * handling — a whole tie group shares one rank, so the boundary quality
+    * keeps or drops as a unit), i.e. keep iff
+    * `(#docs in source with lower quality) ≥ quantile · (n − 1)`.
+    *
+    * Scale shape (the 100 TB path, NOT a per-source window): sources are few
+    * relative to docs, so `Window.partitionBy(source)` over the raw corpus
+    * would sort a whole domain — tens of TB — in ONE task. Instead the
+    * percentile THRESHOLD is computed from a per-source quality histogram
+    * (quality is a 4-dp-rounded ratio, so distinct values are bounded ≈10⁴
+    * per source regardless of corpus size — the histogram is tiny) and the
+    * corpus is filtered by a broadcast threshold join: one map-side-partial
+    * groupBy over the docs + a scan-speed filter; the only windows run over
+    * the histogram. The same cutoff-not-total-order shape as the reference's
+    * posting truncation (`ExtraFullGraphSearcher.h:744-760`); at even larger
+    * distinct-value counts, swap the exact histogram for
+    * `approx_percentile` — the operator contract stays "filter by a
+    * per-source threshold".
     */
   def qualityQuantileFloor(
       docs: DataFrame,
@@ -182,21 +198,39 @@ object Pipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(TextAnalysis.quality(col(textCol)), col(idCol))
-    docs.withColumn("_pr", percent_rank().over(w))
-      .where(col("_pr") >= quantile)
-      .drop("_pr")
+    val q = TextAnalysis.quality(col(textCol))
+    val hist = docs
+      .groupBy(col(sourceCol), q.as("_q"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wBelow = Window.partitionBy(col(sourceCol)).orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(sourceCol))
+    // percent_rank of a quality value = (#docs strictly below) / (n − 1);
+    // the single-doc source is pr = 0 by SQL convention (0/0 → 0)
+    val thr = hist
+      .withColumn("_below", coalesce(sum(col("_cnt")).over(wBelow), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .where(
+        when(col("_n") === 1, lit(0.0))
+          .otherwise(col("_below").cast("double") /
+            (col("_n") - 1).cast("double")) >= quantile)
+      .groupBy(col(sourceCol)).agg(min(col("_q")).as("_thr"))
+    docs.join(broadcast(thr), Seq(sourceCol))
+      .where(q >= col("_thr"))
+      .drop("_thr")
   }
 
   /** DuckDB mirror of [[qualityQuantileFloor]]'s keep predicate, as a
-    * projection + QUALIFY-style subquery body over `documents`.
+    * projection + QUALIFY-style subquery body over `documents`. The oracle
+    * states the SEMANTICS directly (percent_rank over quality, standard tie
+    * handling); the Spark side reaches the same set via the histogram
+    * threshold.
     */
   def qualityQuantileFloorSql(quantile: Double): String =
     s"""SELECT doc_id, source FROM (
        |  SELECT doc_id, source,
        |         percent_rank() OVER (PARTITION BY source
-       |           ORDER BY ${TextAnalysis.Sql.qualityExpr}, doc_id) AS pr
+       |           ORDER BY ${TextAnalysis.Sql.qualityExpr}) AS pr
        |  FROM documents)
        |WHERE pr >= $quantile""".stripMargin
 
@@ -209,22 +243,61 @@ object Pipeline {
     * overflow it — no bin-packing backtrack, the deterministic greedy every
     * production pipeline uses). Output `(doc_id, source, cum_tokens)`.
     *
-    * Scale: one window per source over integer cumsums — partition count =
-    * domain count; no global ordering anywhere.
+    * Scale shape — a TWO-LEVEL prefix sum, not a per-source window (which
+    * would put a whole domain's total order in one task; sources are few
+    * relative to docs). The [[packSequences]] bucketing pattern applied to an
+    * ORDERED key: (1) a per-source quality histogram (tiny — quality is a
+    * 4-dp-rounded ratio) assigns every distinct quality value a rank-balanced
+    * bucket 0..`buckets−1`, bucket 0 = best; the bucket map is monotone in
+    * the greedy order and never splits a tie group, so concatenating buckets
+    * preserves the exact global (quality DESC, id) order per source; (2) the
+    * in-bucket running sum is a window over `(source, bucket)` — `buckets`×
+    * the parallelism, balanced by construction up to tie mass; (3) each
+    * bucket's starting offset is the cumsum of earlier buckets' totals — a
+    * histogram-sized frame, broadcast back. Windows over raw docs partition
+    * by (source, bucket); windows over source alone only ever see
+    * histogram-sized aggregates.
     */
   def tokenBudgetSelect(
       docs: DataFrame,
       budget: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(TextAnalysis.quality(col(textCol)).desc, col(idCol))
+      sourceCol: String = "source",
+      buckets: Int = 32): DataFrame = {
+    val base = docs.select(
+      col(idCol), col(sourceCol),
+      TextAnalysis.quality(col(textCol)).as("_q"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("_ntok"))
+    // level 0: histogram → rank-balanced bucket per distinct quality value
+    val hist = base.groupBy(col(sourceCol), col("_q")).agg(count(lit(1)).as("_cnt"))
+    val wBefore = Window.partitionBy(col(sourceCol)).orderBy(col("_q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(sourceCol))
+    val bucketMap = hist
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .select(col(sourceCol), col("_q"),
+        least(floor(col("_before") * buckets / col("_n")), lit(buckets - 1L))
+          .cast("long").as("_bkt"))
+    val withB = base.join(broadcast(bucketMap), Seq(sourceCol, "_q"))
+    // level 1: in-bucket running sum (partition = source × bucket)
+    val wIn = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_q").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("_cum", sum(size(TextAnalysis.tokens(col(textCol)))).over(w))
-      .where(col("_cum") <= budget)
-      .select(col(idCol), col(sourceCol), col("_cum").as("cum_tokens"))
+    // level 2: bucket offsets = cumsum of earlier buckets' totals (tiny)
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(sourceCol), col("_bkt"))
+      .agg(sum(col("_ntok")).as("_tot"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_tot")).over(wOff), lit(0L)).as("_off"))
+    withB
+      .withColumn("_cumIn", sum(col("_ntok")).over(wIn))
+      .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
+      .where(col("_off") + col("_cumIn") <= budget)
+      .select(col(idCol), col(sourceCol),
+        (col("_off") + col("_cumIn")).as("cum_tokens"))
   }
 
   /** DuckDB mirror of [[tokenBudgetSelect]] over `documents`. */

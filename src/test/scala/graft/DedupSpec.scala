@@ -90,15 +90,16 @@ class DedupSpec extends SparkSpec {
   test("identical docs have identical minhash signature and simhash") {
     val sig = Dedup.minhash(Dedup.shingles(docs)).orderBy("doc_id").collect()
     assert(sig(0).getSeq[Long](1) === sig(1).getSeq[Long](1))
-    val sim = Dedup.simhash16(docs).orderBy("doc_id").collect()
+    val sim = Dedup.simhash64(docs).orderBy("doc_id").collect()
     assert(sim(0).getLong(1) === sim(1).getLong(1))
-    // near-dup simhash within small hamming distance
+    // near-dup simhash within small hamming distance (one token of nine
+    // differs → only boundary-majority bits can flip; 24/64 ≈ the old 6/16)
     val h0 = sim(0).getLong(1); val h2 = sim(2).getLong(1)
-    assert(java.lang.Long.bitCount(h0 ^ h2) <= 6)
+    assert(java.lang.Long.bitCount(h0 ^ h2) <= 24)
   }
 
   test("simhashPairs finds dup pair at hamming 0") {
-    val pairs = Dedup.simhashPairs(Dedup.simhash16(docs), 0)
+    val pairs = Dedup.simhashPairs(Dedup.simhash64(docs), 0)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
@@ -106,7 +107,7 @@ class DedupSpec extends SparkSpec {
   test("banded simhashPairs equals the brute-force form on real docs") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(300)
-    val sims = Dedup.simhash16(d).cache()
+    val sims = Dedup.simhash64(d).cache()
     for (h <- Seq(0, 3, 5)) {
       val banded = Dedup.simhashPairs(sims, h)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -114,6 +115,28 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(banded === brute, s"maxHamming=$h")
     }
+  }
+
+  test("simhashPairs stop-bucket guard bounds the pair count on a skewed corpus") {
+    import spark.implicits._
+    // 100 clones of one text: every band bucket they share holds 100 docs —
+    // a quadratic hot spot. With maxBucket=10 the clone buckets are dropped
+    // (no clone-clone pairs survive) while the unrelated near-dup pair
+    // (200, 201) rides its own small buckets through untouched
+    val clones = (0L until 100L).map(i => (i, "spark shuffles partition data across the cluster"))
+    val others = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog"),
+      (201L, "the quick brown fox jumps over the lazy dog"))
+    val sims = Dedup.simhash64((clones ++ others).toDF("doc_id", "text")).cache()
+    val guarded = Dedup.simhashPairs(sims, 3, maxBucket = 10)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(guarded.contains((200L, 201L)),
+      "small-bucket dup pair must survive the guard")
+    assert(!guarded.exists { case (a, b) => a < 100L && b < 100L },
+      "hot-bucket clone pairs must be stop-bucketed")
+    // unguarded form on the same input pays the quadratic bucket
+    val unguarded = Dedup.simhashPairs(sims, 3).select("a", "b").count()
+    assert(unguarded >= 100L * 99L / 2)
   }
 
   test("canonicalGroups labels every doc with its component min id") {

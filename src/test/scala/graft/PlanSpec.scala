@@ -143,6 +143,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q85/q86: per-source windows only ever run over histogram-sized aggregates") {
+    // the round-8 scale defect: Window.partitionBy(source) over the RAW
+    // corpus puts a whole domain in one task. The rewritten operators may
+    // only window per-source over the quality histogram (an Aggregate is
+    // always beneath), or partition by (source, bucket)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("q85_quality_quantile", "q86_token_budget").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val offending = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow
+            if w.partitionSpec.length == 1 &&
+              w.partitionSpec.head.references.map(_.name.toLowerCase).toSet == Set("source") &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(offending.isEmpty,
+        s"$name: Window.partitionBy(source) over raw docs — single-task-per-source sort")
+    }
+  }
+
   test("MaxDistRatio prune provably drops candidate heads (q63)") {
     import graft.operators.Spann
     val q = Tables.ordersQuery(spark, sf0001).where(col("query_id") < 50)
