@@ -57,11 +57,23 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // machine-state evidence rides IN the artifact: numbers here swing ±25%
+    // with host load (round-8 committed 6.84s vs a driver snapshot 8.53s on
+    // identical code), so each run records /proc/loadavg — a skeptic reading
+    // BENCH_rN.json against BASELINE.md's quiet-day targets can see whether
+    // a gap is the plan or the machine
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loads = scala.collection.mutable.ArrayBuffer.empty[String]
     val runs = (1 to numRuns).map { i =>
+      loads += loadavg()
       val r = runOnce(if (i == 1) spark else spark.newSession())
       System.gc() // drop orphaned checkpoint/cache blocks between runs
       r
     }
+    loads += loadavg()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -80,9 +92,10 @@ object Bench {
     // headline "queries"/"value" are the medians — the number the 2x-per-query
     // contract reads; raw runs ride alongside for noise attribution
     val total = medians.map(_._2).sum
+    val loadsJson = loads.map(l => "\"" + l + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${fmtQs(medians)},"medians":${fmtQs(medians)},""" +
-      s""""runs":$runsJson,"sf":"$sfDir"}""")
+      s""""runs":$runsJson,"loadavg":$loadsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,11 @@ case class GraftConf(
     // heads ranked up to wideK within closeRatio of the per-query best.
     // wideK = 0 (default) disables — fixed internalK probe
     wideK: Int = 0,
-    closeRatio: Double = 1.0) {
+    closeRatio: Double = 1.0,
+    // every other reference-valid parameter name ([[GraftConf.ReferenceDefaults]])
+    // is accepted and stored here — tuning knobs a caller can read back and
+    // plumb into the operator calls, or documented no-ops Spark replaces
+    extra: Map[String, String] = Map.empty) {
 
   def set(name: String, value: String): GraftConf = name.toLowerCase match {
     case "distcalcmethod" | "metric" => copy(metric = value.toLowerCase match {
@@ -60,6 +64,10 @@ case class GraftConf(
     case "routereplicas" => copy(routeReplicas = value.toInt)
     case "widek" => copy(wideK = value.toInt)
     case "closeratio" => copy(closeRatio = value.toDouble)
+    case "internalresultnum" => copy(internalK = value.toInt)
+    case "resultnum" => copy(resultK = value.toInt)
+    case other if GraftConf.ReferenceDefaults.contains(other) =>
+      copy(extra = extra + (other -> value))
     case other => sys.error(s"unknown parameter $other")
   }
 
@@ -83,7 +91,11 @@ case class GraftConf(
     case "routereplicas" => routeReplicas.toString
     case "widek" => wideK.toString
     case "closeratio" => closeRatio.toString
-    case other => sys.error(s"unknown parameter $other")
+    case "internalresultnum" => internalK.toString
+    case "resultnum" => resultK.toString
+    case other => extra.getOrElse(other,
+      GraftConf.ReferenceDefaults.getOrElse(other,
+        sys.error(s"unknown parameter $other")))
   }
 }
 
@@ -91,4 +103,150 @@ object GraftConf {
   /** Parse `key=value` pairs (ini-style lines also accepted). */
   def fromParams(params: Map[String, String]): GraftConf =
     params.foldLeft(GraftConf()) { case (c, (k, v)) => c.set(k, v) }
+
+  /** The remaining parameter names of the reference's macro registries
+    * (`BKT/ParameterDefinitionList.h:7-54`, `KDT/ParameterDefinitionList.h:
+    * 5-45`, `SPANN/ParameterDefinitionList.h:6-128`), lowercased → reference
+    * default (BKT's value where the lists disagree). `set` accepts every name
+    * here and `get` returns the set value or this default, so an ini file
+    * written for the reference round-trips unchanged. Three kinds:
+    *
+    *  - TUNING knobs whose Spark analogue is a function parameter on the
+    *    relevant operator (`TPTNumber`/`TPTLeafSize`/`NeighborhoodSize`/
+    *    `CEF`/`RefineIterations`/... → [[graft.operators.KnnGraph]] args;
+    *    `BKTLeafSize`/`Samples`/`BKTLambdaFactor` → [[graft.operators.BalancedKMeans]];
+    *    `SelectThreshold`/`SplitFactor`/`SplitThreshold`/`Count` →
+    *    [[graft.operators.Spann]] head selection; `MaxCheck`/dynamic-pivot
+    *    counts → covered by the typed `wideK`/`closeRatio` widening) — the
+    *    facade stores them for callers that plumb them through explicitly;
+    *  - FILE-layout names (`TreeFilePath`, `IndexDirectory`, ...): the Spark
+    *    engine persists parquet folders via [[graft.sources.IndexStore]];
+    *    stored verbatim, used by nothing;
+    *  - EXECUTION machinery Spark replaces (`NumberOfThreads`, `IOThreads
+    *    PerHandler`, GPU/SSD/zstd/block-size knobs): accepted no-ops — the
+    *    cluster scheduler, shuffle, and parquet codecs own those decisions.
+    */
+  val ReferenceDefaults: Map[String, String] = Map(
+    // --- BKT/KDT tree + graph build (BKT/ParameterDefinitionList.h:7-38) ---
+    "treefilepath" -> "tree.bin",
+    "graphfilepath" -> "graph.bin",
+    "vectorfilepath" -> "vectors.bin",
+    "deletevectorfilepath" -> "deletes.bin",
+    "enablebfs" -> "0",
+    "bktnumber" -> "1",
+    "kdtnumber" -> "1",
+    "treenumber" -> "1",
+    "bktleafsize" -> "8",
+    "samples" -> "1000",
+    "samplesnumber" -> "1000",
+    "bktlambdafactor" -> "100.0",
+    "numtopdimensionkdtsplit" -> "5",
+    "isoldversion" -> "false",
+    "tptnumber" -> "32",
+    "tptleafsize" -> "2000",
+    "numtopdimensiontptreesplit" -> "5",
+    "numtopdimensiontptsplit" -> "5",
+    "neighborhoodsize" -> "32",
+    "graphneighborhoodscale" -> "2.0",
+    "graphcefscale" -> "2.0",
+    "refineiterations" -> "2",
+    "enablerebuild" -> "0",
+    "cef" -> "1000",
+    "addcef" -> "500",
+    "maxcheckforrefinegraph" -> "8192",
+    "tptbalancefactor" -> "2",
+    // --- search-time budgets (BKT/ParameterDefinitionList.h:44-48) ---
+    "maxcheck" -> "8192",
+    "thresholdofnumberofcontinuousnobetterpropagation" -> "3",
+    "numberofinitialdynamicpivots" -> "50",
+    "numberofotherdynamicpivots" -> "4",
+    "hashtableexponent" -> "2",
+    "addcountforrebuild" -> "1000",
+    // --- dataset blocks / metadata (BKT/ParameterDefinitionList.h:49-53) ---
+    "datablocksize" -> "1048576",
+    "datacapacity" -> "2147483647",
+    "metarecordsize" -> "10",
+    // --- SPANN basic (SPANN/ParameterDefinitionList.h:6-35) ---
+    "valuetype" -> "Float",
+    "indexalgotype" -> "BKT",
+    "dim" -> "-1",
+    "vectorpath" -> "",
+    "vectortype" -> "DEFAULT",
+    "vectorsize" -> "-1",
+    "vectordelimiter" -> "|",
+    "querypath" -> "",
+    "querytype" -> "DEFAULT",
+    "querysize" -> "-1",
+    "querydelimiter" -> "|",
+    "warmuppath" -> "",
+    "warmuptype" -> "DEFAULT",
+    "warmupsize" -> "-1",
+    "warmupdelimiter" -> "|",
+    "truthpath" -> "",
+    "truthtype" -> "DEFAULT",
+    "generatetruth" -> "false",
+    "indexdirectory" -> "SPANN",
+    "headvectorids" -> "SPTAGHeadVectorIDs.bin",
+    "deletedids" -> "DeletedIDs.bin",
+    "headvectors" -> "SPTAGHeadVectors.bin",
+    "headindexfolder" -> "HeadIndex",
+    "ssdindex" -> "SPTAGFullList.bin",
+    "deleteheadvectors" -> "false",
+    "ssdindexfilenum" -> "1",
+    "quantizerfilepath" -> "",
+    // --- SPANN SelectHead (SPANN/ParameterDefinitionList.h:40-67) ---
+    "isexecute" -> "false",
+    "savebkt" -> "false",
+    "analyzeonly" -> "false",
+    "calcstd" -> "false",
+    "selectdynamically" -> "true",
+    "nooutput" -> "false",
+    "selectthreshold" -> "6",
+    "splitfactor" -> "5",
+    "splitthreshold" -> "25",
+    "splitmaxtry" -> "8",
+    "count" -> "0",
+    "recursivechecksmallcluster" -> "true",
+    "printsizecount" -> "true",
+    "selectheadtype" -> "BKT",
+    "buildhead" -> "false",
+    // --- SPANN SSD build/search (SPANN/ParameterDefinitionList.h:78-128) ---
+    "buildssdindex" -> "false",
+    "enabledeltaencoding" -> "false",
+    "enablepostinglistrearrange" -> "false",
+    "enabledatacompression" -> "false",
+    "enabledicttraining" -> "true",
+    "mindicttrainingbuffersize" -> "10240000",
+    "dictbuffercapacity" -> "204800",
+    "zstdcompresslevel" -> "0",
+    "outputemptyreplicaid" -> "false",
+    "batches" -> "1",
+    "tmpdir" -> ".",
+    "recalltestsamplenumber" -> "100",
+    "excludehead" -> "true",
+    "postingvectorlimit" -> "118",
+    "searchresult" -> "",
+    "logfile" -> "",
+    "qpslimit" -> "0",
+    "truthresultnum" -> "-1",
+    "hashexponent" -> "4",
+    "querycountlimit" -> "2147483647",
+    "searchpostingpagelimit" -> "3",
+    "rerank" -> "0",
+    "enableadc" -> "false",
+    "recallanalysis" -> "false",
+    "debugbuildinternalresultnum" -> "64",
+    "iterativesearchheadbatch" -> "32",
+    // --- execution machinery Spark replaces: threads / IO / GPU ---
+    "numberofthreads" -> "1",
+    "iothreadsperhandler" -> "4",
+    "iotimeout" -> "30",
+    "gpugraphtype" -> "2",
+    "gpurefinesteps" -> "0",
+    "gpurefinedepth" -> "30",
+    "gpuleafsize" -> "500",
+    "headnumgpus" -> "1",
+    "gpussdnumtrees" -> "100",
+    "gpussdleafsize" -> "200",
+    "numgpus" -> "1")
 }

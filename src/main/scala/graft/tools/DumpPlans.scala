@@ -71,7 +71,29 @@ object DumpPlans {
         |the plan carries a dynamicpruning subquery on the partition column
         |(only the buckets the batch touches are scanned) and the
         |stop-bucket guard is a pushed scan filter on `cnt` — build the
-        |dedup index once, probe every ingest round.""".stripMargin)
+        |dedup index once, probe every ingest round.""".stripMargin,
+    "q35_dedup_simhash" ->
+      """64-bit SimHash, fully in-row: per-token hashes live in two array
+        |columns and every bit's majority vote is a `filter` count over them
+        |— one projection, no token explode, no per-doc groupBy; the only
+        |post-scan work is the oracle's ORDER BY. Banding (simhashPairs)
+        |joins on 16-bit band values with the MaxBandBucket stop-bucket
+        |guard, so the candidate join is bucket-bounded like MinHash-LSH.""".stripMargin,
+    "q85_quality_quantile" ->
+      """Per-source quality floor WITHOUT a per-source window over the
+        |corpus: a map-side-partial groupBy builds the (source, quality)
+        |histogram — bounded by distinct 4-dp scores, not corpus size — the
+        |percentile threshold derives from histogram-sized windows, and the
+        |corpus is filtered through a broadcast threshold join at scan
+        |speed. No task ever holds a whole source.""".stripMargin,
+    "q86_token_budget" ->
+      """Token-budget greedy as a two-level prefix sum: the quality
+        |histogram assigns rank-balanced buckets (broadcast back), the
+        |running sum windows over (source, bucket) — buckets× the
+        |parallelism of a per-source window — and bucket offsets come from
+        |a histogram-sized cumsum, broadcast-joined. The exact greedy
+        |semantics of a total-order cumsum, with no single-task-per-source
+        |sort anywhere.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -194,6 +194,129 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.getParameter("SearchInternalResultNum") === "16")
   }
 
+  test("every reference registry parameter name sets and round-trips (M6)") {
+    // the full macro-registry surface (BKT/KDT/SPANN ParameterDefinitionList.h):
+    // an ini written for the reference must be accepted verbatim — typed
+    // knobs route, the rest store-and-return (tuning handles or documented
+    // no-ops). RepresentStr casing as the reference spells it.
+    val referenceSpelled = Seq(
+      "TreeFilePath", "GraphFilePath", "VectorFilePath", "DeleteVectorFilePath",
+      "EnableBfs", "BKTNumber", "KDTNumber", "TreeNumber", "BKTKmeansK",
+      "BKTLeafSize", "Samples", "SamplesNumber", "BKTLambdaFactor",
+      "NumTopDimensionKDTSplit", "IsOldVersion", "TPTNumber", "TPTLeafSize",
+      "NumTopDimensionTpTreeSplit", "NumTopDimensionTPTSplit",
+      "NeighborhoodSize", "GraphNeighborhoodScale", "GraphCEFScale",
+      "RefineIterations", "EnableRebuild", "CEF", "AddCEF",
+      "MaxCheckForRefineGraph", "RNGFactor", "TPTBalanceFactor",
+      "NumberOfThreads", "DistCalcMethod", "DeletePercentageForRefine",
+      "AddCountForRebuild", "MaxCheck",
+      "ThresholdOfNumberOfContinuousNoBetterPropagation",
+      "NumberOfInitialDynamicPivots", "NumberOfOtherDynamicPivots",
+      "HashTableExponent", "DataBlockSize", "DataCapacity", "MetaRecordSize",
+      "ValueType", "IndexAlgoType", "Dim", "VectorPath", "VectorType",
+      "VectorSize", "VectorDelimiter", "QueryPath", "QueryType", "QuerySize",
+      "QueryDelimiter", "WarmupPath", "WarmupType", "WarmupSize",
+      "WarmupDelimiter", "TruthPath", "TruthType", "GenerateTruth",
+      "IndexDirectory", "HeadVectorIDs", "DeletedIDs", "HeadVectors",
+      "HeadIndexFolder", "SSDIndex", "DeleteHeadVectors", "SSDIndexFileNum",
+      "QuantizerFilePath", "isExecute", "SaveBKT", "AnalyzeOnly", "CalcStd",
+      "SelectDynamically", "NoOutput", "SelectThreshold", "SplitFactor",
+      "SplitThreshold", "SplitMaxTry", "Ratio", "Count",
+      "RecursiveCheckSmallCluster", "PrintSizeCount", "SelectHeadType",
+      "BuildSsdIndex", "EnableDeltaEncoding", "EnablePostingListRearrange",
+      "EnableDataCompression", "EnableDictTraining",
+      "MinDictTrainingBufferSize", "DictBufferCapacity", "ZstdCompressLevel",
+      "InternalResultNum", "PostingPageLimit", "ReplicaCount",
+      "OutputEmptyReplicaID", "Batches", "TmpDir", "RecallTestSampleNumber",
+      "ExcludeHead", "PostingVectorLimit", "SearchResult", "LogFile",
+      "QpsLimit", "ResultNum", "TruthResultNum", "HashExponent",
+      "QueryCountLimit", "MaxDistRatio", "IOThreadsPerHandler",
+      "SearchInternalResultNum", "SearchPostingPageLimit", "Rerank",
+      "EnableADC", "RecallAnalysis", "DebugBuildInternalResultNum",
+      "IOTimeout", "IterativeSearchHeadBatch",
+      "GPUGraphType", "GPURefineSteps", "GPURefineDepth", "GPULeafSize",
+      "HeadNumGPUs", "GPUSSDNumTrees", "GPUSSDLeafSize", "NumGPUs")
+    val idx = freshIndex
+    referenceSpelled.foreach { name =>
+      // a default must exist (get on the untouched conf never errors) ...
+      val d = idx.getParameter(name)
+      assert(d != null, s"$name has no default")
+      // ... and setting echoes back (numeric knobs get a numeric value)
+      val v = idx.getParameter(name) match {
+        case s if s.matches("-?\\d+") => "7"
+        case s if s.matches("-?\\d+\\.\\d+") => "7.0"
+        case "true" | "false" => "true"
+        case _ => idx.getParameter(name) // strings: round-trip the default
+      }
+      val upd = idx.setParameter(name, v)
+      assert(upd.getParameter(name) === v, s"$name did not round-trip")
+    }
+  }
+
+  test("concurrent add/delete/search/save threads see consistent snapshots " +
+    "(ConcurrentTest.cpp:14-83)") {
+    // the reference hammers one mutable index from four threads; here the
+    // facade is immutable, so concurrency = one writer swapping an
+    // AtomicReference while reader threads search whatever snapshot they
+    // grab. Invariants per search: (a) the exact grid match is always found
+    // at distance 0 (its id is never touched by the writer), (b) every
+    // returned id belongs to base ∪ added — a torn/blended snapshot would
+    // surface as a missing exact hit or an alien id; a save thread mirrors
+    // the reference's SaveIndex loop
+    import java.util.concurrent.atomic.AtomicReference
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val idx0 = freshIndex.build()
+    val current = new AtomicReference[AnnIndex](idx0)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val validIds = (0L until 1000L).toSet ++ (0 until 5).map(j => 5000L + j)
+    val saveDir = Files.createTempDirectory("graft-conc").toString
+    def guarded(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case e: Throwable => errors.add(e); () })
+      t.start(); t
+    }
+    val writer = guarded {
+      for (j <- 0 until 5) {
+        val batch = Seq((5000L + j, Seq.fill(10)(1500f + j), s"new$j"))
+          .toDF("id", "vec", "meta")
+        current.updateAndGet(_.add(batch))
+        // delete from the 900s — far from the query grid's exact matches
+        current.updateAndGet(_.deleteByIds(Seq(900L + j).toDF("id")))
+      }
+    }
+    val readers = (0 until 2).map { _ =>
+      guarded {
+        for (_ <- 0 until 6) {
+          val snap = current.get()
+          val res = snap.search(synthQueries(3), 3)
+            .select("query_id", "rank", "id", "dist").collect()
+          for (t <- 0L until 3L) {
+            val top = res.filter(r => r.getLong(0) == t).minBy(_.getInt(1))
+            assert(top.getLong(2) == 2 * t && top.getDouble(3) == 0.0,
+              s"exact match lost mid-mutation for query $t: $top")
+          }
+          res.foreach(r => assert(validIds(r.getLong(2)),
+            s"alien id ${r.getLong(2)} in a snapshot search"))
+        }
+      }
+    }
+    val saver = guarded {
+      for (i <- 0 until 2) current.get().save(s"$saveDir/s$i")
+    }
+    (Seq(writer, saver) ++ readers).foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent op failed: ${errors.peek()}")
+    // terminal state: all five adds and five deletes landed
+    val fin = current.get()
+    assert(fin.count === 1000L + 5 - 5)
+    val qNew = Seq((0L, Seq.fill(10)(1504f))).toDF("query_id", "qvec")
+    assert(fin.search(qNew, 1).head().getLong(2) === 5004L)
+    val finIds = fin.search(synthQueries(3), 3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert((900L until 905L).forall(d => !finIds(d)))
+    // a mid-run save is itself a consistent, loadable index
+    val reloaded = AnnIndex.load(spark, s"$saveDir/s1")
+    assert(reloaded.search(synthQueries(3), 1).count() === 3)
+  }
+
   test("WideK widening flows through search: results are a recall superset") {
     val fixed = freshIndex.setParameter("InternalK", "2").build()
     val wide = fixed.setParameter("WideK", "8").setParameter("CloseRatio", "4.0")
