@@ -67,9 +67,13 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    val runs = (1 to numRuns).map { i =>
+    val runs = (1 to numRuns).map { _ =>
       loads += loadavg()
-      val r = runOnce(if (i == 1) spark else spark.newSession())
+      // EVERY run gets a fresh child session — including the first. The
+      // primary session keeps the sf0.001 warmup's cache/GC baggage and
+      // measured consistently ~20% slower than the child-session runs it
+      // was averaged with (8.6 vs 6.6/7.0 in the round-9 logs)
+      val r = runOnce(spark.newSession())
       System.gc() // drop orphaned checkpoint/cache blocks between runs
       r
     }
