@@ -685,7 +685,15 @@ object SparkEntry {
     // token-budget selection: fill each source's token budget with its best
     // documents (quality-descending greedy, integer cumsum windows)
     "q86_token_budget" -> ((s, d) =>
-      ordered(Pipeline.tokenBudgetSelect(Tables.documents(s, d), TokenBudget)))
+      ordered(Pipeline.tokenBudgetSelect(Tables.documents(s, d), TokenBudget))),
+    // deterministic corpus shuffle: reproducible pseudo-random shard + rank
+    // layout, the terminal write-side step of a curation pipeline
+    "q87_corpus_shard" -> ((s, d) =>
+      ordered(Pipeline.shardAssign(Tables.documents(s, d), ShardCount))),
+    // tokenizer-vocabulary induction: corpus token counts, bounded top-V
+    // with a deterministic tie-break
+    "q88_vocabulary" -> ((s, d) =>
+      ordered(TextAnalysis.vocabulary(Tables.documents(s, d), VocabSize)))
   )
 
   private val KdDepth = 3
@@ -710,6 +718,12 @@ object SparkEntry {
   // per-source token budget for q86 (sf0.01 sources carry ~25 docs ×
   // ~40 tokens each, so 500 keeps roughly the best third of every source)
   private val TokenBudget = 500L
+  // q87: 16 shards keeps ~30 docs per shard at sf0.01 — enough to exercise
+  // the per-shard rank while every shard stays visibly multi-doc
+  private val ShardCount = 16
+  // q88: top-200 tokens (sf0.01 has ~2.5k distinct) — the limit boundary
+  // crosses count ties, exercising the deterministic (cnt DESC, token) order
+  private val VocabSize = 200
   private val PackBudget = 256L
   private val PackBuckets = 8
 
@@ -1521,6 +1535,16 @@ object SparkEntry {
     "q86_token_budget" ->
       s"""${Pipeline.tokenBudgetSelectSql(TokenBudget)}
          |ORDER BY 1, 2, 3""".stripMargin,
+    "q87_corpus_shard" ->
+      s"""${Pipeline.shardAssignSql(ShardCount, "shuffle")}
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q88_vocabulary" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, count(*) AS cnt FROM tok
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabSize""".stripMargin
+    },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

@@ -337,6 +337,50 @@ object Pipeline {
         (col("start_off") % lit(budgetTokens)).as("pack_off"))
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the terminal layout
+    * step of a pre-training pipeline: training wants documents in a
+    * pseudo-random but REPRODUCIBLE order, laid out as `numShards` shard
+    * files. Each doc draws `shuffle_key = hash60(doc_id:salt)` (the
+    * [[mixtureSample]] draw contract: pure function of the id, so re-runs
+    * and engine mirrors agree and a new salt is an independent re-shuffle),
+    * its shard is `shuffle_key mod numShards`, and `pos` is its rank inside
+    * the shard by `(shuffle_key, doc_id)`. Output
+    * `(doc_id, shard, pos)` — a writer partitions by `shard`, sorts by
+    * `pos`, and streams shards out independently.
+    *
+    * Scale: the draw and shard are scan-speed column math; the only wide op
+    * is the per-shard rank window, whose partition count is `numShards` —
+    * CHOSEN large at scale (a 100 TB corpus ships thousands of shards), so
+    * parallelism is the writer's own fan-out, never one task per corpus.
+    * Unlike q85/q86's per-source windows, the partition key here is synthetic
+    * and uniform (md5 draw), so shards are balanced by construction.
+    */
+  def shardAssign(
+      docs: DataFrame,
+      numShards: Int,
+      salt: String = "shuffle",
+      idCol: String = "doc_id"): DataFrame = {
+    val key = graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    docs
+      .select(col(idCol), key.as("shuffle_key"),
+        pmod(key, lit(numShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** DuckDB mirror of [[shardAssign]] over `documents`. */
+  def shardAssignSql(numShards: Int, salt: String): String = {
+    val key = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'")
+    s"""SELECT doc_id, shard,
+       |       row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+       |FROM (SELECT doc_id, $key AS shuffle_key,
+       |             ((($key) % $numShards) + $numShards) % $numShards AS shard
+       |      FROM documents)""".stripMargin
+  }
+
   /** Per-source reputation (domain-level filtering signals — pipelines keep
     * or drop WHOLE sources on these): doc count, mean quality, and the
     * exact-duplicate rate (fraction of docs whose canonical copy is another

@@ -165,6 +165,23 @@ object TextAnalysis {
       countExprs.reduce(_ + _).as("n_scrubbed") :+ redacted.as("scrubbed"): _*)
   }
 
+  /** Tokenizer-vocabulary induction: corpus-wide token frequencies, keeping
+    * the top `v` tokens by `(count DESC, token ASC)` — the counting pass a
+    * BPE/unigram tokenizer trainer starts from (the deterministic tie-break
+    * makes the vocab reproducible run-to-run). Output `(token, cnt)`.
+    *
+    * Scale: one hash groupBy on the token (map-side partial — shuffle
+    * carries per-partition distinct tokens, bounded by vocabulary not corpus
+    * size) and a bounded top-v (`TakeOrderedAndProject`: per-partition
+    * heads + driver merge of v·tasks rows, no global sort shuffle).
+    */
+  def vocabulary(docs: DataFrame, v: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(v)
+
   /** Corpus-level boilerplate detection: distinct n-gram shingles per doc →
     * document frequency per shingle → shingles appearing in ≥ `minDf` docs,
     * with their share of the corpus. The repeated-fragment signal web

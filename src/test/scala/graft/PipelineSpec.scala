@@ -171,6 +171,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign: reproducible balanced permutation with dense per-shard ranks") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    val a = Pipeline.shardAssign(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every doc exactly once, shards in range
+    assert(a.length === n.toInt)
+    assert(a.map(_._1).toSet.size === n.toInt)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // dense ranks per shard starting at 1
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard $sh")
+    }
+    // uniform draw: no shard hoards the corpus (md5 balance, loose bound)
+    assert(a.groupBy(_._2).values.map(_.length).max < n / 8 * 2)
+    // reproducible; a new salt is a different permutation of the same docs
+    val b = Pipeline.shardAssign(docs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+    val c = Pipeline.shardAssign(docs, 8, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.sorted.toSeq !== a.sorted.toSeq)
+    assert(c.map(_._1).toSet === a.map(_._1).toSet)
+  }
+
   test("packSequences cuts per-bucket token streams at the budget") {
     import org.apache.spark.sql.functions._
     // 40 docs of 10 tokens each, ONE bucket, budget 64: packs of 6.4 docs

@@ -103,4 +103,20 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("x y z") === 2L)
   }
+
+  test("vocabulary keeps the top-V tokens with a deterministic tie-break") {
+    val docs = Seq(
+      (1L, "aa aa aa bb bb cc"),
+      (2L, "bb cc dd"),
+      (3L, "cc aa")
+    ).toDF("doc_id", "text")
+    // counts: aa=4, bb=3, cc=3, dd=1
+    val top3 = TextAnalysis.vocabulary(docs, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top3.toSeq === Seq(("aa", 4L), ("bb", 3L), ("cc", 3L)))
+    // the V-boundary crossing a tie keeps the lexicographically smaller token
+    val top2 = TextAnalysis.vocabulary(docs, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.toSeq === Seq(("aa", 4L), ("bb", 3L)))
+  }
 }
