@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Eval, Knn, Mutations, Spann}
@@ -135,6 +135,34 @@ class AnnIndex private (
         Spann.searchTwoStage(
           queries, h, live, k, conf.internalK, conf.maxDistRatio, conf.metric,
           buckets, conf.wideK, conf.closeRatio)
+    }
+  }
+
+  /** Filtered SPANN search — Q4 on the approximate path (the reference
+    * evaluates a metadata filter before inserting candidates into the
+    * result set; `CoreInterface.h:35-40` search-with-metadata surface):
+    * `predicate` is any Column over the vector table's rows (id, vec,
+    * meta, ...); stage-2 posting hits semi-join the passing id set before
+    * the bounded top-k, so every returned row passes. The predicate reaches
+    * the corpus scan as a pushed filter; deleted ids are excluded as in
+    * [[search]]. Postings are built unfiltered (reference semantics), so
+    * recall under highly selective predicates is bounded by what the probed
+    * heads contain — widen `InternalK`/`WideK` for such workloads.
+    */
+  def searchFiltered(queries: DataFrame, k: Int, predicate: Column): DataFrame = {
+    val (h, p) = requireBuilt()
+    val live = p.join(deleted, Seq("id"), "left_anti")
+    val keep = Mutations.liveView(vectors, deleted).where(predicate).select(col("id"))
+    hierState match {
+      case Some((sh, routing)) =>
+        Spann.searchTwoStageHier(
+          queries, sh, routing, live, k, conf.internalK, conf.superK, conf.metric,
+          idFilter = Some(keep))
+      case None =>
+        val buckets = if (p.columns.contains("head_bucket")) Some(conf.headBuckets) else None
+        Spann.searchTwoStage(
+          queries, h, live, k, conf.internalK, conf.maxDistRatio, conf.metric,
+          buckets, conf.wideK, conf.closeRatio, idFilter = Some(keep))
     }
   }
 

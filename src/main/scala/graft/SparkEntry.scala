@@ -693,7 +693,14 @@ object SparkEntry {
     // tokenizer-vocabulary induction: corpus token counts, bounded top-V
     // with a deterministic tie-break
     "q88_vocabulary" -> ((s, d) =>
-      ordered(TextAnalysis.vocabulary(Tables.documents(s, d), VocabSize)))
+      ordered(TextAnalysis.vocabulary(Tables.documents(s, d), VocabSize))),
+    // filtered SPANN search (Q4 × Q5): q04's meta predicate applied on the
+    // approximate path — stage-2 hits semi-join the passing ids pre-top-k
+    "q89_spann_filtered" -> ((s, d) =>
+      ordered(Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K,
+        InternalK, wideK = WideK, closeRatio = CloseRatio,
+        idFilter = Some(Tables.lineitemVec(s, d)
+          .where(col("meta") =!= "AF").select(col("id"))))))
   )
 
   private val KdDepth = 3
@@ -848,7 +855,8 @@ object SparkEntry {
       maxDistRatio: Option[Double] = None,
       internalK: Int = InternalK,
       wideK: Int = 0,
-      closeRatio: Double = 1.0): String = {
+      closeRatio: Double = 1.0,
+      corpusFilter: Option[String] = None): String = {
     val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
     val hDist = Tables.distSql("l2sq", "q.qvec", "h.head_vec")
     val sDist = Tables.distSql("l2sq", "ch.qvec", "p.vec")
@@ -876,6 +884,7 @@ object SparkEntry {
        |    FROM chd) WHERE $rankCut$ratioPrune),
        |sphits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
        |           FROM ch JOIN p ON ch.head_id = p.head_id
+       |           ${corpusFilter.map(f => s"WHERE p.id IN (SELECT id FROM v WHERE $f)").getOrElse("")}
        |           GROUP BY ch.query_id, p.id),
        |sp AS (SELECT * FROM (
        |    SELECT query_id, id, dist,
@@ -1545,6 +1554,13 @@ object SparkEntry {
          |SELECT token, count(*) AS cnt FROM tok
          |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabSize""".stripMargin
     },
+    // q08's two-stage chain with the q04 metadata predicate applied to
+    // stage-2 hits before the per-query top-k
+    "q89_spann_filtered" ->
+      s"""WITH ${spannCtes(wideK = WideK, closeRatio = CloseRatio,
+             corpusFilter = Some("meta <> 'AF'"))}
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
+         |ORDER BY query_id, rank, id, dist""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

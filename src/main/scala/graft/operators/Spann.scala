@@ -173,10 +173,11 @@ object Spann {
       metric: String = "l2sq",
       headBuckets: Option[Int] = None,
       wideK: Int = 0,
-      closeRatio: Double = 1.0): DataFrame = {
+      closeRatio: Double = 1.0,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand = candidateHeads(
       queries, heads, internalK, maxDistRatio, metric, wideK, closeRatio)
-    searchFromCandidates(cand, queries, postings, k, metric, headBuckets)
+    searchFromCandidates(cand, queries, postings, k, metric, headBuckets, idFilter)
   }
 
   /** Stage-2 from PRECOMPUTED stage-1 candidates `(query_id, head_id)` —
@@ -190,7 +191,8 @@ object Spann {
       postings: DataFrame,
       k: Int,
       metric: String = "l2sq",
-      headBuckets: Option[Int] = None): DataFrame = {
+      headBuckets: Option[Int] = None,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     // disk-resident index path: postings carry the IndexStore partition
     // column `head_bucket`; joining on it lets dynamic partition pruning
     // skip every bucket the stage-1 candidates don't name — the dataflow
@@ -203,11 +205,22 @@ object Spann {
       case None => cand0
     }
     val joinKeys = if (bucketed.isDefined) Seq("head_bucket", "head_id") else Seq("head_id")
-    stage2(cand, postings, queries, joinKeys, k, metric)
+    stage2(cand, postings, queries, joinKeys, k, metric, idFilter)
   }
 
   /** Stage-2 proper: probe `postings` with `(query_id, head_id)` candidates,
     * score, dedup replicas, final top-k.
+    *
+    * `idFilter` (Q4 on the SPANN path — the reference evaluates a metadata
+    * filter per candidate before result insertion): probed posting entries
+    * semi-join the passing id set BEFORE distances are computed and BEFORE
+    * the bounded top-k, so all k slots go to predicate-passing vectors.
+    * Scale: the semi-join keys on `id` against a predicate-pushdown scan of
+    * the corpus — shuffle ∝ probed candidates, and filtered-out entries
+    * never pay a distance kernel. Recall semantics mirror the reference:
+    * postings were built UNFILTERED, so a highly selective predicate thins
+    * per-head candidates — widen `internalK`/`wideK` to compensate, exactly
+    * like the reference's `MaxCheck` advice for filtered search.
     */
   private def stage2(
       cand: DataFrame,
@@ -215,8 +228,14 @@ object Spann {
       queries: DataFrame,
       joinKeys: Seq[String],
       k: Int,
-      metric: String): DataFrame = {
-    val hits = cand.join(postings, joinKeys)
+      metric: String,
+      idFilter: Option[DataFrame] = None): DataFrame = {
+    val probed = cand.join(postings, joinKeys)
+    val kept = idFilter match {
+      case Some(f) => probed.join(f.select(col("id")), Seq("id"), "left_semi")
+      case None => probed
+    }
+    val hits = kept
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("pdist", dist.byName(metric)(col("qvec"), col("vec")))
     // replica dedup rides INSIDE the bounded top-k (distinct-id buffer):
@@ -368,9 +387,10 @@ object Spann {
       k: Int,
       internalK: Int,
       superK: Int,
-      metric: String = "l2sq"): DataFrame = {
+      metric: String = "l2sq",
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand = candidateHeadsHier(queries, superHeads, routing, internalK, superK, metric)
-    stage2(cand, postings, queries, Seq("head_id"), k, metric)
+    stage2(cand, postings, queries, Seq("head_id"), k, metric, idFilter)
   }
 
   /** Resumable two-stage iterator (Q6 over SPANN —

@@ -253,6 +253,25 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchFiltered returns only predicate-passing neighbors (Q4 on the SPANN path)") {
+    val idx = freshIndex.build()
+    // synthetic metas are the id string: filter to even-id vectors only
+    val res = idx.searchFiltered(synthQueries(3), 3,
+      col("meta").cast("long") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(res.nonEmpty)
+    assert(res.forall(_._2 % 2 == 0), s"odd id leaked: ${res.mkString(",")}")
+    // the exact even-grid match (2·t) must still surface as a hit
+    for (t <- 0L until 3L)
+      assert(res.filter(_._1 == t).map(_._2).contains(2 * t))
+    // deleted ids stay excluded through the filtered path
+    val del = idx.deleteByIds(Seq(0L).toDF("id"))
+    val res2 = del.searchFiltered(synthQueries(1), 3,
+      col("meta").cast("long") % 2 === 0)
+      .collect().map(_.getLong(2))
+    assert(!res2.contains(0L))
+  }
+
   test("concurrent add/delete/search/save threads see consistent snapshots " +
     "(ConcurrentTest.cpp:14-83)") {
     // the reference hammers one mutable index from four threads; here the

@@ -23,6 +23,32 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("filtered two-stage search: only passing ids, identical to pre-filtered postings") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val pass = corpus.where(col("meta") =!= "AF").select(col("id"))
+    val filtered = Spann.searchTwoStage(queries, heads, postings, 10, 8,
+      idFilter = Some(pass))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(filtered.nonEmpty)
+    // every hit passes the predicate
+    val passSet = pass.collect().map(_.getLong(0)).toSet
+    assert(filtered.forall { case (_, _, id) => passSet(id) })
+    // semi-joining hits pre-top-k ≡ searching postings restricted to passing
+    // ids (stage-1 is untouched by the filter)
+    val restricted = Spann.searchTwoStage(queries, heads,
+      postings.join(pass, Seq("id"), "left_semi"), 10, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(filtered === restricted)
+    // an all-pass filter is a no-op
+    val allPass = Spann.searchTwoStage(queries, heads, postings, 10, 8,
+      idFilter = Some(corpus.select(col("id"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val unfiltered = Spann.searchTwoStage(queries, heads, postings, 10, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(allPass === unfiltered)
+  }
+
   test("adaptive stage-1 widening lifts the per-query recall FLOOR (dynamic-pivot compensation)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)
