@@ -220,6 +220,31 @@ object Pipeline {
       .drop("_thr")
   }
 
+  /** The sketch-based variant of [[qualityQuantileFloor]] for corpora whose
+    * per-source distinct-quality histogram itself gets large: the per-source
+    * threshold comes from `approx_percentile` (a one-pass mergeable KLL-style
+    * sketch — map-side partial like any aggregate), the filter join is
+    * identical. Thresholds can differ from the exact form by the sketch's
+    * rank-error ε = 1/accuracy, so this is NOT oracle-mirrored (sketch
+    * internals are engine-specific); PipelineSpec bounds its disagreement
+    * with the exact operator on fixture data.
+    */
+  def qualityQuantileFloorApprox(
+      docs: DataFrame,
+      quantile: Double,
+      accuracy: Int = 10000,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val q = TextAnalysis.quality(col(textCol))
+    val thr = docs
+      .groupBy(col(sourceCol))
+      .agg(percentile_approx(q, lit(quantile), lit(accuracy)).as("_thr"))
+    docs.join(broadcast(thr), Seq(sourceCol))
+      .where(q >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** DuckDB mirror of [[qualityQuantileFloor]]'s keep predicate, as a
     * projection + QUALIFY-style subquery body over `documents`. The oracle
     * states the SEMANTICS directly (percent_rank over quality, standard tie

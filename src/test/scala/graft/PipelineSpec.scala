@@ -171,6 +171,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("qualityQuantileFloorApprox agrees with the exact histogram form at high accuracy") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = Pipeline.qualityQuantileFloor(docs, 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = Pipeline.qualityQuantileFloorApprox(docs, 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty && approx.size < docs.count())
+    // the two forms place the per-source cutoff at most a rank apart
+    // (nearest-rank vs percent_rank definitions; amplified on tiny fixture
+    // sources) — every disagreement must sit BETWEEN the two thresholds,
+    // never mid-distribution
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.quality(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    scored.groupBy(_._2).foreach { case (src, ds) =>
+      def thr(kept: Set[Long]): Double =
+        ds.filter(d => kept(d._1)).map(_._3).minOption.getOrElse(Double.MaxValue)
+      val lo = math.min(thr(exact), thr(approx))
+      val hi = math.max(thr(exact), thr(approx))
+      ds.filter(d => exact(d._1) != approx(d._1)).foreach { d =>
+        assert(d._3 >= lo && d._3 < hi,
+          s"source $src: doc ${d._1} (q=${d._3}) differs outside cutoff band [$lo,$hi)")
+      }
+    }
+    val overlap = (exact & approx).size.toDouble / math.max(exact.size, approx.size)
+    assert(overlap >= 0.85, s"exact/approx overlap $overlap")
+  }
+
   test("shardAssign: reproducible balanced permutation with dense per-shard ranks") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q88 vocabulary top-V plans as a bounded TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("q88_vocabulary")(spark, sf0001)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-V should be TakeOrderedAndProject (per-partition heads + driver merge):\n$phys")
+  }
+
   test("MaxDistRatio prune provably drops candidate heads (q63)") {
     import graft.operators.Spann
     val q = Tables.ordersQuery(spark, sf0001).where(col("query_id") < 50)
