@@ -268,7 +268,8 @@ object Spann {
       internalK: Int,
       maxDistRatio: Double = Double.MaxValue,
       metric: String = "l2sq",
-      headBuckets: Option[Int] = None): DataFrame = {
+      headBuckets: Option[Int] = None,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val cand0 = candidateHeads(queries, heads, internalK, maxDistRatio, metric)
     val bucketed = headBuckets.filter(_ => codedPostings.columns.contains("head_bucket"))
     val cand = bucketed match {
@@ -277,7 +278,7 @@ object Spann {
       case None => cand0
     }
     val joinKeys = if (bucketed.isDefined) Seq("head_bucket", "head_id") else Seq("head_id")
-    adcStage2(cand, codedPostings, queries, joinKeys, rcb, k)
+    adcStage2(cand, codedPostings, queries, joinKeys, rcb, k, idFilter)
   }
 
   /** [[searchTwoStageHier]] with the compressed stage-2 — the routed stage-0/1
@@ -292,10 +293,11 @@ object Spann {
       k: Int,
       internalK: Int,
       superK: Int,
-      metric: String = "l2sq"): DataFrame =
+      metric: String = "l2sq",
+      idFilter: Option[DataFrame] = None): DataFrame =
     adcStage2(
       candidateHeadsHier(queries, superHeads, routing, internalK, superK, metric),
-      codedPostings, queries, Seq("head_id"), rcb, k)
+      codedPostings, queries, Seq("head_id"), rcb, k, idFilter)
 
   /** Compressed stage-2: the per-query ADC LUT is computed once on the
     * (broadcast-tiny) query side ([[graft.functions.PQ.Codebooks.adcLut]]);
@@ -309,7 +311,8 @@ object Spann {
       queries: DataFrame,
       joinKeys: Seq[String],
       rcb: graft.functions.PQ.RotatedCodebooks,
-      k: Int): DataFrame = {
+      k: Int,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(rcb)
     val lutUdf = udf((q: Seq[Double]) => bc.value.cb.adcLut(
@@ -317,7 +320,14 @@ object Spann {
     val withLut = queries
       .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
       .select(col("query_id"), col("_lut"))
-    val hits = cand.join(codedPostings, joinKeys)
+    val probed = cand.join(codedPostings, joinKeys)
+    // same pre-top-k predicate semi-join as the full-precision stage2:
+    // filtered-out entries never pay the m-lookup LUT scoring
+    val kept = idFilter match {
+      case Some(f) => probed.join(f.select(col("id")), Seq("id"), "left_semi")
+      case None => probed
+    }
+    val hits = kept
       .join(broadcast(withLut), Seq("query_id"))
       .withColumn("pdist",
         graft.functions.PQ.lutCodesDist(col("_lut"), col("codes")))

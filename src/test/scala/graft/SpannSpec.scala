@@ -101,6 +101,28 @@ class SpannSpec extends SparkSpec {
     assert(rec >= 0.8, s"pruned ADC recall $rec")
   }
 
+  test("filtered ADC search: only passing ids, identical to pre-filtered coded postings") {
+    import graft.functions.PQ
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 8, maxIter = 2)
+    val ident = Array.tabulate(6, 6)((i, j) => if (i == j) 1.0 else 0.0)
+    val rcb = PQ.RotatedCodebooks(ident, cb)
+    val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes"))
+    val coded = postings.select(col("head_id"), col("id")).join(quant, Seq("id"))
+    val pass = corpus.where(col("meta") =!= "AF").select(col("id"))
+    val filtered = Spann.searchTwoStageAdc(queries, heads, coded, rcb, 10, 8,
+      idFilter = Some(pass)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(filtered.nonEmpty)
+    val passSet = pass.collect().map(_.getLong(0)).toSet
+    assert(filtered.forall { case (_, _, id) => passSet(id) })
+    val restricted = Spann.searchTwoStageAdc(queries, heads,
+      coded.join(pass, Seq("id"), "left_semi"), rcb, 10, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(filtered === restricted)
+  }
+
   test("SPANN iterator: batch 1 ≡ two-stage top-k; union covers the wider search (Q6)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)
