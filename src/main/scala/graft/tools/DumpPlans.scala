@@ -93,7 +93,14 @@ object DumpPlans {
         |parallelism of a per-source window — and bucket offsets come from
         |a histogram-sized cumsum, broadcast-joined. The exact greedy
         |semantics of a total-order cumsum, with no single-task-per-source
-        |sort anywhere.""".stripMargin)
+        |sort anywhere.""".stripMargin,
+    "q89_spann_filtered" ->
+      """Filtered SPANN search: the metadata predicate becomes a pushed
+        |filter on the corpus scan feeding an id semi-join applied to
+        |stage-2 hits BEFORE distance scoring and the bounded top-k —
+        |filtered-out entries pay no distance kernel, every top-k slot goes
+        |to a passing vector, and stage-1 is untouched (reference
+        |semantics: postings are built unfiltered).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
