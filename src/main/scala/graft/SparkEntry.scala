@@ -700,7 +700,21 @@ object SparkEntry {
       ordered(Spann.searchTwoStage(q(s, d), heads(s, d), postings(s, d), K,
         InternalK, wideK = WideK, closeRatio = CloseRatio,
         idFilter = Some(Tables.lineitemVec(s, d)
-          .where(col("meta") =!= "AF").select(col("id"))))))
+          .where(col("meta") =!= "AF").select(col("id")))))),
+    // the reference's in-memory query loop (tree seeds + best-first graph
+    // expansion under a MaxCheck budget) as level-synchronous beam rounds
+    // over the q17 TP-tree graph; every cut is (dist, id)-deterministic so
+    // the oracle replays the walk round-for-round
+    "q90_graph_search" -> ((s, d) => {
+      val vs = Tables.lineitemVec(s, d).where(col("id") <= SgCorpus)
+        .select(col("id"), col("vec"))
+      val g = graft.operators.KnnGraph.build(
+        vs, dims = 6, neighborhoodSize = SgNbr, trees = 2, planes = 8)
+        .select(col("src"), col("dst"))
+      ordered(graft.operators.KnnGraph.searchGraph(q(s, d), vs, g, K,
+        pivotNth = SgPivotNth, seeds = SgSeeds, beam = SgBeam,
+        rounds = SgRounds))
+    })
   )
 
   private val KdDepth = 3
@@ -733,6 +747,15 @@ object SparkEntry {
   private val VocabSize = 200
   private val PackBudget = 256L
   private val PackBuckets = 8
+  // q90 graph-walk search: 2000-node subgraph (bounds the oracle's pair
+  // join), 8-neighbor TP-tree graph, 20 seed pivots → best 4, beam 8 × 3
+  // rounds ≈ a MaxCheck-192 budget
+  private val SgCorpus = 2000
+  private val SgNbr = 8
+  private val SgPivotNth = 100
+  private val SgSeeds = 4
+  private val SgBeam = 8
+  private val SgRounds = 3
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1561,6 +1584,59 @@ object SparkEntry {
              corpusFilter = Some("meta <> 'AF'"))}
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM sp
          |ORDER BY query_id, rank, id, dist""".stripMargin,
+    // the q17 TP-tree graph on the id≤SgCorpus subset, then the beam walk
+    // replayed round-for-round: seeds (best SgSeeds of the pivot set) →
+    // per-round frontier expansion / visited-set anti-join / top-SgBeam cut
+    "q90_graph_search" -> {
+      val gDist = Tables.distSql("l2sq", "a.vec", "b.vec")
+      val sDist = Tables.distSql("l2sq", "q.qvec", "p.vec")
+      val nDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      val rounds = (1 to SgRounds).map { r =>
+        s"""cand$r AS (SELECT DISTINCT f.query_id, g.dst AS id
+           |           FROM f${r - 1} f JOIN g ON g.src = f.id),
+           |new$r AS MATERIALIZED (SELECT c.query_id, c.id, $nDist AS dist
+           |     FROM cand$r c JOIN q ON q.query_id = c.query_id
+           |     JOIN vs v ON v.id = c.id
+           |     WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} w
+           |                       WHERE w.query_id = c.query_id AND w.id = c.id)),
+           |vis$r AS MATERIALIZED (SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM new$r),
+           |f$r AS (SELECT query_id, id, dist FROM (
+           |    SELECT query_id, id, dist,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+           |    FROM new$r) WHERE rn <= $SgBeam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS (${Tables.lineitemVecSql}),
+         |vs AS (SELECT id, vec FROM v0 WHERE id <= $SgCorpus),
+         |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM vs),
+         |w AS (SELECT t, p, d,
+         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
+         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |           FROM dots GROUP BY id, t),
+         |gpairs AS (SELECT DISTINCT s.src, r.id AS dst, $gDist AS d
+         |          FROM (SELECT t, leaf, id AS src FROM leaves) s
+         |          JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
+         |          JOIN vs a ON a.id = s.src JOIN vs b ON b.id = r.id),
+         |g AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |    FROM gpairs) WHERE rn <= $SgNbr),
+         |piv AS (SELECT id, vec FROM vs WHERE id % $SgPivotNth = 0),
+         |sd AS (SELECT q.query_id, p.id, $sDist AS dist FROM q CROSS JOIN piv p),
+         |f0 AS (SELECT query_id, id, dist FROM (
+         |    SELECT query_id, id, dist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rn
+         |    FROM sd) WHERE rn <= $SgSeeds),
+         |vis0 AS MATERIALIZED (SELECT * FROM f0),
+         |$rounds
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM (
+         |    SELECT query_id, id, dist,
+         |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |    FROM vis$SgRounds)
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

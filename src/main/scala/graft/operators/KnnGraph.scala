@@ -101,6 +101,82 @@ object KnnGraph {
       .select(col("src"), (col("pos") + 1).cast("int").as("rank"), col("dst"))
   }
 
+  /** Graph-walk search (the reference's core in-memory query loop,
+    * `BKT/BKTIndex.cpp:149-207`: tree-descent seeds feed a best-first
+    * priority queue over the neighborhood graph, expansion budgeted by
+    * `MaxCheck`).
+    *
+    * Spark-native re-expression: the sequential one-node-at-a-time queue
+    * becomes LEVEL-SYNCHRONOUS beam expansion — each round pops the `beam`
+    * best unexpanded candidates per query AT ONCE and expands all their
+    * graph edges in one join, for a fixed number of rounds. The check
+    * budget analogue is `seeds + rounds × beam × degree`; determinism comes
+    * from (dist, id) ordering at every cut, so the whole walk is
+    * oracle-checkable round-for-round.
+    *
+    * Seeding mirrors `m_iNumberOfInitialDynamicPivots`: a deterministic
+    * pivot subset (`id % pivotNth = 0`) is ranked exactly and the best
+    * `seeds` start the walk (the tree-descent path is exercised separately
+    * by q09/q78-q80; any seed frame of shape `(query_id, id, dist)` can be
+    * passed via `seedFrame`).
+    *
+    * Scale posture: every per-round frame (frontier, fresh candidates) is
+    * ∝ |queries| × beam — the BROADCAST side of each join; the corpus-sized
+    * tables (edges, vectors) are only ever probed by broadcast-hash joins
+    * and never shuffle. Rounds are few and fixed. On a stored graph the
+    * edges table would be bucketed by `src` for partition pruning, exactly
+    * like the stored-posting layout (`IndexStore`).
+    */
+  def searchGraph(
+      queries: DataFrame, // (query_id, qvec)
+      vectors: DataFrame, // (id, vec)
+      edges: DataFrame, // (src, dst) — ≤degree neighbors per src
+      k: Int,
+      pivotNth: Int = 100,
+      seeds: Int = 4,
+      beam: Int = 8,
+      rounds: Int = 3,
+      metric: String = "l2sq",
+      seedFrame: Option[DataFrame] = None): DataFrame = {
+    val seeded = seedFrame.getOrElse {
+      val pivots = vectors.where(col("id") % pivotNth === 0)
+      Knn.searchAgg(queries, pivots, seeds, metric)
+        .select(col("query_id"), explode(col("nn")).as("r"))
+        .select(col("query_id"), col("r.id").as("id"),
+          col("r.dist").cast("double").as("dist"))
+    }
+    // eager localCheckpoint per round: the loop frames are tiny
+    // (|queries|×beam-ish) but their lineage would otherwise double each
+    // round (same pattern as Dedup.canonicalGroups)
+    var visited = seeded.localCheckpoint(true)
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val cand = broadcast(frontier.select(col("query_id"), col("id").as("src")))
+        .join(edges.select(col("src"), col("dst")), Seq("src"))
+        .select(col("query_id"), col("dst").as("id"))
+        .distinct()
+      val fresh = cand
+        .join(visited.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_anti")
+      val scored = broadcast(fresh)
+        .join(vectors.select(col("id"), col("vec")), Seq("id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          dist.byName(metric)(col("qvec"), col("vec")).cast("double").as("dist"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(scored).localCheckpoint(true)
+      frontier = scored
+        .groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), beam).as("nn"))
+        .select(col("query_id"), explode(col("nn")).as("r"))
+        .select(col("query_id"), col("r.id").as("id"),
+          col("r.dist").cast("double").as("dist"))
+    }
+    Knn.explodeRanked(
+      visited.groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** In-degree-balanced rebuild (B4, `NeighborhoodGraph.h:404-458`): halve
     * each node's neighbor list, keeping low-in-degree targets first.
     */

@@ -66,4 +66,58 @@ class KnnGraphSpec extends SparkSpec {
     val rebuilt = KnnGraph.rebuildBalanced(g, 8)
     assert(rebuilt.groupBy("src").count().agg(max("count")).head().getLong(0) <= 4)
   }
+
+  // ---- graph-walk search (BKTIndex.cpp:149-207 analogue) ----
+
+  private lazy val walkCorpus = corpus.where(col("id") <= 500).cache()
+  private lazy val walkGraph =
+    KnnGraph.build(walkCorpus, 6, 8, trees = 4).select("src", "dst").cache()
+  private lazy val walkQueries = Tables.ordersQuery(spark, sf0001)
+    .where(col("query_id") < 10)
+
+  test("graph walk: exhaustive beam on a connected graph ≡ exact kNN") {
+    // beam ≥ corpus and enough rounds → the walk visits every node reachable
+    // from the seeds; on the SYMMETRIZED graph (directed kNN edges leave
+    // low-in-degree islands) that is the whole corpus, so the result must be
+    // IDENTICAL to brute-force kNN
+    val sym = walkGraph.unionByName(
+      walkGraph.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val walked = KnnGraph.searchGraph(walkQueries, walkCorpus, sym,
+      k = 5, pivotNth = 50, seeds = 4, beam = 500, rounds = 12)
+    val exact = Knn.search(walkQueries, walkCorpus, 5)
+    assert(walked.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(walked).count() === 0)
+  }
+
+  test("graph walk: bounded-beam results are valid, deterministic, ranked") {
+    val r1 = KnnGraph.searchGraph(walkQueries, walkCorpus, walkGraph,
+      k = 5, pivotNth = 50, seeds = 3, beam = 6, rounds = 3).cache()
+    // deterministic: a second identical walk returns the same rows
+    val r2 = KnnGraph.searchGraph(walkQueries, walkCorpus, walkGraph,
+      k = 5, pivotNth = 50, seeds = 3, beam = 6, rounds = 3)
+    assert(r1.exceptAll(r2).count() === 0 && r2.exceptAll(r1).count() === 0)
+    // shape: ids come from the corpus, ranks contiguous from 1, dist ascending
+    assert(r1.join(walkCorpus, Seq("id"), "left_anti").count() === 0)
+    r1.orderBy("query_id", "rank").collect().groupBy(_.getLong(0)).foreach {
+      case (_, rows) =>
+        assert(rows.map(_.getInt(1)).toSeq === (1 to rows.length))
+        val dists = rows.map(_.getDouble(3))
+        assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("graph walk: wider beam or more rounds never hurts recall") {
+    val exact = Knn.search(walkQueries, walkCorpus, 5)
+    def recall(beam: Int, rounds: Int): Double = {
+      val w = KnnGraph.searchGraph(walkQueries, walkCorpus, walkGraph,
+        k = 5, pivotNth = 50, seeds = 3, beam = beam, rounds = rounds)
+      w.select("query_id", "id")
+        .join(exact.select("query_id", "id"), Seq("query_id", "id"), "left_semi")
+        .count().toDouble / exact.count()
+    }
+    val narrow = recall(4, 2)
+    val wide = recall(16, 4)
+    assert(wide >= narrow - 1e-9, s"recall narrowed: $narrow -> $wide")
+    assert(wide >= 0.5, s"wide-beam recall too low: $wide")
+  }
 }
