@@ -714,7 +714,11 @@ object SparkEntry {
       ordered(graft.operators.KnnGraph.searchGraph(q(s, d), vs, g, K,
         pivotNth = SgPivotNth, seeds = SgSeeds, beam = SgBeam,
         rounds = SgRounds))
-    })
+    }),
+    // corpus-trained bigram LM familiarity (the perplexity-filter signal):
+    // mean Laplace-smoothed bigram log-prob per document
+    "q91_ngram_lm" -> ((s, d) =>
+      ordered(TextAnalysis.ngramLmScore(Tables.documents(s, d))))
   )
 
   private val KdDepth = 3
@@ -1636,6 +1640,25 @@ object SparkEntry {
          |    FROM vis$SgRounds)
          |WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    // bigram counts trained on the corpus itself; per-term log-probs rounded
+    // to 6dp and decimal-summed (order-independent), mean rounded to 4dp
+    "q91_ngram_lm" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w) AS vocab
+         |       FROM (SELECT unnest(toks) AS w FROM t)),
+         |lp AS (SELECT bg.doc_id,
+         |         round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.vocab)), 6)::DECIMAL(18,9) AS lp
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(sum(lp)::DOUBLE / count(*), 4) AS lm_score
+         |FROM lp GROUP BY doc_id
+         |ORDER BY 1, 2, 3""".stripMargin
     },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -137,7 +137,14 @@ object KnnGraph {
       beam: Int = 8,
       rounds: Int = 3,
       metric: String = "l2sq",
-      seedFrame: Option[DataFrame] = None): DataFrame = {
+      seedFrame: Option[DataFrame] = None,
+      /** Set on a stored graph ([[graft.BktIndex]]): edges carry a
+        * `src_bucket = src % srcBuckets` partition column and each round's
+        * expansion join keys on it too, so Catalyst dynamic-partition-prunes
+        * the edge scan to the frontier's buckets — the same loaded-index DPP
+        * path as the stored SPANN/KDT/dedup layouts.
+        */
+      srcBuckets: Option[Int] = None): DataFrame = {
     val seeded = seedFrame.getOrElse {
       val pivots = vectors.where(col("id") % pivotNth === 0)
       Knn.searchAgg(queries, pivots, seeds, metric)
@@ -151,10 +158,7 @@ object KnnGraph {
     var visited = seeded.localCheckpoint(true)
     var frontier = visited
     for (_ <- 1 to rounds) {
-      val cand = broadcast(frontier.select(col("query_id"), col("id").as("src")))
-        .join(edges.select(col("src"), col("dst")), Seq("src"))
-        .select(col("query_id"), col("dst").as("id"))
-        .distinct()
+      val cand = expandCandidates(frontier, edges, srcBuckets)
       val fresh = cand
         .join(visited.select(col("query_id"), col("id")),
           Seq("query_id", "id"), "left_anti")
@@ -175,6 +179,35 @@ object KnnGraph {
     Knn.explodeRanked(
       visited.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
+  /** One expansion round of [[searchGraph]]: frontier `(query_id, id)` ×
+    * edges → distinct `(query_id, id)` neighbor candidates. With
+    * `srcBuckets` the join keys on the stored `src_bucket` partition column
+    * too — the broadcast frontier then dynamic-partition-prunes the edge
+    * scan (spec-asserted on the [[graft.BktIndex]] stored layout).
+    */
+  private[graft] def expandCandidates(
+      frontier: DataFrame,
+      edges: DataFrame,
+      srcBuckets: Option[Int]): DataFrame = {
+    val probe = frontier.select(col("query_id"), col("id").as("src"))
+    val (keyed, edgeSel, joinKeys) = srcBuckets match {
+      case Some(b) => (
+        // the between() is semantically a no-op (pmod lands in [0, b)) but
+        // gives the optimizer the selective predicate DPP insertion requires
+        // — without it the bucketed scan reads every partition
+        probe.withColumn("src_bucket", pmod(col("src"), lit(b)).cast("int"))
+          .where(col("src_bucket").between(0, b - 1)),
+        edges.select(col("src_bucket"), col("src"), col("dst")),
+        Seq("src_bucket", "src"))
+      case None =>
+        (probe, edges.select(col("src"), col("dst")), Seq("src"))
+    }
+    broadcast(keyed)
+      .join(edgeSel, joinKeys)
+      .select(col("query_id"), col("dst").as("id"))
+      .distinct()
   }
 
   /** In-degree-balanced rebuild (B4, `NeighborhoodGraph.h:404-458`): halve

@@ -103,6 +103,56 @@ object TextAnalysis {
           .as("top_ngram_ratio"))
   }
 
+  /** Bigram language-model familiarity score — the perplexity-filter signal
+    * (CCNet/KenLM style) re-expressed Spark-first: train Laplace-smoothed
+    * bigram counts ON the corpus itself, then score each document by the
+    * mean log-probability of its bigrams. Low scores = text whose word
+    * transitions the corpus has never seen (gibberish, OCR noise, wrong
+    * language); high scores = fluent in-domain text.
+    *
+    * `lm_score(d) = mean over bigrams (w1,w2) of
+    *   ln((C(w1,w2) + α) / (C(w1) + α·V))`, V = unigram vocabulary size.
+    *
+    * Determinism contract: each bigram's log-prob is rounded to 6dp and
+    * summed as DECIMAL(18,9) — exact, order-independent addition — then the
+    * mean is computed in double and rounded to 4dp. The ln inputs are exact
+    * doubles (integer counts + exact α arithmetic), so Spark and DuckDB see
+    * identical arguments.
+    *
+    * Scale posture: two word-count aggregations (the natural LM-training
+    * shuffles, partial-agg'd map-side) + two 1:1 count-hydration joins on
+    * (w1,w2)/(w1) + a broadcast 1-row vocab size. No pair space, no window;
+    * documents with <2 tokens carry no bigrams and are omitted.
+    */
+  def ngramLmScore(
+      docs: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bigrams = toked
+      .select(col(idCol), explode(transform(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        (w, i) => struct(w.as("w1"), element_at(col("toks"), i + 2).as("w2"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toked.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("c2") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("vocab"))), 6)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_lp").cast("double") / col("n_bigrams"), 4).as("lm_score"))
+  }
+
   /** Stopword-profile language ID: pick the language with the most stopword
     * hits (ties broken by list order, 'und' when nothing matches).
     */

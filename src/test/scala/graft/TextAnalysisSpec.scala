@@ -119,4 +119,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(top2.toSeq === Seq(("aa", 4L), ("bb", 3L)))
   }
+
+  test("ngram LM score: familiar bigrams beat gibberish; counts line up") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "zq wv xk jj pq mn"), // transitions the corpus never repeats
+      (5L, "one"), // <2 tokens → no bigrams → omitted
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.ngramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // docs 5/6 carry no bigrams
+    assert(scored.keySet === Set(1L, 2L, 3L, 4L))
+    // n_bigrams = n_tokens - 1
+    assert(scored(1L)._1 === 5L && scored(4L)._1 === 5L)
+    // the corpus-frequent "the cat sat on the ..." transitions score far
+    // above the one-off gibberish transitions
+    assert(scored(1L)._2 > scored(4L)._2)
+    assert(scored(2L)._2 > scored(4L)._2)
+    // a wide margin, not a squeaker (fixture gap is 0.45 nats)
+    assert(scored(1L)._2 > scored(4L)._2 + 0.4)
+  }
 }
