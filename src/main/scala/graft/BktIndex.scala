@@ -125,6 +125,18 @@ class BktIndex private (
 
   def batchSearch(queries: DataFrame, k: Int): DataFrame = search(queries, k)
 
+  /** SearchIndexWithFilter (`BKTIndex.cpp:623-647`): non-passing vectors
+    * still conduct the walk (seed, score, expand — the reference traverses
+    * them too) but never reach the result top-k.
+    */
+  def searchFiltered(queries: DataFrame, k: Int, passingIds: DataFrame): DataFrame = {
+    val (_, _, e) = requireBuilt()
+    KnnGraph.searchGraph(queries, live, e, k,
+      seeds = seeds, beam = beam, rounds = rounds, metric = metric,
+      seedFrame = Some(seedFrame(queries)), srcBuckets = srcBuckets,
+      emitFilter = Some(passingIds))
+  }
+
   /** AddIndex: append vectors, assign each to its nearest existing center,
     * link into the graph via exact top-`nbr` over the live corpus — both
     * directions, the reference's insertion that lets neighbor lists grow

@@ -104,6 +104,67 @@ object GraftConf {
   def fromParams(params: Map[String, String]): GraftConf =
     params.foldLeft(GraftConf()) { case (c, (k, v)) => c.set(k, v) }
 
+  /** Reference ini parsing (`Helper/SimpleIniReader.cpp:30-130` semantics):
+    * blank lines and `;` comment lines skipped; `[Section]` headers trimmed
+    * and lowercased, a DUPLICATED section is an error; `key=value` splits at
+    * the first `=` with the key trimmed + lowercased and the value kept
+    * verbatim to the (right-trimmed) end of line, a duplicated key within a
+    * section is an error, a non-header line without `=` is an error. Keys
+    * before any header land in the "" section, as the reference's
+    * `currSection` initialization does. Returns section → (key → value).
+    */
+  def parseIni(text: String): Map[String, Map[String, String]] = {
+    val out = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.LinkedHashMap[String, String]]()
+    var curr = out.getOrElseUpdate("",
+      scala.collection.mutable.LinkedHashMap[String, String]())
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith(";")) {
+        if (line.startsWith("[")) {
+          require(line.endsWith("]"), s"unterminated section header: $line")
+          val name = line.substring(1, line.length - 1).trim.toLowerCase
+          require(name.nonEmpty, "empty section name")
+          require(!out.contains(name), s"duplicated section [$name]")
+          curr = out.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap[String, String]())
+        } else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"not a key=value line: $line")
+          val key = line.substring(0, eq).trim.toLowerCase
+          require(key.nonEmpty, s"empty parameter name: $line")
+          require(!curr.contains(key), s"duplicated parameter $key")
+          curr.put(key, line.substring(eq + 1))
+        }
+      }
+    }
+    out.iterator.filter(_._2.nonEmpty).map { case (s, m) => s -> m.toMap }.toMap
+  }
+
+  /** Build a conf from the given ini sections, applied in order (the
+    * `IndexBuilder -c buildconfig.ini` entry path): typed knobs route
+    * through [[GraftConf.set]]; keys the registry does not know (ValueType,
+    * VectorPath, isExecute, ... — the SSDServing driver options consumed
+    * outside the index) are STORED verbatim, exactly as the reference's
+    * IniReader keeps every pair for later `GetParameter` lookup.
+    */
+  def fromIni(text: String, sections: Seq[String]): GraftConf = {
+    val parsed = parseIni(text)
+    sections.map(_.toLowerCase).foldLeft(GraftConf()) { (c, s) =>
+      parsed.getOrElse(s, Map.empty).foldLeft(c) { case (cc, (k, v)) =>
+        try cc.set(k, v)
+        catch {
+          // only UNKNOWN names fall through to verbatim storage — a typed
+          // knob with a malformed value still fails loudly
+          case e: RuntimeException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("unknown parameter") =>
+            cc.copy(extra = cc.extra + (k -> v))
+        }
+      }
+    }
+  }
+
   /** The remaining parameter names of the reference's macro registries
     * (`BKT/ParameterDefinitionList.h:7-54`, `KDT/ParameterDefinitionList.h:
     * 5-45`, `SPANN/ParameterDefinitionList.h:6-128`), lowercased → reference

@@ -718,7 +718,24 @@ object SparkEntry {
     // corpus-trained bigram LM familiarity (the perplexity-filter signal):
     // mean Laplace-smoothed bigram log-prob per document
     "q91_ngram_lm" -> ((s, d) =>
-      ordered(TextAnalysis.ngramLmScore(Tables.documents(s, d))))
+      ordered(TextAnalysis.ngramLmScore(Tables.documents(s, d)))),
+    // boilerplate-span removal: q76's flagged n-grams excised from every
+    // document's token stream (the corpus-cleaning apply step)
+    "q92_strip_boilerplate" -> ((s, d) =>
+      ordered(TextAnalysis.stripBoilerplate(
+        Tables.documents(s, d), n = 3, minDf = 5L))),
+    // BPE tokenizer training: the ranked merge list after BpeRounds rounds
+    // of highest-count adjacent-pair merging over the corpus vocabulary
+    "q93_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, _) = TextAnalysis.bpeTrain(Tables.documents(s, d), BpeRounds)
+      ordered(merges.toDF("round", "lhs", "rhs", "cnt"))
+    }),
+    // ... and the final word segmentations those merges produce
+    "q94_bpe_segments" -> ((s, d) => {
+      val (_, segs) = TextAnalysis.bpeTrain(Tables.documents(s, d), BpeRounds)
+      ordered(segs)
+    })
   )
 
   private val KdDepth = 3
@@ -751,6 +768,9 @@ object SparkEntry {
   private val VocabSize = 200
   private val PackBudget = 256L
   private val PackBuckets = 8
+  // q93/q94: BPE merge rounds — 4 crosses at least one count tie on the
+  // sf0.01 vocabulary, exercising the (pc DESC, x, y) tie-break
+  private val BpeRounds = 4
   // q90 graph-walk search: 2000-node subgraph (bounds the oracle's pair
   // join), 8-neighbor TP-tree graph, 20 seed pivots → best 4, beam 8 × 3
   // rounds ≈ a MaxCheck-192 budget
@@ -917,6 +937,35 @@ object SparkEntry {
        |    SELECT query_id, id, dist,
        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
        |    FROM sphits) WHERE rank <= $K)""".stripMargin
+  }
+
+  /** Shared CTE chain for the BPE oracles (q93/q94): vocabulary counts `v`,
+    * initial per-char segmentations `s0`, then per round r: adjacent-pair
+    * counts `pr{r}`, the deterministic top pair `t{r}` (pc DESC, x, y), and
+    * the greedily re-merged segmentations `s{r}` — the left fold's
+    * trailing-`x` merge is exactly `acc || y`, mirroring the Spark
+    * `aggregate` expression in [[TextAnalysis.bpeTrain]].
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val toks = TextAnalysis.Sql.toks("text")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pr$r AS (SELECT sy[i] AS x, sy[i + 1] AS y, sum(cnt) AS pc
+         |        FROM (SELECT cnt, sy, unnest(range(1, len(sy))) AS i
+         |              FROM (SELECT cnt, string_split(seg, ' ') AS sy FROM s${r - 1}))
+         |        GROUP BY 1, 2),
+         |t$r AS (SELECT x, y, pc FROM pr$r ORDER BY pc DESC, x, y LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT token, cnt,
+         |        list_reduce(string_split(seg, ' '), (acc, s) ->
+         |          CASE WHEN (acc = t.x OR ends_with(acc, ' ' || t.x)) AND s = t.y
+         |               THEN acc || t.y ELSE acc || ' ' || s END) AS seg
+         |       FROM s${r - 1} CROSS JOIN t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""vtok AS (SELECT unnest($toks) AS token FROM documents),
+       |v AS (SELECT token, count(*) AS cnt FROM vtok GROUP BY token),
+       |s0 AS (SELECT token, cnt,
+       |         array_to_string(regexp_extract_all(token, '[a-z0-9]'), ' ') AS seg
+       |       FROM v),
+       |$roundCtes""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1660,6 +1709,43 @@ object SparkEntry {
          |FROM lp GROUP BY doc_id
          |ORDER BY 1, 2, 3""".stripMargin
     },
+    // occurrence-level spans → df-flagged shingles (DISTINCT-per-doc df,
+    // q76's rule) → non-equi covering anti-join → ordered re-join
+    "q92_strip_boilerplate" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sp AS (SELECT doc_id, i AS start, array_to_string(toks[i:i+2], ' ') AS sh
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+         |             FROM t)),
+         |freq AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sp)
+         |         GROUP BY sh HAVING count(*) >= 5),
+         |hs AS (SELECT doc_id, start FROM sp WHERE sh IN (SELECT sh FROM freq)),
+         |tok AS (SELECT doc_id, p, toks[p] AS tok
+         |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+         |              FROM t)),
+         |keep AS (SELECT k.doc_id, k.p, k.tok FROM tok k
+         |         WHERE NOT EXISTS (SELECT 1 FROM hs
+         |                           WHERE hs.doc_id = k.doc_id
+         |                             AND hs.start <= k.p AND k.p < hs.start + 3)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         |               count(*) AS n_kept
+         |        FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+         |       (len(t.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q93_bpe_merges" ->
+      s"""WITH ${bpeCtes(BpeRounds)}
+         |${(1 to BpeRounds).map(r =>
+             s"SELECT CAST($r AS INT) AS round, x AS lhs, y AS rhs, pc AS cnt FROM t$r")
+             .mkString("\n|UNION ALL ")}
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q94_bpe_segments" ->
+      s"""WITH ${bpeCtes(BpeRounds)}
+         |SELECT token, cnt, seg FROM s$BpeRounds
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

@@ -144,7 +144,13 @@ object KnnGraph {
         * the edge scan to the frontier's buckets — the same loaded-index DPP
         * path as the stored SPANN/KDT/dedup layouts.
         */
-      srcBuckets: Option[Int] = None): DataFrame = {
+      srcBuckets: Option[Int] = None,
+      /** Filtered search (`BKTIndex.cpp:623-647` CheckFilter semantics):
+        * non-passing nodes still CONDUCT the walk — they seed, score, and
+        * expand — but are dropped before the final top-k, so every result
+        * slot goes to a passing id. `(id)` frame, semi-joined.
+        */
+      emitFilter: Option[DataFrame] = None): DataFrame = {
     val seeded = seedFrame.getOrElse {
       val pivots = vectors.where(col("id") % pivotNth === 0)
       Knn.searchAgg(queries, pivots, seeds, metric)
@@ -176,8 +182,13 @@ object KnnGraph {
         .select(col("query_id"), col("r.id").as("id"),
           col("r.dist").cast("double").as("dist"))
     }
+    val emitted = emitFilter match {
+      case Some(ids) =>
+        visited.join(ids.select(col("id")), Seq("id"), "left_semi")
+      case None => visited
+    }
     Knn.explodeRanked(
-      visited.groupBy(col("query_id"))
+      emitted.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 

@@ -251,6 +251,100 @@ object TextAnalysis {
           .as("doc_share"))
   }
 
+  /** Boilerplate-span REMOVAL — the apply step downstream of
+    * [[boilerplate]] (RefinedWeb/C4-style corpus cleaning): every occurrence
+    * of a corpus-flagged n-gram is excised from the token stream (a token
+    * goes if ANY flagged span covers it) and the document is re-joined from
+    * the survivors. Returns `(doc_id, text_clean, n_removed)`.
+    *
+    * Scale posture: spans are occurrence-level (∝ corpus tokens) but only
+    * flagged spans survive the semi-join on `sh` before the per-doc
+    * aggregation, so the start-set frame is ∝ boilerplate hits; the final
+    * token filter is in-row. No windows, no pair space.
+    */
+  def stripBoilerplate(docs: DataFrame, n: Int = 3, minDf: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val flagged = boilerplate(docs, n, minDf, idCol, textCol).select(col("sh"))
+    val spans = toked.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => struct(i.as("start"),
+          concat_ws(" ", slice(col("toks"), i, lit(n))).as("sh")))).as("sp"))
+      .select(col(idCol), col("sp.start").as("start"), col("sp.sh").as("sh"))
+    val hitStarts = spans.join(flagged, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("start")).as("starts"))
+    toked.join(hitStarts, Seq(idCol), "left")
+      .withColumn("_starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(col("toks"), (t, i) =>
+        !exists(col("_starts"), s => s <= i + 1 && i + 1 < s + n)))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("text_clean"),
+        (size(col("toks")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
+  /** BPE merge induction — tokenizer TRAINING (the step after [[vocabulary]]
+    * counts): start from per-character segmentations of the corpus
+    * vocabulary, then `rounds` times pick the adjacent symbol pair with the
+    * highest corpus count (ties: lexicographic on the pair) and merge every
+    * left-to-right-greedy occurrence. Returns the ranked merge list — the
+    * tokenizer artifact — plus the final word segmentations.
+    *
+    * The merge apply is an in-row left fold over the symbol list: replacing
+    * a trailing `x` followed by `y` is exactly `acc ++ y` (the accumulator
+    * is the space-joined segmentation), so the whole round is one column
+    * expression — no per-symbol rows, no shuffle beyond the pair count.
+    *
+    * Each round's top pair is a bounded 1-row driver collect (same
+    * documented contract as the k-row Lloyd centroid collects); the pair
+    * COUNT aggregation shuffles ∝ vocabulary size, which is the corpus'
+    * distinct-word count, not its token count — the right 100 TB shape for
+    * tokenizer training.
+    */
+  def bpeTrain(
+      docs: DataFrame, rounds: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val vocab = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    var segs = vocab.select(col("token"), col("cnt"),
+      concat_ws(" ",
+        regexp_extract_all(col("token"), lit("[a-z0-9]"), lit(0))).as("seg"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val withSyms = segs.withColumn("syms", split(col("seg"), " "))
+      val pairs = withSyms
+        .select(col("cnt"), explode(transform(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          (s, i) => struct(s.as("x"),
+            element_at(col("syms"), i + 2).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("pc"))
+      val top = pairs.orderBy(col("pc").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (x, y, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, x, y, pc))
+        segs = withSyms
+          .withColumn("seg", aggregate(
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            element_at(col("syms"), 1),
+            (acc, s) => when(
+              (acc === lit(x) || acc.endsWith(s" $x")) && s === lit(y),
+              concat(acc, lit(y))).otherwise(concat(acc, lit(" "), s))))
+          .select(col("token"), col("cnt"), col("seg"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    (merges.toSeq, segs)
+  }
+
   /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
   object Sql {
     def toks(e: String): String =

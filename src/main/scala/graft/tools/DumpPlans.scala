@@ -100,7 +100,30 @@ object DumpPlans {
         |stage-2 hits BEFORE distance scoring and the bounded top-k —
         |filtered-out entries pay no distance kernel, every top-k slot goes
         |to a passing vector, and stage-1 is untouched (reference
-        |semantics: postings are built unfiltered).""".stripMargin)
+        |semantics: postings are built unfiltered).""".stripMargin,
+    "q90_graph_search" ->
+      """Graph-walk search (the reference's in-memory query loop as
+        |level-synchronous beam rounds): every per-round frame — frontier,
+        |fresh candidates — is |queries|×beam and sits on the BROADCAST side
+        |of its join; the corpus-sized edge and vector tables are only ever
+        |probed by broadcast-hash joins and never shuffle. On the stored
+        |(BktIndex) layout the expansion join also keys on the src_bucket
+        |partition column → dynamic partition pruning per round. The final
+        |top-k is the same bounded aggregate as q01.""".stripMargin,
+    "q91_ngram_lm" ->
+      """Corpus-trained bigram LM scoring: two word-count aggregations (the
+        |natural LM-training shuffles, map-side partial) + two 1:1
+        |count-hydration joins + a broadcast 1-row vocabulary size; per-term
+        |log-probs round to 6dp and sum as DECIMAL so the per-doc mean is
+        |order-independent. No pair space, no window — scoring runs at
+        |aggregation speed on any corpus.""".stripMargin,
+    "q93_bpe_merges" ->
+      """BPE tokenizer training: each round is ONE adjacent-pair count
+        |aggregation whose shuffle is ∝ the vocabulary (distinct words, not
+        |corpus tokens), a bounded 1-row top-pair collect, and an in-row
+        |left-fold merge apply — no per-symbol rows, no window. Rounds are
+        |few and fixed; the corpus-sized token explode happens once, at
+        |vocabulary construction.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

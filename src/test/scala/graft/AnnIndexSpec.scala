@@ -336,6 +336,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(reloaded.search(synthQueries(3), 1).count() === 3)
   }
 
+  test("parseIni/fromIni replay the reference buildconfig.ini (M6)") {
+    // verbatim shape of docs/GettingStart.md's SPANN buildconfig.ini
+    val ini =
+      """; sift1b SPANN build configuration
+        |[Base]
+        |ValueType=UInt8
+        |DistCalcMethod=L2
+        |IndexAlgoType=BKT
+        |Dim=128
+        |IndexDirectory=sift1b
+        |
+        |[SelectHead]
+        |isExecute=true
+        |TreeNumber=1
+        |BKTKmeansK=32
+        |Ratio=0.12
+        |NumberOfThreads=45
+        |
+        |[BuildSSDIndex]
+        |isExecute=true
+        |InternalResultNum=64
+        |ReplicaCount=8
+        |PostingPageLimit=3
+        |""".stripMargin
+    val parsed = GraftConf.parseIni(ini)
+    assert(parsed.keySet === Set("base", "selecthead", "buildssdindex"))
+    assert(parsed("base")("distcalcmethod") === "L2")
+    assert(parsed("selecthead")("ratio") === "0.12")
+    val conf = GraftConf.fromIni(ini,
+      Seq("Base", "SelectHead", "BuildSSDIndex"))
+    // typed knobs routed
+    assert(conf.metric === "l2sq")
+    assert(conf.headRatio === 0.12)
+    assert(conf.replicaCount === 8)
+    assert(conf.internalK === 64)
+    assert(conf.postingLimit === 3)
+    assert(conf.kmeansK === 32)
+    // registry names stored with their values; driver-side keys kept verbatim
+    assert(conf.get("TreeNumber") === "1")
+    assert(conf.extra("valuetype") === "UInt8")
+    assert(conf.extra("isexecute") === "true")
+    // reference error modes: duplicated section / param, junk line
+    intercept[IllegalArgumentException](
+      GraftConf.parseIni("[A]\nx=1\n[A]\ny=2"))
+    intercept[IllegalArgumentException](
+      GraftConf.parseIni("[A]\nx=1\nx=2"))
+    intercept[IllegalArgumentException](GraftConf.parseIni("[A]\nnot a pair"))
+    // a typed knob with a malformed value still fails loudly
+    intercept[NumberFormatException](
+      GraftConf.fromIni("[X]\nReplicaCount=eight", Seq("X")))
+  }
+
   test("WideK widening flows through search: results are a recall superset") {
     val fixed = freshIndex.setParameter("InternalK", "2").build()
     val wide = fixed.setParameter("WideK", "8").setParameter("CloseRatio", "4.0")

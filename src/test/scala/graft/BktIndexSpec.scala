@@ -98,6 +98,25 @@ class BktIndexSpec extends SparkSpec {
       s"stored-graph expansion must partition-prune on src_bucket; plan:\n${plan.take(3000)}")
   }
 
+  test("filtered search: non-passing ids conduct the walk but never surface") {
+    val idx = freshIndex.build()
+    val q = synthQueries(3)
+    // only even ids pass; each query t sits exactly ON corpus point 2t
+    val passing = spark.range(1000).where(col("id") % 2 === 0).select(col("id"))
+    val res = idx.searchFiltered(q, 3, passing).cache()
+    assert(res.where(col("id") % 2 =!= 0).count() === 0,
+      "odd (filtered-out) ids must not surface")
+    // the exact even neighbor is still rank 1 at dist 0
+    val tops = res.where(col("rank") === 1).orderBy("query_id").collect()
+    for (t <- 0 until 3) assert(tops(t).getLong(2) === 2L * t)
+    // each query still surfaces multiple passing results (a filtered walk
+    // may return < k within its check budget — reference semantics too)
+    val perQuery = res.groupBy("query_id").count()
+      .collect().map(_.getLong(1))
+    assert(perQuery.length === 3 && perQuery.forall(_ >= 2),
+      s"per-query filtered results: ${perQuery.toSeq}")
+  }
+
   test("add + delete on a LOADED index keep the bucketed layout consistent") {
     val dir = Files.createTempDirectory("bktidx2").toString
     freshIndex.build().save(dir, edgeBuckets = 8)

@@ -125,7 +125,9 @@ class PlanSpec extends SparkSpec {
       "q58_balanced_partition", // 8 centers, broadcast
       "q62_kmeans_heads",     // 8 centers, broadcast (fit + assign)
       "q64_pq_sdc",           // 20 quantized queries, broadcast
-      "q76_boilerplate")      // ONE-row corpus-count scalar, broadcast
+      "q76_boilerplate",      // ONE-row corpus-count scalar, broadcast
+      "q91_ngram_lm",         // ONE-row vocabulary-size scalar, broadcast
+      "q92_strip_boilerplate") // q76's one-row scalar inside the flag subplan
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -142,4 +142,41 @@ class TextAnalysisSpec extends SparkSpec {
     // a wide margin, not a squeaker (fixture gap is 0.45 nats)
     assert(scored(1L)._2 > scored(4L)._2 + 0.4)
   }
+
+  test("stripBoilerplate excises every flagged span occurrence, keeps the rest") {
+    val docs = Seq(
+      (1L, "click here now to read the real article body"),
+      (2L, "other words click here now more words"),
+      (3L, "click here now"),
+      (4L, "completely unique sentence with no boilerplate at all"),
+      (5L, "click here now and click here now again")
+    ).toDF("doc_id", "text")
+    // "click here now" (and its sub-spans "here now to" etc. are NOT ≥3-df)
+    val out = TextAnalysis.stripBoilerplate(docs, n = 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === ("to read the real article body", 3L))
+    assert(out(2L) === ("other words more words", 3L))
+    assert(out(3L) === ("", 3L)) // fully boilerplate → empty
+    assert(out(4L) === ("completely unique sentence with no boilerplate at all", 0L))
+    assert(out(5L) === ("and again", 6L)) // both occurrences excised
+  }
+
+  test("bpeTrain learns the classic merge sequence and applies it greedily") {
+    val docs = Seq(
+      (1L, "low low low lower"),
+      (2L, "newest newest widest")
+    ).toDF("doc_id", "text")
+    // vocab: low:3 lower:1 newest:2 widest:1 → pair counts put (l,o) and
+    // (o,w) at 4 (lexicographic tie-break picks (l,o)), then (lo,w)=4,
+    // then (e,s)/(s,t) tie at 3 → (e,s), then (es,t)=3
+    val (merges, segs) = TextAnalysis.bpeTrain(docs, rounds = 4)
+    assert(merges === Seq(
+      (1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "e", "s", 3L), (4, "es", "t", 3L)))
+    val segMap = segs.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(segMap("low") === "low")
+    assert(segMap("lower") === "low e r")
+    assert(segMap("newest") === "n e w est")
+    assert(segMap("widest") === "w i d est")
+  }
 }
