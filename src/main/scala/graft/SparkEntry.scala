@@ -735,7 +735,14 @@ object SparkEntry {
     "q94_bpe_segments" -> ((s, d) => {
       val (_, segs) = TextAnalysis.bpeTrain(Tables.documents(s, d), BpeRounds)
       ordered(segs)
-    })
+    }),
+    // contrastive hard-negative mining: nearest different-label vectors
+    "q95_hard_negatives" -> ((s, d) =>
+      ordered(SimilaritySearch.hardNegatives(Tables.embeddingVec(s, d), K))),
+    // kNN auto-labeling: majority label of the k nearest corpus vectors
+    "q96_knn_classify" -> ((s, d) =>
+      ordered(SimilaritySearch.knnClassify(
+        embQueries(s, d), Tables.embeddingVec(s, d), K)))
   )
 
   private val KdDepth = 3
@@ -1746,6 +1753,35 @@ object SparkEntry {
       s"""WITH ${bpeCtes(BpeRounds)}
          |SELECT token, cnt, seg FROM s$BpeRounds
          |ORDER BY 1, 2, 3""".stripMargin,
+    "q95_hard_negatives" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel FROM embeddings),
+         |d AS (SELECT q.query_id, v.id, $cd AS dist
+         |      FROM q JOIN v ON v.label <> q.qlabel),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |      FROM d)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q96_knn_classify" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, v.id, $cd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, id FROM (
+         |    SELECT query_id, id, dist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM d) WHERE rank <= $K),
+         |c AS (SELECT r.query_id, v.label, count(*) AS votes
+         |      FROM r JOIN v USING (id) GROUP BY 1, 2),
+         |w AS (SELECT query_id, label AS pred_label, votes,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |      FROM c)
+         |SELECT query_id, pred_label, votes FROM w WHERE rn = 1
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b

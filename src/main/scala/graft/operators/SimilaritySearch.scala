@@ -154,4 +154,45 @@ object SimilaritySearch {
       .where(col("cos_dist") < maxCosDist)
       .select(col("a"), col("b"), round(col("cos_dist"), 4).as("cos_dist"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor, the k
+    * nearest corpus vectors with a DIFFERENT label. One bounded
+    * `batch_topk` corpus scan per label value (the label set — classes,
+    * not corpus rows — is a documented bounded collect), each searching
+    * that label's anchors against the complement corpus; no per-pair
+    * label-predicate join ever forms.
+    */
+  def hardNegatives(
+      vectors: DataFrame, // (id, vec, label)
+      k: Int,
+      metric: String = "cos"): DataFrame = {
+    val labels = vectors.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    labels.iterator.map { l =>
+      val anchors = vectors.where(col("label") === l)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      Knn.search(anchors, vectors.where(col("label") =!= l), k, metric)
+    }.reduce(_ unionByName _)
+  }
+
+  /** k-NN label classification (auto-labeling / label-noise audit): predict
+    * each query's label as the majority vote of its k nearest corpus
+    * labels, ties to the smaller label. `(query_id, pred_label, votes)`.
+    * One exact search + one k-row-per-query aggregation.
+    */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame, // (id, vec, label)
+      k: Int,
+      metric: String = "cos"): DataFrame =
+    Knn.search(queries, corpus.select(col("id"), col("vec")), k, metric)
+      .join(corpus.select(col("id"), col("label")), Seq("id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("label"), col("votes")),
+        struct(col("votes"), (-col("label")).as("nl"))).as("best"))
+      .select(col("query_id"), col("best.label").as("pred_label"),
+        col("best.votes").as("votes"))
 }

@@ -97,6 +97,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rec >= 0.5, s"LSH search avg recall collapsed: $rec")
   }
 
+  test("hard negatives never share the anchor's label; exact over the complement") {
+    import graft.operators.Knn
+    val hn = SimilaritySearch.hardNegatives(emb, 5).cache()
+    val labeled = hn
+      .join(emb.select(col("id").as("query_id"), col("label").as("alabel")),
+        Seq("query_id"))
+      .join(emb.select(col("id"), col("label").as("nlabel")), Seq("id"))
+    assert(labeled.where(col("alabel") === col("nlabel")).count() === 0,
+      "a hard negative carried its anchor's own label")
+    // every anchor surfaces (complement is far larger than k here)
+    assert(hn.select("query_id").distinct().count() === emb.count())
+    // spot-check anchor 1: identical to brute force over the complement
+    val a = emb.where(col("id") === 1)
+    val alabel = a.select("label").head().getInt(0)
+    val want = Knn.searchViaWindow(
+      a.select(col("id").as("query_id"), col("vec").as("qvec")),
+      emb.where(col("label") =!= alabel).select(col("id"), col("vec")), 5, "cos")
+    val got = hn.where(col("query_id") === 1)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("knnClassify: majority vote, ties to the smaller label") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(0f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 1),
+      (4L, Seq(100f, 0f), 2), (5L, Seq(101f, 0f), 2), (6L, Seq(100f, 1f), 2)
+    ).toDF("id", "vec", "label")
+    val qs = Seq((10L, Seq(0.5f, 0.5f)), (11L, Seq(100.5f, 0.5f)))
+      .toDF("query_id", "qvec")
+    val out = SimilaritySearch.knnClassify(qs, corpus, 3, "l2sq")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(10L) === ((1, 3L)))
+    assert(out(11L) === ((2, 3L)))
+    // k=6 sees all votes 3-3 → the smaller label wins the tie
+    val tie = SimilaritySearch.knnClassify(qs, corpus, 6, "l2sq")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tie(10L) === 1 && tie(11L) === 1)
+  }
+
   test("planeWeight matches the Hash60 definition") {
     import graft.functions.Hash60
     import spark.implicits._
