@@ -125,6 +125,18 @@ class BktIndex private (
 
   def batchSearch(queries: DataFrame, k: Int): DataFrame = search(queries, k)
 
+  /** GetIterator on the BKT path (`BKTIndex.cpp:354-427` SearchIterative):
+    * one walk with budget `maxK` feeds a retained [[operators.ResultIterator]];
+    * batches past `exactBudget` carry the relaxed-monotonicity flag (the
+    * walk's order is no longer provably global past the check budget).
+    */
+  def iterate(queries: DataFrame, exactBudget: Int, maxK: Int): operators.ResultIterator = {
+    val ranked = search(queries, maxK)
+      .withColumn("relaxed_mono", col("rank") > exactBudget)
+      .cache()
+    new operators.ResultIterator(ranked, maxK)
+  }
+
   /** SearchIndexWithFilter (`BKTIndex.cpp:623-647`): non-passing vectors
     * still conduct the walk (seed, score, expand — the reference traverses
     * them too) but never reach the result top-k.

@@ -742,7 +742,10 @@ object SparkEntry {
     // kNN auto-labeling: majority label of the k nearest corpus vectors
     "q96_knn_classify" -> ((s, d) =>
       ordered(SimilaritySearch.knnClassify(
-        embQueries(s, d), Tables.embeddingVec(s, d), K)))
+        embQueries(s, d), Tables.embeddingVec(s, d), K))),
+    // Gopher/C4-style composite rule gate with per-rule audit flags
+    "q97_rule_filter" -> ((s, d) =>
+      ordered(TextAnalysis.ruleFilter(Tables.documents(s, d))))
   )
 
   private val KdDepth = 3
@@ -1781,6 +1784,29 @@ object SparkEntry {
          |      FROM c)
          |SELECT query_id, pred_label, votes FROM w WHERE rn = 1
          |ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q97_rule_filter" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val stop = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        len(toks)::BIGINT AS n_tokens,
+         |        round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+         |              / greatest(len(toks), 1)::DOUBLE, 4) AS mean_word_len,
+         |        round(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+         |              / greatest(len(toks), 1)::DOUBLE, 4) AS alpha_ratio,
+         |        $stop::BIGINT AS stop_hits
+         |      FROM t)
+         |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, stop_hits,
+         |       (n_tokens >= 10 AND n_tokens <= 10000) AS ok_length,
+         |       (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+         |       (alpha_ratio >= 0.7) AS ok_alpha,
+         |       (stop_hits >= 2) AS ok_stopwords,
+         |       ((n_tokens >= 10 AND n_tokens <= 10000)
+         |        AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+         |        AND (alpha_ratio >= 0.7) AND (stop_hits >= 2)) AS keep
+         |FROM m
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
     "q60_dedup_groups" ->
       s"""WITH RECURSIVE $minhashCtes,

@@ -154,7 +154,7 @@ object Knn {
   * (dist, id) order from the cached ranked frame. Batches are disjoint and
   * contiguous; `next` past the retained budget returns an empty frame.
   */
-final class ResultIterator private[operators] (ranked: DataFrame, maxK: Int) {
+final class ResultIterator private[graft] (ranked: DataFrame, maxK: Int) {
   private var offset = 0
 
   def next(batch: Int): DataFrame = {

@@ -345,6 +345,42 @@ object TextAnalysis {
     (merges.toSeq, segs)
   }
 
+  /** Composite rule filter — the published Gopher/C4-style heuristic gate
+    * (word-count bounds, mean-word-length bounds, alphabetic-token fraction,
+    * stopword presence), each rule surfaced as its own flag column so a
+    * pipeline can audit WHY a document was dropped. Pure per-row column
+    * math; `keep` = all rules pass.
+    */
+  def ruleFilter(
+      docs: DataFrame,
+      minTokens: Long = 10L, maxTokens: Long = 10000L,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      minAlphaRatio: Double = 0.7, minStopHits: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("long")
+    val meanLen = round(
+      aggregate(transform(t, x => length(x)), lit(0L), (a, x) => a + x)
+        .cast("double") / greatest(n, lit(1L)).cast("double"), 4)
+    val alphaRatio = round(
+      size(filter(t, x => x.rlike("^[a-z]+$"))).cast("double") /
+        greatest(n, lit(1L)).cast("double"), 4)
+    val stopHits = hitCount(t, Stopwords.head._2).cast("long")
+    docs.select(
+      col(idCol),
+      n.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      (n >= minTokens && n <= maxTokens).as("ok_length"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("ok_word_len"),
+      (alphaRatio >= minAlphaRatio).as("ok_alpha"),
+      (stopHits >= minStopHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_length") && col("ok_word_len") &&
+          col("ok_alpha") && col("ok_stopwords"))
+  }
+
   /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
   object Sql {
     def toks(e: String): String =

@@ -117,6 +117,23 @@ class BktIndexSpec extends SparkSpec {
       s"per-query filtered results: ${perQuery.toSeq}")
   }
 
+  test("iterate serves disjoint batches; relaxed_mono flags past the budget") {
+    val idx = freshIndex.build()
+    val it = idx.iterate(synthQueries(3), exactBudget = 4, maxK = 8)
+    try {
+      val first = it.next(4).cache()
+      val second = it.next(4).cache()
+      // disjoint, contiguous ranks
+      assert(first.select("query_id", "id")
+        .intersect(second.select("query_id", "id")).count() === 0)
+      assert(first.agg(max("rank")).head().getInt(0) <= 4)
+      assert(first.where(col("relaxed_mono")).count() === 0,
+        "batch inside the exact budget must not be relaxed")
+      assert(second.where(!col("relaxed_mono")).count() === 0,
+        "batch past the exact budget must carry relaxed_mono")
+    } finally it.close()
+  }
+
   test("add + delete on a LOADED index keep the bucketed layout consistent") {
     val dir = Files.createTempDirectory("bktidx2").toString
     freshIndex.build().save(dir, edgeBuckets = 8)

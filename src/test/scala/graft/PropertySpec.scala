@@ -258,4 +258,40 @@ class PropertySpec extends SparkSpec {
     }
   }
   private val Dedup31 = graft.operators.Dedup.M31
+
+  test("bpe fold: the in-row string fold equals plain-Scala greedy pair merge") {
+    // the reference semantics: replace every LEFT-TO-RIGHT-GREEDY (x, y)
+    // adjacency with the merged symbol; newly formed symbols never
+    // re-participate within the same pass
+    def greedy(syms: List[String], x: String, y: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val genSym = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      syms <- Gen.listOfN(n, genSym)
+      x <- genSym
+      y <- genSym
+    } yield (syms, x, y)
+    import spark.implicits._
+    check("bpe-fold", Prop.forAll(gen) { case (syms, x, y) =>
+      val folded = Seq(syms.mkString(" ")).toDF("seg")
+        .withColumn("syms", split(col("seg"), " "))
+        .select(aggregate(
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          element_at(col("syms"), 1),
+          (acc, s) => when(
+            (acc === lit(x) || acc.endsWith(s" $x")) && s === lit(y),
+            concat(acc, lit(y))).otherwise(concat(acc, lit(" "), s))))
+        .head().getString(0)
+      folded == greedy(syms, x, y).mkString(" ")
+    })
+  }
 }

@@ -161,6 +161,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) === ("and again", 6L)) // both occurrences excised
   }
 
+  test("ruleFilter gates on each heuristic independently; keep = all pass") {
+    val long = ("the of and to in is on for with a " * 3).trim // 30 toks, all alpha, stopword-rich
+    val docs = Seq(
+      (1L, long), // passes everything
+      (2L, "short text"), // fails length
+      (3L, long + " " + Seq.fill(15)("x1").mkString(" ")), // alpha ratio 30/45 < 0.7
+      (4L, ("pneumonoultramicroscopicsilicovolcanoconiosis " * 12).trim) // mean len 45, no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ruleFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(9), "doc 1 should pass all rules")
+    assert(!out(2L).getBoolean(5) && !out(2L).getBoolean(9)) // ok_length fails
+    assert(!out(3L).getBoolean(7) && !out(3L).getBoolean(9)) // ok_alpha fails
+    assert(!out(4L).getBoolean(6) && !out(4L).getBoolean(8) && !out(4L).getBoolean(9))
+  }
+
   test("bpeTrain learns the classic merge sequence and applies it greedily") {
     val docs = Seq(
       (1L, "low low low lower"),
