@@ -745,7 +745,17 @@ object SparkEntry {
         embQueries(s, d), Tables.embeddingVec(s, d), K))),
     // Gopher/C4-style composite rule gate with per-rule audit flags
     "q97_rule_filter" -> ((s, d) =>
-      ordered(TextAnalysis.ruleFilter(Tables.documents(s, d))))
+      ordered(TextAnalysis.ruleFilter(Tables.documents(s, d)))),
+    // curation v2: rule gate + LM familiarity floor + the q71 dedup chain,
+    // one composed plan over the corp/eval split
+    "q98_curate_v2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Pipeline.curateV2(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7),
+        minLmScore = CurateLmFloor, jaccardThreshold = 0.3, maxOverlap = 0.3)
+        .select(col("doc_id")))
+    })
   )
 
   private val KdDepth = 3
@@ -781,6 +791,9 @@ object SparkEntry {
   // q93/q94: BPE merge rounds — 4 crosses at least one count tie on the
   // sf0.01 vocabulary, exercising the (pc DESC, x, y) tie-break
   private val BpeRounds = 4
+  // q98: LM familiarity floor ≈ the corp split's 20th percentile at sf0.01
+  // (range -3.61..-3.27), so the gate genuinely drops a tail
+  private val CurateLmFloor = -3.41
   // q90 graph-walk search: 2000-node subgraph (bounds the oracle's pair
   // join), 8-neighbor TP-tree graph, 20 seed pivots → best 4, beam 8 × 3
   // rounds ≈ a MaxCheck-192 budget
@@ -1532,6 +1545,7 @@ object SparkEntry {
          |FROM r
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "q71_curate" -> curateOracleSql,
+    "q98_curate_v2" -> curateV2OracleSql,
     "q72_source_stats" -> {
       val h60 = graft.functions.Hash60.sql("text")
       s"""WITH q AS (SELECT doc_id, source, ${TextAnalysis.Sql.qualityExpr} AS quality
@@ -2106,6 +2120,77 @@ object SparkEntry {
        |         SELECT id FROM walk GROUP BY id HAVING min(lbl) = id) kk
        |       ON d2.doc_id = kk.id),
        |et AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks
+       |       FROM documents WHERE doc_id % 10 = 7),
+       |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |          generate_series(1, greatest(len(toks) - 2, 1)),
+       |          i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM et),
+       |csh AS (SELECT s.doc_id, s.sh FROM sh s JOIN d3 ON s.doc_id = d3.doc_id),
+       |hits AS (SELECT c.doc_id, count(*) AS n_cont FROM csh c
+       |         WHERE c.sh IN (SELECT sh FROM esh) GROUP BY c.doc_id),
+       |sizes2 AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id)
+       |SELECT s.doc_id FROM sizes2 s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |WHERE round(coalesce(h.n_cont, 0)::DOUBLE / s.n_shingles::DOUBLE, 4) < 0.3
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q98 oracle: q71's curation chain with the round-9 gates in front — the
+    * rule filter (`rf`, q97's predicate) and the corpus-trained bigram-LM
+    * floor (`lm`, q91's scoring over the corp split; docs without bigrams
+    * are absent from `lm` and therefore fail the floor, matching the Spark
+    * semi-join).
+    */
+  private def curateV2OracleSql: String = {
+    val h60 = graft.functions.Hash60.sql("text")
+    val toks = TextAnalysis.Sql.toks("text")
+    val stop = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+    s"""WITH RECURSIVE
+       |corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       |rft AS (SELECT doc_id, $toks AS toks FROM corp),
+       |rfm AS (SELECT doc_id,
+       |          len(toks)::BIGINT AS n_tokens,
+       |          round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+       |                / greatest(len(toks), 1)::DOUBLE, 4) AS mean_word_len,
+       |          round(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+       |                / greatest(len(toks), 1)::DOUBLE, 4) AS alpha_ratio,
+       |          $stop::BIGINT AS stop_hits
+       |        FROM rft),
+       |rf AS (SELECT doc_id FROM rfm
+       |       WHERE n_tokens >= 10 AND n_tokens <= 10000
+       |         AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+       |         AND alpha_ratio >= 0.7 AND stop_hits >= 2),
+       |lmbg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |         FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM rft)),
+       |lmc2 AS (SELECT w1, w2, count(*) AS c2 FROM lmbg GROUP BY 1, 2),
+       |lmc1 AS (SELECT w1, count(*) AS c1 FROM lmbg GROUP BY 1),
+       |lmvv AS (SELECT count(DISTINCT w) AS vocab
+       |         FROM (SELECT unnest(toks) AS w FROM rft)),
+       |lmlp AS (SELECT bg.doc_id,
+       |           round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.vocab)), 6)::DECIMAL(18,9) AS lp
+       |         FROM lmbg bg JOIN lmc2 c2 USING (w1, w2)
+       |         JOIN lmc1 c1 USING (w1) CROSS JOIN lmvv vv),
+       |lm AS (SELECT doc_id FROM (
+       |         SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 4) AS lm_score
+       |         FROM lmlp GROUP BY doc_id) WHERE lm_score >= $CurateLmFloor),
+       |dq AS (SELECT corp.* FROM corp
+       |       WHERE doc_id IN (SELECT doc_id FROM rf)
+       |         AND doc_id IN (SELECT doc_id FROM lm)),
+       |exh AS (SELECT doc_id, $h60 AS h FROM dq),
+       |exc AS (SELECT h, min(doc_id) AS canon FROM exh GROUP BY h),
+       |d2 AS (SELECT dq.* FROM dq JOIN exh ON dq.doc_id = exh.doc_id
+       |       JOIN exc ON exh.h = exc.h AND dq.doc_id = exc.canon),
+       |${minhashCtesFrom("d2")},
+       |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+       |          WHERE j.jaccard >= 0.3),
+       |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM d2
+       |  UNION
+       |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+       |),
+       |d3 AS (SELECT d2.* FROM d2 JOIN (
+       |         SELECT id FROM walk GROUP BY id HAVING min(lbl) = id) kk
+       |       ON d2.doc_id = kk.id),
+       |et AS (SELECT doc_id, $toks AS toks
        |       FROM documents WHERE doc_id % 10 = 7),
        |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
        |          generate_series(1, greatest(len(toks) - 2, 1)),

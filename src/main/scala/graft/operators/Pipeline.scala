@@ -48,6 +48,35 @@ object Pipeline {
     Dedup.decontaminate(d3, evalDocs, maxOverlap)
   }
 
+  /** Curation v2 — the extended signal set composed end-to-end: the
+    * Gopher/C4-style rule gate ([[TextAnalysis.ruleFilter]]), the
+    * corpus-trained bigram-LM familiarity floor
+    * ([[TextAnalysis.ngramLmScore]]; the LM trains on the input corpus
+    * itself, and docs too short to carry a bigram fail the floor), then the
+    * [[curate]] dedup chain: exact dedup → near-dup canonical grouping →
+    * eval-set decontamination. Same all-semi-join scale shape as [[curate]].
+    */
+  def curateV2(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      minLmScore: Double,
+      jaccardThreshold: Double,
+      maxOverlap: Double): DataFrame = {
+    val ruleKeep = TextAnalysis.ruleFilter(docs)
+      .where(col("keep")).select(col("doc_id"))
+    val lmKeep = TextAnalysis.ngramLmScore(docs)
+      .where(col("lm_score") >= minLmScore).select(col("doc_id"))
+    val d1 = docs
+      .join(ruleKeep, Seq("doc_id"), "left_semi")
+      .join(lmKeep, Seq("doc_id"), "left_semi")
+    val exactKept = Dedup.exact(d1)
+      .where(col("doc_id") === col("canon_id")).select(col("doc_id"))
+    val d2 = d1.join(exactKept, Seq("doc_id"), "left_semi")
+    val d3 = Dedup.applyDedup(d2,
+      Dedup.canonicalGroups(d2, Dedup.minhashDedup(d2, jaccardThreshold)))
+    Dedup.decontaminate(d3, evalDocs, maxOverlap)
+  }
+
   /** Domain-mixture sampling — the corpus-assembly step that downweights
     * over-represented sources to hit a target mixture. Keeps a doc iff its
     * deterministic uniform draw `u = hash60(doc_id:salt) mod 10000` falls

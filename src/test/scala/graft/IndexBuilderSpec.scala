@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.LegacyFormats
+import graft.tools.IndexBuilder
+
+/** The ini-driven build/search driver (`AnnService/src/IndexBuilder/
+  * main.cpp`): reference-format binary vectors + queries + truth in, built
+  * index + recall report out — the full `IndexBuilder.exe -c config.ini`
+  * flow against files this library wrote in the reference's own formats.
+  */
+class IndexBuilderSpec extends SparkSpec {
+
+  test("ini-driven build → save → search → truth recall, reference formats end-to-end") {
+    val dir = Files.createTempDirectory("idxbuilder").toString
+    val n = 200
+    val dim = 10
+    val vecs = (0 until n).map(i => Array.fill(dim)(i.toFloat))
+    LegacyFormats.writeDefault(s"$dir/base.bin", vecs)
+    val qids = Seq(0, 5, 9)
+    LegacyFormats.writeDefault(s"$dir/query.bin", qids.map(vecs(_)))
+    // exact top-3 on the line fixture: self at 0, then the two unit
+    // neighbors at l2sq = dim (ties broken on id, smaller first)
+    val truth = qids.map { j =>
+      if (j == 0) Seq((0, 0f), (1, 10f), (2, 40f))
+      else Seq((j, 0f), (j - 1, 10f), (j + 1, 10f))
+    }
+    LegacyFormats.writeTruthDefault(s"$dir/truth.bin", truth)
+    val ini =
+      s"""[Base]
+         |ValueType=Float
+         |DistCalcMethod=L2
+         |Dim=$dim
+         |VectorPath=$dir/base.bin
+         |VectorType=DEFAULT
+         |QueryPath=$dir/query.bin
+         |QueryType=DEFAULT
+         |TruthPath=$dir/truth.bin
+         |TruthType=DEFAULT
+         |IndexDirectory=$dir/index
+         |
+         |[SelectHead]
+         |isExecute=true
+         |Ratio=0.1
+         |
+         |[BuildSSDIndex]
+         |isExecute=true
+         |ReplicaCount=4
+         |InternalResultNum=16
+         |
+         |[SearchSSDIndex]
+         |isExecute=true
+         |ResultNum=3
+         |""".stripMargin
+    val report = IndexBuilder.run(spark, ini)
+    // the search phase ran and is perfect on this fixture
+    val summary = report.recallSummary.get.head()
+    assert(summary.getDouble(0) === 1.0, s"avg recall ${summary.getDouble(0)}")
+    assert(summary.getLong(3) === 3L)
+    val top = report.results.get.where(org.apache.spark.sql.functions.col("rank") === 1)
+      .orderBy("query_id").collect().map(_.getLong(2))
+    assert(top.toSeq === qids.map(_.toLong))
+    // the saved index reloads and searches
+    val loaded = AnnIndex.load(spark, s"$dir/index")
+    assert(loaded.search(
+      report.results.get.sparkSession.range(1)
+        .selectExpr("id AS query_id", s"array(${Array.fill(dim)("5.0F").mkString(",")}) AS qvec"),
+      1).head().getLong(2) === 5L)
+  }
+
+  test("isExecute=false skips the search phase; missing sections default sanely") {
+    val dir = Files.createTempDirectory("idxbuilder2").toString
+    LegacyFormats.writeDefault(s"$dir/base.bin",
+      (0 until 50).map(i => Array.fill(4)(i.toFloat)))
+    val ini =
+      s"""[Base]
+         |ValueType=Float
+         |Dim=4
+         |VectorPath=$dir/base.bin
+         |VectorType=DEFAULT
+         |
+         |[SearchSSDIndex]
+         |isExecute=false
+         |""".stripMargin
+    val report = IndexBuilder.run(spark, ini)
+    assert(report.results.isEmpty && report.recallSummary.isEmpty)
+    assert(report.index.count === 50)
+  }
+}

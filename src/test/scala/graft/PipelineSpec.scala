@@ -252,4 +252,29 @@ class PipelineSpec extends SparkSpec {
         "every bucket stream must start at pack 0 offset 0")
     }
   }
+
+  test("curateV2 wires the rule gate, LM floor, and dedup chain together") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val fluent = (1 to 10).map(i =>
+      (i.toLong, s"the quick brown fox number $i jumps over the lazy dog " +
+        "and runs along the river bank with the happy sound of water"))
+    val docs = (fluent ++ Seq(
+      (20L, fluent.head._2), // exact duplicate of doc 1 → dropped
+      (21L, "too short here"), // rule gate: < 10 tokens → dropped
+      (22L, "zq wv xk jj pq mn rr tt uu vv ww yy zz aa bb cc dd ee the of") // gibberish bigrams
+    )).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "completely separate holdout material")).toDF("doc_id", "text")
+    // place the LM floor between the gibberish doc's score and the fluent
+    // docs' scores (components are oracle-gated; this test checks WIRING)
+    val scores = TextAnalysis.ngramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val floor = (scores(22L) + fluent.map(f => scores(f._1)).min) / 2
+    val kept = Pipeline.curateV2(docs, evalDocs, floor, 0.9, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(20L), "exact dup must drop, canonical stays")
+    assert(!kept.contains(21L), "rule-gate failure must drop")
+    assert(!kept.contains(22L), "LM-floor failure must drop")
+    assert((2L to 10L).forall(kept.contains), s"fluent docs survive: $kept")
+  }
 }
