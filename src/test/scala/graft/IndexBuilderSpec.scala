@@ -69,6 +69,54 @@ class IndexBuilderSpec extends SparkSpec {
       1).head().getLong(2) === 5L)
   }
 
+  test("IndexSearcher: gentruth → load → search → recall, the -g/-i/-x/-r flow") {
+    import graft.tools.IndexSearcher
+    val dir = Files.createTempDirectory("idxsearcher").toString
+    val vecs = (0 until 150).map(i => Array.fill(8)(i.toFloat))
+    LegacyFormats.writeDefault(s"$dir/base.bin", vecs)
+    LegacyFormats.writeDefault(s"$dir/query.bin", Seq(3, 70, 149).map(vecs(_)))
+    // -g: generate the truth file by exact search over the data file
+    IndexSearcher.genTruth(spark,
+      s"$dir/base.bin", s"$dir/query.bin", s"$dir/truth.bin", k = 3)
+    // the generated file is a valid reference-format truth file
+    val truthBack = LegacyFormats.readTruthDefault(spark, s"$dir/truth.bin")
+    assert(truthBack.count() === 9)
+    assert(truthBack.where(
+      org.apache.spark.sql.functions.col("rank") === 1).count() === 3)
+    // build + save an index over the same corpus, then the search-only flow
+    val conf = GraftConf(headRatio = 0.1, replicaCount = 4, internalK = 16)
+    AnnIndex(spark, LegacyFormats.readDefault(spark, s"$dir/base.bin"), conf)
+      .build().save(s"$dir/index")
+    val report = IndexSearcher.run(spark, s"$dir/index", s"$dir/query.bin",
+      k = 3, truthPath = Some(s"$dir/truth.bin"))
+    assert(report.recallSummary.get.head().getDouble(0) === 1.0)
+  }
+
+  test("QuantizerTool: train → blob → reload quantizes identically") {
+    import graft.tools.QuantizerTool
+    val dir = Files.createTempDirectory("quanttool").toString
+    // integer-grid vectors: PQ training is exact, codes are stable (≥256
+    // rows — the 256-code Lloyd seeds from the smallest-id vectors)
+    val vecs = (0 until 400).map(i =>
+      Array(i % 10, i / 10, (i * 3) % 7, (i * 5) % 11).map(_.toFloat))
+    LegacyFormats.writeDefault(s"$dir/base.bin", vecs)
+    val report = QuantizerTool.run(spark, s"$dir/base.bin",
+      dim = 4, quantizedDim = 2, outPath = s"$dir/quantizer.bin")
+    val back = LegacyFormats.readQuantizer(s"$dir/quantizer.bin")
+    assert(back.cb.centers.length === report.rcb.cb.centers.length)
+    // the reloaded blob quantizes a probe vector to the same codes
+    def codes(r: graft.functions.PQ.RotatedCodebooks, v: Seq[Double]): Seq[Int] =
+      r.cb.quantizeOne(r.rotate(v).toIndexedSeq).toSeq
+    val probe = vecs(37).map(_.toDouble).toSeq
+    assert(codes(back, probe) === codes(report.rcb, probe))
+    // OPQ variant trains and writes too
+    val opq = QuantizerTool.run(spark, s"$dir/base.bin",
+      dim = 4, quantizedDim = 2, outPath = s"$dir/opq.bin",
+      quantizerType = "OPQQuantizer")
+    val opqBack = LegacyFormats.readQuantizer(s"$dir/opq.bin")
+    assert(codes(opqBack, probe) === codes(opq.rcb, probe))
+  }
+
   test("isExecute=false skips the search phase; missing sections default sanely") {
     val dir = Files.createTempDirectory("idxbuilder2").toString
     LegacyFormats.writeDefault(s"$dir/base.bin",
