@@ -145,4 +145,54 @@ class PQSpec extends SparkSpec {
     val base = rec.getDouble(1) // error of the zero vector = data energy
     assert(mse < base * 0.5, s"PQ mse $mse vs energy $base")
   }
+
+  test("reconstructed-index similarity: search over reconstructions keeps recall " +
+    "(ReconstructIndexSimilarityTest.cpp:266-287 end-to-end)") {
+    // the reference flow: quantize the corpus, RECONSTRUCT it, build the
+    // index over the reconstructions, search with REAL queries, score
+    // against truth computed on the REAL vectors (k*2 result budget). Like
+    // the reference's GenerateReconstructData, the corpus is clustered —
+    // PQ's operating regime (lineitem's spread-out fixture quantizes too
+    // coarsely at any small m for an end-to-end recall gate)
+    import spark.implicits._
+    val k = 10
+    val blobs = spark.range(300).select(
+      col("id"),
+      array(
+        ((col("id") % 10) * 100 + col("id") % 3).cast("float"),
+        ((col("id") % 10) * 100 + (col("id") / 11) % 2).cast("float"),
+        ((col("id") % 10) * 100 + col("id") % 2).cast("float"),
+        ((col("id") % 10) * 100 + (col("id") / 13) % 3).cast("float")).as("vec"))
+      .cache()
+    val qs = blobs.where(col("id") < 8)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val cb = PQ.train(blobs, dim = 4, m = 2, k = 16, maxIter = 4)
+    val reconCorpus = PQ.reconstruct(PQ.quantize(blobs, cb), cb)
+      .select(col("id"), col("recon").as("vec"))
+    val results = Knn.search(qs, reconCorpus, k * 2)
+    // truth IDS come from the real vectors; truth DISTANCES are recomputed
+    // against the reconstructions — the reference's tie-credit recall does
+    // exactly this (`ComputeDistance(res.GetQuantizedTarget, GetSample(nn))`,
+    // ReconstructIndexSimilarityTest.cpp:279), so blob-mates that collapse
+    // onto one reconstruction tie and count
+    val truthIds = Knn.search(qs, blobs.select(col("id"), col("vec")), k)
+    val truthRe = truthIds.drop("dist")
+      .join(reconCorpus, Seq("id"))
+      .join(qs, Seq("query_id"))
+      .withColumn("dist",
+        round(graft.functions.dist.l2sq(col("qvec"), col("vec")), 4))
+      .select(col("query_id"), col("rank"), col("id"), col("dist"))
+    // recallAt's denominator is its k param; truth carries k rows while the
+    // result budget is 2k (the reference's shape), so rescale by 2
+    val recall = 2 * Eval.recallSummary(Eval.recallAt(results, truthRe, k * 2))
+      .head().getDouble(0)
+    assert(recall >= 0.9, s"reconstructed-index recall@$k collapsed: $recall")
+    // and the exact self-test: each reconstructed vector's nearest
+    // reconstruction is itself (distance 0; blob-mates may tie)
+    val selfQ = reconCorpus.limit(20)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val self = Knn.search(selfQ, reconCorpus, 1)
+    assert(self.where(col("dist") > 0).count() === 0,
+      "self-search over reconstructions must find a zero-distance hit")
+  }
 }
