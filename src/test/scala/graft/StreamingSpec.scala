@@ -245,4 +245,29 @@ class StreamingSpec extends SparkSpec {
       heads, all, 1, 4)
     assert(res.head().getLong(2) === 1005L)
   }
+
+  test("per-row text curation ops are streaming-safe: the rule gate on a stream equals batch") {
+    import graft.operators.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).limit(50)
+      .select("doc_id", "text")
+    // the stateless per-row stage a streaming ingest runs before any
+    // stateful dedup — pure projections, no join/window, so the identical
+    // expression tree runs unchanged under the streaming planner
+    val streamSide = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.ruleFilter(df)
+        .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val batch = streamSide(docs)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.as[(Long, String)].collect().toIndexedSeq)
+    val q = streamSide(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
