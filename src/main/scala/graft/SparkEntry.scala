@@ -755,11 +755,51 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 7),
         minLmScore = CurateLmFloor, jaccardThreshold = 0.3, maxOverlap = 0.3)
         .select(col("doc_id")))
+    }),
+    // gap-based sessionization: lag-gap-cumsum over per-user windows
+    // (high-cardinality key — the partitioning q85/q86 deliberately avoid
+    // on `source`), then one hash agg per session
+    "q99_sessionize" -> ((s, d) =>
+      ordered(graft.operators.Events.sessionize(Tables.events(s, d), SessionGapMin))),
+    // ordered conversion funnel view→click→purchase with a per-step
+    // conversion window — stage-chained filtered min-aggregations
+    "q100_funnel" -> ((s, d) =>
+      ordered(graft.operators.Events.funnel(
+        Tables.events(s, d), FunnelStages, Some(FunnelWithinMin)))),
+    // signup-day cohort retention: cohort × day-offset distinct actives
+    "q101_retention" -> ((s, d) =>
+      ordered(graft.operators.Events.retention(Tables.events(s, d)))),
+    // token-window chunking with overlap — the pretraining/RAG step that
+    // cuts documents into model-sized pieces; pure in-row sequence explode
+    "q102_chunks" -> ((s, d) =>
+      ordered(TextAnalysis.chunk(Tables.documents(s, d), ChunkWindow, ChunkStride))),
+    // SQ8 scalar quantization: per-dim [min,max] fit + code assignment,
+    // long form (id, dim, code) so the oracle hashes scalars not arrays
+    "q103_sq_codes" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d)
+      val stats = graft.functions.ScalarQuantizer.fit(vecs)
+      ordered(graft.functions.ScalarQuantizer.quantize(vecs, stats)
+        .select(col("id"), posexplode(col("codes")).as(Seq("dim", "code"))))
     })
   )
 
   private val KdDepth = 3
   private val KdBeam = 3
+
+  // ---- q99-q101 event-analytics constants (mirrored in the oracles) ----
+  // 480-min gap ≈ the synthetic stream's median inter-event gap (~440 min):
+  // sf0.01 yields ~4.8k sessions over 10k events — multi-event sessions with
+  // a real singleton tail
+  private val SessionGapMin = 480
+  // 12h conversion window gives genuine drop-off at sf0.01 (150→37→7 users);
+  // unbounded, every user completes every stage
+  private val FunnelStages = Seq("view", "click", "purchase")
+  private val FunnelWithinMin = 720
+  // q102: 32-token chunks, stride 24 (8-token overlap) — sf0.01 docs carry
+  // ~40 tokens, so most docs emit 2 chunks and the tail boundary (short
+  // final chunk) is exercised corpus-wide
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
 
   // ---- q73/q74/q75 pipeline constants (mirrored verbatim in the oracles) ----
   private val ScrubPatterns: Seq[(String, String)] =
@@ -1833,7 +1873,89 @@ object SparkEntry {
          |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
          |)
          |SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+    // lag-gap-cumsum sessionization; gap math is NTZ-safe interval
+    // arithmetic, sums through DECIMAL(18,4) (q43 convention)
+    "q99_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts > lag(ts) OVER w + INTERVAL $SessionGapMin MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, value,
+         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |          AS session_idx
+         |      FROM g)
+         |SELECT user_id, session_idx, min(ts) AS session_start,
+         |  max(ts) AS session_end, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // stage-chained filtered min-aggregations; each stage joins the users
+    // who reached the previous one, bounded by the conversion window
+    "q100_funnel" -> {
+      val win = s"INTERVAL $FunnelWithinMin MINUTE"
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+         |            WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.t
+         |         AND e.ts <= s1.t + $win
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.t
+         |         AND e.ts <= s2.t + $win
+         |       GROUP BY e.user_id)
+         |SELECT user_id, 1 AS stage, '${FunnelStages(0)}' AS stage_name, t FROM s1
+         |UNION ALL SELECT user_id, 2, '${FunnelStages(1)}', t FROM s2
+         |UNION ALL SELECT user_id, 3, '${FunnelStages(2)}', t FROM s3
+         |ORDER BY user_id, stage""".stripMargin
+    },
+    // signup-day cohorts × day-offset distinct actives
+    "q101_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, c.cohort_day,
+        |        date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE date_trunc('day', e.ts) >= c.cohort_day)
+        |SELECT cohort_day, day_offset, count(*) AS n_users
+        |FROM a GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // token-window chunking: range(0, n, stride) lateral unnest mirrors the
+    // in-row sequence explode; list_slice clamps like Spark's slice
+    "q102_chunks" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |x AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+         |      WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n, toks,
+         |        unnest(range(0, n, $ChunkStride)) AS start FROM x)
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start AS start_tok,
+         |  least($ChunkWindow, n - start) AS n_tokens,
+         |  array_to_string(list_slice(toks, CAST(start + 1 AS INT),
+         |    CAST(start + $ChunkWindow AS INT)), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    // SQ8: per-dim [min,max] fit (min/max in FLOAT then one cast to DOUBLE,
+    // matching Spark), floor(x+0.5) rounding — exact in both engines
+    "q103_sq_codes" ->
+      """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+        |d AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |        unnest(embedding) AS v FROM e),
+        |s AS (SELECT dim, CAST(min(v) AS DOUBLE) AS mn,
+        |        CAST(max(v) AS DOUBLE) AS mx FROM d GROUP BY dim),
+        |a AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |      FROM s)
+        |SELECT id, i - 1 AS dim,
+        |  CASE WHEN mxs[i] = mns[i] THEN 0
+        |       ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |                       / (mxs[i] - mns[i]) * 255 + 0.5) AS BIGINT)
+        |  END AS code
+        |FROM e, a, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |ORDER BY id, dim""".stripMargin
   )
 
   /** PQ-ADC oracle (q42/q56): train (3 unrolled Lloyd iterations over m=3

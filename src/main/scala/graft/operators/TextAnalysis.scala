@@ -232,6 +232,35 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
 
+  /** Fixed-size token-window chunking with overlap — the pretraining /
+    * retrieval preprocessing step that turns documents into model-sized
+    * pieces. Chunk i covers tokens `[i·stride, i·stride + window)`; the last
+    * chunk may be short; empty documents emit nothing. Output
+    * `(doc_id, chunk_idx, start_tok, n_tokens, chunk_text)`, chunk_idx and
+    * start_tok 0-based, chunk_text re-joined with single spaces.
+    *
+    * Scale: pure per-row explode — chunk starts come from an in-row
+    * `sequence(0, n_tokens-1, stride)`, so no shuffle at all; output row
+    * count is ≈ corpus_tokens / stride. The whole thing is one
+    * whole-stage-codegen projection over the scan.
+    */
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .where(col("_n") > 0)
+      .select(col(idCol), col("_t"), col("_n"),
+        posexplode(sequence(lit(0L), col("_n") - 1L, lit(stride.toLong))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(window.toLong), col("_n") - col("col")).as("n_tokens"),
+        array_join(slice(col("_t"), (col("col") + 1L).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Corpus-level boilerplate detection: distinct n-gram shingles per doc →
     * document frequency per shingle → shingles appearing in ≥ `minDf` docs,
     * with their share of the corpus. The repeated-fragment signal web

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Long, String, Double)]) =
+    rows.toDF("event_id", "_ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("_ts"))).drop("_ts")
+
+  test("sessionize splits on gaps over the threshold and aggregates per session") {
+    val events = ev(Seq(
+      // user 1: 3 events 10 min apart, then a 2h gap, then 1 more
+      (1L, "2026-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2026-01-01 10:10:00", 1L, "click", 2.0),
+      (3L, "2026-01-01 10:20:00", 1L, "view", 3.0),
+      (4L, "2026-01-01 12:20:00", 1L, "view", 4.0),
+      // user 2: single event
+      (5L, "2026-01-01 09:00:00", 2L, "view", 10.0)))
+    val got = Events.sessionize(events, gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 3L, 6.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 10.0)))
+  }
+
+  test("sessionize gap is strict: exactly-at-threshold stays in session") {
+    val events = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2026-01-01 10:30:00", 1L, "view", 1.0),   // exactly 30 min later
+      (3L, "2026-01-01 11:00:01", 1L, "view", 1.0)))  // 30 min + 1 s later
+    val got = Events.sessionize(events, gapMinutes = 30)
+      .select(max(col("session_idx"))).as[Long].head()
+    assert(got === 2L)
+  }
+
+  test("funnel chains stages strictly-after with a conversion window") {
+    val events = ev(Seq(
+      // u1 completes all three within the window
+      (1L, "2026-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2026-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2026-01-01 10:10:00", 1L, "purchase", 0.0),
+      // u2 clicks BEFORE viewing → stage 2 never fires
+      (4L, "2026-01-01 10:05:00", 2L, "click", 0.0),
+      (5L, "2026-01-01 10:10:00", 2L, "view", 0.0),
+      // u3 clicks too late (2h after view, window is 1h)
+      (6L, "2026-01-01 10:00:00", 3L, "view", 0.0),
+      (7L, "2026-01-01 12:00:00", 3L, "click", 0.0)))
+    val got = Events.funnel(events, Seq("view", "click", "purchase"), Some(60))
+      .groupBy("stage").agg(count(lit(1)).as("n"), collect_set("user_id").as("u"))
+      .orderBy("stage")
+      .select("stage", "n").as[(Int, Long)].collect().toSeq
+    assert(got === Seq((1, 3L), (2, 1L), (3, 1L)))
+  }
+
+  test("funnel picks the earliest qualifying time per stage") {
+    val events = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2026-01-01 09:00:00", 1L, "click", 0.0),  // before the view: ignored
+      (3L, "2026-01-01 10:30:00", 1L, "click", 0.0),
+      (4L, "2026-01-01 10:40:00", 1L, "click", 0.0))) // later duplicate: ignored
+    val t2 = Events.funnel(events, Seq("view", "click"), Some(120))
+      .where(col("stage") === 2).select(col("t").cast("string"))
+      .as[String].head()
+    assert(t2 === "2026-01-01 10:30:00")
+  }
+
+  test("retention counts distinct active users per cohort-day offset") {
+    val events = ev(Seq(
+      // u1 signs up Jan 1, active Jan 1 (twice) and Jan 3
+      (1L, "2026-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2026-01-01 11:00:00", 1L, "click", 0.0),
+      (3L, "2026-01-03 10:00:00", 1L, "view", 0.0),
+      // u2 signs up Jan 1 too, active only that day
+      (4L, "2026-01-01 12:00:00", 2L, "signup", 0.0),
+      // u3 never signs up: excluded entirely
+      (5L, "2026-01-02 12:00:00", 3L, "view", 0.0),
+      // u1 pre-signup activity is not counted
+      (6L, "2025-12-31 10:00:00", 1L, "view", 0.0)))
+    val got = Events.retention(events)
+      .orderBy("cohort_day", "day_offset")
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2026-01-01 00:00:00", 0L, 2L),
+      ("2026-01-01 00:00:00", 2L, 1L)))
+  }
+
+  test("sessionize on the sf0.001 events matches a brute-force recount") {
+    val events = Tables.events(spark, sf0001)
+    val sessions = Events.sessionize(events, gapMinutes = 480)
+    val nSessions = sessions.count()
+    val nEvents = sessions.agg(sum("n_events")).as[Long].head()
+    assert(nEvents === events.count())
+    assert(nSessions > 0 && nSessions < nEvents)
+    // session bounds are consistent and non-overlapping per user
+    val bad = sessions.alias("a").join(sessions.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.session_idx") === col("b.session_idx") - 1 &&
+        col("a.session_end") >= col("b.session_start")).count()
+    assert(bad === 0L)
+  }
+}

@@ -128,7 +128,8 @@ class PlanSpec extends SparkSpec {
       "q76_boilerplate",      // ONE-row corpus-count scalar, broadcast
       "q91_ngram_lm",         // ONE-row vocabulary-size scalar, broadcast
       "q92_strip_boilerplate", // q76's one-row scalar inside the flag subplan
-      "q98_curate_v2")        // q91's one-row scalar inside the LM-floor gate
+      "q98_curate_v2",        // q91's one-row scalar inside the LM-floor gate
+      "q103_sq_codes")        // ONE-row (mns, mxs) stats arrays, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -194,5 +195,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(segMap("lower") === "low e r")
     assert(segMap("newest") === "n e w est")
     assert(segMap("widest") === "w i d est")
+  }
+
+  test("chunk cuts token windows with overlap and a short tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10"),
+      (3L, 9L, 1L, "t10")))
+  }
+
+  test("chunk with stride == window partitions the tokens exactly") {
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"w$i").mkString(" ")),
+      (2L, ""), // empty: no chunks
+      (3L, "only")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, window = 3, stride = 3)
+    assert(chunks.where($"doc_id" === 2L).count() === 0)
+    // non-overlapping chunks re-join to the original token stream
+    val rejoined = chunks.where($"doc_id" === 1L)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+        s => s.getField("chunk_text")), " ")).as[String].head()
+    assert(rejoined === (1 to 7).map(i => s"w$i").mkString(" "))
+    val n = chunks.where($"doc_id" === 1L)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(n === 7L)
   }
 }
