@@ -780,7 +780,65 @@ object SparkEntry {
       val stats = graft.functions.ScalarQuantizer.fit(vecs)
       ordered(graft.functions.ScalarQuantizer.quantize(vecs, stats)
         .select(col("id"), posexplode(col("codes")).as(Seq("dim", "code"))))
-    })
+    }),
+    // TF-IDF keyword extraction: top-3 terms per doc, ranked on the
+    // 6dp-rounded weight with token tie-break (engine-independent order)
+    "q104_tfidf" -> ((s, d) =>
+      ordered(TextAnalysis.tfIdf(Tables.documents(s, d), TfIdfTopK))),
+    // Okapi BM25 ranked retrieval for a fixed query-term bag; global top-k
+    // as a bounded TakeOrdered (no rank column, no global window)
+    "q105_bm25" -> ((s, d) =>
+      ordered(TextAnalysis.bm25(Tables.documents(s, d), Bm25Terms, Bm25K))),
+    // deterministic stratified train/val/test split (hash draw — stable
+    // under corpus growth, proportions hold within every source)
+    "q106_split" -> ((s, d) =>
+      ordered(Pipeline.stratifiedSplit(Tables.documents(s, d)))),
+    // temperature-scaled (alpha=0.5) domain mixture weights
+    "q107_mixture_weights" -> ((s, d) =>
+      ordered(Pipeline.mixtureWeights(Tables.documents(s, d)))),
+    // cross-source shingle contamination matrix
+    "q108_source_overlap" -> ((s, d) =>
+      ordered(Dedup.sourceOverlap(Tables.documents(s, d)))),
+    // integer-exact PageRank (3 rounds, d=0.85) over the 5-NN cosine digraph
+    // of the embedding set — graph centrality as a data-selection signal
+    "q109_pagerank" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      val qs = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+      // top-(k+1) then drop self: removing one element can only promote, so
+      // the 5 best remaining ranks are exactly the oracle's self-free top-5
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      val edges = Knn.search(qs, vecs, PrK + 1, "cos")
+        .where(col("id") =!= col("query_id"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= PrK)
+        .select(col("query_id").as("src"), col("id").as("dst"))
+      ordered(graft.operators.KnnGraph.pageRank(edges, vecs.select(col("id")), PrK, PrIters))
+    }),
+    // RAG passage retrieval: token-window chunking (q102) composed with BM25
+    // (q105) over the chunk text — the retrieval step of a RAG pipeline,
+    // one plan. Passage key = doc_id·1000 + chunk_idx (chunk counts are
+    // window/stride-bounded far below 1000)
+    "q110_passage_retrieval" -> ((s, d) => {
+      val passages = TextAnalysis.chunk(Tables.documents(s, d), ChunkWindow, ChunkStride)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("pid"),
+          col("chunk_text"))
+      ordered(TextAnalysis.bm25(passages, Bm25Terms, Bm25K,
+        idCol = "pid", textCol = "chunk_text")
+        .select(expr("pid div 1000").as("doc_id"),
+          pmod(col("pid"), lit(1000L)).as("chunk_idx"), col("score")))
+    }),
+    // corpus-health histogram: near-dup cluster sizes (q33 pairs → q60
+    // groups → size spectrum) — the "how duplicated is this corpus" report
+    "q111_dup_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
+      ordered(groups.groupBy(col("canon_id")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups")))
+    }),
+    // per-doc n-gram novelty: share of shingles appearing in no other doc
+    "q112_novelty" -> ((s, d) =>
+      ordered(Dedup.noveltyScore(Tables.documents(s, d))))
   )
 
   private val KdDepth = 3
@@ -843,6 +901,17 @@ object SparkEntry {
   private val SgSeeds = 4
   private val SgBeam = 8
   private val SgRounds = 3
+
+  // ---- q104-q109 constants (mirrored verbatim in the oracles) ----
+  private val TfIdfTopK = 3
+  // terms present across the synthetic vocabulary so every source scores docs
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K = 20
+  // q109: 5-NN graph, 3 damped rounds — enough for rank mass to spread two
+  // hops so central/peripheral nodes separate, while the oracle stays 3
+  // unrolled join CTEs
+  private val PrK = 5
+  private val PrIters = 3
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1955,7 +2024,154 @@ object SparkEntry {
         |                       / (mxs[i] - mns[i]) * 255 + 0.5) AS BIGINT)
         |  END AS code
         |FROM e, a, unnest(range(1, len(embedding) + 1)) AS u(i)
-        |ORDER BY id, dim""".stripMargin
+        |ORDER BY id, dim""".stripMargin,
+    // TF-IDF: rank on the 6dp-rounded weight (token tie-break) so the
+    // per-doc ordering is engine-independent; ln = Spark's log
+    "q104_tfidf" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |        round(tf.tf::DOUBLE * ln(n.n::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+         |      FROM tf JOIN df USING (token), n),
+         |r AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, token) AS INT) AS rank,
+         |        token, tf, df, tfidf FROM s)
+         |SELECT doc_id, rank, token, tf, df, tfidf FROM r WHERE rank <= $TfIdfTopK
+         |ORDER BY doc_id, rank, token, tf, df, tfidf""".stripMargin
+    },
+    // BM25: per-term partials summed as DECIMAL(38,12) (exact,
+    // order-independent), top-k cut on the 4dp round with doc_id tie-break
+    "q105_bm25" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl
+         |           FROM (SELECT doc_id, $toks AS toks FROM documents)),
+         |c AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+         |t AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+         |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM t
+         |       WHERE token IN ($termList) GROUP BY doc_id, dl, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |s AS (SELECT tf.doc_id,
+         |        (ln(1.0 + (c.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+         |          * tf.tf::DOUBLE * (1.2 + 1.0)
+         |          / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::DOUBLE / c.avgdl))
+         |        )::DECIMAL(38,12) AS s
+         |      FROM tf JOIN df USING (token), c)
+         |SELECT * FROM (
+         |  SELECT doc_id, round(sum(s)::DOUBLE, 4) AS score FROM s GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT $Bm25K)
+         |ORDER BY doc_id, score""".stripMargin
+    },
+    "q106_split" -> {
+      val body = Pipeline.stratifiedSplitSql(80, 10, "split")
+      s"SELECT * FROM ($body) ORDER BY doc_id, source, split"
+    },
+    "q107_mixture_weights" -> {
+      val body = Pipeline.mixtureWeightsSql(0.5)
+      s"SELECT * FROM ($body) ORDER BY source, n_docs, n_tokens, weight"
+    },
+    // cross-source shingle contamination: distinct (source, 3-shingle) rows,
+    // per-shingle pair join (sources few — bounded fan-out), set Jaccard
+    "q108_source_overlap" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH s AS (SELECT DISTINCT source AS src, sh FROM (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 1)),
+         |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+         |  FROM (SELECT source, $toks AS toks FROM documents))),
+         |p AS (SELECT l.src AS src_a, r.src AS src_b, count(*) AS n_shared
+         |      FROM s l JOIN s r ON l.sh = r.sh AND l.src < r.src
+         |      GROUP BY l.src, r.src),
+         |z AS (SELECT src, count(*) AS n_sh FROM s GROUP BY src)
+         |SELECT p.src_a, p.src_b, p.n_shared,
+         |  round(p.n_shared::DOUBLE / (za.n_sh + zb.n_sh - p.n_shared)::DOUBLE, 4) AS jaccard
+         |FROM p JOIN z za ON za.src = p.src_a JOIN z zb ON zb.src = p.src_b
+         |ORDER BY src_a, src_b, n_shared, jaccard""".stripMargin
+    },
+    // integer-exact PageRank: ranks in 1e-12 units, damping 85/100, floor
+    // division (// here, `div` in Spark — identical on non-negative BIGINTs),
+    // BIGINT sums; 3 unrolled rounds over the 5-NN cosine digraph
+    "q109_pagerank" -> {
+      val cd = Tables.distSql("cos", "a.vec", "b.vec")
+      val step = (i: Int) =>
+        s"""i$i AS (SELECT e.dst AS id, sum((p.pr * 85) // ${100 * PrK}) AS m
+           |      FROM e JOIN p${i - 1} p ON p.id = e.src GROUP BY e.dst),
+           |p$i AS (SELECT v.id, 15000000000000 // (100 * n.n) + coalesce(i$i.m, 0) AS pr
+           |      FROM v CROSS JOIN n LEFT JOIN i$i ON i$i.id = v.id)""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dd AS (SELECT a.id AS src, b.id AS dst, $cd AS dist
+         |       FROM v a CROSS JOIN v b WHERE a.id <> b.id),
+         |e AS (SELECT src, dst FROM (SELECT src, dst,
+         |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM dd)
+         |      WHERE rn <= $PrK),
+         |n AS (SELECT count(*) AS n FROM v),
+         |p0 AS (SELECT id, 1000000000000 // n.n AS pr FROM v CROSS JOIN n),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT id, pr FROM p3 ORDER BY id, pr""".stripMargin
+    },
+    // q102's chunk CTEs feeding q105's BM25 CTEs over the chunk text —
+    // passage key doc_id·1000 + chunk_idx
+    "q110_passage_retrieval" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val ctoks = TextAnalysis.Sql.toks("chunk_text")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |x AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t0
+         |      WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, n, toks,
+         |        unnest(range(0, n, $ChunkStride)) AS start FROM x),
+         |p AS (SELECT doc_id * 1000 + start // $ChunkStride AS pid,
+         |        array_to_string(list_slice(toks, CAST(start + 1 AS INT),
+         |          CAST(start + $ChunkWindow AS INT)), ' ') AS chunk_text
+         |      FROM ch),
+         |d AS (SELECT pid, toks, len(toks)::BIGINT AS dl
+         |      FROM (SELECT pid, $ctoks AS toks FROM p)),
+         |c AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+         |t AS (SELECT pid, dl, unnest(toks) AS token FROM d),
+         |tf AS (SELECT pid, dl, token, count(*) AS tf FROM t
+         |       WHERE token IN ($termList) GROUP BY pid, dl, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |s AS (SELECT tf.pid,
+         |        (ln(1.0 + (c.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+         |          * tf.tf::DOUBLE * (1.2 + 1.0)
+         |          / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl::DOUBLE / c.avgdl))
+         |        )::DECIMAL(38,12) AS s
+         |      FROM tf JOIN df USING (token), c)
+         |SELECT pid // 1000 AS doc_id, pid % 1000 AS chunk_idx, score FROM (
+         |  SELECT pid, round(sum(s)::DOUBLE, 4) AS score FROM s GROUP BY pid
+         |  ORDER BY score DESC, pid LIMIT $Bm25K)
+         |ORDER BY doc_id, chunk_idx, score""".stripMargin
+    },
+    // q60's group chain + the size spectrum
+    "q111_dup_histogram" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |          WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |),
+         |g AS (SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id),
+         |sz AS (SELECT canon_id, count(*) AS group_size FROM g GROUP BY canon_id)
+         |SELECT group_size, count(*) AS n_groups FROM sz
+         |GROUP BY group_size ORDER BY group_size, n_groups""".stripMargin,
+    // per-doc novelty: corpus shingle df, share with df = 1
+    "q112_novelty" ->
+      s"""WITH $shingleCtes,
+         |dfx AS (SELECT sh AS shv, count(*) AS df FROM sh GROUP BY sh),
+         |agg AS (SELECT doc_id, count(*) AS n_shingles,
+         |          CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |        FROM sh JOIN dfx d ON d.shv = sh.sh GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 4) AS novel_share
+         |FROM agg ORDER BY doc_id, n_shingles, n_novel, novel_share""".stripMargin
   )
 
   /** PQ-ADC oracle (q42/q56): train (3 unrolled Lloyd iterations over m=3

@@ -495,4 +495,62 @@ object Dedup {
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => Hash60(col(textCol).substr(i, lit(n))))).as("fingerprint"))
 
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT shingles
+    * that appear in NO other document — the inverse signal of
+    * [[graft.operators.TextAnalysis.boilerplate]] (novel ≈ fresh content,
+    * low-novelty ≈ templated/duplicated), used to up-rank documents that add
+    * information to a corpus. Output `(doc_id, n_shingles, n_novel,
+    * novel_share)`; docs whose text yields no shingle window still emit one
+    * clamped shingle (the [[shingles]] contract), so every doc scores.
+    *
+    * Scale: one shingle hash-groupBy for corpus df + one equi-join back —
+    * shuffle ∝ corpus tokens, no pair space, the q76 boilerplate shape.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novel_share"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of sources, how many
+    * distinct `n`-word shingles they share, and the Jaccard similarity of
+    * their shingle SETS — the corpus-audit view that surfaces mirror domains
+    * and scraped-twice content before any doc-level dedup runs. Output
+    * `(src_a, src_b, n_shared, jaccard)` with `src_a < src_b`.
+    *
+    * Scale shape: the corpus collapses to DISTINCT `(source, shingle)` rows
+    * first (one hash agg); the pair join is per-shingle across sources —
+    * sources are few, so a shingle contributes at most |S|² pairs and the
+    * join output is bounded by |distinct shingles|·|S|², never by docs².
+    * Per-source set sizes are another tiny aggregate, broadcast back.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val srcSh = docs
+      .select(col(sourceCol).as("src"), tokens(col(textCol)).as("toks"))
+      .select(col("src"), explode(
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("sh"))
+      .distinct()
+    val shared = srcSh.as("l").join(srcSh.as("r"), Seq("sh"))
+      .where(col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("src_a"), col("r.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    shared
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n_sh").as("_na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n_sh").as("_nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("_na") + col("_nb") - col("n_shared")).cast("double"), 4).as("jaccard"))
+  }
+
 }

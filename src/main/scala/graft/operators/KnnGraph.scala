@@ -234,4 +234,47 @@ object KnnGraph {
       .where(col("_rn") <= neighborhoodSize / 2)
       .select(col("src"), col("dst"), col("dist"))
   }
+
+  /** PageRank over a k-regular kNN graph — graph centrality as a
+    * data-selection signal (central = representative, peripheral = outlier;
+    * the graph-based counterpart of the quality scores in
+    * [[TextAnalysis]]). `edges(src, dst)` must be out-degree-`k` regular
+    * (every kNN graph is, by construction); `nodes(id)` is the vertex set.
+    *
+    * Integer-exact fixed-point arithmetic so the oracle hashes bare BIGINTs:
+    * ranks live in units of 1e-12 (`Scale`), the damping step is
+    * `contrib = (pr · 85) div (100·k)` and the teleport term
+    * `(15 · Scale) div (100 · N)` — `div` is integral division, exact and
+    * identical in Spark and DuckDB for the non-negative values here, and the
+    * incoming-edge sum is a BIGINT sum (order-independent). `iters` rounds,
+    * sinks get teleport mass only (left join). Output `(id, pr)` in units.
+    *
+    * Scale shape per round: one hash join of edges against the rank frame
+    * (both partitioned on the join key) + one map-side-partial groupBy —
+    * the classic iterative-dataflow plan; no windows, nothing driver-side,
+    * frame size = |V| throughout.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, k: Int,
+      iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    val Scale = 1000000000000L
+    val n = nodes.agg(count(lit(1)).as("_n"))
+    // teleport term and the initial uniform rank are per-row exact integer
+    // expressions of the one-row count frame (broadcast), so nothing about
+    // N is computed on the driver
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${Scale}L div _n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          expr(s"(pr * $dampingPct) div ${100L * k}L").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      pr = nodes.crossJoin(broadcast(n))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (expr(s"${(100L - dampingPct) * Scale}L div (100 * _n)") +
+            coalesce(col("_in"), lit(0L))).as("pr"))
+    }
+    pr
+  }
 }

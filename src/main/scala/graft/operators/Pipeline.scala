@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -458,5 +458,104 @@ object Pipeline {
         round(sum(col("quality").cast(DecimalType(18, 4))).cast("double") /
           count(lit(1)), 4).as("mean_quality"),
         round(sum(col("is_dup")).cast("double") / count(lit(1)), 4).as("dup_rate"))
+  }
+
+  /** Deterministic train/val/test split: each doc draws the
+    * [[mixtureSample]] 10000-sided hash (pure function of `doc_id` + salt)
+    * and lands in `train` (< 10·trainPct), `val` (< 10·(trainPct+valPct)) or
+    * `test`. Because the draw is uniform and independent of content, the
+    * proportions hold WITHIN every source (stratification for free) and the
+    * assignment is stable across runs, engines, and corpus growth — a doc's
+    * split never changes when other docs are added, the property that keeps
+    * eval sets honest across pipeline versions. Output
+    * `(doc_id, source, split)`.
+    *
+    * Scale: pure scan-speed column math, zero shuffle.
+    */
+  def stratifiedSplit(
+      docs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "split",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percentages must leave room for a test split")
+    val u = graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 10000L
+    docs.select(col(idCol), col(sourceCol),
+      when(u < trainPct * 100L, "train")
+        .when(u < (trainPct + valPct) * 100L, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** DuckDB mirror of [[stratifiedSplit]] over `documents`. */
+  def stratifiedSplitSql(trainPct: Int, valPct: Int, salt: String): String = {
+    val u = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'") + " % 10000"
+    s"""SELECT doc_id, source,
+       |  CASE WHEN ($u) < ${trainPct * 100} THEN 'train'
+       |       WHEN ($u) < ${(trainPct + valPct) * 100} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  /** Temperature-scaled domain mixture weights — the "how much of each source
+    * does the training mix draw" knob (the multinomial α-smoothing used by
+    * multilingual / multi-domain LLM training): per source,
+    * `weight ∝ (token_share)^alpha`, normalized to sum 1. `alpha = 1`
+    * reproduces natural proportions; `alpha → 0` flattens toward uniform.
+    * Output `(source, n_docs, n_tokens, weight)`.
+    *
+    * Determinism: token counts are exact longs; `share^alpha` is rounded into
+    * DECIMAL(38,12) before the normalizing sum (exact, order-independent) and
+    * the final ratio is a 6dp round of a decimal-by-decimal division carried
+    * out in double on both engines.
+    *
+    * Scale: one map-side-partial groupBy over the corpus; everything after is
+    * a sources-sized frame (a broadcast-sized aggregate, never windowed over
+    * raw docs).
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val perSrc = docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("_tot"))
+    // alpha = 0.5 (the common temperature) goes through sqrt, which IEEE-754
+    // requires to be correctly rounded — bit-identical across engines;
+    // general pow is only 1-ulp-accurate and could land a hair across the
+    // 12dp decimal boundary
+    def tempered(x: Column): Column =
+      if (alpha == 0.5) sqrt(x) else pow(x, alpha)
+    val raw = perSrc.crossJoin(broadcast(tot))
+      .withColumn("_w",
+        tempered(col("n_tokens").cast("double") / col("_tot").cast("double"))
+          .cast("decimal(38,12)"))
+    val norm = raw.agg(sum(col("_w")).as("_z"))
+    raw.crossJoin(broadcast(norm))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("_w").cast("double") / col("_z").cast("double"), 6).as("weight"))
+  }
+
+  /** DuckDB mirror of [[mixtureWeights]] over `documents`. */
+  def mixtureWeightsSql(alpha: Double): String = {
+    val toks = TextAnalysis.Sql.toks("text")
+    val tempered =
+      if (alpha == 0.5) "sqrt(n_tokens::DOUBLE / tot::DOUBLE)"
+      else s"pow(n_tokens::DOUBLE / tot::DOUBLE, $alpha)"
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |             sum(len($toks)) AS n_tokens
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_tokens) AS tot FROM s),
+       |r AS (SELECT source, n_docs, n_tokens,
+       |        $tempered::DECIMAL(38,12) AS w
+       |      FROM s, t),
+       |z AS (SELECT sum(w) AS z FROM r)
+       |SELECT source, n_docs, n_tokens,
+       |       round(w::DOUBLE / z::DOUBLE, 6) AS weight
+       |FROM r, z""".stripMargin
   }
 }

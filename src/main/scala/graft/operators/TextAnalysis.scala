@@ -410,6 +410,81 @@ object TextAnalysis {
           col("ok_alpha") && col("ok_stopwords"))
   }
 
+  /** TF-IDF top terms per document: `(doc_id, token, tf, df, tfidf)` — the
+    * `topK` highest-weighted terms of each doc, the classic keyword-extraction
+    * / relevance-feature step (tfidf = tf · ln(N/df), rounded to 6dp; the
+    * per-doc rank is computed ON the rounded value with `token` as the
+    * tie-break so the ordering is engine-independent).
+    *
+    * Scale shape: explode → two map-side-partial hash aggs (per-(doc,token)
+    * tf, per-token df) → one equi-join hash-partitioned on `token` → a window
+    * partitioned by `doc_id` (high-cardinality key — balanced, unlike the
+    * per-source windows q85/q86 avoid). No broadcast of anything
+    * corpus-sized: the single-row corpus count joins as a broadcast literal.
+    */
+  def tfIdf(docs: DataFrame, topK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("_n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 ranked retrieval for a fixed bag of query `terms`: the top-`k`
+    * documents by the standard Okapi BM25 score
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))`. Output `(doc_id, score)` —
+    * the selected-set semantics carry no rank column, so the finish plans as
+    * a bounded `TakeOrderedAndProject`, never a partition-less window.
+    *
+    * Determinism contract: `avgdl` is an exact long-sum ratio; the per-term
+    * partial scores are cast to DECIMAL(38,12) before the per-doc sum (decimal
+    * addition is exact and order-independent — the q91 log-prob trick), and
+    * the top-k cut orders on the 4dp-rounded score with `doc_id` tie-break.
+    *
+    * Scale shape: the exploded token stream is filtered to the query terms
+    * BEFORE any shuffle (terms are a literal list — scan-speed predicate);
+    * df/avgdl are tiny aggregates joined as broadcasts; the finish is a
+    * global top-k (`TakeOrderedAndProject`), not a full sort.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).cast("long").as("dl"))
+    val corpus = base.agg(count(lit(1)).as("_n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("_avgdl"))
+    val tok = base.select(col(idCol), col("dl"),
+      explode(col("_toks")).as("token"))
+      .where(col("token").isin(terms.map(lit): _*))
+    val tf = tok.groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val part = idf * tfD * (lit(k1) + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("_avgdl")))
+    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(corpus))
+      .select(col(idCol), part.cast("decimal(38,12)").as("_s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
   object Sql {
     def toks(e: String): String =

@@ -267,4 +267,33 @@ class DedupSpec extends SparkSpec {
     assert(fp(0).getLong(1) === fp(1).getLong(1))
     assert(fp(0).getLong(1) !== fp(3).getLong(1))
   }
+
+  test("noveltyScore: unique shingles score 1, cloned docs score 0") {
+    val fixture = Seq(
+      (1L, "one two three four five"),  // all 3 shingles unique
+      (2L, "alpha beta gamma delta"),   // cloned below -> df 2 everywhere
+      (3L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma epsilon")  // 1 shared of 2 shingles
+    ).toDF("doc_id", "text")
+    val r = Dedup.noveltyScore(fixture).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((3L, 3L, 1.0)))
+    assert(r(2L) === ((2L, 0L, 0.0)) && r(3L) === r(2L))
+    assert(r(4L) === ((2L, 1L, 0.5)))
+  }
+
+  test("sourceOverlap counts shared distinct shingles and set Jaccard") {
+    val docs = Seq(
+      (1L, "one two three four", "a"),   // shingles: {one two three, two three four}
+      (2L, "one two three", "b"),        // {one two three}
+      (3L, "five six seven eight", "b"), // {five six seven, six seven eight}
+      (4L, "nine ten eleven", "c")       // {nine ten eleven}
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(3))).toMap
+    // a={2 shingles}, b={3}, shared = {one two three} -> jaccard 1/(2+3-1)
+    assert(r(("a", "b")) === ((1L, 0.25)))
+    // c shares nothing -> no row at all
+    assert(r.size === 1)
+  }
 }

@@ -120,4 +120,23 @@ class KnnGraphSpec extends SparkSpec {
     assert(wide >= narrow - 1e-9, s"recall narrowed: $narrow -> $wide")
     assert(wide >= 0.5, s"wide-beam recall too low: $wide")
   }
+
+  test("pageRank: integer mass conserved up to flooring, hubs outrank leaves") {
+    import spark.implicits._
+    // star-ish digraph on 6 nodes, out-degree 2: everyone cites 0 and 1,
+    // node 0 cites 1,2 and node 1 cites 0,2
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L),
+      (4L, 0L), (4L, 1L), (5L, 0L), (5L, 1L)).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id")
+    val pr = KnnGraph.pageRank(edges, nodes, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = pr.values.sum
+    // floor division leaks < 1 unit per term; 1e12-scale total survives
+    assert(total > 990000000000L && total <= 1000000000000L, s"mass: $total")
+    assert(pr(0L) > pr(2L) && pr(1L) > pr(2L), s"hubs lead: $pr")
+    assert(pr(2L) > pr(3L), s"cited beats uncited: $pr")
+    assert(pr(3L) === pr(4L) && pr(4L) === pr(5L), "symmetric leaves tie")
+  }
 }

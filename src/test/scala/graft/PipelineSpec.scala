@@ -277,4 +277,31 @@ class PipelineSpec extends SparkSpec {
     assert(!kept.contains(22L), "LM-floor failure must drop")
     assert((2L to 10L).forall(kept.contains), s"fluent docs survive: $kept")
   }
+
+  test("stratifiedSplit: deterministic, stable under growth, ~80/10/10") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val s1 = Pipeline.stratifiedSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train share: $frac")
+    assert(math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03)
+    // growth stability: the first 500 docs keep their split when 500 more arrive
+    val s2 = Pipeline.stratifiedSplit(docs.where("doc_id < 500")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s2.forall { case (id, sp) => s1(id) == sp })
+  }
+
+  test("mixtureWeights: sums to one, alpha<1 flattens toward uniform") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t", "big"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t", "big"),
+      (3L, "a b", "small")
+    ).toDF("doc_id", "text", "source")
+    val w = Pipeline.mixtureWeights(docs, alpha = 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-4, s"weights: $w")
+    // natural share of small = 2/42; sqrt-tempering must lift it above that
+    assert(w("small") > 2.0 / 42.0 && w("big") < 40.0 / 42.0)
+  }
 }

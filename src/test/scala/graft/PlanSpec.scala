@@ -129,7 +129,12 @@ class PlanSpec extends SparkSpec {
       "q91_ngram_lm",         // ONE-row vocabulary-size scalar, broadcast
       "q92_strip_boilerplate", // q76's one-row scalar inside the flag subplan
       "q98_curate_v2",        // q91's one-row scalar inside the LM-floor gate
-      "q103_sq_codes")        // ONE-row (mns, mxs) stats arrays, broadcast
+      "q103_sq_codes",        // ONE-row (mns, mxs) stats arrays, broadcast
+      "q104_tfidf",           // ONE-row corpus-count scalar, broadcast
+      "q105_bm25",            // ONE-row (N, avgdl) corpus stats, broadcast
+      "q107_mixture_weights", // ONE-row total + normalizer scalars, broadcast
+      "q109_pagerank",        // ONE-row node-count scalar, broadcast
+      "q110_passage_retrieval") // q105's ONE-row corpus stats over passages
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

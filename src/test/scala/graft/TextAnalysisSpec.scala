@@ -227,4 +227,35 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(sum("n_tokens")).as[Long].head()
     assert(n === 7L)
   }
+
+  test("tfIdf: corpus-wide terms weigh zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta gamma common"),
+      (3L, "delta common")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdf(docs, topK = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getDouble(5))).toMap
+    // "common" is in every doc -> tfidf = tf*ln(1) = 0, never outranks others
+    assert(r((1L, 1))._1 === "alpha") // tf=2, df=1 -> 2*ln(3)
+    assert(r((1L, 1))._2 === math.rint(2.0 * math.log(3.0) * 1e6) / 1e6)
+    // doc 3: only "delta" (df=1) then "common" (tfidf 0)
+    assert(r((3L, 1))._1 === "delta" && r((3L, 2))._1 === "common")
+    assert(r((3L, 2))._2 === 0.0)
+  }
+
+  test("bm25: higher tf wins, absent terms exclude the doc, k bounds the cut") {
+    val docs = Seq(
+      (1L, "spark spark spark join filler words here"),
+      (2L, "spark join filler words here also now"),
+      (3L, "nothing relevant in this document at all"),
+      (4L, "join join join join filler words here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, Seq("spark", "join"), k = 2).collect()
+    // doc 3 matches no term; k=2 keeps the two best of {1,2,4}
+    assert(r.length === 2 && !r.map(_.getLong(0)).contains(3L))
+    // doc 1 (tf 3+1 over both terms) must beat doc 2 (1+1)
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(byId.contains(1L) && byId(1L) > byId.getOrElse(2L, 0.0))
+  }
 }
