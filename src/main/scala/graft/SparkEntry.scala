@@ -838,7 +838,26 @@ object SparkEntry {
     }),
     // per-doc n-gram novelty: share of shingles appearing in no other doc
     "q112_novelty" -> ((s, d) =>
-      ordered(Dedup.noveltyScore(Tables.documents(s, d))))
+      ordered(Dedup.noveltyScore(Tables.documents(s, d)))),
+    // SPFresh-style posting rebalance: one split(>1200)/merge(<300) round
+    // over the standard posting set — the SPANN maintenance op between
+    // rebuilds; output is the full rebalanced posting table
+    "q113_rebalance" -> ((s, d) => {
+      val (_, p2) = Spann.rebalancePostings(
+        heads(s, d), postings(s, d), RebalMax, RebalMin)
+      ordered(p2.select(col("head_id"), col("id"),
+        round(col("dist"), 4).as("dist")))
+    }),
+    // late-interaction MaxSim retrieval: embedding labels as vector bags,
+    // bags 0-1 as multi-vector queries against all 10 label bags
+    "q114_maxsim" -> ((s, d) => {
+      val e = Tables.embeddingVec(s, d)
+      val qb = e.where(col("label") < MaxSimQBags)
+        .select(col("label").as("query_label"), col("id").as("qvid"),
+          col("vec").as("qvec"))
+      val db = e.select(col("label").as("doc_label"), col("id"), col("vec"))
+      ordered(SimilaritySearch.maxSim(qb, db, MaxSimK))
+    })
   )
 
   private val KdDepth = 3
@@ -912,6 +931,15 @@ object SparkEntry {
   // unrolled join CTEs
   private val PrK = 5
   private val PrIters = 3
+  // q113: posting lengths at HeadNth=200/r=4 run ~200-1850 at BOTH fixture
+  // SFs (length ≈ 4·HeadNth regardless of corpus size), so 1200/300
+  // exercises split AND merge everywhere
+  private val RebalMax = 1200
+  private val RebalMin = 300
+  // q114: 2 query bags × 10 doc bags, top-5 — the self bag must rank 1 and
+  // the cut crosses genuinely close scores
+  private val MaxSimQBags = 2
+  private val MaxSimK = 5
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2162,6 +2190,93 @@ object SparkEntry {
          |sz AS (SELECT canon_id, count(*) AS group_size FROM g GROUP BY canon_id)
          |SELECT group_size, count(*) AS n_groups FROM sz
          |GROUP BY group_size ORDER BY group_size, n_groups""".stripMargin,
+    // SPFresh-style rebalance replay: p = the standard replica-4 posting
+    // assignment; pivots = lexicographic-greatest (dist, id) / (dA, id)
+    // members (mirrors Spark's max_by on the ordering struct); sides by
+    // dA <= dB; orphans re-assigned rank-1 against survivors; the final
+    // GROUP BY (head_id, id) min(dist) dedups replicas that collapse onto
+    // one head (identical values, so min ≡ Spark's dropDuplicates)
+    "q113_rebalance" -> {
+      val pDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
+      val aDist = Tables.distSql("l2sq", "m.vec", "pa.avec")
+      val bDist = Tables.distSql("l2sq", "mb.vec", "pb.bvec")
+      val oDist = Tables.distSql("l2sq", "o.vec", "s.head_vec")
+      s"""WITH v AS (${Tables.lineitemVecSql}),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT id, vec, head_id, dist FROM (
+         |    SELECT id, vec, head_id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |    FROM pd) WHERE rn <= $Replicas),
+         |l AS (SELECT head_id, count(*) AS len FROM p GROUP BY head_id),
+         |ov AS (SELECT head_id FROM l WHERE len > $RebalMax),
+         |un AS (SELECT head_id FROM l WHERE len < $RebalMin),
+         |m AS (SELECT p.* FROM p JOIN ov USING (head_id)),
+         |pa AS (SELECT head_id, vec AS avec FROM (
+         |    SELECT head_id, vec,
+         |           row_number() OVER (PARTITION BY head_id ORDER BY dist DESC, id DESC) AS rn
+         |    FROM m) WHERE rn = 1),
+         |mb AS (SELECT m.head_id, m.id, m.vec, $aDist AS da
+         |       FROM m JOIN pa USING (head_id)),
+         |pb AS (SELECT head_id, vec AS bvec FROM (
+         |    SELECT head_id, vec,
+         |           row_number() OVER (PARTITION BY head_id ORDER BY da DESC, id DESC) AS rn
+         |    FROM mb) WHERE rn = 1),
+         |off AS (SELECT max(head_id) + 1 AS off FROM h),
+         |sd AS (SELECT mb.head_id, mb.id, mb.da AS dist_a, $bDist AS dist_b
+         |       FROM mb JOIN pb USING (head_id)),
+         |sp AS (SELECT CASE WHEN dist_a <= dist_b THEN head_id
+         |              ELSE head_id + off.off END AS head_id, id,
+         |         CASE WHEN dist_a <= dist_b THEN dist_a ELSE dist_b END AS dist
+         |       FROM sd, off),
+         |sh AS (SELECT head_id, avec AS head_vec FROM pa
+         |       UNION ALL
+         |       SELECT pa.head_id + off.off, pb.bvec
+         |       FROM pa JOIN pb USING (head_id), off),
+         |surv AS (SELECT head_id, head_vec FROM h
+         |         WHERE head_id NOT IN (SELECT head_id FROM ov
+         |                               UNION SELECT head_id FROM un)
+         |         UNION ALL SELECT head_id, head_vec FROM sh),
+         |orp AS (SELECT DISTINCT p.id, p.vec FROM p JOIN un USING (head_id)),
+         |rd AS (SELECT o.id, s.head_id, $oDist AS dist
+         |       FROM orp o CROSS JOIN surv s),
+         |ra AS (SELECT head_id, id, dist FROM (
+         |    SELECT head_id, id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |    FROM rd) WHERE rn = 1),
+         |keep AS (SELECT head_id, id, dist FROM p
+         |         WHERE head_id NOT IN (SELECT head_id FROM ov
+         |                               UNION SELECT head_id FROM un)),
+         |allp AS (SELECT head_id, id, dist FROM keep
+         |         UNION ALL SELECT head_id, id, dist FROM sp
+         |         UNION ALL SELECT head_id, id, dist FROM ra)
+         |SELECT head_id, id, round(min(dist), 4) AS dist FROM allp
+         |GROUP BY head_id, id
+         |ORDER BY head_id, id, dist""".stripMargin
+    },
+    // MaxSim late interaction: per-(query-token, doc-bag) max similarity,
+    // per-(query-bag, doc-bag) decimal sum, rank on the 4dp round
+    "q114_maxsim" -> {
+      val cd = Tables.distSql("cos", "qb.qvec", "e.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |qb AS (SELECT label AS query_label, id AS qvid, vec AS qvec
+         |       FROM (SELECT vec_id AS id, embedding AS vec, label FROM embeddings)
+         |       WHERE label < $MaxSimQBags),
+         |sims AS (SELECT qb.query_label, qb.qvid, e.label AS doc_label,
+         |           1.0 - $cd AS sim
+         |         FROM qb CROSS JOIN e),
+         |mx AS (SELECT query_label, qvid, doc_label, max(sim) AS m
+         |       FROM sims GROUP BY query_label, qvid, doc_label),
+         |sc AS (SELECT query_label, doc_label,
+         |         round(sum(m::DECIMAL(38,12))::DOUBLE, 4) AS score
+         |       FROM mx GROUP BY query_label, doc_label),
+         |r AS (SELECT query_label,
+         |        CAST(row_number() OVER (PARTITION BY query_label
+         |          ORDER BY score DESC, doc_label) AS INT) AS rank,
+         |        doc_label, score FROM sc)
+         |SELECT query_label, rank, doc_label, score FROM r WHERE rank <= $MaxSimK
+         |ORDER BY query_label, rank, doc_label, score""".stripMargin
+    },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->
       s"""WITH $shingleCtes,

@@ -195,4 +195,40 @@ object SimilaritySearch {
         struct(col("votes"), (-col("label")).as("nl"))).as("best"))
       .select(col("query_id"), col("best.label").as("pred_label"),
         col("best.votes").as("votes"))
+
+  /** Late-interaction (ColBERT-style) MaxSim retrieval over vector BAGS:
+    * each query and each document is a bag of vectors (multi-vector
+    * representations — token embeddings, image patches, chunk vectors);
+    * `score(Q, D) = Σ_{q∈Q} max_{d∈D} sim(q, d)` with `sim = 1 − cos_dist`.
+    * Top-`k` doc bags per query bag, rank on the 4dp-rounded score with
+    * doc-bag tie-break; per-query-token maxima are exact doubles and the
+    * per-bag sum goes through DECIMAL(38,12) (order-independent, the q91/
+    * q105 convention). Input `queryBags(query_label, qvid, qvec)`,
+    * `docBags(doc_label, id, vec)`; output
+    * `(query_label, rank, doc_label, score)`.
+    *
+    * Scale shape: query bags are broadcast (bounded, the batch-query
+    * contract); the corpus streams once through the similarity projection,
+    * then two hash aggregations — per (query-token, doc-bag) max, per
+    * (query-bag, doc-bag) sum — and a window partitioned by query bag
+    * (high-cardinality in a real workload). No doc×doc pair space.
+    */
+  def maxSim(
+      queryBags: DataFrame,
+      docBags: DataFrame,
+      k: Int,
+      metric: String = "cos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = docBags.crossJoin(broadcast(queryBags))
+      .withColumn("_sim",
+        lit(1.0) - graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    val perTok = sims.groupBy(col("query_label"), col("qvid"), col("doc_label"))
+      .agg(max(col("_sim")).as("_m"))
+    val scored = perTok.groupBy(col("query_label"), col("doc_label"))
+      .agg(round(sum(col("_m").cast("decimal(38,12)")).cast("double"), 4).as("score"))
+    val w = Window.partitionBy(col("query_label"))
+      .orderBy(col("score").desc, col("doc_label"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_label"), col("rank"), col("doc_label"), col("score"))
+  }
 }

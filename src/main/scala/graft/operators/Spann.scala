@@ -155,6 +155,92 @@ object Spann {
       .where(col("_rn") <= limit).drop("_rn")
   }
 
+  /** Posting rebalance — the SPANN maintenance op a continuously-ingesting
+    * index needs between full rebuilds (the reference grows postings on add
+    * and re-layouts on refine; SPFresh, cited in the reference `README.md:15`,
+    * makes exactly this split/merge its core in-place update): one round of
+    *
+    *  - **split**: every head whose posting exceeds `maxLen` is replaced by
+    *    TWO pivot heads — pivot A = the member farthest from the head
+    *    (ties by id), pivot B = the member farthest from A (ties by id) —
+    *    and its members re-assigned to the nearer pivot (ties → A). Pivot
+    *    selection is collect-free in-plan `max_by` aggregation; the A-side
+    *    keeps the old head id (stage-1 routing updates in place), the B-side
+    *    gets `old_id + offset` where offset = max(head_id)+1 (computed
+    *    in-plan, broadcast one-row);
+    *  - **merge**: every head whose posting is under `minLen` is dropped and
+    *    its members re-assigned (replica 1) to the nearest SURVIVING head —
+    *    split pivots included — via the broadcast-bounded nearest-heads
+    *    expression.
+    *
+    * Returns `(heads', postings')` in the standard shapes. One round halves
+    * oversized postings (pivot splits are near-balanced on real clusters but
+    * not guaranteed); run to fixpoint for a hard cap, exactly like the
+    * reference's `SelectHead` `SplitFactor` iteration
+    * (`SPANNIndex.cpp:538-577`). Duplicate replicas that collapse onto the
+    * same (head, id) after re-assignment are deduped; all arithmetic is
+    * deterministic ((dist, id) tie-breaks throughout), so the op is
+    * oracle-replayable.
+    *
+    * Scale: lengths/pivots are per-head aggregations (posting-bounded
+    * groups); the only corpus-wide ops are hash joins on `head_id` and the
+    * final (head_id, id) dedup — no pair space, no windows over raw rows
+    * beyond per-head groups.
+    */
+  def rebalancePostings(
+      heads: DataFrame,
+      postings: DataFrame,
+      maxLen: Int,
+      minLen: Int,
+      metric: String = "l2sq"): (DataFrame, DataFrame) = {
+    val lens = postings.groupBy(col("head_id")).agg(count(lit(1)).as("_len"))
+    val over = lens.where(col("_len") > maxLen).select(col("head_id"))
+    val under = lens.where(col("_len") < minLen).select(col("head_id"))
+    val touched = over.union(under)
+
+    // ---- split ----
+    val members = postings.join(over, Seq("head_id"))
+    val pivotA = members.groupBy(col("head_id"))
+      .agg(max_by(struct(col("vec").as("vec"), col("id").as("id")),
+        struct(col("dist"), col("id"))).as("a"))
+    val pivots = members.join(pivotA, Seq("head_id"))
+      .withColumn("_da", dist.byName(metric)(col("vec"), col("a.vec")))
+      .groupBy(col("head_id"), col("a"))
+      .agg(max_by(struct(col("vec").as("vec"), col("id").as("id")),
+        struct(col("_da"), col("id"))).as("b"))
+    val off = heads.agg((max(col("head_id")) + 1L).as("_off"))
+    val sided = members.join(broadcast(pivots), Seq("head_id"))
+      .crossJoin(broadcast(off))
+      .withColumn("_dA", dist.byName(metric)(col("vec"), col("a.vec")))
+      .withColumn("_dB", dist.byName(metric)(col("vec"), col("b.vec")))
+    val splitPost = sided.select(
+      when(col("_dA") <= col("_dB"), col("head_id"))
+        .otherwise(col("head_id") + col("_off")).as("head_id"),
+      col("id"), col("vec"),
+      when(col("_dA") <= col("_dB"), col("_dA")).otherwise(col("_dB")).as("dist"))
+    val splitHeads = pivots.crossJoin(broadcast(off))
+      .select(col("head_id"), col("a.vec").as("head_vec"))
+      .unionByName(pivots.crossJoin(broadcast(off))
+        .select((col("head_id") + col("_off")).as("head_id"), col("b.vec").as("head_vec")))
+
+    // ---- merge ----
+    val survivors = heads.join(touched, Seq("head_id"), "left_anti")
+      .unionByName(splitHeads)
+    val orphans = postings.join(under, Seq("head_id"))
+      .select(col("id"), col("vec")).distinct()
+    val nn = graft.functions.NearestHeadsExpr.fromHeads(
+      survivors, col("vec"), 1, metric)
+    val reassigned = orphans
+      .select(col("id"), col("vec"), explode(nn).as("r"))
+      .select(col("r.id").as("head_id"), col("id"), col("vec"),
+        col("r.dist").as("dist"))
+
+    val kept = postings.join(touched, Seq("head_id"), "left_anti")
+    val newPostings = kept.unionByName(splitPost).unionByName(reassigned)
+      .dropDuplicates("head_id", "id")
+    (survivors, newPostings)
+  }
+
   /** Two-stage SPANN search (Q5, `SPANNIndex.cpp:193-258`):
     * 1. stage-1: per query, `internalK` nearest heads (broadcast heads);
     *    prune candidates with `dist > maxDistRatio * bestDist`

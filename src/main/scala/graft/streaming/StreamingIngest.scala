@@ -49,6 +49,41 @@ object StreamingIngest {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming gap-based sessionization via the native
+    * `session_window(ts, gap)` — the continuous form of
+    * [[graft.operators.Events.sessionize]] (q99): Spark merges events whose
+    * gap is UNDER `gapMinutes` into one growing session window and closes it
+    * once the watermark passes last-event + gap. Output mirrors the batch
+    * operator's aggregates with `session_end` = max event ts (the native
+    * window's `end` is last-ts + gap, so it is shifted back), minus the
+    * batch op's per-user `session_idx` (a running count over closed
+    * sessions is not append-mode computable; order sessions by
+    * `session_start` downstream if needed).
+    *
+    * Boundary parity: the batch op starts a new session when
+    * `ts > prev + gap`; the native window merges adjacent ranges, i.e. while
+    * `ts <= prev + gap` — identical semantics INCLUDING the exact-gap
+    * boundary (StreamingSpec pins an exactly-gap-separated pair merging on
+    * both paths).
+    *
+    * Scale: state is per (user, open-session) — keyed on the same
+    * high-cardinality `user_id` the batch windows partition by; watermark
+    * bounds state lifetime.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window").getField("start").as("session_start"),
+        (col("session_window").getField("end") -
+          expr(s"INTERVAL $gapMinutes MINUTES")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Running per-head posting pressure via arbitrary stateful processing
     * (`flatMapGroupsWithState`): as posting assignments stream in, keep a
     * per-head running count and emit the head whenever its posting crosses

@@ -123,7 +123,31 @@ object DumpPlans {
         |corpus tokens), a bounded 1-row top-pair collect, and an in-row
         |left-fold merge apply — no per-symbol rows, no window. Rounds are
         |few and fixed; the corpus-sized token explode happens once, at
-        |vocabulary construction.""".stripMargin)
+        |vocabulary construction.""".stripMargin,
+    "q105_bm25" ->
+      """BM25 ranked retrieval: the exploded token stream is filtered to the
+        |literal query terms at scan speed BEFORE any shuffle, so the only
+        |corpus-sized exchange is the per-(doc, term) tf aggregation over
+        |matching tokens; df and (N, avgdl) are broadcast one-row/tiny
+        |aggregates; per-term partials sum as DECIMAL (order-independent)
+        |and the finish is a bounded TakeOrderedAndProject — no global
+        |window, no full sort.""".stripMargin,
+    "q109_pagerank" ->
+      """Integer-exact PageRank, 3 rounds: each round is one hash join of
+        |the edge table against the rank frame (both partitioned on the join
+        |key) + one map-side-partial BIGINT sum + a broadcast 1-row node
+        |count for the teleport term — the canonical iterative-dataflow
+        |plan; frame size stays |V|, nothing is windowed, nothing driver-
+        |side. Floor-division damping keeps every value an exact BIGINT so
+        |the plan is oracle-replayable.""".stripMargin,
+    "q113_rebalance" ->
+      """SPFresh-style posting rebalance: lengths and split pivots are
+        |per-head aggregations (posting-bounded groups, in-plan max_by — no
+        |collects); the split/keep/re-assign branches are hash joins on
+        |head_id; orphan re-assignment probes the broadcast-bounded
+        |survivor heads inside an expression; the finish dedups on
+        |(head_id, id). No pair space, no corpus-wide window — the whole
+        |maintenance round is scan + keyed joins + bounded groups.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

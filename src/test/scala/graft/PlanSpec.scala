@@ -134,7 +134,9 @@ class PlanSpec extends SparkSpec {
       "q105_bm25",            // ONE-row (N, avgdl) corpus stats, broadcast
       "q107_mixture_weights", // ONE-row total + normalizer scalars, broadcast
       "q109_pagerank",        // ONE-row node-count scalar, broadcast
-      "q110_passage_retrieval") // q105's ONE-row corpus stats over passages
+      "q110_passage_retrieval", // q105's ONE-row corpus stats over passages
+      "q113_rebalance",       // ONE-row max-head-id offset scalar, broadcast
+      "q114_maxsim")          // bounded query-bag vectors, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -145,4 +145,26 @@ class SimilaritySpec extends SparkSpec {
     assert(df(1) % 2001 - 1000 === SimilaritySearch.planeWeight(3, 17))
     assert(df(2) % 2001 - 1000 === SimilaritySearch.planeWeight(7, 63))
   }
+
+  test("maxSim ranks the identical bag first and orthogonal bags last") {
+    import spark.implicits._
+    // bag 0 = the query bag itself; bag 1 = near-copy (one vector shared);
+    // bag 2 = orthogonal to everything in the query
+    val qb = Seq(
+      (0, 100L, Seq(1f, 0f, 0f)), (0, 101L, Seq(0f, 1f, 0f)))
+      .toDF("query_label", "qvid", "qvec")
+    val db = Seq(
+      (0, 100L, Seq(1f, 0f, 0f)), (0, 101L, Seq(0f, 1f, 0f)),
+      (1, 200L, Seq(1f, 0f, 0f)), (1, 201L, Seq(0f, 0f, 1f)),
+      (2, 300L, Seq(0f, 0f, 1f)), (2, 301L, Seq(0f, 0f, -1f)))
+      .toDF("doc_label", "id", "vec")
+    val r = SimilaritySearch.maxSim(qb, db, k = 3).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getInt(2), x.getDouble(3))).toMap
+    // identical bag: both query tokens find an exact match -> score 2
+    assert(r((0, 1)) === ((0, 2.0)))
+    // near-copy: one exact match + one orthogonal best -> score 1
+    assert(r((0, 2)) === ((1, 1.0)))
+    // orthogonal bag: every max-sim is 0
+    assert(r((0, 3)) === ((2, 0.0)))
+  }
 }

@@ -269,4 +269,45 @@ class SpannSpec extends SparkSpec {
     val rec = Eval.recallSummary(Eval.recallAt(approx, exact, 10)).head()
     assert(rec.getDouble(0) >= 0.8, s"avg recall ${rec.getDouble(0)}")
   }
+
+  test("rebalancePostings splits oversized postings on pivots and merges tiny ones") {
+    import spark.implicits._
+    // head 1: 8 members in two sub-clusters around (-5,0) and (+5,0) — over
+    // maxLen 5; head 2: healthy; head 3: single member — under minLen 2
+    val headRows = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(100f, 100f)), (3L, Seq(200f, 200f)))
+      .toDF("head_id", "head_vec")
+    val members = Seq(
+      (1L, 10L, Seq(6.5f, 0f)), (1L, 11L, Seq(5f, 0f)), (1L, 12L, Seq(5f, 1f)),
+      (1L, 13L, Seq(4f, 0f)), (1L, 14L, Seq(-6f, 0f)), (1L, 15L, Seq(-5f, 0f)),
+      (1L, 16L, Seq(-5f, 1f)), (1L, 17L, Seq(-4f, 0f)),
+      (2L, 20L, Seq(101f, 100f)), (2L, 21L, Seq(100f, 101f)), (2L, 22L, Seq(99f, 100f)),
+      (3L, 30L, Seq(201f, 200f))
+    ).toDF("head_id", "id", "vec")
+    val postings = members.join(headRows, "head_id")
+      .select(col("head_id"), col("id"), col("vec"),
+        graft.functions.dist.l2sq(col("vec"), col("head_vec")).as("dist"))
+    val (heads2, post2) = Spann.rebalancePostings(headRows, postings, maxLen = 5, minLen = 2)
+
+    // survivors: pivot-A side reuses id 1, B side gets 1 + (max+1) = 5; head 3 gone
+    val hs = heads2.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(hs.keySet === Set(1L, 2L, 5L), s"heads: ${hs.keySet}")
+    assert(hs(1L) === Seq(6.5f, 0f), "pivot A = farthest member from old head")
+    assert(hs(5L) === Seq(-6f, 0f), "pivot B = farthest member from A")
+
+    val byHead = post2.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // the split separates the two sub-clusters exactly
+    assert(byHead(1L) === Set(10L, 11L, 12L, 13L), s"A side: ${byHead(1L)}")
+    assert(byHead(5L) === Set(14L, 15L, 16L, 17L), s"B side: ${byHead(5L)}")
+    // the orphan re-assigns to its nearest surviving head (head 2)
+    assert(byHead(2L) === Set(20L, 21L, 22L, 30L), s"merged: ${byHead(2L)}")
+    // coverage preserved: every original vector id still posted exactly once here
+    assert(post2.select("id").distinct().count() === 12)
+    // rebalanced index still searches: the probe's exact neighbor surfaces
+    val probe = Seq((1L, Seq(5f, 0.5f))).toDF("query_id", "qvec")
+    val got = Spann.searchTwoStage(probe, heads2, post2, k = 1, internalK = 1)
+      .collect()
+    assert(got.head.getLong(2) === 11L || got.head.getLong(2) === 12L)
+  }
 }

@@ -270,4 +270,56 @@ class StreamingSpec extends SparkSpec {
       assert(batch.exceptAll(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming sessionization: gap closes sessions; agrees with batch off-boundary") {
+    import graft.operators.Events
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    // user 1 probes the exact-gap boundary (29 in-session, exactly-30 ALSO
+    // merges — the native window treats adjacent ranges as one session, the
+    // batch op's `ts > prev + gap` semantics exactly); user 2 is clearly
+    // split, user 3 clearly one session
+    val fixture = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(29), 1L, "view", 2.0), (3L, ts(59), 1L, "view", 4.0),
+      (4L, ts(0), 2L, "view", 1.0), (5L, ts(31), 2L, "view", 2.0),
+      (6L, ts(0), 3L, "view", 1.0), (7L, ts(10), 3L, "view", 2.0), (8L, ts(20), 3L, "view", 4.0))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingIngest.sessionizeStream(sdf, gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every fixture session; one more
+      // batch flushes the now-closed windows
+      stream.addData(Seq((90L, ts(10000), 99L, "view", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((91L, ts(10001), 99L, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val expect = Set(
+        (1L, ts(0), ts(59), 3L, 7.0),
+        (2L, ts(0), ts(0), 1L, 1.0), (2L, ts(31), ts(31), 1L, 2.0),
+        (3L, ts(0), ts(20), 3L, 7.0))
+      assert(got === expect, s"closed sessions: $got")
+      // the batch operator agrees aggregate-for-aggregate on every user,
+      // exact-gap boundary included
+      val batch = Events.sessionize(
+        fixture.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(batch === expect)
+    } finally q.stop()
+  }
 }
