@@ -371,6 +371,32 @@ class AnnIndex private (
       .build()
   }
 
+  /** Posting rebalance on the built index — the SPFresh-style split/merge
+    * maintenance round ([[Spann.rebalancePostings]]; `toFixpoint` iterates
+    * it until every posting fits `maxLen`). Heads and postings are replaced
+    * in place on the facade; a loaded bucketed layout gets its
+    * `head_bucket` partition column re-derived, and stored PQ codes are
+    * re-joined onto the re-assigned rows (codes describe vectors, not
+    * heads, so they survive re-assignment verbatim). Head-count hint is
+    * invalidated (split/merge changes it).
+    */
+  def rebalance(maxLen: Int, minLen: Int, toFixpoint: Boolean = false): AnnIndex = {
+    val (h, p) = requireBuilt()
+    val core = p.select(col("head_id"), col("id"), col("vec"), col("dist"))
+    val (h2, p2core) =
+      if (toFixpoint) Spann.rebalanceToFixpoint(h, core, maxLen, minLen, conf.metric)
+      else Spann.rebalancePostings(h, core, maxLen, minLen, conf.metric)
+    val p2bucketed =
+      if (p.columns.contains("head_bucket"))
+        graft.sources.IndexStore.withBucket(p2core, conf.headBuckets)
+      else p2core
+    val p2 =
+      if (p.columns.contains("codes")) p2bucketed.join(storedCodes.get, Seq("id"))
+      else p2bucketed
+    copy(heads = Some(h2.localCheckpoint(true)),
+      postings = Some(p2.localCheckpoint(true)), headCountHint = None)
+  }
+
   /** Recall@k of the approximate path vs exact, on given queries. */
   def recall(queries: DataFrame, k: Int): Double =
     Eval.recallSummary(Eval.recallAt(search(queries, k), searchExact(queries, k), k))

@@ -241,6 +241,40 @@ object Spann {
     (survivors, newPostings)
   }
 
+  /** [[rebalancePostings]] iterated to a fixpoint — the hard-cap form: keep
+    * splitting/merging until no posting exceeds `maxLen` (pivot splits
+    * shrink strictly: each side loses at least the other side's pivot) or
+    * `maxRounds` is hit. Mirrors the reference's threshold-adjustment loop
+    * in `SelectHeadInternal` (`SPANNIndex.cpp:538-577`). Each round
+    * checkpoints the posting frame so plan lineage stays bounded (the
+    * [[graft.operators.BalancedKMeans]] loop convention); rounds are counted
+    * by ONE aggregate job over posting lengths.
+    */
+  def rebalanceToFixpoint(
+      heads: DataFrame,
+      postings: DataFrame,
+      maxLen: Int,
+      minLen: Int,
+      metric: String = "l2sq",
+      maxRounds: Int = 8): (DataFrame, DataFrame) = {
+    var h = heads
+    var p = postings
+    var rounds = 0
+    var oversized = true
+    while (oversized && rounds < maxRounds) {
+      val worst = p.groupBy(col("head_id")).agg(count(lit(1)).as("_len"))
+        .agg(coalesce(max(col("_len")), lit(0L))).head.getLong(0)
+      oversized = worst > maxLen
+      if (oversized) {
+        val (h2, p2) = rebalancePostings(h, p, maxLen, minLen, metric)
+        h = h2.localCheckpoint(true)
+        p = p2.localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    (h, p)
+  }
+
   /** Two-stage SPANN search (Q5, `SPANNIndex.cpp:193-258`):
     * 1. stage-1: per query, `internalK` nearest heads (broadcast heads);
     *    prune candidates with `dist > maxDistRatio * bestDist`

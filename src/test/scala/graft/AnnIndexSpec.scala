@@ -398,4 +398,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(rWide >= rFixed,
       s"widened probe must not lower recall ($rFixed -> $rWide)")
   }
+
+  test("rebalance splits/merges postings in place; search stays correct") {
+    val idx = freshIndex.build()
+    // headRatio 0.02 over 1000 vectors x 4 replicas -> ~200/posting: 150/50
+    // forces splits AND merges
+    val reb = idx.rebalance(maxLen = 150, minLen = 50, toFixpoint = true)
+    val worst = reb.postings.get.groupBy("head_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(worst <= 150, s"posting cap violated: $worst")
+    val res = reb.search(synthQueries(3), 1).collect()
+    for (t <- 0 until 3)
+      assert(res.filter(_.getLong(0) == t).head.getLong(2) === 2L * t)
+    assert(reb.recall(synthQueries(5), 5) >= 0.8)
+  }
 }

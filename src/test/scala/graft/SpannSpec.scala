@@ -310,4 +310,27 @@ class SpannSpec extends SparkSpec {
       .collect()
     assert(got.head.getLong(2) === 11L || got.head.getLong(2) === 12L)
   }
+
+  test("rebalanceToFixpoint drives every posting under the cap in few rounds") {
+    import spark.implicits._
+    // one 16-member head spread along a line: needs >1 pivot-split round
+    // for maxLen 5; plus a healthy head so merges have a target
+    val headRows = Seq((1L, Seq(0f, 0f)), (2L, Seq(1000f, 1000f)))
+      .toDF("head_id", "head_vec")
+    val members = ((0 until 16).map(i => (1L, 100L + i, Seq(i * 10f, 0f))) ++
+      Seq((2L, 200L, Seq(1000f, 1001f)), (2L, 201L, Seq(1001f, 1000f)),
+        (2L, 202L, Seq(999f, 1000f))))
+      .toDF("head_id", "id", "vec")
+    val postings = members.join(headRows, "head_id")
+      .select(col("head_id"), col("id"), col("vec"),
+        graft.functions.dist.l2sq(col("vec"), col("head_vec")).as("dist"))
+    val (h2, p2) = Spann.rebalanceToFixpoint(headRows, postings, maxLen = 5, minLen = 2)
+    val lens = p2.groupBy("head_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens.values.forall(_ <= 5), s"cap violated: $lens")
+    // every vector still covered exactly once, heads consistent with postings
+    assert(p2.select("id").distinct().count() === 19)
+    val headIds = h2.select("head_id").collect().map(_.getLong(0)).toSet
+    assert(lens.keySet.subsetOf(headIds), s"posting heads missing: $lens vs $headIds")
+  }
 }
