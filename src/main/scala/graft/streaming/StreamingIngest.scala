@@ -113,6 +113,77 @@ object StreamingIngest {
       .toDF("head_id", "n_postings", "needs_split")
   }
 
+  /** Streaming conversion funnel via arbitrary stateful processing
+    * (`flatMapGroupsWithState`) — the continuous form of
+    * [[graft.operators.Events.funnel]] (q100): per-user state holds the
+    * committed completion time of each funnel stage; a newly-arriving event
+    * commits stage `i` when stage `i−1` is committed, the event falls
+    * strictly after it (and inside `withinMinutes` when set), and stage `i`
+    * is still open. Each commit emits ONE append-mode row
+    * `(user_id, stage, stage_name, t)` — the same long-form rows the batch
+    * operator produces, surfaced the moment the conversion happens.
+    *
+    * Exactness contract: commits are greedy and final (append-mode
+    * semantics). With per-user in-order delivery — the Kafka
+    * partition-by-user norm, and guaranteed within a micro-batch because the
+    * group's events are processed in `(ts, event_id)` order — greedy
+    * first-eligible IS the batch operator's chained min-aggregation, so the
+    * emitted rows equal `Events.funnel` exactly (StreamingSpec pins it,
+    * single- and multi-batch). A stage event arriving out of order BEHIND an
+    * already-committed stage is ignored, matching real-time dashboards.
+    * Timestamps compare at microsecond precision (the batch op's interval
+    * arithmetic).
+    *
+    * Scale: state is `|stages|` longs per user, keyed on the
+    * high-cardinality `user_id`; no timeout — funnels are small and
+    * permanent within the job's horizon (add a TTL timeout for unbounded
+    * user spaces).
+    */
+  def funnelStream(
+      events: DataFrame, // streaming (event_id, ts, user_id, event_type)
+      stages: Seq[String],
+      withinMinutes: Option[Int] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageIdx = stages.zipWithIndex.toMap
+    val windowMicros = withinMinutes.map(_.toLong * 60L * 1000000L)
+    val Open = Long.MaxValue
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_type").cast("string"), col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Int, String, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+         state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.fill(stages.size)(Open))
+          val out = Seq.newBuilder[(Long, Int, String, java.sql.Timestamp)]
+          for ((_, ts, tpe, _) <- rows.toSeq.sortBy(e => (micros(e._2), e._4))) {
+            stageIdx.get(tpe).foreach { i =>
+              val t = micros(ts)
+              val prevOk =
+                if (i == 0) true
+                else times(i - 1) != Open && t > times(i - 1) &&
+                  windowMicros.forall(w => t <= times(i - 1) + w)
+              if (times(i) == Open && prevOk) {
+                times = times.updated(i, t)
+                out += ((uid, i + 1, tpe, ts))
+              }
+            }
+          }
+          state.update(times)
+          out.result().iterator
+      }
+      .toDF("user_id", "stage", "stage_name", "t")
+  }
+
   /** Streaming NEAR-dup dedup: MinHash+LSH over a document stream, keyed by
     * band bucket, with each bucket's membership held in stream state
     * (`flatMapGroupsWithState`) — the continuous-ingest form of

@@ -322,4 +322,38 @@ class StreamingSpec extends SparkSpec {
       assert(batch === expect)
     } finally q.stop()
   }
+
+  test("streaming funnel emits each conversion once and equals the batch funnel") {
+    import graft.operators.Events
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    // events.ts is TIMESTAMP_NTZ; the stream side goes through a Timestamp
+    // encoder (session-UTC) — compare both as Spark-rendered strings
+    val batch = Events.funnel(Tables.events(spark, sf0001), stages, Some(720))
+      .select(col("user_id"), col("stage"), col("stage_name"),
+        col("t").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    val rows = events.as[(Long, java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._2.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = StreamingIngest.funnelStream(sdf, stages, Some(720))
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append")
+      .start()
+    try {
+      // two ts-ordered micro-batches: state must carry stage commits across
+      stream.addData(first.toIndexedSeq); q.processAllAvailable()
+      stream.addData(second.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select(col("user_id"), col("stage"), col("stage_name"),
+          col("t").cast("string"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+      assert(got === batch, s"missing: ${batch -- got}, extra: ${got -- batch}")
+    } finally q.stop()
+  }
 }
