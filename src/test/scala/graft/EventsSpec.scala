@@ -102,4 +102,41 @@ class EventsSpec extends SparkSpec {
         col("a.session_end") >= col("b.session_start")).count()
     assert(bad === 0L)
   }
+
+  test("funnel equals a plain-Scala chained-greedy reference on random streams") {
+    val stages = Seq("view", "click", "purchase")
+    val types = stages ++ Seq("error", "scroll")
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val rows = (0 until 120).map { i =>
+        val uid = 1L + rng.nextInt(6)
+        val t = f"2026-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d"
+        (i.toLong, t, uid, types(rng.nextInt(types.length)), 1.0)
+      }
+      val within = if (trial % 2 == 0) Some(180) else None
+      // plain-Scala reference: greedy first-eligible commit in (ts, id) order
+      val ref = rows.groupBy(_._3).flatMap { case (uid, evs) =>
+        val times = Array.fill(stages.length)(Option.empty[String])
+        val out = Seq.newBuilder[(Long, Int, String, String)]
+        for ((id, t, _, tpe, _) <- evs.sortBy(e => (e._2, e._1));
+             i <- stages.zipWithIndex.filter(_._1 == tpe).map(_._2)) {
+          val prevOk = i == 0 || (times(i - 1).isDefined && t > times(i - 1).get &&
+            within.forall { w =>
+              val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+              val prev = java.time.LocalDateTime.parse(times(i - 1).get, fmt)
+              !java.time.LocalDateTime.parse(t, fmt).isAfter(prev.plusMinutes(w))
+            })
+          if (times(i).isEmpty && prevOk) { times(i) = Some(t); out += ((uid, i + 1, tpe, t)) }
+        }
+        out.result()
+      }.toSet
+      val got = Events.funnel(ev(rows), stages, within)
+        .select(col("user_id"), col("stage"), col("stage_name"),
+          date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(got === ref,
+        s"trial $trial (within=$within): missing ${ref -- got}, extra ${got -- ref}")
+    }
+  }
 }

@@ -139,4 +139,31 @@ class KnnGraphSpec extends SparkSpec {
     assert(pr(2L) > pr(3L), s"cited beats uncited: $pr")
     assert(pr(3L) === pr(4L) && pr(4L) === pr(5L), "symmetric leaves tie")
   }
+
+  test("pageRank equals a plain-Scala reference on random out-regular digraphs") {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 6 + rng.nextInt(15)
+      val k = 3
+      val edgeSeq = (0L until n.toLong).flatMap { src =>
+        rng.shuffle((0L until n.toLong).filter(_ != src).toList).take(k)
+          .map(dst => (src, dst))
+      }
+      // reference: identical integer fixed-point arithmetic, plain Scala
+      var ref = Array.fill(n)(Scale / n)
+      val base = (15L * Scale) / (100L * n)
+      for (_ <- 1 to 3) {
+        val in = Array.fill(n)(0L)
+        for ((s, d) <- edgeSeq) in(d.toInt) += ref(s.toInt) * 85L / (100L * k)
+        ref = Array.tabulate(n)(i => base + in(i))
+      }
+      val got = KnnGraph.pageRank(
+        edgeSeq.toDF("src", "dst"), (0L until n.toLong).toDF("id"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (i <- 0 until n)
+        assert(got(i.toLong) === ref(i), s"node $i of n=$n")
+    }
+  }
 }
