@@ -857,7 +857,11 @@ object SparkEntry {
           col("vec").as("qvec"))
       val db = e.select(col("label").as("doc_label"), col("id"), col("vec"))
       ordered(SimilaritySearch.maxSim(qb, db, MaxSimK))
-    })
+    }),
+    // per-source corpus health report (docs, tokens, quality, dup rate,
+    // dominant language) — one composed plan
+    "q115_corpus_report" -> ((s, d) =>
+      ordered(Pipeline.corpusReport(Tables.documents(s, d))))
   )
 
   private val KdDepth = 3
@@ -2276,6 +2280,34 @@ object SparkEntry {
          |        doc_label, score FROM sc)
          |SELECT query_label, rank, doc_label, score FROM r WHERE rank <= $MaxSimK
          |ORDER BY query_label, rank, doc_label, score""".stripMargin
+    },
+    // q72's source stats + token mass + the per-source langId mode
+    // (cnt DESC, lang ASC — Spark's min_by over (−cnt, lang))
+    "q115_corpus_report" -> {
+      val h60 = graft.functions.Hash60.sql("text")
+      s"""WITH q AS (SELECT doc_id, source, ${TextAnalysis.Sql.qualityExpr} AS quality
+         |           FROM documents),
+         |h AS (SELECT doc_id, $h60 AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS canon FROM h GROUP BY h),
+         |d AS (SELECT h.doc_id, CASE WHEN h.doc_id <> c.canon THEN 1 ELSE 0 END AS is_dup
+         |      FROM h JOIN c ON h.h = c.h),
+         |st AS (SELECT q.source, count(*) AS n_docs,
+         |         round(CAST(SUM(CAST(q.quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS mean_quality,
+         |         round(sum(d.is_dup)::DOUBLE / count(*), 4) AS dup_rate
+         |       FROM q JOIN d ON q.doc_id = d.doc_id GROUP BY q.source),
+         |tk AS (SELECT source, sum(len(${TextAnalysis.Sql.toks("text")})) AS n_tokens
+         |       FROM documents GROUP BY source),
+         |lid AS (SELECT ${TextAnalysis.Sql.langIdSelect} FROM documents),
+         |lc AS (SELECT d.source, l.pred_lang, count(*) AS cnt
+         |       FROM lid l JOIN documents d ON d.doc_id = l.doc_id
+         |       GROUP BY d.source, l.pred_lang),
+         |tl AS (SELECT source, pred_lang AS top_lang FROM (
+         |    SELECT source, pred_lang,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY cnt DESC, pred_lang) AS rn FROM lc) WHERE rn = 1)
+         |SELECT st.source, st.n_docs, tk.n_tokens, st.mean_quality, st.dup_rate, tl.top_lang
+         |FROM st JOIN tk ON tk.source = st.source JOIN tl ON tl.source = st.source
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->

@@ -460,6 +460,35 @@ object Pipeline {
         round(sum(col("is_dup")).cast("double") / count(lit(1)), 4).as("dup_rate"))
   }
 
+  /** One-plan corpus health report — the per-source dashboard row a data
+    * team reads before touching the mix: doc count, token mass, mean
+    * quality, exact-duplicate rate, and the dominant language. Composes
+    * [[sourceStats]], a token aggregation, and
+    * [[TextAnalysis.langId]]'s per-source mode (ties → the alphabetically
+    * smaller language, via a `min_by` over `(−count, lang)`). Output
+    * `(source, n_docs, n_tokens, mean_quality, dup_rate, top_lang)`.
+    *
+    * Scale: three corpus-scan aggregations keyed on `source` (map-side
+    * partial) + sources-sized joins; the only per-doc wide op is exact
+    * dedup's hash-groupBy inside [[sourceStats]].
+    */
+  def corpusReport(docs: DataFrame,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val st = sourceStats(docs)
+    val toks = docs.groupBy(col(sourceCol))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val langs = TextAnalysis.langId(docs)
+      .join(docs.select(col("doc_id"), col(sourceCol)), Seq("doc_id"))
+      .groupBy(col(sourceCol), col("pred_lang"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(sourceCol))
+      .agg(min_by(col("pred_lang"),
+        struct((-col("_cnt")).as("nc"), col("pred_lang"))).as("top_lang"))
+    st.join(toks, Seq(sourceCol)).join(langs, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("dup_rate"), col("top_lang"))
+  }
+
   /** Deterministic train/val/test split: each doc draws the
     * [[mixtureSample]] 10000-sided hash (pure function of `doc_id` + salt)
     * and lands in `train` (< 10·trainPct), `val` (< 10·(trainPct+valPct)) or

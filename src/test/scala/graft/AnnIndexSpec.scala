@@ -412,4 +412,26 @@ class AnnIndexSpec extends SparkSpec {
       assert(res.filter(_.getLong(0) == t).head.getLong(2) === 2L * t)
     assert(reb.recall(synthQueries(5), 5) >= 0.8)
   }
+
+  test("full lifecycle: build, save, load, add, rebalance, delete, refine, search") {
+    val dir = Files.createTempDirectory("annidx_lifecycle").toString
+    val idx = freshIndex.build()
+    idx.save(dir)
+    var cur = AnnIndex.load(spark, dir)
+    cur = cur.add(Seq((6000L, Seq.fill(10)(1600f), "n")).toDF("id", "vec", "meta"))
+    cur = cur.rebalance(maxLen = 150, minLen = 50, toFixpoint = true)
+    cur = cur.deleteByIds(Seq(0L).toDF("id"))
+    if (cur.needRefine) cur = cur.refineIndex()
+    // the added vector is findable after rebalance
+    val qNew = Seq((0L, Seq.fill(10)(1601f))).toDF("query_id", "qvec")
+    assert(cur.search(qNew, 1).head().getLong(2) === 6000L)
+    // grid points still resolve to themselves
+    val res = cur.search(synthQueries(3), 1).collect()
+    for (t <- 1 until 3)
+      assert(res.filter(_.getLong(0) == t).head.getLong(2) === 2L * t)
+    // the tombstoned vector never surfaces
+    val q0 = synthQueries(1)
+    assert(!cur.search(q0, 5).collect().map(_.getLong(2)).contains(0L))
+    assert(cur.recall(synthQueries(5), 5) >= 0.8)
+  }
 }
