@@ -226,6 +226,12 @@ object Spann {
     // ---- merge ----
     val survivors = heads.join(touched, Seq("head_id"), "left_anti")
       .unionByName(splitHeads)
+    // every-head-undersized with nothing split would silently drop all
+    // orphans (nothing to re-assign onto) — fail diagnosably instead; the
+    // guard is one count over a heads-sized frame
+    require(survivors.limit(1).count() > 0,
+      s"rebalance leaves no surviving head (every posting under minLen=$minLen " +
+        "and none over maxLen) — lower minLen or rebuild instead")
     val orphans = postings.join(under, Seq("head_id"))
       .select(col("id"), col("vec")).distinct()
     val nn = graft.functions.NearestHeadsExpr.fromHeads(

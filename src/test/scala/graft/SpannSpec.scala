@@ -333,4 +333,14 @@ class SpannSpec extends SparkSpec {
     val headIds = h2.select("head_id").collect().map(_.getLong(0)).toSet
     assert(lens.keySet.subsetOf(headIds), s"posting heads missing: $lens vs $headIds")
   }
+
+  test("rebalance fails diagnosably when no head would survive") {
+    import spark.implicits._
+    val headRows = Seq((1L, Seq(0f, 0f))).toDF("head_id", "head_vec")
+    val postings = Seq((1L, 10L, Seq(1f, 0f), 1.0)).toDF("head_id", "id", "vec", "dist")
+    val e = intercept[IllegalArgumentException] {
+      Spann.rebalancePostings(headRows, postings, maxLen = 5, minLen = 2)
+    }
+    assert(e.getMessage.contains("no surviving head"))
+  }
 }
