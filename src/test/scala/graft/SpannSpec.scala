@@ -343,4 +343,31 @@ class SpannSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no surviving head"))
   }
+
+  test("rebalance invariants hold on random posting sets (coverage, partition, cap)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nHeads = 4 + rng.nextInt(3)
+      val headRows = (1 to nHeads)
+        .map(h => (h.toLong, Seq(rng.nextFloat() * 100, rng.nextFloat() * 100)))
+        .toDF("head_id", "head_vec")
+      val members = (0 until 80).map { i =>
+        (1L + rng.nextInt(nHeads), 1000L + i,
+          Seq(rng.nextFloat() * 100, rng.nextFloat() * 100))
+      }.toDF("head_id", "id", "vec")
+      val postings = members.join(headRows, "head_id")
+        .select(col("head_id"), col("id"), col("vec"),
+          graft.functions.dist.l2sq(col("vec"), col("head_vec")).as("dist"))
+      val ids0 = postings.select("id").distinct().count()
+      val (h2, p2) = Spann.rebalanceToFixpoint(headRows, postings, maxLen = 15, minLen = 5)
+      // every distinct vector still covered; every posting within the cap;
+      // every posting's head exists in the returned head table
+      assert(p2.select("id").distinct().count() === ids0, s"trial $trial coverage")
+      val lens = p2.groupBy("head_id").count().collect()
+      assert(lens.forall(_.getLong(1) <= 15), s"trial $trial cap: ${lens.mkString(",")}")
+      val headIds = h2.select("head_id").collect().map(_.getLong(0)).toSet
+      assert(lens.map(_.getLong(0)).forall(headIds), s"trial $trial dangling head")
+    }
+  }
 }
