@@ -65,6 +65,54 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a row-major grayscale buffer — the missing
+    * middle stage of the decode → resize → featurize image path. Pure
+    * per-element index math (`src = floor(dst · srcDim / dstDim)`), the
+    * deterministic resize every preprocessing pipeline starts from; swap in
+    * a real interpolating kernel without touching the dataflow.
+    */
+  def resizeNearest(
+      pixels: Array[Float], w: Int, h: Int, ow: Int, oh: Int): Array[Float] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0, "dimensions must be positive")
+    val out = new Array[Float](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = pixels(sy * w + (x.toLong * w / ow).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class Resized(id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  /** Decode-and-resize for image-kind payloads: the payload is interpreted
+    * as a row-major `height × width` grayscale byte plane (truncated/padded
+    * to fit — the honest stand-in matching [[fakeDecode]]'s contract), then
+    * nearest-neighbor resampled to `ow × oh`. Partition-local map — payloads
+    * never shuffle; at 100 TB this is the second map stage over the
+    * binary-file scan, between decode and feature extraction.
+    */
+  def resize(media: Dataset[MediaRow], ow: Int, oh: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "image" && r.width > 0 && r.height > 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val plane = new Array[Float](r.width * r.height)
+          var i = 0
+          while (i < plane.length) {
+            plane(i) = if (i < r.payload.length) (r.payload(i) & 0xff) / 255f else 0f
+            i += 1
+          }
+          Resized(r.id, ow, oh, resizeNearest(plane, r.width, r.height, ow, oh))
+        }
+      }
+  }
+
   /** Frame sampling for video-kind payloads: deterministic stride over the
     * payload (a real impl strides over decoded frames; same dataflow shape:
     * one row in → `nFrames` rows out via flatMap).

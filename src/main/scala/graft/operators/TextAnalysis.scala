@@ -421,6 +421,12 @@ object TextAnalysis {
     * partitioned by `doc_id` (high-cardinality key — balanced, unlike the
     * per-source windows q85/q86 avoid). No broadcast of anything
     * corpus-sized: the single-row corpus count joins as a broadcast literal.
+    * The token-keyed df join skews on stopwords ("the" pairs with nearly
+    * every doc), but it is a 1:N enrich — the skew-splittable join shape —
+    * so AQE skew handling divides hot partitions while replicating the
+    * single df row; no salting needed. (Same posture for every token/
+    * shingle-keyed df join in this package: [[boilerplate]],
+    * [[graft.operators.Dedup.noveltyScore]].)
     */
   def tfIdf(docs: DataFrame, topK: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

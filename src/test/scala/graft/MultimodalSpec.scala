@@ -47,4 +47,19 @@ class MultimodalSpec extends SparkSpec {
     assert(one.getInt(2) === text.head.toInt)
     assert(one.getLong(3) === text.map(_.toLong).sum)
   }
+
+  test("resizeNearest: exact index math on a known plane; resize maps image rows only") {
+    // 2x2 plane [[1,2],[3,4]] -> 1x1 takes the top-left; 4x4 upsample
+    // replicates each source pixel into a 2x2 block
+    val p = Array(1f, 2f, 3f, 4f)
+    assert(Multimodal.resizeNearest(p, 2, 2, 1, 1).toSeq === Seq(1f))
+    assert(Multimodal.resizeNearest(p, 2, 2, 4, 4).toSeq === Seq(
+      1f, 1f, 2f, 2f,  1f, 1f, 2f, 2f,  3f, 3f, 4f, 4f,  3f, 3f, 4f, 4f))
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val rs = Multimodal.resize(media, 8, 8)
+    val n = rs.count()
+    assert(n > 0 && n <= media.filter(_.kind == "image").count())
+    val one = rs.head()
+    assert(one.pixels.length === 64 && one.pixels.forall(v => v >= 0f && v <= 1f))
+  }
 }
