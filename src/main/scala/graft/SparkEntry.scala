@@ -861,7 +861,16 @@ object SparkEntry {
     // per-source corpus health report (docs, tokens, quality, dup rate,
     // dominant language) — one composed plan
     "q115_corpus_report" -> ((s, d) =>
-      ordered(Pipeline.corpusReport(Tables.documents(s, d))))
+      ordered(Pipeline.corpusReport(Tables.documents(s, d)))),
+    // SQ8-compressed search: fit → quantize → reconstruct → exact top-k on
+    // the reconstructed corpus (the SQ analogue of q42's PQ-ADC path)
+    "q116_sq_search" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      val stats = graft.functions.ScalarQuantizer.fit(vecs)
+      val recon = graft.functions.ScalarQuantizer.reconstruct(
+        graft.functions.ScalarQuantizer.quantize(vecs, stats), stats)
+      ordered(Knn.search(embQueries(s, d), recon, K, "l2sq"))
+    })
   )
 
   private val KdDepth = 3
@@ -2308,6 +2317,32 @@ object SparkEntry {
          |SELECT st.source, st.n_docs, tk.n_tokens, st.mean_quality, st.dup_rate, tl.top_lang
          |FROM st JOIN tk ON tk.source = st.source JOIN tl ON tl.source = st.source
          |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    },
+    // SQ8 fit/quantize/reconstruct (q103's math) then the q37-style exact
+    // top-k over the reconstructed corpus
+    "q116_sq_search" -> {
+      val sDist = Tables.distSql("l2sq", "q.qvec", "r.rvec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dx AS (SELECT generate_subscripts(vec, 1) AS i, unnest(vec) AS v FROM e),
+         |s AS (SELECT i, CAST(min(v) AS DOUBLE) AS mn,
+         |        CAST(max(v) AS DOUBLE) AS mx FROM dx GROUP BY i),
+         |a AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM s),
+         |rec AS (SELECT id,
+         |          list(mns[i] +
+         |            (CASE WHEN mxs[i] = mns[i] THEN 0
+         |                  ELSE floor((CAST(vec[i] AS DOUBLE) - mns[i])
+         |                             / (mxs[i] - mns[i]) * 255 + 0.5)
+         |             END)::DOUBLE / 255 * (mxs[i] - mns[i])
+         |            ORDER BY i) AS rvec
+         |        FROM e, a, unnest(range(1, len(vec) + 1)) AS u(i)
+         |        GROUP BY id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |dd AS (SELECT q.query_id, r.id, $sDist AS dist FROM q CROSS JOIN rec r),
+         |rk AS (SELECT query_id, id, dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |       FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM rk WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
     },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->

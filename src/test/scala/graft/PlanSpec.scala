@@ -136,7 +136,8 @@ class PlanSpec extends SparkSpec {
       "q109_pagerank",        // ONE-row node-count scalar, broadcast
       "q110_passage_retrieval", // q105's ONE-row corpus stats over passages
       "q113_rebalance",       // ONE-row max-head-id offset scalar, broadcast
-      "q114_maxsim")          // bounded query-bag vectors, broadcast
+      "q114_maxsim",          // bounded query-bag vectors, broadcast
+      "q116_sq_search")       // ONE-row (mns, mxs) stats arrays, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
