@@ -135,4 +135,57 @@ class IndexBuilderSpec extends SparkSpec {
     assert(report.results.isEmpty && report.recallSummary.isEmpty)
     assert(report.index.count === 50)
   }
+
+  test("CorpusCurator: ini-driven curation pipeline end-to-end") {
+    import org.apache.spark.sql.functions.col
+    import graft.tools.CorpusCurator
+    val outDir = java.nio.file.Files.createTempDirectory("curator_out").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("curator_eval").toString
+    // eval split: every 10th doc (the q71/q98 convention)
+    Tables.documents(spark, sf0001).where(col("doc_id") % 10 === 7)
+      .write.mode("overwrite").parquet(s"$evalDir/eval.parquet")
+    val ini =
+      s"""[input]
+         |sfdir=$sf0001
+         |[rules]
+         |isExecute=true
+         |minTokens=5
+         |[dedup]
+         |isExecute=true
+         |jaccardThreshold=0.3
+         |[decontaminate]
+         |isExecute=true
+         |evalPath=$evalDir/eval.parquet
+         |maxOverlap=0.3
+         |[mixture]
+         |isExecute=true
+         |weights=src0:0.5
+         |default=1.0
+         |[split]
+         |isExecute=true
+         |trainPct=80
+         |valPct=10
+         |[output]
+         |dir=$outDir
+         |report=true
+         |""".stripMargin
+    val r = CorpusCurator.run(spark, ini)
+    assert(r.kept > 0 && r.kept < r.in, s"kept ${r.kept} of ${r.in}")
+    val written = spark.read.parquet(s"$outDir/corpus")
+    assert(written.count() === r.kept)
+    assert(written.columns.contains("split"))
+    assert(written.select("split").distinct().count() >= 2)
+    // near-dup dedup kept one canonical doc per group: no surviving exact dups
+    assert(graft.operators.Dedup.exact(written)
+      .where(col("doc_id") =!= col("canon_id")).count() === 0)
+    // src0 downweighted to ~50%
+    val bySrc = written.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val inSrc = Tables.documents(spark, sf0001).groupBy("source").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySrc("src0").toDouble / inSrc("src0") < 0.75, s"src0: $bySrc vs $inSrc")
+    val report = spark.read.parquet(s"$outDir/report")
+    assert(report.columns.toSet ===
+      Set("source", "n_docs", "n_tokens", "mean_quality", "dup_rate", "top_lang"))
+  }
 }
