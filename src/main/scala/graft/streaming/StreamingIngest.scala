@@ -184,6 +184,72 @@ object StreamingIngest {
       .toDF("user_id", "stage", "stage_name", "t")
   }
 
+  /** Streaming retention events via arbitrary stateful processing — the
+    * continuous form of [[graft.operators.Events.retention]]'s per-user
+    * dedup stage: one append-mode row `(user_id, cohort_day, day_offset)`
+    * the FIRST time a user is active on each day at-or-after their signup
+    * day. Downstream, `groupBy(cohort_day, day_offset).count()` — batch or
+    * a second streaming aggregation — reproduces the batch operator's
+    * cohort matrix exactly (StreamingSpec pins it on the real fixture).
+    *
+    * State per user: the signup day, the offsets already emitted, and the
+    * activity days seen BEFORE the signup arrived (same-day activity that
+    * precedes the signup event in time must still count once the cohort is
+    * known — the batch op keeps any `day >= cohort_day`); pre-signup days
+    * earlier than the cohort day are discarded at flush, matching the batch
+    * filter. Exact under per-user in-order delivery (the [[funnelStream]]
+    * contract); state grows one long per distinct active day within the
+    * job's horizon.
+    */
+  def retentionEventsStream(
+      events: DataFrame, // streaming (ts, user_id, event_type)
+      signupType: String = "signup",
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val DayMicros = 86400000000L
+    val NoCohort = Long.MinValue
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_type").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long], Seq[Long]),
+        (Long, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[(Long, Seq[Long], Seq[Long])]) =>
+          var (cohort, emittedSeq, pendingSeq) =
+            state.getOption.getOrElse((NoCohort, Seq.empty[Long], Seq.empty[Long]))
+          var emitted = emittedSeq.toSet
+          var pending = pendingSeq.toSet
+          val out = Seq.newBuilder[(Long, java.sql.Timestamp, Long)]
+          def emit(day: Long): Unit = {
+            val off = day - cohort
+            if (off >= 0 && !emitted(off)) {
+              emitted += off
+              out += ((uid, new java.sql.Timestamp(cohort * 86400000L), off))
+            }
+          }
+          for ((_, ts, tpe) <- rows.toSeq.sortBy(e => micros(e._2))) {
+            val day = Math.floorDiv(micros(ts), DayMicros)
+            if (cohort == NoCohort && tpe == signupType) {
+              cohort = day
+              pending.toSeq.sorted.foreach(emit)
+              pending = Set.empty
+            }
+            if (cohort == NoCohort) pending += day else emit(day)
+          }
+          state.update((cohort, emitted.toSeq, pending.toSeq))
+          out.result().iterator
+      }
+      .toDF("user_id", "cohort_day", "day_offset")
+  }
+
   /** Streaming NEAR-dup dedup: MinHash+LSH over a document stream, keyed by
     * band bucket, with each bucket's membership held in stream state
     * (`flatMapGroupsWithState`) — the continuous-ingest form of

@@ -356,4 +356,32 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch, s"missing: ${batch -- got}, extra: ${got -- batch}")
     } finally q.stop()
   }
+
+  test("streaming retention events aggregate to the batch cohort matrix") {
+    import graft.operators.Events
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sf0001)
+    val batch = Events.retention(events)
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .collect().map(r => (r.getString(0).take(10), r.getLong(1), r.getLong(2))).toSet
+    val rows = events.select("ts", "user_id", "event_type")
+      .as[(java.sql.Timestamp, Long, String)]
+      .collect().sortBy(_._1.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingIngest.retentionEventsStream(sdf)
+      .writeStream.format("memory").queryName("retention_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(first.toIndexedSeq); q.processAllAvailable()
+      stream.addData(second.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("retention_out")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+        .collect().map(r => (r.getString(0).take(10), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch, s"missing: ${batch -- got}, extra: ${got -- batch}")
+    } finally q.stop()
+  }
 }
