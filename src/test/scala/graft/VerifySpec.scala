@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** The driver-contract plumbing itself: oracle JSON escaping, the
+  * partial-run layout a killed Verify must leave behind, and the
+  * queries ↔ oracles key alignment the hash compare depends on.
+  */
+class VerifySpec extends SparkSpec {
+
+  test("every query has an oracle and every oracle a query (driver contract)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("writeOracleJson escapes control characters and survives a JSON parse") {
+    val dir = Files.createTempDirectory("verify_json").toString
+    val tricky = Map(
+      "q_a" -> "SELECT 1 AS \"x\"\n\tFROM t -- back\\slash",
+      "q_b" -> "line1\rline2end")
+    Verify.writeOracleJson(dir, tricky)
+    val raw = Files.readString(Paths.get(s"$dir/oracle_sql.json"))
+    // a control char surviving unescaped would break the driver's json.load
+    assert(!raw.exists(c => c < ' '), s"unescaped control char in: $raw")
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(raw).toDS()).head()
+    assert(parsed.getAs[String]("q_a") === tricky("q_a"))
+    assert(parsed.getAs[String]("q_b") === tricky("q_b"))
+  }
+
+  test("a partial (killed) run still leaves a comparable outDir") {
+    // the round-8 failure mode: oracle_sql.json written LAST turned a
+    // stalled round into `{}`. The contract now: the oracle file lists
+    // EVERY query up front; each finished query is its own parquet dir —
+    // so a kill after n queries leaves n comparable results + the full
+    // oracle map (compare reports the rest as MISSING, not nothing)
+    val outDir = Files.createTempDirectory("verify_partial").toString
+    Verify.writeOracleJson(outDir, SparkEntry.oracleSql)
+    val finished = Seq("q30_text_stats", "q31_lang_id")
+    finished.foreach { name =>
+      SparkEntry.queries(name)(spark, sf0001)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    val oracleRaw = Files.readString(Paths.get(s"$outDir/oracle_sql.json"))
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(oracleRaw.contains("\"" + k + "\""), s"oracle map missing $k")
+    }
+    finished.foreach { name =>
+      assert(spark.read.parquet(s"$outDir/$name").count() > 0, name)
+    }
+    // and the unfinished majority is absent but detectable
+    assert(!Files.exists(Paths.get(s"$outDir/q01_knn_l2")))
+  }
+}
