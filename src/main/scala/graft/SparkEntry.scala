@@ -800,7 +800,11 @@ object SparkEntry {
     "q108_source_overlap" -> ((s, d) =>
       ordered(Dedup.sourceOverlap(Tables.documents(s, d)))),
     // integer-exact PageRank (3 rounds, d=0.85) over the 5-NN cosine digraph
-    // of the embedding set — graph centrality as a data-selection signal
+    // of the embedding set — graph centrality as a data-selection signal.
+    // The exact self-kNN edge build here is the ORACLE path (all vectors as
+    // batch queries — fixture-bounded, like q95); at corpus scale the
+    // operator consumes the B2/B3 TP-tree graph's edge table instead
+    // (KnnGraphSpec runs pageRank over rngRefine output via k <= 0)
     "q109_pagerank" -> ((s, d) => {
       val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
       val qs = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))

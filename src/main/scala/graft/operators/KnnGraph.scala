@@ -238,8 +238,11 @@ object KnnGraph {
   /** PageRank over a k-regular kNN graph — graph centrality as a
     * data-selection signal (central = representative, peripheral = outlier;
     * the graph-based counterpart of the quality scores in
-    * [[TextAnalysis]]). `edges(src, dst)` must be out-degree-`k` regular
-    * (every kNN graph is, by construction); `nodes(id)` is the vertex set.
+    * [[TextAnalysis]]). `edges(src, dst)` with out-degree-`k` regularity
+    * (every kNN graph is, by construction); pass `k <= 0` for irregular
+    * graphs — e.g. the RNG-pruned [[rngRefine]] output, whose prune leaves
+    * variable degree — at the cost of one out-degree aggregation.
+    * `nodes(id)` is the vertex set.
     *
     * Integer-exact fixed-point arithmetic so the oracle hashes bare BIGINTs:
     * ranks live in units of 1e-12 (`Scale`), the damping step is
@@ -258,16 +261,25 @@ object KnnGraph {
       iters: Int = 3, dampingPct: Int = 85): DataFrame = {
     val Scale = 1000000000000L
     val n = nodes.agg(count(lit(1)).as("_n"))
+    // k > 0: the k-out-regular fast path (every kNN graph) — the damping
+    // divisor is a literal, no degree computation. k <= 0: irregular graphs
+    // (e.g. an RNG-pruned B3 graph, whose prune leaves variable degree) pay
+    // one out-degree aggregation, joined alongside the ranks; same exact
+    // integer arithmetic with the divisor per-source
+    val degreed =
+      if (k > 0) edges.withColumn("_deg", lit(k.toLong))
+      else edges.join(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("_deg")), Seq("src"))
     // teleport term and the initial uniform rank are per-row exact integer
     // expressions of the one-row count frame (broadcast), so nothing about
     // N is computed on the driver
     var pr = nodes.crossJoin(broadcast(n))
       .select(col("id"), expr(s"${Scale}L div _n").as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = degreed
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"),
-          expr(s"(pr * $dampingPct) div ${100L * k}L").as("_c"))
+          expr(s"(pr * $dampingPct) div (100 * _deg)").as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
       pr = nodes.crossJoin(broadcast(n))
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")

@@ -166,4 +166,34 @@ class KnnGraphSpec extends SparkSpec {
         assert(got(i.toLong) === ref(i), s"node $i of n=$n")
     }
   }
+
+  test("pageRank k<=0: degree-aware path equals fixed-k on regular graphs " +
+    "and conserves mass on the RNG-pruned fixture graph") {
+    import spark.implicits._
+    // regular fixture: the earlier star-ish digraph, out-degree 2 everywhere
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L),
+      (4L, 0L), (4L, 1L), (5L, 0L), (5L, 1L)).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id")
+    val fixed = KnnGraph.pageRank(edges, nodes, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val degreed = KnnGraph.pageRank(edges, nodes, k = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degreed === fixed, "degree-aware path diverges on a regular graph")
+    // irregular: the real RNG-refined graph over the fixture corpus —
+    // variable out-degree after the prune; every source node must conserve
+    // rank mass up to flooring
+    val g = KnnGraph.rngRefine(
+      KnnGraph.build(corpus, dims = 6, neighborhoodSize = 8, trees = 2),
+      corpus, maxNeighbors = 4)
+    val ids = g.select(col("src").as("id"))
+      .union(g.select(col("dst"))).distinct()
+    val prs = KnnGraph.pageRank(g.select("src", "dst"), ids, k = 0)
+    val total = prs.agg(sum("pr")).head().getLong(0)
+    // no sinks (every corpus node emits an RNG list), so the only loss is
+    // floor-division dust: total stays within 1e6 units of the 1e12 scale
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000000L,
+      s"mass off: $total")
+  }
 }
