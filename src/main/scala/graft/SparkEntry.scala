@@ -874,6 +874,23 @@ object SparkEntry {
       val recon = graft.functions.ScalarQuantizer.reconstruct(
         graft.functions.ScalarQuantizer.quantize(vecs, stats), stats)
       ordered(Knn.search(embQueries(s, d), recon, K, "l2sq"))
+    }),
+    // the corpus-scale PageRank composition: q18's RNG-refined TP-tree
+    // graph (variable out-degree after the prune) through the degree-aware
+    // k<=0 path — no exact self-kNN anywhere in this plan
+    "q117_graph_pagerank" -> ((s, d) => {
+      val vecs = Tables.lineitemVec(s, d).select(col("id"), col("vec"))
+      val g = graft.operators.KnnGraph.build(vecs, 6, 8, 2, 8)
+        .where(col("src") <= 2000)
+      // the edge frame feeds the degree agg + one join per iteration —
+      // checkpoint it once so the TP-tree build + recursive RNG prune
+      // lineage executes exactly once, not per reuse (the BalancedKMeans
+      // loop convention)
+      val edges = graft.operators.KnnGraph.rngRefine(g, vecs)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst"))).distinct()
+      ordered(graft.operators.KnnGraph.pageRank(edges, nodes, k = 0, PrIters))
     })
   )
 
@@ -1075,6 +1092,34 @@ object SparkEntry {
     * with `hdist > ratio * best` (best = the per-query nearest head) are
     * dropped from `ch` before stage 2 (`SPANNIndex.cpp:217-236`).
     */
+  /** Shared DuckDB chain for q18/q117: the TP-tree kNN graph + recursive
+    * RNG refine, ending at CTE `fin(src, acc_ids)` (each source's pruned
+    * neighbor id list in rank order). Callers prepend `WITH RECURSIVE` and
+    * append their own consuming CTEs/SELECT.
+    */
+  private def rngGraphCtes: String = {
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      s"""v AS (${Tables.lineitemVecSql}),
+         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS (SELECT t, p, d,
+         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
+         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
+         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |           FROM dots GROUP BY id, t),
+         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
+         |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
+         |ranked AS (SELECT * FROM (
+         |    SELECT src, dst, d,
+         |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INT) AS rn
+         |    FROM pairs) WHERE rn <= 8),
+         |cv AS MATERIALIZED (SELECT r.src, r.rn, r.dst, r.d, b.vec AS dvec
+         |       FROM ranked r JOIN v b ON b.id = r.dst),
+         |${rngPruneRecSql("src", "dst", "dvec", "d", 32)}""".stripMargin
+    }
+
   private def spannCtes(
       maxDistRatio: Option[Double] = None,
       internalK: Int = InternalK,
@@ -1251,33 +1296,32 @@ object SparkEntry {
          |SELECT src, rank, dst, round(d, 4) AS dist FROM ranked WHERE rank <= 8
          |ORDER BY src, rank, dst, dist""".stripMargin
     },
-    "q18_rng_graph" -> {
-      // q17's TP-tree kNN graph, then the RNG refine rule
-      // (`RelativeNeighborhoodGraph.h:18-35`) as a recursive CTE.
-      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
-      s"""WITH RECURSIVE v AS (${Tables.lineitemVecSql}),
-         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
-         |w AS (SELECT t, p, d,
-         |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
-         |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
-         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
-         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
-         |           FROM dots GROUP BY id, t),
-         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
-         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
-         |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
-         |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
-         |ranked AS (SELECT * FROM (
-         |    SELECT src, dst, d,
-         |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INT) AS rn
-         |    FROM pairs) WHERE rn <= 8),
-         |cv AS MATERIALIZED (SELECT r.src, r.rn, r.dst, r.d, b.vec AS dvec
-         |       FROM ranked r JOIN v b ON b.id = r.dst),
-         |${rngPruneRecSql("src", "dst", "dvec", "d", 32)}
+    "q18_rng_graph" ->
+      s"""WITH RECURSIVE $rngGraphCtes
          |SELECT src, CAST(unnest(range(1, len(acc_ids) + 1)) AS INT) AS rank,
          |       unnest(acc_ids) AS dst
          |FROM fin
-         |ORDER BY src, rank, dst""".stripMargin
+         |ORDER BY src, rank, dst""".stripMargin,
+    // q18's RNG-refined graph feeding the degree-aware integer PageRank
+    // (k<=0 path: divisor = each source's actual out-degree) — the
+    // corpus-scale composition oracle-gated end-to-end
+    "q117_graph_pagerank" -> {
+      val step = (i: Int) =>
+        s"""i$i AS (SELECT eg.dst AS id, sum((p.pr * 85) // (100 * dg.deg)) AS m
+           |      FROM eg JOIN deg dg ON dg.src = eg.src
+           |      JOIN p${i - 1} p ON p.id = eg.src GROUP BY eg.dst),
+           |p$i AS (SELECT nd.id, 15000000000000 // (100 * nn.n) + coalesce(i$i.m, 0) AS pr
+           |      FROM nd CROSS JOIN nn LEFT JOIN i$i ON i$i.id = nd.id)""".stripMargin
+      s"""WITH RECURSIVE $rngGraphCtes,
+         |eg AS (SELECT src, unnest(acc_ids) AS dst FROM fin),
+         |nd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),
+         |deg AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nd),
+         |p0 AS (SELECT id, 1000000000000 // nn.n AS pr FROM nd CROSS JOIN nn),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT id, pr FROM p3 ORDER BY id, pr""".stripMargin
     },
     "q19_mrr" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")

@@ -137,7 +137,8 @@ class PlanSpec extends SparkSpec {
       "q110_passage_retrieval", // q105's ONE-row corpus stats over passages
       "q113_rebalance",       // ONE-row max-head-id offset scalar, broadcast
       "q114_maxsim",          // bounded query-bag vectors, broadcast
-      "q116_sq_search")       // ONE-row (mns, mxs) stats arrays, broadcast
+      "q116_sq_search",       // ONE-row (mns, mxs) stats arrays, broadcast
+      "q117_graph_pagerank")  // ONE-row node-count scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
