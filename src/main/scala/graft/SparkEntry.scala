@@ -891,7 +891,33 @@ object SparkEntry {
       val nodes = edges.select(col("src").as("id"))
         .union(edges.select(col("dst"))).distinct()
       ordered(graft.operators.KnnGraph.pageRank(edges, nodes, k = 0, PrIters))
-    })
+    }),
+    // 1-bit binary quantization (BinaryQuantizer): per-dimension
+    // mean-threshold sign bits packed into one BIGINT — 32× compression,
+    // the coarse rung under SQ8 (q103) and PQ (q42)
+    "q118_binary_codes" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      ordered(graft.functions.BinaryQuantizer.codes(
+        vecs, graft.functions.BinaryQuantizer.fit(vecs), BinDims))
+    }),
+    // coarse-to-fine ANN: Hamming top-R over the packed codes (XOR +
+    // popcount candidate scan), exact l2sq re-rank of the survivors
+    "q119_binary_search" -> ((s, d) =>
+      ordered(SimilaritySearch.binarySearch(
+        embQueries(s, d),
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        BinDims, K, BinRerank))),
+    // SemDeDup: nearest-centroid clustering, exact cosine near-dup pairs
+    // formed only WITHIN clusters (pair space Σ|c|², never n²)
+    "q120_semantic_dedup" -> ((s, d) =>
+      ordered(SimilaritySearch.semanticDedup(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        SemNth, SemMaxCos))),
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of the
+    // English-doc target distribution vs the raw corpus distribution
+    "q121_importance_weights" -> ((s, d) =>
+      ordered(TextAnalysis.importanceWeights(
+        Tables.documents(s, d), col("lang") === "en", ImpBuckets)))
   )
 
   private val KdDepth = 3
@@ -974,6 +1000,22 @@ object SparkEntry {
   // the cut crosses genuinely close scores
   private val MaxSimQBags = 2
   private val MaxSimK = 5
+
+  // ---- q118-q120 constants (mirrored verbatim in the oracles) ----
+  // q118/q119: the 64-dim embeddings pack into ONE 64-bit code word;
+  // rerank R=50 ≈ a 10% coarse-candidate budget on the 500-row fixture —
+  // the coarse/fine split a production binary-first pipeline runs
+  private val BinDims = 64
+  private val BinRerank = 50
+  // q120: every-25th centroids → ~20 clusters of ~25 vectors; 0.6 matches
+  // q36's near-dup bar so the LSH-blocked and cluster-blocked paths are
+  // directly comparable
+  private val SemNth = 25
+  private val SemMaxCos = 0.6
+  // q121: 256 hashed-feature buckets — sf0.01 carries ~20k bigram
+  // instances, so every bucket is populated and the smoothing term stays
+  // a small correction; the target slice (lang='en') is ~43% of docs
+  private val ImpBuckets = 256
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2392,6 +2434,74 @@ object SparkEntry {
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM rk WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
     },
+    // 1-bit codes: integer-scaled embeddings, per-dim exact BIGINT sums,
+    // cross-multiplied mean threshold (v·n > Σ — no division), bit 63 via
+    // (-MAX-1) like q35
+    "q118_binary_codes" ->
+      s"""WITH $binOracleCtes
+         |SELECT id, CAST($binOracleTerms AS BIGINT) AS bcode FROM sq CROSS JOIN st
+         |ORDER BY id, bcode""".stripMargin,
+    // Hamming top-R candidates (bit_count(xor), ties on id) → exact l2sq
+    // re-rank of the survivors — binarySearch mirrored stage-for-stage
+    "q119_binary_search" -> {
+      val rDist = Tables.distSql("l2sq", "q.qvec", "e.vec")
+      s"""WITH $binOracleCtes,
+         |c AS (SELECT id, CAST($binOracleTerms AS BIGINT) AS bcode FROM sq CROSS JOIN st),
+         |qc AS (SELECT id AS query_id, bcode AS qcode FROM c WHERE id < 10),
+         |hr AS (SELECT qc.query_id, c.id,
+         |         row_number() OVER (PARTITION BY qc.query_id
+         |           ORDER BY bit_count(xor(c.bcode, qc.qcode)), c.id) AS hrank
+         |       FROM c CROSS JOIN qc),
+         |cand AS (SELECT query_id, id FROM hr WHERE hrank <= $BinRerank),
+         |e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |dd AS (SELECT cand.query_id, cand.id, $rDist AS dist
+         |       FROM cand JOIN e ON e.id = cand.id JOIN q ON q.query_id = cand.query_id),
+         |rk AS (SELECT query_id, id, dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |       FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM rk WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    // SemDeDup: every-nth centroids, nearest-centroid assignment (ties on
+    // head_id — the q38 replicas=1 mirror), exact cosine pairs within
+    // clusters only
+    "q120_semantic_dedup" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val cDist = Tables.distSql("cos", "l.vec", "r.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $SemNth = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT id, vec, head_id FROM (
+         |        SELECT id, vec, head_id,
+         |          row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |        FROM pd) WHERE rn = 1),
+         |pr AS (SELECT l.head_id, l.id AS a, r.id AS b, $cDist AS cd
+         |       FROM p l JOIN p r ON l.head_id = r.head_id AND l.id < r.id)
+         |SELECT head_id, a, b, round(cd, 4) AS cos_dist FROM pr WHERE cd < $SemMaxCos
+         |ORDER BY head_id, a, b, cos_dist""".stripMargin
+    },
+    // DSIR importance weights: hashed-bigram buckets, Laplace-smoothed
+    // per-bucket log-ratio rounded 6dp + DECIMAL-summed (the q91 convention)
+    "q121_importance_weights" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val h = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, tgt, ($h) % $ImpBuckets AS b
+         |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM bg WHERE tgt GROUP BY b),
+         |tot AS (SELECT count(*) AS r_tot,
+         |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM bg),
+         |w AS (SELECT cr.b,
+         |        round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.t_tot + $ImpBuckets))
+         |            - ln((cr.cr + 1)::DOUBLE / (tot.r_tot + $ImpBuckets)), 6)::DECIMAL(18,9) AS lw
+         |      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
+         |s AS (SELECT doc_id, count(*) AS n_feats, sum(w.lw) AS slw
+         |      FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id)
+         |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
+         |FROM s ORDER BY 1, 2, 3""".stripMargin
+    },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->
       s"""WITH $shingleCtes,
@@ -2403,6 +2513,27 @@ object SparkEntry {
          |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 4) AS novel_share
          |FROM agg ORDER BY doc_id, n_shingles, n_novel, novel_share""".stripMargin
   )
+
+  /** Shared CTEs for the q118/q119 binary-code oracles: `sq` = integer-scaled
+    * embeddings, `st` = one row of (corpus count, dim-ordered per-dim sums) —
+    * the [[graft.functions.BinaryQuantizer.fit]] mirror.
+    */
+  private def binOracleCtes: String =
+    """sq AS (SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |st AS (SELECT max(n) AS n, list(s ORDER BY d) AS sums FROM (
+      |  SELECT d, sum(v) AS s, count(*) AS n FROM (
+      |    SELECT generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM sq) GROUP BY d))""".stripMargin
+
+  /** The 64 per-bit CASE terms of the packed code (bit 63 = Long.MinValue,
+    * spelled (-MAX-1) — the q35 convention).
+    */
+  private def binOracleTerms: String =
+    (0 until 64).map { b =>
+      val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN sv[${b + 1}] * n > sums[${b + 1}] THEN $v ELSE 0 END"
+    }.mkString(" + ")
 
   /** PQ-ADC oracle (q42/q56): train (3 unrolled Lloyd iterations over m=3
     * two-dim subspaces, init = slices of the lowest-id vectors) → quantize →

@@ -196,6 +196,89 @@ object SimilaritySearch {
       .select(col("query_id"), col("best.label").as("pred_label"),
         col("best.votes").as("votes"))
 
+  /** Coarse-to-fine ANN over 1-bit codes ([[graft.functions.BinaryQuantizer]]):
+    * Hamming candidate generation over packed sign codes (XOR + popcount —
+    * 8 bytes per corpus row instead of a float vector), then exact `metric`
+    * re-rank of the top-`rerankR` survivors to top-`k`. The standard
+    * billion-scale two-stage: the coarse pass streams the code column at
+    * memory bandwidth; the float vectors are touched for only `R` rows per
+    * query.
+    *
+    * Plan shape: query codes are a broadcast ≤|Q|-row side (the batch-query
+    * contract, same as [[Knn.search]]); the corpus code column streams once
+    * through a partial-aggregating bounded top-R ([[graft.functions.TopKByDistance]]
+    * — ties on id, fully deterministic), so the per-task fan-out is 16-byte
+    * rows and the shuffle is ≤R rows per query. Re-rank joins the ≤|Q|·R
+    * candidate set back to the corpus on `id` — at scale that semi-join
+    * prunes the vector scan instead of re-reading it whole.
+    *
+    * Deterministic end-to-end (integer-exact codes, tie-broken Hamming
+    * top-R, double-exact re-rank) — the DuckDB oracle mirrors it
+    * stage-for-stage.
+    */
+  def binarySearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      rerankR: Int,
+      metric: String = "l2sq"): DataFrame = {
+    import graft.functions.BinaryQuantizer
+    val stats = BinaryQuantizer.fit(corpus)
+    val ccodes = BinaryQuantizer.codes(corpus, stats, dims)
+    val qcodes = BinaryQuantizer.codes(
+      queries.select(col("query_id").as("id"), col("qvec").as("vec")), stats, dims)
+      .select(col("id").as("query_id"), col("bcode").as("qcode"))
+    val cand = ccodes.crossJoin(broadcast(qcodes))
+      .withColumn("_h",
+        graft.functions.BinaryQuantizer.hamming(col("bcode"), col("qcode")).cast("double"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByDistance.topk(col("id"), col("_h"), rerankR).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("r"))
+      .select(col("query_id"), col("r.id").as("id"))
+    val rer = cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    Knn.explodeRanked(
+      rer.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the embedding
+    * space, then near-dup only WITHIN clusters): centroids are the
+    * deterministic every-nth sample ([[Spann.selectHeadsModulo]] — swap in
+    * [[BalancedKMeans]] centers for a trained codebook, same dataflow), each
+    * vector is assigned to its single nearest centroid
+    * ([[Spann.buildPostings]] with replicas = 1), and candidate pairs form
+    * ONLY inside a cluster — the pair space is Σ_c |c|² instead of n², and
+    * per-cluster size is governed by the centroid count (`everyNth`), which
+    * a real deployment scales with the corpus (SemDeDup runs k ∝ n), so the
+    * per-cluster quadratic term stays bounded at 100 TB.
+    *
+    * Output `(head_id, a, b, cos_dist)`, a < b, cos_dist < `maxCosDist`
+    * (4dp-rounded projection; the filter uses the unrounded double). Feed
+    * the pairs to [[Dedup.canonicalGroups]] + [[Dedup.applyDedup]] to keep
+    * one representative per semantic cluster — the spec exercises that
+    * composition.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      centroidEveryNth: Int,
+      maxCosDist: Double): DataFrame = {
+    val cents = Spann.selectHeadsModulo(emb, centroidEveryNth)
+    val assigned = Spann.buildPostings(
+      emb.select(col("id"), col("vec")), cents, 1, "cos")
+    val l = assigned.select(col("head_id"), col("id").as("a"), col("vec").as("va"))
+    val r = assigned.select(col("head_id"), col("id").as("b"), col("vec").as("vb"))
+    l.join(r, Seq("head_id"))
+      .where(col("a") < col("b"))
+      .withColumn("cos_dist", graft.functions.dist.cos(col("va"), col("vb")))
+      .where(col("cos_dist") < maxCosDist)
+      .select(col("head_id"), col("a"), col("b"),
+        round(col("cos_dist"), 4).as("cos_dist"))
+  }
+
   /** Late-interaction (ColBERT-style) MaxSim retrieval over vector BAGS:
     * each query and each document is a bag of vectors (multi-vector
     * representations — token embeddings, image patches, chunk vectors);

@@ -103,6 +103,71 @@ object TextAnalysis {
           .as("top_ngram_ratio"))
   }
 
+  /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * each raw document by how much its hashed-bigram profile looks like a
+    * TARGET distribution (a trusted/high-quality subset named by
+    * `targetPred`) versus the RAW corpus distribution. Features are bigrams
+    * hashed into `buckets` buckets ([[graft.functions.Hash60]] — the fixed
+    * hashed-feature space that makes the two distributions comparable and
+    * the state O(buckets), not O(vocab)); per-bucket weight is the
+    * Laplace-smoothed log-likelihood ratio
+    * `ln((ct+1)/(T+B)) − ln((cr+1)/(R+B))`, and a document's importance is
+    * the mean weight over its feature instances. Upweight = "target-like";
+    * downsample the low tail or feed the scores to a resampling draw
+    * ([[Pipeline.mixtureSample]]'s hash-threshold machinery).
+    *
+    * Determinism contract (the q91 convention): the per-bucket log-ratio is
+    * rounded to 6dp and summed per doc as DECIMAL(18,9) — exact,
+    * order-independent — then the mean is a double rounded to 4dp. All ln
+    * inputs are exact doubles (integer counts, integer denominators), so
+    * both engines see identical arguments.
+    *
+    * Scale posture: per-row tokenize+hash (scan-speed), two
+    * bucket-keyed aggregations bounded by `buckets` rows, one broadcast
+    * ≤`buckets`-row weight join, one doc-keyed aggregation. No pair space,
+    * no window, no per-source skew (buckets are hash-uniform). Docs with
+    * <2 tokens carry no features and are omitted.
+    *
+    * Output `(doc_id, n_feats, importance)`.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Hash60
+    val toked = docs.select(col(idCol), targetPred.as("_tgt"),
+      tokens(col(textCol)).as("toks"))
+    val feats = toked
+      .select(col(idCol), col("_tgt"),
+        explode(transform(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          (w, i) => Hash60(concat(w, lit(" "), element_at(col("toks"), i + 2)))
+            % buckets)).as("b"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("_tgt")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = feats.agg(
+      count(lit(1)).as("r_tot"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("t_tot"))
+    val weights = raw
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("t_tot") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("r_tot") + buckets)), 6)
+          .cast(DecimalType(18, 9)).as("lw"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lw")).as("slw"), count(lit(1)).as("n_feats"))
+      .select(col(idCol), col("n_feats"),
+        round(col("slw").cast("double") / col("n_feats"), 4).as("importance"))
+  }
+
   /** Bigram language-model familiarity score — the perplexity-filter signal
     * (CCNet/KenLM style) re-expressed Spark-first: train Laplace-smoothed
     * bigram counts ON the corpus itself, then score each document by the

@@ -167,4 +167,80 @@ class SimilaritySpec extends SparkSpec {
     // orthogonal bag: every max-sim is 0
     assert(r((0, 3)) === ((2, 0.0)))
   }
+
+  test("binary codes: deterministic, one per vector, non-degenerate spread") {
+    import graft.functions.BinaryQuantizer
+    val stats = BinaryQuantizer.fit(emb)
+    val codes = BinaryQuantizer.codes(emb, stats, 64)
+    assert(codes.count() === 500)
+    assert(codes.select("bcode").distinct().count() > 400,
+      "mean-threshold sign codes should be nearly unique on random embeddings")
+    val again = BinaryQuantizer.codes(emb, BinaryQuantizer.fit(emb), 64)
+    assert(codes.exceptAll(again).count() === 0)
+  }
+
+  test("binary search with full rerank budget equals exact kNN") {
+    val exact = SimilaritySearch.bruteForce(queries, emb.select("id", "vec"), 10, "l2sq")
+    val full = SimilaritySearch.binarySearch(
+      queries, emb.select("id", "vec"), 64, 10, rerankR = 500, "l2sq")
+    assert(full.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(full).count() === 0)
+  }
+
+  test("binary search recall@10 at the 10% coarse budget") {
+    val exact = SimilaritySearch.bruteForce(queries, emb.select("id", "vec"), 10, "l2sq")
+    val bin = SimilaritySearch.binarySearch(
+      queries, emb.select("id", "vec"), 64, 10, rerankR = 50, "l2sq")
+    val rec = Eval.recallSummary(Eval.recallAt(bin, exact, 10)).head().getDouble(0)
+    // random 64-dim embeddings are the worst case for 1-bit codes (no margin
+    // structure); the structural guarantee is the monotone budget below
+    assert(rec >= 0.3, s"avg recall $rec")
+  }
+
+  test("binary search: larger rerank budget never loses recall") {
+    val exact = SimilaritySearch.bruteForce(queries, emb.select("id", "vec"), 10, "l2sq")
+    def rec(r: Int): Double =
+      Eval.recallSummary(Eval.recallAt(
+        SimilaritySearch.binarySearch(queries, emb.select("id", "vec"), 64, 10, r, "l2sq"),
+        exact, 10)).head().getDouble(0)
+    assert(rec(200) >= rec(25) - 1e-9)
+  }
+
+  test("semantic dedup pairs are sound vs the brute pair oracle and in-cluster complete") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Spann}
+    val pairs = SimilaritySearch.semanticDedup(emb.select("id", "vec"), 25, 0.6)
+      .select("a", "b", "cos_dist").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    val brute = Dedup.embeddingPairs(emb.select("id", "vec"), 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // soundness: every reported pair is a genuine near-dup pair
+    pairs.foreach { case (a, b, _) => assert(brute.contains((a, b))) }
+    // in-cluster completeness: a brute pair assigned to the SAME centroid is
+    // always reported (the blocking only loses cross-cluster pairs)
+    val assign = Spann.buildPostings(
+      emb.select("id", "vec"), Spann.selectHeadsModulo(emb, 25), 1, "cos")
+      .select("id", "head_id").as[(Long, Long)].collect().toMap
+    val got = pairs.map { case (a, b, _) => (a, b) }.toSet
+    brute.filter { case (a, b) => assign(a) == assign(b) }
+      .foreach(p => assert(got.contains(p), s"in-cluster pair $p missed"))
+  }
+
+  test("semantic dedup composes with canonical grouping to a dup-free keep set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val emb2 = emb.select("id", "vec")
+    val pairs = SimilaritySearch.semanticDedup(emb2, 25, 0.6)
+      .select(col("a"), col("b"))
+    val docsIds = emb2.withColumnRenamed("id", "doc_id")
+    val groups = Dedup.canonicalGroups(docsIds, pairs)
+    val kept = Dedup.applyDedup(docsIds, groups)
+    // every reported pair loses exactly its non-canonical member
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val ps = pairs.as[(Long, Long)].collect()
+    ps.foreach { case (a, b) =>
+      assert(!(keptIds.contains(a) && keptIds.contains(b)), s"pair ($a,$b) survived")
+    }
+    assert(keptIds.nonEmpty)
+  }
 }

@@ -258,4 +258,42 @@ class TextAnalysisSpec extends SparkSpec {
     val byId = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(byId.contains(1L) && byId(1L) > byId.getOrElse(2L, 0.0))
   }
+
+  test("importance weights: target-like docs score above raw-only docs") {
+    import org.apache.spark.sql.functions.col
+    // target slice (flag=1) speaks "good text"; the raw tail is DOMINATED
+    // by "junk noise" (the realistic DSIR setting: the trusted slice is a
+    // sliver of the raw distribution) — so the target dialect's
+    // target-share genuinely exceeds its raw-share despite add-1 smoothing
+    val docs = (Seq(
+      (1L, 1, ("good text " * 12).trim),
+      (2L, 1, ("good text " * 8).trim),
+      (3L, 0, ("junk noise " * 25).trim),
+      (4L, 0, ("junk noise " * 20).trim),
+      (5L, 0, "good text good text good"), // target-like raw doc
+      (6L, 0, "junk noise junk")
+    )).toDF("doc_id", "flag", "text")
+    val r = TextAnalysis.importanceWeights(docs, col("flag") === 1, buckets = 64)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // "good text" bigrams dominate the target distribution -> positive
+    // log-ratio; "junk noise" bigrams never appear in the target -> negative
+    assert(r(5L) > r(6L), s"target-like ${r(5L)} vs raw-only ${r(6L)}")
+    assert(r(5L) > 0 && r(6L) < 0)
+    // deterministic
+    val again = TextAnalysis.importanceWeights(docs, col("flag") === 1, buckets = 64)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r === again)
+  }
+
+  test("importance weights: n_feats counts bigrams; <2-token docs are omitted") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "one two three four"), // 3 bigrams
+      (2L, "single"),             // no bigrams
+      (3L, "")                    // no tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.importanceWeights(docs, col("doc_id") === 1L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L))
+  }
 }
