@@ -917,7 +917,12 @@ object SparkEntry {
     // English-doc target distribution vs the raw corpus distribution
     "q121_importance_weights" -> ((s, d) =>
       ordered(TextAnalysis.importanceWeights(
-        Tables.documents(s, d), col("lang") === "en", ImpBuckets)))
+        Tables.documents(s, d), col("lang") === "en", ImpBuckets))),
+    // perceptual-hash media near-dup: 64-bin content-histogram pHash,
+    // banded Hamming pairs (the multimodal sibling of q35's SimHash)
+    "q122_phash_neardup" -> ((s, d) =>
+      ordered(Multimodal.phashPairs(
+        Multimodal.perceptualHash(Tables.documents(s, d)), PhashMaxHamming)))
   )
 
   private val KdDepth = 3
@@ -1016,6 +1021,9 @@ object SparkEntry {
   // instances, so every bucket is populated and the smoothing term stays
   // a small correction; the target slice (lang='en') is ~43% of docs
   private val ImpBuckets = 256
+  // q122: hamming ≤ 3 over the 64-bit content-histogram pHash — 88 pairs
+  // at sf0.01, a clean near-dup tail (the spectrum rises steeply past 4)
+  private val PhashMaxHamming = 3
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2501,6 +2509,37 @@ object SparkEntry {
          |      FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id)
          |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
          |FROM s ORDER BY 1, 2, 3""".stripMargin
+    },
+    // pHash near-dup: codepoint-histogram shares vs corpus shares
+    // (cross-multiplied integer test), brute pair mirror — exact vs the
+    // banded path at fixture scale (pigeonhole guarantees every hamming≤3
+    // pair agrees on a 16-bit band, and the 1024 stop-bucket cap cannot
+    // trigger on 500 docs, so banded ≡ brute)
+    "q122_phash_neardup" -> {
+      def term(b: Int): String = {
+        val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+        s"CASE WHEN sv[${b + 1}] * lc > ld * hs[${b + 1}] THEN $v ELSE 0 END"
+      }
+      val code = (0 until 64).map(term).mkString(" + ")
+      s"""WITH cp AS (SELECT doc_id,
+         |        list_transform(generate_series(1, length(text)),
+         |          i -> ascii(substr(text, i, 1))) AS cps
+         |      FROM documents),
+         |hist AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS ld,
+         |          list_transform(range(0, 64),
+         |            d -> CAST(len(list_filter(cps, c -> c % 64 = d)) AS BIGINT)) AS sv
+         |        FROM cp WHERE len(cps) > 0),
+         |tot AS (SELECT CAST(sum(ld) AS BIGINT) AS lc FROM hist),
+         |st AS (SELECT list(s ORDER BY d) AS hs FROM (
+         |  SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
+         |    SELECT generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM hist) GROUP BY d)),
+         |c AS (SELECT doc_id, CAST($code AS BIGINT) AS ph
+         |      FROM hist CROSS JOIN st CROSS JOIN tot)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.ph, r.ph)) AS INT) AS hamming
+         |FROM c l JOIN c r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming
+         |ORDER BY a, b, hamming""".stripMargin
     },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->

@@ -62,4 +62,41 @@ class MultimodalSpec extends SparkSpec {
     val one = rs.head()
     assert(one.pixels.length === 64 && one.pixels.forall(v => v >= 0f && v <= 1f))
   }
+
+  test("perceptual hash: deterministic, one code per non-empty payload") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val ph = Multimodal.perceptualHash(docs)
+    assert(ph.count() === docs.where(col("text") =!= "").count())
+    assert(ph.select("phash").distinct().count() > 100,
+      "share-normalized codes should spread (length clustering would collapse them)")
+    assert(ph.exceptAll(Multimodal.perceptualHash(docs)).count() === 0)
+  }
+
+  test("phash pairs: banded path equals the brute-force pair oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ph = Multimodal.perceptualHash(Tables.documents(spark, sf0001))
+    val banded = Multimodal.phashPairs(ph, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = graft.operators.Dedup.simhashPairsBrute(
+      ph.select(col("doc_id"), col("phash").as("simhash")), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+    banded.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
+  test("an identical payload pair lands at hamming 0 and survives the banding") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same exact payload content here"),
+      (2L, "the same exact payload content here"),
+      (3L, "something utterly different with zzz qqq xxx digits 123456789"),
+      (4L, "yet another unrelated payload AAAA BBBB CCCC dddd eeee ffff")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.perceptualHash(docs), maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
 }
