@@ -922,7 +922,27 @@ object SparkEntry {
     // banded Hamming pairs (the multimodal sibling of q35's SimHash)
     "q122_phash_neardup" -> ((s, d) =>
       ordered(Multimodal.phashPairs(
-        Multimodal.perceptualHash(Tables.documents(s, d)), PhashMaxHamming)))
+        Multimodal.perceptualHash(Tables.documents(s, d)), PhashMaxHamming))),
+    // recall audit of the binary coarse-to-fine path vs exact kNN — the
+    // q11 pattern applied to q119 (distance-tie credit, TruthSet.h:189-205)
+    "q123_binary_recall" -> ((s, d) => {
+      val corpus = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      ordered(Eval.recallSummary(Eval.recallAt(
+        SimilaritySearch.binarySearch(
+          embQueries(s, d), corpus, BinDims, K, BinRerank),
+        Knn.search(embQueries(s, d), corpus, K, "l2sq"), K)))
+    }),
+    // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
+    // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
+    // from the corpus side: with self-matches in the pool, pick 1 is always
+    // self and every round-2 score is identically 0.5·rel − 0.5·rel = 0 —
+    // a degenerate all-ties instance
+    "q124_mmr_rerank" -> ((s, d) =>
+      ordered(SimilaritySearch.mmr(
+        embQueries(s, d),
+        Tables.embeddingVec(s, d).where(col("id") >= 10)
+          .select(col("id"), col("vec")),
+        MmrK, MmrLambda, MmrPool)))
   )
 
   private val KdDepth = 3
@@ -1024,6 +1044,11 @@ object SparkEntry {
   // q122: hamming ≤ 3 over the 64-bit content-histogram pHash — 88 pairs
   // at sf0.01, a clean near-dup tail (the spectrum rises steeply past 4)
   private val PhashMaxHamming = 3
+  // q124: MMR over a 20-deep relevance pool, 5 picks, λ=0.5 — λ and 1−λ
+  // must be exactly representable doubles (the oracle-parity contract)
+  private val MmrK = 5
+  private val MmrLambda = 0.5
+  private val MmrPool = 20
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2540,6 +2565,85 @@ object SparkEntry {
          |FROM c l JOIN c r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming
          |ORDER BY a, b, hamming""".stripMargin
+    },
+    // binary-path recall vs exact kNN: the q119 pipeline re-used as the
+    // results side of the q11 recall block (rounded dists, 1e-6 tie credit)
+    "q123_binary_recall" -> {
+      val rDist = Tables.distSql("l2sq", "q.qvec", "e.vec")
+      s"""WITH $binOracleCtes,
+         |c AS (SELECT id, CAST($binOracleTerms AS BIGINT) AS bcode FROM sq CROSS JOIN st),
+         |qc AS (SELECT id AS query_id, bcode AS qcode FROM c WHERE id < 10),
+         |hr AS (SELECT qc.query_id, c.id,
+         |         row_number() OVER (PARTITION BY qc.query_id
+         |           ORDER BY bit_count(xor(c.bcode, qc.qcode)), c.id) AS hrank
+         |       FROM c CROSS JOIN qc),
+         |cand AS (SELECT query_id, id FROM hr WHERE hrank <= $BinRerank),
+         |e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |dd AS (SELECT cand.query_id, cand.id, $rDist AS dist
+         |       FROM cand JOIN e ON e.id = cand.id JOIN q ON q.query_id = cand.query_id),
+         |r AS (SELECT query_id, id, round(dist, 4) AS dist FROM (
+         |    SELECT query_id, id, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM dd) WHERE rank <= $K),
+         |exd AS (SELECT q.query_id, e.id, $rDist AS dist FROM q CROSS JOIN e),
+         |t AS (SELECT query_id, id, round(dist, 4) AS dist FROM (
+         |    SELECT query_id, id, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |hits AS (SELECT t.query_id, t.id,
+         |           max(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+         |         FROM t LEFT JOIN r
+         |           ON t.query_id = r.query_id
+         |          AND (r.id = t.id OR abs(r.dist - t.dist) < 1e-6)
+         |         GROUP BY t.query_id, t.id),
+         |pq AS (SELECT query_id, CAST(sum(hit) AS DOUBLE) / $K AS recall FROM hits GROUP BY query_id)
+         |SELECT round(avg(recall), 4) AS avg_recall, round(min(recall), 4) AS min_recall,
+         |       round(max(recall), 4) AS max_recall, count(*) AS n_queries
+         |FROM pq""".stripMargin
+    },
+    // MMR: the k greedy rounds unrolled as CTEs — round 1 picks max rel
+    // (score = rel, matching the operator); each later round anti-joins the
+    // cumulative picks, hydrates max-sim-to-selected, and scores
+    // (1−λ)·rel − λ·ms with exact-double coefficients
+    "q124_mmr_rerank" -> {
+      val pDist = Tables.distSql("cos", "q.qvec", "e.vec")
+      val sDist = Tables.distSql("cos", "l.vec", "r.vec")
+      val w1 = (1.0 - MmrLambda).toString
+      val wl = MmrLambda.toString
+      val rounds = (2 to MmrK).map { t =>
+        val p = t - 1
+        s"""ct$t AS (SELECT p.* FROM pool p LEFT JOIN c$p s
+           |        ON s.query_id = p.query_id AND s.id = p.id WHERE s.id IS NULL),
+           |ms$t AS (SELECT si.query_id, si.sa AS id, max(si.sim) AS ms
+           |        FROM sims si JOIN c$p s ON s.query_id = si.query_id AND s.id = si.sb
+           |        GROUP BY si.query_id, si.sa),
+           |s$t AS (SELECT query_id, id, $t AS pick, score FROM (
+           |    SELECT c.query_id, c.id, $w1 * c.rel - $wl * m.ms AS score,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY ($w1 * c.rel - $wl * m.ms) DESC, c.id) AS rn
+           |    FROM ct$t c JOIN ms$t m ON m.query_id = c.query_id AND m.id = c.id)
+           |  WHERE rn = 1),
+           |c$t AS (SELECT * FROM c$p UNION ALL SELECT * FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |pd AS (SELECT q.query_id, e.id, e.vec, $pDist AS dist FROM q CROSS JOIN e),
+         |pool AS (SELECT query_id, id, vec, 1.0 - round(dist, 4) AS rel FROM (
+         |    SELECT query_id, id, vec, dist,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM pd) WHERE rank <= $MmrPool),
+         |sims AS (SELECT l.query_id, l.id AS sa, r.id AS sb,
+         |           1.0 - round($sDist, 4) AS sim
+         |         FROM pool l JOIN pool r
+         |           ON l.query_id = r.query_id AND l.id <> r.id),
+         |c1 AS (SELECT query_id, id, 1 AS pick, rel AS score FROM (
+         |    SELECT query_id, id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |$rounds
+         |SELECT query_id, CAST(pick AS INT) AS pick, id, round(score, 4) AS score
+         |FROM c$MmrK ORDER BY query_id, pick, id, score""".stripMargin
     },
     // per-doc novelty: corpus shingle df, share with df = 1
     "q112_novelty" ->

@@ -279,6 +279,71 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified top-k (Carbonell &
+    * Goldstein 1998): greedily pick `k` results from an exact top-`poolR`
+    * relevance pool, each round maximizing
+    * `(1−λ)·rel − λ·max_{s∈selected} sim(cand, s)` — relevance traded
+    * against redundancy with what is already picked. The retrieval-side
+    * dedup: a near-dup-heavy corpus otherwise fills the whole top-k with
+    * copies of one document. λ=0 degenerates to plain top-k order (the
+    * spec's identity check).
+    *
+    * Determinism contract: `rel = 1 − dist` over [[Knn.search]]'s
+    * 4dp-rounded distances and `sim = 1 − round(cos, 4)` are exact doubles;
+    * λ and 1−λ must be exactly representable (0.5 is); products and the
+    * running max/argmax are then bit-identical in any engine, ties on id
+    * ascending. The oracle unrolls the k greedy rounds as CTEs.
+    *
+    * Scale posture: the pool is ≤|Q|·R rows (bounded by the batch-query
+    * contract) and is localCheckpointed once; the pairwise sim frame is
+    * ≤|Q|·R² rows — R is a rerank budget (tens), so this is the classic
+    * cheap-rerank-over-bounded-pool stage, never a corpus-sized join. Each
+    * greedy round is an aggregation over those bounded frames.
+    */
+  def mmr(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      lambda: Double,
+      poolR: Int,
+      metric: String = "cos"): DataFrame = {
+    val pool = Knn.search(queries, corpus, poolR, metric)
+      .select(col("query_id"), col("id"), (lit(1.0) - col("dist")).as("rel"))
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .localCheckpoint(true)
+    val sims = pool.select(col("query_id"), col("id").as("sa"), col("vec").as("va"))
+      .join(pool.select(col("query_id"), col("id").as("sb"), col("vec").as("vb")),
+        Seq("query_id"))
+      .where(col("sa") =!= col("sb"))
+      .select(col("query_id"), col("sa"), col("sb"),
+        (lit(1.0) - round(graft.functions.dist.cos(col("va"), col("vb")), 4)).as("sim"))
+      .localCheckpoint(true)
+    var selected = pool.groupBy(col("query_id"))
+      .agg(max_by(struct(col("id"), col("rel")),
+        struct(col("rel"), (-col("id")).as("ni"))).as("b"))
+      .select(col("query_id"), col("b.id").as("id"),
+        lit(1).as("pick"), col("b.rel").as("score"))
+    for (t <- 2 to k) {
+      val cand = pool.join(
+        selected.select(col("query_id"), col("id")), Seq("query_id", "id"), "left_anti")
+      val ms = sims
+        .join(selected.select(col("query_id"), col("id").as("sb")), Seq("query_id", "sb"))
+        .groupBy(col("query_id"), col("sa").as("id"))
+        .agg(max(col("sim")).as("ms"))
+      val next = cand.join(ms, Seq("query_id", "id"))
+        .withColumn("score",
+          lit(1.0 - lambda) * col("rel") - lit(lambda) * col("ms"))
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("id"), col("score")),
+          struct(col("score"), (-col("id")).as("ni"))).as("b"))
+        .select(col("query_id"), col("b.id").as("id"),
+          lit(t).as("pick"), col("b.score").as("score"))
+      selected = selected.unionByName(next)
+    }
+    selected.select(col("query_id"), col("pick"), col("id"),
+      round(col("score"), 4).as("score"))
+  }
+
   /** Late-interaction (ColBERT-style) MaxSim retrieval over vector BAGS:
     * each query and each document is a bag of vectors (multi-vector
     * representations — token embeddings, image patches, chunk vectors);

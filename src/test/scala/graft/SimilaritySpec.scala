@@ -206,6 +206,51 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("mmr with lambda 0 reproduces top-k order on the 4dp-rounded distances") {
+    import org.apache.spark.sql.expressions.Window
+    // mmr scores on Knn.search's 4dp-rounded dist (the oracle-parity
+    // contract), so the λ=0 identity holds against the rounded-dist order —
+    // sub-4dp ties legitimately re-break on id
+    val corpus = emb.where(col("id") >= 10).select("id", "vec")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
+    val plain = SimilaritySearch.bruteForce(queries, corpus, 20)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("id"))
+    val mmr0 = SimilaritySearch.mmr(queries, corpus, 5, lambda = 0.0, poolR = 20)
+      .select(col("query_id"), col("pick").as("rank"), col("id"))
+    assert(mmr0.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(mmr0).count() === 0)
+  }
+
+  test("mmr penalizes redundancy: a near-copy of pick 1 loses pick 2 to a distinct doc") {
+    import spark.implicits._
+    // corpus: two near-identical docs closest to the query, one slightly
+    // farther but orthogonal doc; plain top-2 = the two copies, MMR picks
+    // the orthogonal doc second
+    val qs = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("query_id", "qvec")
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),  // near the query
+      (2L, Seq(1f, 0.11f, 0f, 0f)), // near-copy of doc 1
+      (3L, Seq(0.8f, 0f, 0.6f, 0f)) // farther, but not redundant with doc 1
+    ).toDF("id", "vec")
+    val picks = SimilaritySearch.mmr(qs, corpus, 3, lambda = 0.5, poolR = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(picks(1) === 1L)
+    assert(picks(2) === 3L, "the redundant near-copy should lose pick 2")
+    assert(picks(3) === 2L)
+  }
+
+  test("mmr emits exactly k distinct picks per query, deterministically") {
+    val corpus = emb.where(col("id") >= 10).select("id", "vec")
+    val a = SimilaritySearch.mmr(queries, corpus, 5, 0.5, 20)
+    val perQ = a.groupBy("query_id").count().collect()
+    assert(perQ.length === 10 && perQ.forall(_.getLong(1) === 5L))
+    val dups = a.groupBy("query_id", "id").count().where(col("count") > 1).count()
+    assert(dups === 0)
+    val b = SimilaritySearch.mmr(queries, corpus, 5, 0.5, 20)
+    assert(a.exceptAll(b).count() === 0)
+  }
+
   test("semantic dedup pairs are sound vs the brute pair oracle and in-cluster complete") {
     import spark.implicits._
     import graft.operators.{Dedup, Spann}
