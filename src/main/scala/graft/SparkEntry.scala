@@ -932,6 +932,17 @@ object SparkEntry {
           embQueries(s, d), corpus, BinDims, K, BinRerank),
         Knn.search(embQueries(s, d), corpus, K, "l2sq"), K)))
     }),
+    // the serving-side DSIR split: fit the per-bucket weight table once,
+    // score documents as a zero-shuffle in-row fold over a collected
+    // lookup array — gated by the SAME oracle as q121 (two independent
+    // dataflows, one truth)
+    "q125_importance_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(TextAnalysis.importanceScore(
+        docs,
+        TextAnalysis.importanceWeightTable(docs, col("lang") === "en", ImpBuckets),
+        ImpBuckets))
+    }),
     // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
     // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
     // from the corpus side: with self-matches in the pool, pick 1 is always
@@ -2516,25 +2527,10 @@ object SparkEntry {
     },
     // DSIR importance weights: hashed-bigram buckets, Laplace-smoothed
     // per-bucket log-ratio rounded 6dp + DECIMAL-summed (the q91 convention)
-    "q121_importance_weights" -> {
-      val toks = TextAnalysis.Sql.toks("text")
-      val h = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
-      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toks AS toks FROM documents),
-         |bg AS (SELECT doc_id, tgt, ($h) % $ImpBuckets AS b
-         |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i FROM t)),
-         |cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
-         |ct AS (SELECT b, count(*) AS ct FROM bg WHERE tgt GROUP BY b),
-         |tot AS (SELECT count(*) AS r_tot,
-         |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM bg),
-         |w AS (SELECT cr.b,
-         |        round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.t_tot + $ImpBuckets))
-         |            - ln((cr.cr + 1)::DOUBLE / (tot.r_tot + $ImpBuckets)), 6)::DECIMAL(18,9) AS lw
-         |      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
-         |s AS (SELECT doc_id, count(*) AS n_feats, sum(w.lw) AS slw
-         |      FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id)
-         |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
-         |FROM s ORDER BY 1, 2, 3""".stripMargin
-    },
+    "q121_importance_weights" -> importanceOracleSql,
+    // same truth for the in-row scoring path: fit-corpus scoring is
+    // value-identical to q121 by construction
+    "q125_importance_score" -> importanceOracleSql,
     // pHash near-dup: codepoint-histogram shares vs corpus shares
     // (cross-multiplied integer test), brute pair mirror — exact vs the
     // banded path at fixture scale (pigeonhole guarantees every hamming≤3
@@ -2656,6 +2652,30 @@ object SparkEntry {
          |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 4) AS novel_share
          |FROM agg ORDER BY doc_id, n_shingles, n_novel, novel_share""".stripMargin
   )
+
+  /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored
+    * end-to-end — shared by the join-formulated (q121) and in-row-scored
+    * (q125) paths, which are value-identical on the fit corpus.
+    */
+  private def importanceOracleSql: String = {
+    val toks = TextAnalysis.Sql.toks("text")
+    val h = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toks AS toks FROM documents),
+       |bg AS (SELECT doc_id, tgt, ($h) % $ImpBuckets AS b
+       |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+       |ct AS (SELECT b, count(*) AS ct FROM bg WHERE tgt GROUP BY b),
+       |tot AS (SELECT count(*) AS r_tot,
+       |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM bg),
+       |w AS (SELECT cr.b,
+       |        round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.t_tot + $ImpBuckets))
+       |            - ln((cr.cr + 1)::DOUBLE / (tot.r_tot + $ImpBuckets)), 6)::DECIMAL(18,9) AS lw
+       |      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
+       |s AS (SELECT doc_id, count(*) AS n_feats, sum(w.lw) AS slw
+       |      FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id)
+       |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
+       |FROM s ORDER BY 1, 2, 3""".stripMargin
+  }
 
   /** Shared CTEs for the q118/q119 binary-code oracles: `sq` = integer-scaled
     * embeddings, `st` = one row of (corpus count, dim-ordered per-dim sums) —

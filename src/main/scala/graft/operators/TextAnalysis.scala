@@ -136,36 +136,111 @@ object TextAnalysis {
       targetPred: Column,
       buckets: Int = 256,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+      textCol: String = "text"): DataFrame =
+    importanceFeatures(docs, buckets, idCol, textCol)
+      .join(broadcast(importanceWeightTable(docs, targetPred, buckets, idCol, textCol)),
+        Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lw")).as("slw"), count(lit(1)).as("n_feats"))
+      .select(col(idCol), col("n_feats"),
+        round(col("slw").cast("double") / col("n_feats"), 4).as("importance"))
+
+  /** `(idCol, b)` hashed-bigram feature instances — one row per bigram
+    * occurrence, bucket = hash60(w1 ⊔ w2) mod `buckets`.
+    */
+  private def importanceFeatures(docs: DataFrame, buckets: Int,
+      idCol: String, textCol: String): DataFrame = {
     import graft.functions.Hash60
-    val toked = docs.select(col(idCol), targetPred.as("_tgt"),
-      tokens(col(textCol)).as("toks"))
-    val feats = toked
-      .select(col(idCol), col("_tgt"),
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
         explode(transform(
           slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
           (w, i) => Hash60(concat(w, lit(" "), element_at(col("toks"), i + 2)))
             % buckets)).as("b"))
+  }
+
+  /** The fitted importance model: exactly `buckets` rows `(b, lw)` — the
+    * Laplace-smoothed log-likelihood ratio for EVERY bucket, including ones
+    * the raw corpus never hit (`ct = cr = 0` degenerates to
+    * `ln((R+B)/(T+B))`), so scoring a future stream never misses a lookup.
+    * This is the persistable "model" artifact of the DSIR fit — write it
+    * with a plain parquet save, reload anywhere.
+    */
+  def importanceWeightTable(
+      docs: DataFrame,
+      targetPred: Column,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val feats = docs.select(col(idCol), targetPred.as("_tgt"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("_tgt"),
+        explode(transform(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          (w, i) => graft.functions.Hash60(
+            concat(w, lit(" "), element_at(col("toks"), i + 2))) % buckets)).as("b"))
     val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = feats.where(col("_tgt")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val tot = feats.agg(
       count(lit(1)).as("r_tot"),
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("t_tot"))
-    val weights = raw
+    val allBuckets = docs.sparkSession.range(1)
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+    allBuckets
+      .join(raw, Seq("b"), "left")
       .join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
         round(
           log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
             (col("t_tot") + buckets)) -
-          log((col("cr") + 1).cast("double") / (col("r_tot") + buckets)), 6)
+          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") / (col("r_tot") + buckets)), 6)
           .cast(DecimalType(18, 9)).as("lw"))
-    feats.join(broadcast(weights), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(sum(col("lw")).as("slw"), count(lit(1)).as("n_feats"))
+  }
+
+  /** Apply a fitted [[importanceWeightTable]] as a PURE PROJECTION: the
+    * ≤`buckets`-row table is collected into an in-row lookup array
+    * (documented bounded collect — the codebook-broadcast convention), and
+    * each document's score is an in-row fold over its own bigram buckets.
+    * Zero shuffle, whole-stage codegen, and therefore directly usable on a
+    * STREAMING frame (no stateful aggregation, no watermark needed) — the
+    * serving/ingest side of the DSIR split: fit once on the corpus
+    * ([[importanceWeightTable]]), score every arriving batch here.
+    * Same output contract as [[importanceWeights]]; identical values when
+    * scoring the fit corpus itself (the oracle cross-check).
+    */
+  def importanceScore(
+      docs: DataFrame,
+      weightTable: DataFrame,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Hash60
+    val lws = new Array[java.math.BigDecimal](buckets)
+    weightTable.collect().foreach { r =>
+      lws(r.getLong(0).toInt) = r.getDecimal(1)
+    }
+    require(lws.forall(_ != null), s"weight table must cover all $buckets buckets")
+    val lwArr = array(lws.map(w => lit(w).cast(DecimalType(18, 9))).toIndexedSeq: _*)
+    val bg = transform(
+      slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+      (w, i) => Hash60(concat(w, lit(" "), element_at(col("_toks"), i + 2))) % buckets)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_bg", bg)
+      .where(size(col("_bg")) > 0)
+      .select(col(idCol), size(col("_bg")).cast("long").as("n_feats"),
+        aggregate(col("_bg"),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 9)),
+          // decimal + widens to (29,9); cast back to the accumulator type —
+          // scale is unchanged so the value is exact (|lw| < 10, and a doc
+          // would need ~10^19 bigrams to overflow 19 integer digits)
+          (acc, b) => (acc + element_at(lwArr, b.cast("int") + 1))
+            .cast(DecimalType(28, 9))).as("_slw"))
       .select(col(idCol), col("n_feats"),
-        round(col("slw").cast("double") / col("n_feats"), 4).as("importance"))
+        round(col("_slw").cast("double") / col("n_feats"), 4).as("importance"))
   }
 
   /** Bigram language-model familiarity score — the perplexity-filter signal

@@ -138,7 +138,12 @@ class PlanSpec extends SparkSpec {
       "q113_rebalance",       // ONE-row max-head-id offset scalar, broadcast
       "q114_maxsim",          // bounded query-bag vectors, broadcast
       "q116_sq_search",       // ONE-row (mns, mxs) stats arrays, broadcast
-      "q117_graph_pagerank")  // ONE-row node-count scalar, broadcast
+      "q117_graph_pagerank",  // ONE-row node-count scalar, broadcast
+      "q118_binary_codes",    // ONE-row (n, sums) threshold stats, broadcast
+      "q119_binary_search",   // same one-row stats + the ≤|Q|-row code batch
+      "q121_importance_weights", // ONE-row (r_tot, t_tot) totals, broadcast
+      "q122_phash_neardup",   // ONE-row (lc, hs) corpus-share stats, broadcast
+      "q123_binary_recall")   // q119's plan inside the recall block
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

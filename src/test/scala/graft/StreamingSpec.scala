@@ -271,6 +271,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("importance scoring on a stream equals the batch fit-corpus path") {
+    import graft.operators.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
+    // fit once on the (static) corpus, score a document STREAM against the
+    // collected weight table — importanceScore is a pure projection, so the
+    // identical expression tree runs under the streaming planner with no
+    // state, no watermark, no output-mode constraint
+    val wt = TextAnalysis.importanceWeightTable(docs, col("lang") === "en")
+    val batch = TextAnalysis.importanceScore(docs, wt)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq)
+    val q = TextAnalysis.importanceScore(stream.toDF().toDF("doc_id", "text"), wt)
+      .writeStream.format("memory").queryName("imp_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("imp_stream")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap closes sessions; agrees with batch off-boundary") {
     import graft.operators.Events
     implicit val sq = spark.sqlContext

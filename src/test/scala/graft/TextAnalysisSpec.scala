@@ -285,6 +285,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r === again)
   }
 
+  test("importance in-row scoring equals the join-formulated path; the table covers every bucket") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
+    val wt = TextAnalysis.importanceWeightTable(docs, col("lang") === "en")
+    assert(wt.count() === 256, "one weight row per bucket, observed or not")
+    val joined = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+    val inRow = TextAnalysis.importanceScore(docs, wt)
+    assert(inRow.exceptAll(joined).count() === 0)
+    assert(joined.exceptAll(inRow).count() === 0)
+  }
+
   test("importance weights: n_feats counts bigrams; <2-token docs are omitted") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
