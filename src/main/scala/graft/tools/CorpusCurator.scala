@@ -22,8 +22,10 @@ import graft.operators.{Dedup, Pipeline, TextAnalysis}
   * [input]        documents=/path/docs.parquet   ; or sfdir=/testdata/sf0.01
   * [rules]        isExecute=true  minTokens=10 maxTokens=10000 ...
   * [lm]           isExecute=true  minScore=-3.5
+  * [importance]   isExecute=true  targetLang=en buckets=256 minScore=-0.05
   * [scrub]        isExecute=true                 ; PII redaction (text rewritten)
   * [dedup]        isExecute=true  jaccardThreshold=0.3
+  * [phash]        isExecute=true  maxHamming=3   ; content-histogram near-dup
   * [decontaminate] isExecute=true evalPath=/path/eval.parquet maxOverlap=0.3
   * [mixture]      isExecute=true  weights=src0:0.5,src1:1.0 default=1.0 salt=mix
   * [split]        isExecute=true  trainPct=80 valPct=10 salt=split
@@ -74,6 +76,21 @@ object CorpusCurator {
         .select(col("doc_id"))
       docs = docs.join(keep, Seq("doc_id"), "left_semi")
     }
+    val imp = sec("importance")
+    if (flag(imp)) {
+      // DSIR gate: fit the hashed-bigram weight table against the target
+      // slice (default: English docs), keep docs scoring at or above the
+      // floor — docs with no bigrams carry no signal and are dropped, the
+      // [lm] section's convention
+      val buckets = imp.getOrElse("buckets", "256").toInt
+      val tgtLang = imp.getOrElse("targetlang", "en").trim
+      val wt = TextAnalysis.importanceWeightTable(
+        docs, col("lang") === tgtLang, buckets)
+      val keep = TextAnalysis.importanceScore(docs, wt, buckets)
+        .where(col("importance") >= imp.getOrElse("minscore", "-10").toDouble)
+        .select(col("doc_id"))
+      docs = docs.join(keep, Seq("doc_id"), "left_semi")
+    }
     if (flag(sec("scrub"))) {
       val redacted = TextAnalysis.scrub(docs)
         .select(col("doc_id"), col("scrubbed"))
@@ -89,6 +106,16 @@ object CorpusCurator {
       val d1 = docs.join(exactKept, Seq("doc_id"), "left_semi")
       docs = Dedup.applyDedup(d1,
         Dedup.canonicalGroups(d1, Dedup.minhashDedup(d1, thr)))
+    }
+    val ph = sec("phash")
+    if (flag(ph)) {
+      // media near-dup: perceptual-hash pairs → canonical grouping → keep
+      // one representative per hash-near cluster (q122's operator chain)
+      val pairs = graft.operators.Multimodal.phashPairs(
+        graft.operators.Multimodal.perceptualHash(docs),
+        ph.getOrElse("maxhamming", "3").toInt)
+        .select(col("a"), col("b"))
+      docs = Dedup.applyDedup(docs, Dedup.canonicalGroups(docs, pairs))
     }
     val dc = sec("decontaminate")
     if (flag(dc)) {

@@ -150,9 +150,16 @@ class IndexBuilderSpec extends SparkSpec {
          |[rules]
          |isExecute=true
          |minTokens=5
+         |[importance]
+         |isExecute=true
+         |targetLang=en
+         |minScore=-1.5
          |[dedup]
          |isExecute=true
          |jaccardThreshold=0.3
+         |[phash]
+         |isExecute=true
+         |maxHamming=0
          |[decontaminate]
          |isExecute=true
          |evalPath=$evalDir/eval.parquet
