@@ -943,6 +943,20 @@ object SparkEntry {
         TextAnalysis.importanceWeightTable(docs, col("lang") === "en", ImpBuckets),
         ImpBuckets))
     }),
+    // Johnson-Lindenstrauss projection: 8 exact-integer coordinates per
+    // 64-dim embedding (exploded to scalar rows for the hash compare)
+    "q126_rp_project" -> ((s, d) =>
+      ordered(SimilaritySearch.randomProject(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")), BinDims, RpOutDims)
+        .select(col("id"), posexplode(col("pvec")).as(Seq("j", "p"))))),
+    // coarse-to-fine over the JL sketch: integer-L2 top-R in projected
+    // space, exact l2sq re-rank (q119's contract with a distance-faithful
+    // sketch instead of sign bits)
+    "q127_rp_search" -> ((s, d) =>
+      ordered(SimilaritySearch.rpSearch(
+        embQueries(s, d),
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        BinDims, K, RpRerank, RpOutDims))),
     // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
     // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
     // from the corpus side: with self-matches in the pool, pick 1 is always
@@ -1060,6 +1074,13 @@ object SparkEntry {
   private val MmrK = 5
   private val MmrLambda = 0.5
   private val MmrPool = 20
+  // q126/q127: 64→16-dim JL sketch (4× compression), 50-candidate coarse
+  // budget (the q119 contract, with a distance-faithful sketch instead of
+  // sign bits). Probed coverage at R=50: 8d 0.37 / 16d 0.53 / 24d 0.59 —
+  // near-uniform random embeddings concentrate distances, so the sketch
+  // needs ≥16 coordinates for usable ranking signal
+  private val RpOutDims = 16
+  private val RpRerank = 50
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2562,6 +2583,41 @@ object SparkEntry {
          |WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming
          |ORDER BY a, b, hamming""".stripMargin
     },
+    // JL projection: literal host-derived weights, exploded to scalars
+    "q126_rp_project" ->
+      s"""WITH sq AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS sv
+         |  FROM embeddings),
+         |pv AS (SELECT id, $rpProjList AS pvec FROM sq)
+         |SELECT id, CAST(generate_subscripts(pvec, 1) - 1 AS INT) AS j,
+         |  unnest(pvec) AS p
+         |FROM pv ORDER BY id, j, p""".stripMargin,
+    // RP coarse-to-fine: integer-L2 top-R in sketch space, exact re-rank
+    "q127_rp_search" -> {
+      val rDist = Tables.distSql("l2sq", "q.qvec", "e.vec")
+      val coarse = (0 until RpOutDims).map(j =>
+        s"((c.pvec[${j + 1}] - qp.pvec[${j + 1}]) * (c.pvec[${j + 1}] - qp.pvec[${j + 1}]))::DOUBLE")
+        .mkString(" + ")
+      s"""WITH sq AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS sv
+         |  FROM embeddings),
+         |c AS (SELECT id, $rpProjList AS pvec FROM sq),
+         |qp AS (SELECT id AS query_id, pvec FROM c WHERE id < 10),
+         |hr AS (SELECT qp.query_id, c.id,
+         |         row_number() OVER (PARTITION BY qp.query_id
+         |           ORDER BY ($coarse), c.id) AS crank
+         |       FROM c CROSS JOIN qp),
+         |cand AS (SELECT query_id, id FROM hr WHERE crank <= $RpRerank),
+         |e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |dd AS (SELECT cand.query_id, cand.id, $rDist AS dist
+         |       FROM cand JOIN e ON e.id = cand.id JOIN q ON q.query_id = cand.query_id),
+         |rk AS (SELECT query_id, id, dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |       FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM rk WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
     // binary-path recall vs exact kNN: the q119 pipeline re-used as the
     // results side of the q11 recall block (rounded dists, 1e-6 tie credit)
     "q123_binary_recall" -> {
@@ -2676,6 +2732,18 @@ object SparkEntry {
        |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
        |FROM s ORDER BY 1, 2, 3""".stripMargin
   }
+
+  /** q126/q127 oracle helpers: the JL projection with HOST-DERIVED literal
+    * weights (both engines consume the same integers — parity by
+    * construction, the planeWeight convention).
+    */
+  private def rpProjTerms(j: Int): String =
+    (0 until BinDims).map { d =>
+      s"sv[${d + 1}] * (${SimilaritySearch.rpWeight(j, d)})"
+    }.mkString(" + ")
+
+  private def rpProjList: String =
+    (0 until RpOutDims).map(j => s"(${rpProjTerms(j)})").mkString("[", ", ", "]")
 
   /** Shared CTEs for the q118/q119 binary-code oracles: `sq` = integer-scaled
     * embeddings, `st` = one row of (corpus count, dim-ordered per-dim sums) —

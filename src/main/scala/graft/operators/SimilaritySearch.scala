@@ -279,6 +279,82 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Integer weight of random-projection row `j`, dimension `d` —
+    * `hash60("rp{j}_{d}") % 201 − 100` (±100: sized so projected L2
+    * distances stay inside double's 2⁵³ integer range — see
+    * [[randomProject]]). Distinct salt from [[planeWeight]] so the LSH and
+    * RP families draw independent hyperplanes.
+    */
+  def rpWeight(j: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp${j}_$d".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 201 - 100
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDims` integer
+    * coordinates: `p_j = Σ_d scaled(v_d) · w(j, d)` over the ×1000
+    * integer-scaled vector — every coordinate is an exact BIGINT, so the
+    * projection and any L2 distance over it are bit-identical in any
+    * engine. The dimensionality-reduction preprocessing stage: an 8-dim
+    * integer sketch of a 64-dim float vector is 1/32 the bytes, and JL
+    * keeps relative L2 distances within (1±ε) whp — the coarse filter
+    * [[rpSearch]] exploits. Magnitude budget: |scaled| ≤ ~10³ (unit-norm
+    * embeddings), |w| ≤ 100, dims ≤ 64 → |p_j| ≤ ~10⁷, squared-diff sums
+    * ≤ ~10¹⁵ < 2⁵³ — exact as doubles too.
+    *
+    * Scale posture: pure per-row projection, whole-stage codegen, nothing
+    * shuffles. Output `(id, pvec ARRAY<BIGINT>)`.
+    */
+  def randomProject(emb: DataFrame, dims: Int, outDims: Int = 8): DataFrame = {
+    val sv = transform(col("vec"), v => round(v.cast("double") * 1000).cast("long"))
+    val pvec = array((0 until outDims).map { j =>
+      (0 until dims).map { d =>
+        col("_sv").getItem(d) * lit(rpWeight(j, d))
+      }.reduce(_ + _)
+    }: _*)
+    emb.select(col("id"), sv.as("_sv"))
+      .select(col("id"), pvec.as("pvec"))
+  }
+
+  /** Coarse-to-fine ANN over the JL sketch: exact integer L2 top-`rerankR`
+    * in the projected space (8 BIGINTs per corpus row stream through a
+    * bounded top-R aggregate — the [[binarySearch]] plan shape), then exact
+    * `metric` re-rank of the survivors in the original space. The third
+    * rung of the coarse-candidate family: binary codes (1 bit/dim), RP
+    * sketch (JL-faithful L2), IVF postings (data-dependent).
+    */
+  def rpSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      rerankR: Int,
+      outDims: Int = 8,
+      metric: String = "l2sq"): DataFrame = {
+    val cproj = randomProject(corpus, dims, outDims)
+    val qproj = randomProject(
+      queries.select(col("query_id").as("id"), col("qvec").as("vec")), dims, outDims)
+      .select(col("id").as("query_id"), col("pvec").as("qp"))
+    val coarse = (0 until outDims).map { j =>
+      val diff = col("pvec").getItem(j) - col("qp").getItem(j)
+      (diff * diff).cast("double")
+    }.reduce(_ + _)
+    val cand = cproj.crossJoin(broadcast(qproj))
+      .withColumn("_cd", coarse)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByDistance.topk(col("id"), col("_cd"), rerankR).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("r"))
+      .select(col("query_id"), col("r.id").as("id"))
+    val rer = cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    Knn.explodeRanked(
+      rer.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** Maximal-marginal-relevance (MMR) diversified top-k (Carbonell &
     * Goldstein 1998): greedily pick `k` results from an exact top-`poolR`
     * relevance pool, each round maximizing

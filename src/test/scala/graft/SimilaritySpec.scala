@@ -206,6 +206,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("rp search with full rerank budget equals exact kNN") {
+    val corpus = emb.select("id", "vec")
+    val exact = SimilaritySearch.bruteForce(queries, corpus, 10, "l2sq")
+    val full = SimilaritySearch.rpSearch(queries, corpus, 64, 10, rerankR = 500)
+    assert(full.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(full).count() === 0)
+  }
+
+  test("rp sketch recall grows with sketch width and rerank budget") {
+    val corpus = emb.select("id", "vec")
+    val exact = SimilaritySearch.bruteForce(queries, corpus, 10, "l2sq")
+    def rec(outDims: Int, r: Int): Double =
+      Eval.recallSummary(Eval.recallAt(
+        SimilaritySearch.rpSearch(queries, corpus, 64, 10, r, outDims),
+        exact, 10)).head().getDouble(0)
+    // near-uniform random embeddings concentrate distances — the worst case
+    // for a JL sketch (probed coverage at R=50: 8d 0.37, 16d 0.53, 24d
+    // 0.59); the structural guarantees are the monotone knobs
+    val r16 = rec(16, 50)
+    assert(r16 >= 0.4, s"16-dim sketch recall $r16")
+    assert(rec(24, 50) >= rec(8, 50) - 1e-9, "wider sketch must not lose recall")
+    assert(rec(16, 200) >= r16 - 1e-9, "bigger rerank budget must not lose recall")
+  }
+
   test("mmr with lambda 0 reproduces top-k order on the 4dp-rounded distances") {
     import org.apache.spark.sql.expressions.Window
     // mmr scores on Knn.search's 4dp-rounded dist (the oracle-parity
