@@ -957,6 +957,10 @@ object SparkEntry {
         embQueries(s, d),
         Tables.embeddingVec(s, d).select(col("id"), col("vec")),
         BinDims, K, RpRerank, RpOutDims))),
+    // chunk-level exact dedup (RAG-index hygiene): q102's token windows
+    // canonicalized across the corpus on the chunk-text hash
+    "q128_chunk_dedup" -> ((s, d) =>
+      ordered(Dedup.chunkDedup(Tables.documents(s, d), ChunkWindow, ChunkStride))),
     // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
     // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
     // from the corpus side: with self-matches in the pool, pick 1 is always
@@ -2617,6 +2621,30 @@ object SparkEntry {
          |       FROM dd)
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM rk WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    // chunk dedup: q102's chunk CTEs + hash-canonicalization (window for
+    // the per-hash canonical member + copies, hydration join back)
+    "q128_chunk_dedup" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val h = graft.functions.Hash60.sql("chunk_text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |x AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+         |      WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n, toks,
+         |        unnest(range(0, n, $ChunkStride)) AS start FROM x),
+         |ch AS (SELECT doc_id, start // $ChunkStride AS chunk_idx, $h AS h FROM (
+         |    SELECT doc_id, start,
+         |      array_to_string(list_slice(toks, CAST(start + 1 AS INT),
+         |        CAST(start + $ChunkWindow AS INT)), ' ') AS chunk_text
+         |    FROM c)),
+         |g AS (SELECT h, doc_id AS canon_doc, chunk_idx AS canon_idx, cnt AS copies
+         |      FROM (SELECT h, doc_id, chunk_idx,
+         |              count(*) OVER (PARTITION BY h) AS cnt,
+         |              row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |            FROM ch) WHERE rn = 1)
+         |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
+         |FROM ch JOIN g USING (h)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
     // binary-path recall vs exact kNN: the q119 pipeline re-used as the
     // results side of the q11 recall block (rounded dists, 1e-6 tie credit)

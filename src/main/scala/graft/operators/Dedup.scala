@@ -33,6 +33,35 @@ object Dedup {
     hashed.join(canon, Seq("h")).select(col(idCol), col("canon_id"))
   }
 
+  /** Chunk-level exact dedup — the RAG-index hygiene pass: chunk every
+    * document ([[TextAnalysis.chunk]]'s token windows), then canonicalize
+    * identical chunk TEXT across the whole corpus. A retrieval index built
+    * on raw chunks otherwise stores one boilerplate paragraph thousands of
+    * times and fills every top-k with copies of it (the problem [[
+    * graft.operators.SimilaritySearch.mmr]] patches at query time — this
+    * removes it at build time). Output: one row per chunk,
+    * `(doc_id, chunk_idx, canon_doc, canon_idx, copies)` with the canonical
+    * member the (doc_id, chunk_idx)-smallest; keep `doc_id = canon_doc AND
+    * chunk_idx = canon_idx` for the deduped index.
+    *
+    * Scale posture: chunks are grouped on [[graft.functions.Hash60]] of the
+    * chunk text (the [[exact]] convention — 8-byte shuffle keys, not
+    * paragraph strings), one hash aggregation + one 1:N hydration join.
+    */
+  def chunkDedup(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ch = graft.operators.TextAnalysis.chunk(docs, window, stride, idCol, textCol)
+      .select(col(idCol), col("chunk_idx"), Hash60(col("chunk_text")).as("_h"))
+    val groups = ch.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_c"),
+        count(lit(1)).as("copies"))
+    ch.join(groups, Seq("_h"))
+      .select(col(idCol), col("chunk_idx"),
+        col("_c").getField(idCol).as("canon_doc"),
+        col("_c").getField("chunk_idx").as("canon_idx"),
+        col("copies"))
+  }
+
   /** Distinct n-word shingles per doc: `(doc_id, sh)`. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

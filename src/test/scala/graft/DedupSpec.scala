@@ -296,4 +296,26 @@ class DedupSpec extends SparkSpec {
     // c shares nothing -> no row at all
     assert(r.size === 1)
   }
+
+  test("chunk dedup canonicalizes identical chunks across documents") {
+    // window 4 / stride 4: doc 1 and doc 2 share an identical second chunk
+    // ("e f g h"); doc 3 is unique
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w e f g h"),
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(docs, window = 4, stride = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    // one output row per chunk
+    assert(r.size === 5)
+    // the shared chunk groups cross-doc, canonical = (1, 1)
+    assert(r((1L, 1L)) === ((1L, 1L, 2L)))
+    assert(r((2L, 1L)) === ((1L, 1L, 2L)))
+    // unique chunks are their own canonicals with copies = 1
+    assert(r((1L, 0L)) === ((1L, 0L, 1L)))
+    assert(r((2L, 0L)) === ((2L, 0L, 1L)))
+    assert(r((3L, 0L)) === ((3L, 0L, 1L)))
+  }
 }
