@@ -961,6 +961,27 @@ object SparkEntry {
     // canonicalized across the corpus on the chunk-text hash
     "q128_chunk_dedup" -> ((s, d) =>
       ordered(Dedup.chunkDedup(Tables.documents(s, d), ChunkWindow, ChunkStride))),
+    // count-min sketch: build the 512×4 counter table over the token
+    // stream, probe the top-200 vocabulary — est never under-counts
+    "q129_cms_estimate" -> ((s, d) => {
+      import graft.functions.Sketches
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sketch = Sketches.cmsSketch(toks, "token", CmsWidth, CmsDepth)
+      val vocab = TextAnalysis.vocabulary(docs, VocabSize)
+      ordered(vocab.withColumnRenamed("cnt", "true_cnt")
+        .join(Sketches.cmsEstimate(vocab.select(col("token")), sketch,
+          "token", CmsWidth, CmsDepth), Seq("token")))
+    }),
+    // HyperLogLog register table (p=8) over the token stream — the
+    // mergeable distinct-count summary (engine-exact integer ranks)
+    "q130_hll_registers" -> ((s, d) =>
+      ordered(graft.functions.Sketches.hllRegisters(
+        Tables.documents(s, d).select(
+          explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "token", HllP)
+        .select(col("bucket"), col("register").cast("int").as("register")))),
     // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
     // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
     // from the corpus side: with self-matches in the pool, pick 1 is always
@@ -1085,6 +1106,12 @@ object SparkEntry {
   // needs ≥16 coordinates for usable ranking signal
   private val RpOutDims = 16
   private val RpRerank = 50
+  // q129: 512×4 CMS over ~20k token instances (~2.5k distinct) — narrow
+  // enough that collisions genuinely over-count some probes (the sketch
+  // behavior under test); q130: p=8 → 256 HLL buckets on the same stream
+  private val CmsWidth = 512
+  private val CmsDepth = 4
+  private val HllP = 8
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2645,6 +2672,40 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // CMS: 4 salted hash rows × 512 buckets, probe = min over rows
+    "q129_cms_estimate" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val hs = graft.functions.Hash60.sql("u.j || '|' || token")
+      val hp = graft.functions.Hash60.sql("u.j || '|' || v.token")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |sk AS (SELECT row, bucket, count(*) AS cnt FROM (
+         |    SELECT u.j AS row, ($hs) % $CmsWidth AS bucket
+         |    FROM tok, (SELECT unnest(range(0, $CmsDepth)) AS j) u) GROUP BY 1, 2),
+         |v AS (SELECT token, count(*) AS true_cnt FROM tok
+         |      GROUP BY token ORDER BY true_cnt DESC, token LIMIT $VocabSize),
+         |pe AS (SELECT v.token, u.j AS row, ($hp) % $CmsWidth AS bucket
+         |       FROM v, (SELECT unnest(range(0, $CmsDepth)) AS j) u),
+         |est AS (SELECT token, min(coalesce(sk.cnt, 0)) AS est_cnt
+         |        FROM pe LEFT JOIN sk USING (row, bucket) GROUP BY token)
+         |SELECT v.token, v.true_cnt, est.est_cnt FROM v JOIN est USING (token)
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // HLL registers: bucket = low 8 hash bits, rank via binary-string
+    // length of the value bits (exact integer math in both engines)
+    "q130_hll_registers" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val h = graft.functions.Hash60.sql("token")
+      val m = 1 << HllP
+      val w = 60 - HllP
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |hh AS (SELECT ($h) AS h FROM tok)
+         |SELECT h % $m AS bucket,
+         |  CAST(max(CASE WHEN (h // $m) = 0 THEN ${w + 1}
+         |               ELSE $w - (length(bin(h // $m)) - 1) END) AS INT) AS register
+         |FROM hh GROUP BY 1 ORDER BY 1, 2""".stripMargin
     },
     // binary-path recall vs exact kNN: the q119 pipeline re-used as the
     // results side of the q11 recall block (rounded dists, 1e-6 tie credit)

@@ -147,7 +147,46 @@ object DumpPlans {
         |head_id; orphan re-assignment probes the broadcast-bounded
         |survivor heads inside an expression; the finish dedups on
         |(head_id, id). No pair space, no corpus-wide window — the whole
-        |maintenance round is scan + keyed joins + bounded groups.""".stripMargin)
+        |maintenance round is scan + keyed joins + bounded groups.""".stripMargin,
+    "q119_binary_search" ->
+      """Binary coarse-to-fine: the corpus streams its 8-byte sign codes
+        |through a bounded Hamming top-R aggregate (query codes ride the
+        |broadcast side; per-task fan-out is 16-byte rows, the code scan
+        |runs at memory bandwidth), then the ≤|Q|·R candidate set semi-joins
+        |the float vectors for the exact re-rank — the full-width column is
+        |touched for R rows per query, not the corpus. The threshold stats
+        |are a ONE-row broadcast from a per-dim integer aggregation.""".stripMargin,
+    "q120_semantic_dedup" ->
+      """SemDeDup: nearest-centroid assignment is the q07 map-only
+        |expression pass; the candidate pair join keys on head_id, so the
+        |pair space is Σ|cluster|² — governed by the centroid count, which
+        |scales with the corpus — and the exact cosine verify runs only
+        |inside clusters. No all-pairs join exists in the plan.""".stripMargin,
+    "q121_importance_weights" ->
+      """DSIR importance weights: per-row tokenize+hash at scan speed, two
+        |bucket-keyed aggregations bounded by the 256-bucket feature space,
+        |a broadcast ≤256-row weight join, and one doc-keyed aggregation
+        |with 6dp-rounded DECIMAL-summed terms. The q125 twin collapses the
+        |scoring side to a pure in-row fold over a collected lookup array —
+        |zero shuffle, stream-safe.""".stripMargin,
+    "q124_mmr_rerank" ->
+      """MMR diversified re-rank: the relevance pool (≤|Q|·R rows) and its
+        |pairwise sim frame (≤|Q|·R²) are checkpointed once; each greedy
+        |round is an anti-join + max-aggregation + per-query argmax over
+        |those bounded frames. The corpus is touched exactly once — by the
+        |q01-style bounded top-R scan that builds the pool.""".stripMargin,
+    "q127_rp_search" ->
+      """JL-sketch coarse-to-fine: the 16-integer projection is a per-row
+        |codegen projection (nothing shuffles); the coarse pass streams the
+        |sketch column through the bounded top-R aggregate with
+        |integer-exact L2 (all magnitudes inside 2⁵³); the exact re-rank
+        |touches original vectors for R rows per query — the q119 plan with
+        |a distance-faithful sketch.""".stripMargin,
+    "q128_chunk_dedup" ->
+      """Chunk-level dedup: chunks explode in-row from the token array, the
+        |canonicalization groups on an 8-byte chunk-text hash (never the
+        |paragraph string), and the hydration join is 1:N on that same
+        |hash — shuffle ∝ chunk count with narrow keys, no pair space.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
