@@ -318,6 +318,71 @@ object StreamingIngest {
       .toDF("a", "b", "jaccard")
   }
 
+  /** Streaming SemDeDup: the embedding-space sibling of [[nearDupStream]].
+    * Arriving vectors route to their single nearest centroid via the
+    * [[graft.functions.NearestHeadsExpr]] projection (centroids are the
+    * bounded-broadcast contract — pure per-row expression, stream-safe with
+    * no pre-state aggregation), then CLUSTER-keyed state
+    * (`flatMapGroupsWithState`) verifies exact cosine distance against the
+    * capped member list. Emits `(head_id, a, b, cos_dist)` with `a` the
+    * earlier member — the same contract as the batch
+    * [[graft.operators.SimilaritySearch.semanticDedup]], which the spec
+    * holds it equal to.
+    *
+    * Scale: state is partitioned by centroid — the same key the batch
+    * pair-join shuffles on — and capped at `maxCluster` vectors per
+    * centroid (the stop-bucket idea: a cluster that hot means the centroid
+    * set is undersized for the corpus; SemDeDup scales k ∝ n).
+    */
+  def semanticDedupStream(
+      vecs: DataFrame, // streaming (id, vec)
+      cents: DataFrame, // static (head_id, head_vec)
+      maxCosDist: Double,
+      maxCluster: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nn = graft.functions.NearestHeadsExpr.fromHeads(cents, col("vec"), 1, "cos")
+    // mirror of functions.dist cosine: left-to-right dot and norms, then
+    // 1 − dot/sqrt(na·nb) — bit-identical to the batch kernel's doubles
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na * nb)
+      if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+    vecs
+      .select(col("id").cast("long"), col("vec").cast("array<float>"),
+        element_at(nn, 1).getField("id").as("head_id"))
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[(Long, Array[Float])], (Long, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (head: Long, rows: Iterator[(Long, Array[Float], Long)],
+            state: GroupState[Seq[(Long, Array[Float])]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val hits = Seq.newBuilder[(Long, Long, Long, Double)]
+          for ((id, vec, _) <- rows.toSeq.sortBy(_._1)
+               if !members.exists(_._1 == id)) {
+            for ((mid, mvec) <- members) {
+              val cd = cosDist(mvec, vec)
+              if (cd < maxCosDist) {
+                val cdr = BigDecimal(cd)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                hits += ((head, math.min(mid, id), math.max(mid, id), cdr))
+              }
+            }
+            if (members.size < maxCluster) members = members :+ ((id, vec))
+          }
+          state.update(members)
+          hits.result().iterator
+      }
+      .toDF("head_id", "a", "b", "cos_dist")
+  }
+
   /** Online query serving (V1 as a stream, `SocketServer.h` request loop →
     * micro-batches): each trigger's query batch runs the two-stage search
     * against the STATIC index — per-trigger cost ∝ batch size, the postings

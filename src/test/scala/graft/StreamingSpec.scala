@@ -295,6 +295,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup equals the batch pair set across micro-batches") {
+    import graft.operators.{SimilaritySearch, Spann}
+    implicit val sq = spark.sqlContext
+    val emb = Tables.embeddingVec(spark, sf0001).select("id", "vec")
+    val batch = SimilaritySearch.semanticDedup(emb, 25, 0.6)
+    val cents = Spann.selectHeadsModulo(emb, 25)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingIngest.semanticDedupStream(
+      stream.toDF().toDF("id", "vec"), cents, 0.6)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      import spark.implicits._
+      val rows = emb.as[(Long, Seq[Float])].collect()
+      // two micro-batches: cross-batch pairs must surface from state
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toIndexedSeq); out.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); out.processAllAvailable()
+      val streamed = spark.table("semdedup_stream")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally out.stop()
+  }
+
+  test("streaming cms sketch equals the batch sketch after all batches drain") {
+    import graft.functions.Sketches
+    import graft.operators.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val batchSketch = Sketches.cmsSketch(toks.select("token"), "token", 256, 4)
+    val stream = MemoryStream[String]
+    // the sketch build is a bounded-key streaming aggregation (≤ depth·width
+    // groups) — complete output mode materializes the running table
+    val out = Sketches.cmsSketch(stream.toDF().toDF("token"), "token", 256, 4)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      import spark.implicits._
+      stream.addData(toks.select("token").as[String].collect().toIndexedSeq)
+      out.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+      assert(streamed.exceptAll(batchSketch).count() === 0)
+      assert(batchSketch.exceptAll(streamed).count() === 0)
+    } finally out.stop()
+  }
+
   test("streaming sessionization: gap closes sessions; agrees with batch off-boundary") {
     import graft.operators.Events
     implicit val sq = spark.sqlContext
