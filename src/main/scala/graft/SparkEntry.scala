@@ -982,6 +982,15 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // reciprocal-rank fusion: the l2sq and cosine top-10 rankings of the
+    // same queries fused rank-wise (the hybrid-retrieval merge — no score
+    // calibration across incomparable rankers)
+    "q131_rrf_hybrid" -> ((s, d) => {
+      val corpus = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      ordered(SimilaritySearch.rrfFuse(Seq(
+        Knn.search(embQueries(s, d), corpus, K, "l2sq"),
+        Knn.search(embQueries(s, d), corpus, K, "cos")), K))
+    }),
     // MMR diversified top-k: greedy relevance-vs-redundancy re-rank over
     // the exact top-20 pool (retrieval-side dedup). Query ids are excluded
     // from the corpus side: with self-matches in the pool, pick 1 is always
@@ -2672,6 +2681,30 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // RRF: both metric rankings rebuilt exactly, fused by 6dp reciprocal
+    // terms DECIMAL-summed, re-ranked (score DESC, id)
+    "q131_rrf_hybrid" -> {
+      val l2 = Tables.distSql("l2sq", "q.qvec", "e.vec")
+      val cs = Tables.distSql("cos", "q.qvec", "e.vec")
+      def rkCte(n: String, d: String) =
+        s"""$n AS (SELECT query_id, id, rank FROM (
+           |    SELECT q.query_id, e.id,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d, e.id) AS rank
+           |    FROM q CROSS JOIN e) WHERE rank <= $K)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |${rkCte("r1", l2)},
+         |${rkCte("r2", cs)},
+         |u AS (SELECT query_id, id, round(1.0 / (60 + rank), 6)::DECIMAL(18,9) AS t
+         |      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)),
+         |sc AS (SELECT query_id, id, round(sum(t)::DOUBLE, 6) AS score
+         |       FROM u GROUP BY query_id, id),
+         |rk AS (SELECT query_id, id, score,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, id) AS INT) AS rank FROM sc)
+         |SELECT query_id, rank, id, score FROM rk WHERE rank <= $K
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
     // CMS: 4 salted hash rows × 512 buckets, probe = min over rows
     "q129_cms_estimate" -> {

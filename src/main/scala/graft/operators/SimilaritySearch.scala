@@ -279,6 +279,41 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval merge: given several rankings `(query_id, rank, id, …)` of
+    * the same query set (lexical BM25, dense kNN, different metrics…),
+    * score every (query, id) as `Σ_rankings 1/(rrfK + rank)` and keep the
+    * top `k`. Rank-based, so incomparable scores (BM25 vs cosine) fuse
+    * without calibration.
+    *
+    * Determinism contract: each reciprocal term is rounded to 6dp and
+    * summed as DECIMAL (exact, order-independent — the q91 convention);
+    * final order is (score DESC, id). Output `(query_id, rank, id, score)`.
+    *
+    * Scale posture: inputs are already bounded per query (top-R each), so
+    * the union, the (query, id) aggregation, and the per-query window all
+    * run over ≤ |Q|·R·|rankings| rows — never corpus-sized.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(rankings.nonEmpty, "need at least one ranking")
+    val terms = rankings.map(_.select(col("query_id"), col("id"),
+      round(lit(1.0) / (lit(rrfK) + col("rank")), 6)
+        .cast(DecimalType(18, 9)).as("_t")))
+      .reduce(_ unionByName _)
+    val scored = terms.groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("_t")).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score"))
+  }
+
   /** Integer weight of random-projection row `j`, dimension `d` —
     * `hash60("rp{j}_{d}") % 201 − 100` (±100: sized so projected L2
     * distances stay inside double's 2⁵³ integer range — see

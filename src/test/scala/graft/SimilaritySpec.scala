@@ -206,6 +206,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("rrf: self-fusion preserves order; agreement outranks single-ranker hits") {
+    import spark.implicits._
+    val corpus = emb.select("id", "vec")
+    val base = SimilaritySearch.bruteForce(queries, corpus, 10, "l2sq")
+    // fusing a ranking with itself keeps the ranking
+    val selfFused = SimilaritySearch.rrfFuse(Seq(base, base), 10)
+      .select("query_id", "rank", "id")
+    assert(selfFused.exceptAll(base.select("query_id", "rank", "id")).count() === 0)
+    // crafted: doc 1 is rank-1 in both rankers, docs 2/3 rank-1 in one each
+    val r1 = Seq((0L, 1, 1L), (0L, 2, 2L)).toDF("query_id", "rank", "id")
+    val r2 = Seq((0L, 1, 1L), (0L, 2, 3L)).toDF("query_id", "rank", "id")
+    val fused = SimilaritySearch.rrfFuse(Seq(r1, r2), 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(fused(1) === 1L, "the doc both rankers agree on must win")
+    assert(Set(fused(2), fused(3)) === Set(2L, 3L))
+  }
+
   test("rp search with full rerank budget equals exact kNN") {
     val corpus = emb.select("id", "vec")
     val exact = SimilaritySearch.bruteForce(queries, corpus, 10, "l2sq")
