@@ -982,6 +982,14 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // per-source doc cap: uniform hash-ordered N-doc sample of every
+    // source via the two-level rank (dominant-domain balancing)
+    "q132_source_cap" -> ((s, d) =>
+      ordered(Pipeline.sourceCap(Tables.documents(s, d), SourceCapN))),
+    // mean-pooled bag centroids: class prototypes from labeled embedding
+    // bags (exact integer sums, one mirrored division chain)
+    "q133_bag_centroids" -> ((s, d) =>
+      ordered(SimilaritySearch.bagPool(Tables.embeddingVec(s, d)))),
     // reciprocal-rank fusion: the l2sq and cosine top-10 rankings of the
     // same queries fused rank-wise (the hybrid-retrieval merge — no score
     // calibration across incomparable rankers)
@@ -1121,6 +1129,9 @@ object SparkEntry {
   private val CmsWidth = 512
   private val CmsDepth = 4
   private val HllP = 8
+  // q132: cap 15 docs/source — sf0.01 sources carry ~25, so the cap
+  // genuinely cuts every source while keeping a multi-doc survivor set
+  private val SourceCapN = 15L
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2682,6 +2693,21 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // per-source cap: one per-source window at fixture scale; Spark reaches
+    // the identical set via the two-level hash-range rank
+    "q132_source_cap" -> (Pipeline.sourceCapSql(SourceCapN) +
+      "\nORDER BY 1, 2, 3"),
+    // bag centroids: exact scaled-integer sums, mirrored division chain
+    "q133_bag_centroids" ->
+      s"""WITH sv AS (SELECT label,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS s
+         |  FROM embeddings),
+         |dx AS (SELECT label, CAST(generate_subscripts(s, 1) - 1 AS INT) AS dim,
+         |         unnest(s) AS v FROM sv)
+         |SELECT label, dim, count(*) AS n_vecs,
+         |  round(sum(v)::DOUBLE / 1000.0 / count(*), 6) AS c
+         |FROM dx GROUP BY label, dim
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
     // RRF: both metric rankings rebuilt exactly, fused by 6dp reciprocal
     // terms DECIMAL-summed, re-ranked (score DESC, id)
     "q131_rrf_hybrid" -> {

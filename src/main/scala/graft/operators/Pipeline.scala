@@ -365,6 +365,64 @@ object Pipeline {
        |  FROM documents)
        |WHERE cum_tokens <= $budget""".stripMargin
 
+  /** Per-source document cap — "no domain contributes more than N docs":
+    * keep a deterministic uniform-random `maxDocs` sample of every source,
+    * ranked by a salted hash (re-runnable, stable under corpus growth for
+    * the kept prefix semantics). The dominant-domain balancer that runs
+    * before mixture weighting when one crawl source is 100× the rest.
+    *
+    * Scale shape — the [[tokenBudgetSelect]] two-level rank with a
+    * HASH-RANGE level 0: bucket = top `log2(buckets)` bits of the 60-bit
+    * hash, so buckets are uniform by construction and concatenating them
+    * in bucket order preserves the global (hash, id) order per source —
+    * no histogram needed, no per-source window over the corpus. In-bucket
+    * rank windows over `(source, bucket)`; bucket offsets are a
+    * bucket-count cumsum (tiny, broadcast back).
+    *
+    * Output `(doc_id, source, pick_rank)`, pick_rank 1-based in hash order.
+    */
+  def sourceCap(
+      docs: DataFrame,
+      maxDocs: Long,
+      salt: String = "cap",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      bucketBits: Int = 5): DataFrame = {
+    import graft.functions.Hash60
+    val buckets = 1 << bucketBits
+    val base = docs.select(col(idCol), col(sourceCol),
+      Hash60(concat(lit(salt), lit("|"), col(idCol))).as("_h"))
+      .withColumn("_bkt", shiftright(col("_h"), 60 - bucketBits))
+    val wIn = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_h"), col(idCol))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(sourceCol), col("_bkt"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    base
+      .withColumn("_rIn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets.where(col("_off") < maxDocs)), Seq(sourceCol, "_bkt"))
+      .withColumn("pick_rank", col("_off") + col("_rIn"))
+      .where(col("pick_rank") <= maxDocs)
+      .select(col(idCol), col(sourceCol), col("pick_rank"))
+  }
+
+  /** DuckDB mirror of [[sourceCap]]: the same hash order as ONE per-source
+    * window (fixture-scale form; the Spark side reaches the identical set
+    * through the two-level rank).
+    */
+  def sourceCapSql(maxDocs: Long, salt: String = "cap"): String = {
+    val h = graft.functions.Hash60.sql(s"'$salt' || '|' || doc_id")
+    s"""SELECT doc_id, source, pick_rank FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ($h), doc_id) AS pick_rank
+       |  FROM documents)
+       |WHERE pick_rank <= $maxDocs""".stripMargin
+  }
+
   /** Sequence packing (concat-and-chunk): documents are laid end-to-end in
     * id order and cut every `budgetTokens` tokens — each doc reports the
     * pack its first token lands in and its offset inside that pack. Docs

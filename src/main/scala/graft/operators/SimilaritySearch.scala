@@ -279,6 +279,32 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Mean-pooled bag centroids — the embedding-aggregation step that turns
+    * multi-vector bags into one vector (doc embedding from token/chunk
+    * embeddings, class prototype from labeled members, cluster summary
+    * from assignments): per (label, dim), the mean of the integer-scaled
+    * components. Integer sums are exact at any partitioning (the ×1000
+    * convention), so the one division at the end makes the result
+    * bit-identical in any engine. Output `(label, dim, n_vecs, c)` — long
+    * form, scalar-hashable; reassemble with `collect_list` ordered by dim
+    * when an array is wanted.
+    *
+    * Scale posture: one map-side-partial hash aggregation keyed by
+    * (label, dim) — state ∝ labels·dims, never corpus.
+    */
+  def bagPool(vectors: DataFrame, labelCol: String = "label",
+      vecCol: String = "vec"): DataFrame = {
+    val scaled = transform(col(vecCol), v => round(v.cast("double") * 1000).cast("long"))
+    vectors
+      .select(col(labelCol), posexplode(scaled).as(Seq("dim", "_v")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // the one inexact step, mirrored operation-for-operation in the
+        // oracle: exact Σ → /1000 → /n, each an IEEE-exact-rounded divide
+        round(sum(col("_v")).cast("double") / lit(1000.0) / count(lit(1)), 6)
+          .as("c"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval merge: given several rankings `(query_id, rank, id, …)` of
     * the same query set (lexical BM25, dense kNN, different metrics…),

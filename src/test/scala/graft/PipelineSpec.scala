@@ -304,4 +304,29 @@ class PipelineSpec extends SparkSpec {
     // natural share of small = 2/42; sqrt-tempering must lift it above that
     assert(w("small") > 2.0 / 42.0 && w("big") < 40.0 / 42.0)
   }
+
+  test("source cap: two-level rank equals the single-window reference, caps exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hash60
+    val docs = Tables.documents(spark, sf0001)
+    val capped = Pipeline.sourceCap(docs, maxDocs = 10)
+    // exact cap: min(cap, source size) survivors per source
+    val bySrc = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    inSrc.foreach { case (s, n) =>
+      assert(bySrc(s) === math.min(10L, n), s"source $s: ${bySrc.get(s)} of $n")
+    }
+    // identical to the naive one-window-per-source formulation
+    val w = Window.partitionBy(col("source"))
+      .orderBy(Hash60(concat_ws("|", lit("cap"), col("doc_id"))), col("doc_id"))
+    val reference = docs
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .where(col("pick_rank") <= 10)
+      .select(col("doc_id"), col("source"), col("pick_rank"))
+    assert(capped.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(capped).count() === 0)
+  }
 }

@@ -206,6 +206,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("bag centroids are exact per-dimension means") {
+    import spark.implicits._
+    val bags = Seq(
+      (1L, Seq(1f, 2f), 7), (2L, Seq(3f, 4f), 7),
+      (3L, Seq(10f, 0f), 8)
+    ).toDF("id", "vec", "label")
+    val r = SimilaritySearch.bagPool(bags)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> ((x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r((7, 0)) === ((2L, 2.0)) && r((7, 1)) === ((2L, 3.0)))
+    assert(r((8, 0)) === ((1L, 10.0)) && r((8, 1)) === ((1L, 0.0)))
+  }
+
   test("rrf: self-fusion preserves order; agreement outranks single-ranker hits") {
     import spark.implicits._
     val corpus = emb.select("id", "vec")
