@@ -982,6 +982,21 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // as-of join (last-touch attribution): every purchase joined to the
+    // LATEST prior view by the same user — the tagged-union + carry-forward
+    // window form, never a per-key theta-join
+    "q134_asof_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // asof_ts goes out as epoch micros: a NULLABLE timestamp column
+      // round-trips with engine-specific units (µs vs ns) and breaks the
+      // byte-compare; integer micros are unit-exact in both engines
+      ordered(graft.operators.Events.asOfJoin(l, r)
+        .withColumn("asof_ts", unix_micros(col("asof_ts"))))
+    }),
     // per-source doc cap: uniform hash-ordered N-doc sample of every
     // source via the two-level rank (dominant-domain balancing)
     "q132_source_cap" -> ((s, d) =>
@@ -2693,6 +2708,26 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // as-of: the same tagged-union carry-forward window (last_value IGNORE
+    // NULLS over (ts, tag, rid)), right row hydrated by event_id join-back
+    "q134_asof_attribution" ->
+      s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
+         |           WHERE event_type = 'view'),
+         |l AS (SELECT user_id, ts, event_id, value FROM events
+         |      WHERE event_type = 'purchase'),
+         |u AS (SELECT user_id, ts, 0 AS tag, event_id AS rid, event_id AS p_eid,
+         |        NULL::BIGINT AS l_eid, NULL::DOUBLE AS l_val FROM r
+         |      UNION ALL
+         |      SELECT user_id, ts, 1, 9223372036854775807, NULL, event_id, value FROM l),
+         |m AS (SELECT user_id, ts, tag, l_eid, l_val,
+         |        last_value(p_eid IGNORE NULLS) OVER (PARTITION BY user_id
+         |          ORDER BY ts, tag, rid ROWS UNBOUNDED PRECEDING) AS a_eid
+         |      FROM u)
+         |SELECT m.user_id, m.ts, m.l_eid AS event_id, m.l_val AS value,
+         |  rr.event_id AS asof_event_id, epoch_us(rr.ts) AS asof_ts, rr.value AS asof_value
+         |FROM m LEFT JOIN r rr ON rr.event_id = m.a_eid
+         |WHERE m.tag = 1
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
     // per-source cap: one per-source window at fixture scale; Spark reaches
     // the identical set via the two-level hash-range rank
     "q132_source_cap" -> (Pipeline.sourceCapSql(SourceCapN) +

@@ -91,6 +91,49 @@ object Events {
     * days (`datediff` on truncated days). Two hash aggregations and one
     * equi-join on `user_id` — cohorts table is tiny (one row per user).
     */
+  /** As-of join — for every left row, the LATEST right row with
+    * `right.ts <= left.ts` on the same key (last-touch attribution, state-
+    * of-user at event time, slowly-changing-dimension lookup). Spark has no
+    * native ASOF JOIN; the naive theta-join `l.ts >= r.ts` is a per-key
+    * cartesian. This is the scale form: tag both sides, union, and carry
+    * the last right payload forward with one `last(_, ignoreNulls)` window
+    * per key — shuffle ∝ rows on the high-cardinality key, no pair space.
+    * Right rows at exactly `left.ts` DO match (tag orders right before
+    * left); among equal-ts right rows the greatest `event_id` wins — fully
+    * deterministic, mirrored by the oracle's window.
+    *
+    * Output: the left row plus `(asof_event_id, asof_ts, asof_value)`,
+    * nulls when no right row precedes.
+    */
+  def asOfJoin(
+      left: DataFrame, // (user_id, ts, …) probe side
+      right: DataFrame, // (user_id, ts, event_id, value) state side
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val lCols = left.columns
+    val lExtra = lCols.filterNot(c => c == keyCol || c == tsCol).toIndexedSeq
+    val rSide = Seq(
+      col(keyCol), col(tsCol), lit(0).as("_tag"), col("event_id").as("_rid"),
+      struct(col("event_id"), col(tsCol).as("rts"), col("value")).as("_payload")) ++
+      lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val lSide = Seq(
+      col(keyCol), col(tsCol), lit(1).as("_tag"), lit(Long.MaxValue).as("_rid"),
+      lit(null).cast(
+        "struct<event_id:bigint,rts:timestamp,value:double>").as("_payload")) ++
+      lExtra.map(col)
+    val tagged = right.select(rSide: _*).unionByName(left.select(lSide: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_tag"), col("_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+      .select(lCols.map(col) ++ Seq(
+        col("_asof").getField("event_id").as("asof_event_id"),
+        col("_asof").getField("rts").as("asof_ts"),
+        col("_asof").getField("value").as("asof_value")): _*)
+  }
+
   def retention(events: DataFrame, signupType: String = "signup"): DataFrame = {
     val cohorts = events.where(col("event_type") === signupType)
       .groupBy(col("user_id"))

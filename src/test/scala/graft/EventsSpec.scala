@@ -139,4 +139,25 @@ class EventsSpec extends SparkSpec {
         s"trial $trial (within=$within): missing ${ref -- got}, extra ${got -- ref}")
     }
   }
+
+  test("as-of join: latest prior match, inclusive ties, greatest id on equal ts, null when none") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    // views: t=10 (id 100), two at t=20 (ids 101, 102), t=40 (id 103)
+    val views = Seq(
+      (1L, ts(10), 100L, 1.0), (1L, ts(20), 101L, 2.0),
+      (1L, ts(20), 102L, 3.0), (1L, ts(40), 103L, 4.0),
+      (2L, ts(5), 200L, 9.0) // other user — must never leak
+    ).toDF("user_id", "ts", "event_id", "value")
+    val purchases = Seq(
+      (1L, ts(5), 900L, 0.0),  // before any view -> null
+      (1L, ts(15), 901L, 0.0), // after t=10 -> id 100
+      (1L, ts(20), 902L, 0.0), // equal ts is inclusive; greatest id 102 wins
+      (1L, ts(60), 903L, 0.0)  // latest overall -> id 103
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = Events.asOfJoin(purchases, views).collect()
+      .map(x => x.getLong(2) -> (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    assert(r === Map(900L -> -1L, 901L -> 100L, 902L -> 102L, 903L -> 103L))
+  }
 }
