@@ -982,6 +982,17 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // range join (price-band lookup): bucketed interval-containment
+    // equi-join — never the BroadcastNestedLoop a raw lo<=x<=hi builds
+    "q135_range_join" -> ((s, d) => {
+      val pts = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x"))
+      val iv = s.range(RangeBands).select(col("id").as("band"),
+        (col("id") * RangeStep).cast("double").as("lo"),
+        (col("id") * RangeStep + RangeLen).cast("double").as("hi"))
+      ordered(graft.operators.Joins.rangeJoin(pts, iv, RangeStep)
+        .select(col("band"), col("o_orderkey"), col("x")))
+    }),
     // as-of join (last-touch attribution): every purchase joined to the
     // LATEST prior view by the same user — the tagged-union + carry-forward
     // window form, never a per-key theta-join
@@ -1147,6 +1158,12 @@ object SparkEntry {
   // q132: cap 15 docs/source — sf0.01 sources carry ~25, so the cap
   // genuinely cuts every source while keeping a multi-doc survivor set
   private val SourceCapN = 15L
+  // q135: 100 price bands of width 7500 every 5000 — overlapping, so some
+  // orders land in two bands; bucket width = the band step (each interval
+  // explodes to 2 buckets)
+  private val RangeBands = 100
+  private val RangeStep = 5000L
+  private val RangeLen = 7499L
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2708,6 +2725,16 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // range join: the plain theta form IS the oracle (fixture-scale);
+    // Spark reaches the identical set via the bucketed equi-join
+    "q135_range_join" ->
+      s"""WITH iv AS (SELECT i AS band, (i * $RangeStep)::DOUBLE AS lo,
+         |              (i * $RangeStep + $RangeLen)::DOUBLE AS hi
+         |            FROM (SELECT unnest(range(0, $RangeBands)) AS i)),
+         |p AS (SELECT o_orderkey, o_totalprice::DOUBLE AS x FROM orders)
+         |SELECT iv.band, p.o_orderkey, p.x
+         |FROM p JOIN iv ON p.x >= iv.lo AND p.x <= iv.hi
+         |ORDER BY 1, 2, 3""".stripMargin,
     // as-of: the same tagged-union carry-forward window (last_value IGNORE
     // NULLS over (ts, tag, rid)), right row hydrated by event_id join-back
     "q134_asof_attribution" ->
