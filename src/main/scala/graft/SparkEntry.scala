@@ -2636,16 +2636,24 @@ object SparkEntry {
     // value-identical to q121 by construction
     "q125_importance_score" -> importanceOracleSql,
     // pHash near-dup: codepoint-histogram shares vs corpus shares
-    // (cross-multiplied integer test), brute pair mirror — exact vs the
-    // banded path at fixture scale (pigeonhole guarantees every hamming≤3
-    // pair agrees on a 16-bit band, and the 1024 stop-bucket cap cannot
-    // trigger on 500 docs, so banded ≡ brute)
+    // (cross-multiplied integer test), then simhashPairs' pigeonhole
+    // banding mirrored EXACTLY — 16-bit bands, per-bucket count, buckets
+    // over MaxBandBucket dropped as stop-buckets — so the oracle matches at
+    // ANY fixture scale (at sf0.1 the guard genuinely triggers: a brute
+    // pair mirror reads 7040 pairs where the guarded path keeps 2574)
     "q122_phash_neardup" -> {
       def term(b: Int): String = {
         val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
         s"CASE WHEN sv[${b + 1}] * lc > ld * hs[${b + 1}] THEN $v ELSE 0 END"
       }
       val code = (0 until 64).map(term).mkString(" + ")
+      val nb = PhashMaxHamming + 1
+      val bandVals = (0 until nb).map { i =>
+        val start = i * 64 / nb
+        val len = (i + 1) * 64 / nb - start
+        val mask = if (len >= 64) -1L else (1L << len) - 1L
+        s"((ph >> $start) & $mask)"
+      }
       s"""WITH cp AS (SELECT doc_id,
          |        list_transform(generate_series(1, length(text)),
          |          i -> ascii(substr(text, i, 1))) AS cps
@@ -2659,10 +2667,20 @@ object SparkEntry {
          |  SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
          |    SELECT generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM hist) GROUP BY d)),
          |c AS (SELECT doc_id, CAST($code AS BIGINT) AS ph
-         |      FROM hist CROSS JOIN st CROSS JOIN tot)
-         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |      FROM hist CROSS JOIN st CROSS JOIN tot),
+         |banded AS (SELECT doc_id, ph, band, bv FROM (
+         |    SELECT doc_id, ph,
+         |      generate_subscripts([${bandVals.mkString(", ")}], 1) - 1 AS band,
+         |      unnest([${bandVals.mkString(", ")}]) AS bv
+         |    FROM c)),
+         |small AS (SELECT * FROM (
+         |    SELECT doc_id, ph, band, bv,
+         |      count(*) OVER (PARTITION BY band, bv) AS cnt FROM banded)
+         |  WHERE cnt <= ${Dedup.MaxBandBucket})
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
          |  CAST(bit_count(xor(l.ph, r.ph)) AS INT) AS hamming
-         |FROM c l JOIN c r ON l.doc_id < r.doc_id
+         |FROM small l JOIN small r ON l.band = r.band AND l.bv = r.bv
+         |  AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming
          |ORDER BY a, b, hamming""".stripMargin
     },
