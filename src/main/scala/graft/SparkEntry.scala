@@ -982,6 +982,18 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // per-source percentile normalization of the quality score — the
+    // calibration step before cross-source selection; histogram-shaped
+    // percent_rank, no per-source window over the corpus
+    "q136_quality_percentile" -> ((s, d) =>
+      ordered(Pipeline.qualityPercentile(Tables.documents(s, d)))),
+    // multi-probe LSH: q65's banded search with the query side also
+    // probing single-bit band perturbations (recall without more tables)
+    "q137_lsh_multiprobe" -> ((s, d) =>
+      ordered(SimilaritySearch.lshSearchMultiProbe(
+        embQueries(s, d),
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        dims = 64, k = K))),
     // range join (price-band lookup): bucketed interval-containment
     // equi-join — never the BroadcastNestedLoop a raw lo<=x<=hi builds
     "q135_range_join" -> ((s, d) => {
@@ -2742,6 +2754,30 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // percentile normalize: one per-source percent_rank window at fixture
+    // scale; Spark reaches identical values via the histogram arithmetic
+    "q136_quality_percentile" ->
+      s"""SELECT doc_id, source,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY ${TextAnalysis.Sql.qualityExpr}), 6) AS pr
+         |FROM documents ORDER BY 1, 2, 3""".stripMargin,
+    // multi-probe LSH: the q65 banding CTEs + single-bit probe explosion
+    "q137_lsh_multiprobe" -> {
+      val cd = Tables.distSql("cos", "q.vec", "v.vec")
+      s"""WITH $lshBandCtes,
+         |qp AS (SELECT id AS query_id, band,
+         |         unnest([bv, xor(bv, 1::BIGINT), xor(bv, 2::BIGINT)]) AS bv
+         |       FROM bands WHERE id < 10),
+         |cand AS (SELECT DISTINCT qp.query_id, cb.id
+         |         FROM qp JOIN bands cb ON cb.band = qp.band AND cb.bv = qp.bv),
+         |dd AS (SELECT c.query_id, c.id, $cd AS dist
+         |       FROM cand c JOIN e q ON q.id = c.query_id JOIN e v ON v.id = c.id),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+         |      FROM dd)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
     },
     // range join: the plain theta form IS the oracle (fixture-scale);
     // Spark reaches the identical set via the bucketed equi-join

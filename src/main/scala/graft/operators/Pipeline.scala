@@ -365,6 +365,41 @@ object Pipeline {
        |  FROM documents)
        |WHERE cum_tokens <= $budget""".stripMargin
 
+  /** Percentile (rank) normalization of the quality score WITHIN source —
+    * the score calibration step when heterogeneous domains are scored on
+    * incomparable raw scales: `pr = percent_rank` of the doc's quality
+    * inside its source, ties sharing the minimum rank. Feed the normalized
+    * column to cross-source selection ([[tokenBudgetSelect]],
+    * [[mixtureSample]]) so "top decile" means the same thing in every
+    * domain.
+    *
+    * Scale shape — the [[qualityQuantileFloor]] histogram form: quality is
+    * a 4dp-rounded ratio, so the per-source histogram is tiny; the
+    * percent_rank arithmetic `(rank−1)/(n−1)` runs over histogram rows and
+    * broadcasts back — no per-source window ever sees the corpus. Output
+    * `(doc_id, source, pr)`, pr 6dp.
+    */
+  def qualityPercentile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val base = docs.select(col(idCol), col(sourceCol),
+      TextAnalysis.quality(col(textCol)).as("_q"))
+    val hist = base.groupBy(col(sourceCol), col("_q")).agg(count(lit(1)).as("_cnt"))
+    val wBefore = Window.partitionBy(col(sourceCol)).orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(sourceCol))
+    val prMap = hist
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .select(col(sourceCol), col("_q"),
+        round(col("_before").cast("double") /
+          greatest(col("_n") - 1, lit(1L)), 6).as("pr"))
+    base.join(broadcast(prMap), Seq(sourceCol, "_q"))
+      .select(col(idCol), col(sourceCol), col("pr"))
+  }
+
   /** Per-source document cap — "no domain contributes more than N docs":
     * keep a deterministic uniform-random `maxDocs` sample of every source,
     * ranked by a salted hash (re-runnable, stable under corpus growth for

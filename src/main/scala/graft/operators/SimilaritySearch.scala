@@ -122,6 +122,43 @@ object SimilaritySearch {
         .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
+  /** Multi-probe LSH search (Lv et al. 2007): [[lshSearch]] with the query
+    * side ALSO probing the single-bit perturbations of each of its band
+    * values — the candidates a borderline vector hashes to when it lands
+    * just across one hyperplane. Recall rises toward brute force without
+    * more hash tables or a bigger corpus index; the corpus side is
+    * untouched (same banded codes, same equi-join — only the broadcast
+    * query side fans out ×(1 + rowsPerBand) probe rows).
+    */
+  def lshSearchMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dims: Int,
+      k: Int,
+      planes: Int = 8,
+      rowsPerBand: Int = 2,
+      metric: String = "cos"): DataFrame = {
+    val qb = bandedCodes(
+      queries.select(col("query_id").as("id"), col("qvec").as("vec")),
+      dims, planes, rowsPerBand)
+      .select(col("id").as("query_id"), col("band"), col("bv"))
+    // probe set = the exact band value + each single-bit flip of it
+    val probes = qb.select(col("query_id"), col("band"),
+      explode(array(col("bv") +:
+        (0 until rowsPerBand).map(b => col("bv").bitwiseXOR(lit(1L << b))): _*))
+        .as("bv"))
+    val cand = bandedCodes(corpus, dims, planes, rowsPerBand)
+      .join(probes, Seq("band", "bv"))
+      .select(col("query_id"), col("id")).distinct()
+    val scored = cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    graft.operators.Knn.explodeRanked(
+      scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** Near-dup blocking via banded LSH codes: split the `planes`-bit code into
     * bands of `rowsPerBand` planes; candidates = pairs agreeing on ANY band
     * (equi-join on `(band, band_value)` — shuffle ∝ corpus·bands, never an

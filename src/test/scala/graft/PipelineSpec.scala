@@ -305,6 +305,22 @@ class PipelineSpec extends SparkSpec {
     assert(w("small") > 2.0 / 42.0 && w("big") < 40.0 / 42.0)
   }
 
+  test("quality percentile: histogram form equals the naive per-source percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val got = Pipeline.qualityPercentile(docs)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(graft.operators.TextAnalysis.quality(col("text")))
+    val reference = docs.select(col("doc_id"), col("source"),
+      round(percent_rank().over(w), 6).as("pr"))
+    assert(got.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(got).count() === 0)
+    // range sanity: [0, 1], with both ends attained in a multi-doc source
+    val ext = got.agg(min(col("pr")), max(col("pr"))).head()
+    assert(ext.getDouble(0) === 0.0 && ext.getDouble(1) === 1.0)
+  }
+
   test("source cap: two-level rank equals the single-window reference, caps exactly") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

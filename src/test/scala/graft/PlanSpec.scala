@@ -168,7 +168,7 @@ class PlanSpec extends SparkSpec {
     // only window per-source over the quality histogram (an Aggregate is
     // always beneath), or partition by (source, bucket)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    Seq("q85_quality_quantile", "q86_token_budget").foreach { name =>
+    Seq("q85_quality_quantile", "q86_token_budget", "q136_quality_percentile").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val offending = df.queryExecution.optimizedPlan.collect {
         case w: LWindow

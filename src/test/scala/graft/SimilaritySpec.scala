@@ -206,6 +206,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("multi-probe lsh: result set contains the single-probe results, recall never lower") {
+    val corpus = emb.select("id", "vec")
+    val exact = SimilaritySearch.bruteForce(queries, corpus, 10)
+    def rec(res: org.apache.spark.sql.DataFrame): Double =
+      Eval.recallSummary(Eval.recallAt(res, exact, 10)).head().getDouble(0)
+    val single = SimilaritySearch.lshSearch(queries, corpus, 64, 10)
+    val multi = SimilaritySearch.lshSearchMultiProbe(queries, corpus, 64, 10)
+    // the probe set is a strict superset of the exact band, so multi-probe
+    // candidates contain single-probe candidates — recall cannot drop
+    assert(rec(multi) >= rec(single) - 1e-9,
+      s"multi ${rec(multi)} vs single ${rec(single)}")
+    // and on these embeddings the perturbations genuinely add recall
+    assert(rec(multi) > rec(single), "expected the extra probes to surface new hits")
+  }
+
   test("bag centroids are exact per-dimension means") {
     import spark.implicits._
     val bags = Seq(
