@@ -982,6 +982,12 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // the terminal training-set assembly: rule gate → DSIR floor (fit on
+    // the gated corpus) → exact dedup → chunk → shard manifest, ONE plan
+    "q138_assemble_training" -> ((s, d) =>
+      ordered(Pipeline.assembleTrainingSet(
+        Tables.documents(s, d), col("lang") === "en", AssembleImpFloor,
+        ChunkWindow, ChunkStride, ShardCount))),
     // per-source percentile normalization of the quality score — the
     // calibration step before cross-source selection; histogram-shaped
     // percent_rank, no per-source window over the corpus
@@ -1176,6 +1182,9 @@ object SparkEntry {
   private val RangeBands = 100
   private val RangeStep = 5000L
   private val RangeLen = 7499L
+  // q138: importance floor ≈ the corpus 25th percentile (-0.0206 at
+  // sf0.01) — the DSIR gate genuinely drops a tail after the rule gate
+  private val AssembleImpFloor = -0.02
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2753,6 +2762,67 @@ object SparkEntry {
          |            FROM ch) WHERE rn = 1)
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // full assembly: q97 gate + q121 importance (REFIT on the gated set) +
+    // q32 exact-dedup keep + q102 chunks + q87 shard layout, chained CTEs
+    "q138_assemble_training" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val stop = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      val h60 = graft.functions.Hash60.sql("text")
+      val hb = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
+      val hs = graft.functions.Hash60.sql("pid::VARCHAR || ':assemble'")
+      s"""WITH rft AS (SELECT doc_id, $toks AS toks FROM documents),
+         |rfm AS (SELECT doc_id,
+         |          len(toks)::BIGINT AS n_tokens,
+         |          round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+         |                / greatest(len(toks), 1)::DOUBLE, 4) AS mean_word_len,
+         |          round(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+         |                / greatest(len(toks), 1)::DOUBLE, 4) AS alpha_ratio,
+         |          $stop::BIGINT AS stop_hits
+         |        FROM rft),
+         |rf AS (SELECT doc_id FROM rfm
+         |       WHERE n_tokens >= 10 AND n_tokens <= 10000
+         |         AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+         |         AND alpha_ratio >= 0.7 AND stop_hits >= 2),
+         |gt AS (SELECT r.doc_id, d.lang = 'en' AS tgt, r.toks
+         |       FROM rft r JOIN documents d USING (doc_id)
+         |       WHERE r.doc_id IN (SELECT doc_id FROM rf)),
+         |bg AS (SELECT doc_id, tgt, ($hb) % $ImpBuckets AS b
+         |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i FROM gt)),
+         |cr AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+         |ct AS (SELECT b, count(*) AS ct FROM bg WHERE tgt GROUP BY b),
+         |tot AS (SELECT count(*) AS r_tot,
+         |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM bg),
+         |w AS (SELECT cr.b,
+         |        round(ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.t_tot + $ImpBuckets))
+         |            - ln((cr.cr + 1)::DOUBLE / (tot.r_tot + $ImpBuckets)), 6)::DECIMAL(18,9) AS lw
+         |      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
+         |sc AS (SELECT doc_id, count(*) AS n_feats, sum(w.lw) AS slw
+         |       FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id),
+         |impk AS (SELECT doc_id FROM sc
+         |         WHERE round(slw::DOUBLE / n_feats, 4) >= $AssembleImpFloor),
+         |d1 AS (SELECT d.doc_id, d.text FROM documents d
+         |       WHERE doc_id IN (SELECT doc_id FROM rf)
+         |         AND doc_id IN (SELECT doc_id FROM impk)),
+         |exh AS (SELECT doc_id, $h60 AS h FROM d1),
+         |exc AS (SELECT h, min(doc_id) AS canon FROM exh GROUP BY h),
+         |d2 AS (SELECT d1.doc_id FROM d1 JOIN exh USING (doc_id)
+         |       JOIN exc ON exh.h = exc.h AND d1.doc_id = exc.canon),
+         |cx AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM rft
+         |       WHERE doc_id IN (SELECT doc_id FROM d2) AND len(toks) > 0),
+         |cc AS (SELECT doc_id, n, unnest(range(0, n, $ChunkStride)) AS start FROM cx),
+         |ch AS (SELECT doc_id, start // $ChunkStride AS chunk_idx,
+         |         least($ChunkWindow, n - start) AS n_tokens,
+         |         doc_id * 1000 + start // $ChunkStride AS pid
+         |       FROM cc),
+         |sh AS (SELECT pid, ($hs) AS skey,
+         |         ((($hs) % $ShardCount) + $ShardCount) % $ShardCount AS shard
+         |       FROM ch)
+         |SELECT ch.doc_id, ch.chunk_idx, sh.shard,
+         |  row_number() OVER (PARTITION BY sh.shard ORDER BY sh.skey, sh.pid) AS pos,
+         |  ch.n_tokens
+         |FROM ch JOIN sh USING (pid)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
     // percentile normalize: one per-source percent_rank window at fixture

@@ -365,6 +365,51 @@ object Pipeline {
        |  FROM documents)
        |WHERE cum_tokens <= $budget""".stripMargin
 
+  /** End-to-end training-set assembly — the terminal composition a
+    * pretraining pipeline runs once curation signals exist, as ONE
+    * declarative plan: composite rule gate ([[TextAnalysis.ruleFilter]]) →
+    * DSIR importance floor (fit on the gated corpus,
+    * [[TextAnalysis.importanceWeightTable]]/[[TextAnalysis.importanceScore]])
+    * → exact dedup (canonical keep) → token-window chunking
+    * ([[TextAnalysis.chunk]]) → reproducible shard layout
+    * ([[shardAssign]] over the chunk key). Output one row per surviving
+    * chunk: `(doc_id, chunk_idx, shard, pos, n_tokens)` — the manifest a
+    * training loader reads.
+    *
+    * Every stage is an independently-verified operator; the composition
+    * adds only semi-joins and the chunk-key projection, so the whole
+    * assembly optimizes as a single Catalyst plan (filters push to the one
+    * document scan; nothing is materialized between stages except the
+    * ≤`buckets`-row collected weight table).
+    */
+  def assembleTrainingSet(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      impFloor: Double,
+      window: Int,
+      stride: Int,
+      numShards: Int,
+      salt: String = "assemble",
+      buckets: Int = 256): DataFrame = {
+    val gated = docs.join(
+      TextAnalysis.ruleFilter(docs).where(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val wt = TextAnalysis.importanceWeightTable(gated, targetPred, buckets)
+    val keepImp = TextAnalysis.importanceScore(gated, wt, buckets)
+      .where(col("importance") >= impFloor).select(col("doc_id"))
+    val d1 = gated.join(keepImp, Seq("doc_id"), "left_semi")
+    val exactKept = Dedup.exact(d1)
+      .where(col("doc_id") === col("canon_id")).select(col("doc_id"))
+    val d2 = d1.join(exactKept, Seq("doc_id"), "left_semi")
+    val chunks = TextAnalysis.chunk(d2, window, stride)
+      .select((col("doc_id") * 1000L + col("chunk_idx")).as("pid"),
+        col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    shardAssign(chunks.select(col("pid")), numShards, salt, idCol = "pid")
+      .join(chunks, Seq("pid"))
+      .select(col("doc_id"), col("chunk_idx"), col("shard"), col("pos"),
+        col("n_tokens"))
+  }
+
   /** Percentile (rank) normalization of the quality score WITHIN source —
     * the score calibration step when heterogeneous domains are scored on
     * incomparable raw scales: `pr = percent_rank` of the doc's quality

@@ -305,6 +305,29 @@ class PipelineSpec extends SparkSpec {
     assert(w("small") > 2.0 / 42.0 && w("big") < 40.0 / 42.0)
   }
 
+  test("training-set assembly: stages only shrink, shards cover, positions are dense") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val manifest = Pipeline.assembleTrainingSet(
+      docs, col("lang") === "en", impFloor = -0.02,
+      window = 32, stride = 24, numShards = 16).cache()
+    val survivors = manifest.select("doc_id").distinct()
+    // survivors passed the rule gate (stage monotonicity)
+    val gatedIds = graft.operators.TextAnalysis.ruleFilter(docs)
+      .where(col("keep")).select("doc_id")
+    assert(survivors.exceptAll(gatedIds).count() === 0)
+    assert(survivors.count() > 0 && survivors.count() < docs.count())
+    // no surviving doc is a non-canonical exact duplicate
+    val kept = docs.join(survivors, Seq("doc_id"), "left_semi")
+    assert(graft.operators.Dedup.exact(kept)
+      .where(col("doc_id") =!= col("canon_id")).count() === 0)
+    // positions are dense 1..n within every shard (a loader can seek)
+    val bad = manifest.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.count() === 0)
+  }
+
   test("quality percentile: histogram form equals the naive per-source percent_rank") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
