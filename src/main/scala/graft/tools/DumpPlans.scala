@@ -186,7 +186,25 @@ object DumpPlans {
       """Chunk-level dedup: chunks explode in-row from the token array, the
         |canonicalization groups on an 8-byte chunk-text hash (never the
         |paragraph string), and the hydration join is 1:N on that same
-        |hash — shuffle ∝ chunk count with narrow keys, no pair space.""".stripMargin)
+        |hash — shuffle ∝ chunk count with narrow keys, no pair space.""".stripMargin,
+    "q134_asof_attribution" ->
+      """As-of join: both sides tag, union, and sort ONCE per key — a single
+        |window on the high-cardinality user key carries the last right
+        |payload forward (ignore-nulls last). The naive l.ts >= r.ts join
+        |Spark would otherwise plan is a per-key cartesian; here shuffle is
+        |∝ rows and each task holds one key-range's timeline.""".stripMargin,
+    "q136_quality_percentile" ->
+      """Percentile normalization without a corpus window: the per-source
+        |histogram (bounded by distinct 4dp scores) computes percent_rank
+        |arithmetic over histogram rows, broadcast back as a threshold map —
+        |the q85 shape. The per-source windows in this plan only ever see
+        |aggregate-sized frames (PlanSpec asserts it).""".stripMargin,
+    "q138_assemble_training" ->
+      """Training-set assembly as ONE plan: every gate is a semi-join onto
+        |the single document scan (rule flags, importance floor, dedup
+        |canon), chunking explodes in-row, and the shard layout windows over
+        |the 16 shard partitions. The only materialization between stages is
+        |the ≤256-row collected importance weight table.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
