@@ -243,6 +243,93 @@ object TextAnalysis {
         round(col("_slw").cast("double") / col("n_feats"), 4).as("importance"))
   }
 
+  /** Multinomial Naive Bayes over hashed-bigram features — the trainable
+    * curation classifier (the fastText/CCNet shape: cheap features, linear
+    * decision, corpus-scale training is just counting): [[nbTrain]] counts
+    * per-(label, bucket) feature instances into Laplace-smoothed
+    * log-likelihoods plus log priors; [[nbClassify]] scores every document
+    * against every class and takes the argmax. Everything derives from
+    * exact integer counts through 6dp-rounded `ln` terms summed as DECIMAL
+    * (the q91/q121 convention), so training AND inference are
+    * bit-reproducible in any engine — the property Spark MLlib's float
+    * reductions cannot give an oracle.
+    *
+    * Scale posture: training is two hash aggregations (bounded by
+    * labels×buckets and labels); the model is a labels×buckets grid
+    * (broadcast); classification fans each document's features out by the
+    * (few) classes, one (doc, label) aggregation, and a per-doc argmax over
+    * |labels| rows.
+    */
+  def nbTrain(
+      docs: DataFrame,
+      labelCol: String = "lang",
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Hash60
+    val feats = docs.select(col(labelCol).as("label"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("label"),
+        explode(transform(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          (w, i) => Hash60(concat(w, lit(" "), element_at(col("toks"), i + 2)))
+            % buckets)).as("b"))
+    val cb = feats.groupBy(col("label"), col("b")).agg(count(lit(1)).as("_c"))
+    val ctot = feats.groupBy(col("label")).agg(count(lit(1)).as("_ct"))
+    val nTot = docs.agg(count(lit(1)).as("_n"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("_nl"))
+      .crossJoin(broadcast(nTot))
+      .select(col("label"),
+        round(log(col("_nl").cast("double") / col("_n")), 6)
+          .cast(DecimalType(18, 9)).as("prior"))
+    val grid = docs.select(col(labelCol).as("label")).distinct()
+      .select(col("label"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+    grid
+      .join(cb, Seq("label", "b"), "left")
+      .join(ctot, Seq("label"), "left")
+      .join(broadcast(priors), Seq("label"))
+      .select(col("label"), col("b"),
+        round(log((coalesce(col("_c"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_ct"), lit(0L)) + buckets)), 6)
+          .cast(DecimalType(18, 9)).as("lcp"),
+        col("prior"))
+  }
+
+  /** Apply an [[nbTrain]] model: `(idCol, pred_label, score)` — argmax over
+    * classes of `prior + Σ_features lcp(label, bucket)`, ties to the
+    * lexicographically smaller label; score is the winning log-posterior
+    * (unnormalized), 4dp. Documents with no bigrams are omitted (no
+    * features — the q91 convention).
+    */
+  def nbClassify(
+      docs: DataFrame,
+      model: DataFrame,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hash60
+    val feats = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        explode(transform(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          (w, i) => Hash60(concat(w, lit(" "), element_at(col("toks"), i + 2)))
+            % buckets)).as("b"))
+    val scored = feats
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol), col("label"))
+      .agg((first(col("prior")) + sum(col("lcp"))).as("_score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("label"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        round(col("_score").cast("double"), 4).as("score"))
+  }
+
   /** Bigram language-model familiarity score — the perplexity-filter signal
     * (CCNet/KenLM style) re-expressed Spark-first: train Laplace-smoothed
     * bigram counts ON the corpus itself, then score each document by the

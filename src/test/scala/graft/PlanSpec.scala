@@ -144,7 +144,8 @@ class PlanSpec extends SparkSpec {
       "q121_importance_weights", // ONE-row (r_tot, t_tot) totals, broadcast
       "q122_phash_neardup",   // ONE-row (lc, hs) corpus-share stats, broadcast
       "q123_binary_recall",   // q119's plan inside the recall block
-      "q127_rp_search")       // ≤|Q|-row projected-query batch, broadcast
+      "q127_rp_search",       // ≤|Q|-row projected-query batch, broadcast
+      "q139_nb_classify")     // ONE-row doc-count scalar (priors), broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

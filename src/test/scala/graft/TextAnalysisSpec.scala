@@ -296,6 +296,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(joined.exceptAll(inRow).count() === 0)
   }
 
+  test("naive bayes: learns separable dialects, beats chance on the fixture, full model grid") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "aa", "good clean text here and good clean words"),
+      (2L, "aa", "clean text with good words and clean phrasing"),
+      (3L, "bb", "junk noise garbage junk noise rubbish junk"),
+      (4L, "bb", "noise garbage rubbish noise junk garbage bits")
+    ).toDF("doc_id", "lang", "text")
+    val model = TextAnalysis.nbTrain(train, "lang", buckets = 64)
+    assert(model.count() === 2 * 64, "one grid row per (label, bucket)")
+    val probes = Seq(
+      (10L, "good clean words here"),
+      (11L, "junk noise rubbish bits")
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.nbClassify(probes, model, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(10L -> "aa", 11L -> "bb"))
+    // corpus self-classification beats the majority-class baseline
+    val docs = Tables.documents(spark, sf0001)
+    val m2 = TextAnalysis.nbTrain(docs)
+    val acc = TextAnalysis.nbClassify(docs, m2)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(avg((col("pred_label") === col("lang")).cast("double")))
+      .head().getDouble(0)
+    val majority = docs.groupBy("lang").count()
+      .agg(max(col("count"))).head().getLong(0).toDouble / docs.count()
+    assert(acc > majority, s"accuracy $acc vs majority baseline $majority")
+  }
+
   test("importance weights: n_feats counts bigrams; <2-token docs are omitted") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
