@@ -992,6 +992,16 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
         .withColumn("hit", (col("pred_label") === col("true_lang")).cast("int")))
     }),
+    // the q125 split applied to the classifier: in-row argmax over the
+    // collected model arrays — zero shuffle, stream-safe — gated by the
+    // SAME oracle as q139
+    "q140_nb_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.nbTrain(docs, "lang", ImpBuckets)
+      ordered(TextAnalysis.nbClassifyInRow(docs, model, ImpBuckets)
+        .join(docs.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+        .withColumn("hit", (col("pred_label") === col("true_lang")).cast("int")))
+    }),
     // the terminal training-set assembly: rule gate → DSIR floor (fit on
     // the gated corpus) → exact dedup → chunk → shard manifest, ONE plan
     "q138_assemble_training" -> ((s, d) =>
@@ -2776,38 +2786,10 @@ object SparkEntry {
     },
     // NB: Laplace log-likelihood grid + log priors, per-(doc, class)
     // decimal sums, argmax (score DESC, label) — all exact counts
-    "q139_nb_classify" -> {
-      val toks = TextAnalysis.Sql.toks("text")
-      val hb = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
-      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
-         |bg AS (SELECT doc_id, lang, ($hb) % $ImpBuckets AS b
-         |       FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
-         |cb AS (SELECT lang, b, count(*) AS c FROM bg GROUP BY 1, 2),
-         |ctot AS (SELECT lang, count(*) AS ct FROM bg GROUP BY 1),
-         |pri AS (SELECT lang,
-         |          round(ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)), 6)::DECIMAL(18,9) AS prior
-         |        FROM documents GROUP BY lang),
-         |grid AS (SELECT c.lang, g.b FROM (SELECT DISTINCT lang FROM documents) c,
-         |           (SELECT unnest(range(0, $ImpBuckets)) AS b) g),
-         |lik AS (SELECT grid.lang, grid.b,
-         |          round(ln((coalesce(cb.c, 0) + 1)::DOUBLE
-         |                   / (coalesce(ctot.ct, 0) + $ImpBuckets)), 6)::DECIMAL(18,9) AS lcp
-         |        FROM grid LEFT JOIN cb ON cb.lang = grid.lang AND cb.b = grid.b
-         |        LEFT JOIN ctot ON ctot.lang = grid.lang),
-         |sc AS (SELECT f.doc_id, l.lang, sum(l.lcp) AS sl
-         |       FROM bg f JOIN lik l ON l.b = f.b GROUP BY 1, 2),
-         |tot AS (SELECT sc.doc_id, sc.lang, p.prior + sc.sl AS score
-         |        FROM sc JOIN pri p ON p.lang = sc.lang),
-         |rk AS (SELECT doc_id, lang AS pred_label, score,
-         |         row_number() OVER (PARTITION BY doc_id
-         |           ORDER BY score DESC, lang) AS rn FROM tot)
-         |SELECT rk.doc_id, rk.pred_label, round(rk.score::DOUBLE, 4) AS score,
-         |  d.lang AS true_lang,
-         |  CAST(rk.pred_label = d.lang AS INT) AS hit
-         |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
-         |WHERE rk.rn = 1
-         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
-    },
+    "q139_nb_classify" -> nbOracleSql,
+    // same truth for the in-row argmax path (value-identical on the fit
+    // corpus by construction — the q121/q125 twin-gate pattern)
+    "q140_nb_score" -> nbOracleSql,
     // full assembly: q97 gate + q121 importance (REFIT on the gated set) +
     // q32 exact-dedup keep + q102 chunks + q87 shard layout, chained CTEs
     "q138_assemble_training" -> {
@@ -3122,6 +3104,43 @@ object SparkEntry {
 
   private def rpProjList: String =
     (0 until RpOutDims).map(j => s"(${rpProjTerms(j)})").mkString("[", ", ", "]")
+
+  /** q139/q140 oracle: the Naive Bayes train+classify pipeline mirrored
+    * end-to-end — shared by the join-formulated (q139) and in-row (q140)
+    * paths, value-identical on the fit corpus.
+    */
+  private def nbOracleSql: String = {
+      val toks = TextAnalysis.Sql.toks("text")
+      val hb = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, lang, ($hb) % $ImpBuckets AS b
+         |       FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |cb AS (SELECT lang, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |ctot AS (SELECT lang, count(*) AS ct FROM bg GROUP BY 1),
+         |pri AS (SELECT lang,
+         |          round(ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)), 6)::DECIMAL(18,9) AS prior
+         |        FROM documents GROUP BY lang),
+         |grid AS (SELECT c.lang, g.b FROM (SELECT DISTINCT lang FROM documents) c,
+         |           (SELECT unnest(range(0, $ImpBuckets)) AS b) g),
+         |lik AS (SELECT grid.lang, grid.b,
+         |          round(ln((coalesce(cb.c, 0) + 1)::DOUBLE
+         |                   / (coalesce(ctot.ct, 0) + $ImpBuckets)), 6)::DECIMAL(18,9) AS lcp
+         |        FROM grid LEFT JOIN cb ON cb.lang = grid.lang AND cb.b = grid.b
+         |        LEFT JOIN ctot ON ctot.lang = grid.lang),
+         |sc AS (SELECT f.doc_id, l.lang, sum(l.lcp) AS sl
+         |       FROM bg f JOIN lik l ON l.b = f.b GROUP BY 1, 2),
+         |tot AS (SELECT sc.doc_id, sc.lang, p.prior + sc.sl AS score
+         |        FROM sc JOIN pri p ON p.lang = sc.lang),
+         |rk AS (SELECT doc_id, lang AS pred_label, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, lang) AS rn FROM tot)
+         |SELECT rk.doc_id, rk.pred_label, round(rk.score::DOUBLE, 4) AS score,
+         |  d.lang AS true_lang,
+         |  CAST(rk.pred_label = d.lang AS INT) AS hit
+         |FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+         |WHERE rk.rn = 1
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    }
 
   /** Shared CTEs for the q118/q119 binary-code oracles: `sq` = integer-scaled
     * embeddings, `st` = one row of (corpus count, dim-ordered per-dim sums) —

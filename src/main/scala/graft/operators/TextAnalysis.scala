@@ -330,6 +330,53 @@ object TextAnalysis {
         round(col("_score").cast("double"), 4).as("score"))
   }
 
+  /** [[nbClassify]] as a PURE PROJECTION (the [[importanceScore]] split):
+    * the labels×buckets model collects into in-row lookup arrays (bounded
+    * by construction) and every document scores all classes in one
+    * expression — per-class decimal fold over its own bigram buckets, then
+    * an in-row argmax (ties to the smaller label via the negated label
+    * rank). Zero shuffle, whole-stage codegen, stream-safe; identical
+    * output to [[nbClassify]] (the oracle cross-check).
+    */
+  def nbClassifyInRow(
+      docs: DataFrame,
+      model: DataFrame,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Hash60
+    val rows = model.collect()
+    val labels = rows.map(_.getString(0)).distinct.sorted
+    val lcp = labels.map { l =>
+      val arr = new Array[java.math.BigDecimal](buckets)
+      rows.filter(_.getString(0) == l).foreach(r =>
+        arr(r.getLong(1).toInt) = r.getDecimal(2))
+      require(arr.forall(_ != null), s"model must cover all $buckets buckets for $l")
+      arr
+    }
+    val priors = labels.map(l =>
+      rows.find(_.getString(0) == l).get.getDecimal(3))
+    val bg = transform(
+      slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+      (w, i) => Hash60(concat(w, lit(" "), element_at(col("_toks"), i + 2))) % buckets)
+    val scoreCols = labels.indices.map { i =>
+      val arr = array(lcp(i).map(v => lit(v).cast(DecimalType(18, 9))).toIndexedSeq: _*)
+      val s = lit(priors(i)).cast(DecimalType(28, 9)) +
+        aggregate(col("_bg"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 9)),
+          (acc, b) => (acc + element_at(arr, b.cast("int") + 1)).cast(DecimalType(28, 9)))
+      struct(s.cast(DecimalType(29, 9)).as("s"), lit(-i).as("nr"), lit(labels(i)).as("l"))
+    }
+    val best =
+      if (scoreCols.size == 1) scoreCols.head else greatest(scoreCols: _*)
+    docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_bg", bg)
+      .where(size(col("_bg")) > 0)
+      .withColumn("_best", best)
+      .select(col(idCol), col("_best.l").as("pred_label"),
+        round(col("_best.s").cast("double"), 4).as("score"))
+  }
+
   /** Bigram language-model familiarity score — the perplexity-filter signal
     * (CCNet/KenLM style) re-expressed Spark-first: train Laplace-smoothed
     * bigram counts ON the corpus itself, then score each document by the

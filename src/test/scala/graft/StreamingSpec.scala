@@ -343,6 +343,26 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("naive-bayes in-row scoring classifies a stream identically to batch") {
+    import graft.operators.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
+    val model = TextAnalysis.nbTrain(docs)
+    val batch = TextAnalysis.nbClassifyInRow(docs, model)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq)
+    val q = TextAnalysis.nbClassifyInRow(stream.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nb_stream")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap closes sessions; agrees with batch off-boundary") {
     import graft.operators.Events
     implicit val sq = spark.sqlContext
