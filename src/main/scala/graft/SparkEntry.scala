@@ -982,6 +982,14 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // embedding-space label audit: distance-to-class-centroid outliers
+    // (q133's centroids put to work as the mislabel screen). Factor 1.06:
+    // the synthetic embeddings are near-uniform, so per-class distances
+    // concentrate (max/mean 1.05–1.12) — real embedding sets spread far
+    // wider and run the operator's 1.5 default
+    "q141_centroid_outliers" -> ((s, d) =>
+      ordered(SimilaritySearch.centroidOutliers(
+        Tables.embeddingVec(s, d), factor = OutlierFactor))),
     // Naive Bayes lang classifier over hashed-bigram features: count-based
     // training + argmax inference, fully decimal-deterministic (the
     // trainable curation-model shape; self-classification eval columns)
@@ -1205,6 +1213,9 @@ object SparkEntry {
   // q138: importance floor ≈ the corpus 25th percentile (-0.0206 at
   // sf0.01) — the DSIR gate genuinely drops a tail after the rule gate
   private val AssembleImpFloor = -0.02
+  // q141: see the query comment — concentrated synthetic distances need a
+  // tight factor for the flag to exercise both outcomes
+  private val OutlierFactor = 1.06
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2784,6 +2795,29 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // centroid outliers: 6dp centroids (q133's mirror), left-to-right
+    // zipped L2, 4dp-DECIMAL class means, factor-1.5 flag
+    "q141_centroid_outliers" ->
+      s"""WITH sv AS (SELECT vec_id AS id, label, embedding AS vec,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS s
+         |  FROM embeddings),
+         |dx AS (SELECT label, CAST(generate_subscripts(s, 1) - 1 AS INT) AS dim,
+         |         unnest(s) AS v FROM sv),
+         |ct AS (SELECT label, dim,
+         |         round(sum(v)::DOUBLE / 1000.0 / count(*), 6) AS c
+         |       FROM dx GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS cent FROM ct GROUP BY label),
+         |wd AS (SELECT sv.id, sv.label,
+         |         round(list_sum(list_transform(
+         |           list_zip(sv.vec, cents.cent),
+         |           z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))), 4) AS dist
+         |       FROM sv JOIN cents ON cents.label = sv.label),
+         |mn AS (SELECT label,
+         |         sum(dist::DECIMAL(28,9))::DOUBLE / count(*) AS m
+         |       FROM wd GROUP BY label)
+         |SELECT wd.id, wd.label, wd.dist, wd.dist > $OutlierFactor * mn.m AS is_outlier
+         |FROM wd JOIN mn ON mn.label = wd.label
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
     // NB: Laplace log-likelihood grid + log priors, per-(doc, class)
     // decimal sums, argmax (score DESC, label) — all exact counts
     "q139_nb_classify" -> nbOracleSql,

@@ -342,6 +342,44 @@ object SimilaritySearch {
           .as("c"))
   }
 
+  /** Embedding-space label audit: flag members lying unusually far from
+    * their class centroid — the mislabel / outlier signal a labeled
+    * embedding set is screened with before training ([[bagPool]]'s
+    * centroids put to work). A member is an outlier when its L2 distance
+    * to the 6dp-rounded class centroid exceeds `factor ×` the class's mean
+    * distance. Distances are strict left-to-right double folds over the
+    * zipped arrays (the [[Tables.distSql]] shape) and the class mean goes
+    * through 4dp-rounded DECIMAL sums — fully engine-deterministic.
+    *
+    * Scale posture: one (label, dim) aggregation for centroids (broadcast
+    * back), one scan for distances, one label-keyed mean aggregation
+    * (broadcast back) — no window, no pair space.
+    *
+    * Output `(id, label, dist, is_outlier)`.
+    */
+  def centroidOutliers(
+      vectors: DataFrame, // (id, vec, label)
+      factor: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = bagPool(vectors)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_cc"))
+      .select(col("label"), transform(col("_cc"), s => s.getField("c")).as("_cent"))
+    val withD = vectors
+      .join(broadcast(cents), Seq("label"))
+      .select(col("id"), col("label"),
+        round(aggregate(
+          zip_with(col("vec").cast("array<double>"), col("_cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 4).as("dist"))
+    val means = withD.groupBy(col("label"))
+      .agg((sum(col("dist").cast(DecimalType(28, 9))).cast("double") /
+        count(lit(1))).as("_mean"))
+    withD.join(broadcast(means), Seq("label"))
+      .select(col("id"), col("label"), col("dist"),
+        (col("dist") > lit(factor) * col("_mean")).as("is_outlier"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval merge: given several rankings `(query_id, rank, id, …)` of
     * the same query set (lexical BM25, dense kNN, different metrics…),

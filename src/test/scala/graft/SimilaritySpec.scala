@@ -206,6 +206,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("centroid outliers: a planted far member is flagged, the tight cluster is not") {
+    import spark.implicits._
+    val bags = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(1.1f, 0f), 7), (3L, Seq(0.9f, 0f), 7),
+      (4L, Seq(10f, 10f), 7), // planted mislabel, far from the class centroid
+      (5L, Seq(0f, 1f), 8), (6L, Seq(0f, 1.1f), 8), (7L, Seq(0f, 0.9f), 8)
+    ).toDF("id", "vec", "label")
+    val r = SimilaritySearch.centroidOutliers(bags)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(r(4L), "the planted far member must flag")
+    assert(!r(1L) && !r(2L) && !r(3L) && !r(5L) && !r(6L) && !r(7L))
+  }
+
   test("multi-probe lsh: result set contains the single-probe results, recall never lower") {
     val corpus = emb.select("id", "vec")
     val exact = SimilaritySearch.bruteForce(queries, corpus, 10)
