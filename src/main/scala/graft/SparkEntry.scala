@@ -982,6 +982,10 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // triplet mining: nearest same-label positive + nearest different-label
+    // hard negative per anchor, with the metric-learning margin
+    "q142_triplet_mine" -> ((s, d) =>
+      ordered(SimilaritySearch.tripletMine(Tables.embeddingVec(s, d)))),
     // embedding-space label audit: distance-to-class-centroid outliers
     // (q133's centroids put to work as the mislabel screen). Factor 1.06:
     // the synthetic embeddings are near-uniform, so per-class distances
@@ -2794,6 +2798,28 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // triplets: per-anchor min over same-label (self excluded) and
+    // different-label sides, both ranked (dist, id); margin over 4dp dists
+    "q142_triplet_mine" -> {
+      val dd = Tables.distSql("cos", "a.vec", "b.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |pd AS (SELECT a.id AS anchor, b.id, $dd AS dist
+         |       FROM e a JOIN e b ON a.label = b.label AND a.id <> b.id),
+         |p1 AS (SELECT anchor, id AS pos_id, round(dist, 4) AS pos_dist FROM (
+         |    SELECT anchor, id, dist,
+         |      row_number() OVER (PARTITION BY anchor ORDER BY dist, id) AS rn
+         |    FROM pd) WHERE rn = 1),
+         |nd AS (SELECT a.id AS anchor, b.id, $dd AS dist
+         |       FROM e a JOIN e b ON a.label <> b.label),
+         |n1 AS (SELECT anchor, id AS neg_id, round(dist, 4) AS neg_dist FROM (
+         |    SELECT anchor, id, dist,
+         |      row_number() OVER (PARTITION BY anchor ORDER BY dist, id) AS rn
+         |    FROM nd) WHERE rn = 1)
+         |SELECT p1.anchor, p1.pos_id, p1.pos_dist, n1.neg_id, n1.neg_dist,
+         |  round(n1.neg_dist - p1.pos_dist, 4) AS margin
+         |FROM p1 JOIN n1 ON n1.anchor = p1.anchor
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     },
     // centroid outliers: 6dp centroids (q133's mirror), left-to-right
     // zipped L2, 4dp-DECIMAL class means, factor-1.5 flag

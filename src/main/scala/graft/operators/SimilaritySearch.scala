@@ -212,6 +212,41 @@ object SimilaritySearch {
     }.reduce(_ unionByName _)
   }
 
+  /** Triplet mining for contrastive training: for every anchor, its nearest
+    * SAME-label member (the positive, self excluded) and its nearest
+    * DIFFERENT-label member (the hard negative — [[hardNegatives]] at
+    * k = 1), plus the margin `neg_dist − pos_dist` (negative margin = the
+    * hard triplet a metric-learning loss actually moves). One bounded
+    * `batch_topk` corpus scan per label value for each side — the label
+    * set is classes, not corpus rows (the [[hardNegatives]] contract).
+    *
+    * Output `(anchor, pos_id, pos_dist, neg_id, neg_dist, margin)`; all
+    * distances 4dp, margin computed over the rounded values.
+    */
+  def tripletMine(
+      vectors: DataFrame, // (id, vec, label)
+      metric: String = "cos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = vectors.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pos = labels.iterator.map { l =>
+      val anchors = vectors.where(col("label") === l)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      Knn.search(anchors, vectors.where(col("label") === l), 2, metric)
+    }.reduce(_ unionByName _)
+      .where(col("id") =!= col("query_id"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val pos1 = pos.withColumn("_rn", row_number().over(wp))
+      .where(col("_rn") === 1)
+      .select(col("query_id").as("anchor"), col("id").as("pos_id"),
+        col("dist").as("pos_dist"))
+    val neg1 = hardNegatives(vectors, 1, metric)
+      .select(col("query_id").as("anchor"), col("id").as("neg_id"),
+        col("dist").as("neg_dist"))
+    pos1.join(neg1, Seq("anchor"))
+      .withColumn("margin", round(col("neg_dist") - col("pos_dist"), 4))
+  }
+
   /** k-NN label classification (auto-labeling / label-noise audit): predict
     * each query's label as the majority vote of its k nearest corpus
     * labels, ties to the smaller label. `(query_id, pred_label, votes)`.

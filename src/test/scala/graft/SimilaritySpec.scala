@@ -206,6 +206,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(200) >= rec(25) - 1e-9)
   }
 
+  test("triplets: positive shares the label, negative does not, and is never self") {
+    import spark.implicits._
+    val labeled = emb.select("id", "vec", "label")
+    val t = SimilaritySearch.tripletMine(labeled)
+    assert(t.count() === 500)
+    val lbl = labeled.select("id", "label").as[(Long, Int)].collect().toMap
+    t.collect().foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(p != a, s"anchor $a chose itself as positive")
+      assert(lbl(p) == lbl(a), s"positive $p label mismatch for $a")
+      assert(lbl(n) != lbl(a), s"negative $n shares $a's label")
+      // margin is exactly the rounded-dist difference
+      assert(r.getDouble(5) === math.rint((r.getDouble(4) - r.getDouble(2)) * 1e4) / 1e4)
+    }
+  }
+
   test("centroid outliers: a planted far member is flagged, the tight cluster is not") {
     import spark.implicits._
     val bags = Seq(
