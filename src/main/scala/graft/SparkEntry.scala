@@ -982,6 +982,38 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // label-agreement audit: Cohen's kappa between the stored `lang`
+    // column and the q31 heuristic's prediction — the chance-corrected
+    // score a labeling pipeline reports, all ratios from exact counts
+    "q148_label_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val j = docs.select(col("doc_id"), col("lang").as("gold"))
+        .join(TextAnalysis.langId(docs).withColumnRenamed("pred_lang", "pred"),
+          Seq("doc_id"))
+      ordered(Eval.labelAgreement(j))
+    }),
+    // cluster-balanced sampling: nearest-centroid assignment (q07's
+    // expression pass), then the per-cluster closest-n via the bounded
+    // top-k aggregate — even representation across embedding space
+    "q144_cluster_sample" -> ((s, d) =>
+      ordered(SimilaritySearch.clusterSample(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        SemNth, ClusterSampleN))),
+    // exact heavy hitters via the bounded Misra-Gries candidate sketch +
+    // exact re-count — the unbounded-key-space frequency path (no
+    // vocabulary-sized aggregation state anywhere)
+    "q143_heavy_hitters" -> ((s, d) =>
+      ordered(TextAnalysis.heavyHitters(
+        Tables.documents(s, d), HhPhi, HhCapacity))),
+    // time-windowed burst dedup: first event of every (user, type) burst
+    // survives; a gap > window starts a new burst (retry-storm suppression)
+    "q145_event_burst_dedup" -> ((s, d) =>
+      ordered(graft.operators.Events.dedupBursts(
+        Tables.events(s, d), BurstWindowMinutes))),
+    // TPC-H Q6: the pure scan-filter-agg relational anchor — every predicate
+    // reaches the parquet scan as PushedFilters, no shuffle beyond the
+    // single-row partial-agg merge
+    "q146_tpch_q6" -> ((s, d) => tpchQ6(s, d)),
     // triplet mining: nearest same-label positive + nearest different-label
     // hard negative per anchor, with the metric-learning margin
     "q142_triplet_mine" -> ((s, d) =>
@@ -1220,6 +1252,18 @@ object SparkEntry {
   // q141: see the query comment — concentrated synthetic distances need a
   // tight factor for the flag to exercise both outcomes
   private val OutlierFactor = 1.06
+  // q145: 10-minute burst window — wide enough that the synthetic event
+  // stream (minutes-apart per-user events) actually collapses some bursts
+  private val BurstWindowMinutes = 10
+  // q143: share bar 1/30 sits just under the synthetic corpus's ~3.4%
+  // near-uniform token shares → a nonempty, properly-selective hitter set
+  // (14-16 tokens at sf0.001/0.01/0.1); capacity 64 ≥ phi keeps the MG
+  // superset guarantee with 2× margin
+  private val HhPhi = 30
+  private val HhCapacity = 64
+  // q144: avg cluster ≈ SemNth (25) members → keeping 10 genuinely cuts
+  // most clusters while leaving every cluster represented
+  private val ClusterSampleN = 10
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1290,6 +1334,26 @@ object SparkEntry {
     * aggregation). Money sums go through DECIMAL(18,4) so the result is
     * order-independent and bit-identical to DuckDB, then back to DOUBLE.
     */
+  /** TPC-H Q6 shape: scan-filter-aggregate with zero joins. The point of
+    * this anchor is the PLAN — every predicate (shipdate range, discount
+    * band, quantity cap) is a parquet-pushable comparison, the projection
+    * is 3 columns of 11, and the only exchange is the single-row partial
+    * aggregate merge. `.explain` shows all four under PushedFilters; at
+    * 100 TB this is the query whose cost is pure IO × selectivity.
+    */
+  private def tpchQ6(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(18, 4)
     ordered(Tables.lineitem(s, d)
@@ -2799,6 +2863,76 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // kappa: contingency cells → exact-integer margins; kappa formed as
+    // (A·n − P)/(n² − P) on DECIMAL(38,0) — no 1−x float subtraction
+    "q148_label_agreement" ->
+      s"""WITH p AS (SELECT ${TextAnalysis.Sql.langIdSelect} FROM documents),
+         |j AS (SELECT d.lang AS gold, p.pred_lang AS pred
+         |      FROM documents d JOIN p USING (doc_id)),
+         |cells AS (SELECT gold, pred, count(*) AS c FROM j GROUP BY 1, 2),
+         |st AS (SELECT CAST(sum(c) AS DECIMAL(38,0)) AS n,
+         |         CAST(sum(CASE WHEN gold = pred THEN c ELSE 0 END)
+         |              AS DECIMAL(38,0)) AS a FROM cells),
+         |am AS (SELECT gold AS cls, CAST(sum(c) AS DECIMAL(38,0)) AS ca
+         |       FROM cells GROUP BY 1),
+         |bm AS (SELECT pred AS cls, CAST(sum(c) AS DECIMAL(38,0)) AS cb
+         |       FROM cells GROUP BY 1),
+         |pr AS (SELECT coalesce(sum(ca * cb), 0) AS p FROM am JOIN bm USING (cls))
+         |SELECT CAST(st.n AS BIGINT) AS n, CAST(st.a AS BIGINT) AS n_agree,
+         |  round(st.a::DOUBLE / st.n::DOUBLE, 6) AS po,
+         |  round(pr.p::DOUBLE / (st.n * st.n)::DOUBLE, 6) AS pe,
+         |  CASE WHEN st.n * st.n = pr.p THEN NULL
+         |       ELSE round((st.a * st.n - pr.p)::DOUBLE /
+         |                  (st.n * st.n - pr.p)::DOUBLE, 6) END AS kappa
+         |FROM st, pr""".stripMargin,
+    // cluster sample: q120's nearest-centroid CTE, then row_number per
+    // head on (unrounded dist, id) — the same rank the topk agg applies
+    "q144_cluster_sample" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $SemNth = 0),
+         |pd AS (SELECT v.id, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT id, head_id, dist FROM (
+         |        SELECT id, head_id, dist,
+         |          row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |        FROM pd) WHERE rn = 1),
+         |rk AS (SELECT head_id, id, dist,
+         |         row_number() OVER (PARTITION BY head_id ORDER BY dist, id) AS rn
+         |       FROM p)
+         |SELECT head_id, id, round(dist, 4) AS dist
+         |FROM rk WHERE rn <= $ClusterSampleN
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // heavy hitters: the sketch is only a candidate filter — the final set
+    // is exact, so the oracle is the plain exact form
+    "q143_heavy_hitters" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |n AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, count(*) AS cnt, n.n AS total_tokens
+         |FROM tok, n GROUP BY token, n.n HAVING count(*) * $HhPhi > n.n
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // burst dedup: the sessionize lag-gap window, strict `gap > W` boundary
+    "q145_event_burst_dedup" ->
+      s"""WITH w AS (SELECT event_id, ts, user_id, event_type, value, props,
+         |  lag(ts) OVER (PARTITION BY user_id, event_type
+         |                ORDER BY ts, event_id) AS prev
+         |  FROM events)
+         |SELECT event_id, ts, user_id, event_type, value, props
+         |FROM w WHERE prev IS NULL
+         |   OR ts > prev + INTERVAL $BurstWindowMinutes MINUTES
+         |ORDER BY event_id""".stripMargin,
+    "q146_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
     // triplets: per-anchor min over same-label (self excluded) and
     // different-label sides, both ranked (dist, id); margin over 4dp dists
     "q142_triplet_mine" -> {

@@ -114,6 +114,53 @@ object Eval {
   }
 
   /** MRR@K: reciprocal rank of the first result that hits the truth top-K. */
+  /** Cohen's kappa between two categorical labelings of the same rows —
+    * the chance-corrected agreement score a labeling pipeline is audited
+    * with (gold vs model, annotator vs annotator, heuristic vs stored
+    * metadata). One row out:
+    * `(n, n_agree, po, pe, kappa)` — observed agreement `po = A/n`,
+    * chance agreement `pe = Σ_c rowMarg_c·colMarg_c / n²`, and
+    * `kappa = (po − pe)/(1 − pe)`, all rounded 6dp.
+    *
+    * Determinism: every ratio is formed from EXACT integer counts —
+    * kappa is computed as `(A·n − P) / (n² − P)` on DECIMAL(38,0)
+    * products (no 1−x float subtraction), one IEEE divide, then the 6dp
+    * round; `pe = 1` (degenerate single-class margins) yields NULL rather
+    * than an engine-dependent ÷0. DECIMAL(38,0), not BIGINT, because
+    * `A·n` at a 10¹¹-row corpus is ~10²² — past 2⁶³.
+    *
+    * Scale posture: one corpus-scan groupBy whose state is the
+    * contingency table (≤ |classes|² cells — map-side partial, bounded);
+    * everything after operates on that tiny frame.
+    */
+  def labelAgreement(labeled: DataFrame, aCol: String = "gold",
+      bCol: String = "pred"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = labeled
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val stats = cells.agg(
+      sum(col("_c")).cast(dec).as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+        .cast(dec).as("n_agree"))
+    val prods = cells.groupBy(col("_a")).agg(sum(col("_c")).cast(dec).as("_ca"))
+      .join(cells.groupBy(col("_b")).agg(sum(col("_c")).cast(dec).as("_cb")),
+        col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0).cast(dec)).as("_p"))
+    stats.crossJoin(prods)
+      .select(
+        col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6).as("po"),
+        round(col("_p").cast("double") / (col("n") * col("n")).cast("double"), 6)
+          .as("pe"),
+        when(col("n") * col("n") === col("_p"), lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_agree") * col("n") - col("_p")).cast("double") /
+              (col("n") * col("n") - col("_p")).cast("double"), 6))
+          .as("kappa"))
+  }
+
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)
       .select(col("query_id"), col("id"))

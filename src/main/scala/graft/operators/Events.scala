@@ -134,6 +134,37 @@ object Events {
         col("_asof").getField("value").as("asof_value")): _*)
   }
 
+  /** Time-windowed duplicate suppression: within each `(user_id,
+    * event_type)` stream, keep only the FIRST event of every burst, where a
+    * new burst starts when the gap from the PREVIOUS event (kept or not)
+    * exceeds `windowMinutes`. The standard at-the-edge dedup for retry
+    * storms / double-clicks / replayed webhooks — the time-keyed analogue
+    * of [[graft.operators.Dedup.exact]] (which collapses on content alone).
+    *
+    * Burst (gap) semantics, not last-KEPT semantics, deliberately: "gap >
+    * W starts a new burst" is one `lag` + filter over the per-key window —
+    * the same lag-gap dataflow as [[sessionize]], mirrored exactly in SQL —
+    * whereas "more than W after the last kept event" is a sequential scan
+    * per key that no relational engine expresses without recursion. Events
+    * at `(t, t+W-1, t+2W-2)` are ONE burst here (each gap < W) and keep only
+    * `t`.
+    *
+    * Determinism: window ordered by `(ts, event_id)`; boundary is strict
+    * (`gap > W` starts a burst, a gap of exactly W does not). Scale: the
+    * key is `(user_id, event_type)` — higher cardinality than sessionize's
+    * `user_id`, per-partition size is "events per user per type".
+    */
+  def dedupBursts(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    events
+      .withColumn("_prev", prev)
+      .where(col("_prev").isNull ||
+        col("ts") > col("_prev") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("_prev")
+  }
+
   def retention(events: DataFrame, signupType: String = "signup"): DataFrame = {
     val cohorts = events.where(col("event_type") === signupType)
       .groupBy(col("user_id"))

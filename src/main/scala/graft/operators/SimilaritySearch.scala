@@ -351,6 +351,36 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Cluster-balanced sampling — the diversity-preserving selection step of
+    * an embedding-curated corpus (SemDeDup/DoReMi-style pipelines cluster
+    * first, then draw evenly) : assign every vector to its nearest
+    * centroid, keep the `perCluster` members CLOSEST to each centroid
+    * (ties on id). Compared to a global top-n, this guarantees every
+    * region of embedding space keeps representation; compared to uniform
+    * sampling, it drops the far tail of each cluster first. Output
+    * `(head_id, id, dist)`, dist rounded 4dp.
+    *
+    * Scale posture: assignment is the q07 bounded-broadcast expression
+    * pass (no join fan-out), and the per-cluster cut is a
+    * [[graft.functions.TopKByDistance]] aggregate — map-side partials
+    * bound every task's state at `perCluster` rows per touched cluster, so
+    * a 100× corpus changes only scan width, not shuffle shape (the same
+    * argument as posting truncation, `Spann.truncatePostings`).
+    */
+  def clusterSample(emb: DataFrame, centroidEveryNth: Int,
+      perCluster: Int, metric: String = "cos"): DataFrame = {
+    val cents = Spann.selectHeadsModulo(emb, centroidEveryNth)
+    val assigned = Spann.buildPostings(
+      emb.select(col("id"), col("vec")), cents, 1, metric)
+    assigned
+      .groupBy(col("head_id"))
+      .agg(graft.functions.TopKByDistance.topk(
+        col("id"), col("dist"), perCluster).as("nn"))
+      .select(col("head_id"), explode(col("nn")).as("s"))
+      .select(col("head_id"), col("s").getField("id").as("id"),
+        round(col("s").getField("dist"), 4).as("dist"))
+  }
+
   /** Mean-pooled bag centroids — the embedding-aggregation step that turns
     * multi-vector bags into one vector (doc embedding from token/chunk
     * embeddings, class prototype from labeled members, cluster summary

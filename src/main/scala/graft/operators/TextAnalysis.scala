@@ -506,6 +506,49 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
 
+  /** Exact heavy hitters — every token whose count strictly exceeds a
+    * `1/phi` share of the corpus token stream — computed WITHOUT a
+    * vocabulary-sized aggregation. Output `(token, cnt, total_tokens)`,
+    * counts exact.
+    *
+    * Two passes, both bounded:
+    *  1. a single [[graft.functions.MisraGriesAgg]] aggregate (capacity
+    *     `capacity`, default `2·phi`) + the exact stream length, in ONE
+    *     scan — the MG guarantee (any token with share > 1/(capacity+1) is
+    *     retained) makes the ≤ capacity survivors a SUPERSET of every
+    *     token above the 1/phi bar whenever `capacity ≥ phi`;
+    *  2. an exact re-count of only the candidate tokens (broadcast join —
+    *     candidates are ≤ capacity rows) filtered by `cnt · phi > n`.
+    *
+    * The re-count makes the result deterministic and exact even though the
+    * MG summary itself is partitioning-order-dependent beyond its
+    * guarantee. Scale: pass 1's shuffle is ≤ capacity rows per map task;
+    * pass 2's groupBy sees only rows matching ≤ capacity hot tokens —
+    * map-side partials collapse each task's slice to ≤ capacity rows, so
+    * the hot keys never concentrate on one reducer. Compare
+    * [[vocabulary]], whose groupBy state is the full vocabulary: correct,
+    * but the sketch path is what a 100 TB stream over an unbounded key
+    * space (URLs, n-grams, user ids) actually runs.
+    */
+  def heavyHitters(docs: DataFrame, phi: Int, capacity: Int = 0,
+      textCol: String = "text"): DataFrame = {
+    val k = if (capacity > 0) capacity else 2 * phi
+    require(phi > 1 && k >= phi,
+      s"heavyHitters needs phi > 1 and capacity >= phi (phi=$phi, capacity=$k)")
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val summary = toks.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("token"), k).as("cand"),
+      count(lit(1)).as("n"))
+    val cands = summary
+      .select(col("n"), explode(col("cand")).as("c"))
+      .select(col("n"), col("c").getField("token").as("token"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * phi > col("n"))
+      .select(col("token"), col("cnt"), col("n").as("total_tokens"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the pretraining /
     * retrieval preprocessing step that turns documents into model-sized
     * pieces. Chunk i covers tokens `[i·stride, i·stride + window)`; the last

@@ -36,6 +36,32 @@ class EventsSpec extends SparkSpec {
     assert(got === 2L)
   }
 
+  test("dedupBursts keeps the first event per burst, per (user, type)") {
+    val events = ev(Seq(
+      // user 1 "click": burst of 3 within the window, then a fresh burst
+      (1L, "2026-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 10:04:00", 1L, "click", 1.0), // 4 min after #1 — dup
+      (3L, "2026-01-01 10:12:00", 1L, "click", 1.0), // 8 min after #2 — still chained
+      (4L, "2026-01-01 10:30:00", 1L, "click", 1.0), // 18 min gap — new burst
+      // same user, different type inside the window — NOT a dup
+      (5L, "2026-01-01 10:01:00", 1L, "view", 1.0),
+      // other user, same type/time — NOT a dup
+      (6L, "2026-01-01 10:00:00", 2L, "click", 1.0)))
+    val kept = Events.dedupBursts(events, windowMinutes = 10)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+  }
+
+  test("dedupBursts boundary is strict: a gap of exactly the window chains") {
+    val events = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 10:10:00", 1L, "click", 1.0),   // exactly 10 min — dup
+      (3L, "2026-01-01 10:20:01", 1L, "click", 1.0)))  // 10 min + 1 s — new burst
+    val kept = Events.dedupBursts(events, windowMinutes = 10)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("funnel chains stages strictly-after with a conversion window") {
     val events = ev(Seq(
       // u1 completes all three within the window

@@ -349,6 +349,30 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("clusterSample keeps the closest-n per cluster, every cluster represented") {
+    import spark.implicits._
+    import graft.operators.Spann
+    val emb2 = emb.select("id", "vec")
+    val n = 5
+    val got = SimilaritySearch.clusterSample(emb2, 25, n)
+      .as[(Long, Long, Double)].collect()
+    // per-cluster cap holds and membership matches the assignment pass
+    val byHead = got.groupBy(_._1)
+    byHead.values.foreach(g => assert(g.length <= n))
+    val assigned = Spann.buildPostings(
+      emb2, Spann.selectHeadsModulo(emb2, 25), 1, "cos")
+      .select(col("head_id"), col("id"), col("dist"))
+      .as[(Long, Long, Double)].collect()
+    // every nonempty cluster appears, and the kept set IS the closest-n
+    // (ranked on unrounded dist, ties to smaller id)
+    assigned.groupBy(_._1).foreach { case (head, members) =>
+      val want = members.sortBy { case (_, id, d) => (d, id) }.take(n)
+        .map(_._2).toSet
+      val have = byHead.getOrElse(head, Array.empty).map(_._2).toSet
+      assert(have === want, s"cluster $head")
+    }
+  }
+
   test("semantic dedup pairs are sound vs the brute pair oracle and in-cluster complete") {
     import spark.implicits._
     import graft.operators.{Dedup, Spann}

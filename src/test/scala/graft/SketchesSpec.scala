@@ -55,6 +55,69 @@ class SketchesSpec extends SparkSpec {
     assert(whole.exceptAll(merged).count() === 0)
   }
 
+  test("misra-gries local buffer: superset guarantee and counter lower bounds") {
+    import graft.functions.MgBuffer
+    val rnd = new scala.util.Random(7)
+    // skewed stream: items "h0".."h3" each ~12% of the stream, long tail
+    val stream = Seq.fill(4000) {
+      val r = rnd.nextInt(100)
+      if (r < 48) s"h${r / 12}" else s"t${rnd.nextInt(500)}"
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 16
+    val buf = new MgBuffer(k)
+    stream.foreach(buf.add(_))
+    val bar = stream.size.toLong / (k + 1)
+    truth.foreach { case (t, c) =>
+      if (c > bar) assert(buf.counts.contains(t), s"missing heavy item $t ($c > $bar)")
+    }
+    buf.counts.foreach { case (t, est) =>
+      val c = truth(t)
+      assert(est <= c, s"$t over-counted: $est > $c")
+      assert(est >= c - bar, s"$t under-counted past the bound: $est < $c - $bar")
+    }
+    assert(buf.counts.size <= k)
+  }
+
+  test("misra-gries merge keeps the guarantee across arbitrary splits") {
+    import graft.functions.MgBuffer
+    val rnd = new scala.util.Random(11)
+    val stream = Seq.fill(6000) {
+      val r = rnd.nextInt(100)
+      if (r < 40) s"h${r / 10}" else s"t${rnd.nextInt(800)}"
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 16
+    // 7 uneven shards, merged pairwise in a skewed tree
+    val shards = stream.grouped(900).toSeq.map { sl =>
+      val b = new MgBuffer(k); sl.foreach(b.add(_)); b
+    }
+    val merged = shards.reduceLeft { (a, b) => a.mergeFrom(b); a }
+    val bar = stream.size.toLong / (k + 1)
+    truth.foreach { case (t, c) =>
+      if (c > bar)
+        assert(merged.counts.contains(t), s"merge lost heavy item $t ($c > $bar)")
+    }
+    merged.counts.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t over-counted after merge")
+    }
+    assert(merged.counts.size <= k)
+  }
+
+  test("heavyHitters = exact tokens above the 1/phi bar (sketch is invisible)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.heavyHitters(docs, phi = 30, capacity = 64)
+      .select("token", "cnt").as[(String, Long)].collect().toMap
+    val toks = tokenStream
+    val n = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 30 > n)
+      .as[(String, Long)].collect().toMap
+    assert(got === exact)
+    assert(got.nonEmpty, "fixture should clear the 1/30 bar somewhere")
+  }
+
   test("hll registers merge by per-bucket max; estimate lands near the truth") {
     import spark.implicits._
     val toks = tokenStream.cache()

@@ -336,4 +336,29 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r === Map(1L -> 3L))
   }
+
+  test("labelAgreement reproduces the textbook 2x2 kappa") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes:
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; kappa = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+        Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val got = Eval.labelAgreement(rows.toDF("gold", "pred")).head()
+    assert(got.getLong(0) === 50L)
+    assert(got.getLong(1) === 35L)
+    assert(got.getDouble(2) === 0.7)
+    assert(got.getDouble(3) === 0.5)
+    assert(got.getDouble(4) === 0.4)
+  }
+
+  test("labelAgreement degenerate single-class margins yield NULL kappa, po=pe=1") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val got = Eval.labelAgreement(
+      Seq.fill(7)(("en", "en")).toDF("gold", "pred")).head()
+    assert(got.getDouble(2) === 1.0 && got.getDouble(3) === 1.0)
+    assert(got.isNullAt(4))
+  }
 }
