@@ -982,6 +982,14 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // operating-point sweep: P/R/F1 at every attained value of the
+    // English stopword-confidence score vs the stored lang — how the
+    // threshold of a corpus filter is actually chosen
+    "q147_threshold_sweep" -> ((s, d) =>
+      ordered(Eval.thresholdSweep(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").as("gold"),
+          TextAnalysis.stopwordConfidence(col("text")).as("score"))))),
     // label-agreement audit: Cohen's kappa between the stored `lang`
     // column and the q31 heuristic's prediction — the chance-corrected
     // score a labeling pipeline reports, all ratios from exact counts
@@ -2862,6 +2870,34 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // threshold sweep: per-score confusion cells, cumulated by the
+    // b.thr >= a.thr self-join of the resolution-bounded score frame;
+    // F1 = 2tp/(2tp+fp+fn) in one integer-exact divide
+    "q147_threshold_sweep" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val hits = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (SELECT (lang = 'en') AS gold, $toks AS toks FROM documents),
+         |s AS (SELECT gold,
+         |        CASE WHEN len(toks) > 0
+         |             THEN round(($hits)::DOUBLE / len(toks), 4)
+         |             ELSE 0.0 END AS score FROM t),
+         |per AS (SELECT score AS thr,
+         |          sum(CASE WHEN gold THEN 1 ELSE 0 END) AS pos,
+         |          sum(CASE WHEN gold THEN 0 ELSE 1 END) AS neg
+         |        FROM s GROUP BY 1),
+         |tot AS (SELECT sum(pos) AS tpos FROM per),
+         |cum AS (SELECT a.thr, sum(b.pos) AS tp, sum(b.neg) AS fp
+         |        FROM per a JOIN per b ON b.thr >= a.thr GROUP BY 1)
+         |SELECT thr, tp, fp, (tpos - tp) AS fn,
+         |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+         |  CASE WHEN tpos = 0 THEN NULL
+         |       ELSE round(tp::DOUBLE / tpos, 6) END AS recall,
+         |  CASE WHEN 2*tp + fp + (tpos - tp) = 0 THEN NULL
+         |       ELSE round((2*tp)::DOUBLE / (2*tp + fp + (tpos - tp)), 6)
+         |  END AS f1
+         |FROM cum, tot
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
     },
     // kappa: contingency cells → exact-integer margins; kappa formed as
     // (A·n − P)/(n² − P) on DECIMAL(38,0) — no 1−x float subtraction

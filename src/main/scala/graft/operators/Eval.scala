@@ -114,6 +114,53 @@ object Eval {
   }
 
   /** MRR@K: reciprocal rank of the first result that hits the truth top-K. */
+  /** Classifier operating-point sweep: for every DISTINCT score value `s`
+    * (interpreted as the rule "predict positive when score ≥ s"), the
+    * exact confusion counts and P/R/F1 — the precision-recall curve a
+    * quality/language/toxicity filter's threshold is chosen from. Input:
+    * one row per example with a numeric `scoreCol` and boolean `labelCol`.
+    * Output `(thr, tp, fp, fn, precision, recall, f1)`, ratios 6dp; F1 is
+    * computed as `2·tp / (2·tp + fp + fn)` — one integer-exact divide, no
+    * compounding of rounded P and R.
+    *
+    * Scale posture: the corpus-scale work is ONE map-side-partial groupBy
+    * on the score, whose state is bounded by score RESOLUTION (scores are
+    * fixed-dp rounded ratios — a 4dp score in [0,1] has ≤ 10001 distinct
+    * values no matter the corpus). The cumulative counts come from a
+    * `b.thr ≥ a.thr` self-join of that resolution-bounded frame
+    * (broadcast nested-loop over ≤ 10k×10k — documented bounded, the
+    * bnljOk family), NOT a partition-less window, which would serialize
+    * on one task and is banned by the scale contract.
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "gold"): DataFrame = {
+    val per = scored
+      .groupBy(col(scoreCol).as("thr"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_neg"))
+    val tot = per.agg(sum(col("_pos")).as("_tpos"))
+    val cum = per.select(col("thr"))
+      .join(broadcast(per.select(col("thr").as("_s"), col("_pos"), col("_neg"))),
+        col("_s") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(sum(col("_pos")).as("tp"), sum(col("_neg")).as("fp"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        col("thr"), col("tp"), col("fp"),
+        (col("_tpos") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        when(col("_tpos") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / col("_tpos"), 6))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + (col("_tpos") - col("tp")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2L) * col("tp").cast("double") /
+            (lit(2L) * col("tp") + col("fp") + (col("_tpos") - col("tp"))), 6))
+          .as("f1"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the chance-corrected agreement score a labeling pipeline is audited
     * with (gold vs model, annotator vs annotator, heuristic vs stored

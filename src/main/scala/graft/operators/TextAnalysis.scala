@@ -506,6 +506,21 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
 
+  /** Per-language confidence score: the fraction of a text's tokens that
+    * are stopwords of `lang` (4dp; 0.0 for token-less docs) — the raw
+    * signal [[langId]] argmaxes over, exposed as a number so downstream
+    * eval can sweep an operating threshold over it
+    * ([[Eval.thresholdSweep]]). Pure per-row column math.
+    */
+  def stopwordConfidence(text: Column, lang: String = "en"): Column = {
+    val words = Stopwords.find(_._1 == lang)
+      .getOrElse(throw new IllegalArgumentException(s"no stopword list for $lang"))._2
+    val t = tokens(text)
+    when(size(t) > 0,
+      round(hitCount(t, words).cast("double") / size(t), 4))
+      .otherwise(lit(0.0))
+  }
+
   /** Exact heavy hitters — every token whose count strictly exceeds a
     * `1/phi` share of the corpus token stream — computed WITHOUT a
     * vocabulary-sized aggregation. Output `(token, cnt, total_tokens)`,

@@ -145,7 +145,12 @@ class PlanSpec extends SparkSpec {
       "q122_phash_neardup",   // ONE-row (lc, hs) corpus-share stats, broadcast
       "q123_binary_recall",   // q119's plan inside the recall block
       "q127_rp_search",       // ≤|Q|-row projected-query batch, broadcast
-      "q139_nb_classify")     // ONE-row doc-count scalar (priors), broadcast
+      "q139_nb_classify",     // ONE-row doc-count scalar (priors), broadcast
+      "q147_threshold_sweep", // score-resolution-bounded (<=10k-row) per-score
+                              // frame: cumulative-count self-join + one-row
+                              // totals, both broadcast
+      "q148_label_agreement") // ONE-row (n, n_agree) × ONE-row margin-product
+                              // scalars, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -353,6 +353,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("thresholdSweep emits one exact confusion row per attained score") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val scored = Seq(
+      (true, 0.9), (false, 0.5), (true, 0.5), (false, 0.1))
+      .toDF("gold", "score")
+    val got = Eval.thresholdSweep(scored)
+      .orderBy(col("thr").desc)
+      .as[(Double, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0.9, 1L, 0L, 1L, 1.0, 0.5, 0.666667),
+      (0.5, 2L, 1L, 0L, 0.666667, 1.0, 0.8),
+      (0.1, 2L, 2L, 0L, 0.5, 1.0, 0.666667)))
+  }
+
+  test("thresholdSweep with no positives: recall and f1 are NULL, precision 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val got = Eval.thresholdSweep(
+      Seq((false, 0.7), (false, 0.2)).toDF("gold", "score"))
+      .orderBy(col("thr").desc).collect()
+    got.foreach { r =>
+      assert(r.getDouble(4) === 0.0) // precision = 0/(0+fp)
+      assert(r.isNullAt(5)) // recall = tp/0 → NULL
+      assert(r.getDouble(6) === 0.0) // f1 = 0/(0+fp+0) — denominator nonzero
+    }
+  }
+
+  test("stopwordConfidence: ratio of list hits, 0.0 for empty docs") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog", "zzz qqq", "")
+      .toDF("text")
+      .select(TextAnalysis.stopwordConfidence(col("text")).as("c"))
+      .as[Double].collect().toSeq
+    // "the", "and", "the" are en-stopwords out of 5 tokens
+    assert(df === Seq(0.6, 0.0, 0.0))
+  }
+
   test("labelAgreement degenerate single-class margins yield NULL kappa, po=pe=1") {
     import spark.implicits._
     import graft.operators.Eval
