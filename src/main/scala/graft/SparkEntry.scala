@@ -982,6 +982,13 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // snapshot drift report: both snapshots (id parity) assigned to ONE
+    // shared centroid frame; per-cluster share deltas + mean-vector shift
+    "q149_cluster_drift" -> ((s, d) =>
+      ordered(SimilaritySearch.clusterDrift(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec"),
+          (col("id") % 2 === 1).as("snap")),
+        SemNth))),
     // operating-point sweep: P/R/F1 at every attained value of the
     // English stopword-confidence score vs the stored lang — how the
     // threshold of a corpus filter is actually chosen
@@ -2870,6 +2877,48 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // drift: q120's shared-centroid assignment; 6dp means → ×10⁶ integer
+    // squared-diff sums (order-independent), one divide per cluster
+    "q149_cluster_drift" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec,
+         |             (vec_id % 2 = 1) AS snap FROM embeddings),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $SemNth = 0),
+         |pd AS (SELECT v.id, v.snap, v.vec, h.head_id, $pDist AS dist
+         |       FROM v CROSS JOIN h),
+         |p AS (SELECT id, snap, vec, head_id FROM (
+         |        SELECT id, snap, vec, head_id,
+         |          row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |        FROM pd) WHERE rn = 1),
+         |cnt AS (SELECT head_id,
+         |          sum(CASE WHEN snap THEN 0 ELSE 1 END) AS n_a,
+         |          sum(CASE WHEN snap THEN 1 ELSE 0 END) AS n_b
+         |        FROM p GROUP BY 1),
+         |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cnt),
+         |dx AS (SELECT head_id, snap,
+         |         CAST(generate_subscripts(s, 1) - 1 AS INT) AS dim, unnest(s) AS sv
+         |       FROM (SELECT head_id, snap,
+         |               list_transform(vec, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS s
+         |             FROM p)),
+         |mn AS (SELECT head_id, snap, dim,
+         |         round(sum(sv)::DOUBLE / 1000.0 / count(*), 6) AS m
+         |       FROM dx GROUP BY 1, 2, 3),
+         |sh AS (SELECT a.head_id,
+         |         round(sum((CAST(round(a.m*1000000) AS BIGINT) - CAST(round(b.m*1000000) AS BIGINT))
+         |                 * (CAST(round(a.m*1000000) AS BIGINT) - CAST(round(b.m*1000000) AS BIGINT)))::DOUBLE
+         |               / 1e12, 4) AS shift
+         |       FROM mn a JOIN mn b
+         |         ON a.head_id = b.head_id AND a.dim = b.dim
+         |        AND NOT a.snap AND b.snap
+         |       GROUP BY 1)
+         |SELECT cnt.head_id, n_a, n_b,
+         |  round(n_a::DOUBLE / ta, 6) AS share_a,
+         |  round(n_b::DOUBLE / tb, 6) AS share_b,
+         |  round(round(n_b::DOUBLE / tb, 6) - round(n_a::DOUBLE / ta, 6), 6) AS share_delta,
+         |  sh.shift
+         |FROM cnt CROSS JOIN tot LEFT JOIN sh ON sh.head_id = cnt.head_id
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
     },
     // threshold sweep: per-score confusion cells, cumulated by the
     // b.thr >= a.thr self-join of the resolution-bounded score frame;

@@ -351,6 +351,63 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Embedding-distribution drift between two corpus snapshots (old crawl
+    * vs new crawl, last month's corpus vs this month's) — the monitoring
+    * report that catches topic shift before it reaches training. Both
+    * snapshots are assigned to ONE shared set of centroids (the common
+    * reference frame — per-snapshot clusterings would not be comparable);
+    * per cluster the report gives each snapshot's member count and 6dp
+    * population share, the share delta, and the L2 SHIFT between the two
+    * snapshots' in-cluster mean vectors (4dp; NULL when either snapshot
+    * has no members there). Output
+    * `(head_id, n_a, n_b, share_a, share_b, share_delta, shift)`.
+    *
+    * Determinism: shares divide exact counts; means use the ×1000
+    * integer-sum convention ([[bagPool]]) rounded 6dp before the zipped
+    * squared-diff sum. Scale posture: one assignment pass (the q07
+    * bounded-broadcast expression), one (head, snap) count aggregate, one
+    * (head, snap, dim) mean aggregate — all map-side partial with state ∝
+    * clusters·dims; the snapshot totals are a one-row broadcast.
+    */
+  def clusterDrift(emb: DataFrame, centroidEveryNth: Int,
+      metric: String = "cos", snapCol: String = "snap"): DataFrame = {
+    val cents = Spann.selectHeadsModulo(emb.select(col("id"), col("vec")), centroidEveryNth)
+    val assigned = Spann.buildPostings(
+      emb.select(col("id"), col("vec")), cents, 1, metric)
+      .join(emb.select(col("id"), col(snapCol).as("_snap")), Seq("id"))
+    val counts = assigned.groupBy(col("head_id")).agg(
+      sum(when(col("_snap"), 0L).otherwise(1L)).as("n_a"),
+      sum(when(col("_snap"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val scaled = assigned.select(col("head_id"), col("_snap"),
+      posexplode(transform(col("vec"),
+        v => round(v.cast("double") * 1000).cast("long"))).as(Seq("dim", "_v")))
+    val means = scaled.groupBy(col("head_id"), col("_snap"), col("dim"))
+      .agg(round(sum(col("_v")).cast("double") / lit(1000.0) / count(lit(1)), 6)
+        .as("_m"))
+    // 6dp means → exact ×10⁶ longs, so the per-dim squared-diff sum is
+    // integer (partitioning-order-independent); one divide at the end
+    val shift = means.where(!col("_snap"))
+      .select(col("head_id"), col("dim"),
+        round(col("_m") * 1000000).cast("long").as("_ma"))
+      .join(means.where(col("_snap"))
+        .select(col("head_id"), col("dim"),
+          round(col("_m") * 1000000).cast("long").as("_mb")),
+        Seq("head_id", "dim"))
+      .groupBy(col("head_id"))
+      .agg(round(sum((col("_ma") - col("_mb")) * (col("_ma") - col("_mb")))
+        .cast("double") / lit(1e12), 4).as("shift"))
+    counts.crossJoin(broadcast(totals))
+      .join(shift, Seq("head_id"), "left")
+      .select(col("head_id"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("_ta"), 6).as("share_a"),
+        round(col("n_b").cast("double") / col("_tb"), 6).as("share_b"),
+        round(round(col("n_b").cast("double") / col("_tb"), 6) -
+          round(col("n_a").cast("double") / col("_ta"), 6), 6).as("share_delta"),
+        col("shift"))
+  }
+
   /** Cluster-balanced sampling — the diversity-preserving selection step of
     * an embedding-curated corpus (SemDeDup/DoReMi-style pipelines cluster
     * first, then draw evenly) : assign every vector to its nearest

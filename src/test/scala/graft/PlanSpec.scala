@@ -149,8 +149,9 @@ class PlanSpec extends SparkSpec {
       "q147_threshold_sweep", // score-resolution-bounded (<=10k-row) per-score
                               // frame: cumulative-count self-join + one-row
                               // totals, both broadcast
-      "q148_label_agreement") // ONE-row (n, n_agree) × ONE-row margin-product
+      "q148_label_agreement", // ONE-row (n, n_agree) × ONE-row margin-product
                               // scalars, broadcast
+      "q149_cluster_drift")   // ONE-row (ta, tb) snapshot totals, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

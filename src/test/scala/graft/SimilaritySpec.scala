@@ -349,6 +349,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("clusterDrift: planted shift measured, single-snapshot cluster NULL, shares exact") {
+    import spark.implicits._
+    // heads (id%25==0): 0 → [1,0], 50 → [0,1]. Cluster 0 drifts: snapshot
+    // B's members sit at y=0.2 where A's center on y=0. Cluster 50 is
+    // A-only → NULL shift.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.04f)), (4L, Array(1.0f, -0.04f)),
+      (1L, Array(1.0f, 0.2f)), (3L, Array(1.0f, 0.2f)),
+      (50L, Array(0.0f, 1.0f)), (6L, Array(0.04f, 1.0f)))
+    val emb2 = rows.toDF("id", "vec")
+      .withColumn("snap", col("id") % 2 === 1)
+    val got = SimilaritySearch.clusterDrift(emb2, 25)
+      .orderBy("head_id").collect()
+    assert(got.length === 2)
+    val h0 = got(0); val h50 = got(1)
+    assert(h0.getLong(0) === 0L && h0.getLong(1) === 3L && h0.getLong(2) === 2L)
+    assert(h0.getDouble(3) === 0.6 && h0.getDouble(4) === 1.0)
+    assert(h0.getDouble(5) === 0.4)
+    assert(h0.getDouble(6) === 0.04) // (0.2)² on the drifted dim
+    assert(h50.getLong(1) === 2L && h50.getLong(2) === 0L)
+    assert(h50.getDouble(3) === 0.4 && h50.getDouble(4) === 0.0)
+    assert(h50.getDouble(5) === -0.4)
+    assert(h50.isNullAt(6)) // no B members — shift undefined
+  }
+
   test("clusterSample keeps the closest-n per cluster, every cluster represented") {
     import spark.implicits._
     import graft.operators.Spann
