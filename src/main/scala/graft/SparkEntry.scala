@@ -982,6 +982,11 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // farthest-point sampling (greedy k-center): maximally diverse
+    // exemplar selection; the radius column is the coverage radius
+    "q150_farthest_points" -> ((s, d) =>
+      ordered(SimilaritySearch.farthestPoints(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")), FpsK))),
     // snapshot drift report: both snapshots (id parity) assigned to ONE
     // shared centroid frame; per-cluster share deltas + mean-vector shift
     "q149_cluster_drift" -> ((s, d) =>
@@ -1279,6 +1284,9 @@ object SparkEntry {
   // q144: avg cluster ≈ SemNth (25) members → keeping 10 genuinely cuts
   // most clusters while leaving every cluster represented
   private val ClusterSampleN = 10
+  // q150: 8 greedy k-center picks — enough rounds that the coverage
+  // radius visibly decreases, cheap enough for the recursive oracle
+  private val FpsK = 8
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2877,6 +2885,29 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // FPS: the greedy selection replayed as a recursive CTE carrying the
+    // selected (ids, vecs) lists; min-dist-to-set is a list_min over the
+    // same left-to-right l2sq both engines compute bit-identically
+    "q150_farthest_points" -> {
+      val d2 = Tables.distSql("l2sq", "w.vec", "sv")
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |f AS (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+         |sel(iter, ids, vecs, last_id, radius) AS (
+         |  SELECT 1, [id], [vec], id, NULL::DOUBLE FROM f
+         |  UNION ALL
+         |  SELECT iter + 1, list_append(ids, c.id), list_append(vecs, c.vec),
+         |         c.id, c.mind
+         |  FROM sel, LATERAL (
+         |    SELECT id, vec, mind FROM (
+         |      SELECT w.id, w.vec,
+         |        list_min(list_transform(sel.vecs, sv -> $d2)) AS mind
+         |      FROM v w WHERE NOT list_contains(sel.ids, w.id))
+         |    ORDER BY mind DESC, id LIMIT 1) c
+         |  WHERE iter < $FpsK)
+         |SELECT CAST(iter AS INT) AS sel_idx, last_id AS id,
+         |  round(radius, 4) AS radius
+         |FROM sel ORDER BY 1, 2, 3""".stripMargin
     },
     // drift: q120's shared-centroid assignment; 6dp means → ×10⁶ integer
     // squared-diff sums (order-independent), one divide per cluster

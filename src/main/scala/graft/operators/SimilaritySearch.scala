@@ -351,6 +351,59 @@ object SimilaritySearch {
         round(col("cos_dist"), 4).as("cos_dist"))
   }
 
+  /** Farthest-point sampling (greedy k-center, Gonzalez 1985 — the
+    * deterministic cousin of k-means++ seeding): start from the smallest
+    * id, then repeatedly select the vector FARTHEST from the selected set
+    * (max over min-distance-to-centers; ties to the smaller id). The
+    * classic coreset / seed / "maximally diverse exemplars" selection —
+    * its radius column is the k-center coverage radius, non-increasing by
+    * construction. Output `(sel_idx, id, radius)`, sel_idx 1-based,
+    * radius = the selected point's min distance to the PRIOR centers
+    * (4dp; NULL for the first pick).
+    *
+    * Scale posture: k bounded rounds, each ONE corpus scan — min-distance
+    * is an in-row `array_min` over the ≤k selected centers embedded as
+    * broadcast literals (the Lloyd-round convention), and the argmax is a
+    * per-partition top-1 + driver merge (TakeOrderedAndProject), never a
+    * global sort. Driver state: one (id, vec) row collected per round —
+    * the same bounded-collect contract as k-means centroids. O(k·n)
+    * distance evaluations total, k scans; no pair space, no shuffle.
+    */
+  def farthestPoints(emb: DataFrame, k: Int,
+      metric: String = "l2sq"): DataFrame = {
+    require(k >= 1, s"farthestPoints needs k >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("id"), col("vec"))
+    val first = base.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "farthestPoints on an empty input")
+    var centers = Vector[(Long, Seq[Float])](
+      (first(0).getLong(0), first(0).getSeq[Float](1)))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, centers.head._1, None))
+    var exhausted = false
+    while (out.size < k && !exhausted) {
+      val dists = centers.map { case (_, v) =>
+        graft.functions.dist.byName(metric)(
+          col("vec"), array(v.map(x => lit(x)): _*))
+      }
+      val mind = if (dists.size == 1) dists.head
+      else array_min(array(dists: _*))
+      val next = base
+        .where(!col("id").isin(centers.map(_._1): _*))
+        .select(col("id"), col("vec"), mind.as("mind"))
+        .orderBy(col("mind").desc, col("id")).limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        val r = next(0)
+        centers :+= ((r.getLong(0), r.getSeq[Float](1)))
+        out += ((out.size + 1, r.getLong(0), Some(r.getDouble(2))))
+      }
+    }
+    out.toSeq.toDF("sel_idx", "id", "radius")
+      .withColumn("radius", round(col("radius"), 4))
+  }
+
   /** Embedding-distribution drift between two corpus snapshots (old crawl
     * vs new crawl, last month's corpus vs this month's) — the monitoring
     * report that catches topic shift before it reaches training. Both

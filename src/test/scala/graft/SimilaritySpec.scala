@@ -349,6 +349,37 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("farthestPoints equals the brute greedy; radius non-increasing; early stop past n") {
+    import spark.implicits._
+    val emb2 = emb.select("id", "vec").where(col("id") < 60)
+    val got = SimilaritySearch.farthestPoints(emb2, 6)
+      .select("sel_idx", "id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    // brute greedy on the driver
+    val vecs = emb2.as[(Long, Array[Float])].collect().sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    var sel = Vector(vecs.head)
+    while (sel.size < 6) {
+      val cand = vecs.filterNot(v => sel.exists(_._1 == v._1))
+        .map(v => (v, sel.map(c => d2(v._2, c._2)).min))
+      val best = cand.maxBy { case ((id, _), m) => (m, -id) }
+      sel :+= best._1
+    }
+    assert(got.map(_._2) === sel.map(_._1))
+    // radius non-increasing (coverage radius property)
+    val radii = SimilaritySearch.farthestPoints(emb2, 6)
+      .orderBy("sel_idx").select("radius").collect().drop(1).map(_.getDouble(0))
+    radii.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    // more picks than points: stops at n, all distinct
+    val tiny = emb2.where(col("id") < 3)
+    val all = SimilaritySearch.farthestPoints(tiny, 10).collect()
+    assert(all.length === 3)
+    assert(all.map(_.getLong(1)).distinct.length === 3)
+  }
+
   test("clusterDrift: planted shift measured, single-snapshot cluster NULL, shares exact") {
     import spark.implicits._
     // heads (id%25==0): 0 → [1,0], 50 → [0,1]. Cluster 0 drifts: snapshot
