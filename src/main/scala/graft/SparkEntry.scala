@@ -982,6 +982,13 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // TPC-H Q18: aggregate-then-join — the HAVING slice runs before the
+    // orders/customer joins ever see a row
+    "q151_tpch_q18" -> ((s, d) => ordered(tpchQ18(s, d))),
+    // token Shannon entropy (nats): the lexical-diversity quality signal,
+    // 6dp −p·ln p terms DECIMAL-summed (the q91 float-log convention)
+    "q152_token_entropy" -> ((s, d) =>
+      ordered(TextAnalysis.tokenEntropy(Tables.documents(s, d)))),
     // farthest-point sampling (greedy k-center): maximally diverse
     // exemplar selection; the radius column is the coverage radius
     "q150_farthest_points" -> ((s, d) =>
@@ -1287,6 +1294,9 @@ object SparkEntry {
   // q150: 8 greedy k-center picks — enough rounds that the coverage
   // radius visibly decreases, cheap enough for the recursive oracle
   private val FpsK = 8
+  // q151: 150 ≈ the ~95th percentile of per-order quantity sums in the
+  // synthetic lineitem — the HAVING slice is genuinely selective
+  private val Q18MinQty = 150
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1375,6 +1385,26 @@ object SparkEntry {
         sum((col("l_extendedprice") * col("l_discount")).cast(dec))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): the aggregate-then-join
+    * chain — lineitem pre-aggregated per order (map-side partial on the
+    * natural key), the HAVING filter applied BEFORE any join so only
+    * qualifying orders (a ~5% slice) reach the orders/customer equi-joins.
+    * The anti-pattern this anchors against is join-first-filter-later,
+    * which would shuffle the full lineitem fact through both joins.
+    */
+  private def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > Q18MinQty)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
   }
 
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
@@ -2886,6 +2916,34 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // entropy: per-(doc, token) counts, p = c/n (both engines' `/` on
+    // BIGINTs is true division to DOUBLE), 6dp terms, DECIMAL sum
+    "q152_token_entropy" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |ct AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sum(c) AS n, count(*) AS n_uniq FROM ct GROUP BY 1),
+         |tm AS (SELECT ct.doc_id, n.n, n.n_uniq,
+         |         CAST(round((0 - (c / n.n)) * ln(c / n.n), 6)
+         |              AS DECIMAL(18,9)) AS term
+         |       FROM ct JOIN n USING (doc_id))
+         |SELECT doc_id, n AS n_tokens, n_uniq,
+         |  round(sum(term), 4)::DOUBLE AS entropy
+         |FROM tm GROUP BY doc_id, n, n_uniq
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    "q151_tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > $Q18MinQty)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // FPS: the greedy selection replayed as a recursive CTE carrying the
     // selected (ids, vecs) lists; min-dist-to-set is a list_min over the
     // same left-to-right l2sq both engines compute bit-identically

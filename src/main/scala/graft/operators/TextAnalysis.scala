@@ -427,6 +427,38 @@ object TextAnalysis {
         round(col("sum_lp").cast("double") / col("n_bigrams"), 4).as("lm_score"))
   }
 
+  /** Per-document token Shannon entropy (nats) — the lexical-diversity
+    * quality signal: low entropy = repetitive/template text (a sharper
+    * cousin of [[repetition]]'s duplicate fractions), high entropy =
+    * diverse vocabulary. Output `(doc_id, n_tokens, n_uniq, entropy)`,
+    * entropy 4dp; token-less docs emit nothing.
+    *
+    * Determinism: each `−p·ln p` term is rounded 6dp and summed through
+    * DECIMAL(18,9) — the [[ngramLmScore]] convention, the one float-log
+    * shape already proven to hash-match across engines. Scale: two hash
+    * aggregations and one equi-join, all keyed by `doc_id` (+token) —
+    * high-cardinality keys, map-side partials, no windows.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val ct = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val n = ct.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_uniq"))
+    val p = col("c") / col("n")
+    ct.join(n, Seq(idCol))
+      .withColumn("_term",
+        round((lit(0) - p) * log(p), 6).cast(DecimalType(18, 9)))
+      .groupBy(col(idCol), col("n"), col("n_uniq"))
+      // round the DECIMAL sum directly (exact HALF_UP), THEN cast: a 6dp
+      // sum often lands exactly on the 4dp half-boundary, where
+      // double-then-round is engine-dependent
+      .agg(round(sum(col("_term")), 4).cast("double").as("entropy"))
+      .select(col(idCol), col("n").as("n_tokens"), col("n_uniq"),
+        col("entropy"))
+  }
+
   /** Stopword-profile language ID: pick the language with the most stopword
     * hits (ties broken by list order, 'und' when nothing matches).
     */

@@ -353,6 +353,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("tokenEntropy: 0 for constant docs, ln(k) for uniform docs, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // constant → H = 0
+      (2L, "a b c d"),                   // uniform over 4 → H = ln 4
+      (3L, ""),                          // no tokens → no row
+      (4L, "x x y")                      // H = -(2/3)ln(2/3) - (1/3)ln(1/3)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 4L))
+    val h1 = got(0); val h2 = got(1); val h4 = got(2)
+    assert(h1._2 === 4L && h1._3 === 1L && h1._4 === 0.0)
+    assert(h2._4 === math.floor(math.log(4.0) * 10000 + 0.5) / 10000) // 1.3863
+    val expect4 = BigDecimal(
+      math.floor(-(2.0 / 3) * math.log(2.0 / 3) * 1e6 + 0.5) / 1e6 +
+        math.floor(-(1.0 / 3) * math.log(1.0 / 3) * 1e6 + 0.5) / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h4._4 === expect4)
+  }
+
   test("thresholdSweep emits one exact confusion row per attained score") {
     import spark.implicits._
     import graft.operators.Eval
