@@ -982,6 +982,19 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // kNN-graph triangle census: degree-oriented wedge join (out-degree
+    // capped at O(√m)) + per-node local clustering coefficient — the
+    // graph-health audit of a neighborhood build
+    "q153_triangle_count" -> ((s, d) => {
+      val sub = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+        .where(col("id") < TriNodes)
+      val nn = Knn.search(
+        sub.select(col("id").as("query_id"), col("vec").as("qvec")),
+        sub, TriK + 1)
+      val edges = nn.where(col("id") =!= col("query_id"))
+        .select(col("query_id").as("src"), col("id").as("dst"))
+      ordered(graft.operators.KnnGraph.triangles(edges))
+    }),
     // TPC-H Q18: aggregate-then-join — the HAVING slice runs before the
     // orders/customer joins ever see a row
     "q151_tpch_q18" -> ((s, d) => ordered(tpchQ18(s, d))),
@@ -1297,6 +1310,10 @@ object SparkEntry {
   // q151: 150 ≈ the ~95th percentile of per-order quantity sums in the
   // synthetic lineitem — the HAVING slice is genuinely selective
   private val Q18MinQty = 150
+  // q153: 1000-node exact-kNN graph at k=4 — 82 triangles at sf0.01, and
+  // the all-pairs oracle stays ~1s
+  private val TriNodes = 1000
+  private val TriK = 4
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2915,6 +2932,43 @@ object SparkEntry {
          |SELECT ch.doc_id, ch.chunk_idx, g.canon_doc, g.canon_idx, g.copies
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // triangles: exact-kNN edge list (rank over (dist, id) incl self,
+    // self dropped after — duplicate-proof), then the same oriented
+    // wedge join + semi-join close the operator runs
+    "q153_triangle_count" -> {
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |           WHERE vec_id < $TriNodes),
+         |pd AS (SELECT a.id AS src, b.id AS dst, $dd AS d FROM v a CROSS JOIN v b),
+         |rk AS (SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |       FROM pd),
+         |e AS (SELECT src, dst FROM rk WHERE rn <= ${TriK + 1} AND src <> dst),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+         |        GROUP BY 1),
+         |wd AS (SELECT und.a, und.b, da.deg AS dda, db.deg AS ddb
+         |       FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+         |o AS (SELECT
+         |        CASE WHEN (dda < ddb OR (dda = ddb AND a < b)) THEN a ELSE b END AS u,
+         |        CASE WHEN (dda < ddb OR (dda = ddb AND a < b)) THEN b ELSE a END AS v,
+         |        CASE WHEN (dda < ddb OR (dda = ddb AND a < b)) THEN ddb ELSE dda END AS dv
+         |      FROM wd),
+         |wg AS (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u
+         |       WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+         |tri AS (SELECT wg.u, wg.x, wg.y FROM wg
+         |        SEMI JOIN o ON o.u = wg.x AND o.v = wg.y),
+         |pn AS (SELECT id, count(*) AS t FROM (
+         |         SELECT u AS id FROM tri UNION ALL SELECT x AS id FROM tri
+         |         UNION ALL SELECT y AS id FROM tri) GROUP BY 1)
+         |SELECT deg.id, deg.deg, coalesce(pn.t, 0) AS n_triangles,
+         |  CASE WHEN deg.deg > 1
+         |       THEN round(2.0 * coalesce(pn.t, 0) / (deg.deg * (deg.deg - 1)), 6)
+         |       ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN pn ON pn.id = deg.id
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
     // entropy: per-(doc, token) counts, p = c/n (both engines' `/` on
     // BIGINTs is true division to DOUBLE), 6dp terms, DECIMAL sum

@@ -289,4 +289,56 @@ object KnnGraph {
     }
     pr
   }
+
+  /** Per-node triangle counts + local clustering coefficient over a
+    * directed edge list — the structural health metric of a kNN graph
+    * (well-built neighborhoods close into triangles; a broken / random
+    * graph does not). Output `(id, deg, n_triangles, clustering)` with
+    * `clustering = 2T / (deg·(deg−1))` (6dp; 0.0 for deg ≤ 1), one row
+    * per node of the symmetrized graph.
+    *
+    * Algorithm: the degree-oriented wedge join (Suri & Vassilvitskii,
+    * WWW'11) — symmetrize and dedup edges, orient every edge from its
+    * lower-(degree, id) endpoint to the higher, enumerate wedges only at
+    * each edge's LOW endpoint, close them with a semi-join against the
+    * oriented edges. Orientation caps every node's out-degree at
+    * O(√m), so the wedge join is O(m^{3/2}) TOTAL — the bound that makes
+    * triangle counting feasible at corpus scale — instead of
+    * Σ deg² (quadratic at hubs). All joins key on node ids; no windows.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val wd = und
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+    val fwd = col("_da") < col("_db") ||
+      (col("_da") === col("_db") && col("a") < col("b"))
+    val o = wd.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("_db")).otherwise(col("_da")).as("_dv"))
+    val wedges = o.select(col("u"), col("v").as("x"), col("_dv").as("_dx"))
+      .join(o.select(col("u"), col("v").as("y"), col("_dv").as("_dy")), Seq("u"))
+      .where(col("_dx") < col("_dy") ||
+        (col("_dx") === col("_dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      .select(col("u"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("_t"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("_t"), lit(0L)).as("n_triangles"),
+        when(col("deg") > 1,
+          round(lit(2.0) * coalesce(col("_t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -196,4 +196,31 @@ class KnnGraphSpec extends SparkSpec {
     assert(total <= 1000000000000L && total > 1000000000000L - 1000000L,
       s"mass off: $total")
   }
+
+  test("triangles: hand graph counts, clustering coefficients, dup/reverse edges collapse") {
+    import spark.implicits._
+    // triangle 1-2-3, pendant 3-4, triangle-free square 5-6-7-8; every
+    // edge listed twice (both directions) plus one duplicate and a
+    // self-loop — symmetrize/dedup must collapse them all
+    val base = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((1L, 2L), (6L, 6L))
+    val got = KnnGraph.triangles(noisy.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0),
+      (5L, 2L, 0L, 0.0), (6L, 2L, 0L, 0.0),
+      (7L, 2L, 0L, 0.0), (8L, 2L, 0L, 0.0)))
+  }
+
+  test("triangles on K4: every node in 3 triangles, clustering 1.0") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = KnnGraph.triangles(k4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === (1L to 4L).map(i => (i, 3L, 3L, 1.0)))
+  }
 }
