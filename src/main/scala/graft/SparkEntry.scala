@@ -982,6 +982,10 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // asymmetric containment near-dup: |A∩B|/|A| per direction over the
+    // q33 LSH candidates — the subset/quote signal Jaccard dilutes
+    "q154_containment" -> ((s, d) =>
+      ordered(Dedup.containmentDedup(Tables.documents(s, d), ContThreshold))),
     // kNN-graph triangle census: degree-oriented wedge join (out-degree
     // capped at O(√m)) + per-node local clustering coefficient — the
     // graph-health audit of a neighborhood build
@@ -1314,6 +1318,10 @@ object SparkEntry {
   // the all-pairs oracle stays ~1s
   private val TriNodes = 1000
   private val TriK = 4
+  // q154: 0.5 containment — "half of this doc's shingles are in that one",
+  // comfortably below the q33 near-dup Jaccard band so the asymmetric
+  // signal adds pairs Jaccard filtering would drop
+  private val ContThreshold = 0.5
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2933,6 +2941,20 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // containment: the q33 candidate CTEs; inter/sizes reused, per-side
+    // ratios instead of the union-normalized Jaccard
+    "q154_containment" ->
+      s"""WITH $minhashCtes
+         |SELECT c.a, c.b, i.inter,
+         |  round(i.inter::DOUBLE / sa.n::DOUBLE, 4) AS cont_a,
+         |  round(i.inter::DOUBLE / sb.n::DOUBLE, 4) AS cont_b
+         |FROM cand c
+         |JOIN inter i ON i.a = c.a AND i.b = c.b
+         |JOIN sizes sa ON c.a = sa.doc_id
+         |JOIN sizes sb ON c.b = sb.doc_id
+         |WHERE round(i.inter::DOUBLE / sa.n::DOUBLE, 4) >= $ContThreshold
+         |   OR round(i.inter::DOUBLE / sb.n::DOUBLE, 4) >= $ContThreshold
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // triangles: exact-kNN edge list (rank over (dist, id) incl self,
     // self dropped after — duplicate-proof), then the same oriented
     // wedge join + semi-join close the operator runs

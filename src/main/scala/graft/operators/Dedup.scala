@@ -250,6 +250,45 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
 
+  /** Asymmetric CONTAINMENT near-dup: for LSH-candidate pairs, the
+    * fraction of each side's distinct shingles that the other side holds —
+    * `cont_a = |A∩B|/|A|` ("how much of A is inside B") and the mirror
+    * `cont_b`. The signal Jaccard dilutes away when sizes differ: a quote
+    * or scraped subset has high containment in its superset but low
+    * Jaccard. Output `(a, b, inter, cont_a, cont_b)` for pairs where
+    * either direction reaches `threshold`.
+    *
+    * Blocking caveat, stated honestly: candidates come from the SAME
+    * MinHash-LSH bands as [[minhashDedup]], whose collision probability
+    * tracks JACCARD — a tiny doc buried in a huge one can score high
+    * containment yet low Jaccard and be missed by these bands. That is
+    * the standard trade until a containment-specific sketch (size-
+    * stratified LSH / bottom-k with size partitioning) is wired; over the
+    * candidate set the verify itself is exact. Same plan shape as
+    * [[minhashDedup]]: in-row signatures, one band self-join, two id-keyed
+    * verify joins.
+    */
+  def containmentDedup(docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val target = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    val da = shingleArrays(spread).localCheckpoint(true)
+    val cands = lshCandidates(
+      lshBands(minhashFromArrays(da, numHashes), numHashes, rowsPerBand))
+    cands
+      .join(da.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
+      .join(da.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .select(col("a"), col("b"), col("_inter").as("inter"),
+        round(col("_inter").cast("double") / size(col("_sa")).cast("double"), 4)
+          .as("cont_a"),
+        round(col("_inter").cast("double") / size(col("_sb")).cast("double"), 4)
+          .as("cont_b"))
+      .where(col("cont_a") >= threshold || col("cont_b") >= threshold)
+  }
+
   /** Incremental MinHash+LSH near-dup: match a NEW batch of documents
     * against an EXISTING corpus (and within itself) WITHOUT re-pairing the
     * corpus — the production shape at 100 TB, where the accumulated corpus

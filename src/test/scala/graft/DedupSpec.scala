@@ -37,6 +37,30 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("containment flags a planted subset asymmetrically; direction and exact ratios") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // first 13 words: band 0 collides with the full doc (checked against
+    // the md5/M31 chain), so the pair IS an LSH candidate
+    val subset = long.split(" ").take(13).mkString(" ")
+    val cd = Seq(
+      (10L, long),
+      (11L, subset),                  // fully contained in 10
+      (12L, "unrelated words about completely different things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDedup(cd, 0.7)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((10L, 11L)))
+    val (_, _, inter, contA, contB) = got.head
+    // 11 has 11 distinct 3-shingles, all inside 10's 18
+    assert(inter === 11L)
+    assert(contB === 1.0)            // all of the subset is in the superset
+    assert(contA === math.floor(11.0 / 18 * 10000 + 0.5) / 10000) // 0.6111
+    // the asymmetry is the point: the symmetric Jaccard of this pair is
+    // cont_a (= 11/18), well under the 0.7 bar only containment clears
+    assert(contA < 0.7 && contB >= 0.7)
+  }
+
   test("array-form pipeline equals the row-form: shingles, signatures, verify") {
     // richer corpus: the sf0.001 documents table exercises real text
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
