@@ -266,6 +266,60 @@ object StreamingIngest {
     * batch pipeline shuffles on — so bucket membership lives next to its
     * verifications and a 1000-executor cluster spreads buckets evenly.
     */
+  /** Streaming heavy-hitter candidates via bucketed Misra-Gries state —
+    * the continuous form of [[graft.operators.TextAnalysis.heavyHitters]]'
+    * pass 1. Tokens route to `buckets` hash buckets; each bucket keeps ONE
+    * [[graft.functions.MgBuffer]] of `capacity` counters as its state and,
+    * every micro-batch it receives data, re-emits its current summary:
+    * `(bucket, n_seen, token, est)` in update mode (`n_seen` = tokens the
+    * bucket has absorbed — take each bucket's max-`n_seen` rows for the
+    * latest snapshot).
+    *
+    * Guarantee (what the spec pins): a token's occurrences all land in one
+    * bucket, and the per-bucket MG bound `err ≤ n_b/(capacity+1)` with
+    * `n_b ≤ n` means every token with GLOBAL count > n/(capacity+1)
+    * survives in its bucket's summary, with `est` a lower bound — the
+    * same superset contract the batch operator's exact re-count pass
+    * consumes. Which OTHER tokens appear depends on arrival order, as in
+    * any MG deployment.
+    *
+    * Scale: state is `capacity` counters × `buckets` — constant, spread
+    * over executors by the bucket key; no token-cardinality state, no
+    * watermark needed (counts only grow).
+    */
+  def heavyHittersStream(
+      docs: DataFrame, // streaming (doc_id, text)
+      capacity: Int,
+      buckets: Int = 32,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(capacity > 0 && buckets > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(col(textCol))).as("token"))
+      .select((graft.functions.Hash60(col("token")) % buckets).as("bucket"),
+        col("token"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(String, Long)]),
+        (Long, Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[(Long, String)],
+         state: GroupState[(Long, Seq[(String, Long)])]) =>
+          val (seen0, entries0) = state.getOption.getOrElse((0L, Seq.empty))
+          val buf = new graft.functions.MgBuffer(capacity)
+          entries0.foreach { case (t, c) => buf.counts.update(t, c) }
+          var seen = seen0
+          rows.foreach { r => buf.add(r._2); seen += 1 }
+          val entries = buf.counts.toSeq.sortBy { case (t, c) => (-c, t) }
+          state.update((seen, entries))
+          entries.iterator.map { case (t, c) => (bucket, seen, t, c) }
+      }
+      .toDF("bucket", "n_seen", "token", "est")
+  }
+
   def nearDupStream(
       docs: DataFrame, // streaming (doc_id, text)
       threshold: Double,

@@ -476,4 +476,39 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch, s"missing: ${batch -- got}, extra: ${got -- batch}")
     } finally q.stop()
   }
+
+  test("streaming MG heavy hitters: superset of the global bar, lower-bound ests") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docRows = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    val stream = MemoryStream[(Long, String)]
+    val capacity = 64
+    val q = StreamingIngest.heavyHittersStream(
+      stream.toDF().toDF("doc_id", "text"), capacity, buckets = 8)
+      .writeStream.format("memory").queryName("hh_out").outputMode("update")
+      .start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val rows = spark.table("hh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // latest snapshot per bucket = its max-n_seen emission
+      val latest = rows.groupBy(_._1).values.flatMap { g =>
+        val mx = g.map(_._2).max; g.filter(_._2 == mx)
+      }.map(t => t._3 -> t._4).toMap
+      val toks = Tables.documents(spark, sf0001)
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      val n = toks.count()
+      val counts = toks.groupBy("token").count().as[(String, Long)].collect().toMap
+      val bar = n / (capacity + 1)
+      counts.foreach { case (t, c) =>
+        if (c > bar) assert(latest.contains(t), s"heavy token $t ($c > $bar) lost")
+      }
+      latest.foreach { case (t, est) =>
+        assert(est <= counts(t), s"$t over-counted: $est > ${counts(t)}")
+      }
+    } finally q.stop()
+  }
 }
