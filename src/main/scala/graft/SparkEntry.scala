@@ -982,6 +982,31 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // inverted-index build: df + a BOUNDED ascending posting sample per
+    // token (topk buffer keyed on the id) — hot tokens cost what rare
+    // ones do, no corpus-sized array in any aggregation buffer
+    "q156_inverted_index" -> ((s, d) =>
+      ordered(TextAnalysis.invertedIndex(Tables.documents(s, d), InvPostings))),
+    // per-minute event-rate anomaly: trailing-window z-score from
+    // integer sums only — the ingest-monitoring primitive
+    "q157_rate_anomaly" -> ((s, d) =>
+      ordered(graft.operators.Events.rateAnomaly(
+        Tables.events(s, d), RateTrailing, RateZ))),
+    // ROLLUP anchor: one pass over lineitem produces all three aggregation
+    // levels (flag×status, flag, grand total) — the multi-level report
+    // shape that would otherwise be three scans
+    "q155_rollup" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      ordered(Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows")))
+    }),
     // asymmetric containment near-dup: |A∩B|/|A| per direction over the
     // q33 LSH candidates — the subset/quote signal Jaccard dilutes
     "q154_containment" -> ((s, d) =>
@@ -1322,6 +1347,11 @@ object SparkEntry {
   // comfortably below the q33 near-dup Jaccard band so the asymmetric
   // signal adds pairs Jaccard filtering would drop
   private val ContThreshold = 0.5
+  // q156: 20-id posting samples; q157: 8 trailing active minutes, |z|>2
+  // (the synthetic stream is steady, a 3σ bar would flag nothing)
+  private val InvPostings = 20
+  private val RateTrailing = 8
+  private val RateZ = 2.0
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2941,6 +2971,53 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // inverted index: distinct (token, doc) pairs; ordered list sliced to
+    // the same bound, joined to a string (portable across array codecs)
+    "q156_inverted_index" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+         |SELECT token, count(*) AS df,
+         |  array_to_string((list(doc_id ORDER BY doc_id))[1:$InvPostings], ',')
+         |    AS postings
+         |FROM w GROUP BY token
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // rate anomaly: same integer window sums, z = (ck−S)/sqrt(kQ−S²)
+    "q157_rate_anomaly" ->
+      s"""WITH b AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+         |             count(*) AS cnt
+         |           FROM events GROUP BY 1, 2),
+         |wf AS (SELECT event_type, minute, cnt,
+         |         count(cnt) OVER tw AS k,
+         |         sum(cnt) OVER tw AS s,
+         |         sum(cnt * cnt) OVER tw AS q
+         |       FROM b
+         |       WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+         |                     ROWS BETWEEN $RateTrailing PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT event_type, minute, cnt,
+         |        CASE WHEN k = $RateTrailing
+         |              AND k::DECIMAL(38,0) * q::DECIMAL(38,0)
+         |                  - s::DECIMAL(38,0) * s::DECIMAL(38,0) > 0
+         |             THEN round((cnt * k - s)::DOUBLE /
+         |                    sqrt((k::DECIMAL(38,0) * q::DECIMAL(38,0)
+         |                          - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE), 4)
+         |             ELSE NULL END AS z
+         |      FROM wf)
+         |SELECT event_type, minute, cnt, z,
+         |  coalesce(abs(z) > $RateZ, false) AS is_anomaly
+         |FROM z ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // rollup: the same three levels; NULL group keys relabeled 'ALL' on
+    // both sides (lineitem's real columns are non-null, so no collision)
+    "q155_rollup" ->
+      """SELECT
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     // containment: the q33 candidate CTEs; inter/sizes reused, per-side
     // ratios instead of the union-normalized Jaccard
     "q154_containment" ->

@@ -165,6 +165,45 @@ object Events {
       .drop("_prev")
   }
 
+  /** Per-minute event-rate anomaly score: each (event_type, minute)
+    * bucket's count z-scored against the TRAILING `trailing` active
+    * buckets of the same type — the monitoring primitive that catches a
+    * retry storm or an outage dip in the ingest stream. Output
+    * `(event_type, minute, cnt, z, is_anomaly)`; `z` is NULL until a full
+    * trailing window exists or when the window is constant (σ = 0).
+    * "Active buckets": gap minutes emit no rows and do not zero-pad the
+    * window — the operator scores rate CHANGES among observed traffic.
+    *
+    * Determinism: z is formed entirely from window-summed INTEGERS —
+    * `z = (c·k − S) / sqrt(k·Q − S²)` with S = Σcnt, Q = Σcnt² over the
+    * trailing k — one IEEE sqrt and one divide, rounded 4dp; no float
+    * accumulation anywhere. Scale: the corpus-scale work is one
+    * (type, minute) hash aggregation; the trailing window runs OVER that
+    * aggregate (bounded by types × active minutes), partitioned by
+    * `event_type` — the windows-over-aggregates contract.
+    */
+  def rateAnomaly(events: DataFrame, trailing: Int = 8,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "need at least 2 trailing buckets")
+    val buckets = events
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-trailing, -1)
+    val k = count(col("cnt")).over(w)
+    val s = sum(col("cnt")).over(w)
+    val q = sum(col("cnt") * col("cnt")).over(w)
+    // S² at 100 TB minute-counts passes 2⁶³ — form kQ − S² in DECIMAL(38,0)
+    val dec = "decimal(38,0)"
+    val varNum = k.cast(dec) * q.cast(dec) - s.cast(dec) * s.cast(dec)
+    val z = when(k === trailing && varNum > 0,
+      round((col("cnt") * k - s).cast("double") /
+        sqrt(varNum.cast("double")), 4))
+    buckets
+      .select(col("event_type"), col("minute"), col("cnt"), z.as("z"),
+        coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly"))
+  }
+
   def retention(events: DataFrame, signupType: String = "signup"): DataFrame = {
     val cohorts = events.where(col("event_type") === signupType)
       .groupBy(col("user_id"))

@@ -596,6 +596,38 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("n").as("total_tokens"))
   }
 
+  /** Inverted-index build with BOUNDED postings: per token, its document
+    * frequency and the first `maxPostings` doc ids ascending (joined as a
+    * comma string for engine-portable output) — the retrieval-index
+    * artifact, sampled so a stopword's posting list cannot materialize a
+    * corpus-sized array in one aggregation buffer. Output
+    * `(token, df, postings)`.
+    *
+    * Scale: distinct (token, doc) presence pairs, then ONE token-keyed
+    * aggregation where the posting sample is a bounded top-k buffer
+    * ([[graft.functions.TopKByDistance]] keyed on the id itself) — state ≤
+    * `maxPostings` per token on every map task, so hot tokens cost the
+    * same as rare ones; `df` rides the same aggregate. The full-posting
+    * variant (collect_list per token) is exactly the unbounded-state shape
+    * this refuses to be.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxPostings > 0)
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.TopKByDistance.topk(
+          col(idCol), col(idCol).cast("double"), maxPostings).as("_nn"))
+      .select(col("token"), col("df"),
+        concat_ws(",",
+          transform(col("_nn"), x => x.getField("id").cast("string")))
+          .as("postings"))
+  }
+
   /** Fixed-size token-window chunking with overlap — the pretraining /
     * retrieval preprocessing step that turns documents into model-sized
     * pieces. Chunk i covers tokens `[i·stride, i·stride + window)`; the last

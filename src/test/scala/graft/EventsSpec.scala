@@ -36,6 +36,36 @@ class EventsSpec extends SparkSpec {
     assert(got === 2L)
   }
 
+  test("rateAnomaly: planted spike scores z=5 from integer sums; constant window NULLs") {
+    import graft.operators.Events
+    // 8 trailing minutes alternating 8/12 events, then a 20-event spike:
+    // S=80, Q=832, kQ-S²=256 → σ-denominator 16, z=(160-80)/16=5.0
+    var eid = 0L
+    val rows = ((1 to 8).flatMap { m =>
+      val n = if (m % 2 == 1) 8 else 12
+      (1 to n).map { i => eid += 1; (eid, f"2026-01-01 10:$m%02d:00", 1L, "click", 1.0) }
+    } :+ { eid += 1; (eid, "2026-01-01 10:09:00", 1L, "click", 1.0) })
+    val spike = (2 to 20).map { i => eid += 1; (eid, "2026-01-01 10:09:00", 1L, "click", 1.0) }
+    val events = ev(rows ++ spike)
+    val got = Events.rateAnomaly(events, trailing = 8, zThreshold = 2.0)
+      .orderBy("minute").collect()
+    assert(got.length === 9)
+    // first 8 buckets: no full trailing window → NULL z, not anomalous
+    got.take(8).foreach { r => assert(r.isNullAt(3) && !r.getBoolean(4)) }
+    val last = got.last
+    assert(last.getLong(2) === 20L)
+    assert(last.getDouble(3) === 5.0)
+    assert(last.getBoolean(4))
+    // constant traffic: full window but σ=0 → NULL z
+    var eid2 = 1000L
+    val const = ev((1 to 9).flatMap { m =>
+      (1 to 10).map { _ => eid2 += 1; (eid2, f"2026-01-01 11:$m%02d:00", 1L, "view", 1.0) }
+    })
+    val g2 = Events.rateAnomaly(const, trailing = 8, zThreshold = 2.0)
+      .orderBy("minute").collect()
+    g2.foreach { r => assert(r.isNullAt(3) && !r.getBoolean(4)) }
+  }
+
   test("dedupBursts keeps the first event per burst, per (user, type)") {
     val events = ev(Seq(
       // user 1 "click": burst of 3 within the window, then a fresh burst

@@ -353,6 +353,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("invertedIndex: exact df, ascending postings, bounded sample") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "alpha beta"), (1L, "alpha gamma alpha"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, maxPostings = 2)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // df counts DOCUMENTS (alpha appears twice in doc 1 but df=3);
+    // postings ascend and cap at 2
+    assert(got("alpha") === ((3L, "1,2")))
+    assert(got("beta") === ((1L, "3")))
+    assert(got("gamma") === ((1L, "1")))
+    assert(got("delta") === ((1L, "2")))
+  }
+
   test("tokenEntropy: 0 for constant docs, ln(k) for uniform docs, empty docs dropped") {
     import spark.implicits._
     val docs = Seq(
