@@ -982,6 +982,28 @@ object SparkEntry {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", HllP)
         .select(col("bucket"), col("register").cast("int").as("register")))),
+    // TPC-H Q5: the join-graph anchor — dim-side pruning broadcasts, the
+    // co-nation predicate riding the supplier join, one fact shuffle
+    "q158_tpch_q5" -> ((s, d) => ordered(tpchQ5(s, d))),
+    // exact global quality quantiles (dataset-card table): integer rank
+    // test 100·cum ≥ pct·n over the resolution-bounded value histogram
+    "q159_quality_quantiles" -> ((s, d) =>
+      ordered(Pipeline.qualityQuantiles(Tables.documents(s, d), QuantPcts))),
+    // salted fact⋈dim join: deterministic hash salt on the fact side,
+    // dim replicated salts× — result ≡ the plain join (the oracle IS the
+    // plain join), hot keys spread over salts reducers
+    "q160_salted_join" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_linenumber"))
+      val r = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      ordered(graft.operators.Joins
+        .saltedJoin(l, r, "o_orderkey", "l_linenumber", JoinSalts)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows")))
+    }),
     // inverted-index build: df + a BOUNDED ascending posting sample per
     // token (topk buffer keyed on the id) — hot tokens cost what rare
     // ones do, no corpus-sized array in any aggregation buffer
@@ -1352,6 +1374,13 @@ object SparkEntry {
   private val InvPostings = 20
   private val RateTrailing = 8
   private val RateZ = 2.0
+  // q158: ASIA keeps a multi-nation result on the synthetic keyspace
+  private val Q5Region = "ASIA"
+  // q159: the dataset-card percentiles
+  private val QuantPcts = Seq(25, 50, 75, 90)
+  // q160: 8 salts — enough to demonstrate spreading without 8× noise on
+  // the small dim side
+  private val JoinSalts = 8
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1422,6 +1451,32 @@ object SparkEntry {
     * aggregation). Money sums go through DECIMAL(18,4) so the result is
     * order-independent and bit-identical to DuckDB, then back to DOUBLE.
     */
+  /** TPC-H Q5 shape (local-supplier revenue): the join-graph anchor — two
+    * broadcast-sized dims (region filters nation, nation names the output)
+    * prune the supplier side BEFORE the fact joins, the customer/supplier
+    * co-nation predicate rides the supplier equi-join, and the one
+    * corpus-scale shuffle is lineitem⋈orders on the orderkey.
+    * `broadcast()` on region/nation pins what AQE would usually infer.
+    */
+  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val nations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .where(col("r_name") === Q5Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+  }
+
   /** TPC-H Q6 shape: scan-filter-aggregate with zero joins. The point of
     * this anchor is the PLAN — every predicate (shipdate range, discount
     * band, quantity cap) is a parquet-pushable comparison, the projection
@@ -2971,6 +3026,42 @@ object SparkEntry {
          |FROM ch JOIN g USING (h)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // salted join: the salt is pure dataflow mechanics — the oracle is
+    // the PLAIN join it must be indistinguishable from
+    "q160_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin,
+    // quantile table: same integer rank test over the per-value histogram
+    "q159_quality_quantiles" -> {
+      val qe = TextAnalysis.Sql.qualityExpr
+      val lst = QuantPcts.mkString("[", ", ", "]")
+      s"""WITH qq AS (SELECT $qe AS v FROM documents),
+         |per AS (SELECT v, count(*) AS c FROM qq GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM per),
+         |cum AS (SELECT a.v, sum(b.c) AS cum FROM per a
+         |        JOIN per b ON b.v <= a.v GROUP BY a.v),
+         |ps AS (SELECT unnest($lst) AS pct)
+         |SELECT pct, min(v) AS value
+         |FROM cum CROSS JOIN tot CROSS JOIN ps
+         |WHERE cum * 100 >= pct * n
+         |GROUP BY pct ORDER BY 1, 2""".stripMargin
+    },
+    "q158_tpch_q5" ->
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |       AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '$Q5Region'
+         |GROUP BY n_name
+         |ORDER BY 1, 2""".stripMargin,
     // inverted index: distinct (token, doc) pairs; ordered list sliced to
     // the same bound, joined to a string (portable across array codecs)
     "q156_inverted_index" -> {

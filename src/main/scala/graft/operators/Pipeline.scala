@@ -221,6 +221,39 @@ object Pipeline {
     * `approx_percentile` — the operator contract stays "filter by a
     * per-source threshold".
     */
+  /** Exact GLOBAL quantile table of the quality score — the dataset-card
+    * numbers ("median quality", "p90") computed without a global sort.
+    * Output one `(pct, value)` row per requested percentile: `value` =
+    * the smallest quality with cumulative count ≥ ⌈pct·n/100⌉ (type-1 /
+    * `quantile_disc` semantics), formed entirely from integer counts —
+    * `100·cum ≥ pct·n` avoids the float ceil.
+    *
+    * Scale shape: quality is a 4dp-rounded ratio, so the per-VALUE count
+    * frame is bounded by score resolution (≤ ~10⁴ rows) no matter the
+    * corpus; the cumulative counts come from a `≤` self-join of that
+    * bounded frame (broadcast, the q147 pattern) — not a partition-less
+    * window. The corpus-scale work is one map-side-partial groupBy.
+    */
+  def qualityQuantiles(docs: DataFrame, pcts: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be 1..100")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = docs
+      .groupBy(TextAnalysis.quality(col(textCol)).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = per.agg(sum(col("c")).as("n"))
+    val cum = per.select(col("v"))
+      .join(broadcast(per.select(col("v").as("_u"), col("c"))),
+        col("_u") <= col("v"))
+      .groupBy(col("v")).agg(sum(col("c")).as("cum"))
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .where(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct")).agg(min(col("v")).as("value"))
+  }
+
   def qualityQuantileFloor(
       docs: DataFrame,
       quantile: Double,

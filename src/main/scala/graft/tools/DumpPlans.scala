@@ -204,7 +204,32 @@ object DumpPlans {
         |the single document scan (rule flags, importance floor, dedup
         |canon), chunking explodes in-row, and the shard layout windows over
         |the 16 shard partitions. The only materialization between stages is
-        |the ≤256-row collected importance weight table.""".stripMargin)
+        |the ≤256-row collected importance weight table.""".stripMargin,
+    "q143_heavy_hitters" ->
+      """Heavy hitters with NO vocabulary-sized state: pass 1 is one
+        |misra_gries ObjectHashAggregate (≤ capacity counters per map task,
+        |O(capacity·tasks) rows shuffled); pass 2 exact-counts ONLY the ≤
+        |capacity candidates via a broadcast semi-filter — the token groupBy
+        |a naive plan runs over every distinct token never appears. The
+        |unbounded-key-space frequency shape (URLs, n-grams, user ids).""".stripMargin,
+    "q150_farthest_points" ->
+      """Greedy k-center: each of the k rounds is ONE corpus scan — the
+        |selected centers ride as broadcast literals inside an in-row
+        |array_min, and the argmax is TakeOrderedAndProject (per-partition
+        |top-1 + driver merge of `tasks` rows, never a global sort). Driver
+        |state per round: one collected row, the Lloyd contract.""".stripMargin,
+    "q153_triangle_count" ->
+      """Triangle census: after symmetrize/dedup, edges orient low-(deg,id)
+        |→ high, so the wedge self-join enumerates at most O(√m) pairs per
+        |node — O(m^{3/2}) total however hubby the graph — and closes with a
+        |left-semi hash join. All shuffles key on node ids; no windows, no
+        |pair space beyond the oriented wedges.""".stripMargin,
+    "q160_salted_join" ->
+      """Salted skew join: the fact side's key gains a deterministic
+        |hash-salt projection (scan-speed), the dim side explodes salts×
+        |in-row, and the equi-join runs on (key, salt) — a hot orderkey's
+        |rows spread across salts reducers instead of serializing on one.
+        |Result ≡ the plain join; the oracle IS the plain join.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -21,6 +21,31 @@ class JoinsSpec extends SparkSpec {
     assert(run(1) === expected && run(1000) === expected)
   }
 
+  test("salted join is row-for-row the plain join on a skewed fixture; nulls survive") {
+    import spark.implicits._
+    // one hot key (0) carrying 80% of the fact side, plus a null saltOn row
+    val fact = ((1 to 80).map(i => (0L, i.toLong, s"v$i")) ++
+      (1 to 20).map(i => (i.toLong, 1000L + i, s"w$i")))
+      .toDF("k", "line", "payload")
+      .unionByName(Seq((0L, Option.empty[Long], "nullline"))
+        .toDF("k", "line", "payload"))
+    val dim = (0 to 20).map(i => (i.toLong, s"dim$i")).toDF("k", "dval")
+    val salted = Joins.saltedJoin(fact, dim, "k", "line", 8)
+      .select("k", "payload", "dval").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "dval").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._2 == "nullline") === 1)
+    // the hot key genuinely fans out over multiple salt values
+    val saltSpread = fact.where(col("k") === 0L)
+      .select((graft.functions.Hash60(
+        coalesce(col("line").cast("string"), lit(""))) % 8).as("s"))
+      .distinct().count()
+    assert(saltSpread >= 4, s"hot key only used $saltSpread salts")
+  }
+
   test("range join equals the theta-join on a random fixture") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -8,6 +8,23 @@ import graft.operators.Pipeline
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("qualityQuantiles = exact type-1 quantiles of the collected per-doc scores") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val pcts = Seq(25, 50, 75, 90)
+    val got = Pipeline.qualityQuantiles(docs, pcts)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val vals = docs
+      .select(graft.operators.TextAnalysis.quality(col("text")).as("v"))
+      .as[Double].collect().sorted
+    val n = vals.length
+    pcts.foreach { p =>
+      val rank = (p * n + 99) / 100 // ceil(p·n/100) in integers
+      assert(got(p) === vals(rank - 1), s"p$p")
+    }
+    assert(got.values.toSeq.sorted === pcts.map(got).sorted, "monotone")
+  }
+
   test("curate composes quality floor, exact dedup, near-dup dedup, decontamination") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank"
     val corpus = Seq(

@@ -151,7 +151,10 @@ class PlanSpec extends SparkSpec {
                               // totals, both broadcast
       "q148_label_agreement", // ONE-row (n, n_agree) × ONE-row margin-product
                               // scalars, broadcast
-      "q149_cluster_drift")   // ONE-row (ta, tb) snapshot totals, broadcast
+      "q149_cluster_drift",   // ONE-row (ta, tb) snapshot totals, broadcast
+      "q159_quality_quantiles") // resolution-bounded per-value histogram
+                                // self-join + one-row totals + pct literals,
+                                // all broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
