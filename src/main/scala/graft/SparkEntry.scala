@@ -1065,6 +1065,13 @@ object SparkEntry {
         Tables.embeddingVec(s, d).select(col("id"), col("vec"),
           (col("id") % 2 === 1).as("snap")),
         SemNth))),
+    // exact tie-aware ROC-AUC of the same score/label pair — one number,
+    // all-integer midrank arithmetic
+    "q161_auc" -> ((s, d) =>
+      ordered(Eval.auc(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").as("gold"),
+          TextAnalysis.stopwordConfidence(col("text")).as("score"))))),
     // operating-point sweep: P/R/F1 at every attained value of the
     // English stopword-confidence score vs the stored lang — how the
     // threshold of a corpus filter is actually chosen
@@ -3252,6 +3259,33 @@ object SparkEntry {
          |  sh.shift
          |FROM cnt CROSS JOIN tot LEFT JOIN sh ON sh.head_id = cnt.head_id
          |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    },
+    // AUC: same per-score cells; midrank numerator Σ pos·(2·negBelow+neg)
+    // over 2·P·N, all DECIMAL(38,0) integers, one divide
+    "q161_auc" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val hits = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (SELECT (lang = 'en') AS gold, $toks AS toks FROM documents),
+         |sc AS (SELECT gold,
+         |         CASE WHEN len(toks) > 0
+         |              THEN round(($hits)::DOUBLE / len(toks), 4)
+         |              ELSE 0.0 END AS score FROM t),
+         |per AS (SELECT score AS s,
+         |          sum(CASE WHEN gold THEN 1 ELSE 0 END) AS pos,
+         |          sum(CASE WHEN gold THEN 0 ELSE 1 END) AS neg
+         |        FROM sc GROUP BY 1),
+         |below AS (SELECT a.s, coalesce(sum(b.neg), 0) AS negBelow
+         |          FROM per a LEFT JOIN per b ON b.s < a.s GROUP BY a.s),
+         |agg AS (SELECT CAST(sum(pos) AS DECIMAL(38,0)) AS p,
+         |          CAST(sum(neg) AS DECIMAL(38,0)) AS n,
+         |          sum(CAST(pos AS DECIMAL(38,0))
+         |              * CAST(2 * negBelow + neg AS DECIMAL(38,0))) AS num
+         |        FROM per JOIN below USING (s))
+         |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+         |  CASE WHEN p = 0 OR n = 0 THEN NULL
+         |       ELSE round(num::DOUBLE / (2::DECIMAL(38,0) * p * n)::DOUBLE, 6)
+         |  END AS auc
+         |FROM agg""".stripMargin
     },
     // threshold sweep: per-score confusion cells, cumulated by the
     // b.thr >= a.thr self-join of the resolution-bounded score frame;

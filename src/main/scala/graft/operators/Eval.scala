@@ -161,6 +161,49 @@ object Eval {
           .as("f1"))
   }
 
+  /** Exact ROC-AUC of a score against a boolean label — the
+    * threshold-free companion of [[thresholdSweep]] (one number instead
+    * of a curve). Computed in the tie-aware midrank form on INTEGERS
+    * only: over the per-score confusion cells,
+    * `AUC = Σ_s pos_s·(2·negBelow_s + neg_s) / (2·P·N)` — the numerator
+    * and denominator are exact integer sums (DECIMAL(38,0); P·N at 10¹¹
+    * rows passes 2⁶³), one IEEE divide, 6dp round. Output one row
+    * `(n_pos, n_neg, auc)`; AUC is NULL when either class is empty.
+    *
+    * Scale posture: identical to [[thresholdSweep]] — one score-keyed
+    * groupBy bounded by score resolution, cumulatives from the bounded
+    * self-join, never a partition-less window.
+    */
+  def auc(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "gold"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_neg"))
+    val below = per.select(col("s"))
+      .join(broadcast(per.select(col("s").as("_u"), col("_neg").as("_nb"))),
+        col("_u") < col("s"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("_nb")), lit(0L)).as("_negBelow"))
+    per.join(below, Seq("s"))
+      .agg(
+        sum(col("_pos")).cast(dec).as("_p"),
+        sum(col("_neg")).cast(dec).as("_n"),
+        // cast BEFORE the product: pos_s·(2·negBelow+neg) alone passes
+        // 2⁶³ at corpus scale
+        sum(col("_pos").cast(dec) *
+          (lit(2L) * col("_negBelow") + col("_neg")).cast(dec)).as("_num"))
+      .select(
+        col("_p").cast("long").as("n_pos"),
+        col("_n").cast("long").as("n_neg"),
+        when(col("_p") === 0 || col("_n") === 0, lit(null).cast("double"))
+          .otherwise(round(col("_num").cast("double") /
+            (lit(2).cast(dec) * col("_p") * col("_n")).cast("double"), 6))
+          .as("auc"))
+  }
+
   /** Cohen's kappa between two categorical labelings of the same rows —
     * the chance-corrected agreement score a labeling pipeline is audited
     * with (gold vs model, annotator vs annotator, heuristic vs stored

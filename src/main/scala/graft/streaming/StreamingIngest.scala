@@ -266,6 +266,78 @@ object StreamingIngest {
     * batch pipeline shuffles on — so bucket membership lives next to its
     * verifications and a 1000-executor cluster spreads buckets evenly.
     */
+  /** Streaming event-rate anomaly — the continuous form of
+    * [[graft.operators.Events.rateAnomaly]]: per `event_type` state holds
+    * the open minute's running count plus the last `trailing` CLOSED
+    * minute counts; when an arriving event starts a new minute, the open
+    * one closes, is z-scored against the deque exactly as the batch
+    * operator scores it (`(ck−S)/√(kQ−S²)` on integers, 4dp HALF_UP),
+    * emitted append-mode as `(event_type, minute, cnt, z, is_anomaly)`,
+    * and pushed into the deque. The still-open final minute emits nothing
+    * until a later event closes it — so the emitted rows equal the batch
+    * operator's rows for every CLOSED minute (StreamingSpec pins it).
+    * In-order contract as [[funnelStream]]: per-type in-order delivery
+    * (each micro-batch is processed in `(ts, event_id)` order).
+    *
+    * Scale: state is `trailing + 2` longs per event type; keyed on
+    * `event_type` — types are few, but each type's state is constant-size
+    * and the per-event work is O(1), so the bottleneck is partition count,
+    * not state size.
+    */
+  def rateAnomalyStream(
+      events: DataFrame, // streaming (ts, event_type, event_id)
+      trailing: Int = 8,
+      zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(trailing >= 2)
+    val spark = events.sparkSession
+    import spark.implicits._
+    def score(deque: Seq[Long], c: Long): Option[Double] =
+      if (deque.size < trailing) None
+      else {
+        val k = deque.size.toLong
+        val s = deque.sum
+        val q = deque.map(x => x * x).sum
+        val varNum = (BigInt(k) * BigInt(q) - BigInt(s) * BigInt(s)).toDouble
+        if (varNum <= 0) None
+        else Some(BigDecimal.valueOf((c * k - s).toDouble / math.sqrt(varNum))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    events
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Seq[Long]),
+        (String, java.sql.Timestamp, Long, Option[Double], Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (etype: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long, Seq[Long])]) =>
+          val MinuteMicros = 60L * 1000000L
+          var (openMin, openCnt, deque) =
+            state.getOption.getOrElse((Long.MinValue, 0L, Seq.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, java.sql.Timestamp, Long, Option[Double], Boolean)]
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          sorted.foreach { r =>
+            val micros = r._2.getTime * 1000L
+            val m = micros - math.floorMod(micros, MinuteMicros)
+            if (openMin == Long.MinValue) { openMin = m; openCnt = 1L }
+            else if (m == openMin) openCnt += 1
+            else {
+              val z = score(deque, openCnt)
+              out += ((etype, new java.sql.Timestamp(openMin / 1000L), openCnt,
+                z, z.exists(v => math.abs(v) > zThreshold)))
+              deque = (deque :+ openCnt).takeRight(trailing)
+              openMin = m; openCnt = 1L
+            }
+          }
+          state.update((openMin, openCnt, deque))
+          out.iterator
+      }
+      .toDF("event_type", "minute", "cnt", "z", "is_anomaly")
+  }
+
   /** Streaming heavy-hitter candidates via bucketed Misra-Gries state —
     * the continuous form of [[graft.operators.TextAnalysis.heavyHitters]]'
     * pass 1. Tokens route to `buckets` hash buckets; each bucket keeps ONE

@@ -152,9 +152,11 @@ class PlanSpec extends SparkSpec {
       "q148_label_agreement", // ONE-row (n, n_agree) × ONE-row margin-product
                               // scalars, broadcast
       "q149_cluster_drift",   // ONE-row (ta, tb) snapshot totals, broadcast
-      "q159_quality_quantiles") // resolution-bounded per-value histogram
+      "q159_quality_quantiles", // resolution-bounded per-value histogram
                                 // self-join + one-row totals + pct literals,
                                 // all broadcast
+      "q161_auc")               // same resolution-bounded per-score frame
+                                // self-join as q147, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -477,6 +477,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate anomaly equals the batch operator on every closed minute") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sf0001)
+      .select("ts", "event_type", "event_id")
+      .as[(java.sql.Timestamp, String, Long)].collect().sortBy(_._1.getTime)
+    val (b1, b2) = events.splitAt(events.length / 2)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamingIngest.rateAnomalyStream(
+      stream.toDF().toDF("ts", "event_type", "event_id"), trailing = 4,
+      zThreshold = 1.5)
+      .writeStream.format("memory").queryName("rate_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("rate_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))).toSet
+      val batchAll = graft.operators.Events.rateAnomaly(
+        Tables.events(spark, sf0001), trailing = 4, zThreshold = 1.5)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))
+      // the stream cannot close each type's final minute — drop it
+      val lastPerType = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = batchAll.filterNot(r => r._2 == lastPerType(r._1)).toSet
+      assert(got === batch,
+        s"missing: ${(batch -- got).take(3)}, extra: ${(got -- batch).take(3)}")
+      // sf0.001 traffic is ~1 event/minute — every window is constant, so
+      // all-NULL z here is CORRECT (σ=0); the spike scenario below covers
+      // actual scoring
+    } finally q.stop()
+  }
+
+  test("streaming rate anomaly scores a planted spike once its minute closes") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    var eid = 0L
+    def burst(m: Int, n: Int) = (1 to n).map { _ =>
+      eid += 1; (t(m), "click", eid)
+    }
+    // 8 trailing minutes alternating 8/12, the 20-event spike at minute 9,
+    // one closer event at minute 10 (the spike minute must CLOSE to score)
+    val rows = (1 to 8).flatMap(m => burst(m, if (m % 2 == 1) 8 else 12)) ++
+      burst(9, 20) ++ burst(10, 1)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamingIngest.rateAnomalyStream(
+      stream.toDF().toDF("ts", "event_type", "event_id"), trailing = 8,
+      zThreshold = 2.0)
+      .writeStream.format("memory").queryName("rate_spike_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      val got = spark.table("rate_spike_out")
+        .collect().map(r => (r.getTimestamp(1).getTime, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSet
+      val spike = got.find(_._1 == t(9).getTime).get
+      assert(spike._2 === 20L)
+      assert(spike._3 === Some(5.0)) // (160-80)/16, the EventsSpec arithmetic
+      assert(spike._4)
+      // minute 10 is still open: not emitted
+      assert(!got.exists(_._1 == t(10).getTime))
+      // pre-window minutes emitted unscored
+      assert(got.count(_._3.isEmpty) === 8)
+    } finally q.stop()
+  }
+
   test("streaming MG heavy hitters: superset of the global bar, lower-bound ests") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

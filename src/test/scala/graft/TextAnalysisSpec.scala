@@ -353,6 +353,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("auc: tie-aware midrank value exact; perfect separation 1.0; one-class NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // pairs: tie at 0.9 (0.5 credit), two wins, one loss → 2.5/4 = 0.625
+    val got = Eval.auc(Seq(
+      (true, 0.9), (false, 0.9), (true, 0.5), (false, 0.2))
+      .toDF("gold", "score")).head()
+    assert(got.getLong(0) === 2L && got.getLong(1) === 2L)
+    assert(got.getDouble(2) === 0.625)
+    val perfect = Eval.auc(Seq(
+      (true, 0.9), (true, 0.8), (false, 0.1)).toDF("gold", "score")).head()
+    assert(perfect.getDouble(2) === 1.0)
+    val oneClass = Eval.auc(Seq(
+      (true, 0.9), (true, 0.1)).toDF("gold", "score")).head()
+    assert(oneClass.isNullAt(2))
+  }
+
   test("invertedIndex: exact df, ascending postings, bounded sample") {
     import spark.implicits._
     val docs = Seq(
