@@ -1065,6 +1065,10 @@ object SparkEntry {
         Tables.embeddingVec(s, d).select(col("id"), col("vec"),
           (col("id") % 2 === 1).as("snap")),
         SemNth))),
+    // clustering-quality report: per-label inertia/spread + nearest-other-
+    // centroid separation (the merge-candidate signal)
+    "q162_cluster_report" -> ((s, d) =>
+      ordered(SimilaritySearch.clusterReport(Tables.embeddingVec(s, d)))),
     // exact tie-aware ROC-AUC of the same score/label pair — one number,
     // all-integer midrank arithmetic
     "q161_auc" -> ((s, d) =>
@@ -3260,6 +3264,43 @@ object SparkEntry {
          |FROM cnt CROSS JOIN tot LEFT JOIN sh ON sh.head_id = cnt.head_id
          |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
     },
+    // cluster report: q141's centroid/zipped-distance CTEs aggregated per
+    // label; centroid pairs via the ×10⁶-integer squared-diff sum
+    "q162_cluster_report" ->
+      s"""WITH sv AS (SELECT vec_id AS id, label, embedding AS vec,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE*1000) AS BIGINT)) AS s
+         |  FROM embeddings),
+         |dx AS (SELECT label, CAST(generate_subscripts(s, 1) - 1 AS INT) AS dim,
+         |         unnest(s) AS v FROM sv),
+         |ct AS (SELECT label, dim,
+         |         round(sum(v)::DOUBLE / 1000.0 / count(*), 6) AS c
+         |       FROM dx GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS cent FROM ct GROUP BY label),
+         |wd AS (SELECT sv.id, sv.label,
+         |         round(list_sum(list_transform(
+         |           list_zip(sv.vec, cents.cent),
+         |           z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))), 4) AS dist
+         |       FROM sv JOIN cents ON cents.label = sv.label),
+         |pc AS (SELECT label, count(*) AS n_vecs,
+         |         round(sum(dist::DECIMAL(28,9)), 4)::DOUBLE AS inertia,
+         |         round(sum(dist::DECIMAL(28,9))::DOUBLE / count(*), 6) AS mean_dist,
+         |         max(dist) AS max_dist
+         |       FROM wd GROUP BY 1),
+         |ci AS (SELECT label,
+         |         list_transform(cent, c -> CAST(round(c*1000000) AS BIGINT)) AS ic
+         |       FROM cents),
+         |pd AS (SELECT a.label, b.label AS ol,
+         |         list_sum(list_transform(list_zip(a.ic, b.ic),
+         |           z -> (z[1] - z[2]) * (z[1] - z[2])))::DOUBLE / 1e12 AS d
+         |       FROM ci a JOIN ci b ON a.label <> b.label),
+         |nn AS (SELECT label, ol AS nn_label, round(d, 4) AS nn_cent_dist FROM (
+         |         SELECT label, ol, d,
+         |           row_number() OVER (PARTITION BY label ORDER BY d, ol) AS rn
+         |         FROM pd) WHERE rn = 1)
+         |SELECT pc.label, n_vecs, inertia, mean_dist, max_dist,
+         |  nn.nn_label, nn.nn_cent_dist
+         |FROM pc LEFT JOIN nn USING (label)
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
     // AUC: same per-score cells; midrank numerator Σ pos·(2·negBelow+neg)
     // over 2·P·N, all DECIMAL(38,0) integers, one divide
     "q161_auc" -> {

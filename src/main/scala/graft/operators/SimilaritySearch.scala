@@ -555,6 +555,58 @@ object SimilaritySearch {
         (col("dist") > lit(factor) * col("_mean")).as("is_outlier"))
   }
 
+  /** Per-cluster quality report — the clustering-health numbers (inertia,
+    * spread, nearest-neighbor separation) a labeled or clustered embedding
+    * set is audited with before use: for each label, member count, total
+    * inertia (Σ squared distance to the 6dp class centroid), mean and max
+    * member distance, and the nearest OTHER centroid (id + distance) —
+    * low separation relative to spread marks cluster pairs that should
+    * merge. Output `(label, n_vecs, inertia, mean_dist, max_dist,
+    * nn_label, nn_cent_dist)`.
+    *
+    * Determinism: member distances are [[centroidOutliers]]' 4dp zipped
+    * L2; inertia sums them through DECIMAL(28,9); centroid-pair distances
+    * use the ×10⁶-integer squared-diff sum (the [[clusterDrift]] trick).
+    * Scale: one member-distance scan + label-keyed aggregates; the
+    * centroid pair join is ≤ |labels|² over a broadcast-tiny frame.
+    */
+  def clusterReport(vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = bagPool(vectors)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("_cc"))
+      .select(col("label"), transform(col("_cc"), s => s.getField("c")).as("_cent"))
+    val withD = vectors
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        round(aggregate(
+          zip_with(col("vec").cast("array<double>"), col("_cent"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 4).as("dist"))
+    val perCluster = withD.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("dist").cast(DecimalType(28, 9))), 4).cast("double")
+          .as("inertia"),
+        round(sum(col("dist").cast(DecimalType(28, 9))).cast("double") /
+          count(lit(1)), 6).as("mean_dist"),
+        max(col("dist")).as("max_dist"))
+    val ci = cents.select(col("label"),
+      transform(col("_cent"), c => round(c * 1000000).cast("long")).as("_ic"))
+    val nn = ci.select(col("label"), col("_ic"))
+      .join(ci.select(col("label").as("_ol"), col("_ic").as("_oc")),
+        col("label") =!= col("_ol"))
+      .select(col("label"), col("_ol"),
+        (aggregate(
+          zip_with(col("_ic"), col("_oc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12)).as("_d"))
+      .groupBy(col("label"))
+      .agg(min(struct(col("_d"), col("_ol"))).as("_m"))
+      .select(col("label"), col("_m").getField("_ol").as("nn_label"),
+        round(col("_m").getField("_d"), 4).as("nn_cent_dist"))
+    perCluster.join(nn, Seq("label"), "left")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval merge: given several rankings `(query_id, rank, id, …)` of
     * the same query set (lexical BM25, dense kNN, different metrics…),

@@ -155,8 +155,10 @@ class PlanSpec extends SparkSpec {
       "q159_quality_quantiles", // resolution-bounded per-value histogram
                                 // self-join + one-row totals + pct literals,
                                 // all broadcast
-      "q161_auc")               // same resolution-bounded per-score frame
+      "q161_auc",               // same resolution-bounded per-score frame
                                 // self-join as q147, broadcast
+      "q162_cluster_report")    // ≤|labels|²-pair centroid separation join
+                                // over a broadcast-tiny centroid frame
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -235,6 +235,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!r(1L) && !r(2L) && !r(3L) && !r(5L) && !r(6L) && !r(7L))
   }
 
+  test("clusterReport: hand clusters — exact inertia, separation, mutual nearest") {
+    import spark.implicits._
+    // cluster 7 at x≈1 (spread ±0.1 on x), cluster 8 at y≈1, cluster 9 at (5,5)
+    val bags = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(1.1f, 0f), 7), (3L, Seq(0.9f, 0f), 7),
+      (5L, Seq(0f, 1f), 8), (6L, Seq(0f, 1.1f), 8), (7L, Seq(0f, 0.9f), 8),
+      (9L, Seq(5f, 5f), 9)
+    ).toDF("id", "vec", "label")
+    val r = SimilaritySearch.clusterReport(bags)
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(4), x.getInt(5), x.getDouble(6))))
+      .toMap
+    // cluster 7: centroid (1, 0); dists 0, 0.01, 0.01 → inertia 0.02, max 0.01
+    val (n7, in7, mx7, nn7, nd7) = r(7)
+    assert(n7 === 3L && in7 === 0.02 && mx7 === 0.01)
+    // 7 and 8 are mutual nearest (dist (1,0)→(0,1) = 2.0 < dist to (5,5))
+    assert(nn7 === 8 && nd7 === 2.0)
+    assert(r(8)._4 === 7 && r(8)._5 === 2.0)
+    // singleton cluster: inertia 0, its nearest is whichever of 7/8 ties first
+    val (n9, in9, _, nn9, _) = r(9)
+    assert(n9 === 1L && in9 === 0.0)
+    assert(nn9 === 7) // (5,5)→(1,0) and →(0,1) tie at 41.0; smaller label wins
+  }
+
   test("multi-probe lsh: result set contains the single-probe results, recall never lower") {
     val corpus = emb.select("id", "vec")
     val exact = SimilaritySearch.bruteForce(queries, corpus, 10)
