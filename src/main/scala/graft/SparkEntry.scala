@@ -1065,6 +1065,16 @@ object SparkEntry {
         Tables.embeddingVec(s, d).select(col("id"), col("vec"),
           (col("id") % 2 === 1).as("snap")),
         SemNth))),
+    // media dedup apply: q122's phash pairs drive the q60 canonical
+    // grouping and the q66 keep-set — the end-to-end media-hygiene pass
+    "q163_media_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Multimodal.phashPairs(
+        Multimodal.perceptualHash(docs), PhashMaxHamming)
+        .select(col("a"), col("b"))
+      val groups = Dedup.canonicalGroups(docs, pairs)
+      ordered(Dedup.applyDedup(docs, groups).select(col("doc_id")))
+    }),
     // clustering-quality report: per-label inertia/spread + nearest-other-
     // centroid separation (the merge-candidate signal)
     "q162_cluster_report" -> ((s, d) =>
@@ -2935,49 +2945,23 @@ object SparkEntry {
     // over MaxBandBucket dropped as stop-buckets — so the oracle matches at
     // ANY fixture scale (at sf0.1 the guard genuinely triggers: a brute
     // pair mirror reads 7040 pairs where the guarded path keeps 2574)
-    "q122_phash_neardup" -> {
-      def term(b: Int): String = {
-        val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
-        s"CASE WHEN sv[${b + 1}] * lc > ld * hs[${b + 1}] THEN $v ELSE 0 END"
-      }
-      val code = (0 until 64).map(term).mkString(" + ")
-      val nb = PhashMaxHamming + 1
-      val bandVals = (0 until nb).map { i =>
-        val start = i * 64 / nb
-        val len = (i + 1) * 64 / nb - start
-        val mask = if (len >= 64) -1L else (1L << len) - 1L
-        s"((ph >> $start) & $mask)"
-      }
-      s"""WITH cp AS (SELECT doc_id,
-         |        list_transform(generate_series(1, length(text)),
-         |          i -> ascii(substr(text, i, 1))) AS cps
-         |      FROM documents),
-         |hist AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS ld,
-         |          list_transform(range(0, 64),
-         |            d -> CAST(len(list_filter(cps, c -> c % 64 = d)) AS BIGINT)) AS sv
-         |        FROM cp WHERE len(cps) > 0),
-         |tot AS (SELECT CAST(sum(ld) AS BIGINT) AS lc FROM hist),
-         |st AS (SELECT list(s ORDER BY d) AS hs FROM (
-         |  SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
-         |    SELECT generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM hist) GROUP BY d)),
-         |c AS (SELECT doc_id, CAST($code AS BIGINT) AS ph
-         |      FROM hist CROSS JOIN st CROSS JOIN tot),
-         |banded AS (SELECT doc_id, ph, band, bv FROM (
-         |    SELECT doc_id, ph,
-         |      generate_subscripts([${bandVals.mkString(", ")}], 1) - 1 AS band,
-         |      unnest([${bandVals.mkString(", ")}]) AS bv
-         |    FROM c)),
-         |small AS (SELECT * FROM (
-         |    SELECT doc_id, ph, band, bv,
-         |      count(*) OVER (PARTITION BY band, bv) AS cnt FROM banded)
-         |  WHERE cnt <= ${Dedup.MaxBandBucket})
-         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(bit_count(xor(l.ph, r.ph)) AS INT) AS hamming
-         |FROM small l JOIN small r ON l.band = r.band AND l.bv = r.bv
-         |  AND l.doc_id < r.doc_id
-         |WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming
-         |ORDER BY a, b, hamming""".stripMargin
-    },
+    "q122_phash_neardup" ->
+      s"""WITH $phashPairCtes
+         |SELECT a, b, hamming FROM phpairs
+         |ORDER BY a, b, hamming""".stripMargin,
+    // media dedup APPLY: the q122 pairs drive the q60/q66 min-label walk;
+    // survivors are the canonical member of each phash near-dup group
+    "q163_media_dedup_apply" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |edges AS (SELECT a AS u, b AS v FROM phpairs
+         |          UNION SELECT b, a FROM phpairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |)
+         |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(lbl) = id
+         |ORDER BY 1""".stripMargin,
     // JL projection: literal host-derived weights, exploded to scalars
     "q126_rp_project" ->
       s"""WITH sq AS (SELECT vec_id AS id,
@@ -4410,6 +4394,53 @@ object SparkEntry {
        |      FROM dd)
        |SELECT query_id, rank, id, dist / 1000000.0 AS dist FROM r WHERE rank <= $K
        |ORDER BY query_id, rank, id, dist""".stripMargin
+  }
+
+  /** Shared DuckDB CTEs for the q122 perceptual-hash pipeline: codepoint
+    * histograms → 64-bit pHash codes → pigeonhole bands with the
+    * stop-bucket guard → verified pairs `phpairs(a, b, hamming)`.
+    */
+  private def phashPairCtes: String = {
+    def term(b: Int): String = {
+      val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN sv[${b + 1}] * lc > ld * hs[${b + 1}] THEN $v ELSE 0 END"
+    }
+    val code = (0 until 64).map(term).mkString(" + ")
+    val nb = PhashMaxHamming + 1
+    val bandVals = (0 until nb).map { i =>
+      val start = i * 64 / nb
+      val len = (i + 1) * 64 / nb - start
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      s"((ph >> $start) & $mask)"
+    }
+    s"""cp AS (SELECT doc_id,
+       |        list_transform(generate_series(1, length(text)),
+       |          i -> ascii(substr(text, i, 1))) AS cps
+       |      FROM documents),
+       |hist AS (SELECT doc_id, CAST(len(cps) AS BIGINT) AS ld,
+       |          list_transform(range(0, 64),
+       |            d -> CAST(len(list_filter(cps, c -> c % 64 = d)) AS BIGINT)) AS sv
+       |        FROM cp WHERE len(cps) > 0),
+       |tot AS (SELECT CAST(sum(ld) AS BIGINT) AS lc FROM hist),
+       |st AS (SELECT list(s ORDER BY d) AS hs FROM (
+       |  SELECT d, CAST(sum(v) AS BIGINT) AS s FROM (
+       |    SELECT generate_subscripts(sv, 1) AS d, unnest(sv) AS v FROM hist) GROUP BY d)),
+       |c AS (SELECT doc_id, CAST($code AS BIGINT) AS ph
+       |      FROM hist CROSS JOIN st CROSS JOIN tot),
+       |banded AS (SELECT doc_id, ph, band, bv FROM (
+       |    SELECT doc_id, ph,
+       |      generate_subscripts([${bandVals.mkString(", ")}], 1) - 1 AS band,
+       |      unnest([${bandVals.mkString(", ")}]) AS bv
+       |    FROM c)),
+       |small AS (SELECT * FROM (
+       |    SELECT doc_id, ph, band, bv,
+       |      count(*) OVER (PARTITION BY band, bv) AS cnt FROM banded)
+       |  WHERE cnt <= ${Dedup.MaxBandBucket}),
+       |phpairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |    CAST(bit_count(xor(l.ph, r.ph)) AS INT) AS hamming
+       |  FROM small l JOIN small r ON l.band = r.band AND l.bv = r.bv
+       |    AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.ph, r.ph)) <= $PhashMaxHamming)""".stripMargin
   }
 
   /** Shared DuckDB CTEs: tokenized docs `t` and distinct 3-shingles `sh`,
