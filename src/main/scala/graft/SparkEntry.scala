@@ -1065,6 +1065,14 @@ object SparkEntry {
         Tables.embeddingVec(s, d).select(col("id"), col("vec"),
           (col("id") % 2 === 1).as("snap")),
         SemNth))),
+    // cluster topic labels: per embedding cluster, the lift-ranked
+    // distinctive tokens of its member documents (what IS this cluster?)
+    "q164_cluster_topics" -> ((s, d) => {
+      val linked = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("text")), Seq("id"))
+      ordered(TextAnalysis.clusterTopics(linked, TopicNth, TopicTopK))
+    }),
     // media dedup apply: q122's phash pairs drive the q60 canonical
     // grouping and the q66 keep-set — the end-to-end media-hygiene pass
     "q163_media_dedup_apply" -> ((s, d) => {
@@ -1402,6 +1410,10 @@ object SparkEntry {
   // q160: 8 salts — enough to demonstrate spreading without 8× noise on
   // the small dim side
   private val JoinSalts = 8
+  // q164: every-100th-id centroids over the doc-linked set (500 docs at
+  // sf0.01 → 5 clusters of ~100) so per-cluster token stats are real
+  private val TopicNth = 100
+  private val TopicTopK = 5
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -3247,6 +3259,36 @@ object SparkEntry {
          |  sh.shift
          |FROM cnt CROSS JOIN tot LEFT JOIN sh ON sh.head_id = cnt.head_id
          |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    },
+    // cluster topics: q120's assignment over the doc-linked embedding set;
+    // lift = (df_in·N)/(df_all·n_c) on integer products, one divide
+    "q164_cluster_topics" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH lk AS (SELECT e.vec_id AS id, e.embedding AS vec, d.text
+         |            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM lk WHERE id % $TopicNth = 0),
+         |pd AS (SELECT v.id, h.head_id, $pDist AS dist FROM lk v CROSS JOIN h),
+         |p AS (SELECT id, head_id FROM (
+         |        SELECT id, head_id,
+         |          row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |        FROM pd) WHERE rn = 1),
+         |dt AS (SELECT id, unnest(list_distinct($toks)) AS token FROM lk),
+         |din AS (SELECT p.head_id, dt.token, count(*) AS df_in
+         |        FROM dt JOIN p ON p.id = dt.id GROUP BY 1, 2),
+         |dall AS (SELECT token, count(*) AS df_all FROM dt GROUP BY 1),
+         |sz AS (SELECT head_id, count(*) AS nc FROM p GROUP BY 1),
+         |nt AS (SELECT count(*) AS n FROM p),
+         |sc AS (SELECT din.head_id, din.token, din.df_in,
+         |         round((din.df_in * nt.n)::DOUBLE / (dall.df_all * sz.nc)::DOUBLE, 6) AS lift
+         |       FROM din JOIN dall USING (token) JOIN sz USING (head_id)
+         |       CROSS JOIN nt)
+         |SELECT head_id, CAST(rank AS INT) AS rank, token, df_in, lift FROM (
+         |  SELECT head_id, token, df_in, lift,
+         |    row_number() OVER (PARTITION BY head_id
+         |      ORDER BY lift DESC, df_in DESC, token) AS rank
+         |  FROM sc) WHERE rank <= $TopicTopK
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
     // cluster report: q141's centroid/zipped-distance CTEs aggregated per
     // label; centroid pairs via the ×10⁶-integer squared-diff sum

@@ -596,6 +596,53 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("n").as("total_tokens"))
   }
 
+  /** Cluster topic labels: for documents carrying an embedding, assign
+    * each to its nearest centroid (the q07 expression pass) and surface
+    * every cluster's most DISTINCTIVE tokens — ranked by lift
+    * `(df_in/n_c) / (df_all/N)`, how over-represented a token's document
+    * frequency is inside the cluster vs the corpus. The
+    * cluster-browsing / topic-audit step of an embedding-curated corpus
+    * (what IS this cluster full of?). Output
+    * `(head_id, rank, token, df_in, lift)`, top `topK` per cluster, lift
+    * computed as one integer-products divide
+    * `(df_in·N)/(df_all·n_c)` rounded 6dp, ties (lift DESC, df_in DESC,
+    * token).
+    *
+    * Input `linked`: `(id, vec, text)`. Scale: assignment is map-only;
+    * token stats are (cluster, token)- and token-keyed hash aggregates;
+    * the rank window partitions by cluster over the per-cluster token
+    * frame (vocabulary-bounded per cluster).
+    */
+  def clusterTopics(linked: DataFrame, centroidEveryNth: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = linked.select(col("id"), col("vec"))
+    val cents = Spann.selectHeadsModulo(vecs, centroidEveryNth)
+    val assigned = Spann.buildPostings(vecs, cents, 1, "cos")
+      .select(col("head_id"), col("id"))
+    val docTok = linked.select(col("id"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val dfIn = docTok.join(assigned, Seq("id"))
+      .groupBy(col("head_id"), col("token")).agg(count(lit(1)).as("df_in"))
+    val dfAll = docTok.groupBy(col("token")).agg(count(lit(1)).as("df_all"))
+    val sizes = assigned.groupBy(col("head_id")).agg(count(lit(1)).as("_nc"))
+    val nTot = assigned.agg(count(lit(1)).as("_n"))
+    val scored = dfIn
+      .join(broadcast(dfAll), Seq("token"))
+      .join(broadcast(sizes), Seq("head_id"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift",
+        round((col("df_in") * col("_n")).cast("double") /
+          (col("df_all") * col("_nc")).cast("double"), 6))
+    val w = Window.partitionBy(col("head_id"))
+      .orderBy(col("lift").desc, col("df_in").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("head_id"), col("rank"), col("token"),
+        col("df_in"), col("lift"))
+  }
+
   /** Inverted-index build with BOUNDED postings: per token, its document
     * frequency and the first `maxPostings` doc ids ascending (joined as a
     * comma string for engine-portable output) — the retrieval-index

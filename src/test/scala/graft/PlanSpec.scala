@@ -157,8 +157,9 @@ class PlanSpec extends SparkSpec {
                                 // all broadcast
       "q161_auc",               // same resolution-bounded per-score frame
                                 // self-join as q147, broadcast
-      "q162_cluster_report")    // ≤|labels|²-pair centroid separation join
+      "q162_cluster_report",    // ≤|labels|²-pair centroid separation join
                                 // over a broadcast-tiny centroid frame
+      "q164_cluster_topics")    // ONE-row assigned-doc total, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

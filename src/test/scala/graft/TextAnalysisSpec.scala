@@ -353,6 +353,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("clusterTopics ranks the cluster-specific token above the shared one") {
+    import spark.implicits._
+    // centroids = ids 0 and 100 (every-100th); apple-docs cluster at [1,0],
+    // banana-docs at [0,1], "common" everywhere
+    val linked = Seq(
+      (0L, Seq(1f, 0f), "apple common"),
+      (1L, Seq(1f, 0.1f), "apple common"),
+      (2L, Seq(1f, -0.1f), "apple common"),
+      (100L, Seq(0f, 1f), "banana common"),
+      (101L, Seq(0.1f, 1f), "banana common")
+    ).toDF("id", "vec", "text")
+    val got = TextAnalysis.clusterTopics(linked, 100, 2)
+      .as[(Long, Int, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._5)).toSeq).toMap
+    // cluster 0: apple lift = (3·5)/(3·3) = 1.666667 over common's 1.0
+    assert(got(0L) === Seq(("apple", 1.666667), ("common", 1.0)))
+    // cluster 100: banana lift = (2·5)/(2·2) = 2.5
+    assert(got(100L) === Seq(("banana", 2.5), ("common", 1.0)))
+  }
+
   test("auc: tie-aware midrank value exact; perfect separation 1.0; one-class NULL") {
     import spark.implicits._
     import graft.operators.Eval
