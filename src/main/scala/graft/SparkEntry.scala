@@ -1237,8 +1237,135 @@ object SparkEntry {
         embQueries(s, d),
         Tables.embeddingVec(s, d).where(col("id") >= 10)
           .select(col("id"), col("vec")),
-        MmrK, MmrLambda, MmrPool)))
+        MmrK, MmrLambda, MmrPool))),
+    // Bloom-prefiltered semi-join: 16 KiB of filter evaluated inside the
+    // fact scan kills non-matching rows BEFORE the semi-join exchange;
+    // result ≡ the plain semi-join (no false negatives; exact join culls
+    // the false positives) — the oracle IS the plain semi-join
+    "q165_bloom_join" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+      ordered(graft.operators.Joins
+        .bloomSemiJoin(fact, urgent, "o_orderkey", BloomBits, BloomHashes)
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows")))
+    }),
+    // blocked fuzzy self-join (record linkage): edit-distance pairs
+    // generated only inside (noun, size) blocks — O(n²) confined to blocks
+    "q166_fuzzy_join" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          split(col("p_name"), " ").getItem(1).as("_noun"))
+      ordered(graft.operators.Joins
+        .fuzzyJoin(parts, "p_partkey", "p_name", Seq("p_size", "_noun"),
+          FuzzyMaxDist)
+        .select(col("id_a"), col("id_b"), col("p_name_a"), col("p_name_b"),
+          col("dist")))
+    }),
+    // changelog merge (CDC current view): snapshot ∪ synthetic change
+    // batch, latest-wins per key via ONE max_by aggregation (map-side
+    // partial) — never a per-key window sort
+    "q167_changelog" -> ((s, d) => {
+      val (snap, changes) = changelogInputs(s, d)
+      ordered(graft.operators.Joins
+        .applyChangelog(snap, changes, "o_orderkey", "version", "del"))
+    }),
+    // weighted sampling without replacement (Efraimidis–Spirakis race):
+    // 200 winners ∝ token count, picked by the bounded top-k aggregate —
+    // one scan, no global sort
+    "q168_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      ordered(Pipeline.weightedSample(docs, col("n_tokens"), WsK)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("race_key")))
+    }),
+    // calibration (reliability) table: decile bins of the stopword-
+    // confidence score vs the stored language label — integer-exact bin
+    // stats + per-bin Brier contribution
+    "q169_calibration" -> ((s, d) =>
+      ordered(Eval.calibration(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").as("gold"),
+          TextAnalysis.stopwordConfidence(col("text")).as("score")),
+        CalBins))),
+    // TPC-H Q10: returned-item revenue — both fact slices pushed before
+    // the fact⋈fact shuffle, customer joins the small result
+    "q170_tpch_q10" -> ((s, d) => ordered(tpchQ10(s, d))),
+    // TPC-H Q17: correlated per-part average as aggregate-then-broadcast,
+    // integer cross-multiplied boundary
+    "q171_tpch_q17" -> ((s, d) => ordered(tpchQ17(s, d))),
+    // TPC-H Q19: disjunctive residual over an equi-join — never nested-loop
+    "q172_tpch_q19" -> ((s, d) => ordered(tpchQ19(s, d))),
+    // prefix-filtered EXACT Jaccard join (PPJoin rule): 100%-recall
+    // near-dup pairs with candidates only from rare-shingle prefixes
+    "q173_ppjoin" -> ((s, d) =>
+      ordered(Dedup.prefixJaccardPairs(Tables.documents(s, d), PpJacT))),
+    // Z-order clustering key: quantized (price, customer) interleaved into
+    // the write-time layout key — pure codegen column math
+    "q174_zorder" -> ((s, d) => {
+      val qx = least(floor(col("o_totalprice") / ZPriceStep), lit((1 << ZBits) - 1))
+        .cast("long")
+      val qy = (col("o_custkey") % (1 << ZBits)).cast("long")
+      ordered(Tables.orders(s, d)
+        .select(col("o_orderkey"), qx.as("qx"), qy.as("qy"))
+        .withColumn("z", Pipeline.zorderKey(col("qx"), col("qy"), ZBits)))
+    }),
+    // TPC-H Q4: semi join with a residual inequality (EXISTS semantics)
+    "q175_tpch_q4" -> ((s, d) => ordered(tpchQ4(s, d))),
+    // TPC-H Q22: decimal cross-multiplied average + anti join
+    "q176_tpch_q22" -> ((s, d) => ordered(tpchQ22(s, d))),
+    // linear multi-touch attribution: purchase value split equally over
+    // the preceding hour's views — per-user join, one divide per row
+    "q177_linear_attribution" -> ((s, d) =>
+      ordered(graft.operators.Events.linearAttribution(
+        Tables.events(s, d), AttrWindowMin))),
+    // binary nDCG@k of the SPANN results against exact-kNN truth — the
+    // position-weighted retrieval metric next to q11 recall / q19 MRR
+    "q178_ndcg" -> ((s, d) =>
+      ordered(Eval.ndcgAt(
+        spannResults(s, d),
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K)))
   )
+
+  /** q167 inputs: orders as the version-0 snapshot; a deterministic change
+    * batch derived from the key — upserts (keys ≡3 mod 10, two versions so
+    * latest-wins is exercised), deletes (≡7 mod 10, including a same-version
+    * delete-beats-upsert tie), and inserts (fresh keys ≡1 mod 10, offset
+    * past the keyspace).
+    */
+  private def changelogInputs(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, d)
+    val snap = o.select(col("o_orderkey"), lit(0L).as("version"),
+      lit(false).as("del"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 10
+    val up1 = o.where(m === 3).select(col("o_orderkey"), lit(1L).as("version"),
+      lit(false).as("del"), lit("U1").as("o_orderstatus"),
+      (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val up2 = o.where(m === 3 && col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(2L).as("version"),
+        lit(false).as("del"), lit("U2").as("o_orderstatus"),
+        (col("o_totalprice") + 2000.0).as("o_totalprice"))
+    val dels = o.where(m === 7).select(col("o_orderkey"), lit(1L).as("version"),
+      lit(true).as("del"), col("o_orderstatus"), col("o_totalprice"))
+    // same-version upsert for half the deleted keys: the delete must win
+    val upDel = o.where(m === 7 && col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit(1L).as("version"),
+        lit(false).as("del"), lit("UX").as("o_orderstatus"), col("o_totalprice"))
+    val ins = o.where(m === 1)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit(1L).as("version"), lit(false).as("del"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    (snap, up1.unionByName(up2).unionByName(dels).unionByName(upDel)
+      .unionByName(ins))
+  }
 
   private val KdDepth = 3
   private val KdBeam = 3
@@ -1414,6 +1541,30 @@ object SparkEntry {
   // sf0.01 → 5 clusters of ~100) so per-cluster token stats are real
   private val TopicNth = 100
   private val TopicTopK = 5
+  // q165: 2^17 bits / 4 hashes ≈ 1% false-positive at the ~3k urgent-order
+  // key count — 16 KiB of filter killing ~80% of the fact scan pre-shuffle
+  private val BloomBits = 1 << 17
+  private val BloomHashes = 4
+  // q166: block on (noun, size) — blocks of ~5 parts at sf0.01; dist ≤ 3
+  // keeps same-noun adjective swaps like red/hot without crossing nouns
+  private val FuzzyMaxDist = 3
+  // q168: 200 winners from the ~6k-doc race at sf0.01 — selective enough
+  // that the top-k boundary is a real cut, big enough to be a sample
+  private val WsK = 200
+  // q169: deciles — the standard reliability-diagram resolution
+  private val CalBins = 10
+  // q170: one quarter of returned items — the Q10 slice
+  private val Q10Start = "1999-01-01"
+  private val Q10End = "1999-04-01"
+  // q173: τ=0.8 — the fixture near-dups sit at J≥0.9, and high τ is where
+  // prefix filtering prunes hardest (prefix ≈ 0.2·n + 1 shingles)
+  private val PpJacT = 0.8
+  // q174: 8-bit quantization per dimension; $2000 price buckets span the
+  // synthetic o_totalprice range in ~250 buckets
+  private val ZBits = 8
+  private val ZPriceStep = 2000
+  // q177: views within the preceding hour share the purchase credit
+  private val AttrWindowMin = 60
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1548,6 +1699,115 @@ object SparkEntry {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** TPC-H Q10 shape (returned-item customers): the fact slices FIRST —
+    * returnflag on lineitem and the quarter window on orders are both
+    * parquet-pushed before the fact⋈fact shuffle, customer joins the
+    * already-small result, nation broadcasts. Output is per-customer, no
+    * top-N (a rank cut would hash-unstably tie at the boundary).
+    */
+  private def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(Q10Start).cast("timestamp") &&
+          col("o_orderdate") < lit(Q10End).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * subquery (`l_quantity < 0.2 · avg(quantity) per part`) planned as an
+    * aggregate-then-broadcast-join — the per-part average is a map-side
+    * partial agg over the SAME scan, and the correlation becomes one
+    * broadcast hash join instead of a per-row subquery. The comparison is
+    * cross-multiplied to integers (`5·qty·cnt < sum_qty`) so the boundary
+    * is exact in both engines — never compare against a divided average.
+    */
+  private def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val li = Tables.lineitem(s, d)
+      .withColumn("_qty", col("l_quantity").cast("long"))
+    val perPart = li.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(col("_qty")).as("_sum_qty"), count(lit(1)).as("_cnt"))
+    li.join(broadcast(perPart), col("l_partkey") === col("_pk"))
+      .where(col("_qty") * 5 * col("_cnt") < col("_sum_qty"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(dec)).cast("double") / 7.0, 4)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q19 shape (disjunctive predicate join): an equi-join on partkey
+    * whose residual filter is an OR of three (brand, size-band,
+    * quantity-band) clauses. The anchor is predicate handling: the shared
+    * `p_size BETWEEN 1 AND 30` hull and the quantity hull are pushable
+    * conjuncts; the disjunction stays a residual — what must NOT happen is
+    * the planner giving up on the equi-key and going nested-loop.
+    */
+  private def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val clause =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .where(clause)
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): a LEFT-SEMI join with a
+    * RESIDUAL inequality — "orders having some lineitem shipped after the
+    * order date". The semi form never duplicates an order however many
+    * lineitems qualify (the EXISTS semantics a fan-out join + distinct
+    * would pay a shuffle to repair), and the equi-key carries the join
+    * while `l_shipdate > o_orderdate` rides along as a residual.
+    */
+  private def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit(Q10Start).cast("timestamp") &&
+        col("o_orderdate") < lit(Q10End).cast("timestamp"))
+    o.join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q22 shape (global-customer-distribution): scalar-aggregate
+    * correlation + anti join — customers above the positive-balance average
+    * with NO orders. The average comparison cross-multiplies against the
+    * exact decimal sum (`bal·cnt > Σbal`), never against a divided float;
+    * the one-row aggregate broadcasts, and the no-orders predicate is a
+    * left-anti join on the order keys.
+    */
+  private def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val c = Tables.customer(s, d)
+    val avgPos = c.where(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(dec)).as("_sum_bal"),
+        count(lit(1)).as("_cnt"))
+    c.crossJoin(broadcast(avgPos))
+      .where(col("c_acctbal").cast(dec) * col("_cnt") > col("_sum_bal"))
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
   }
 
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
@@ -3779,7 +4039,220 @@ object SparkEntry {
          |        FROM sh JOIN dfx d ON d.shv = sh.sh GROUP BY doc_id)
          |SELECT doc_id, n_shingles, n_novel,
          |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 4) AS novel_share
-         |FROM agg ORDER BY doc_id, n_shingles, n_novel, novel_share""".stripMargin
+         |FROM agg ORDER BY doc_id, n_shingles, n_novel, novel_share""".stripMargin,
+    // Bloom pre-filter is performance-only: the oracle is the PLAIN
+    // semi-join the operator must equal (no false negatives by contract)
+    "q165_bloom_join" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    // blocked fuzzy join: same (size, noun) blocking, same unit-cost
+    // Levenshtein — DuckDB's levenshtein is the same metric
+    "q166_fuzzy_join" ->
+      s"""WITH p AS (SELECT p_partkey, p_name, p_size,
+         |             split_part(p_name, ' ', 2) AS noun FROM part)
+         |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         |  a.p_name AS p_name_a, b.p_name AS p_name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         |FROM p a JOIN p b
+         |  ON a.p_size = b.p_size AND a.noun = b.noun
+         | AND a.p_partkey < b.p_partkey
+         |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // changelog merge: same synthetic batch, latest-wins via the window
+    // form (the oracle may sort per key; the engine must not)
+    "q167_changelog" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, CAST(0 AS BIGINT) AS version, FALSE AS del,
+        |         o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, FALSE, 'U1', o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, FALSE, 'U2', o_totalprice + 2000.0
+        |  FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, TRUE, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, FALSE, 'UX', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 1, FALSE, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC, del DESC) AS rn FROM chg)
+        |SELECT o_orderkey, version, o_orderstatus, o_totalprice
+        |FROM w WHERE rn = 1 AND NOT del
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // weighted sample: the race replayed as a global sort (the oracle may
+    // sort; the engine must top-k) — same 9dp key, same id tie-break
+    "q168_weighted_sample" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val key = Pipeline.weightedSampleKeySql("n_tokens", "ws")
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens, $key AS race_key
+         |      FROM t WHERE n_tokens > 0),
+         |w AS (SELECT * FROM r ORDER BY race_key, doc_id LIMIT $WsK)
+         |SELECT doc_id, source, n_tokens, race_key FROM w
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // calibration: q161's score cells binned by exact integer deciles;
+    // every ratio one divide over integer sums
+    "q169_calibration" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val hits = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (SELECT (lang = 'en') AS gold, $toks AS toks FROM documents),
+         |sc AS (SELECT gold,
+         |         CASE WHEN len(toks) > 0
+         |              THEN round(($hits)::DOUBLE / len(toks), 4)
+         |              ELSE 0.0 END AS score FROM t),
+         |i AS (SELECT CAST(round(score * 10000) AS BIGINT) AS s,
+         |        CASE WHEN gold THEN 1 ELSE 0 END AS p FROM sc),
+         |b AS (SELECT LEAST(CAST(floor(s / ${10000 / CalBins}) AS INT),
+         |               ${CalBins - 1}) AS bin,
+         |        s, p, (s - 10000 * p) * (s - 10000 * p) AS se FROM i)
+         |SELECT bin, count(*) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+         |  round(sum(s)::DOUBLE / count(*) / 10000.0, 6) AS mean_score,
+         |  round(sum(p)::DOUBLE / count(*), 6) AS pos_rate,
+         |  round(sum(CAST(se AS DECIMAL(38,0)))::DOUBLE / count(*) / 1e8, 6)
+         |    AS bin_brier
+         |FROM b GROUP BY bin
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    },
+    "q170_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |       AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '$Q10Start'
+         |  AND o_orderdate < TIMESTAMP '$Q10End'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // Q17: integer cross-multiplied boundary (5·qty·cnt < Σqty) — never a
+    // comparison against a divided average
+    "q171_tpch_q17" ->
+      """WITH pp AS (SELECT l_partkey AS pk,
+        |              SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        |              COUNT(*) AS cnt
+        |            FROM lineitem GROUP BY 1)
+        |SELECT
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |        / 7.0, 4) AS avg_yearly,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq""".stripMargin,
+    "q172_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // PPJoin: same df-ascending prefix rule, same rounded-Jaccard verify
+    // (the jac CTE) restricted to the prefix candidates
+    "q173_ppjoin" -> {
+      val jacT = math.round(PpJacT * 10000).toInt
+      s"""WITH $shingleCtes,
+         |dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         |pos AS (SELECT s.doc_id, s.sh,
+         |          row_number() OVER (PARTITION BY s.doc_id
+         |            ORDER BY d.df, s.sh) AS pos
+         |        FROM sh s JOIN dfc d USING (sh)),
+         |pref AS (SELECT p.doc_id, p.sh FROM pos p JOIN sz USING (doc_id)
+         |         WHERE p.pos <= nsh - floor((nsh * $jacT + 9999) / 10000) + 1),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |         FROM pref l JOIN pref r
+         |           ON l.sh = r.sh AND l.doc_id < r.doc_id),
+         |$jaccardCtes
+         |SELECT j.a, j.b, j.jaccard
+         |FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= $PpJacT
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // Z-order key: identical literal-shift interleave
+    "q174_zorder" ->
+      s"""WITH q AS (SELECT o_orderkey,
+         |  CAST(least(floor(o_totalprice / $ZPriceStep), ${(1 << ZBits) - 1})
+         |       AS BIGINT) AS qx,
+         |  CAST(o_custkey % ${1 << ZBits} AS BIGINT) AS qy FROM orders)
+         |SELECT o_orderkey, qx, qy,
+         |  ${Pipeline.zorderKeySql("qx", "qy", ZBits)} AS z
+         |FROM q ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q175_tpch_q4" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$Q10Start'
+         |  AND o_orderdate < TIMESTAMP '$Q10End'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate)
+         |GROUP BY 1 ORDER BY 1, 2""".stripMargin,
+    "q176_tpch_q22" ->
+      """WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sb,
+        |             COUNT(*) AS cnt
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt > sb
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin,
+    // linear attribution: same per-user join, same single divide
+    "q177_linear_attribution" ->
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, event_id AS view_id, ts AS vts
+         |      FROM events WHERE event_type = 'view'),
+         |j AS (SELECT purchase_id, p.user_id, view_id, value
+         |      FROM p JOIN v USING (user_id)
+         |      WHERE vts <= pts AND vts >= pts - INTERVAL $AttrWindowMin MINUTES),
+         |n AS (SELECT purchase_id, count(*) AS n_touch FROM j GROUP BY 1)
+         |SELECT j.purchase_id, j.user_id, j.view_id, n.n_touch,
+         |  round(j.value / n.n_touch, 6) AS credit
+         |FROM j JOIN n USING (purchase_id)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // nDCG: discounts as ln-ratio doubles rounded 6dp then DECIMAL-summed
+    // (only k distinct values exist) — mirrors Eval.ndcgAt exactly
+    "q178_ndcg" -> {
+      val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
+      def disc(pos: String) =
+        s"CAST(round(1.0 / (ln(($pos) + 1) / ln(2)), 6) AS DECIMAL(18,9))"
+      s"""WITH ${spannCtes(wideK = WideK, closeRatio = CloseRatio)},
+         |exd AS (SELECT q.query_id, v.id, $exDist AS dist FROM q CROSS JOIN v),
+         |ex AS (SELECT * FROM (
+         |    SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |hits AS (SELECT r.query_id, r.rank
+         |         FROM sp r JOIN ex t ON r.query_id = t.query_id AND r.id = t.id
+         |         WHERE r.rank <= $K),
+         |dcg AS (SELECT query_id, sum(${disc("rank")}) AS dcg,
+         |          count(*) AS n_hits FROM hits GROUP BY 1),
+         |nrel AS (SELECT query_id, count(*) AS nrel FROM ex GROUP BY 1),
+         |ipos AS (SELECT query_id,
+         |           unnest(generate_series(1, least(nrel, $K))) AS pos FROM nrel),
+         |idcg AS (SELECT query_id, sum(${disc("pos")}) AS idcg FROM ipos GROUP BY 1),
+         |qq AS (SELECT DISTINCT query_id FROM sp)
+         |SELECT qq.query_id,
+         |  CAST(coalesce(dcg.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(dcg.dcg, 0)::DOUBLE / idcg.idcg::DOUBLE, 6) AS ndcg
+         |FROM qq LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)
+         |ORDER BY 1, 2, 3""".stripMargin
+    }
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

@@ -233,6 +233,50 @@ object Dedup {
     verifiedPairs(cands, da, da, threshold)
   }
 
+  /** Prefix-filtered EXACT set-similarity self-join (the PPJoin candidate
+    * rule): all pairs with shingle-set Jaccard ≥ `threshold`, found without
+    * sketches and without the all-pairs scan. Shingles order globally by
+    * (document frequency asc, shingle asc); a doc of set size `n` exposes
+    * only its first `p = n − ⌈τ·n⌉ + 1` shingles in that order as its
+    * PREFIX, and two docs pair only if their prefixes share a shingle —
+    * sound because two sets with Jaccard ≥ τ must overlap within any
+    * (1−τ)-fraction prefix of each (pigeonhole), so recall is 100% by
+    * construction, unlike MinHash banding's probabilistic recall. The
+    * survivors verify with the same in-row intersect as [[minhashDedup]].
+    *
+    * Scale shape: the candidate join is an equi-join on the RAREST shingles
+    * only (df-ascending prefixes), so hot boilerplate shingles — exactly the
+    * ones that explode a naive shingle self-join — never generate pairs at
+    * high τ. Shuffle ∝ prefix rows (a (1−τ)+ε fraction of the shingle
+    * stream) + candidates. The per-doc rank window partitions by doc_id —
+    * corpus-many keys, never a global or per-source sort. Higher τ → shorter
+    * prefixes → cheaper; use MinHash-LSH below τ≈0.5 where prefixes stop
+    * pruning.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val jacT = math.round(threshold * 10000).toInt
+    val da = shingleArrays(docs, n, idCol, textCol)
+    val sh = da.select(col("doc_id"), explode(col("sharr")).as("sh"))
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pref = sh.join(dfc, Seq("sh"))
+      .withColumn("pos", row_number().over(w))
+      .join(da.select(col("doc_id"), size(col("sharr")).as("nsh")), Seq("doc_id"))
+      .where(col("pos") <=
+        col("nsh") - floor((col("nsh") * jacT + 9999) / lit(10000)) + 1)
+    val cand = pref.select(col("doc_id").as("a"), col("sh"))
+      .join(pref.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    verifiedPairs(cand, da, da, threshold)
+  }
+
   /** Exact-Jaccard verify over candidate pairs: join each side's shingle
     * array in, intersect in-row, keep pairs at or above `threshold`. Shared
     * by the batch and incremental MinHash pipelines — two equi-joins keyed

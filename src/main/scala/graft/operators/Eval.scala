@@ -251,6 +251,78 @@ object Eval {
           .as("kappa"))
   }
 
+  /** Reliability (calibration) table for a [0,1] classifier score against a
+    * boolean gold label: `bins` equal-width score bins, each reporting row
+    * count, positive count, mean predicted score, empirical positive rate,
+    * and the bin's Brier contribution (mean squared error of the score as a
+    * probability). A well-calibrated score has `mean_score ≈ pos_rate` per
+    * bin — THE diagnostic run before a quality/toxicity filter's scores are
+    * trusted as probabilities ([[thresholdSweep]] picks the cut,
+    * calibration says whether the scores mean anything).
+    *
+    * Determinism contract: `scoreCol` must be 4dp-rounded in [0,1] (the
+    * [[TextAnalysis.stopwordConfidence]] convention). Scores scale to exact
+    * integers (`round(s·10⁴)`), so binning is integer division, every sum is
+    * an integer sum, and each output ratio is one IEEE divide + 6dp round —
+    * no float accumulation anywhere. Scale: one groupBy with ≤ `bins`
+    * map-side-combined groups.
+    */
+  def calibration(scored: DataFrame, bins: Int = 10,
+      scoreCol: String = "score", labelCol: String = "gold"): DataFrame = {
+    require(bins > 0 && 10000 % bins == 0, "bins must divide 10000")
+    val intScore = round(col(scoreCol) * 10000).cast("long")
+    val gold10k = when(col(labelCol), 10000L).otherwise(0L)
+    val sqErr = (intScore - gold10k) * (intScore - gold10k)
+    scored
+      .select(
+        least(floor(intScore / (10000 / bins)).cast("int"), lit(bins - 1)).as("bin"),
+        intScore.as("_s"),
+        when(col(labelCol), 1L).otherwise(0L).as("_pos"),
+        sqErr.as("_se"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_pos")).as("n_pos"),
+        round(sum(col("_s")).cast("double") / count(lit(1)) / 10000.0, 6)
+          .as("mean_score"),
+        round(sum(col("_pos")).cast("double") / count(lit(1)), 6).as("pos_rate"),
+        round(sum(col("_se").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)) / 1e8, 6).as("bin_brier"))
+  }
+
+  /** Binary nDCG@k of ranked `results` against `truthDf` (both
+    * `(query_id, rank, id)`): DCG = Σ over hits of `1/log₂(pos+1)`, ideal
+    * DCG = the same sum over the first `min(k, |relevant|)` positions,
+    * nDCG = DCG/IDCG. Float-log terms round 6dp then DECIMAL-sum (the
+    * [[graft.operators.TextAnalysis.tokenEntropy]] convention: only ~k
+    * distinct discount values exist, so the rounded terms are
+    * engine-identical and the sum is exact); the final ratio is one IEEE
+    * divide + 6dp round. Scale: a semi-join on `(query_id, id)` + two
+    * query-keyed aggregations — never a per-query collect.
+    */
+  def ndcgAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def disc(pos: org.apache.spark.sql.Column) =
+      round(lit(1.0) / log(2.0, pos + 1), 6).cast(DecimalType(18, 9))
+    val rel = truthDf.where(col("rank") <= k).select(col("query_id"), col("id"))
+    val dcg = results.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(sum(disc(col("rank"))).as("_dcg"), count(lit(1)).as("n_hits"))
+    val ideal = rel.groupBy(col("query_id")).agg(count(lit(1)).as("_nrel"))
+      .select(col("query_id"),
+        explode(sequence(lit(1), least(col("_nrel"), lit(k)))).as("_pos"))
+      .groupBy(col("query_id"))
+      .agg(sum(disc(col("_pos"))).as("_idcg"))
+    results.select(col("query_id")).distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("_dcg"), lit(0)).cast("double") /
+          col("_idcg").cast("double"), 6).as("ndcg"))
+  }
+
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)
       .select(col("query_id"), col("id"))

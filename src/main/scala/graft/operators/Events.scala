@@ -134,6 +134,35 @@ object Events {
         col("_asof").getField("value").as("asof_value")): _*)
   }
 
+  /** Linear (multi-touch) attribution: each purchase's value splits EQUALLY
+    * across that user's views in the preceding `windowMinutes` — the
+    * complement of [[asOfJoin]]'s last-touch model. One per-user equi-join
+    * with the time window as a residual (`pts − W ≤ vts ≤ pts`), then a
+    * per-purchase count and one IEEE divide per row (`credit = value/n`,
+    * 6dp) — user_id is corpus-cardinality, so the join shuffle is fine at
+    * scale, and the fan-out is bounded by views-per-user-per-window (salt
+    * the join on view-time buckets if a bot user becomes a hot key).
+    * Output: one row per (purchase, contributing view).
+    */
+  def linearAttribution(
+      events: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val joined = p.join(v, Seq("user_id"))
+      .where(col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    val n = joined.groupBy(col("purchase_id")).agg(count(lit(1)).as("n_touch"))
+    joined.join(n, Seq("purchase_id"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("n_touch"),
+        round(col("value") / col("n_touch"), 6).as("credit"))
+  }
+
   /** Time-windowed duplicate suppression: within each `(user_id,
     * event_type)` stream, keep only the FIRST event of every burst, where a
     * new burst starts when the gap from the PREVIOUS event (kept or not)

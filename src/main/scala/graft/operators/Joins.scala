@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join shapes Spark's optimizer cannot plan well declaratively — written
@@ -71,5 +71,171 @@ object Joins {
       .withColumn("_salt0", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("_salt", col("_salt0").cast("int")).drop("_salt0")
     l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  // ----------------------------------------------------------------------
+  // Bloom-filter pre-filtered semi-join
+  // ----------------------------------------------------------------------
+
+  /** Per-seed Bloom bit position for `key`: [[graft.functions.Hash60]] over
+    * `key:bf:<seed>`, modulo `numBits`. Shared between build and probe — the
+    * no-false-negative guarantee is exactly this sharing.
+    */
+  private def bloomPos(key: Column, seed: Int, numBits: Int): Column =
+    graft.functions.Hash60(
+      concat(key.cast("string"), lit(s":bf:$seed"))) % numBits
+
+  /** Build the Bloom bit words for the distinct values of `keyCol`:
+    * each key sets `numHashes` bits; bits pack into `numBits/64` longs.
+    * The OR-fold runs distributed (partial `bit_or` per word, one word-keyed
+    * exchange of ≤ numBits/64 rows); only the finished word table is
+    * collected — bounded by the FILTER size (2^20 bits = 16 KiB of longs),
+    * never by the key count, which is the point: this is the broadcast-a-
+    * summary contract ([[graft.functions.PQ]] codebooks, k-means centroids)
+    * applied to join pre-filtering.
+    */
+  def bloomBits(
+      keys: DataFrame,
+      keyCol: String,
+      numBits: Int,
+      numHashes: Int): Array[Long] = {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    val pos = keys.select(
+      explode(array((0 until numHashes).map(i =>
+        bloomPos(col(keyCol), i, numBits)): _*)).as("_pos"))
+    val words = pos
+      .select((col("_pos") / 64).cast("int").as("_word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").as("_mask"))
+      .groupBy(col("_word"))
+      .agg(expr("bit_or(_mask)").as("_bits"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Codegen-friendly membership probe against a literal Bloom word array:
+    * all `numHashes` bits must be set. No false negatives by construction
+    * (same [[bloomPos]] family as [[bloomBits]]); false positives are culled
+    * by the exact join that follows in [[bloomSemiJoin]].
+    */
+  def bloomMightContain(
+      bits: Array[Long],
+      key: Column,
+      numBits: Int,
+      numHashes: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.ShiftRight
+    import org.apache.spark.sql.graft.ColumnShim
+    val words = typedlit(bits.toSeq)
+    (0 until numHashes).map { i =>
+      val pos = bloomPos(key, i, numBits)
+      val word = element_at(words, (pos / 64).cast("int") + 1)
+      val shifted = ColumnShim.column(ShiftRight(
+        ColumnShim.expression(word),
+        ColumnShim.expression((pos % 64).cast("int"))))
+      (shifted.bitwiseAND(lit(1L)) =!= 0L)
+    }.reduce(_ && _)
+  }
+
+  /** Semi-join `fact` to the distinct `keyCol` values of `keys`, with a
+    * Bloom-filter PRE-filter on the fact side. Result ≡ the plain left-semi
+    * equi-join (the Bloom pass never drops a matching row; the exact join
+    * removes its false positives) — what changes is WHERE rows die: at 100 TB
+    * the semi-join's fact-side exchange is the dominant cost, and a 16 KiB
+    * filter evaluated inside the scan's codegen stage kills most non-matching
+    * rows before they are ever shuffled. This is the manual, tunable form of
+    * Spark's own runtime-filter injection (`InjectRuntimeFilter`), exposed as
+    * an operator so the filter can be sized (`numBits`/`numHashes`) and
+    * REUSED across several facts probing one key set.
+    *
+    * Reference analogue: SPTAG's posting-list membership checks gate the
+    * expensive distance pass the same way (cheap filter first, exact second)
+    * — `AnnService/inc/Core/SPANN/ExtraFullGraphSearcher.h` passim.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      numBits: Int = 1 << 17,
+      numHashes: Int = 4): DataFrame = {
+    val keyset = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val bits = bloomBits(keyset, keyCol, numBits, numHashes)
+    fact
+      .where(col(keyCol).isNotNull &&
+        bloomMightContain(bits, col(keyCol), numBits, numHashes))
+      .join(keyset, Seq(keyCol), "left_semi")
+  }
+
+  // ----------------------------------------------------------------------
+  // Blocked fuzzy (edit-distance) self-join
+  // ----------------------------------------------------------------------
+
+  /** Record-linkage self-join: pairs of rows whose `strCol` values are within
+    * `maxDist` Levenshtein edits, generated ONLY within equal `blockCols`
+    * blocks. The blocking key turns the O(n²) all-pairs edit-distance scan
+    * into an equi-join (shuffle on the block key) with the quadratic cost
+    * confined to each block — the standard blocking-then-verify shape of
+    * entity resolution at corpus scale; pick blockCols so blocks stay small
+    * (a coarse category + a prefix/phonetic key). Emits `(id_a, id_b,
+    * <strCol>_a, <strCol>_b, dist)` with `id_a < id_b` so each unordered pair
+    * appears once. Skew caveat: a pathological block costs |block|² — cap or
+    * salt upstream if a block key can be degenerate (same contract as
+    * `Dedup.MaxBandBucket`).
+    */
+  def fuzzyJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockCols: Seq[String],
+      maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    val a = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col(strCol).as(s"${strCol}_a")): _*)
+    val b = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col(strCol).as(s"${strCol}_b")): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col(s"${strCol}_a"), col(s"${strCol}_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col(s"${strCol}_a"), col(s"${strCol}_b"),
+        col("dist"))
+  }
+
+  // ----------------------------------------------------------------------
+  // Changelog (upsert) merge
+  // ----------------------------------------------------------------------
+
+  /** Latest-wins changelog merge: `snapshot` ∪ `changes`, keep each key's
+    * highest-`versionCol` row, drop it if that winner is a delete
+    * (`deleteCol` true). Implemented as ONE hash aggregation —
+    * `max_by(struct(payload), (version, isDelete))` — not a per-key window:
+    * the aggregate combines map-side partially, so the exchange carries one
+    * candidate row per key per input partition instead of every change row,
+    * and no task ever sorts a whole key-group. Ties on version resolve
+    * toward the delete (a same-version delete beats the upsert; the bool
+    * sorts after false), making replays idempotent. This is the CDC-compact
+    * / SCD-current-view primitive a 100 TB ingest pipeline runs daily.
+    *
+    * Both inputs must share the schema `key :: version :: delete :: payload…`
+    * (column names given by the args; payload = every other column).
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      deleteCol: String): DataFrame = {
+    val all = snapshot.select(changes.columns.map(col): _*).unionByName(changes)
+    val payload = all.columns.filter(c => c != keyCol)
+    val winner = all
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(col(versionCol), col(deleteCol).cast("int"))).as("_w"))
+    winner
+      .select(col(keyCol) +: payload.map(c => col(s"_w.$c").as(c)): _*)
+      .where(!col(deleteCol))
+      .drop(deleteCol)
   }
 }

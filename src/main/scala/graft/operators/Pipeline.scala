@@ -740,6 +740,79 @@ object Pipeline {
         round(col("_w").cast("double") / col("_z").cast("double"), 6).as("weight"))
   }
 
+  /** Weighted sampling WITHOUT replacement, k winners, probability ∝
+    * `weightCol` — Efraimidis–Spirakis exponential race: each row draws a
+    * deterministic uniform `u` from its id hash and races with key
+    * `−ln(u)/w` (an Exponential(rate = w) arrival time); the k SMALLEST keys
+    * win, which is distribution-exact weighted sampling without replacement.
+    * The corpus-scale use: subsample a training mixture proportional to a
+    * per-doc importance weight (token count, quality score, source weight)
+    * in ONE scan.
+    *
+    * Scale posture: the global top-k runs through the bounded
+    * [[graft.functions.TopKByDistance]] aggregate — map-side partial top-k
+    * per task, one ≤(k · tasks)-row merge — NEVER a global sort. Keys round
+    * to 9dp with an id tie-break so the selection is engine-reproducible
+    * (ln is correct to ~1 ulp in both engines; 60k+ race keys spread over
+    * units of range, so 1e-9 quantization is 7 orders of magnitude above
+    * the float disagreement and ties resolve by id).
+    *
+    * `weightCol` must be strictly positive (rows with w ≤ 0 or NULL are
+    * dropped — zero weight cannot win a race).
+    */
+  def weightedSample(
+      docs: DataFrame,
+      weightCol: Column,
+      k: Int,
+      salt: String = "ws",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (graft.functions.Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L + 1L)
+      .cast("double") / 1000001.0
+    val key = round(-log(u) / weightCol.cast("double"), 9)
+    val raced = docs
+      .where(weightCol.isNotNull && weightCol > 0)
+      .withColumn("race_key", key)
+    val winners = raced
+      .agg(graft.functions.TopKByDistance.topk(
+        col(idCol).cast("long"), col("race_key"), k).as("_top"))
+      .select(explode(col("_top")).as("_w"))
+      .select(col(s"_w.id").as(idCol))
+    raced.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Z-order (Morton) clustering key: interleave the low `bits` bits of two
+    * non-negative integer columns — `z = Σᵢ xᵢ·4ⁱ + yᵢ·2·4ⁱ`. Sorting or
+    * range-partitioning a 100 TB table by `z` at WRITE time gives
+    * multi-dimensional locality: a predicate selective on either dimension
+    * touches O(√files) of the layout instead of all of it, because a z-range
+    * covers a quadrant, not a stripe — the standard layout-clustering move
+    * (Delta/Iceberg `ZORDER BY`) expressed as one codegen-friendly column.
+    * Callers quantize each dimension into `[0, 2^bits)` first (bucket id,
+    * not raw value); all shifts are literal, so the whole key folds into
+    * whole-stage codegen with zero exchanges.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB rendering of [[zorderKey]] over integer expressions `x`/`y`. */
+  def zorderKeySql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of [[weightedSample]]'s race key over expression `w`. */
+  def weightedSampleKeySql(w: String, salt: String): String = {
+    val u = s"((${graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'")} % 1000000 + 1)::DOUBLE / 1000001.0)"
+    s"round(-ln($u) / ($w)::DOUBLE, 9)"
+  }
+
   /** DuckDB mirror of [[mixtureWeights]] over `documents`. */
   def mixtureWeightsSql(alpha: Double): String = {
     val toks = TextAnalysis.Sql.toks("text")

@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("prefixJaccardPairs equals brute-force exact Jaccard at the threshold (100% recall)") {
+    // real corpus slice: prefix filtering must reproduce the full τ-pair
+    // set, not a probabilistic subset
+    val corpus = Tables.documents(spark, sf0001)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.5, 0.8)) {
+      val pp = pairSet(Dedup.prefixJaccardPairs(corpus, tau))
+      val brute = pairSet(Dedup.jaccard(Dedup.shingles(corpus))
+        .where(col("jaccard") >= tau))
+      assert(pp === brute, s"tau=$tau: prefix-filtered != brute")
+      assert(brute.nonEmpty, s"tau=$tau: fixture has no pairs — test is vacuous")
+    }
+    // and the filter genuinely prunes: prefix rows < total shingle rows
+    val total = Dedup.shingles(corpus).count()
+    val sizes = Dedup.shingleArrays(corpus)
+      .select(size(col("sharr")).cast("long").as("n"))
+      .agg(sum(ceil(col("n") * 0.2) + 1)).as[Long].collect().head
+    assert(sizes < total / 2, "tau=0.8 prefixes are not a real reduction")
+  }
+
   test("containment flags a planted subset asymmetrically; direction and exact ratios") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

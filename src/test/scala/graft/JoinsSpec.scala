@@ -46,6 +46,70 @@ class JoinsSpec extends SparkSpec {
     assert(saltSpread >= 4, s"hot key only used $saltSpread salts")
   }
 
+  test("bloom semi-join equals the plain semi-join; the pre-filter genuinely prunes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 2000 fact rows over a 500-key space; 40 matching keys
+    val fact = (1 to 2000).map(i => (rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "line")
+      .unionByName(Seq((Option.empty[Long], 9999L)).toDF("k", "line"))
+    val keys = (0 until 40).map(i => (i * 7L, s"m$i")).toDF("k", "tag")
+    val got = Joins.bloomSemiJoin(fact, keys, "k", numBits = 1 << 12, numHashes = 3)
+      .select("k", "line").as[(Long, Long)].collect().toSet
+    val plain = fact.join(keys.select("k").distinct(), Seq("k"), "left_semi")
+      .select("k", "line").as[(Long, Long)].collect().toSet
+    assert(got === plain && got.nonEmpty)
+    // the Bloom pass alone must keep every true match (no false negatives)
+    // and kill most of the non-matching fact rows
+    val bits = Joins.bloomBits(keys.select("k").distinct(), "k", 1 << 12, 3)
+    val pass = fact.where(col("k").isNotNull &&
+      Joins.bloomMightContain(bits, col("k"), 1 << 12, 3)).count()
+    assert(pass >= plain.size, "bloom dropped a true match")
+    assert(pass < fact.count() / 2, s"bloom pruned nothing: $pass rows passed")
+  }
+
+  test("fuzzy join: blocked pairs match brute force within blocks, each pair once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget", 5, "widget"), (2L, "rad widget", 5, "widget"),
+      (3L, "red widget", 5, "widget"), (4L, "blue widget", 5, "widget"),
+      (5L, "red widget", 6, "widget"), // different block: never paired with 1
+      (6L, "red gear", 5, "gear"))
+      .toDF("id", "name", "size", "noun")
+    val got = Joins.fuzzyJoin(df, "id", "name", Seq("size", "noun"), 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // within block (5, widget): (1,2)=1, (1,3)=0, (2,3)=1, (1,4)=3>2, (2,4)=4>2, (3,4)=3>2
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+  }
+
+  test("changelog merge: upsert, delete, insert, same-version delete wins, replay idempotent") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, 0L, false, "A", 10.0), (2L, 0L, false, "B", 20.0),
+      (3L, 0L, false, "C", 30.0), (4L, 0L, false, "D", 40.0))
+      .toDF("k", "version", "del", "status", "price")
+    val changes = Seq(
+      (2L, 1L, false, "B2", 21.0),            // upsert
+      (2L, 2L, false, "B3", 22.0),            // later upsert wins
+      (3L, 1L, true, "C", 30.0),              // delete
+      (4L, 1L, true, "D", 40.0),              // delete...
+      (4L, 1L, false, "D2", 41.0),            // ...same-version upsert loses
+      (9L, 1L, false, "N", 90.0))             // insert
+      .toDF("k", "version", "del", "status", "price")
+    def run(s: org.apache.spark.sql.DataFrame) =
+      Joins.applyChangelog(s, changes, "k", "version", "del")
+        .select("k", "version", "status", "price")
+        .as[(Long, Long, String, Double)].collect().toSet
+    val expected = Set(
+      (1L, 0L, "A", 10.0), (2L, 2L, "B3", 22.0), (9L, 1L, "N", 90.0))
+    assert(run(snap) === expected)
+    // replaying the merged view against the same batch changes nothing
+    val merged = Joins.applyChangelog(snap, changes, "k", "version", "del")
+      .withColumn("del", lit(false))
+      .select("k", "version", "del", "status", "price")
+    assert(run(merged) === expected)
+  }
+
   test("range join equals the theta-join on a random fixture") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -385,4 +385,73 @@ class PipelineSpec extends SparkSpec {
     assert(capped.exceptAll(reference).count() === 0)
     assert(reference.exceptAll(capped).count() === 0)
   }
+
+  test("weightedSample: top-k aggregate equals the sorted race; weight bias is real") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 400 docs, weights 1 or 20 (heavy docs are ids 0-99)
+    val docs = (0 until 400)
+      .map(i => (i.toLong, if (i < 100) 20.0 else 1.0))
+      .toDF("doc_id", "w")
+    val k = 50
+    val got = Pipeline.weightedSample(docs, col("w"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size === k)
+    // reference: sort the SAME race keys (computed by the operator's own
+    // column) and take the k smallest — the aggregate must agree
+    val keys = Pipeline.weightedSample(docs, col("w"), 400)
+      .select("doc_id", "race_key").as[(Long, Double)].collect()
+      .sortBy { case (id, key) => (key, id) }.take(k).map(_._1).toSet
+    assert(got === keys)
+    // Exponential(20) arrivals beat Exponential(1) ~20:1 — with 100 heavy
+    // vs 300 light docs the 50 winners should be dominated by heavy ids
+    val heavy = got.count(_ < 100)
+    assert(heavy > 30, s"only $heavy/50 winners were heavy-weight docs")
+    // zero/negative/null weights can never win
+    val withBad = docs.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(-1.0)).otherwise(col("w")))
+    val oddOnly = Pipeline.weightedSample(withBad, col("w"), 30)
+      .select("doc_id").as[Long].collect()
+    assert(oddOnly.forall(_ % 2 === 1))
+  }
+
+  test("zorderKey matches the bit-interleave reference and preserves quadrant locality") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 200).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Pipeline.zorderKey(col("x"), col("y"), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === ref(x, y, 8), s"($x,$y)") }
+    // locality: all points of a 16×16 quadrant occupy ONE contiguous
+    // z-range of exactly 256 codes — the property that makes z-sorted
+    // layout prune on either dimension
+    val quad = for (x <- 16L until 32L; y <- 32L until 48L) yield ref(x, y, 8)
+    assert(quad.max - quad.min === 255L && quad.toSet.size === 256)
+  }
+
+  test("calibration: integer-exact bin stats on a hand-checked fixture") {
+    import spark.implicits._
+    val scored = Seq(
+      (true, 0.95), (false, 0.95), (true, 1.0),  // bin 9
+      (false, 0.05), (false, 0.0),               // bin 0
+      (true, 0.5))                               // bin 5
+      .toDF("gold", "score")
+    val rows = graft.operators.Eval.calibration(scored, 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 5, 9))
+    val bin9 = rows(2)
+    assert(bin9.getLong(1) === 3 && bin9.getLong(2) === 2)
+    // mean score (0.95+0.95+1.0)/3 = 0.966667; pos rate 2/3
+    assert(bin9.getDouble(3) === 0.966667 && bin9.getDouble(4) === 0.666667)
+    // brier: ((9500-10000)^2 + (9500-0)^2 + (10000-10000)^2)/3/1e8 = 0.30166*
+    assert(math.abs(bin9.getDouble(5) - ((500.0 * 500 + 9500.0 * 9500) / 3 / 1e8)) < 1e-6)
+    val bin0 = rows(0)
+    assert(bin0.getLong(1) === 2 && bin0.getLong(2) === 0 &&
+      bin0.getDouble(4) === 0.0)
+  }
 }

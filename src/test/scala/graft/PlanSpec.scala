@@ -159,7 +159,8 @@ class PlanSpec extends SparkSpec {
                                 // self-join as q147, broadcast
       "q162_cluster_report",    // ≤|labels|²-pair centroid separation join
                                 // over a broadcast-tiny centroid frame
-      "q164_cluster_topics")    // ONE-row assigned-doc total, broadcast
+      "q164_cluster_topics",    // ONE-row assigned-doc total, broadcast
+      "q176_tpch_q22")          // ONE-row (Σbal, cnt) average scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
