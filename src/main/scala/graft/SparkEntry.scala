@@ -1331,7 +1331,25 @@ object SparkEntry {
     "q178_ndcg" -> ((s, d) =>
       ordered(Eval.ndcgAt(
         spannResults(s, d),
-        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K)))
+        Knn.search(q(s, d), Tables.lineitemVec(s, d), K), K))),
+    // k-core of the q153 kNN graph: parallel peel to fixpoint — the
+    // densest-region health audit next to the triangle census
+    "q179_kcore" -> ((s, d) => {
+      val sub = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+        .where(col("id") < TriNodes)
+      val nn = Knn.search(
+        sub.select(col("id").as("query_id"), col("vec").as("qvec")),
+        sub, TriK + 1)
+      val edges = nn.where(col("id") =!= col("query_id"))
+        .select(col("query_id").as("src"), col("id").as("dst"))
+      ordered(graft.operators.KnnGraph.kCore(edges, KcK, KcRounds))
+    }),
+    // PSI drift between doc-id-parity snapshots of the quality score —
+    // integer-exact deciles, Laplace-smoothed shares, 6dp terms
+    "q180_psi" -> ((s, d) =>
+      ordered(Eval.psi(Tables.documents(s, d).select(
+        (col("doc_id") % 2 === 1).as("snap"),
+        TextAnalysis.quality(col("text")).as("score")))))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -1565,6 +1583,11 @@ object SparkEntry {
   private val ZPriceStep = 2000
   // q177: views within the preceding hour share the purchase credit
   private val AttrWindowMin = 60
+  // q179: 3-core of the q153 kNN graph; 12 peel rounds cap (the fixture
+  // reaches fixpoint well inside it — KnnGraphSpec asserts so), mirrored
+  // exactly by the unrolled oracle rounds
+  private val KcK = 3
+  private val KcRounds = 12
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -4252,7 +4275,56 @@ object SparkEntry {
          |  round(coalesce(dcg.dcg, 0)::DOUBLE / idcg.idcg::DOUBLE, 6) AS ndcg
          |FROM qq LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)
          |ORDER BY 1, 2, 3""".stripMargin
-    }
+    },
+    // k-core: q153's kNN edge chain + exactly KcRounds unrolled parallel
+    // peels (extra rounds past the fixpoint are no-ops in both engines)
+    "q179_kcore" -> {
+      val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
+      def degSql(src: String) =
+        s"""SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT a AS id FROM $src UNION ALL SELECT b AS id FROM $src)
+           |GROUP BY 1""".stripMargin
+      // MATERIALIZED: each round references its predecessor three times —
+      // inlined CTEs would re-expand the base scan 2^rounds times
+      val rounds = (1 to KcRounds).map { i =>
+        val prev = if (i == 1) "und" else s"und${i - 1}"
+        s"""deg$i AS MATERIALIZED (${degSql(prev)}),
+           |und$i AS MATERIALIZED (SELECT u.a, u.b FROM $prev u
+           |  JOIN deg$i da ON da.id = u.a AND da.deg >= $KcK
+           |  JOIN deg$i db ON db.id = u.b AND db.deg >= $KcK)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |           WHERE vec_id < $TriNodes),
+         |pd AS (SELECT a.id AS src, b.id AS dst, $dd AS d FROM v a CROSS JOIN v b),
+         |rk AS (SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |       FROM pd),
+         |e AS (SELECT src, dst FROM rk WHERE rn <= ${TriK + 1} AND src <> dst),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         |$rounds
+         |${degSql(s"und$KcRounds")}
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // PSI: calibration's integer deciles on both snapshots, smoothed
+    // shares as single divides, ln-term 6dp
+    "q180_psi" ->
+      s"""WITH s AS (SELECT (doc_id % 2 = 1) AS snap,
+         |             ${TextAnalysis.Sql.qualityExpr} AS score FROM documents),
+         |i AS (SELECT CAST(round(score * 10000) AS BIGINT) AS sc,
+         |        CASE WHEN snap THEN 1 ELSE 0 END AS a,
+         |        CASE WHEN snap THEN 0 ELSE 1 END AS b FROM s),
+         |bn AS (SELECT LEAST(CAST(floor(sc / 1000) AS INT), 9) AS bin,
+         |         CAST(sum(a) AS BIGINT) AS n_a,
+         |         CAST(sum(b) AS BIGINT) AS n_b FROM i GROUP BY 1),
+         |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM bn)
+         |SELECT bin, n_a, n_b,
+         |  round((n_a + 1)::DOUBLE / (ta + 10), 6) AS p_a,
+         |  round((n_b + 1)::DOUBLE / (tb + 10), 6) AS p_b,
+         |  round(((n_a + 1)::DOUBLE / (ta + 10) - (n_b + 1)::DOUBLE / (tb + 10))
+         |        * ln(((n_a + 1)::DOUBLE / (ta + 10))
+         |             / ((n_b + 1)::DOUBLE / (tb + 10))), 6) AS term
+         |FROM bn, t ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

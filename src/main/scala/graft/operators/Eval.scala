@@ -323,6 +323,36 @@ object Eval {
           col("_idcg").cast("double"), 6).as("ndcg"))
   }
 
+  /** Population Stability Index between two snapshots of a [0,1] score —
+    * the drift metric a corpus pipeline alarms on (q149's centroid drift
+    * for embeddings; this for any scalar quality/classifier score). Bins
+    * like [[calibration]] (4dp-score contract → integer-exact deciles),
+    * per-bin Laplace-smoothed shares `p = (c+1)/(n+bins)`, and the PSI term
+    * `(p_a − p_b)·ln(p_a/p_b)` rounded 6dp — Σ terms ≥ 0.25 is the
+    * conventional "investigate" bar. Output one row per OBSERVED bin
+    * `(bin, n_a, n_b, p_a, p_b, term)`; the shares are single IEEE divides
+    * over exact integer counts, so both engines see identical doubles.
+    * Scale: one ≤`bins`-group aggregation + a one-row totals broadcast.
+    */
+  def psi(scored: DataFrame, bins: Int = 10,
+      scoreCol: String = "score", snapCol: String = "snap"): DataFrame = {
+    require(bins > 0 && 10000 % bins == 0, "bins must divide 10000")
+    val intScore = round(col(scoreCol) * 10000).cast("long")
+    val binned = scored.select(
+      least(floor(intScore / (10000 / bins)).cast("int"), lit(bins - 1)).as("bin"),
+      when(col(snapCol), 1L).otherwise(0L).as("_a"),
+      when(col(snapCol), 0L).otherwise(1L).as("_b"))
+      .groupBy(col("bin"))
+      .agg(sum(col("_a")).as("n_a"), sum(col("_b")).as("n_b"))
+    val totals = binned.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val pa = (col("n_a") + 1).cast("double") / (col("_ta") + bins)
+    val pb = (col("n_b") + 1).cast("double") / (col("_tb") + bins)
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("term"))
+  }
+
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)
       .select(col("query_id"), col("id"))

@@ -341,4 +341,45 @@ object KnnGraph {
             (col("deg") * (col("deg") - 1)), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of undirected
+    * degree < k until the graph stabilizes — the densest-region extractor of
+    * a kNN-graph health audit (nodes OUTSIDE the k-core are the weakly
+    * embedded points whose neighborhoods won't survive RNG pruning; the
+    * core is where graph search actually flows). Returns the surviving
+    * `(id, deg)` with degrees measured on the final edge set.
+    *
+    * Level-synchronous peel like [[KnnGraph.rebuild]]'s rounds: each round
+    * is one degree aggregation + two semi-joins, checkpointed so lineage
+    * stays flat; the loop stops at fixpoint or after `maxRounds` (both
+    * bounded — one `count` action per round, the documented driver-action
+    * contract of the Lloyd loop). A round removes every node below k
+    * SIMULTANEOUSLY (the standard parallel peel), so the result is
+    * order-independent and exactly the classical k-core at fixpoint.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    def degrees(und: DataFrame): DataFrame =
+      und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val surv = degrees(und).where(col("deg") >= k).select(col("id"))
+      val pruned = und
+        .join(surv.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      stable = pruned.count() == und.count()
+      und = pruned
+      round += 1
+    }
+    degrees(und)
+  }
 }

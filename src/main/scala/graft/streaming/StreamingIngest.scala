@@ -49,6 +49,35 @@ object StreamingIngest {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join — the continuous form of
+    * [[graft.operators.Events.linearAttribution]]'s touch pairing (q177):
+    * each purchase joins every view by the same user within the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * carries BOTH time bounds (`pts − W ≤ vts ≤ pts`), which is what lets
+    * Spark evict view state once the watermark passes `vts + W` and
+    * purchase state once it passes `pts` — unbounded-state joins never
+    * reach a production cluster. Emits the raw (purchase, view) touch
+    * pairs append-mode; the per-purchase credit divide is a second stateful
+    * stage downstream (or the batch operator over the landed pairs).
+    *
+    * Column contract: `purchases` = (user_id, purchase_id, pts, value),
+    * `views` = (user_id, view_id, vts).
+    */
+  def attributionStream(
+      purchases: DataFrame,
+      views: DataFrame,
+      windowMinutes: Int = 60,
+      watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("pts", watermark)
+    val v = views.withWatermark("vts", watermark)
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(p("user_id"), col("purchase_id"), col("pts"), col("value"),
+        col("view_id"), col("vts"))
+  }
+
   /** Streaming gap-based sessionization via the native
     * `session_window(ts, gap)` — the continuous form of
     * [[graft.operators.Events.sessionize]] (q99): Spark merges events whose

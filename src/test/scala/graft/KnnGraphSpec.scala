@@ -223,4 +223,43 @@ class KnnGraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got === (1L to 4L).map(i => (i, 3L, 3L, 1.0)))
   }
+
+  test("kCore: multi-round peel on a hand graph — pendant chain unravels, triangle stays") {
+    import spark.implicits._
+    // triangle (1,2,3) + chain 3-4-5: node 4 has degree 2 until 5 peels,
+    // so the 2-core needs SEQUENTIAL rounds, not one sweep
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = KnnGraph.kCore(edges, 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k above the max degree empties the graph
+    assert(KnnGraph.kCore(edges, 4).count() === 0)
+  }
+
+  test("kCore equals a plain-Scala peel reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    def refCore(k: Int): Map[Long, Int] = {
+      var und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      var stable = false
+      while (!stable) {
+        val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (id, xs) => (id, xs.size) }
+        val surv = deg.filter(_._2 >= k).keySet
+        val pruned = und.filter(e => surv(e._1) && surv(e._2))
+        stable = pruned.size == und.size
+        und = pruned
+      }
+      und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (id, xs) => (id, xs.size) }
+    }
+    for (k <- Seq(2, 3, 5)) {
+      val got = KnnGraph.kCore(edges.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().map { case (id, d) => (id, d.toInt) }.toMap
+      assert(got === refCore(k), s"k=$k")
+    }
+  }
 }

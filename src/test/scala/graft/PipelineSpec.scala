@@ -434,6 +434,25 @@ class PipelineSpec extends SparkSpec {
     assert(quad.max - quad.min === 255L && quad.toSet.size === 256)
   }
 
+  test("psi: zero on identical snapshots, grows with planted drift, bins partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical distributions → every term is 0 (p_a == p_b exactly:
+    // equal counts and equal totals make the divides bit-identical)
+    val same = (0 until 400).map(i => (i % 2 == 0, ((i / 2) % 10) / 10.0 + 0.05))
+      .toDF("snap", "score")
+    val zero = graft.operators.Eval.psi(same)
+    assert(zero.agg(sum(abs(col("term")))).first().getDouble(0) === 0.0)
+    assert(zero.agg(sum(col("n_a") + col("n_b"))).first().getLong(0) === 400L)
+    // planted shift: snapshot A low scores, B high → large positive PSI
+    val drift = ((0 until 200).map(i => (true, 0.15 + (i % 2) * 0.1)) ++
+      (0 until 200).map(i => (false, 0.75 + (i % 2) * 0.1)))
+      .toDF("snap", "score")
+    val psiSum = graft.operators.Eval.psi(drift)
+      .agg(sum(col("term"))).first().getDouble(0)
+    assert(psiSum > 0.25, s"planted drift read PSI=$psiSum")
+  }
+
   test("calibration: integer-exact bin stats on a hand-checked fixture") {
     import spark.implicits._
     val scored = Seq(

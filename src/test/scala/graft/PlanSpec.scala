@@ -160,7 +160,8 @@ class PlanSpec extends SparkSpec {
       "q162_cluster_report",    // ≤|labels|²-pair centroid separation join
                                 // over a broadcast-tiny centroid frame
       "q164_cluster_topics",    // ONE-row assigned-doc total, broadcast
-      "q176_tpch_q22")          // ONE-row (Σbal, cnt) average scalar, broadcast
+      "q176_tpch_q22",          // ONE-row (Σbal, cnt) average scalar, broadcast
+      "q180_psi")               // ONE-row (ta, tb) snapshot totals, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -33,6 +33,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution pairs") {
+    val events = Tables.events(spark, sf0001)
+    val batch = graft.operators.Events.linearAttribution(events, 60)
+      .select("purchase_id", "view_id")
+
+    implicit val sq = spark.sqlContext
+    val pStream = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val vStream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    pStream.addData(events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect().toIndexedSeq)
+    vStream.addData(events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toIndexedSeq)
+
+    val q = StreamingIngest.attributionStream(
+      pStream.toDF().toDF("user_id", "purchase_id", "pts", "value"),
+      vStream.toDF().toDF("user_id", "view_id", "vts"), 60)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").select("purchase_id", "view_id")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
