@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1349,7 +1350,50 @@ object SparkEntry {
     "q180_psi" -> ((s, d) =>
       ordered(Eval.psi(Tables.documents(s, d).select(
         (col("doc_id") % 2 === 1).as("snap"),
-        TextAnalysis.quality(col("text")).as("score")))))
+        TextAnalysis.quality(col("text")).as("score"))))),
+    // end-to-end entity resolution: q166's fuzzy pairs drive the q60
+    // min-label walk and the q66 keep-set — the canonical part catalog
+    "q181_entity_resolution" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          split(col("p_name"), " ").getItem(1).as("_noun"))
+      val pairs = graft.operators.Joins
+        .fuzzyJoin(parts, "p_partkey", "p_name", Seq("p_size", "_noun"),
+          FuzzyMaxDist)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val groups = Dedup.canonicalGroups(parts, pairs, "p_partkey")
+      ordered(Dedup.applyDedup(Tables.part(s, d), groups, "p_partkey")
+        .select(col("p_partkey"), col("p_name")))
+    }),
+    // TPC-H Q7: two broadcast dims on one fact row, symmetric pair filter
+    "q182_tpch_q7" -> ((s, d) => ordered(tpchQ7(s, d))),
+    // TPC-H Q8: market share as a conditional-aggregation ratio, one pass
+    "q183_tpch_q8" -> ((s, d) => ordered(tpchQ8(s, d))),
+    // per-customer order analytics: running total, previous order price,
+    // 3-order moving average — per-key windows (corpus-many customers)
+    "q184_running_window" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      ordered(Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast(dec)).over(wRun).cast("double")
+            .as("running_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          round(sum(col("o_totalprice").cast(dec)).over(w3).cast("double") /
+            count(lit(1)).over(w3), 6).as("avg3")))
+    }),
+    // pivot (conditional-aggregation spread): returnflag × linestatus
+    // revenue matrix in one pass
+    "q185_pivot" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      ordered(Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double")))
+    })
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -1588,6 +1632,10 @@ object SparkEntry {
   // exactly by the unrolled oracle rounds
   private val KcK = 3
   private val KcRounds = 12
+  // q182/q183: the synthetic nation keyspace is NATION_0..24
+  private val Q7NationA = "NATION_1"
+  private val Q7NationB = "NATION_2"
+  private val Q8Nation = "NATION_3"
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -1831,6 +1879,71 @@ object SparkEntry {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
         sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): the two-dimension join graph —
+    * supplier nation AND customer nation ride the same fact row through
+    * two broadcast dim joins, with the symmetric nation-pair filter as a
+    * residual. Anchors multi-dim star joins: both dims broadcast, one fact
+    * shuffle (orders⋈lineitem), groups keyed on the two nation names +
+    * ship year.
+    */
+  private def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val n = Tables.nation(s, d)
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cn = Tables.customer(s, d)
+      .join(broadcast(n.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("_cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): conditional-aggregation ratio
+    * — one pass computes both the per-year total and the focal nation's
+    * slice (`sum(CASE WHEN …)`), share = one divide over the two exact
+    * decimal sums. No second scan, no self-join — the
+    * numerator-inside-the-aggregate pattern.
+    */
+  private def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val asia = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === Q5Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(rev).cast("double").as("total_rev"),
+        sum(when(col("supp_nation") === Q8Nation, rev)
+          .otherwise(lit(0).cast(dec))).cast("double").as("nation_rev"),
+        round(
+          sum(when(col("supp_nation") === Q8Nation, rev)
+            .otherwise(lit(0).cast(dec))).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"))
   }
 
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
@@ -4324,7 +4437,89 @@ object SparkEntry {
          |  round(((n_a + 1)::DOUBLE / (ta + 10) - (n_b + 1)::DOUBLE / (tb + 10))
          |        * ln(((n_a + 1)::DOUBLE / (ta + 10))
          |             / ((n_b + 1)::DOUBLE / (tb + 10))), 6) AS term
-         |FROM bn, t ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+         |FROM bn, t ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // entity resolution: the q166 pair set walked to min labels (q163's
+    // recursive pattern); survivors are each group's canonical part
+    "q181_entity_resolution" ->
+      s"""WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_size,
+         |             split_part(p_name, ' ', 2) AS noun FROM part),
+         |fz AS (SELECT a.p_partkey AS a, b.p_partkey AS b
+         |       FROM p a JOIN p b
+         |         ON a.p_size = b.p_size AND a.noun = b.noun
+         |        AND a.p_partkey < b.p_partkey
+         |       WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist),
+         |edges AS (SELECT a AS u, b AS v FROM fz UNION SELECT b, a FROM fz),
+         |walk(id, lbl) AS (
+         |  SELECT p_partkey, p_partkey FROM part
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |)
+         |SELECT pt.p_partkey, pt.p_name FROM part pt
+         |JOIN (SELECT id FROM walk GROUP BY id HAVING min(lbl) = id) k
+         |  ON k.id = pt.p_partkey
+         |ORDER BY 1, 2""".stripMargin,
+    "q182_tpch_q7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |       AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE (sn.n_name = '$Q7NationA' AND cn.n_name = '$Q7NationB')
+         |   OR (sn.n_name = '$Q7NationB' AND cn.n_name = '$Q7NationA')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Q8: numerator as a conditional sum INSIDE the same aggregation
+    "q183_tpch_q8" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+         |    sn.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE c_nationkey IN (
+         |    SELECT n_nationkey FROM nation JOIN region
+         |      ON n_regionkey = r_regionkey WHERE r_name = '$Q5Region'))
+         |SELECT o_year,
+         |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+         |  CAST(SUM(CASE WHEN supp_nation = '$Q8Nation' THEN rev
+         |                ELSE 0.0000 END) AS DOUBLE) AS nation_rev,
+         |  round(CAST(SUM(CASE WHEN supp_nation = '$Q8Nation' THEN rev
+         |                      ELSE 0.0000 END) AS DOUBLE)
+         |        / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+         |FROM base GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // per-customer windows: explicit ROWS frames on both engines
+    "q184_running_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_total,
+        |  lag(o_totalprice, 1)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS prev_price,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+        |FROM orders
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // pivot = conditional aggregation spread over the pivot values
+    "q185_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored
