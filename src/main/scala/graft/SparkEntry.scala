@@ -1393,6 +1393,62 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_extendedprice").cast(dec)).cast("double")))
+    }),
+    // CUBE: all four aggregation levels (flag×status, flag, status, grand)
+    // from ONE scan — q155's rollup plus the status-only slice
+    "q186_cube" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      ordered(Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows")))
+    }),
+    // exact Pearson correlation + OLS slope of (quality, token count):
+    // five integer power sums in one pass, two sqrts + one divide at the
+    // end — never a mean-centered float accumulation
+    "q187_correlation" -> ((s, d) => {
+      val bigDec = "decimal(38,0)"
+      val docs = Tables.documents(s, d).select(
+        round(TextAnalysis.quality(col("text")) * 10000).cast("long").as("x"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("y"))
+      ordered(docs.agg(
+        count(lit(1)).cast(bigDec).as("_n"),
+        sum(col("x")).cast(bigDec).as("_sx"),
+        sum(col("y")).cast(bigDec).as("_sy"),
+        sum((col("x") * col("y")).cast(bigDec)).as("_sxy"),
+        sum((col("x") * col("x")).cast(bigDec)).as("_sxx"),
+        sum((col("y") * col("y")).cast(bigDec)).as("_syy"))
+        .select(
+          col("_n").cast("long").as("n"),
+          round((col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
+              sqrt((col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))),
+            6).as("corr"),
+          round((col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double"),
+            6).as("beta")))
+    }),
+    // join-key skew profiler: the top-20 hottest fact keys + their share
+    // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
+    // what you run BEFORE deciding a join needs salting
+    "q188_skew_profile" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val top = counts
+        .agg(graft.functions.TopKByDistance.topk(
+          col("l_orderkey"), -col("cnt").cast("double"), SkewTopK).as("_top"))
+        .select(posexplode(col("_top")).as(Seq("_pos", "_w")))
+        .select((col("_pos") + 1).cast("int").as("rank"),
+          col("_w.id").as("l_orderkey"),
+          (-col("_w.dist")).cast("long").as("cnt"))
+      val tot = Tables.lineitem(s, d).agg(count(lit(1)).as("_tot"))
+      ordered(top.crossJoin(broadcast(tot))
+        .select(col("rank"), col("l_orderkey"), col("cnt"),
+          round(col("cnt").cast("double") / col("_tot"), 6).as("share")))
     })
   )
 
@@ -1636,6 +1692,8 @@ object SparkEntry {
   private val Q7NationA = "NATION_1"
   private val Q7NationB = "NATION_2"
   private val Q8Nation = "NATION_3"
+  // q188: 20 hottest keys — the salting-decision shortlist
+  private val SkewTopK = 20
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -4519,7 +4577,46 @@ object SparkEntry {
         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O"
-        |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin,
+    "q186_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // correlation/slope from the same five DECIMAL(38,0) power sums
+    "q187_correlation" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT
+         |  CAST(round(${TextAnalysis.Sql.qualityExpr} * 10000) AS BIGINT) AS x,
+         |  CAST(len($toks) AS BIGINT) AS y FROM documents),
+         |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy FROM t)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy)::DOUBLE /
+         |    (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)),
+         |    6) AS corr,
+         |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+         |    AS beta
+         |FROM s""".stripMargin
+    },
+    // skew profile: the oracle may sort-and-limit; the engine must top-k
+    "q188_skew_profile" ->
+      s"""WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |t AS (SELECT count(*) AS tot FROM lineitem),
+         |r AS (SELECT l_orderkey, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS INT)
+         |          AS rank
+         |      FROM c)
+         |SELECT rank, l_orderkey, cnt, round(cnt::DOUBLE / tot, 6) AS share
+         |FROM r, t WHERE rank <= $SkewTopK
+         |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored
