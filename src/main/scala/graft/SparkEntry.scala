@@ -1432,6 +1432,27 @@ object SparkEntry {
             (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double"),
             6).as("beta")))
     }),
+    // Z-order-clustered stored layout: save partitioned by z-prefix
+    // quadrant, probe a price range through the static-pruned cover —
+    // result ≡ the plain filter (the oracle IS the plain filter)
+    "q189_zorder_probe" -> ((s, d) => {
+      val dir = scratch("q189_zo")
+      val dec = DecimalType(18, 4)
+      graft.sources.ZOrderStore.save(dir,
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_totalprice", "o_custkey", ZPriceStep.toDouble, ZBits, ZPrefixBits)
+      val idx = graft.sources.ZOrderStore.load(s, dir)
+      ordered(graft.sources.ZOrderStore
+        .probeX(idx, "o_totalprice", ZProbeLo, ZProbeHi)
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows")))
+    }),
+    // per-source MAD outliers: integer lower-medians off resolution-
+    // bounded histograms, cross-multiplied 3σ-equivalent flag
+    "q190_mad_outliers" -> ((s, d) =>
+      ordered(Pipeline.madOutliers(Tables.documents(s, d),
+        TextAnalysis.quality(col("text"))))),
     // join-key skew profiler: the top-20 hottest fact keys + their share
     // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
     // what you run BEFORE deciding a join needs salting
@@ -1694,6 +1715,11 @@ object SparkEntry {
   private val Q8Nation = "NATION_3"
   // q188: 20 hottest keys — the salting-decision shortlist
   private val SkewTopK = 20
+  // q189: 8-bit z-prefix partitions; the [10k, 30k) price probe covers one
+  // x high-nibble → 16 of 256 quadrants
+  private val ZPrefixBits = 8
+  private val ZProbeLo = 10000.0
+  private val ZProbeHi = 30000.0
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -4616,7 +4642,38 @@ object SparkEntry {
          |      FROM c)
          |SELECT rank, l_orderkey, cnt, round(cnt::DOUBLE / tot, 6) AS share
          |FROM r, t WHERE rank <= $SkewTopK
-         |ORDER BY 1, 2, 3, 4""".stripMargin
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // the layout is performance-only: the oracle is the plain filter the
+    // pruned probe must equal
+    "q189_zorder_probe" ->
+      s"""SELECT
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         |  COUNT(*) AS n_rows
+         |FROM orders
+         |WHERE o_totalprice >= $ZProbeLo AND o_totalprice < $ZProbeHi""".stripMargin,
+    // MAD: the same two-level lower-median histograms, integer throughout
+    "q190_mad_outliers" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |             CAST(round(${TextAnalysis.Sql.qualityExpr} * 10000) AS BIGINT) AS x
+         |           FROM documents),
+         |h1 AS (SELECT source, x AS v, count(*) AS c FROM s GROUP BY 1, 2),
+         |n1 AS (SELECT source, sum(c) AS n FROM h1 GROUP BY 1),
+         |c1 AS (SELECT h1.source, v,
+         |         sum(c) OVER (PARTITION BY h1.source ORDER BY v) AS cum, n
+         |       FROM h1 JOIN n1 USING (source)),
+         |m1 AS (SELECT source, min(v) AS med FROM c1 WHERE cum * 2 >= n GROUP BY 1),
+         |dv AS (SELECT doc_id, s.source, x, med, abs(x - med) AS d
+         |       FROM s JOIN m1 USING (source)),
+         |h2 AS (SELECT source, d AS v, count(*) AS c FROM dv GROUP BY 1, 2),
+         |n2 AS (SELECT source, sum(c) AS n FROM h2 GROUP BY 1),
+         |c2 AS (SELECT h2.source, v,
+         |         sum(c) OVER (PARTITION BY h2.source ORDER BY v) AS cum, n
+         |       FROM h2 JOIN n2 USING (source)),
+         |m2 AS (SELECT source, min(v) AS mad FROM c2 WHERE cum * 2 >= n GROUP BY 1)
+         |SELECT doc_id, source, x AS score1e4, med, mad
+         |FROM dv JOIN m2 USING (source)
+         |WHERE d * 10000 > 44478 * mad
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

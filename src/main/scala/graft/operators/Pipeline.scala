@@ -807,6 +807,47 @@ object Pipeline {
       s"((($x) >> $i) & 1) * ${1L << (2 * i)} + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** Per-source robust outliers by median absolute deviation: flag docs
+    * whose 4dp score sits more than `factor1e4/10⁴ × MAD` from their OWN
+    * source's median (default 3σ-equivalent: 3·1.4826 = 4.4478). Robust
+    * where the mean/stddev z-score is not — one junk cluster in a source
+    * moves a median by nothing. All integer arithmetic: scores scale to
+    * exact ints, the median is the LOWER median read off a per-source value
+    * HISTOGRAM (smallest v with 2·cum ≥ n — the q85 resolution-bounded
+    * pattern: the window runs over ≤10⁴ histogram rows per source, never
+    * over the corpus), the MAD is the same rule on |x − med|, and the flag
+    * test cross-multiplies (`10⁴·d > factor1e4·MAD`). Degenerate sources
+    * (over half the docs share one score) have MAD = 0 and flag every
+    * off-median doc — the standard MAD behavior, callers pre-filter if
+    * unwanted. Output: the flagged docs with their evidence.
+    */
+  def madOutliers(
+      docs: DataFrame,
+      scoreCol: Column,
+      factor1e4: Long = 44478L,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val scored = docs.select(col(idCol), col(sourceCol).as("source"),
+      round(scoreCol * 10000).cast("long").as("x"))
+    def lowerMedian(df: DataFrame, out: String): DataFrame = {
+      val h = df.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val n = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      h.withColumn("cum", sum(col("c")).over(w))
+        .join(n, Seq("source"))
+        .where(col("cum") * 2 >= col("n"))
+        .groupBy(col("source")).agg(min(col("v")).as(out))
+    }
+    val med = lowerMedian(scored.select(col("source"), col("x").as("v")), "med")
+    val dev = scored.join(broadcast(med), Seq("source"))
+      .withColumn("d", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev.select(col("source"), col("d").as("v")), "mad")
+    dev.join(broadcast(mad), Seq("source"))
+      .where(col("d") * 10000 > col("mad") * factor1e4)
+      .select(col(idCol), col("source"), col("x").as("score1e4"),
+        col("med"), col("mad"))
+  }
+
   /** DuckDB mirror of [[weightedSample]]'s race key over expression `w`. */
   def weightedSampleKeySql(w: String, salt: String): String = {
     val u = s"((${graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'")} % 1000000 + 1)::DOUBLE / 1000001.0)"

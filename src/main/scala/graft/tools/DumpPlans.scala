@@ -229,7 +229,48 @@ object DumpPlans {
         |hash-salt projection (scan-speed), the dim side explodes salts×
         |in-row, and the equi-join runs on (key, salt) — a hot orderkey's
         |rows spread across salts reducers instead of serializing on one.
-        |Result ≡ the plain join; the oracle IS the plain join.""".stripMargin)
+        |Result ≡ the plain join; the oracle IS the plain join.""".stripMargin,
+    "q165_bloom_join" ->
+      """Bloom-prefiltered semi-join: the distinct key set ORs into a 16 KiB
+        |word array (distributed bit_or, word-keyed exchange of ≤ bits/64
+        |rows), which probes as a LITERAL inside the fact scan's codegen
+        |stage — most non-matching fact rows die before the semi-join's
+        |exchange ever sees them. The exact semi-join after it removes the
+        |false positives, so the result ≡ the plain semi-join. At 100 TB the
+        |win is the fact-side shuffle volume; the filter is reusable across
+        |facts probing the same key set.""".stripMargin,
+    "q167_changelog" ->
+      """Changelog (CDC) merge: snapshot ∪ changes through ONE
+        |max_by(payload, (version, isDelete)) hash aggregation — map-side
+        |partials mean the exchange carries one candidate per key per input
+        |partition, and no task ever sorts a key-group (the window
+        |formulation the oracle uses would). Same-version delete outranks
+        |the upsert, so replays are idempotent.""".stripMargin,
+    "q168_weighted_sample" ->
+      """Weighted sampling (Efraimidis–Spirakis race): the per-row race key
+        |is scan-speed column math; the global k smallest flow through the
+        |bounded batch_topk aggregate — map-side partial top-k per task,
+        |one ≤(k·tasks)-row merge — never a global sort. The oracle
+        |sorts-and-limits; the engine must not.""".stripMargin,
+    "q173_ppjoin" ->
+      """Prefix-filtered exact Jaccard (PPJoin rule): candidates come only
+        |from each doc's (1−τ)-fraction RAREST shingles (df-ascending
+        |prefix), so hot boilerplate shingles never generate pairs and
+        |recall is 100% by pigeonhole — the deterministic sibling of q33's
+        |probabilistic MinHash banding. Per-doc rank windows partition on
+        |doc_id (corpus-many keys); verify is the same in-row
+        |array_intersect as q33.""".stripMargin,
+    "q179_kcore" ->
+      """k-core peel: level-synchronous rounds of degree-aggregate + two
+        |semi-joins, checkpointed per round, stop at fixpoint or the round
+        |cap. Each round's shuffle is O(edges); removal is simultaneous so
+        |the result is order-independent — the classical parallel peel, the
+        |same loop discipline as Lloyd/PageRank.""".stripMargin,
+    "q188_skew_profile" ->
+      """Join-key skew profile: per-key counts (map-side combined), then
+        |the 20 hottest keys via the bounded top-k aggregate keyed on
+        |(−cnt, key) — the profile that decides whether a join needs q160's
+        |salting, computed without sorting the key histogram.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -453,6 +453,23 @@ class PipelineSpec extends SparkSpec {
     assert(psiSum > 0.25, s"planted drift read PSI=$psiSum")
   }
 
+  test("madOutliers: flags the planted outlier, not the tight cluster; MAD=0 degeneracy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // source A: scores clustered at 0.50±0.02 plus one planted 0.95 —
+    // median 0.50, MAD 0.01 (deviations 0,1,1,2,2 → lower median 100),
+    // flag bar 4.4478·MAD = 445 → only the planted doc (d=4500) flags
+    val a = Seq((1L, "a", 0.50), (2L, "a", 0.49), (3L, "a", 0.51),
+      (4L, "a", 0.48), (5L, "a", 0.52), (6L, "a", 0.95))
+    // source B: over half identical → MAD 0, every off-median doc flags
+    val b = Seq((10L, "b", 0.30), (11L, "b", 0.30), (12L, "b", 0.30),
+      (13L, "b", 0.31))
+    val docs = (a ++ b).toDF("doc_id", "source", "q")
+    val got = Pipeline.madOutliers(docs, col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(6L, 13L))
+  }
+
   test("calibration: integer-exact bin stats on a hand-checked fixture") {
     import spark.implicits._
     val scored = Seq(

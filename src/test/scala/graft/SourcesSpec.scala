@@ -301,4 +301,39 @@ class SourcesSpec extends SparkSpec {
     assert(GraftConf.fromParams(Map("k" -> "20")).resultK === 20)
     intercept[RuntimeException](c.set("bogus", "1"))
   }
+
+  test("ZOrderStore: probes on EITHER dimension equal plain filters and prune partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.sources.ZOrderStore.save(dir, orders,
+      "o_totalprice", "o_custkey", 2000.0, bits = 8, prefixBits = 8)
+    val idx = graft.sources.ZOrderStore.load(spark, dir)
+
+    val px = graft.sources.ZOrderStore.probeX(idx, "o_totalprice", 10000.0, 30000.0)
+    val expX = orders.where(col("o_totalprice") >= 10000.0 &&
+      col("o_totalprice") < 30000.0)
+    assert(px.exceptAll(expX).count() === 0 && expX.exceptAll(px).count() === 0)
+    assert(expX.count() > 0)
+
+    val py = graft.sources.ZOrderStore.probeY(idx, "o_custkey", 7L)
+    val expY = orders.where(col("o_custkey") === 7L)
+    assert(py.exceptAll(expY).count() === 0 && expY.exceptAll(py).count() === 0)
+
+    // the pruning is real on BOTH probes: the zbucket IN-list reaches the
+    // scan as a static PartitionFilter, and each cover is a strict subset
+    // of the quadrant space (the y-probe is the case x-partitioning cannot
+    // prune)
+    assert(px.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [zbucket"), "x-probe: no partition filter")
+    assert(py.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [zbucket"), "y-probe: no partition filter")
+    val dirs = new java.io.File(s"$dir/rows").listFiles()
+      .count(_.getName.startsWith("zbucket="))
+    assert(graft.sources.ZOrderStore.coverX(idx, 10000.0, 30000.0).size < dirs,
+      "x-cover is not a strict subset of the written quadrants")
+    assert(graft.sources.ZOrderStore.coverY(idx, 7L).size < dirs,
+      "y-cover is not a strict subset of the written quadrants")
+  }
 }
