@@ -1453,6 +1453,17 @@ object SparkEntry {
     "q190_mad_outliers" -> ((s, d) =>
       ordered(Pipeline.madOutliers(Tables.documents(s, d),
         TextAnalysis.quality(col("text"))))),
+    // weekly load-shape profile: (type, dow, hour) cells + type share
+    "q191_seasonality" -> ((s, d) =>
+      ordered(graft.operators.Events.seasonality(Tables.events(s, d)))),
+    // exact bucketed time-to-convert percentiles — the q159 histogram
+    // rank test on minute-floored signup→purchase delays
+    "q192_time_to_convert" -> ((s, d) =>
+      ordered(graft.operators.Events.timeToConvert(
+        Tables.events(s, d), ConvertPcts))),
+    // first-order Markov transition matrix of per-user event streams
+    "q193_transitions" -> ((s, d) =>
+      ordered(graft.operators.Events.transitions(Tables.events(s, d)))),
     // join-key skew profiler: the top-20 hottest fact keys + their share
     // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
     // what you run BEFORE deciding a join needs salting
@@ -1720,6 +1731,8 @@ object SparkEntry {
   private val ZPrefixBits = 8
   private val ZProbeLo = 10000.0
   private val ZProbeHi = 30000.0
+  // q192: the conversion-latency dataset-card percentiles
+  private val ConvertPcts = Seq(50, 90, 99)
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -4673,7 +4686,46 @@ object SparkEntry {
          |SELECT doc_id, source, x AS score1e4, med, mad
          |FROM dv JOIN m2 USING (source)
          |WHERE d * 10000 > 44478 * mad
-         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // dow: DuckDB is 0-based Sunday=0, Spark 1-based Sunday=1 → +1
+    "q191_seasonality" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, sum(n) AS tot FROM cells GROUP BY 1)
+        |SELECT c.event_type, dow, hod, n, round(n::DOUBLE / tot, 6) AS share
+        |FROM cells c JOIN t USING (event_type)
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // floor(epoch()): the events carry sub-second timestamps and Spark's
+    // unix_timestamp truncates to seconds — mirror the truncation
+    "q192_time_to_convert" ->
+      s"""WITH su AS (SELECT user_id, min(ts) AS su FROM events
+         |           WHERE event_type = 'signup' GROUP BY 1),
+         |d AS (SELECT e.user_id,
+         |        min(CAST(floor(epoch(e.ts)) AS BIGINT)
+         |            - CAST(floor(epoch(su)) AS BIGINT)) AS dd
+         |      FROM events e JOIN su USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts >= su GROUP BY 1),
+         |vv AS (SELECT (dd // 60) * 60 AS v FROM d),
+         |h AS (SELECT v, count(*) AS c FROM vv GROUP BY 1),
+         |t AS (SELECT sum(c) AS n FROM h),
+         |cum AS (SELECT a.v, sum(b.c) AS cum FROM h a JOIN h b ON b.v <= a.v
+         |        GROUP BY 1)
+         |SELECT pct, min(v) AS delay_sec
+         |FROM cum, t, (SELECT unnest([${ConvertPcts.mkString(", ")}]) AS pct)
+         |WHERE cum * 100 >= pct * n GROUP BY pct ORDER BY 1, 2""".stripMargin,
+    "q193_transitions" ->
+      """WITH w AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |      FROM w WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 6) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

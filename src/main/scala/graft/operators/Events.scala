@@ -134,6 +134,89 @@ object Events {
         col("_asof").getField("value").as("asof_value")): _*)
   }
 
+  /** Weekly seasonality profile: per (event_type, day-of-week, hour) counts
+    * and each cell's share of its type's total — the load-shape table a
+    * capacity planner or anomaly detector baselines against (the trailing
+    * z of [[rateAnomaly]] catches bursts; this catches "Tuesday 9am is
+    * always 3× Sunday 3am"). Day-of-week is 1–7 with Sunday = 1 (Spark's
+    * `dayofweek`; mirrored as DuckDB's 0-based `dayofweek + 1`). One
+    * corpus aggregation to ≤ |types|·168 cells + a broadcast type-total
+    * join; share is one divide, 6dp.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("_tot"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("share"))
+  }
+
+  /** Time-to-convert quantiles: per user, the delay from FIRST `fromType`
+    * to the first `toType` at-or-after it, floored to `resolutionSec`
+    * buckets; then the requested percentiles of the bucketed delays read
+    * off the value histogram with the integer rank test `100·cum ≥ pct·n`
+    * — the q159 quantile-table pattern (bounded broadcast `_u <= v`
+    * self-join, never a partition-less window or global sort). The
+    * resolution bound is what keeps the histogram broadcastable at any
+    * user count: distinct values ≤ maxDelay/resolution (a 30-day window at
+    * minute resolution is ≤ 43 200 rows), and within a bucket the quantile
+    * is exact on the bucket floor. Output `(pct, delay_sec)` — the bucket
+    * lower edge.
+    */
+  def timeToConvert(
+      events: DataFrame,
+      pcts: Seq[Int],
+      fromType: String = "signup",
+      toType: String = "purchase",
+      resolutionSec: Long = 60L): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    require(resolutionSec > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val su = events.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_su"))
+    val delays = events.where(col("event_type") === toType)
+      .join(su, Seq("user_id"))
+      .where(col("ts") >= col("_su"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_timestamp(col("ts")) - unix_timestamp(col("_su")))
+        .as("_d"))
+      .select((floor(col("_d") / resolutionSec).cast("long") * resolutionSec)
+        .as("v"))
+    val h = delays.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val tot = h.agg(sum(col("c")).as("n"))
+    val cum = h.select(col("v"))
+      .join(broadcast(h.select(col("v").as("_u"), col("c"))),
+        col("_u") <= col("v"))
+      .groupBy(col("v")).agg(sum(col("c")).as("cum"))
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .where(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct")).agg(min(col("v")).as("delay_sec"))
+  }
+
+  /** First-order Markov transition matrix of a user's event stream: counts
+    * and probabilities of `from_type → to_type` over consecutive events per
+    * user (ordered by `(ts, event_id)`), the path-analysis table behind
+    * "what do users do after a view?". Per-user `lead` window
+    * (corpus-many keys), one pair aggregation, one divide per cell.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("prob"))
+  }
+
   /** Linear (multi-touch) attribution: each purchase's value splits EQUALLY
     * across that user's views in the preceding `windowMinutes` — the
     * complement of [[asOfJoin]]'s last-touch model. One per-user equi-join

@@ -216,4 +216,37 @@ class EventsSpec extends SparkSpec {
       .map(x => x.getLong(2) -> (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
     assert(r === Map(900L -> -1L, 901L -> 100L, 902L -> 102L, 903L -> 103L))
   }
+
+  test("seasonality shares sum to 1 per type; transitions probs sum to 1 per from_type; " +
+    "timeToConvert percentiles are monotone and hand-exact") {
+    val events = ev(Seq(
+      (1L, "2026-01-04 10:00:00", 1L, "signup", 0.0),   // Sunday
+      (2L, "2026-01-04 10:05:00", 1L, "view", 0.0),
+      (3L, "2026-01-04 10:30:30", 1L, "purchase", 5.0), // 30.5 min after signup
+      (4L, "2026-01-05 09:00:00", 2L, "signup", 0.0),
+      (5L, "2026-01-05 09:01:00", 2L, "purchase", 7.0), // 1 min
+      (6L, "2026-01-05 09:02:00", 2L, "view", 0.0),
+      (7L, "2026-01-06 23:00:00", 3L, "signup", 0.0)))  // never converts
+    val season = Events.seasonality(events)
+    val bySrc = season.groupBy("event_type")
+      .agg(sum(col("share")).as("s"), sum(col("n")).as("n")).collect()
+    bySrc.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r))
+    // Sunday 10:00 signup lands in dow=1 (Spark: Sunday = 1)
+    assert(season.where(col("event_type") === "signup" && col("dow") === 1 &&
+      col("hod") === 10).count() === 1)
+
+    val trans = Events.transitions(events)
+    val probSums = trans.groupBy("from_type").agg(sum(col("prob"))).collect()
+    probSums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r))
+    // user 1: signup→view→purchase; user 2: signup→purchase→view
+    val m = trans.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("signup", "view")) === 1L && m(("signup", "purchase")) === 1L &&
+      m(("view", "purchase")) === 1L && m(("purchase", "view")) === 1L)
+
+    // delays: 1830s → bucket 1800; 60s → bucket 60. p50 = 60, p99 = 1800
+    val ttc = Events.timeToConvert(events, Seq(50, 99)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ttc === Map(50 -> 60L, 99 -> 1800L))
+  }
 }

@@ -162,7 +162,10 @@ class PlanSpec extends SparkSpec {
       "q164_cluster_topics",    // ONE-row assigned-doc total, broadcast
       "q176_tpch_q22",          // ONE-row (Σbal, cnt) average scalar, broadcast
       "q180_psi",               // ONE-row (ta, tb) snapshot totals, broadcast
-      "q188_skew_profile")      // ONE-row scan-total scalar, broadcast
+      "q188_skew_profile",      // ONE-row scan-total scalar, broadcast
+      "q192_time_to_convert")   // resolution-bounded delay-histogram
+                                // self-join + one-row total + pct literals,
+                                // all broadcast (the q159 pattern)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
