@@ -1464,6 +1464,13 @@ object SparkEntry {
     // first-order Markov transition matrix of per-user event streams
     "q193_transitions" -> ((s, d) =>
       ordered(graft.operators.Events.transitions(Tables.events(s, d)))),
+    // per-source token-count percentiles: the generalized per-group exact
+    // quantile operator over a resolution-bounded integer column
+    "q194_source_token_quantiles" -> ((s, d) =>
+      ordered(Pipeline.groupQuantiles(
+        Tables.documents(s, d).select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        "source", "n_tokens", QuantPcts))),
     // join-key skew profiler: the top-20 hottest fact keys + their share
     // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
     // what you run BEFORE deciding a join needs salting
@@ -4725,7 +4732,20 @@ object SparkEntry {
         |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
         |SELECT from_type, to_type, n, round(n::DOUBLE / tot, 6) AS prob
         |FROM p JOIN t USING (from_type)
-        |ORDER BY 1, 2, 3, 4""".stripMargin
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q194_source_token_quantiles" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH s AS (SELECT source, CAST(len($toks) AS BIGINT) AS v FROM documents),
+         |h AS (SELECT source, v, count(*) AS c FROM s GROUP BY 1, 2),
+         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT h.source, v,
+         |          sum(c) OVER (PARTITION BY h.source ORDER BY v) AS cum, n
+         |        FROM h JOIN n USING (source))
+         |SELECT source, pct, min(v) AS value
+         |FROM cum, (SELECT unnest([${QuantPcts.mkString(", ")}]) AS pct)
+         |WHERE cum * 100 >= pct * n
+         |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+    }
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

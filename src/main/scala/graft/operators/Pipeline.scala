@@ -807,6 +807,37 @@ object Pipeline {
       s"((($x) >> $i) & 1) * ${1L << (2 * i)} + ((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** Per-group EXACT percentiles of an integer-valued column: the q159
+    * histogram rank test (`100·cum ≥ pct·n`, lower value wins) applied per
+    * group — one `(group, value)` aggregation, a cum window over the
+    * RESOLUTION-BOUNDED histogram (never the raw rows: the q85 contract),
+    * and a broadcast pct-literal join. The generalized form behind
+    * [[qualityQuantiles]] (global), [[madOutliers]] (medians), and
+    * `Events.timeToConvert` (bucketed delays) — exposed so any
+    * per-group distribution card (tokens per source, latency per route) is
+    * one call. `valueCol` must be integer-typed or resolution-bounded;
+    * output `(group, pct, value)`.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be 1..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val n = h.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    h.withColumn("cum", sum(col("c")).over(w))
+      .join(n, Seq(groupCol))
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .where(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col(groupCol), col("pct")).agg(min(col("v")).as("value"))
+  }
+
   /** Per-source robust outliers by median absolute deviation: flag docs
     * whose 4dp score sits more than `factor1e4/10⁴ × MAD` from their OWN
     * source's median (default 3σ-equivalent: 3·1.4826 = 4.4478). Robust

@@ -334,4 +334,75 @@ object IndexStore {
       .where(col("head_bucket").isin(buckets: _*))
       .where(col("head_id").isin(headIds: _*))
   }
+
+  // ----------------------------------------------------------------------
+  // Versioned publishing (serve-while-rebuilding)
+  // ----------------------------------------------------------------------
+  //
+  // Production serving never overwrites the index it is reading: a rebuild
+  // writes the NEXT version beside the live one (`root/v<N>/`), then flips
+  // one tiny pointer file (`root/_CURRENT`) via write-temp + atomic rename
+  // — readers that resolved the pointer before the flip keep scanning the
+  // old directory untouched; readers after it see the new version, whole.
+  // The reference's refine does the same dance with its in-memory swap
+  // (`BKTIndex.cpp` refine-then-swap); at 100 TB the pointer flip is the
+  // only instant of coordination, and old versions stay queryable until
+  // [[vacuumVersions]] reclaims them.
+
+  private def currentPointer(root: String) =
+    java.nio.file.Paths.get(root, "_CURRENT")
+
+  /** The directory a version's artifacts live in. */
+  def versionDir(root: String, version: Long): String = s"$root/v$version"
+
+  /** Atomically flip `root/_CURRENT` to `version` (which must already be
+    * fully saved under [[versionDir]]).
+    */
+  def publish(root: String, version: Long): Unit = {
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(versionDir(root, version))),
+      s"version $version is not saved under $root")
+    val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, currentPointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(root: String): Option[Long] = {
+    val p = currentPointer(root)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Load whatever `_CURRENT` points at. */
+  def loadCurrent(spark: SparkSession, root: String): LoadedIndex = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    load(spark, versionDir(root, v))
+  }
+
+  /** Delete every version strictly older than the `keep` newest, never
+    * touching the published one. Returns the versions removed.
+    */
+  def vacuumVersions(root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one version")
+    val cur = currentVersion(root)
+    val dir = new java.io.File(root)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val doomed = versions.dropRight(keep).filterNot(cur.contains)
+    doomed.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(versionDir(root, v)))
+    }
+    doomed.toSeq
+  }
 }

@@ -453,6 +453,22 @@ class PipelineSpec extends SparkSpec {
     assert(psiSum > 0.25, s"planted drift read PSI=$psiSum")
   }
 
+  test("groupQuantiles: hand-exact per-group percentiles, lower-value rank rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(3)(("a", 10L)) ++ Seq.fill(6)(("a", 20L)) ++
+      Seq(("a", 99L)) ++ (1L to 4L).map(v => ("b", v)))
+      .toDF("source", "v")
+    val got = Pipeline.groupQuantiles(df, "source", "v", Seq(25, 50, 90, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a: n=10, cum(10)=3, cum(20)=9, cum(99)=10 → p25=10, p50=20, p90=20, p100=99
+    assert(got(("a", 25)) === 10L && got(("a", 50)) === 20L)
+    assert(got(("a", 90)) === 20L && got(("a", 100)) === 99L)
+    // b: 1,2,3,4 → p25=1, p50=2, p90=4, p100=4
+    assert(got(("b", 25)) === 1L && got(("b", 50)) === 2L &&
+      got(("b", 90)) === 4L && got(("b", 100)) === 4L)
+  }
+
   test("madOutliers: flags the planted outlier, not the tight cluster; MAD=0 degeneracy") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

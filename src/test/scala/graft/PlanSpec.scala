@@ -163,9 +163,11 @@ class PlanSpec extends SparkSpec {
       "q176_tpch_q22",          // ONE-row (Σbal, cnt) average scalar, broadcast
       "q180_psi",               // ONE-row (ta, tb) snapshot totals, broadcast
       "q188_skew_profile",      // ONE-row scan-total scalar, broadcast
-      "q192_time_to_convert")   // resolution-bounded delay-histogram
+      "q192_time_to_convert",   // resolution-bounded delay-histogram
                                 // self-join + one-row total + pct literals,
                                 // all broadcast (the q159 pattern)
+      "q194_source_token_quantiles") // pct-literal broadcast over the
+                                     // per-group histogram (q159 pattern)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -302,6 +302,38 @@ class SourcesSpec extends SparkSpec {
     intercept[RuntimeException](c.set("bogus", "1"))
   }
 
+  test("versioned publish: atomic pointer flip, old version stays intact, vacuum keeps current") {
+    val root = tmp()
+    val corpus = synthVectors(120).select("id", "vec")
+    val heads = Spann.selectHeadsModulo(corpus, 12)
+    val cfg = IndexStore.IndexConfig("l2sq", 10, 2, 16)
+    // v1: postings with 2 replicas; v2 (the "rebuild"): 1 replica
+    IndexStore.save(IndexStore.versionDir(root, 1), heads,
+      Spann.buildPostings(corpus, heads, 2), None, cfg)
+    assert(IndexStore.currentVersion(root).isEmpty)
+    intercept[IllegalArgumentException](IndexStore.publish(root, 9)) // unsaved
+    IndexStore.publish(root, 1)
+    assert(IndexStore.currentVersion(root) === Some(1L))
+    val v1Rows = IndexStore.loadCurrent(spark, root).postings.count()
+
+    IndexStore.save(IndexStore.versionDir(root, 2), heads,
+      Spann.buildPostings(corpus, heads, 1), None, cfg)
+    // not yet published: readers still resolve v1
+    assert(IndexStore.loadCurrent(spark, root).postings.count() === v1Rows)
+    IndexStore.publish(root, 2)
+    val v2Rows = IndexStore.loadCurrent(spark, root).postings.count()
+    assert(v2Rows < v1Rows, "v2 (1 replica) should be smaller than v1 (2)")
+    // the old version's artifacts are untouched by the flip
+    assert(IndexStore.load(spark, IndexStore.versionDir(root, 1))
+      .postings.count() === v1Rows)
+
+    assert(IndexStore.vacuumVersions(root, keep = 1) === Seq(1L))
+    assert(!new java.io.File(IndexStore.versionDir(root, 1)).exists())
+    assert(IndexStore.loadCurrent(spark, root).postings.count() === v2Rows)
+    // vacuum never removes the published version
+    assert(IndexStore.vacuumVersions(root, keep = 1) === Seq.empty)
+  }
+
   test("ZOrderStore: probes on EITHER dimension equal plain filters and prune partitions") {
     import org.apache.spark.sql.functions._
     val dir = tmp()
