@@ -1471,6 +1471,18 @@ object SparkEntry {
         Tables.documents(s, d).select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
         "source", "n_tokens", QuantPcts))),
+    // per-user quota enforcement: first N per tumbling hour per user —
+    // the ingest-edge rate limiter (streaming twin spec-pinned)
+    "q195_quota" -> ((s, d) =>
+      ordered(graft.operators.Events
+        .quotaEnforce(Tables.events(s, d), QuotaMax, QuotaWinMin)
+        .select(col("event_id"), col("user_id"), col("event_type")))),
+    // intra-list diversity of the exact cosine top-k — the audit that MMR
+    // actually diversified; k²-bounded pairs per query
+    "q196_ild" -> ((s, d) =>
+      ordered(SimilaritySearch.ild(
+        SimilaritySearch.bruteForce(embQueries(s, d), Tables.embeddingVec(s, d), K),
+        Tables.embeddingVec(s, d), K))),
     // join-key skew profiler: the top-20 hottest fact keys + their share
     // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
     // what you run BEFORE deciding a join needs salting
@@ -1740,6 +1752,9 @@ object SparkEntry {
   private val ZProbeHi = 30000.0
   // q192: the conversion-latency dataset-card percentiles
   private val ConvertPcts = Seq(50, 90, 99)
+  // q195: 3 events per user per hour — tight enough to genuinely drop rows
+  private val QuotaMax = 3
+  private val QuotaWinMin = 60
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -4745,6 +4760,36 @@ object SparkEntry {
          |FROM cum, (SELECT unnest([${QuantPcts.mkString(", ")}]) AS pct)
          |WHERE cum * 100 >= pct * n
          |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // quota: the same truncate-then-bucket window arithmetic
+    "q195_quota" ->
+      s"""WITH w AS (SELECT event_id, user_id, event_type,
+         |    row_number() OVER (
+         |      PARTITION BY user_id,
+         |        CAST(floor(floor(epoch(ts)) / ${60 * QuotaWinMin}) AS BIGINT)
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |SELECT event_id, user_id, event_type FROM w WHERE rn <= $QuotaMax
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // ILD: exact top-k pairs, 6dp cosine terms DECIMAL-summed, one divide
+    "q196_ild" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      val pd = Tables.distSql("cos", "x.vec", "y.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |d AS (SELECT q.query_id, v.id, $cd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, id FROM (
+         |        SELECT query_id, id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |        FROM d) WHERE rank <= $K),
+         |p AS (SELECT a.query_id, a.id AS ia, b.id AS ib FROM r a
+         |      JOIN r b ON a.query_id = b.query_id AND a.id < b.id),
+         |t AS (SELECT p.query_id,
+         |        CAST(round($pd, 6) AS DECIMAL(18,9)) AS dd
+         |      FROM p JOIN v x ON x.id = p.ia JOIN v y ON y.id = p.ib)
+         |SELECT query_id, count(*) AS n_pairs,
+         |  round(sum(dd)::DOUBLE / count(*), 6) AS ild
+         |FROM t GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
     }
   )
 

@@ -134,6 +134,32 @@ object Events {
         col("_asof").getField("value").as("asof_value")): _*)
   }
 
+  /** Per-user quota enforcement: keep the FIRST `maxPerWindow` events of
+    * each user in every tumbling `windowMinutes` window (ordered by
+    * `(ts, event_id)`), drop the rest — the ingest-edge rate limiter that
+    * bounds what a runaway client can push into the corpus. One
+    * `row_number` window per `(user_id, window)` — a key strictly finer
+    * than sessionize's, so partitions stay tiny at any scale. The window
+    * bucket is `floor(epoch_seconds / (60·windowMinutes))` — deterministic
+    * integer math shared with the oracle. The streaming twin is
+    * [[graft.streaming.StreamingIngest.quotaStream]] (counter state per
+    * (user, window), watermark-bounded).
+    */
+  def quotaEnforce(
+      events: DataFrame,
+      maxPerWindow: Int,
+      windowMinutes: Int = 60): DataFrame = {
+    require(maxPerWindow > 0 && windowMinutes > 0)
+    val bucket = floor(unix_timestamp(col("ts")) / (60L * windowMinutes))
+      .cast("long")
+    val w = Window.partitionBy(col("user_id"), col("_win"))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("_win", bucket)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxPerWindow)
+      .drop("_win", "_rn")
+  }
+
   /** Weekly seasonality profile: per (event_type, day-of-week, hour) counts
     * and each cell's share of its type's total — the load-shape table a
     * capacity planner or anomaly detector baselines against (the trailing

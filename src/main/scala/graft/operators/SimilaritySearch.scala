@@ -818,4 +818,29 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_label"), col("rank"), col("doc_label"), col("score"))
   }
+
+  /** Intra-list diversity (ILD) of a ranked retrieval: per query, the mean
+    * pairwise cosine DISTANCE among its top-k items — the standard
+    * diversity audit next to relevance metrics ([[mmr]] trades relevance
+    * for exactly this number; ILD is how you check it worked). Pairs are
+    * bounded at k²/2 per query (the ranked frame is top-k by contract), so
+    * the self-join is a per-query constant, never corpus-shaped. Pairwise
+    * distances round 6dp and DECIMAL-sum per query (the order-independence
+    * convention); the mean is one divide. Output
+    * `(query_id, n_pairs, ild)`.
+    */
+  def ild(results: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val r = results.where(col("rank") <= k)
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+    val a = r.select(col("query_id"), col("id").as("_a"), col("vec").as("_va"))
+    val b = r.select(col("query_id"), col("id").as("_b"), col("vec").as("_vb"))
+    a.join(b, Seq("query_id"))
+      .where(col("_a") < col("_b"))
+      .select(col("query_id"),
+        round(graft.functions.dist.cos(col("_va"), col("_vb")), 6)
+          .cast("decimal(18,9)").as("_d"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("_d")).cast("double") / count(lit(1)), 6).as("ild"))
+  }
 }

@@ -142,6 +142,46 @@ object StreamingIngest {
       .toDF("head_id", "n_postings", "needs_split")
   }
 
+  /** Streaming quota enforcement — the continuous twin of
+    * [[graft.operators.Events.quotaEnforce]]: per (user, tumbling-window)
+    * counter state admits the first `maxPerWindow` events and drops the
+    * rest at the ingest edge. State is ONE long per (user, active window) —
+    * the rate-limiter shape that never buffers events. Equality with the
+    * batch operator holds under per-user in-order delivery (the same
+    * contract [[funnelStream]] states); out-of-order storms admit a
+    * different-but-size-identical subset, which is the accepted semantics
+    * of an online limiter.
+    */
+  def quotaStream(
+      events: DataFrame, // streaming (event_id, ts, user_id)
+      maxPerWindow: Int,
+      windowMinutes: Int = 60): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxPerWindow > 0 && windowMinutes > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winSec = 60L * windowMinutes
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"),
+        floor(unix_timestamp(col("ts")) / winSec).cast("long").as("win"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._2, r._4))
+      .flatMapGroupsWithState[Long, (Long, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+            state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          // admit in (ts, event_id) order within the batch — the batch
+          // operator's tie rule
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._1))
+          val admit = sorted.take(math.max(0, maxPerWindow - seen.toInt))
+          state.update(seen + sorted.size)
+          admit.iterator.map(r => (r._1, r._2, r._3))
+      }
+      .toDF("event_id", "user_id", "ts")
+  }
+
   /** Streaming conversion funnel via arbitrary stateful processing
     * (`flatMapGroupsWithState`) — the continuous form of
     * [[graft.operators.Events.funnel]] (q100): per-user state holds the

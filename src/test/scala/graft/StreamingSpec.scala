@@ -62,6 +62,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota admits exactly the batch operator's rows under in-order delivery") {
+    val events = Tables.events(spark, sf0001)
+    // 1 event per user per DAY: tight enough that the sf0.001 fixture
+    // genuinely drops rows (per-hour quotas trim nothing at this scale)
+    val batch = graft.operators.Events.quotaEnforce(events, 1, 1440)
+      .select("event_id")
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rows = events.select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .sortBy(r => (r._2.getTime, r._1)) // per-user in-order delivery
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val q = StreamingIngest.quotaStream(
+      stream.toDF().toDF("event_id", "ts", "user_id"), 1, 1440)
+      .writeStream.format("memory").queryName("quota_out").outputMode("append")
+      .start()
+    try {
+      stream.addData(first.toIndexedSeq); q.processAllAvailable()
+      stream.addData(second.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("quota_out").select("event_id")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      assert(batch.count() > 0 && batch.count() < events.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
