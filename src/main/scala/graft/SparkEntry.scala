@@ -1483,6 +1483,21 @@ object SparkEntry {
       ordered(SimilaritySearch.ild(
         SimilaritySearch.bruteForce(embQueries(s, d), Tables.embeddingVec(s, d), K),
         Tables.embeddingVec(s, d), K))),
+    // two-level residual quantization (RVQ): level 2 trains on the ×1000
+    // re-integerized residuals so BOTH Lloyd chains are bit-deterministic;
+    // ADC against the summed reconstruction c1 + c2/1000
+    "q197_rvq_search" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+        .select(col("id"), scaleVec(col("vec")).as("vec"))
+      val queries = q(s, d)
+        .select(col("query_id"), scaleVec(col("qvec")).as("qvec"))
+      val rvq = graft.functions.PQ.trainRvq(corpus, dim = 6, m = 3, k = 16,
+        maxIter = 3)
+      ordered(graft.functions.PQ.rvqSearch(queries,
+        graft.functions.PQ.quantizeRvq(corpus, rvq), rvq, K)
+        .select(col("query_id"), col("rank"), col("id"),
+          round(col("dist") / 1e6, 4).as("dist")))
+    }),
     // join-key skew profiler: the top-20 hottest fact keys + their share
     // of the scan, via the bounded top-k aggregate (cnt desc, key asc) —
     // what you run BEFORE deciding a join needs salting
@@ -1500,7 +1515,23 @@ object SparkEntry {
       ordered(top.crossJoin(broadcast(tot))
         .select(col("rank"), col("l_orderkey"), col("cnt"),
           round(col("cnt").cast("double") / col("_tot"), 6).as("share")))
-    })
+    }),
+    // TPC-H Q12: one fact join, priority classes split by CASE inside the agg
+    "q198_tpch_q12" -> ((s, d) => ordered(tpchQ12(s, d))),
+    // TPC-H Q13: filtered LEFT OUTER join + two-level agg (zero-order
+    // customers included)
+    "q199_tpch_q13" -> ((s, d) => ordered(tpchQ13(s, d))),
+    // TPC-H Q14: promo revenue share — conditional-sum ratio over one join
+    "q200_tpch_q14" -> ((s, d) => ordered(tpchQ14(s, d))),
+    // TPC-H Q15: per-supplier revenue vs broadcast scalar max, exact-decimal
+    // tie semantics
+    "q201_tpch_q15" -> ((s, d) => ordered(tpchQ15(s, d))),
+    // TPC-H Q16: distinct suppliers per part attr, NOT-IN as left-anti
+    "q202_tpch_q16" -> ((s, d) => ordered(tpchQ16(s, d))),
+    // TPC-H Q9: profit by (nation, year) through a LIKE-pruned part join
+    "q203_tpch_q9" -> ((s, d) => ordered(tpchQ9(s, d))),
+    // TPC-H Q21: EXISTS/NOT-EXISTS double self-join on the fact table
+    "q204_tpch_q21" -> ((s, d) => ordered(tpchQ21(s, d)))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -1755,6 +1786,15 @@ object SparkEntry {
   // q195: 3 events per user per hour — tight enough to genuinely drop rows
   private val QuotaMax = 3
   private val QuotaWinMin = 60
+  // q198-q204: the remaining TPC-H anchor shapes. The synthetic schema has
+  // no partsupp table and no shipmode/commitdate/receiptdate columns, so
+  // Q9/Q12/Q16/Q21 keep the reference PLAN SHAPE with documented stand-ins
+  // (see each tpchQ* method); the date windows reuse the Q10 quarter.
+  private val Q12Hi = Seq("1-URGENT", "2-HIGH")
+  private val Q16MaxSize = 25
+  private val Q9Noun = "widget"
+  private val Q9CostFactor = 0.5
+  private val Q21LateDays = 90
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2063,6 +2103,159 @@ object SparkEntry {
           sum(when(col("supp_nation") === Q8Nation, rev)
             .otherwise(lit(0).cast(dec))).cast("double") /
             sum(rev).cast("double"), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q12 shape (shipping-class late analysis): ONE fact join feeding
+    * conditional counts — the class split lives inside the aggregate as
+    * CASE sums, never as two scans or a self-join. The synthetic lineitem
+    * has no l_shipmode/commitdate, so the class column is `l_linestatus`
+    * and the date slice is on `l_shipdate`; the priority split
+    * (URGENT/HIGH vs rest) is the reference's.
+    */
+  private def tpchQ12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(Q10Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q10End).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(Q12Hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(Q12Hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+
+  /** TPC-H Q13 (customer order distribution): a FILTERED LEFT OUTER join +
+    * two-level aggregation. The outer join keeps zero-order customers (the
+    * point of Q13 — an inner join would silently drop the c_count=0 bucket)
+    * and the order filter rides the join condition, not a post-join WHERE,
+    * which would turn the outer join back into an inner one.
+    */
+  private def tpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14 (promo revenue share): the conditional-sum ratio over one
+    * broadcast dim join — numerator and denominator from the SAME scan,
+    * exact decimal sums divided once at the end.
+    */
+  private def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(Q10Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q10End).cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec)))
+          .cast("double") /
+        sum(rev).cast("double"), 6).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15 (top supplier "view"): per-supplier quarter revenue vs the
+    * broadcast scalar MAX. The equality compares the exact decimal sums —
+    * never divided or rounded doubles — so revenue ties all surface, the
+    * reference view's semantics.
+    */
+  private def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val rev0 = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(Q10Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q10End).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .as("_rev"))
+    rev0.crossJoin(broadcast(rev0.agg(max(col("_rev")).as("_mx"))))
+      .where(col("_rev") === col("_mx"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape (part/supplier relationship): distinct-count + NOT IN.
+    * No partsupp in the synthetic schema — the part↔supplier relation is
+    * what lineitem OBSERVED (who actually shipped the part), and the
+    * reference's complaint-supplier exclusion becomes the negative-balance
+    * suppliers, as a left-anti join (the NOT IN without a null trap).
+    */
+  private def tpchQ16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.supplier(s, d).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+        .where(col("p_size") <= Q16MaxSize)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q9 shape (product-type profit): a LIKE-pruned part dim driving a
+    * multi-join profit aggregation by (nation, year). No partsupp, so unit
+    * cost is the Q9CostFactor slice of p_retailprice — the amount keeps the
+    * reference's `price·(1−disc) − cost·qty` form, summed as exact decimal.
+    */
+  private def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val p = Tables.part(s, d).where(col("p_name").contains(Q9Noun))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * lit(Q9CostFactor) * col("l_quantity")).cast(dec)
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept waiting): the EXISTS/NOT-EXISTS
+    * DOUBLE self-join on the fact table — the hardest reference join shape.
+    * "Late" is shipping more than Q21LateDays past the order date (no
+    * commit/receipt dates in the synthetic schema). A late lineitem counts
+    * when some OTHER supplier is on the order (left-semi) and NO other
+    * supplier on it was late (left-anti) — both self-joins carry the
+    * equi-key and keep the ≠-supplier test as a residual, so neither is a
+    * cartesian.
+    */
+  private def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $Q21LateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    late
+      .join(l.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2")),
+        col("_ok2") === col("l_orderkey") && col("_sk2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(late.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3")),
+        col("_ok3") === col("l_orderkey") && col("_sk3") =!= col("l_suppkey"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
   }
 
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
@@ -2479,6 +2672,7 @@ object SparkEntry {
          |FROM documents
          |ORDER BY doc_id, n_bytes, first_byte, checksum""".stripMargin,
     "q42_pq_search" -> pqAdcOracleSql(rotated = false),
+    "q197_rvq_search" -> rvqOracleSql,
     "q43_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
@@ -4613,6 +4807,93 @@ object SparkEntry {
          |                      ELSE 0.0000 END) AS DOUBLE)
          |        / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
          |FROM base GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Q12: the class split is CASE sums inside one aggregation
+    "q198_tpch_q12" ->
+      s"""SELECT l_linestatus,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '$Q10Start'
+         |  AND l_shipdate < TIMESTAMP '$Q10End'
+         |GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin,
+    // Q13: the order filter rides the OUTER join's ON clause
+    "q199_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY 1, 2""".stripMargin,
+    // Q14: numerator and denominator from the same scan, one divide
+    "q200_tpch_q14" ->
+      s"""SELECT round(100.0 *
+         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         |      ELSE 0.0000 END) AS DOUBLE)
+         |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '$Q10Start'
+         |  AND l_shipdate < TIMESTAMP '$Q10End'
+         |ORDER BY 1""".stripMargin,
+    // Q15: the view is a CTE, the scalar max an uncorrelated subquery,
+    // equality on the exact decimal sums
+    "q201_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |      AS _rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q10Start'
+         |    AND l_shipdate < TIMESTAMP '$Q10End'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE _rev = (SELECT max(_rev) FROM rev)
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // Q16: NOT IN over a negative-balance list that is never NULL
+    "q202_tpch_q16" ->
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= $Q16MaxSize
+         |  AND l_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Q9: amount mirrors the Spark double expression left-to-right, then
+    // one cast to exact decimal before the sum
+    "q203_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      - p_retailprice * $Q9CostFactor * l_quantity
+         |      AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%$Q9Noun%'
+         |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin,
+    // Q21: EXISTS/NOT-EXISTS self-joins, late = shipped > N days after the
+    // order date on a finished order
+    "q204_tpch_q21" ->
+      s"""WITH late AS (
+         |  SELECT l_orderkey, l_suppkey
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F'
+         |    AND l_shipdate > o_orderdate + INTERVAL $Q21LateDays DAY)
+         |SELECT s_name, count(*) AS numwait
+         |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         |WHERE EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM late l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey)
+         |GROUP BY 1 ORDER BY 1, 2""".stripMargin,
     // per-customer windows: explicit ROWS frames on both engines
     "q184_running_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4929,6 +5210,63 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY s.id, s.sub
        |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
        |    FROM sub s JOIN c3 c ON c.sub = s.sub) WHERE rn = 1)""".stripMargin
+  }
+
+  /** q197 oracle: the q42 level-1 train chain, residuals re-integerized at
+    * ×1000 (mirroring `PQ.residualVectors`' round), the SAME unrolled Lloyd
+    * on them (prefix `r`), then ADC against the two-level reconstruction
+    * `c1 + c2/1000`.
+    */
+  private def rvqOracleSql: String = {
+    val l2 = (a: String, b: String) => Tables.distSql("l2sq", a, b)
+    val scaleSql = (c: String) =>
+      s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
+    val rl = (i: Int) =>
+      s"""ra${i + 1} AS MATERIALIZED (SELECT * FROM (
+         |    SELECT s.id, s.sub, s.sv, c.code,
+         |           row_number() OVER (PARTITION BY s.id, s.sub
+         |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+         |    FROM rsv s JOIN rc$i c ON c.sub = s.sub) WHERE rn = 1),
+         |ru${i + 1} AS MATERIALIZED (SELECT sub, code,
+         |         [sum(sv[1]) / count(*), sum(sv[2]) / count(*)] AS center
+         |       FROM ra${i + 1} GROUP BY sub, code),
+         |rc${i + 1} AS MATERIALIZED (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
+         |       FROM rc$i c LEFT JOIN ru${i + 1} u ON u.sub = c.sub AND u.code = c.code)"""
+        .stripMargin
+    s"""WITH ${pqTrainCtes(rotated = false)},
+       |codesm AS MATERIALIZED (SELECT * FROM codes),
+       |rsv AS MATERIALIZED (SELECT c.id, c.sub,
+       |          [round((s.sv[1] - c.center[1]) * 1000),
+       |           round((s.sv[2] - c.center[2]) * 1000)] AS sv
+       |        FROM codesm c JOIN sub s ON s.id = c.id AND s.sub = c.sub),
+       |rc0 AS MATERIALIZED (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM rsv WHERE id < 16),
+       |${rl(0)},
+       |${rl(1)},
+       |${rl(2)},
+       |rcodes AS MATERIALIZED (SELECT * FROM (
+       |    SELECT s.id, s.sub, c.code, c.center,
+       |           row_number() OVER (PARTITION BY s.id, s.sub
+       |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
+       |    FROM rsv s JOIN rc3 c ON c.sub = s.sub) WHERE rn = 1),
+       |rec AS MATERIALIZED (SELECT c1.id, c1.sub,
+       |          [c1.center[1] + c2.center[1] / 1000.0,
+       |           c1.center[2] + c2.center[2] / 1000.0] AS rv
+       |        FROM codesm c1 JOIN rcodes c2 ON c2.id = c1.id AND c2.sub = c1.sub),
+       |q0 AS (SELECT query_id, ${scaleSql("qvec")} AS qvec
+       |       FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+       |qsub AS (
+       |  SELECT query_id, 0 AS sub, [qvec[1], qvec[2]] AS qv FROM q0
+       |  UNION ALL SELECT query_id, 1, [qvec[3], qvec[4]] FROM q0
+       |  UNION ALL SELECT query_id, 2, [qvec[5], qvec[6]] FROM q0),
+       |pdist AS (SELECT q.query_id, r.id, r.sub, ${l2("q.qv", "r.rv")} AS pdsub
+       |          FROM qsub q JOIN rec r ON r.sub = q.sub),
+       |dd AS (SELECT query_id, id, list_sum(list(pdsub ORDER BY sub)) AS dist
+       |       FROM pdist GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, dist,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
+       |      FROM dd)
+       |SELECT query_id, rank, id, round(dist / 1000000.0, 4) AS dist FROM r WHERE rank <= $K
+       |ORDER BY query_id, rank, id, dist""".stripMargin
   }
 
   private def pqAdcOracleSql(rotated: Boolean): String = {

@@ -347,6 +347,116 @@ object PQ {
   /** Reconstruction: codes → approximate vector (for refine/debug parity,
     * `IQuantizer.h:20-68` ReconstructVector).
     */
+  // ----------------------------------------------------------------------
+  // Residual (two-level) quantization — RVQ
+  // ----------------------------------------------------------------------
+
+  /** Two-level residual product quantizer: level 1 is a plain PQ codebook;
+    * level 2 quantizes what level 1 got WRONG (the residual `v − recon₁`),
+    * so reconstruction error drops roughly another codebook's worth at the
+    * cost of one more code per subspace — the standard accuracy dial
+    * between PQ (fast, coarse) and SQ/exact (big). `residScale`: residuals
+    * re-integerize by `round(r·scale)` before the level-2 Lloyd — the same
+    * ×1000 trick the level-1 train rides (integer sums are order-exact), so
+    * BOTH levels are bit-deterministic regardless of partitioning, and the
+    * oracle can replay them. The scale costs sub-ulp accuracy (residuals
+    * quantize to 1/scale grid) and buys cross-engine exactness.
+    */
+  case class Rvq(cb1: Codebooks, cb2: Codebooks, residScale: Double)
+
+  /** Residual full vectors: `round((v − recon₁(v)) · residScale)` — exact
+    * integer-valued doubles, ready for a second deterministic [[train]].
+    */
+  private def residualVectors(
+      vectors: DataFrame, cb1: Codebooks, residScale: Double): DataFrame =
+    reconstruct(quantize(vectors, cb1), cb1)
+      .select(col("id"),
+        zip_with(col("vec").cast("array<double>"), col("recon"),
+          (a, b) => round((a - b) * residScale, 0)).as("vec"))
+
+  def trainRvq(vectors: DataFrame, dim: Int, m: Int, k: Int,
+      maxIter: Int = 3, residScale: Double = 1000.0): Rvq = {
+    val cb1 = train(vectors, dim, m, k, maxIter)
+    Rvq(cb1,
+      train(residualVectors(vectors, cb1, residScale), dim, m, k, maxIter),
+      residScale)
+  }
+
+  /** `(id, codes1, codes2)` — one level-1 and one level-2 code per subspace. */
+  def quantizeRvq(vectors: DataFrame, rvq: Rvq): DataFrame = {
+    val q1 = quantize(vectors, rvq.cb1)
+      .select(col("id"), col("codes").as("codes1"))
+    val q2 = quantize(residualVectors(vectors, rvq.cb1, rvq.residScale), rvq.cb2)
+      .select(col("id"), col("codes").as("codes2"))
+    q1.join(q2, Seq("id"))
+  }
+
+  /** Two-level reconstruction: `recon₁ + recon₂ / residScale`. */
+  def reconstructRvq(quantized: DataFrame, rvq: Rvq): DataFrame = {
+    val bc = quantized.sparkSession.sparkContext.broadcast(rvq)
+    val rUdf = udf((codes1: Seq[Int], codes2: Seq[Int]) => {
+      val r = bc.value; val c1 = r.cb1; val c2 = r.cb2
+      val out = new Array[Double](c1.m * c1.dsub)
+      var s = 0
+      while (s < c1.m) {
+        var i = 0
+        while (i < c1.dsub) {
+          out(s * c1.dsub + i) =
+            c1.centers(s)(codes1(s))(i) + c2.centers(s)(codes2(s))(i) / r.residScale
+          i += 1
+        }
+        s += 1
+      }
+      out
+    })
+    quantized.withColumn("recon", rUdf(col("codes1"), col("codes2")))
+  }
+
+  /** ADC over the two-level codes: per-query LUT of `l2(q_s, c1 + c2/scale)`
+    * for all (sub, code1, code2) combos — m·k² doubles per query (3·256 at
+    * the defaults), broadcast with the query batch; scoring is m flat
+    * lookups per pair, identical in shape to [[adcSearch]].
+    */
+  def rvqSearch(queries: DataFrame, quantized: DataFrame, rvq: Rvq,
+      k: Int): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(rvq)
+    // actual codebook sizes: the deterministic init seeds from ids < k, so
+    // fewer than k centers can exist (id spaces starting at 1 yield k−1) —
+    // size off the arrays, exactly like Codebooks.adcLut does
+    val k2 = rvq.cb2.centers(0).length
+    val lutUdf = udf((q: Seq[Double]) => {
+      val r = bc.value; val c1 = r.cb1; val c2 = r.cb2
+      val n1 = c1.centers(0).length; val n2 = c2.centers(0).length
+      Array.tabulate(c1.m) { s =>
+        Array.tabulate(n1 * n2) { idx =>
+          val a = idx / n2; val b = idx % n2
+          var d = 0.0; var i = 0
+          while (i < c1.dsub) {
+            val rec = c1.centers(s)(a)(i) + c2.centers(s)(b)(i) / r.residScale
+            val x = q(s * c1.dsub + i) - rec
+            d += x * x; i += 1
+          }
+          d
+        }
+      }
+    })
+    val pairDist = udf((lut: Seq[Seq[Double]], codes1: Seq[Int], codes2: Seq[Int]) => {
+      var s = 0; var total = 0.0
+      while (s < codes1.length) {
+        total += lut(s)(codes1(s) * k2 + codes2(s)); s += 1
+      }
+      total
+    })
+    val withLut = queries
+      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val scored = quantized.crossJoin(broadcast(withLut))
+      .withColumn("dist", pairDist(col("_lut"), col("codes1"), col("codes2")))
+    graft.operators.Knn.explodeRanked(
+      scored.groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   def reconstruct(quantized: DataFrame, cb: Codebooks): DataFrame = {
     val bc = quantized.sparkSession.sparkContext.broadcast(cb)
     val rUdf = udf((codes: Seq[Int]) => {

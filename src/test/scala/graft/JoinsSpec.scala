@@ -110,6 +110,52 @@ class JoinsSpec extends SparkSpec {
     assert(run(merged) === expected)
   }
 
+  test("TPC-H anchor semantics: Q13 keeps the zero-order bucket, Q21 matches " +
+    "brute-force EXISTS/NOT-EXISTS, Q16 never counts excluded suppliers") {
+    val d = sf0001
+    // Q13: custdist must cover EVERY customer — zero-order ones included
+    // (the left-outer point an inner join silently breaks)
+    val q13 = SparkEntry.queries("q199_tpch_q13")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, d).count()
+    assert(q13.map(_._2).sum === nCust, "custdist must partition the customers")
+    // brute-force the filtered-outer histogram: customers absent from the
+    // filtered orders land in the 0 bucket, not nowhere
+    val perCust = Tables.orders(spark, d)
+      .where(col("o_orderpriority") =!= "5-LOW")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect13 = Tables.customer(spark, d).select(col("c_custkey"))
+      .collect().map(r => perCust.getOrElse(r.getLong(0), 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(q13.toMap === expect13)
+    // Q21: brute-force the double-quantified predicate on the small fixture
+    val li = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("o_orderstatus"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .as("late"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val bySupp = li.filter(t => t._3 == "F" && t._4)
+      .filter { case (ok, sk, _, _) =>
+        li.exists(o => o._1 == ok && o._2 != sk) &&
+          !li.exists(o => o._1 == ok && o._2 != sk && o._3 == "F" && o._4)
+      }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sName = Tables.supplier(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = bySupp.map { case (sk, n) => (sName(sk), n) }
+    val got = SparkEntry.queries("q204_tpch_q21")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === expect)
+    // Q16: no group may count more suppliers than the non-excluded pool
+    val nGood = Tables.supplier(spark, d).where(col("s_acctbal") >= 0).count()
+    val maxCnt = SparkEntry.queries("q202_tpch_q16")(spark, d)
+      .agg(max(col("supplier_cnt"))).head.getLong(0)
+    assert(maxCnt <= nGood)
+  }
+
   test("range join equals the theta-join on a random fixture") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -24,6 +24,31 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("RVQ: level 2 strictly shrinks reconstruction error; search == exact over " +
+    "two-level reconstructions") {
+    val rvq = PQ.trainRvq(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
+    val quant = PQ.quantizeRvq(corpus, rvq).cache()
+    // (a) two-level reconstruction beats level-1-only in total squared error
+    def sse(recon: org.apache.spark.sql.DataFrame): Double = recon
+      .select(aggregate(
+        zip_with(col("vec").cast("array<double>"), col("recon"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("e"))
+      .agg(sum(col("e"))).head.getDouble(0)
+    val sse1 = sse(PQ.reconstruct(PQ.quantize(corpus, rvq.cb1), rvq.cb1))
+    val sse2 = sse(PQ.reconstructRvq(
+      quant.join(corpus.select(col("id"), col("vec")), Seq("id")), rvq))
+    assert(sse2 < sse1 * 0.9, s"RVQ sse $sse2 not clearly below PQ sse $sse1")
+    // (b) rvqSearch is definitionally exact kNN over the reconstructions
+    val viaSearch = PQ.rvqSearch(queries, quant, rvq, 10)
+      .select("query_id", "rank", "id").collect().toSet
+    val recon = PQ.reconstructRvq(quant, rvq)
+      .select(col("id"), col("recon").as("vec"))
+    val viaExact = Knn.search(queries, recon, 10)
+      .select("query_id", "rank", "id").collect().toSet
+    assert(viaSearch === viaExact)
+  }
+
   test("ADC distance is definitionally l2sq(query, reconstruction)") {
     val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
     val rows = PQ.reconstruct(PQ.quantize(corpus.limit(50), cb), cb)

@@ -166,8 +166,10 @@ class PlanSpec extends SparkSpec {
       "q192_time_to_convert",   // resolution-bounded delay-histogram
                                 // self-join + one-row total + pct literals,
                                 // all broadcast (the q159 pattern)
-      "q194_source_token_quantiles") // pct-literal broadcast over the
+      "q194_source_token_quantiles", // pct-literal broadcast over the
                                      // per-group histogram (q159 pattern)
+      "q197_rvq_search",        // |Q|=50 query LUTs, broadcast (q42 shape)
+      "q201_tpch_q15")          // ONE-row max-revenue scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
