@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{BalancedKMeans, Dedup, Eval, KdTree, Knn, MultiIndex, Multimodal, Mutations, Pipeline, SimilaritySearch, Spann, TextAnalysis}
+import graft.operators.{Association, BalancedKMeans, Dedup, Eval, Joins, KdTree, Knn, MultiIndex, Multimodal, Mutations, Pipeline, SimilaritySearch, Spann, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1531,7 +1531,40 @@ object SparkEntry {
     // TPC-H Q9: profit by (nation, year) through a LIKE-pruned part join
     "q203_tpch_q9" -> ((s, d) => ordered(tpchQ9(s, d))),
     // TPC-H Q21: EXISTS/NOT-EXISTS double self-join on the fact table
-    "q204_tpch_q21" -> ((s, d) => ordered(tpchQ21(s, d)))
+    "q204_tpch_q21" -> ((s, d) => ordered(tpchQ21(s, d))),
+    // PMI collocations: in-row bigrams, token-keyed count joins, one-row
+    // totals broadcast
+    "q205_collocations" -> ((s, d) =>
+      ordered(TextAnalysis.collocations(Tables.documents(s, d), CollocMin))),
+    // full winnowing fingerprints (MOSS): guaranteed detection of shared
+    // substrings ≥ w+k−1 chars, ~2·len/w fps per doc, all in-row
+    "q206_winnow" -> ((s, d) =>
+      ordered(Dedup.winnow(Tables.documents(s, d), WinnowK, WinnowW))),
+    // MOSS-style overlap report over shared winnowed fingerprints, with the
+    // stop-fingerprint guard before the per-fp pairing
+    "q207_winnow_overlap" -> ((s, d) =>
+      ordered(Dedup.winnowOverlap(Tables.documents(s, d), WinnowK, WinnowW,
+        WinnowMinShared, WinnowMaxDf, WinnowMinOverlap))),
+    // TPC-H Q2: correlated regional-MIN subquery over observed supply cost
+    "q208_tpch_q2" -> ((s, d) => ordered(tpchQ2(s, d))),
+    // TPC-H Q11: HAVING vs a scalar-subquery fraction of the grand total
+    "q209_tpch_q11" -> ((s, d) => ordered(tpchQ11(s, d))),
+    // TPC-H Q21: nested IN + correlated half-of-total quantity threshold
+    "q210_tpch_q20" -> ((s, d) => ordered(tpchQ20(s, d))),
+    // 2-D Pareto frontier: bucketed local prune + broadcast-candidate
+    // dominance anti-join (the candidate set, not the input, is the
+    // nested-loop side)
+    "q211_skyline" -> ((s, d) =>
+      ordered(Joins.skyline(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size"))),
+    // market-basket lift over order lineitems, mega-basket stop guard
+    "q212_basket_lift" -> ((s, d) =>
+      ordered(Association.basketLift(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", BasketMinPair, BasketMax))),
+    // JSON payload extraction (codegen get_json_object) + typed rollup
+    "q213_json_props" -> ((s, d) =>
+      ordered(graft.operators.Events.propsMetrics(Tables.events(s, d))))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -1795,6 +1828,31 @@ object SparkEntry {
   private val Q9Noun = "widget"
   private val Q9CostFactor = 0.5
   private val Q21LateDays = 90
+  // q205: ≥5 occurrences — PMI below that is noise (the standard floor)
+  private val CollocMin = 5L
+  // q206/q207: k=8-char grams, w=4-hash windows → guarantee length 11;
+  // stop-fp cutoff at 10% of the sf0.01 corpus (the MaxBandBucket idea)
+  private val WinnowK = 8
+  private val WinnowW = 4
+  private val WinnowMinShared = 2L
+  private val WinnowMaxDf = 50L
+  // the report threshold that makes q207 selective on a templated corpus:
+  // pairs sharing ≥25% of the smaller side's fps (the 99.9th pct is ~0.27)
+  private val WinnowMinOverlap = 0.25
+  // q208 (Q2): the part slice whose regional min-cost supplier is sought
+  private val Q2Region = "EUROPE"
+  private val Q2Type = "SMALL"
+  private val Q2Size = 5
+  // q209 (Q11): parts worth more than this fraction of the nation's total
+  private val Q11Nation = "NATION_7"
+  private val Q11Fraction = 0.001
+  // q210 (Q20): dominant-supplier year window and part-name slice
+  private val Q20Noun = "gear"
+  private val Q20YearEnd = "2000-01-01"
+  // q212: ≥2 shared baskets (sf0.01's sparse pair space — P[cnt≥2]≈1e-3);
+  // baskets above 64 distinct items are dropped before pairing
+  private val BasketMinPair = 2L
+  private val BasketMax = 64
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2256,6 +2314,106 @@ object SparkEntry {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated regional-MIN
+    * subquery. No partsupp in the synthetic schema, so a supplier's cost
+    * for a part is the MINIMUM discounted price it ever shipped the part
+    * at (exact decimal — Q16's observed-relationship adaptation); the
+    * winner per part is whoever matches the per-part regional minimum,
+    * ties kept, the reference's semantics. Both sides of the correlated
+    * equality are the same exact DECIMAL(18,4) min, so the match is
+    * engine-stable. The per-part min table is part-dim-sized (not
+    * fact-sized) — a keyed equi-join AQE can broadcast.
+    */
+  private def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).where(col("r_name") === Q2Region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(s, d)
+      .where(col("p_type") === Q2Type && col("p_size") === Q2Size)
+      .select(col("p_partkey"))
+    val cost = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec)).as("_cost"))
+    val minCost = cost.groupBy(col("p_partkey").as("_pk"))
+      .agg(min(col("_cost")).as("_mn"))
+    cost
+      .join(minCost,
+        col("p_partkey") === col("_pk") && col("_cost") === col("_mn"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("_cost").cast("double").as("supply_cost"))
+  }
+
+  /** TPC-H Q11 shape (important stock): HAVING against a scalar-subquery
+    * fraction of the grand total. Value of a part for one nation's
+    * suppliers = the exact decimal sum of discounted prices they shipped
+    * (the observed-inventory adaptation); parts above `Q11Fraction` of the
+    * nation total survive. The total is a one-row broadcast; the fraction
+    * compare mirrors the oracle as `double > fraction · double` on the two
+    * exact decimal sums.
+    */
+  private def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .where(col("n_name") === Q11Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec)).as("_val"))
+    value
+      .crossJoin(broadcast(value.agg(sum(col("_val")).as("_tot"))))
+      .where(col("_val").cast("double") >
+        lit(Q11Fraction) * col("_tot").cast("double"))
+      .select(col("l_partkey"), col("_val").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q20 shape (excess-stock suppliers): the nested-IN with a
+    * correlated half-of-shipped-quantity threshold. Without availqty the
+    * adapted predicate is DOMINANCE — a supplier qualifies when, for some
+    * part in the name slice, its shipped quantity in the year window
+    * exceeds half the part's total (`2·qty > total`, exact decimals — no
+    * 0.5 multiply to disagree on). Output is the distinct qualifying
+    * suppliers of the region, the reference's supplier-list shape.
+    */
+  private def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val p = Tables.part(s, d).where(col("p_name").contains(Q20Noun))
+      .select(col("p_partkey"))
+    val qty = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(Q10Start).cast("timestamp") &&
+        col("l_shipdate") < lit(Q20YearEnd).cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("_q"))
+    val tot = qty.groupBy(col("p_partkey").as("_pk"))
+      .agg(sum(col("_q")).as("_t"))
+    val winners = qty
+      .join(tot, col("p_partkey") === col("_pk") &&
+        col("_q") * 2 > col("_t"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).where(col("r_name") === Q2Region),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
   }
 
   private def tpchQ1(s: SparkSession, d: String): DataFrame = {
@@ -4894,6 +5052,177 @@ object SparkEntry {
          |                  WHERE l3.l_orderkey = l1.l_orderkey
          |                    AND l3.l_suppkey <> l1.l_suppkey)
          |GROUP BY 1 ORDER BY 1, 2""".stripMargin,
+    // q205: bigram/unigram counts + one double-expression PMI, mirroring
+    // the Spark multiply order (cast-to-double on each product's head)
+    "q205_collocations" ->
+      s"""WITH t AS (SELECT ${TextAnalysis.Sql.toks("text")} AS toks
+         |           FROM documents),
+         |uni AS (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+         |bi0 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT sum(cnt) FROM uni) AS nu,
+         |               (SELECT sum(pair_cnt) FROM bi0) AS nb)
+         |SELECT w1, w2, pair_cnt, u1.cnt AS cnt1, u2.cnt AS cnt2,
+         |  round(ln(CAST(pair_cnt AS DOUBLE) * nu * nu
+         |    / (CAST(nb AS DOUBLE) * u1.cnt * u2.cnt)), 6) AS pmi
+         |FROM bi0
+         |JOIN uni u1 ON w1 = u1.w
+         |JOIN uni u2 ON w2 = u2.w
+         |CROSS JOIN tot
+         |WHERE pair_cnt >= $CollocMin
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q206/q207: the winnowing hash sequence is shared; selection is the
+    // per-window list_min over 1-based inclusive slices
+    "q206_winnow" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    list_transform(
+         |      generate_series(1, greatest(length(text) - ${WinnowK - 1}, 1)),
+         |      i -> ${graft.functions.Hash60.sql(s"substr(text, i, $WinnowK)")})
+         |      AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1)),
+         |    j -> list_min(hs[j:j + ${WinnowW - 1}])))) AS fp
+         |FROM h
+         |ORDER BY 1, 2""".stripMargin,
+    "q207_winnow_overlap" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    list_transform(
+         |      generate_series(1, greatest(length(text) - ${WinnowK - 1}, 1)),
+         |      i -> ${graft.functions.Hash60.sql(s"substr(text, i, $WinnowK)")})
+         |      AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(hs) - ${WinnowW - 1}, 1)),
+         |      j -> list_min(hs[j:j + ${WinnowW - 1}])))) AS fp
+         |  FROM h),
+         |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+         |kept AS (SELECT fp, doc_id FROM fps
+         |         WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+         |                      HAVING count(*) <= $WinnowMaxDf)),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |          FROM kept x JOIN kept y
+         |            ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2
+         |          HAVING count(*) >= $WinnowMinShared)
+         |SELECT * FROM (
+         |  SELECT a, b, n_shared,
+         |    round(CAST(n_shared AS DOUBLE)
+         |      / least(sa.n_fp, sb.n_fp), 4) AS overlap
+         |  FROM pairs
+         |  JOIN sizes sa ON a = sa.doc_id
+         |  JOIN sizes sb ON b = sb.doc_id)
+         |WHERE overlap >= $WinnowMinOverlap
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Q2: the correlated min is the same exact decimal on both sides
+    "q208_tpch_q2" ->
+      s"""WITH sn AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = '$Q2Region'),
+         |cost AS (
+         |  SELECT l_partkey AS p_partkey, l_suppkey,
+         |    MIN(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |      AS _cost
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = part.p_partkey
+         |  JOIN sn ON l_suppkey = sn.s_suppkey
+         |  WHERE p_type = '$Q2Type' AND p_size = $Q2Size
+         |  GROUP BY 1, 2)
+         |SELECT s_acctbal, s_name, n_name, c.p_partkey,
+         |  CAST(_cost AS DOUBLE) AS supply_cost
+         |FROM cost c JOIN sn ON c.l_suppkey = sn.s_suppkey
+         |WHERE _cost = (SELECT min(_cost) FROM cost c2
+         |               WHERE c2.p_partkey = c.p_partkey)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // Q11: HAVING vs fraction-of-total scalar subquery, double compare
+    // mirroring the Spark expression
+    "q209_tpch_q11" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey,
+         |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         |      AS _val
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = '$Q11Nation'
+         |  GROUP BY 1)
+         |SELECT l_partkey, CAST(_val AS DOUBLE) AS part_value
+         |FROM v
+         |WHERE CAST(_val AS DOUBLE) >
+         |  $Q11Fraction * (SELECT CAST(sum(_val) AS DOUBLE) FROM v)
+         |ORDER BY 1, 2""".stripMargin,
+    // Q20: dominance via 2·qty > total — exact decimals, no 0.5 multiply
+    "q210_tpch_q20" ->
+      s"""WITH q AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS _q
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%$Q20Noun%'
+         |    AND l_shipdate >= TIMESTAMP '$Q10Start'
+         |    AND l_shipdate < TIMESTAMP '$Q20YearEnd'
+         |  GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '$Q2Region'
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey FROM q
+         |    WHERE _q * 2 > (SELECT sum(_q) FROM q q2
+         |                    WHERE q2.l_partkey = q.l_partkey))
+         |ORDER BY 1, 2""".stripMargin,
+    // q211: the oracle is the definitional NOT EXISTS — the two-phase
+    // Spark plan must reproduce it exactly
+    "q211_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size < p.p_size))
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // q212: lift mirrors the Spark double expression (cast on each
+    // product's head)
+    "q212_basket_lift" ->
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |            FROM lineitem),
+         |kept AS (SELECT b, i FROM bi
+         |         WHERE b IN (SELECT b FROM bi GROUP BY b
+         |                     HAVING count(*) <= $BasketMax)),
+         |n AS (SELECT count(DISTINCT b) AS nb FROM kept),
+         |sup AS (SELECT i, count(*) AS cnt FROM kept GROUP BY 1),
+         |pairs AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS pair_cnt
+         |          FROM kept x JOIN kept y ON x.b = y.b AND x.i < y.i
+         |          GROUP BY 1, 2
+         |          HAVING count(*) >= $BasketMinPair)
+         |SELECT item_a, item_b, pair_cnt, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+         |  round(CAST(pair_cnt AS DOUBLE) * nb
+         |    / (CAST(sa.cnt AS DOUBLE) * sb.cnt), 6) AS lift
+         |FROM pairs
+         |JOIN sup sa ON item_a = sa.i
+         |JOIN sup sb ON item_b = sb.i
+         |CROSS JOIN n
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q213: permissive JSON — TRY_CAST drops what Spark's cast nulls out
+    "q213_json_props" ->
+      """SELECT event_type, count(*) AS n_with, sum(v) AS sum_v,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  count(DISTINCT v) AS n_distinct
+        |FROM (SELECT event_type,
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |      FROM events)
+        |WHERE v IS NOT NULL
+        |GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // per-customer windows: explicit ROWS frames on both engines
     "q184_running_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

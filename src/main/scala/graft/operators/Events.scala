@@ -342,6 +342,31 @@ object Events {
         coalesce(abs(z) > zThreshold, lit(false)).as("is_anomaly"))
   }
 
+  /** Semi-structured property extraction + typed aggregation: pull a
+    * numeric field out of the JSON `props` payload (`$.path`) and roll it
+    * up per event type — `(event_type, n_with, sum_v, min_v, max_v,
+    * n_distinct)`, all exact integers. `n_with` counts events whose
+    * payload HAS the field as a parseable number; malformed/missing JSON
+    * contributes to nothing (the standard permissive-JSON contract).
+    *
+    * Spark-first: `get_json_object` is a codegen'd native expression — the
+    * extraction runs inside WholeStageCodegen at scan speed, no UDF — and
+    * the rollup is one hash aggregation keyed by event type. The oracle
+    * mirrors with DuckDB's `json_extract_string` + CAST.
+    */
+  def propsMetrics(events: DataFrame, path: String = "k"): DataFrame = {
+    // try_cast, not cast: ANSI mode THROWS on a non-numeric field value —
+    // permissive JSON means malformed values null out instead
+    val v = get_json_object(col("props"), s"$$.$path").try_cast("long")
+    events
+      .select(col("event_type"), v.as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_with"), sum(col("_v")).as("sum_v"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
+        countDistinct(col("_v")).as("n_distinct"))
+  }
+
   def retention(events: DataFrame, signupType: String = "signup"): DataFrame = {
     val cohorts = events.where(col("event_type") === signupType)
       .groupBy(col("user_id"))

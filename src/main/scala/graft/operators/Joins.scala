@@ -238,4 +238,43 @@ object Joins {
       .where(!col(deleteCol))
       .drop(deleteCol)
   }
+
+  /** 2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows no
+    * other row dominates, where `q` dominates `p` iff `q.x ≤ p.x ∧
+    * q.y ≤ p.y` with at least one strict. Exact duplicates don't dominate
+    * each other, so tied frontier points all survive — the standard
+    * skyline-with-duplicates semantics, mirrored by the oracle's
+    * NOT EXISTS.
+    *
+    * Scale shape — the distributive two-phase form (skyline(S) =
+    * skyline(∪ᵢ skyline(Sᵢ))):
+    *  1. LOCAL prune: hash rows into `buckets`, and inside each bucket
+    *     keep a row iff no (x,y)-sort-preceding row has strictly smaller
+    *     `y` (a partitioned running-min window — never a global sort).
+    *     This keeps a SUPERSET of each bucket's skyline and provably every
+    *     global-skyline row; crucially, every pruned row retains a
+    *     surviving dominator (the chain of strictly-decreasing `y`
+    *     dominators bottoms out at a row the prefix-min cannot prune).
+    *  2. GLOBAL pass: anti-join the candidates against their own broadcast
+    *     copy on the dominance predicate. This IS a nested-loop join — on
+    *     purpose, and safe: the candidate set is bounded by the summed
+    *     per-bucket skyline sizes (O(B·logⁿ) on independently-distributed
+    *     dims), not by |input|.
+    */
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_bk"))
+      .orderBy(col(xCol).asc, col(yCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = df
+      .withColumn("_bk", pmod(hash(col(xCol), col(yCol)), lit(buckets)))
+      .withColumn("_pm", min(col(yCol)).over(w))
+      .where(col("_pm").isNull || col("_pm") >= col(yCol))
+      .drop("_bk", "_pm")
+    val rhs = cand.select(col(xCol).as("_rx"), col(yCol).as("_ry"))
+    cand.join(broadcast(rhs),
+      col("_rx") <= col(xCol) && col("_ry") <= col(yCol) &&
+        (col("_rx") < col(xCol) || col("_ry") < col(yCol)), "left_anti")
+  }
 }

@@ -934,6 +934,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocations — the corpus's statistically-bound word pairs:
+    * adjacent-token bigrams scored by pointwise mutual information
+    * `pmi = ln(p(xy) / (p(x)·p(y)))` with `p(xy) = c_xy/N_bi` and
+    * `p(x) = c_x/N_uni`. Output `(w1, w2, pair_cnt, cnt1, cnt2, pmi)` for
+    * pairs with `pair_cnt ≥ minCount` — rare pairs have unstable PMI and
+    * would otherwise dominate the top of the list.
+    *
+    * Determinism contract: the ratio is ONE double expression over exact
+    * long counts — `(c_xy·N_u·N_u) / (N_b·c_x·c_y)` with the cast-to-double
+    * on the leading factor of each product (so no long overflow at scale and
+    * the multiply order is pinned) — mirrored verbatim in the oracle, then
+    * `round(ln(·), 6)`.
+    *
+    * Scale shape: bigrams assemble IN-ROW (no pair join); both count tables
+    * are hash aggs keyed by token; the unigram table joins back twice on the
+    * token equi-key (vocab-sized — NOT broadcast, a web-scale vocabulary is
+    * not tiny); the two corpus totals are a one-row broadcast.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val toksDf = docs.select(tokens(col(textCol)).as("_toks"))
+    val uni = toksDf.select(explode(col("_toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val bi0 = toksDf.where(size(col("_toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(element_at(col("_toks"), i).as("w1"),
+          element_at(col("_toks"), i + 1).as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_cnt"))
+    val totals = uni.agg(sum(col("cnt")).as("_nu"))
+      .crossJoin(bi0.agg(sum(col("pair_cnt")).as("_nb")))
+    bi0.where(col("pair_cnt") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("cnt1"), col("cnt2"),
+        round(log(
+          col("pair_cnt").cast("double") * col("_nu") * col("_nu") /
+            (col("_nb").cast("double") * col("cnt1") * col("cnt2"))), 6)
+          .as("pmi"))
+  }
+
   /** DuckDB mirrors. `toks(e)` must stay in lock-step with [[tokens]]. */
   object Sql {
     def toks(e: String): String =

@@ -314,6 +314,49 @@ class DedupSpec extends SparkSpec {
     assert(fp(0).getLong(1) !== fp(3).getLong(1))
   }
 
+  test("winnow: the w+k-1 guarantee, density, short-doc clamp, determinism") {
+    val k = 8; val w = 4
+    // two docs sharing a substring of exactly w+k-1 = 11 chars, embedded in
+    // otherwise unrelated text — the winnowing guarantee says they MUST
+    // share a fingerprint
+    val shared = "GUARANTEE11"
+    assert(shared.length === w + k - 1)
+    val pair = Seq(
+      (1L, s"xxxxxxxxxxxxxxxx${shared}yyyyyyyyyyyyyyyy"),
+      (2L, s"aaaaaaaaaaaaaaaa${shared}bbbbbbbbbbbbbbbb"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnow(pair, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert(f1.intersect(f2).nonEmpty, "guarantee: shared 11-char substring")
+    assert(f1.intersect(f3).isEmpty && f2.intersect(f3).isEmpty)
+    // density: far fewer fingerprints than k-grams, more than q39's one
+    val len = 16 + shared.length + 16
+    assert(f1.size > 1 && f1.size <= len - k + 1 - (w - 1))
+    // short-doc clamp: a doc under k chars still fingerprints (whole text)
+    val short = Dedup.winnow(Seq((9L, "tiny")).toDF("doc_id", "text"), k, w)
+      .collect()
+    assert(short.length === 1)
+    // determinism: same text, same fingerprint set
+    assert(f1.map(h => h) === Dedup.winnow(pair.where(col("doc_id") === 1), k, w)
+      .collect().map(_.getLong(1)).toSet)
+  }
+
+  test("winnowOverlap reports the planted near-dup pair and nothing else") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "an entirely different sentence about distributed query processing"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlap(fixture, 8, 4,
+      minShared = 2L, maxDf = 64L, minOverlap = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
   test("noveltyScore: unique shingles score 1, cloned docs score 0") {
     val fixture = Seq(
       (1L, "one two three four five"),  // all 3 shingles unique

@@ -249,4 +249,23 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(ttc === Map(50 -> 60L, 99 -> 1800L))
   }
+
+  test("propsMetrics: exact typed rollup; malformed/missing/non-numeric " +
+      "JSON contributes nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"j": 9}"""),      // missing field
+      ("b", """{"k": "x"}"""),    // non-numeric value
+      ("b", """not json"""),      // malformed payload
+      ("b", null),                // null payload
+      ("b", """{"k": -3}"""))
+      .toDF("event_type", "props")
+    val got = Events.propsMetrics(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.sortBy(_._1).toSeq === Seq(
+      ("a", 3L, 17L, 5L, 7L, 2L),
+      ("b", 1L, -3L, -3L, -3L, 1L)))
+  }
 }

@@ -171,4 +171,35 @@ class JoinsSpec extends SparkSpec {
     assert(bucketed === theta)
     assert(theta.nonEmpty)
   }
+
+  test("skyline: matches brute-force dominance on a random fixture; " +
+      "duplicates and ties survive; bucket-count invariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(50).toDouble, rnd.nextInt(50))) ++
+      // a planted duplicate frontier pair: (0,0) twice — neither dominates
+      Seq((401L, 0.0, 0), (402L, 0.0, 0))
+    val df = pts.toDF("id", "x", "y")
+    def brute(ps: Seq[(Long, Double, Int)]) = ps.filter { p =>
+      !ps.exists(q => q._2 <= p._2 && q._3 <= p._3 &&
+        (q._2 < p._2 || q._3 < p._3))
+    }.map(_._1).toSet
+    val expect = brute(pts)
+    assert(expect.contains(401L) && expect.contains(402L))
+    for (b <- Seq(1, 4, 64)) {
+      val got = Joins.skyline(df, "x", "y", buckets = b)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect, s"buckets=$b")
+    }
+  }
+
+  test("skyline local prune never drops a frontier point on an " +
+      "anti-correlated (all-frontier) fixture") {
+    import spark.implicits._
+    // y = 100 - x: every point is on the frontier
+    val df = (0 to 100).map(i => (i.toLong, i.toDouble, 100 - i))
+      .toDF("id", "x", "y")
+    assert(Joins.skyline(df, "x", "y", buckets = 8).count() === 101)
+  }
 }

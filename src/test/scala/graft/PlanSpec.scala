@@ -169,7 +169,14 @@ class PlanSpec extends SparkSpec {
       "q194_source_token_quantiles", // pct-literal broadcast over the
                                      // per-group histogram (q159 pattern)
       "q197_rvq_search",        // |Q|=50 query LUTs, broadcast (q42 shape)
-      "q201_tpch_q15")          // ONE-row max-revenue scalar, broadcast
+      "q201_tpch_q15",          // ONE-row max-revenue scalar, broadcast
+      "q205_collocations",      // ONE-row (N_uni, N_bi) totals, broadcast
+      "q209_tpch_q11",          // ONE-row nation-total scalar, broadcast
+      "q211_skyline",           // dominance pass over the LOCAL-SKYLINE
+                                // candidate set (bounded by summed
+                                // per-bucket skylines, not |input|),
+                                // broadcast by construction
+      "q212_basket_lift")       // ONE-row basket-total scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -472,4 +472,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(2) === 1.0 && got.getDouble(3) === 1.0)
     assert(got.isNullAt(4))
   }
+
+  test("collocations: exact hand-checked counts and PMI; rare pairs filtered") {
+    // uni: a=3 b=3 c=1 (Nu=7); bi: (a,b)=3 (b,a)=1 (b,c)=1 (Nb=5)
+    val fixture = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(fixture, minCount = 2L).collect()
+    assert(got.length === 1) // (b,a)/(b,c) fall under the count floor
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === ("a", "b"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 3L, 3L)))
+    val expected = BigDecimal(math.log(3.0 * 7 * 7 / (5.0 * 3 * 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === expected)
+  }
 }
