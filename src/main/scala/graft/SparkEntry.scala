@@ -1564,7 +1564,39 @@ object SparkEntry {
         "l_orderkey", "l_partkey", BasketMinPair, BasketMax))),
     // JSON payload extraction (codegen get_json_object) + typed rollup
     "q213_json_props" -> ((s, d) =>
-      ordered(graft.operators.Events.propsMetrics(Tables.events(s, d))))
+      ordered(graft.operators.Events.propsMetrics(Tables.events(s, d)))),
+    // SCD2 validity intervals from the q167 changelog fixture
+    "q214_scd2" -> ((s, d) => {
+      val (snap, changes) = changelogInputs(s, d)
+      ordered(Joins.scd2(snap, changes, "o_orderkey", "version", "del"))
+    }),
+    // corpus snapshot diff: texts reduce to digests at the scan
+    "q215_corpus_diff" -> ((s, d) => {
+      val prev = Tables.documents(s, d)
+      val m = col("doc_id") % 10
+      val cur = prev.where(m =!= 7)
+        .withColumn("text",
+          when(m === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(prev.where(m === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
+      ordered(Pipeline.corpusDiff(prev, cur))
+    }),
+    // GROUPING SETS anchor: an arbitrary (non-rollup-chain) set list
+    "q216_grouping_sets" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      ordered(Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows")))
+    })
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -5213,6 +5245,68 @@ object SparkEntry {
          |JOIN sup sb ON item_b = sb.i
          |CROSS JOIN n
          |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q214: the q167 change CTE; delete-beats-upsert tie resolved by the
+    // same (version, del) argmax, then one lead per key
+    "q214_scd2" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, CAST(0 AS BIGINT) AS version, FALSE AS del,
+        |         o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, FALSE, 'U1', o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, FALSE, 'U2', o_totalprice + 2000.0
+        |  FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, TRUE, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, FALSE, 'UX', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 1, FALSE, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey, version
+        |        ORDER BY del DESC) AS rn FROM chg),
+        |win AS (SELECT o_orderkey, version, del, o_orderstatus, o_totalprice
+        |        FROM w WHERE rn = 1),
+        |iv AS (SELECT *, lead(version) OVER (PARTITION BY o_orderkey
+        |         ORDER BY version) AS valid_to FROM win)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  version AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM iv WHERE NOT del
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q215: the v2 corpus derived in SQL; digests compare, texts don't move
+    "q215_corpus_diff" ->
+      """SELECT * FROM (
+        |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN p.h IS NULL THEN 'added'
+        |         WHEN c.h IS NULL THEN 'removed'
+        |         WHEN p.h <> c.h THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM (SELECT doc_id, md5(text) AS h FROM documents) p
+        |  FULL OUTER JOIN (
+        |    SELECT doc_id,
+        |      md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+        |               ELSE text END) AS h
+        |    FROM documents WHERE doc_id % 10 <> 7
+        |    UNION ALL
+        |    SELECT doc_id + 1000000000, md5(text)
+        |    FROM documents WHERE doc_id % 10 = 1) c
+        |  ON p.doc_id = c.doc_id)
+        |WHERE status <> 'same'
+        |ORDER BY 1, 2""".stripMargin,
+    // q216: arbitrary grouping-set list (not a rollup chain)
+    "q216_grouping_sets" ->
+      """SELECT
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     // q213: permissive JSON — TRY_CAST drops what Spark's cast nulls out
     "q213_json_props" ->
       """SELECT event_type, count(*) AS n_with, sum(v) AS sum_v,

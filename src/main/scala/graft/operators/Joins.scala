@@ -239,6 +239,43 @@ object Joins {
       .drop(deleteCol)
   }
 
+  /** Slowly-changing-dimension type 2 from a versioned changelog: turn the
+    * [[applyChangelog]] input shape — `(key, version, del, attrs…)` rows —
+    * into VALIDITY INTERVALS `(key, attrs…, valid_from, valid_to,
+    * is_current)`: each surviving state is valid from its own version up
+    * to (exclusive) the key's next event version; `valid_to` NULL marks
+    * the open current state. A delete event closes the prior interval and
+    * opens none; at a (key, version) tie the delete wins — the
+    * [[applyChangelog]] contract.
+    *
+    * Scale shape: one (key, version) hash agg for tie resolution, then ONE
+    * window partitioned by `key` (high-cardinality — balanced tasks, never
+    * the per-source shape q85/q86 avoid) for the `lead`. This is the
+    * warehouse dimension-history build at fact-table scale.
+    */
+  def scd2(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, deleteCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = snapshot.select(changes.columns.map(col): _*)
+      .unionByName(changes)
+    val payload = all.columns.filter(c => c != keyCol && c != versionCol)
+    // delete-beats-upsert at the same version: argmax over del
+    val winner = all
+      .groupBy(col(keyCol), col(versionCol))
+      .agg(max_by(struct(payload.map(col): _*), col(deleteCol).cast("int"))
+        .as("_w"))
+      .select(col(keyCol) +: col(versionCol) +:
+        payload.map(c => col(s"_w.$c").as(c)): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol))
+    winner
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(!col(deleteCol))
+      .select(col(keyCol) +:
+        payload.filterNot(_ == deleteCol).map(col) :+
+        col(versionCol).as("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
   /** 2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows no
     * other row dominates, where `q` dominates `p` iff `q.x ≤ p.x ∧
     * q.y ≤ p.y` with at least one strict. Exact duplicates don't dominate

@@ -614,6 +614,34 @@ object Pipeline {
     * One groupBy on `source` — at 100 TB, sources are few relative to docs
     * and the aggregation is map-side partial.
     */
+  /** Corpus snapshot diff — dataset-versioning's "what changed" report:
+    * full-outer join two corpus snapshots on the doc key and classify each
+    * key as `added` (only in `cur`), `removed` (only in `prev`), or
+    * `changed` (both, different text); unchanged docs are omitted (the
+    * selective-report semantics — at 100 TB the interesting set is the
+    * delta, not the corpus).
+    *
+    * Scale shape: texts never shuffle — each side reduces to
+    * `(key, md5)` AT THE SCAN (the hash commutes under the join), so the
+    * full-outer join moves 16-byte digests, one equi-shuffle on the key.
+    * MD5 of the UTF-8 bytes is the one digest both engines spell
+    * identically (`md5(cast .. as binary)` ≡ DuckDB `md5(text)`).
+    */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val a = prev.select(col(idCol).as("_ida"),
+      md5(col(textCol).cast("binary")).as("_ha"))
+    val b = cur.select(col(idCol).as("_idb"),
+      md5(col(textCol).cast("binary")).as("_hb"))
+    a.join(b, col("_ida") === col("_idb"), "full_outer")
+      .select(coalesce(col("_ida"), col("_idb")).as(idCol),
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") =!= col("_hb"), "changed")
+          .otherwise("same").as("status"))
+      .where(col("status") =!= "same")
+  }
+
   def sourceStats(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val q = TextAnalysis.stats(docs).select(col("doc_id"), col("quality"))

@@ -194,6 +194,30 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: interval chaining, delete closes without opening, " +
+      "delete-beats-upsert tie, insert-only key") {
+    import spark.implicits._
+    val snap = Seq((1L, 0L, false, "A"), (2L, 0L, false, "A"),
+      (3L, 0L, false, "A")).toDF("k", "version", "del", "attr")
+    val changes = Seq(
+      (1L, 1L, false, "B"),  // key 1: update → two intervals
+      (2L, 1L, true, "A"),   // key 2: delete closes v0, opens nothing
+      (3L, 1L, true, "A"),   // key 3: same-version tie —
+      (3L, 1L, false, "C"),  //   the delete must win
+      (4L, 2L, false, "D"))  // key 4: insert-only, current from v2
+      .toDF("k", "version", "del", "attr")
+    val got = Joins.scd2(snap, changes, "k", "version", "del")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(r => (r._1, r._3))
+    assert(got.toSeq === Seq(
+      (1L, "B", 1L, -1L, true),
+      (1L, "A", 0L, 1L, false),
+      (2L, "A", 0L, 1L, false),
+      (3L, "A", 0L, 1L, false),
+      (4L, "D", 2L, -1L, true)).sortBy(r => (r._1, r._3)))
+  }
+
   test("skyline local prune never drops a frontier point on an " +
       "anti-correlated (all-frontier) fixture") {
     import spark.implicits._

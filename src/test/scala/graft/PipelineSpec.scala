@@ -506,4 +506,15 @@ class PipelineSpec extends SparkSpec {
     assert(bin0.getLong(1) === 2 && bin0.getLong(2) === 0 &&
       bin0.getDouble(4) === 0.0)
   }
+
+  test("corpusDiff: added/removed/changed classified; unchanged omitted") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.corpusDiff(prev, cur).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
 }
