@@ -1582,6 +1582,18 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000000L))
       ordered(Pipeline.corpusDiff(prev, cur))
     }),
+    // PCA projection of the embedding corpus (fit = one Gram-partials
+    // pass + driver-side Jacobi on the d×d covariance; project = codegen
+    // dot products). Eigendecomposition is not SQL-expressible — no
+    // oracle entry; correctness carried by PCASpec's analytic fixtures
+    // (exact eigenvalues, oblique direction recovery, rank-k isometry).
+    "q217_pca_project" -> ((s, d) => {
+      import graft.functions.PCA
+      val emb = Tables.embeddings(s, d)
+      val m = PCA.fit(emb, PcaK, "embedding")
+      ordered(PCA.project(emb, m, "embedding", "proj", 4)
+        .select(col("vec_id"), col("proj")))
+    }),
     // GROUPING SETS anchor: an arbitrary (non-rollup-chain) set list
     "q216_grouping_sets" -> ((s, d) => {
       val dec = DecimalType(18, 4)
@@ -1885,6 +1897,8 @@ object SparkEntry {
   // baskets above 64 distinct items are dropped before pairing
   private val BasketMinPair = 2L
   private val BasketMax = 64
+  // q217: 64-dim embeddings → 8 principal components
+  private val PcaK = 8
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
