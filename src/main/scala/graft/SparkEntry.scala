@@ -1343,7 +1343,10 @@ object SparkEntry {
         sub, TriK + 1)
       val edges = nn.where(col("id") =!= col("query_id"))
         .select(col("query_id").as("src"), col("id").as("dst"))
-      ordered(graft.operators.KnnGraph.kCore(edges, KcK, KcRounds))
+      // fixed-round semantics: the DuckDB oracle unrolls exactly KcRounds
+      // peel rounds, so both engines truncate identically by construction
+      ordered(graft.operators.KnnGraph.kCore(edges, KcK, KcRounds,
+        requireFixpoint = false))
     }),
     // PSI drift between doc-id-parity snapshots of the quality score —
     // integer-exact deciles, Laplace-smoothed shares, 6dp terms
@@ -2607,6 +2610,25 @@ object SparkEntry {
        |       FROM v),
        |$roundCtes""".stripMargin
   }
+
+  /** Queries whose semantics are NOT ANSI-SQL-expressible (the driver
+    * contract's documented carve-out: "Omit for non-SQL-expressible ops →
+    * driver records a weaker rows-only check"). Every key here MUST exist
+    * in [[queries]] and MUST NOT exist in [[oracleSql]]; VerifySpec pins
+    * both directions, and `tools/compare_oracle.py` records an explicit
+    * `rows_only` verdict (output present, rows > 0, schema dumped) instead
+    * of a hash compare. Keep this set minimal — a query belongs here only
+    * when the blocking step is genuinely outside SQL (eigendecomposition),
+    * not merely awkward.
+    *
+    *  - q217: PCA fit = driver-side Jacobi eigendecomposition of the
+    *    corpus covariance; DuckDB has no eigensolver and the fitted basis
+    *    is data-dependent, so no static SQL can reproduce the projection.
+    *    Value-level correctness is carried by PCASpec's analytic fixtures
+    *    (exact eigenvalues, oblique direction recovery, rank-k isometry,
+    *    equal-variance Jacobi rotation).
+    */
+  def rowsOnly: Set[String] = Set("q217_pca_project")
 
   def oracleSql: Map[String, String] = Map(
     "q01_knn_l2" -> knnOracle("l2sq"),

@@ -63,13 +63,27 @@ object Verify {
     // the whole round's correctness artifact into `{}` because this file
     // was written last)
     writeOracleJson(outDir, SparkEntry.oracleSql.filter(kv => keep(kv._1)))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // queries dump through a small thread pool: Spark schedules concurrent
+    // jobs fine (FIFO within the one session), each query writes its own
+    // directory, and no query shares mutable state (scratch subdirs are
+    // per-query, fixture caches are a TrieMap). sf0.01 plans are small, so
+    // wall time is driver/planning-bound — 4 in flight roughly quarters the
+    // 6-minute serial sweep without oversubscribing the executor threads.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val todo = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
+    val futures = todo.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 }

@@ -101,7 +101,12 @@ object PCA {
     while (sweep < 64 && offDiag(a) > 1e-12) {
       for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // theta == 0 (equal diagonal entries) needs the explicit 45° rotation
+        // t = 1: signum(0) = 0 would make the rotation a no-op and the pair
+        // would never be annihilated (Numerical Recipes §11.1 convention)
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
         val c = 1.0 / math.sqrt(t * t + 1.0)
         val s = t * c
         var i = 0

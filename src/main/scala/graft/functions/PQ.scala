@@ -422,12 +422,14 @@ object PQ {
     val bc = queries.sparkSession.sparkContext.broadcast(rvq)
     // actual codebook sizes: the deterministic init seeds from ids < k, so
     // fewer than k centers can exist (id spaces starting at 1 yield k−1) —
-    // size off the arrays, exactly like Codebooks.adcLut does
-    val k2 = rvq.cb2.centers(0).length
+    // and per-subspace Lloyd can drop clusters non-uniformly, so BOTH the
+    // LUT layout and the scoring stride are sized per subspace off the
+    // arrays themselves (a uniform driver-side stride would read the wrong
+    // cell, or out of bounds, the moment one subspace diverges)
     val lutUdf = udf((q: Seq[Double]) => {
       val r = bc.value; val c1 = r.cb1; val c2 = r.cb2
-      val n1 = c1.centers(0).length; val n2 = c2.centers(0).length
       Array.tabulate(c1.m) { s =>
+        val n1 = c1.centers(s).length; val n2 = c2.centers(s).length
         Array.tabulate(n1 * n2) { idx =>
           val a = idx / n2; val b = idx % n2
           var d = 0.0; var i = 0
@@ -441,9 +443,10 @@ object PQ {
       }
     })
     val pairDist = udf((lut: Seq[Seq[Double]], codes1: Seq[Int], codes2: Seq[Int]) => {
+      val c2 = bc.value.cb2
       var s = 0; var total = 0.0
       while (s < codes1.length) {
-        total += lut(s)(codes1(s) * k2 + codes2(s)); s += 1
+        total += lut(s)(codes1(s) * c2.centers(s).length + codes2(s)); s += 1
       }
       total
     })

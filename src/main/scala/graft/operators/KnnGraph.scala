@@ -356,8 +356,19 @@ object KnnGraph {
     * contract of the Lloyd loop). A round removes every node below k
     * SIMULTANEOUSLY (the standard parallel peel), so the result is
     * order-independent and exactly the classical k-core at fixpoint.
+    *
+    * `maxRounds` is a runaway guard, not a truncation knob: with
+    * `requireFixpoint` (the default) exhausting it before fixpoint
+    * (possible on long path-like peel chains) throws rather than silently
+    * returning a supergraph with sub-k degrees. The default of 64 rounds
+    * covers any peel chain of depth ≤ 64 — far past kNN-graph shapes,
+    * where peels converge in a handful of rounds. Pass
+    * `requireFixpoint = false` ONLY when truncated semantics are the
+    * contract (the oracle mirror unrolls exactly `maxRounds` rounds in
+    * SQL, so both sides truncate identically).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      requireFixpoint: Boolean = true): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     def degrees(und: DataFrame): DataFrame =
       und.select(col("a").as("id"))
@@ -380,6 +391,9 @@ object KnnGraph {
       und = pruned
       round += 1
     }
+    if (!stable && requireFixpoint)
+      throw new IllegalStateException(
+        s"kCore: peel not at fixpoint after $maxRounds rounds — raise maxRounds")
     degrees(und)
   }
 }

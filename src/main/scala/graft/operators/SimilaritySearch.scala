@@ -193,32 +193,40 @@ object SimilaritySearch {
   }
 
   /** Hard-negative mining for contrastive training: for each anchor, the k
-    * nearest corpus vectors with a DIFFERENT label. One bounded
-    * `batch_topk` corpus scan per label value (the label set — classes,
-    * not corpus rows — is a documented bounded collect), each searching
-    * that label's anchors against the complement corpus; no per-pair
-    * label-predicate join ever forms.
+    * nearest corpus vectors with a DIFFERENT label. ONE label-aware bounded
+    * top-k corpus scan ([[graft.functions.LabeledBatchTopK]]): every anchor
+    * rides inside the aggregate with its label, each corpus row updates the
+    * anchors whose label differs, and no per-label pass or per-pair
+    * label-predicate join ever forms — the scan count is 1 regardless of
+    * how many classes exist (pre-r10 this looped one `batch_topk` scan per
+    * label value; same result, |labels|× the corpus reads).
     */
   def hardNegatives(
       vectors: DataFrame, // (id, vec, label)
       k: Int,
       metric: String = "cos"): DataFrame = {
-    val labels = vectors.select(col("label")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    labels.iterator.map { l =>
-      val anchors = vectors.where(col("label") === l)
-        .select(col("id").as("query_id"), col("vec").as("qvec"))
-      Knn.search(anchors, vectors.where(col("label") =!= l), k, metric)
-    }.reduce(_ unionByName _)
+    import graft.functions.LabeledBatchTopK
+    val (qids, qvecs, qlabels) = LabeledBatchTopK.collectQueries(
+      vectors.select(col("id").as("query_id"), col("vec").as("qvec"),
+        col("label").as("qlabel")))
+    Knn.explodeRanked(
+      vectors
+        .agg(LabeledBatchTopK.labeledBatchTopk(col("id"), col("vec"),
+          col("label"), qids, qvecs, qlabels, 0, k, metric).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.neg").as("nn")))
   }
 
   /** Triplet mining for contrastive training: for every anchor, its nearest
     * SAME-label member (the positive, self excluded) and its nearest
     * DIFFERENT-label member (the hard negative — [[hardNegatives]] at
     * k = 1), plus the margin `neg_dist − pos_dist` (negative margin = the
-    * hard triplet a metric-learning loss actually moves). One bounded
-    * `batch_topk` corpus scan per label value for each side — the label
-    * set is classes, not corpus rows (the [[hardNegatives]] contract).
+    * hard triplet a metric-learning loss actually moves). Both buffers fill
+    * in the SAME single label-aware corpus scan
+    * ([[graft.functions.LabeledBatchTopK]] with kPos = kNeg = 1) — pre-r10
+    * this was two per-label scan loops. Anchors whose class is a singleton
+    * (no possible positive) drop out, as do anchors when only one class
+    * exists — the inner-join semantics of the original formulation.
     *
     * Output `(anchor, pos_id, pos_dist, neg_id, neg_dist, margin)`; all
     * distances 4dp, margin computed over the rounded values.
@@ -226,24 +234,20 @@ object SimilaritySearch {
   def tripletMine(
       vectors: DataFrame, // (id, vec, label)
       metric: String = "cos"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val labels = vectors.select(col("label")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val pos = labels.iterator.map { l =>
-      val anchors = vectors.where(col("label") === l)
-        .select(col("id").as("query_id"), col("vec").as("qvec"))
-      Knn.search(anchors, vectors.where(col("label") === l), 2, metric)
-    }.reduce(_ unionByName _)
-      .where(col("id") =!= col("query_id"))
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    val pos1 = pos.withColumn("_rn", row_number().over(wp))
-      .where(col("_rn") === 1)
-      .select(col("query_id").as("anchor"), col("id").as("pos_id"),
-        col("dist").as("pos_dist"))
-    val neg1 = hardNegatives(vectors, 1, metric)
-      .select(col("query_id").as("anchor"), col("id").as("neg_id"),
-        col("dist").as("neg_dist"))
-    pos1.join(neg1, Seq("anchor"))
+    import graft.functions.LabeledBatchTopK
+    val (qids, qvecs, qlabels) = LabeledBatchTopK.collectQueries(
+      vectors.select(col("id").as("query_id"), col("vec").as("qvec"),
+        col("label").as("qlabel")))
+    vectors
+      .agg(LabeledBatchTopK.labeledBatchTopk(col("id"), col("vec"),
+        col("label"), qids, qvecs, qlabels, 1, 1, metric).as("per_q"))
+      .select(explode(col("per_q")).as("r"))
+      .where(size(col("r.pos")) > 0 && size(col("r.neg")) > 0)
+      .select(col("r.query_id").as("anchor"),
+        col("r.pos")(0).getField("id").as("pos_id"),
+        round(col("r.pos")(0).getField("dist"), 4).as("pos_dist"),
+        col("r.neg")(0).getField("id").as("neg_id"),
+        round(col("r.neg")(0).getField("dist"), 4).as("neg_dist"))
       .withColumn("margin", round(col("neg_dist") - col("pos_dist"), 4))
   }
 

@@ -34,7 +34,11 @@ object ZOrderStore {
 
   private def keyCols(xCol: Column, yCol: Column, bits: Int, xStep: Double,
       prefixBits: Int): (Column, Column, Column) = {
-    val qx = least(floor(xCol / xStep), lit((1 << bits) - 1)).cast("long")
+    // clamp BOTH ends to the grid, mirroring coverX's qlo/qhi clamps — a
+    // negative x would otherwise Morton-shift into a bucket outside every
+    // probe cover and its rows would silently vanish from exact matches
+    val qx = greatest(lit(0L),
+      least(floor(xCol / xStep), lit((1 << bits) - 1))).cast("long")
     val qy = pmod(yCol.cast("long"), lit(1L << bits))
     val z = Pipeline.zorderKey(qx, qy, bits)
     (qx, qy, shiftright(z, 2 * bits - prefixBits).cast("int"))

@@ -151,33 +151,56 @@ object StreamingIngest {
     * contract [[funnelStream]] states); out-of-order storms admit a
     * different-but-size-identical subset, which is the accepted semantics
     * of an online limiter.
+    *
+    * State lifetime: unlike the per-user/per-head keys above (bounded by
+    * entity count), the (user, window) key space grows with wall-clock —
+    * so each counter arms an event-time timeout at `window end +
+    * lateness` and is evicted when the watermark passes it. Without the
+    * timeout a long-lived stream would accumulate one long per (user,
+    * window-ever-seen).
     */
   def quotaStream(
       events: DataFrame, // streaming (event_id, ts, user_id)
       maxPerWindow: Int,
-      windowMinutes: Int = 60): DataFrame = {
+      windowMinutes: Int = 60,
+      lateness: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(maxPerWindow > 0 && windowMinutes > 0)
     val spark = events.sparkSession
     import spark.implicits._
     val winSec = 60L * windowMinutes
+    val lateMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+    require(lateMs.months == 0, "lateness must be a fixed-length interval")
+    val lateMillis =
+      lateMs.days * 86400000L + lateMs.microseconds / 1000L
     events
+      .withWatermark("ts", lateness)
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
         col("ts"),
         floor(unix_timestamp(col("ts")) / winSec).cast("long").as("win"))
       .as[(Long, Long, java.sql.Timestamp, Long)]
       .groupByKey(r => (r._2, r._4))
       .flatMapGroupsWithState[Long, (Long, Long, java.sql.Timestamp)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Long, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
             state: GroupState[Long]) =>
-          val seen = state.getOption.getOrElse(0L)
-          // admit in (ts, event_id) order within the batch — the batch
-          // operator's tie rule
-          val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._1))
-          val admit = sorted.take(math.max(0, maxPerWindow - seen.toInt))
-          state.update(seen + sorted.size)
-          admit.iterator.map(r => (r._1, r._2, r._3))
+          if (state.hasTimedOut) {
+            // watermark passed window end + lateness: counter is dead weight
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(0L)
+            // admit in (ts, event_id) order within the batch — the batch
+            // operator's tie rule
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._1))
+            val admit = sorted.take(math.max(0, maxPerWindow - seen.toInt))
+            state.update(seen + sorted.size)
+            // evict once the watermark clears this window's end (+ lateness
+            // slack so stragglers inside the watermark still hit the counter)
+            state.setTimeoutTimestamp((key._2 + 1) * winSec * 1000L + lateMillis)
+            admit.iterator.map(r => (r._1, r._2, r._3))
+          }
       }
       .toDF("event_id", "user_id", "ts")
   }

@@ -270,7 +270,51 @@ object DumpPlans {
       """Join-key skew profile: per-key counts (map-side combined), then
         |the 20 hottest keys via the bounded top-k aggregate keyed on
         |(−cnt, key) — the profile that decides whether a join needs q160's
-        |salting, computed without sorting the key histogram.""".stripMargin)
+        |salting, computed without sorting the key histogram.""".stripMargin,
+    "q95_hard_negatives" ->
+      """Contrastive hard-negative mining as ONE label-aware corpus scan
+        |(r10): every anchor rides inside the labeled_batch_topk
+        |ObjectHashAggregate with its label; a corpus row updates only the
+        |anchors whose label differs, partials merge map-side. Pre-r10 this
+        |looped one batch_topk scan per label value — |labels| passes over
+        |the corpus; the scan count is now 1 whatever the class count
+        |(PlanSpec asserts it, and that q142's two-buffer sibling shares the
+        |shape).""".stripMargin,
+    "q197_rvq_search" ->
+      """Two-level residual PQ (RVQ) search: the per-query (code1, code2)
+        |LUT — m·k² doubles — builds once per query row and broadcasts with
+        |the query batch; scoring is m flat lookups per (query, code-pair)
+        |row and the bounded top-k aggregate merges map-side. Codebooks ride
+        |as one broadcast, never a join; the quantized corpus is the only
+        |scan-sized input.""".stripMargin,
+    "q207_winnow_overlap" ->
+      """MOSS-style overlap: per-doc winnowed fingerprints explode in-row,
+        |a df > maxDf stop-fingerprint filter kills boilerplate BEFORE the
+        |per-fingerprint self-join (the q33 band-bucket skew discipline), and
+        |the pair aggregation keys on (a, b) with map-side combine. Report
+        |threshold applies to the smaller side's fp count — in-row math on
+        |the joined aggregate.""".stripMargin,
+    "q211_skyline" ->
+      """Skyline (Pareto front), distributive two-phase: a bucket-hashed
+        |prefix-min window prunes locally (keeps a superset of each bucket's
+        |skyline, provably every global-skyline row), then the bounded
+        |candidate set anti-joins against its own BROADCAST copy on the
+        |dominance predicate — the nested-loop is deliberate and safe
+        |because the candidates are O(summed per-bucket skylines), never
+        ||input|. No global sort, no |input|² pair space.""".stripMargin,
+    "q214_scd2" ->
+      """SCD2 validity intervals from a changelog: same-version ties settle
+        |in ONE max_by hash aggregate (delete beats upsert, map-side
+        |partial), then each key's version chain closes via lead() over a
+        |per-key window — key cardinality = table size, so the window
+        |exchange hash-spreads, never one partition. One aggregate + one
+        |window, no per-version self-join.""".stripMargin,
+    "q216_grouping_sets" ->
+      """GROUPING SETS over an arbitrary (non-rollup-chain) set list: Spark
+        |plans ONE scan + Expand (one row per matching set per input row) +
+        |a single hash aggregate — never one scan per set unioned. The
+        |decimal sums partial-aggregate map-side before the grouping-key
+        |exchange.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

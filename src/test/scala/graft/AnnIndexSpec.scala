@@ -189,6 +189,60 @@ class AnnIndexSpec extends SparkSpec {
     finally it2.close()
   }
 
+  test("iterator batches are snapshot-isolated from interleaved add/delete " +
+    "(ConcurrentTest × SPANNResultIterator)") {
+    // the reference interleaves GetIterator draws with concurrent inserts
+    // (ConcurrentTest.cpp threads × SPANNResultIterator's retained
+    // workspace); on the immutable facade the equivalent contract is: an
+    // OPEN iterator keeps serving the snapshot it was created on while a
+    // writer thread swaps the index underneath — no added id ever leaks
+    // into its batches, no torn pool — and a NEW iterator on the mutated
+    // index sees the post-mutation state.
+    import java.util.concurrent.atomic.AtomicReference
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val idx0 = freshIndex.build()
+    val q = synthQueries(3)
+    // reference sequence: the full two batches drawn with NO interleaving
+    val refIt = idx0.iterate(q, headBatch = 8, maxBatches = 2)
+    val (ref1, ref2) =
+      try (refIt.next(5).collect().toSet, refIt.next(5).collect().toSet)
+      finally refIt.close()
+
+    val current = new AtomicReference[AnnIndex](idx0)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val it = idx0.iterate(q, headBatch = 8, maxBatches = 2)
+    try {
+      val b1 = it.next(5).collect().toSet
+      // writer thread mutates WHILE the iterator is open and mid-sequence
+      val writer = new Thread(() => try {
+        for (j <- 0 until 3) {
+          val batch = Seq((6000L + j, Seq.fill(10)(2000f + j), s"it$j"))
+            .toDF("id", "vec", "meta")
+          current.updateAndGet(_.add(batch))
+          current.updateAndGet(_.deleteByIds(Seq(910L + j).toDF("id")))
+        }
+      } catch { case e: Throwable => errors.add(e); () })
+      writer.start()
+      val b2 = it.next(5).collect().toSet
+      writer.join(120000)
+      assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+      // the open iterator's draws equal the uninterleaved reference draws
+      assert(b1 === ref1, "batch 1 drifted under concurrent mutation")
+      assert(b2 === ref2, "batch 2 drifted under concurrent mutation")
+      assert(!b2.exists(_.getLong(2) >= 6000L), "added id leaked into an open iterator")
+    } finally it.close()
+    // a fresh iterator on the mutated index reflects the new state: the
+    // added vectors surface for a query at their grid point, deletes don't
+    val fin = current.get()
+    val qNew = Seq((0L, Seq.fill(10)(2001f))).toDF("query_id", "qvec")
+    val it3 = fin.iterate(qNew, headBatch = 8)
+    try {
+      val got = it3.next(3).collect().map(_.getLong(2)).toSet
+      assert(got.contains(6001L), s"fresh iterator missed the added vector: $got")
+      assert(!got.exists(id => id >= 910L && id <= 912L), s"tombstone surfaced: $got")
+    } finally it3.close()
+  }
+
   test("parameters flow through the facade (M6)") {
     val idx = freshIndex.setParameter("InternalK", "16")
     assert(idx.getParameter("SearchInternalResultNum") === "16")

@@ -237,6 +237,23 @@ class KnnGraphSpec extends SparkSpec {
     assert(KnnGraph.kCore(edges, 4).count() === 0)
   }
 
+  test("kCore: exhausting maxRounds before fixpoint throws; the explicit " +
+      "fixed-round opt-out returns the truncated supergraph") {
+    import spark.implicits._
+    // a 6-node path needs 3 peel rounds to empty its 2-core (both pendant
+    // ends unravel one step per round); maxRounds = 1 is short of fixpoint
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      KnnGraph.kCore(path, 2, maxRounds = 1)
+    }
+    // the r9 advice failure mode, now opt-in only: sub-k degrees survive
+    val truncated = KnnGraph.kCore(path, 2, maxRounds = 1, requireFixpoint = false)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated.nonEmpty && truncated.values.exists(_ < 2))
+    // and at fixpoint the 2-core of a path is empty
+    assert(KnnGraph.kCore(path, 2).count() === 0)
+  }
+
   test("kCore equals a plain-Scala peel reference on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -47,6 +47,30 @@ class PCASpec extends SparkSpec {
     assert(math.abs(m.varExplained(0) - 5.0) < 1e-9)
   }
 
+  test("fit diagonalizes an equal-variance covariance (Jacobi theta = 0): " +
+      "cov [[1, .5], [.5, 1]] has eigenpairs 1.5/(1,1)·√½ and 0.5") {
+    import spark.implicits._
+    // four points with exact sample cov (÷n) = [[1, 0.5], [0.5, 1]]:
+    // ±(a, b), ±(b, a) with a+b, a−b solving a²+b²=2, 2ab=1.
+    // Equal diagonal entries make the Jacobi theta EXACTLY 0 — the rotation
+    // must take the explicit 45° branch (t = 1) or the off-diagonal never
+    // annihilates and fit silently returns the identity basis (r9 advice).
+    val a = (math.sqrt(3.0) + 1.0) / 2.0
+    val b = (math.sqrt(3.0) - 1.0) / 2.0
+    val pts = Seq(Seq(a, b), Seq(-a, -b), Seq(b, a), Seq(-b, -a))
+    val m = PCA.fit(pts.map(Tuple1(_)).toDF("vec"), 2)
+    assert(math.abs(m.varExplained(0) - 1.5) < 1e-9 &&
+      math.abs(m.varExplained(1) - 0.5) < 1e-9,
+      s"eigenvalues: ${m.varExplained.toSeq}")
+    val h = math.sqrt(0.5)
+    assert(math.abs(m.components(0)(0) - h) < 1e-9 &&
+      math.abs(m.components(0)(1) - h) < 1e-9,
+      s"top component: ${m.components(0).toSeq}")
+    assert(math.abs(math.abs(m.components(1)(0)) - h) < 1e-9 &&
+      math.abs(m.components(1)(0) + m.components(1)(1)) < 1e-9,
+      s"second component: ${m.components(1).toSeq}")
+  }
+
   test("project preserves pairwise L2 distances for data of exact rank k; " +
       "fit is deterministic") {
     import spark.implicits._

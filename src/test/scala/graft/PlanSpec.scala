@@ -19,6 +19,22 @@ class PlanSpec extends SparkSpec {
       s"kNN reintroduced a per-(query,vector) join:\n$p")
   }
 
+  test("contrastive mining scans the corpus ONCE, label-aware, partial map-side") {
+    // r9 verdict item 4: pre-r10 these looped one batch_topk scan per label
+    // value — |labels| passes over the corpus. Now one labeled_batch_topk
+    // aggregate carries both buffers; the plan has exactly one parquet scan.
+    for (name <- Seq("q95_hard_negatives", "q142_triplet_mine")) {
+      val p = plan(name)
+      assert(p.contains("labeled_batch_topk"), s"$name: no labeled aggregate:\n$p")
+      assert(p.contains("partial_labeled_batch_topk"),
+        s"$name: top-k not partial-aggregated map-side:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$name: expected ONE corpus scan, found $scans:\n$p")
+      assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: per-(anchor,vector) join reintroduced:\n$p")
+    }
+  }
+
   test("kNN plan aggregates top-k map-side (partial before exchange)") {
     val p = plan("q01_knn_l2")
     assert(p.contains("partial_batch_topk"), s"no partial batch topk in:\n$p")

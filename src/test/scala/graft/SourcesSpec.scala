@@ -368,4 +368,23 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.ZOrderStore.coverY(idx, 7L).size < dirs,
       "y-cover is not a strict subset of the written quadrants")
   }
+
+  test("ZOrderStore: negative x clamps into the grid — probes still see the rows") {
+    import org.apache.spark.sql.functions._
+    // r9 advice: save-time quantization clamped only the UPPER bound, so a
+    // negative x Morton-shifted into a bucket outside every probe cover and
+    // its rows silently vanished from exact-match probes
+    val dir = tmp()
+    import spark.implicits._
+    val rows = Seq((-500.0, 3L), (-0.01, 4L), (100.0, 3L), (900.0, 5L))
+      .toDF("x", "y")
+    graft.sources.ZOrderStore.save(dir, rows, "x", "y", 4.0, bits = 8, prefixBits = 8)
+    val idx = graft.sources.ZOrderStore.load(spark, dir)
+    // x-range probe straddling 0 finds the negative row (exact predicate wins)
+    val px = graft.sources.ZOrderStore.probeX(idx, "x", -600.0, 200.0)
+    assert(px.count() === 3, px.collect().mkString(", "))
+    // y probe finds BOTH y=3 rows, including the negative-x one
+    val py = graft.sources.ZOrderStore.probeY(idx, "y", 3L)
+    assert(py.count() === 2, py.collect().mkString(", "))
+  }
 }

@@ -89,6 +89,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quota counters are EVICTED once the watermark clears the window " +
+      "(r9 advice: (user, window) keys grow with wall-clock, not entities)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour windows, 10-minute lateness: day-2 events push the watermark far
+    // past every day-1 window end, so day-1 counters must drop from state
+    val q = StreamingIngest.quotaStream(
+      stream.toDF().toDF("event_id", "ts", "user_id"), 1, 60)
+      .writeStream.format("memory").queryName("quota_evict_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, t("2024-01-01 00:05:00"), 10L), (2L, t("2024-01-01 01:05:00"), 10L),
+        (3L, t("2024-01-01 02:05:00"), 11L), (4L, t("2024-01-01 03:05:00"), 12L)))
+      q.processAllAvailable()
+      // processAllAvailable's trailing no-data batch already evicts windows
+      // behind the batch-1 watermark (02:55) — some but not all of the four
+      val afterDay1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterDay1 <= 4 && afterDay1 >= 1, s"live counters: $afterDay1")
+      // advance event time a day; all four day-1 windows end long before
+      // the new watermark → every day-1 counter times out and is removed
+      stream.addData(Seq((5L, t("2024-01-02 00:05:00"), 10L)))
+      q.processAllAvailable()
+      // one more batch so the progress line reflects the post-timeout state
+      stream.addData(Seq((6L, t("2024-01-02 00:06:00"), 10L)))
+      q.processAllAvailable()
+      val afterDay2 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterDay2 <= 1,
+        s"day-1 counters never evicted: $afterDay2 state rows for 5 windows")
+      // and the quota still enforced within the live window
+      assert(spark.table("quota_evict_out").count() === 5) // event 6 dropped
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]

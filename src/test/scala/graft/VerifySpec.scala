@@ -11,8 +11,20 @@ class VerifySpec extends SparkSpec {
   test("every query has an oracle and every oracle a query (driver contract)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    val ro = SparkEntry.rowsOnly
+    // the explicit carve-out: rows-only queries are real queries with NO
+    // oracle — never a silent omission, never a dangling registry entry
+    assert((ro -- q).isEmpty, s"rowsOnly names without a query: ${ro -- q}")
+    assert((ro & o).isEmpty, s"rowsOnly names that DO have an oracle: ${ro & o}")
+    assert((q -- o -- ro).isEmpty, s"queries without oracle: ${q -- o -- ro}")
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("rows-only queries still dump non-empty output (the weaker gate)") {
+    SparkEntry.rowsOnly.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      assert(df.count() > 0, s"$name: rows-only query returned 0 rows")
+    }
   }
 
   test("writeOracleJson escapes control characters and survives a JSON parse") {

@@ -1,60 +1,220 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> \
+           [--jobs N] [--jsonl PATH] [--summary PATH] [--only q1,q2]
 
 Registers each testdata parquet as a view named after the table, runs every
 oracle_sql.json entry, and compares against the Spark parquet dump: columns
 sorted by name, rows sorted, values hashed (floats rounded via repr).
+
+Robustness + speed contract (round-10 verdict item 2):
+  * per-query verdicts FLUSH to --jsonl as they complete, so a killed run
+    still leaves machine-readable results for everything that finished;
+  * queries run in a process pool (--jobs, default 8) with per-connection
+    DuckDB thread caps, cutting the 207-query sweep well under the driver's
+    timeout;
+  * a Spark output directory with NO oracle entry is recorded as an explicit
+    rows-only verdict (the driver contract's documented weaker check for
+    non-SQL-expressible ops), never silently skipped;
+  * --summary writes one aggregate JSON {query: {rows, schema, hash}} plus
+    commit SHA + timestamp — the committable CORRECTNESS artifact shape.
 """
-import sys, json, glob, os
-import duckdb
-import pandas as pd
+import sys, json, glob, os, time, subprocess, argparse
+from concurrent.futures import ProcessPoolExecutor, as_completed
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+_SF_DIR = None  # set in worker via initializer
+
+
+def _init(sf_dir):
+    global _SF_DIR
+    _SF_DIR = sf_dir
+
+
+def _canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sf_dir: str, out_dir: str) -> int:
+
+def _spark_df(out_dir, name):
+    import pandas as pd
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return None
+    return _canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+
+
+def compare_one(name, sql, out_dir):
+    """Full oracle compare for one query. Returns a verdict dict."""
+    import duckdb
+    import pandas as pd
+    t0 = time.time()
+    v = {"query": name, "mode": "oracle", "rows": False, "schema": False,
+         "hash": False, "detail": ""}
+    spark_df = _spark_df(out_dir, name)
+    if spark_df is None:
+        v["detail"] = "MISSING spark output"
+        v["secs"] = round(time.time() - t0, 2)
+        return v
     con = duckdb.connect()
+    con.execute("SET threads TO 4")
     for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
+        p = f"{_SF_DIR}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_bad = 0
-    for name in sorted(oracles):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"{name}: MISSING spark output"); n_bad += 1; continue
-        spark_df = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+    try:
+        duck_df = _canon(con.sql(sql).df())
+    except Exception as e:
+        v["detail"] = f"ORACLE SQL ERROR: {e}"
+        v["secs"] = round(time.time() - t0, 2)
+        return v
+    v["schema"] = list(spark_df.columns) == list(duck_df.columns)
+    v["rows"] = len(spark_df) == len(duck_df)
+    v["n_spark"], v["n_duck"] = len(spark_df), len(duck_df)
+    if v["schema"] and v["rows"]:
         try:
-            duck_df = canon(con.sql(oracles[name]).df())
-        except Exception as e:
-            print(f"{name}: ORACLE SQL ERROR: {e}"); n_bad += 1; continue
-        ok_schema = list(spark_df.columns) == list(duck_df.columns)
-        ok_rows = len(spark_df) == len(duck_df)
-        ok_vals = False
-        if ok_schema and ok_rows:
+            pd.testing.assert_frame_equal(
+                spark_df, duck_df, check_dtype=False, check_exact=True)
+            v["hash"] = True
+        except AssertionError as e:
+            v["detail"] = "VALUE MISMATCH: " + " | ".join(str(e).split("\n")[0:6])
+    elif not v["schema"]:
+        v["detail"] = (f"spark cols={list(spark_df.columns)} "
+                       f"duck cols={list(duck_df.columns)}")
+    v["secs"] = round(time.time() - t0, 2)
+    return v
+
+
+def rows_only_one(name, out_dir):
+    """Weaker gate for non-SQL-expressible queries: output exists, rows > 0."""
+    import pandas as pd
+    t0 = time.time()
+    v = {"query": name, "mode": "rows_only", "rows": False, "schema": False,
+         "hash": False, "detail": ""}
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    # no canon: rows-only outputs may carry array columns (e.g. a PCA
+    # projection), which pandas cannot sort — and there is nothing to
+    # compare against anyway, only presence + row count
+    spark_df = None if not files else \
+        pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    if spark_df is None:
+        v["detail"] = "MISSING spark output"
+    else:
+        v["rows"] = len(spark_df) > 0
+        v["schema"] = True  # schema is whatever Spark dumped; recorded, not compared
+        v["hash"] = v["rows"]  # rows-only: presence IS the (weaker) verdict
+        v["n_spark"] = len(spark_df)
+        v["detail"] = f"rows-only check: cols={list(spark_df.columns)}"
+    v["secs"] = round(time.time() - t0, 2)
+    return v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--jobs", type=int, default=8)
+    ap.add_argument("--jsonl", default=None,
+                    help="per-query verdict JSONL, flushed as results land")
+    ap.add_argument("--summary", default=None,
+                    help="aggregate JSON artifact (CORRECTNESS shape)")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    oracles = json.load(open(f"{args.out_dir}/oracle_sql.json"))
+    # every dumped output participates: oracle-gated if it has SQL, rows-only
+    # otherwise (the driver contract's documented carve-out)
+    dumped = sorted(os.path.basename(d) for d in glob.glob(f"{args.out_dir}/q*")
+                    if os.path.isdir(d))
+    names = sorted(set(oracles) | set(dumped))
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    jsonl_path = args.jsonl or f"{args.out_dir}/compare_results.jsonl"
+    # costliest-first scheduling: a handful of oracles (rebalance, graph
+    # rebuild, unrolled Lloyd chains) run for minutes each — if one starts
+    # last it alone sets the wall time. Use measured per-query secs from a
+    # prior run's JSONL (same path), falling back to the committed seed
+    # costs, falling back to SQL length.
+    costs = {}
+    seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchlog", "compare_costs.json")
+    if os.path.exists(seed):
+        try:
+            costs.update(json.load(open(seed)))
+        except Exception:
+            pass
+    if os.path.exists(jsonl_path):
+        try:
+            for line in open(jsonl_path):
+                r = json.loads(line)
+                costs[r["query"]] = r.get("secs", 0.0)
+        except Exception:
+            pass
+    names = sorted(
+        names, key=lambda n: -costs.get(n, len(oracles.get(n, "")) / 1e6))
+    jsonl = open(jsonl_path, "w", buffering=1)
+    results = {}
+    n_bad = 0
+    with ProcessPoolExecutor(max_workers=args.jobs,
+                             initializer=_init,
+                             initargs=(args.sf_dir,)) as ex:
+        futs = {}
+        for name in names:
+            if name in oracles:
+                futs[ex.submit(compare_one, name, oracles[name], args.out_dir)] = name
+            else:
+                futs[ex.submit(rows_only_one, name, args.out_dir)] = name
+        for fut in as_completed(futs):
             try:
-                pd.testing.assert_frame_equal(
-                    spark_df, duck_df, check_dtype=False, check_exact=True)
-                ok_vals = True
-            except AssertionError as e:
-                msg = str(e).split("\n")[0:6]
-                print(f"{name}: VALUE MISMATCH: {' | '.join(msg)}")
-        status = "OK" if (ok_schema and ok_rows and ok_vals) else \
-            f"FAIL schema={ok_schema} rows={ok_rows}({len(spark_df)}/{len(duck_df)}) vals={ok_vals}"
-        if not (ok_schema and ok_rows and ok_vals):
-            n_bad += 1
-            if not ok_schema:
-                print(f"  spark cols={list(spark_df.columns)} duck cols={list(duck_df.columns)}")
-        print(f"{name}: {status}")
-    return n_bad
+                v = fut.result()
+            except Exception as e:  # one bad query must not kill the sweep
+                v = {"query": futs[fut], "mode": "error", "rows": False,
+                     "schema": False, "hash": False,
+                     "detail": f"COMPARE CRASH: {e}", "secs": 0.0}
+            results[v["query"]] = v
+            ok = v["rows"] and v["schema"] and v["hash"]
+            if not ok:
+                n_bad += 1
+            tag = "OK" if ok else "FAIL"
+            if v["mode"] == "rows_only":
+                tag += " (rows-only)"
+            line = f"{v['query']}: {tag}"
+            if not ok:
+                line += (f" schema={v['schema']} rows={v['rows']}"
+                         f"({v.get('n_spark', '?')}/{v.get('n_duck', '?')})"
+                         f" hash={v['hash']} {v['detail']}")
+            print(line, flush=True)
+            jsonl.write(json.dumps(v) + "\n")
+    jsonl.close()
+
+    if args.summary:
+        try:
+            sha = subprocess.check_output(
+                ["git", "-C", os.path.dirname(os.path.abspath(__file__)) + "/..",
+                 "rev-parse", "HEAD"]).decode().strip()
+        except Exception:
+            sha = "unknown"
+        summary = {
+            "commit": sha,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sf_dir": args.sf_dir,
+            "n_total": len(names),
+            "n_ok": len(names) - n_bad,
+            "queries": {n: {"mode": r["mode"], "rows": r["rows"],
+                            "schema": r["schema"], "hash": r["hash"]}
+                        for n, r in sorted(results.items())},
+        }
+        with open(args.summary, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"TOTAL: {len(names) - n_bad}/{len(names)} OK", flush=True)
+    return 1 if n_bad else 0
+
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main())
