@@ -1,7 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+  private def load1(s: String): Double =
+    try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
+    // captured before ANY Spark work — the only /proc reading that measures
+    // the MACHINE rather than this benchmark's own 32 threads
+    val preWorkLoad = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,27 +72,21 @@ object Bench {
     // identical code), so each run records /proc/loadavg — a skeptic reading
     // BENCH_rN.json against BASELINE.md's quiet-day targets can see whether
     // a gap is the plan or the machine
-    def loadavg(): String =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
-    def load1(s: String): Double =
-      try s.split(" ").head.toDouble catch { case _: Throwable => 0.0 }
     // Contention protocol (round-9 verdict: 2-of-3 contended runs polluted a
-    // driver median to 2x the quiet figure on identical code): a run whose
-    // PRE-run 1-minute loadavg exceeds LoadThreshold is marked contended and
-    // EXCLUDED from the headline medians whenever at least one clean run
-    // exists; contended attempts earn extra attempts (up to 2x numRuns) so a
-    // transient spike doesn't starve the sample. Every attempt — clean or
-    // contended — still rides in "runs" with its own load_before, so a judge
-    // can re-derive any statistic from the artifact alone.
+    // driver median to 2x the quiet figure on identical code). The gate is
+    // the 1-minute loadavg captured by main() BEFORE any Spark work — once
+    // the first timed run fires its own 32 threads, every later /proc
+    // reading measures the benchmark itself (observed: pre-run-2 loads of
+    // 4.7-8.3 on an otherwise idle host), so per-run readings ride in the
+    // artifact for forensics but do NOT gate. An invocation whose pre-work
+    // load exceeds LoadThreshold marks the WHOLE artifact contended
+    // (n_clean = 0) — the explicit annotation the 2x contract reads against
+    // the committed quiet-session band instead.
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
+    val invocationClean = load1(preWorkLoad) <= loadThreshold
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, Double)])]
-    var clean = 0
-    var attempts = 0
-    while (clean < numRuns && attempts < 2 * numRuns) {
+    val runs = (1 to numRuns).map { _ =>
       val lb = loadavg()
       // EVERY run gets a fresh child session — including the first. The
       // primary session keeps the sf0.001 warmup's cache/GC baggage and
@@ -90,18 +94,17 @@ object Bench {
       // was averaged with (8.6 vs 6.6/7.0 in the round-9 logs)
       val r = runOnce(spark.newSession())
       System.gc() // drop orphaned checkpoint/cache blocks between runs
-      runs += ((lb, r))
-      if (load1(lb) <= loadThreshold) clean += 1
-      attempts += 1
+      (lb, r)
     }
+    loads += preWorkLoad
     loads ++= runs.map(_._1)
     loads += loadavg()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val cleanRuns = runs.filter(r => load1(r._1) <= loadThreshold).map(_._2)
-    val medianSource = if (cleanRuns.nonEmpty) cleanRuns.toSeq else runs.toSeq.map(_._2)
+    val cleanRuns = if (invocationClean) runs.map(_._2) else Seq.empty
+    val medianSource = if (cleanRuns.nonEmpty) cleanRuns else runs.map(_._2)
     val medians = SparkEntry.benchQueryNames.map { name =>
       name -> median(medianSource.map(_.toMap.apply(name)))
     }
@@ -112,7 +115,7 @@ object Bench {
       qs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val runsJson = runs.map { case (lb, r) =>
       s"""{"total":${num(r.map(_._2).sum)},"load_before":"$lb",""" +
-        s""""contended":${load1(lb) > loadThreshold},"queries":${fmtQs(r)}}"""
+        s""""contended":${!invocationClean},"queries":${fmtQs(r)}}"""
     }.mkString("[", ",", "]")
     // headline "queries"/"value" are the CLEAN-run medians — the number the
     // 2x-per-query contract reads; raw runs (incl. contended) ride alongside
@@ -123,6 +126,7 @@ object Bench {
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${fmtQs(medians)},"medians":${fmtQs(medians)},""" +
       s""""n_clean":${cleanRuns.size},"load_threshold":$loadThreshold,""" +
+      s""""pre_work_load":"$preWorkLoad",""" +
       s""""runs":$runsJson,"loadavg":$loadsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1597,6 +1597,11 @@ object SparkEntry {
       ordered(PCA.project(emb, m, "embedding", "proj", 4)
         .select(col("vec_id"), col("proj")))
     }),
+    // Matryoshka prefix-dim coarse pass (16 of 64 dims) + full-dim rerank
+    "q218_matryoshka" -> ((s, d) =>
+      ordered(SimilaritySearch.matryoshkaSearch(
+        embQueries(s, d), Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        MatPrefix, K, MatRerank))),
     // GROUPING SETS anchor: an arbitrary (non-rollup-chain) set list
     "q216_grouping_sets" -> ((s, d) => {
       val dec = DecimalType(18, 4)
@@ -1902,6 +1907,9 @@ object SparkEntry {
   private val BasketMax = 64
   // q217: 64-dim embeddings → 8 principal components
   private val PcaK = 8
+  // q218: coarse pass over the first 16 of 64 dims, rerank 3k candidates
+  private val MatPrefix = 16
+  private val MatRerank = 30
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2848,6 +2856,26 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          |d AS (SELECT q.query_id, v.id, $cd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM d)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
+         |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q218_matryoshka" -> {
+      // stage-for-stage mirror: 1-based inclusive list slices = Spark's
+      // slice(vec, 1, P); ties on id in both ranking stages
+      val pDist = Tables.distSql("cos", s"pq.qvec", s"pv.vec")
+      val fDist = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |pv AS (SELECT id, vec[1:$MatPrefix] AS vec FROM v),
+         |pq AS (SELECT query_id, qvec[1:$MatPrefix] AS qvec FROM q),
+         |s1 AS (SELECT pq.query_id, pv.id, $pDist AS pdist FROM pq CROSS JOIN pv),
+         |c AS (SELECT query_id, id FROM (SELECT query_id, id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY pdist, id) AS rn FROM s1)
+         |      WHERE rn <= $MatRerank),
+         |d AS (SELECT c.query_id, c.id, $fDist AS dist
+         |      FROM c JOIN q USING (query_id) JOIN v ON v.id = c.id),
          |r AS (SELECT query_id, id, dist,
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM d)
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K

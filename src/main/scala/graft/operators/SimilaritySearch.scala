@@ -321,6 +321,46 @@ object SimilaritySearch {
         .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
+  /** Matryoshka (prefix-dimension) two-stage search: MRL-trained embeddings
+    * (Kusupati et al. 2022) nest coarse meaning in their leading
+    * coordinates, so stage 1 ranks the corpus by distance over ONLY the
+    * first `dPrefix` dims — `dPrefix/d` of the flops and scan bytes of a
+    * full pass when the store lays the prefix out as its own column — and
+    * keeps `rerank` candidates per query; stage 2 re-scores just those ≤
+    * |Q|·rerank rows with the full vector. The dimension-sliced sibling of
+    * [[binarySearch]]'s bit-sliced coarse pass.
+    *
+    * Plan shape: stage 1 is the [[Knn.searchAgg]] single-scan bounded
+    * aggregate over SLICED vectors (slice is in-row; queries broadcast by
+    * contract); stage 2's semi-join back on `id` prunes the full-vector
+    * read to candidates. Deterministic (ties on id both stages), so the
+    * oracle mirrors it stage-for-stage; with `dPrefix` = d it degenerates
+    * to exact [[bruteForce]].
+    */
+  def matryoshkaSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dPrefix: Int,
+      k: Int,
+      rerank: Int,
+      metric: String = "cos"): DataFrame = {
+    require(dPrefix >= 1 && rerank >= k,
+      s"need dPrefix >= 1 and rerank ($rerank) >= k ($k)")
+    val cand = Knn.searchAgg(
+      queries.select(col("query_id"), slice(col("qvec"), 1, dPrefix).as("qvec")),
+      corpus.select(col("id"), slice(col("vec"), 1, dPrefix).as("vec")),
+      rerank, metric)
+      .select(col("query_id"), explode(col("nn")).as("r"))
+      .select(col("query_id"), col("r.id").as("id"))
+    val rer = cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("dist", graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+    Knn.explodeRanked(
+      rer.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the embedding
     * space, then near-dup only WITHIN clusters): centroids are the
     * deterministic every-nth sample ([[Spann.selectHeadsModulo]] — swap in

@@ -197,6 +197,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rec >= 0.3, s"avg recall $rec")
   }
 
+  test("matryoshka search: full-prefix degenerates to exact; recall holds " +
+      "and rerank budget is monotone") {
+    val corpus = emb.select("id", "vec")
+    val exact = SimilaritySearch.bruteForce(queries, corpus, 10)
+    // dPrefix = d → stage 1 IS the exact ranking; rerank ⊇ k keeps it
+    val full = SimilaritySearch.matryoshkaSearch(queries, corpus, 64, 10, 30)
+    assert(full.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(full).count() === 0)
+    def rec(dPrefix: Int, rerank: Int): Double =
+      Eval.recallSummary(Eval.recallAt(
+        SimilaritySearch.matryoshkaSearch(queries, corpus, dPrefix, 10, rerank),
+        exact, 10)).head().getDouble(0)
+    // random 64-dim embeddings are the WORST case for prefix ranking (no
+    // MRL training concentrates meaning up front) — the structural
+    // guarantees are the floor and the monotone budget
+    assert(rec(16, 30) >= 0.3, s"prefix recall collapsed: ${rec(16, 30)}")
+    assert(rec(16, 100) >= rec(16, 25) - 1e-9, "larger rerank lost recall")
+    // every returned id must come from the stage-1 candidate set: the
+    // top-1 is exact whenever the true top-1 survives the prefix cut —
+    // spot-check that self (dist 0) always survives any prefix
+    val self = SimilaritySearch.matryoshkaSearch(queries, corpus, 4, 1, 10)
+      .where(col("rank") === 1).collect()
+    self.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) && r.getDouble(3) === 0.0,
+        s"self not found through the 4-dim prefix: $r")
+    }
+  }
+
   test("binary search: larger rerank budget never loses recall") {
     val exact = SimilaritySearch.bruteForce(queries, emb.select("id", "vec"), 10, "l2sq")
     def rec(r: Int): Double =
