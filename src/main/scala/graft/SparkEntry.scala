@@ -1597,6 +1597,25 @@ object SparkEntry {
       ordered(PCA.project(emb, m, "embedding", "proj", 4)
         .select(col("vec_id"), col("proj")))
     }),
+    // nearest-direction as-of join with tolerance (pandas merge_asof
+    // 'nearest' parity; q134 is the backward special case)
+    "q219_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      ordered(graft.operators.Events.asOfJoinNearest(l, r, NearestTolSec)
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp"))))
+    }),
+    // interval coalescing (islands & gaps): 30-minute activity spans per
+    // user merged into contiguous islands
+    "q220_interval_islands" -> ((s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("lo"),
+        (unix_micros(col("ts").cast("timestamp")) + IslandSpanUs).as("hi"))
+      ordered(graft.operators.Joins.coalesceIntervals(iv, "user_id", "lo", "hi"))
+    }),
     // Matryoshka prefix-dim coarse pass (16 of 64 dims) + full-dim rerank
     "q218_matryoshka" -> ((s, d) =>
       ordered(SimilaritySearch.matryoshkaSearch(
@@ -1910,6 +1929,10 @@ object SparkEntry {
   // q218: coarse pass over the first 16 of 64 dims, rerank 3k candidates
   private val MatPrefix = 16
   private val MatRerank = 30
+  // q219: a view within ±30 minutes of the purchase counts as nearest
+  private val NearestTolSec = 1800L
+  // q220: each event opens a 30-minute activity span
+  private val IslandSpanUs = 1800L * 1000000L
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2860,6 +2883,60 @@ object SparkEntry {
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM d)
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q219_asof_nearest" -> {
+      // windows ORDER BY epoch_us(ts): Spark's TimestampType is µs while
+      // DuckDB reads the parquet at ns — truncate ties identically
+      val tolUs = NearestTolSec * 1000000L
+      s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
+         |           WHERE event_type = 'view'),
+         |l AS (SELECT user_id, ts, event_id, value FROM events
+         |      WHERE event_type = 'purchase'),
+         |u AS (SELECT user_id, ts, 0 AS tagb, 1 AS tagf, event_id AS rid,
+         |        event_id AS peid, NULL::BIGINT AS l_eid, NULL::DOUBLE AS l_val FROM r
+         |      UNION ALL
+         |      SELECT user_id, ts, 1, 0, 9223372036854775807, NULL, event_id, value FROM l),
+         |m AS (SELECT user_id, ts, tagb, l_eid, l_val,
+         |        last_value(peid IGNORE NULLS) OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(ts), tagb, rid ROWS UNBOUNDED PRECEDING) AS beid,
+         |        first_value(peid IGNORE NULLS) OVER (PARTITION BY user_id
+         |          ORDER BY epoch_us(ts), tagf, rid
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS feid
+         |      FROM u),
+         |j AS (SELECT m.user_id, epoch_us(m.ts) AS us, m.l_eid, m.l_val,
+         |        b.event_id AS b_eid, epoch_us(b.ts) AS bus, b.value AS bval,
+         |        f.event_id AS f_eid, epoch_us(f.ts) AS fus, f.value AS fval
+         |      FROM m LEFT JOIN r b ON b.event_id = m.beid
+         |             LEFT JOIN r f ON f.event_id = m.feid
+         |      WHERE m.tagb = 1),
+         |p AS (SELECT *,
+         |        (bus IS NOT NULL AND us - bus <= $tolUs AND
+         |         (fus IS NULL OR fus - us > $tolUs OR us - bus <= fus - us)) AS useb
+         |      FROM j),
+         |p2 AS (SELECT *,
+         |        (NOT useb AND fus IS NOT NULL AND fus - us <= $tolUs) AS usef
+         |       FROM p)
+         |SELECT user_id, us AS ts, l_eid AS event_id, l_val AS value,
+         |  CASE WHEN useb THEN b_eid WHEN usef THEN f_eid END AS nearest_event_id,
+         |  CASE WHEN useb THEN bus WHEN usef THEN fus END AS nearest_us,
+         |  CASE WHEN useb THEN bval WHEN usef THEN fval END AS nearest_value,
+         |  CASE WHEN useb THEN 'b' WHEN usef THEN 'f' END AS direction
+         |FROM p2 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+    },
+    "q220_interval_islands" -> {
+      s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+         |              epoch_us(ts) + $IslandSpanUs AS hi FROM events),
+         |m AS (SELECT user_id, lo, hi,
+         |        max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv),
+         |n AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END AS nw FROM m),
+         |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY lo, hi
+         |        ROWS UNBOUNDED PRECEDING) AS island FROM n)
+         |SELECT user_id, min(lo) AS island_start, max(hi) AS island_end,
+         |  count(*) AS n_intervals
+         |FROM s GROUP BY user_id, island
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
     "q218_matryoshka" -> {
       // stage-for-stage mirror: 1-based inclusive list slices = Spark's

@@ -134,6 +134,80 @@ object Events {
         col("_asof").getField("value").as("asof_value")): _*)
   }
 
+  /** Nearest-direction as-of join ([[asOfJoin]] is the BACKWARD special
+    * case; pandas `merge_asof(direction='nearest', tolerance=…)` parity):
+    * for every left row, the right-side row whose timestamp is closest in
+    * EITHER direction, within `toleranceSec`; an exact-distance tie picks
+    * the backward match (the pandas rule). Same scale shape as
+    * [[asOfJoin]] — a tagged union with per-key carry windows on the
+    * high-cardinality key, NEVER a per-key theta-join: the backward
+    * candidate carries forward (`last ignoreNulls`, right rows ordered
+    * before left at equal ts → exact matches count as backward at Δ=0),
+    * the forward candidate carries backward (`first ignoreNulls` over the
+    * following frame, LEFT ordered before right at equal ts). Equal-ts
+    * right rows resolve greatest-id backward (the [[asOfJoin]] convention)
+    * and smallest-id forward.
+    *
+    * Output: every left row + `(nearest_event_id, nearest_us,
+    * nearest_value, direction)` — epoch-micro integers for engine-stable
+    * compare, direction `'b'`/`'f'`, all four NULL when nothing lands
+    * within tolerance.
+    */
+  def asOfJoinNearest(
+      left: DataFrame, // (user_id, ts, …) probe side
+      right: DataFrame, // (user_id, ts, event_id, value) candidate side
+      toleranceSec: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(toleranceSec > 0)
+    val lCols = left.columns
+    val lExtra = lCols.filterNot(c => c == keyCol || c == tsCol).toIndexedSeq
+    val rSide = Seq(
+      col(keyCol), col(tsCol), lit(0).as("_tagB"), lit(1).as("_tagF"),
+      col("event_id").as("_rid"), col("event_id").as("_peid")) ++
+      lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val lSide = Seq(
+      col(keyCol), col(tsCol), lit(1).as("_tagB"), lit(0).as("_tagF"),
+      lit(Long.MaxValue).as("_rid"), lit(null).cast("bigint").as("_peid")) ++
+      lExtra.map(col)
+    val tagged = right.select(rSide: _*).unionByName(left.select(lSide: _*))
+    val wB = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_tagB"), col("_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_tagF"), col("_rid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val marked = tagged
+      .withColumn("_beid", last(col("_peid"), ignoreNulls = true).over(wB))
+      .withColumn("_feid", first(col("_peid"), ignoreNulls = true).over(wF))
+      .where(col("_tagB") === 1)
+    val rr = right.select(col("event_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("_rus"), col("value").as("_rval"))
+    val tolUs = toleranceSec * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val joined = marked
+      .join(rr.select(col("event_id").as("_beid"), col("_rus").as("_bus"),
+        col("_rval").as("_bval")), Seq("_beid"), "left")
+      .join(rr.select(col("event_id").as("_feid"), col("_rus").as("_fus"),
+        col("_rval").as("_fval")), Seq("_feid"), "left")
+      .withColumn("_db", us - col("_bus"))
+      .withColumn("_df", col("_fus") - us)
+      .withColumn("_useB",
+        col("_db").isNotNull && col("_db") <= tolUs &&
+          (col("_df").isNull || col("_df") > tolUs || col("_db") <= col("_df")))
+      .withColumn("_useF",
+        !col("_useB") && col("_df").isNotNull && col("_df") <= tolUs)
+    joined.select(lCols.map(col) ++ Seq(
+      when(col("_useB"), col("_beid")).when(col("_useF"), col("_feid"))
+        .as("nearest_event_id"),
+      when(col("_useB"), col("_bus")).when(col("_useF"), col("_fus"))
+        .as("nearest_us"),
+      when(col("_useB"), col("_bval")).when(col("_useF"), col("_fval"))
+        .as("nearest_value"),
+      when(col("_useB"), lit("b")).when(col("_useF"), lit("f"))
+        .as("direction")): _*)
+  }
+
   /** Per-user quota enforcement: keep the FIRST `maxPerWindow` events of
     * each user in every tumbling `windowMinutes` window (ordered by
     * `(ts, event_id)`), drop the rest — the ingest-edge rate limiter that

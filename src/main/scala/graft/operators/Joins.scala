@@ -276,6 +276,43 @@ object Joins {
         col("valid_to").isNull.as("is_current"): _*)
   }
 
+  /** Interval coalescing (islands & gaps): merge every overlapping-or-
+    * touching interval per key into one island and report its extent —
+    * the classic utilization/coverage reduction (machine busy-time,
+    * user activity spans, index-segment consolidation). An interval joins
+    * the current island when `lo <= running max(hi)` of everything sorted
+    * before it; a strictly greater `lo` opens a new island (gap).
+    *
+    * Scale shape: ONE per-key sort carries both windows (running max for
+    * the island break, running sum for the island id) and one hash
+    * aggregate per island closes it — never an interval self-join, which
+    * squares on hot keys. Key cardinality governs partition width exactly
+    * like [[Events.asOfJoin]].
+    *
+    * Output `(key, island_start, island_end, n_intervals)`. Deterministic
+    * for any input order (sort is (lo, hi); equal intervals coalesce).
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, loCol: String,
+      hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(col(keyCol))
+      .orderBy(col(loCol), col(hiCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col(keyCol))
+      .orderBy(col(loCol), col(hiCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_pm", max(col(hiCol)).over(before))
+      .withColumn("_new",
+        when(col("_pm").isNull || col(loCol) > col("_pm"), 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(run))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(loCol)).as("island_start"),
+        max(col(hiCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("_island")
+  }
+
   /** 2-D skyline (Pareto frontier, both dimensions MINIMIZED): rows no
     * other row dominates, where `q` dominates `p` iff `q.x ≤ p.x ∧
     * q.y ≤ p.y` with at least one strict. Exact duplicates don't dominate

@@ -217,6 +217,39 @@ class EventsSpec extends SparkSpec {
     assert(r === Map(900L -> -1L, 901L -> 100L, 902L -> 102L, 903L -> 103L))
   }
 
+  test("asOfJoinNearest: direction choice, ties to backward, tolerance cut, " +
+      "degenerates to asOfJoin when everything is backward") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val views = Seq(
+      (1L, ts(10), 100L, 1.0), (1L, ts(30), 101L, 2.0),
+      (2L, ts(5), 200L, 9.0) // other user — must never leak
+    ).toDF("user_id", "ts", "event_id", "value")
+    val purchases = Seq(
+      (1L, ts(12), 900L, 0.0), // 2 min back vs 18 fwd -> backward 100
+      (1L, ts(26), 901L, 0.0), // 16 back vs 4 fwd -> forward 101
+      (1L, ts(20), 902L, 0.0), // exact tie 10/10 -> backward 100
+      (1L, ts(55), 903L, 0.0), // 25 back, nothing fwd -> backward 101
+      (1L, ts(90), 904L, 0.0)  // 60 back > 30-min tolerance -> null
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Events.asOfJoinNearest(purchases, views, 1800L).collect()
+      .map(x => x.getLong(2) -> (
+        (if (x.isNullAt(4)) -1L else x.getLong(4)),
+        if (x.isNullAt(7)) "-" else x.getString(7))).toMap
+    assert(got === Map(
+      900L -> (100L, "b"), 901L -> (101L, "f"), 902L -> (100L, "b"),
+      903L -> (101L, "b"), 904L -> (-1L, "-")))
+    // with every right row behind every left row and a huge tolerance,
+    // nearest IS the plain backward as-of join
+    val lateP = purchases.where(col("event_id") >= 903L)
+    val near = Events.asOfJoinNearest(lateP, views, 1000000L)
+      .select(col("event_id"), col("nearest_event_id"))
+    val back = Events.asOfJoin(lateP, views)
+      .select(col("event_id"), col("asof_event_id").as("nearest_event_id"))
+    assert(near.exceptAll(back).count() === 0 && back.exceptAll(near).count() === 0)
+  }
+
   test("seasonality shares sum to 1 per type; transitions probs sum to 1 per from_type; " +
     "timeToConvert percentiles are monotone and hand-exact") {
     val events = ev(Seq(

@@ -6,6 +6,25 @@ import graft.operators.Joins
 
 class JoinsSpec extends SparkSpec {
 
+  test("coalesceIntervals: overlap and touch merge, gaps split, keys isolate, " +
+      "duplicates collapse into one island") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap -> one island [0, 20]
+      (1L, 20L, 30L),                 // touching (lo == prev hi) -> still merges
+      (1L, 40L, 50L), (1L, 40L, 50L), // duplicate rows, gap before -> island of 2
+      (2L, 0L, 100L)                  // other key
+    ).toDF("k", "lo", "hi")
+    val got = graft.operators.Joins.coalesceIntervals(iv, "k", "lo", "hi")
+      .orderBy("k", "island_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 30L, 3L), (1L, 40L, 50L, 2L), (2L, 0L, 100L, 1L)))
+    // coverage never double-counts: summed island lengths <= summed inputs
+    val covered = got.filter(_._1 == 1L).map(r => r._3 - r._2).sum
+    assert(covered === 40L)
+  }
+
   test("range join: boundary inclusivity, multi-bucket intervals, bucket-width invariance") {
     import spark.implicits._
     val pts = Seq((1L, 10.0), (2L, 19.0), (3L, 20.0), (4L, 35.0), (5L, 100.0))
