@@ -1597,6 +1597,23 @@ object SparkEntry {
       ordered(PCA.project(emb, m, "embedding", "proj", 4)
         .select(col("vec_id"), col("proj")))
     }),
+    // position-based (U-shaped) attribution: 40/20/40 ends-weighted credits
+    "q223_position_attribution" -> ((s, d) =>
+      ordered(graft.operators.Events.positionAttribution(
+        Tables.events(s, d), AttrWindowMin, AttrEndWeight))),
+    // per-dimension embedding health audit (dead dims, zero share, moments)
+    "q222_embedding_health" -> ((s, d) =>
+      ordered(SimilaritySearch.embeddingHealth(
+        Tables.embeddings(s, d).select(col("embedding").as("vec"))))),
+    // per-group OLS: value drift per event type over time (integer-exact
+    // power sums; the grouped q187)
+    "q221_group_trend" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(unix_micros(col("ts").cast("timestamp")) / 60000000L)
+          .cast("long").as("x"),
+        round(col("value") * 10000).cast("long").as("y"))
+      ordered(graft.operators.Eval.groupOls(ev, "event_type", "x", "y"))
+    }),
     // nearest-direction as-of join with tolerance (pandas merge_asof
     // 'nearest' parity; q134 is the backward special case)
     "q219_asof_nearest" -> ((s, d) => {
@@ -1869,6 +1886,8 @@ object SparkEntry {
   private val ZPriceStep = 2000
   // q177: views within the preceding hour share the purchase credit
   private val AttrWindowMin = 60
+  // q223: first and last touch each take 0.4 of the value (U-shape)
+  private val AttrEndWeight = 0.4
   // q179: 3-core of the q153 kNN graph; 12 peel rounds cap (the fixture
   // reaches fixpoint well inside it — KnnGraphSpec asserts so), mirrored
   // exactly by the unrolled oracle rounds
@@ -2884,6 +2903,65 @@ object SparkEntry {
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
     },
+    "q223_position_attribution" ->
+      // the middle share is written as the same IEEE expression Spark
+      // computes ((1.0 − 2·w)/(n−2)), never a pre-folded literal; rank ties
+      // at equal µs break on view_id in both engines
+      s"""WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, value
+         |           FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, event_id AS view_id, ts AS vts
+         |      FROM events WHERE event_type = 'view'),
+         |j AS (SELECT purchase_id, p.user_id, view_id, vts, value
+         |      FROM p JOIN v USING (user_id)
+         |      WHERE vts <= pts AND vts >= pts - INTERVAL $AttrWindowMin MINUTES),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY purchase_id
+         |         ORDER BY epoch_us(vts), view_id) AS INT) AS touch_rank FROM j),
+         |n AS (SELECT purchase_id, count(*) AS n_touch FROM j GROUP BY 1)
+         |SELECT rk.purchase_id, rk.user_id, rk.view_id, n.n_touch, rk.touch_rank,
+         |  round(rk.value * (CASE
+         |    WHEN n.n_touch = 1 THEN 1.0
+         |    WHEN n.n_touch = 2 THEN 0.5
+         |    WHEN rk.touch_rank = 1 OR rk.touch_rank = n.n_touch THEN $AttrEndWeight
+         |    ELSE (1.0 - 2 * $AttrEndWeight) / (n.n_touch - 2) END), 6) AS credit
+         |FROM rk JOIN n USING (purchase_id)
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "q222_embedding_health" ->
+      s"""WITH e AS (SELECT dim - 1 AS dim, x::DOUBLE AS x,
+         |      CAST(round(x::DOUBLE * 1000) AS BIGINT) AS xs
+         |    FROM (SELECT unnest(embedding) AS x,
+         |            generate_subscripts(embedding, 1) AS dim FROM embeddings)),
+         |s AS (SELECT dim, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        CAST(sum(xs) AS DECIMAL(38,0)) AS s,
+         |        sum(CAST(xs * xs AS DECIMAL(38,0))) AS ss,
+         |        sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+         |        min(x) AS minv, max(x) AS maxv
+         |      FROM e GROUP BY 1)
+         |SELECT dim, CAST(n AS BIGINT) AS n,
+         |  s::DOUBLE / (n * 1000)::DOUBLE AS mean,
+         |  sqrt((n * ss - s * s)::DOUBLE) / (n * 1000)::DOUBLE AS std,
+         |  CAST(n_zero AS BIGINT) AS n_zero,
+         |  minv, maxv,
+         |  minv = maxv AS dead
+         |FROM s ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin,
+    "q221_group_trend" ->
+      s"""WITH t AS (SELECT event_type,
+         |    CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) AS x,
+         |    CAST(round(value * 10000) AS BIGINT) AS y FROM events),
+         |s AS (SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy FROM t GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0 AND (n * syy - sy * sy)::DOUBLE > 0
+         |    THEN round((n * sxy - sx * sy)::DOUBLE /
+         |      (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+         |  END AS corr,
+         |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+         |    THEN round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6)
+         |  END AS beta
+         |FROM s ORDER BY 1, 2, 3, 4""".stripMargin,
     "q219_asof_nearest" -> {
       // windows ORDER BY epoch_us(ts): Spark's TimestampType is µs while
       // DuckDB reads the parquet at ns — truncate ties identically

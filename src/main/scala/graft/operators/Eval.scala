@@ -353,6 +353,37 @@ object Eval {
         round((pa - pb) * log(pa / pb), 6).as("term"))
   }
 
+  /** Per-group exact Pearson correlation + OLS slope — the grouped sibling
+    * of the q187 global scan (per-source quality trend, per-event-type
+    * value drift): the five power sums accumulate in DECIMAL(38,0) over
+    * INTEGER-valued inputs (callers pre-scale, the ×10⁴ convention), so the
+    * sums are order-exact at any partitioning and both engines produce the
+    * identical double at the single terminal divide. One map-side-partial
+    * hash aggregation keyed by the group — state ∝ groups, never rows.
+    * Degenerate groups (zero variance on either axis) emit NULL rather than
+    * NaN/±Inf, which no hash compare survives. Output
+    * `(group, n, corr, beta)`, 6dp.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val bigDec = "decimal(38,0)"
+    val agged = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(bigDec).as("_n"),
+      sum(col(xCol)).cast(bigDec).as("_sx"),
+      sum(col(yCol)).cast(bigDec).as("_sy"),
+      sum((col(xCol) * col(yCol)).cast(bigDec)).as("_sxy"),
+      sum((col(xCol) * col(xCol)).cast(bigDec)).as("_sxx"),
+      sum((col(yCol) * col(yCol)).cast(bigDec)).as("_syy"))
+    val cov = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val dxx = (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val dyy = (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agged.select(col(groupCol),
+      col("_n").cast("long").as("n"),
+      when(dxx > 0 && dyy > 0, round(cov / (sqrt(dxx) * sqrt(dyy)), 6))
+        .as("corr"),
+      when(dxx > 0, round(cov / dxx, 6)).as("beta"))
+  }
+
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)
       .select(col("query_id"), col("id"))

@@ -346,6 +346,50 @@ object Events {
         round(col("value") / col("n_touch"), 6).as("credit"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the marketing
+    * standard between [[asOfJoin]]'s last-touch and [[linearAttribution]]'s
+    * equal split: the FIRST and LAST touch in the window each take
+    * `endWeight` of the purchase value, the middle touches share the rest
+    * equally. Degenerate journeys follow the standard convention: a single
+    * touch takes 1.0, and exactly two touches split 0.5/0.5 (the end
+    * weights renormalize when there is no middle to fund).
+    *
+    * Same dataflow as [[linearAttribution]] plus one rank window keyed by
+    * `purchase_id` (one row group per purchase — bounded by
+    * views-per-user-per-window); credits are single IEEE divides, 6dp, and
+    * per-purchase credits sum to `value` exactly at the rounded grid.
+    * Touch order is `(vts, view_id)` — fully deterministic.
+    */
+  def positionAttribution(
+      events: DataFrame,
+      windowMinutes: Int = 60,
+      endWeight: Double = 0.4): DataFrame = {
+    require(endWeight > 0 && endWeight <= 0.5)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val joined = p.join(v, Seq("user_id"))
+      .where(col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    val w = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("vts"), col("view_id"))
+    val n = joined.groupBy(col("purchase_id")).agg(count(lit(1)).as("n_touch"))
+    val share =
+      when(col("n_touch") === 1, lit(1.0))
+        .when(col("n_touch") === 2, lit(0.5))
+        .when(col("_rk") === 1 || col("_rk") === col("n_touch"), lit(endWeight))
+        .otherwise(lit(1.0 - 2 * endWeight) / (col("n_touch") - 2))
+    joined
+      .withColumn("_rk", row_number().over(w))
+      .join(n, Seq("purchase_id"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("n_touch"), col("_rk").as("touch_rank"),
+        round(col("value") * share, 6).as("credit"))
+  }
+
   /** Time-windowed duplicate suppression: within each `(user_id,
     * event_type)` stream, keep only the FIRST event of every burst, where a
     * new burst starts when the gap from the PREVIOUS event (kept or not)

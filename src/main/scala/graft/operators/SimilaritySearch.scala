@@ -321,6 +321,49 @@ object SimilaritySearch {
         .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
+  /** Per-dimension embedding health report — the ML-ops audit run before
+    * any index build: per coordinate, count / mean / std / zero-share /
+    * min / max and a `dead` flag (constant dimension — a collapsed encoder
+    * head, or a padded tail that wastes index bytes). Mean and std come
+    * from ×1000-integer power sums in DECIMAL(38,0) (order-exact at any
+    * partitioning, the q187 convention) with ONE terminal IEEE divide (and
+    * one IEEE sqrt) each — and are emitted UNROUNDED: every op is mirrored
+    * bit-for-bit in the oracle, so the doubles hash-match exactly, whereas
+    * a 6dp round() at a half boundary is engine-dependent (Spark rounds
+    * the shortest decimal repr, DuckDB the binary value — observed live on
+    * this very query at sf0.1, dim 28). min/max/zero-count are exact as-is.
+    *
+    * Scale shape: one posexplode (in-row) + one hash aggregation keyed by
+    * dimension — state ∝ d, never rows; the d-row result broadcasts
+    * anywhere downstream. Output
+    * `(dim, n, mean, std, n_zero, minv, maxv, dead)`, dim 0-based.
+    */
+  def embeddingHealth(emb: DataFrame, vecCol: String = "vec"): DataFrame = {
+    val bigDec = "decimal(38,0)"
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"),
+        round(col("xf").cast("double") * 1000).cast("long").as("xs"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).cast(bigDec).as("_n"),
+        sum(col("xs")).cast(bigDec).as("_s"),
+        sum((col("xs") * col("xs")).cast(bigDec)).as("_ss"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("x")).as("minv"),
+        max(col("x")).as("maxv"))
+      .select(col("dim"),
+        col("_n").cast("long").as("n"),
+        (col("_s").cast("double") / (col("_n") * 1000L).cast("double"))
+          .as("mean"),
+        (sqrt((col("_n") * col("_ss") - col("_s") * col("_s")).cast("double")) /
+          (col("_n") * 1000L).cast("double")).as("std"),
+        col("n_zero"),
+        col("minv"),
+        col("maxv"),
+        (col("minv") === col("maxv")).as("dead"))
+  }
+
   /** Matryoshka (prefix-dimension) two-stage search: MRL-trained embeddings
     * (Kusupati et al. 2022) nest coarse meaning in their leading
     * coordinates, so stage 1 ranks the corpus by distance over ONLY the

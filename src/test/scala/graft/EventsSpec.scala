@@ -250,6 +250,37 @@ class EventsSpec extends SparkSpec {
     assert(near.exceptAll(back).count() === 0 && back.exceptAll(near).count() === 0)
   }
 
+  test("positionAttribution: U-shape splits 40/20/40, degenerate journeys " +
+      "follow the 1.0 and 0.5/0.5 conventions, credits sum to value") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val events = Seq(
+      // user 1: three views then a purchase of 10 → 4 / 2 / 4
+      (1L, ts(1), 10L, "view", 0.0), (1L, ts(2), 11L, "view", 0.0),
+      (1L, ts(3), 12L, "view", 0.0), (1L, ts(30), 13L, "purchase", 10.0),
+      // user 2: one view → full credit
+      (2L, ts(1), 20L, "view", 0.0), (2L, ts(30), 21L, "purchase", 8.0),
+      // user 3: two views → 0.5 each
+      (3L, ts(1), 30L, "view", 0.0), (3L, ts(2), 31L, "view", 0.0),
+      (3L, ts(30), 32L, "purchase", 6.0),
+      // user 4: view OUTSIDE the 60-minute window → no row
+      (4L, ts(1), 40L, "view", 0.0), (4L, ts(90), 41L, "purchase", 5.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Events.positionAttribution(events, 60, 0.4)
+    val byView = got.collect()
+      .map(r => r.getLong(2) -> r.getDouble(5)).toMap
+    assert(byView === Map(
+      10L -> 4.0, 11L -> 2.0, 12L -> 4.0,
+      20L -> 8.0, 30L -> 3.0, 31L -> 3.0))
+    // the out-of-window purchase contributes nothing
+    assert(!got.select("purchase_id").collect().map(_.getLong(0)).contains(41L))
+    // per-purchase credits re-sum to the purchase value
+    val sums = got.groupBy("purchase_id").agg(sum(col("credit")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums === Map(13L -> 10.0, 21L -> 8.0, 32L -> 6.0))
+  }
+
   test("seasonality shares sum to 1 per type; transitions probs sum to 1 per from_type; " +
     "timeToConvert percentiles are monotone and hand-exact") {
     val events = ev(Seq(

@@ -517,4 +517,23 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
   }
+
+  test("groupOls: exact line recovers corr=1/beta=2; degenerate variance " +
+      "emits NULL, never NaN") {
+    import spark.implicits._
+    val pts = Seq(
+      ("a", 1L, 3L), ("a", 2L, 5L), ("a", 3L, 7L),   // y = 2x + 1 exactly
+      ("b", 4L, 1L), ("b", 4L, 9L),                   // zero x-variance
+      ("c", 1L, 5L), ("c", 2L, 5L)                    // zero y-variance
+    ).toDF("g", "x", "y")
+    val got = graft.operators.Eval.groupOls(pts, "g", "x", "y")
+      .orderBy("g").collect()
+    val a = got(0)
+    assert(a.getLong(1) === 3L && a.getDouble(2) === 1.0 && a.getDouble(3) === 2.0)
+    val b = got(1)
+    assert(b.isNullAt(2) && b.isNullAt(3), s"zero x-variance must NULL: $b")
+    val c = got(2)
+    assert(c.isNullAt(2), s"zero y-variance must NULL corr: $c")
+    assert(c.getDouble(3) === 0.0, s"flat y over varying x is slope 0: $c")
+  }
 }

@@ -197,6 +197,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rec >= 0.3, s"avg recall $rec")
   }
 
+  test("embeddingHealth: exact moments, zero share, dead-dim flag") {
+    import spark.implicits._
+    // dim 0: (1, -1, 0) → mean 0, std sqrt(2/3); dim 1: constant 7 → dead;
+    // dim 2: (0, 0, 3) → two zeros
+    val vecs = Seq(Seq(1.0f, 7.0f, 0.0f), Seq(-1.0f, 7.0f, 0.0f),
+      Seq(0.0f, 7.0f, 3.0f)).map(Tuple1(_)).toDF("vec")
+    val got = SimilaritySearch.embeddingHealth(vecs).orderBy("dim").collect()
+    val d0 = got(0)
+    assert(d0.getLong(1) === 3L && d0.getDouble(2) === 0.0)
+    assert(math.abs(d0.getDouble(3) - math.sqrt(2.0 / 3.0)) < 1e-6)
+    assert(d0.getLong(4) === 1L && !d0.getBoolean(7))
+    val d1 = got(1)
+    assert(d1.getBoolean(7), s"constant dim not flagged dead: $d1")
+    assert(d1.getDouble(2) === 7.0 && d1.getDouble(3) === 0.0)
+    val d2 = got(2)
+    assert(d2.getLong(4) === 2L && d2.getDouble(5) === 0.0 && d2.getDouble(6) === 3.0)
+  }
+
   test("matryoshka search: full-prefix degenerates to exact; recall holds " +
       "and rerank budget is monotone") {
     val corpus = emb.select("id", "vec")
