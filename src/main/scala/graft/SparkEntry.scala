@@ -1597,6 +1597,23 @@ object SparkEntry {
       ordered(PCA.project(emb, m, "embedding", "proj", 4)
         .select(col("vec_id"), col("proj")))
     }),
+    // the pure-SQL API path: registered dist_* extension functions + the
+    // naive window-top-k SQL shape, which WindowTopKRewrite turns into the
+    // bounded aggregate (PlanSpec asserts the rewrite fired on THIS query)
+    "q224_sql_api" -> ((s, d) => {
+      graft.GraftExtensions.register(s) // idempotent; covers bare sessions
+      Tables.embeddingVec(s, d).createOrReplaceTempView("graft_emb")
+      ordered(s.sql(
+        s"""SELECT query_id, rank, id, round(dist, 4) AS dist
+           |FROM (SELECT query_id, id, dist,
+           |        row_number() OVER (PARTITION BY query_id
+           |          ORDER BY dist, id) AS rank
+           |      FROM (SELECT q.id AS query_id, v.id AS id,
+           |              dist_l2sq(q.vec, v.vec) AS dist
+           |            FROM graft_emb q CROSS JOIN graft_emb v
+           |            WHERE q.id < 10))
+           |WHERE rank <= $K""".stripMargin))
+    }),
     // position-based (U-shaped) attribution: 40/20/40 ends-weighted credits
     "q223_position_attribution" -> ((s, d) =>
       ordered(graft.operators.Events.positionAttribution(
@@ -2902,6 +2919,18 @@ object SparkEntry {
          |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank FROM d)
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
+    },
+    "q224_sql_api" -> {
+      val ed = Tables.distSql("l2sq", "q.vec", "v.vec")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |d AS (SELECT q.id AS query_id, v.id AS id, $ed AS dist
+         |      FROM e q CROSS JOIN e v WHERE q.id < 10),
+         |r AS (SELECT query_id, id, dist,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY dist, id) AS INT) AS rank FROM d)
+         |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r
+         |WHERE rank <= $K
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
     "q223_position_attribution" ->
       // the middle share is written as the same IEEE expression Spark

@@ -104,6 +104,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.rewriteWindowTopK", "true")
   }
 
+  test("the SQL-text API path gets the same rewrite: q224's row_number " +
+      "window compiles to the bounded aggregate") {
+    val df = SparkEntry.queries("q224_sql_api")(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("topk_by_distance"), s"SQL window not rewritten:\n$p")
+    assert(!p.contains("row_number"), s"window survived on the SQL path:\n$p")
+  }
+
   test("window rewrite leaves non-matching windows alone") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Tables.lineitemVec(spark, sf0001)
