@@ -309,6 +309,26 @@ object DumpPlans {
         |per-key window — key cardinality = table size, so the window
         |exchange hash-spreads, never one partition. One aggregate + one
         |window, no per-version self-join.""".stripMargin,
+    "q219_asof_nearest" ->
+      """Nearest-direction as-of join: ONE tagged union, two ignore-nulls
+        |carry windows (backward = last over preceding, forward = first
+        |over following) sharing the per-key exchange, and two id-equi
+        |joins to hydrate the winner — the per-key theta-join a naive
+        |nearest-match would plan (cartesian per user) never appears.
+        |Direction choice and the tolerance cut are in-row CASE math.""".stripMargin,
+    "q220_interval_islands" ->
+      """Interval islands: one per-key sort feeds both the running-max
+        |island-break window and the running-sum island id, then one hash
+        |aggregate closes each island. Shuffle ∝ rows on the
+        |high-cardinality key; the interval SELF-join formulation (squares
+        |on hot keys) never forms.""".stripMargin,
+    "q224_sql_api" ->
+      """The SQL-text API path: dist_l2sq is the registered codegen
+        |Expression, and the query's naive row_number-window top-k is
+        |rewritten by the injected WindowTopKRewrite rule into the bounded
+        |topk_by_distance aggregate — map-side partials instead of
+        |shuffling every (query, candidate) row to rank it. Same plan a
+        |DataFrame formulation gets, from plain SQL.""".stripMargin,
     "q216_grouping_sets" ->
       """GROUPING SETS over an arbitrary (non-rollup-chain) set list: Spark
         |plans ONE scan + Expand (one row per matching set per input row) +
