@@ -1608,8 +1608,8 @@ object SparkEntry {
            |FROM (SELECT query_id, id, dist,
            |        row_number() OVER (PARTITION BY query_id
            |          ORDER BY dist, id) AS rank
-           |      FROM (SELECT q.id AS query_id, v.id AS id,
-           |              dist_l2sq(q.vec, v.vec) AS dist
+           |      FROM (SELECT /*+ BROADCAST(q) */ q.id AS query_id,
+           |              v.id AS id, dist_l2sq(q.vec, v.vec) AS dist
            |            FROM graft_emb q CROSS JOIN graft_emb v
            |            WHERE q.id < 10))
            |WHERE rank <= $K""".stripMargin))
