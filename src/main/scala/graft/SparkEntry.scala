@@ -1597,6 +1597,16 @@ object SparkEntry {
       ordered(PCA.project(emb, m, "embedding", "proj", 4)
         .select(col("vec_id"), col("proj")))
     }),
+    // funnel conversion-rate dashboard over the q100 stages
+    "q225_funnel_summary" -> ((s, d) =>
+      ordered(graft.operators.Events.funnelSummary(
+        Tables.events(s, d), FunnelStages, Some(FunnelWithinMin)))),
+    // dedup cluster-size histogram over the q60 canonical groups
+    "q226_dedup_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.dedupReport(
+        Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))))
+    }),
     // the pure-SQL API path: registered dist_* extension functions + the
     // naive window-top-k SQL shape, which WindowTopKRewrite turns into the
     // bounded aggregate (PlanSpec asserts the rewrite fired on THIS query)
@@ -2920,6 +2930,48 @@ object SparkEntry {
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r WHERE rank <= $K
          |ORDER BY query_id, rank, id, dist""".stripMargin
     },
+    "q225_funnel_summary" -> {
+      val win = s"INTERVAL $FunnelWithinMin MINUTE"
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+         |            WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.t
+         |         AND e.ts <= s1.t + $win
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.t
+         |         AND e.ts <= s2.t + $win
+         |       GROUP BY e.user_id),
+         |f AS (SELECT user_id, 1 AS stage, '${FunnelStages(0)}' AS stage_name FROM s1
+         |      UNION ALL SELECT user_id, 2, '${FunnelStages(1)}' FROM s2
+         |      UNION ALL SELECT user_id, 3, '${FunnelStages(2)}' FROM s3),
+         |c AS (SELECT stage, stage_name, count(*) AS n_users FROM f GROUP BY 1, 2),
+         |p AS (SELECT stage + 1 AS stage, n_users AS prev FROM c),
+         |o AS (SELECT n_users AS first FROM c WHERE stage = 1)
+         |SELECT c.stage, c.stage_name, c.n_users,
+         |  c.n_users::DOUBLE / p.prev::DOUBLE AS conv_prev,
+         |  c.n_users::DOUBLE / o.first::DOUBLE AS conv_first
+         |FROM c LEFT JOIN p ON c.stage = p.stage CROSS JOIN o
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q226_dedup_report" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |          WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |),
+         |canon AS (SELECT id, min(lbl) AS canon_id FROM walk GROUP BY id),
+         |sz AS (SELECT canon_id, count(*) AS cluster_size FROM canon GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  cluster_size * count(*) AS n_docs
+         |FROM sz GROUP BY 1
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q224_sql_api" -> {
       val ed = Tables.distSql("l2sq", "q.vec", "v.vec")
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),

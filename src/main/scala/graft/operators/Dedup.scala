@@ -432,6 +432,19 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("canon_id"))
   }
 
+  /** Duplication report over [[canonicalGroups]]' output — the dataset-card
+    * summary a curation run publishes: the distribution of near-dup cluster
+    * sizes (`cluster_size = 1` is the unique tail; heavy sizes are template
+    * storms worth inspecting before [[applyDedup]] deletes them). Output
+    * `(cluster_size, n_clusters, n_docs)` — all exact integers, so the
+    * report is engine-exact by construction. Scale: two hash aggregations
+    * (id-keyed then size-keyed), state ∝ distinct sizes.
+    */
+  def dedupReport(groups: DataFrame): DataFrame =
+    groups.groupBy(col("canon_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Terminal dedup step: keep exactly ONE canonical document per near-dup
     * group (the doc whose id IS its group's canon_id — the min id, so the
     * kept set is deterministic). `groups` is [[canonicalGroups]]' output;

@@ -85,6 +85,36 @@ object Events {
     }.reduce(_.union(_))
   }
 
+  /** Funnel conversion summary — the dashboard view over [[funnel]]'s
+    * long-form rows: per stage, how many users reached it, the conversion
+    * rate from the PREVIOUS stage and from stage 1. Rates are single IEEE
+    * divides over exact counts and ship UNROUNDED (mirrored op-for-op in
+    * the oracle; small-integer ratios land on round-half boundaries easily,
+    * where round() is engine-dependent). Stage 1's `conv_prev` is NULL.
+    *
+    * Scale: [[funnel]]'s per-user rows reduce in one |stages|-group hash
+    * aggregation; the prev-stage lookup is an equi-join between two
+    * ≤|stages|-row frames and the stage-1 scalar broadcasts — no window,
+    * no per-user state past the aggregate.
+    */
+  def funnelSummary(events: DataFrame, stages: Seq[String],
+      withinMinutes: Option[Int] = None): DataFrame = {
+    val counts = funnel(events, stages, withinMinutes)
+      .groupBy(col("stage"), col("stage_name"))
+      .agg(count(lit(1)).as("n_users"))
+    val prev = counts.select((col("stage") + 1).as("stage"),
+      col("n_users").as("_prev"))
+    val first = counts.where(col("stage") === 1)
+      .select(col("n_users").as("_first"))
+    counts.join(prev, Seq("stage"), "left")
+      .crossJoin(broadcast(first))
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        (col("n_users").cast("double") / col("_prev").cast("double"))
+          .as("conv_prev"),
+        (col("n_users").cast("double") / col("_first").cast("double"))
+          .as("conv_first"))
+  }
+
   /** Signup-cohort retention: users cohorted by the DAY of their first
     * `signupType` event; for each cohort day × activity-day offset, how many
     * distinct cohort users had any event. Offsets are non-negative whole

@@ -194,6 +194,17 @@ class DedupSpec extends SparkSpec {
       Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L)))
   }
 
+  test("dedupReport: exact cluster-size histogram; doc totals reconcile") {
+    // groups: {0,1,2} (size 3), {3} — from the chain fixture above
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val rep = Dedup.dedupReport(Dedup.canonicalGroups(docs, pairs))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq === Seq((1L, 1L, 1L), (3L, 1L, 3L)))
+    // n_docs across the histogram always re-sums to the corpus
+    assert(rep.map(_._3).sum === docs.count())
+  }
+
   test("canonicalGroups over minhashDedup pairs on real docs") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(200)

@@ -250,6 +250,26 @@ class EventsSpec extends SparkSpec {
     assert(near.exceptAll(back).count() === 0 && back.exceptAll(near).count() === 0)
   }
 
+  test("funnelSummary: hand-counted stage reach and conversion ratios") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    // 4 users view; 2 click within the window; 1 purchases within it
+    val events = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"), (1L, ts(9), 3L, "purchase"),
+      (2L, ts(0), 4L, "view"), (2L, ts(5), 5L, "click"),
+      (3L, ts(0), 6L, "view"),
+      (4L, ts(0), 7L, "view"), (4L, ts(500), 8L, "click") // outside the window
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(0.0))
+    val got = Events.funnelSummary(events, Seq("view", "click", "purchase"),
+      Some(60)).orderBy("stage").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(4L, 2L, 1L))
+    assert(got(0).isNullAt(3), "stage 1 has no previous stage")
+    assert(got(1).getDouble(3) === 0.5 && got(2).getDouble(3) === 0.5)
+    assert(got.map(_.getDouble(4)).toSeq === Seq(1.0, 0.5, 0.25))
+  }
+
   test("positionAttribution: U-shape splits 40/20/40, degenerate journeys " +
       "follow the 1.0 and 0.5/0.5 conventions, credits sum to value") {
     import spark.implicits._

@@ -201,8 +201,9 @@ class PlanSpec extends SparkSpec {
                                 // per-bucket skylines, not |input|),
                                 // broadcast by construction
       "q212_basket_lift",       // ONE-row basket-total scalar, broadcast
-      "q224_sql_api")           // |Q|=10 query rows, broadcast by SQL hint
+      "q224_sql_api",           // |Q|=10 query rows, broadcast by SQL hint
                                 // (the searchAggViaJoin shape from SQL text)
+      "q225_funnel_summary")    // ONE-row stage-1 count scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
