@@ -1607,6 +1607,78 @@ object SparkEntry {
       ordered(Dedup.dedupReport(
         Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))))
     }),
+    // keep-BEST dedup policy: per q60 near-dup group keep the
+    // highest-quality member (ties → lowest id), not the min-id canonical
+    "q227_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
+      ordered(Dedup.applyDedupKeepBest(docs, groups,
+        TextAnalysis.quality(col("text")))
+        .select(col("doc_id"), col("source"), col("n_chars")))
+    }),
+    // SPANN index-health audit: exact posting-length histogram over the q07
+    // build (read thresholds for rebalancePostings off this report)
+    "q228_posting_audit" -> ((s, d) =>
+      ordered(Spann.postingAudit(postings(s, d)))),
+    // tokenizer-budget OOV curve: token-occurrence coverage of the top-V
+    // vocabulary at four candidate sizes
+    "q229_vocab_coverage" -> ((s, d) =>
+      ordered(TextAnalysis.vocabCoverage(
+        Tables.documents(s, d), VocabCutoffs))),
+    // curriculum ordering: per-source quality ntile tiers + percent_rank
+    "q230_curriculum" -> ((s, d) =>
+      ordered(Pipeline.curriculum(Tables.documents(s, d), CurriculumTiers))),
+    // CSV interchange round-trip over events (props carries embedded JSON
+    // quotes — the RFC-4180 escaping path is the thing under test)
+    "q231_csv_roundtrip" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      ordered(graft.sources.CsvStore.roundTrip(ev, scratch("q231_csv")))
+    }),
+    // per-class confusion report over a held-out kNN-classify split (test =
+    // first 100 embeddings, train = rest; the model-card table behind q148's
+    // single-number kappa)
+    "q232_confusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val test = emb.where(col("vec_id") < ConfusionTestN)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.where(col("vec_id") >= ConfusionTestN)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val paired = SimilaritySearch.knnClassify(test, corpus, K)
+        .join(emb.select(col("vec_id").as("query_id"), col("label").as("gold")),
+          Seq("query_id"))
+        .select(col("gold"), col("pred_label").as("pred"))
+      ordered(Eval.confusion(paired))
+    }),
+    // column profiler: the first look at an unfamiliar corpus drop
+    "q233_profile" -> ((s, d) =>
+      ordered(Pipeline.profile(
+        Tables.documents(s, d), Seq("lang", "source", "n_chars")))),
+    // deterministic weighted interleave: the training-order schedule key
+    "q234_interleave" -> ((s, d) => {
+      import s.implicits._
+      ordered(Pipeline.interleave(
+        Tables.documents(s, d), InterleaveWeights.toDF("source", "weight")))
+    }),
+    // half-life step-decayed user value (recency-weighted feature)
+    "q235_decay_score" -> ((s, d) =>
+      ordered(graft.operators.Events.decayedValue(
+        Tables.events(s, d), DecayHalfLifeDays))),
+    // Flesch-style readability (vowel-group syllable proxy)
+    "q236_readability" -> ((s, d) =>
+      ordered(TextAnalysis.readability(Tables.documents(s, d)))),
+    // wide→long reshape anchor: native unpivot over per-source stats
+    "q237_unpivot" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val per = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      ordered(per.unpivot(Array(col("source")),
+        Array(col("n_docs"), col("n_tokens"), col("sum_chars")),
+        "metric", "value"))
+    }),
     // the pure-SQL API path: registered dist_* extension functions + the
     // naive window-top-k SQL shape, which WindowTopKRewrite turns into the
     // bounded aggregate (PlanSpec asserts the rewrite fired on THIS query)
@@ -1979,6 +2051,16 @@ object SparkEntry {
   private val NearestTolSec = 1800L
   // q220: each event opens a 30-minute activity span
   private val IslandSpanUs = 1800L * 1000000L
+  // q229: candidate tokenizer vocabulary sizes for the OOV/coverage curve
+  private val VocabCutoffs = Seq(16, 64, 256, 1024)
+  // q230: quality quartiles per source
+  private val CurriculumTiers = 4
+  // q232: held-out split — first 100 embeddings are the test queries
+  private val ConfusionTestN = 100
+  // q234: interleave mixture (sources outside the map are dropped)
+  private val InterleaveWeights = Seq(("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
+  // q235: one-day half-life, 12-half-life tail clamp (Events.decayedValue)
+  private val DecayHalfLifeDays = 1.0
 
   // ---- q56 rotation: a signed permutation (out(j) = sign(j)·v(perm(j))) —
   //      orthogonal, and exactly representable in FLOAT/DOUBLE ----
@@ -2983,6 +3065,197 @@ object SparkEntry {
          |SELECT query_id, rank, id, round(dist, 4) AS dist FROM r
          |WHERE rank <= $K
          |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // q60's group chain + per-doc quality; winner = row_number 1 under
+    // (quality DESC, doc_id) per canon group — quality is the same
+    // 4dp-rounded expression both engines hash-match on q30
+    "q227_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |          WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |),
+         |grp AS (SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id),
+         |qual AS (SELECT doc_id, ${TextAnalysis.Sql.qualityExpr} AS q FROM documents),
+         |win AS (SELECT grp.doc_id,
+         |          row_number() OVER (PARTITION BY grp.canon_id
+         |            ORDER BY qual.q DESC, grp.doc_id) AS rn
+         |        FROM grp JOIN qual USING (doc_id))
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN win ON win.doc_id = d.doc_id AND win.rn = 1
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q228_posting_audit" ->
+      s"""WITH ${spannCtes()},
+         |lens AS (SELECT head_id, count(*) AS posting_len FROM p GROUP BY head_id)
+         |SELECT posting_len, count(*) AS n_heads,
+         |  posting_len * count(*) AS n_vectors
+         |FROM lens GROUP BY posting_len
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q229_vocab_coverage" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val vals = VocabCutoffs.map(v => s"($v)").mkString(", ")
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM tc),
+         |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total_tokens FROM tc)
+         |SELECT v.vocab_size,
+         |  CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS covered_tokens,
+         |  max(tot.total_tokens) AS total_tokens,
+         |  round(CAST(coalesce(sum(r.cnt), 0) AS DOUBLE)
+         |        / greatest(max(tot.total_tokens), 1)::DOUBLE, 6) AS coverage
+         |FROM (VALUES $vals) v(vocab_size) CROSS JOIN tot
+         |LEFT JOIN r ON r.rn <= v.vocab_size
+         |GROUP BY v.vocab_size
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // (quality DESC, doc_id) is a total order per source, so rank ==
+    // row_number in both engines and percent_rank/ntile agree exactly
+    "q230_curriculum" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |             ${TextAnalysis.Sql.qualityExpr} AS quality
+         |           FROM documents)
+         |SELECT doc_id, source, quality,
+         |  CAST(ntile($CurriculumTiers) OVER w AS INT) AS tier,
+         |  round(percent_rank() OVER w, 6) AS pct
+         |FROM q WINDOW w AS (PARTITION BY source ORDER BY quality DESC, doc_id)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // the oracle reads the parquet original — equality IS the round-trip
+    // fidelity claim (the Spark side went through CSV text and back)
+    "q231_csv_roundtrip" ->
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+         |FROM events
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "q232_confusion" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings
+         |           WHERE vec_id >= $ConfusionTestN),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS gold
+         |      FROM embeddings WHERE vec_id < $ConfusionTestN),
+         |d AS (SELECT q.query_id, q.gold, v.id, $cd AS dist FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, gold, id FROM (
+         |    SELECT query_id, gold, id, dist,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM d) WHERE rank <= $K),
+         |c AS (SELECT r.query_id, r.gold, v.label, count(*) AS votes
+         |      FROM r JOIN v USING (id) GROUP BY 1, 2, 3),
+         |w AS (SELECT query_id, gold, label AS pred,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY votes DESC, label) AS rn
+         |      FROM c),
+         |cells AS (SELECT gold AS a, pred AS b, count(*) AS c
+         |          FROM w WHERE rn = 1 GROUP BY 1, 2),
+         |labels AS (SELECT a AS label FROM cells UNION SELECT b FROM cells),
+         |ba AS (SELECT a AS label, CAST(sum(c) AS BIGINT) AS support,
+         |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS tp
+         |       FROM cells GROUP BY 1),
+         |bp AS (SELECT b AS label, CAST(sum(c) AS BIGINT) AS n_pred
+         |       FROM cells GROUP BY 1),
+         |m AS (SELECT l.label,
+         |        coalesce(ba.support, 0) AS support,
+         |        coalesce(ba.tp, 0) AS tp,
+         |        coalesce(bp.n_pred, 0) - coalesce(ba.tp, 0) AS fp,
+         |        coalesce(ba.support, 0) - coalesce(ba.tp, 0) AS fn
+         |      FROM labels l LEFT JOIN ba USING (label) LEFT JOIN bp USING (label))
+         |SELECT label, support, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |       THEN round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) END AS "precision",
+         |  CASE WHEN tp + fn > 0
+         |       THEN round(tp::DOUBLE / (tp + fn)::DOUBLE, 6) END AS "recall",
+         |  CASE WHEN tp + fp + fn > 0
+         |       THEN round(2.0 * tp::DOUBLE / (2.0 * tp + fp + fn)::DOUBLE, 6)
+         |  END AS f1
+         |FROM m ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+    },
+    "q233_profile" -> {
+      val cols = Seq("lang", "source", "n_chars")
+      val ctes = cols.map { c =>
+        s"""g_$c AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS n
+           |         FROM documents GROUP BY 1),
+           |t_$c AS (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn
+           |         FROM g_$c WHERE v IS NOT NULL),
+           |a_$c AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+           |    CAST(coalesce(sum(CASE WHEN v IS NULL THEN n ELSE 0 END), 0)
+           |         AS BIGINT) AS n_null,
+           |    count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+           |    min(v) AS min_val, max(v) AS max_val FROM g_$c)""".stripMargin
+      }.mkString(",\n")
+      val sels = cols.map { c =>
+        s"""SELECT '$c' AS "column", a.n_rows, a.n_null, a.n_distinct,
+           |  a.min_val, a.max_val, t.v AS top_val, CAST(t.n AS BIGINT) AS top_n,
+           |  round(t.n::DOUBLE / greatest(a.n_rows, 1)::DOUBLE, 6) AS top_share
+           |FROM a_$c a CROSS JOIN t_$c t WHERE t.rn = 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$sels\nORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9"
+    },
+    "q234_interleave" -> {
+      val h = graft.functions.Hash60.sql("doc_id::VARCHAR || ':il'")
+      val w = InterleaveWeights.map { case (src, wt) =>
+        s"SELECT '$src' AS source, CAST($wt AS DOUBLE) AS weight" }
+        .mkString("\n|          UNION ALL ")
+      s"""WITH w AS ($w),
+         |h AS (SELECT doc_id, source, $h AS hh FROM documents),
+         |r AS (SELECT doc_id, h.source, weight,
+         |        CAST(row_number() OVER (PARTITION BY h.source
+         |          ORDER BY hh, doc_id) AS INT) AS src_rank
+         |      FROM h JOIN w ON h.source = w.source)
+         |SELECT doc_id, source, src_rank,
+         |  (CAST(src_rank AS DOUBLE) - 0.5) / weight AS sched_key
+         |FROM r
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    "q235_decay_score" -> {
+      val cap = 12
+      val hlUs = math.round(DecayHalfLifeDays * 86400.0 * 1e6)
+      val wScaled = (0 to cap).map(k =>
+        BigInt(5).pow(k).toLong * math.pow(10, cap - k).toLong)
+        .mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT max(epoch_us(ts)) AS maxus FROM events),
+         |e AS (SELECT user_id, epoch_us(ts) AS us,
+         |        CAST(round(value * 10000) AS BIGINT) AS vs FROM events),
+         |k AS (SELECT user_id, vs,
+         |        CAST(least(floor((m.maxus - us) / $hlUs.0), $cap) AS INT) AS kk
+         |      FROM e CROSS JOIN m),
+         |w AS (SELECT user_id, vs, ($wScaled)[kk + 1] AS ww FROM k),
+         |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |        sum(CAST(vs AS DECIMAL(38,0)) * CAST(ww AS DECIMAL(38,0))) AS acc
+         |      FROM w GROUP BY 1)
+         |SELECT user_id, n_events,
+         |  round(CAST(acc AS DOUBLE) / 1e16, 6) AS decayed_value
+         |FROM s ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q236_readability" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+         |         AS BIGINT) AS n_sentences,
+         |    CAST(coalesce(list_sum(list_transform($toks,
+         |        x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+         |         AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0
+         |       THEN round(206.835
+         |         - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+         |         - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+         |  END AS flesch
+         |FROM t ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q237_unpivot" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH per AS (SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(len($toks)), 0) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY source)
+         |SELECT source, 'n_docs' AS metric, n_docs AS value FROM per
+         |UNION ALL SELECT source, 'n_tokens', n_tokens FROM per
+         |UNION ALL SELECT source, 'sum_chars', sum_chars FROM per
+         |ORDER BY 1, 2, 3""".stripMargin
     },
     "q223_position_attribution" ->
       // the middle share is written as the same IEEE expression Spark

@@ -459,6 +459,31 @@ object Dedup {
       groups.where(col(idCol) === col("canon_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** [[applyDedup]] with a KEEP-BEST policy: per near-dup group keep the
+    * document maximizing `score` (ties → lowest id) instead of the lowest
+    * id unconditionally. This is the representative-selection rule real
+    * curation pipelines use (CCNet/RefinedWeb keep the longest or
+    * highest-quality member of a duplicate cluster, not an arbitrary one —
+    * the reference's tombstone-duplicates analogue `BKTIndex.cpp:875-890`
+    * has no notion of quality, so this is a beyond-reference policy knob).
+    *
+    * Winner selection is ONE hash aggregation over `(canon_id)` via a
+    * lexicographic struct-max on `(score, -id)` — no window, no sort, state
+    * ∝ groups — followed by a left-semi join that streams the corpus once.
+    * Deterministic for any score expression (ties fall to the id).
+    */
+  def applyDedupKeepBest(docs: DataFrame, groups: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val winners = docs
+      .withColumn("_s", score)
+      .select(col(idCol), col("_s"))
+      .join(groups.select(col(idCol), col("canon_id")), Seq(idCol))
+      .groupBy(col("canon_id"))
+      .agg(max(struct(col("_s").as("s"), (-col(idCol)).as("nid"))).as("w"))
+      .select((-col("w.nid")).cast("long").as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Eval-set decontamination check (pre-training hygiene: training docs
     * that overlap a benchmark/eval set leak the test): for each corpus doc,
     * the fraction of its DISTINCT n-gram shingles that appear anywhere in

@@ -251,6 +251,51 @@ object Eval {
           .as("kappa"))
   }
 
+  /** Per-class confusion report for a multi-class classifier — the standard
+    * model card table behind [[labelAgreement]]'s single-number κ: one row
+    * per label observed on EITHER side with its support, TP/FP/FN cells, and
+    * precision/recall/F1 at 6dp (NULL where the denominator is zero: a
+    * never-predicted label has no precision, a never-true label no recall —
+    * distinct from a genuine 0.0). Macro-averaging is one `avg` over this
+    * output; emitting the per-class rows keeps the rare-class failure
+    * visible instead of averaged away.
+    *
+    * Scale: ONE corpus-scan groupBy to the (actual, pred) contingency table
+    * (≤ |classes|² cells, map-side partial); the per-label sums and the
+    * label-domain union all operate on that tiny frame. No windows.
+    */
+  def confusion(labeled: DataFrame, aCol: String = "gold",
+      bCol: String = "pred"): DataFrame = {
+    val cells = labeled
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val labels = cells.select(col("_a").as("label"))
+      .union(cells.select(col("_b"))).distinct()
+    val byActual = cells.groupBy(col("_a").as("label"))
+      .agg(sum(col("_c")).as("support"),
+        sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("_b").as("label"))
+      .agg(sum(col("_c")).as("n_pred"))
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+    labels
+      .join(byActual, Seq("label"), "left")
+      .join(byPred, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision", ratio(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", ratio(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1",
+        when(col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp").cast("double") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)))
+  }
+
   /** Reliability (calibration) table for a [0,1] classifier score against a
     * boolean gold label: `bins` equal-width score bins, each reporting row
     * count, positive count, mean predicted score, empirical positive rate,

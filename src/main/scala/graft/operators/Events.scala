@@ -121,6 +121,58 @@ object Events {
     * days (`datediff` on truncated days). Two hash aggregations and one
     * equi-join on `user_id` — cohorts table is tiny (one row per user).
     */
+  /** Half-life–decayed user value — the standard recency-weighted feature a
+    * feature store derives from an event log (recent activity counts full,
+    * old activity geometrically less). STEP decay for engine-exactness:
+    * `weight = 0.5^k`, `k = min(floor(Δ/halfLife), cap)` whole half-lives
+    * behind the corpus max timestamp (the deterministic as-of point).
+    * Output `(user_id, n_events, decayed_value)` at 6dp.
+    *
+    * Exact-arithmetic contract (the q221 convention): values scale to
+    * integers (×10⁴); `0.5^k·10^cap = 5^k·10^(cap−k)` is an exact LONG for
+    * k ≤ cap = 12, so every contribution is one DECIMAL(38,0) integer
+    * product and the per-user sum is integer-exact — the only float op is
+    * the final ÷10^(cap+4) divide, identical IEEE in both engines. Events
+    * older than `cap` half-lives keep the floor weight 0.5^cap (a
+    * documented tail clamp, not a drop — set `halfLifeDays` so the horizon
+    * of interest sits inside the cap).
+    *
+    * Scale: one broadcast one-row max-ts scalar, one per-row weight lookup
+    * (a 13-element literal array), one user-keyed hash aggregation —
+    * map-side partial, no windows.
+    */
+  def decayedValue(
+      events: DataFrame,
+      halfLifeDays: Double,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val cap = 12
+    val hlUs = math.round(halfLifeDays * 86400.0 * 1e6)
+    // 5^k · 10^(cap-k), k = 0..cap — exact longs
+    val wScaled = (0 to cap).map(k =>
+      BigInt(5).pow(k).toLong * math.pow(10, cap - k).toLong)
+    val maxTs = events
+      .agg(max(unix_micros(col(tsCol).cast("timestamp"))).as("_maxus"))
+    events
+      .select(col(keyCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"),
+        round(col(valueCol) * 10000).cast("long").as("_vs"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("_k",
+        least(floor((col("_maxus") - col("_us")) / hlUs), lit(cap)).cast("int"))
+      .withColumn("_w",
+        element_at(typedLit(wScaled), col("_k") + 1))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_vs").cast("decimal(38,0)") * col("_w").cast("decimal(38,0)"))
+          .as("_acc"))
+      .select(col(keyCol), col("n_events"),
+        round(col("_acc").cast("double") / math.pow(10, cap + 4), 6)
+          .as("decayed_value"))
+  }
+
   /** As-of join — for every left row, the LATEST right row with
     * `right.ts <= left.ts` on the same key (last-touch attribution, state-
     * of-user at event time, slowly-changing-dimension lookup). Spark has no

@@ -768,6 +768,113 @@ object Pipeline {
         round(col("_w").cast("double") / col("_z").cast("double"), 6).as("weight"))
   }
 
+  /** Curriculum ordering: per-source quality tiers for staged training
+    * (easy/high-quality shards first, tail shards later — the data-ordering
+    * knob curriculum-learning recipes schedule over). Per source, each doc
+    * gets its quality `ntile(buckets)` tier and `percent_rank` position
+    * under `(quality DESC, id ASC)` — tier 1 is the best slice of ITS
+    * source, so no source is starved by a globally stronger one (the same
+    * per-source fairness contract as [[qualityFloor]]). Output
+    * `(doc_id, source, quality, tier, pct)`, pct at 6dp.
+    *
+    * Scale: both window functions partition by `source` and the intra-source
+    * sort is the shuffle's sort order — one shuffle, keyed windows, no
+    * global ordering. Sources are the partition key; a skewed mega-source
+    * is one sorted partition chain (acceptable: rank semantics force
+    * per-source total order; at 100 TB schedule per (source, shard-hash)
+    * instead if a single source exceeds a task).
+    */
+  def curriculum(
+      docs: DataFrame,
+      buckets: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc, col(idCol))
+    docs
+      .withColumn("quality", TextAnalysis.quality(col(textCol)))
+      .select(col(idCol), col(sourceCol), col("quality"),
+        ntile(buckets).over(w).as("tier"),
+        round(percent_rank().over(w), 6).as("pct"))
+  }
+
+  /** Deterministic weighted interleave schedule — the "training order"
+    * generator that merges per-source document streams so each source
+    * appears at its mixture rate from the very first batch (feeding a
+    * trainer one source at a time distorts early gradients even when the
+    * TOTALS match the mixture; interleaving is how `interleave_datasets`-
+    * style loaders consume a weighted corpus). Each doc gets its source-
+    * local shuffle rank (hash order, salt-reproducible) and the classic
+    * stratified merge key `sched_key = (rank − 0.5) / weight`; ascending
+    * `sched_key` IS the schedule — a source with weight w holds a w-share
+    * of every prefix of it. Output `(doc_id, source, src_rank, sched_key)`.
+    *
+    * The key is emitted rather than a global position: downstream writers
+    * sort/shard by it (e.g. [[shardAssign]] or a range-partitioned write),
+    * so no partition-less global row-numbering window ever runs. Windows
+    * partition by source; `weights` is a broadcast-sized `(source, weight)`
+    * frame (weights > 0; docs from unlisted sources are dropped — the same
+    * contract as [[mixtureSample]]).
+    */
+  def interleave(
+      docs: DataFrame,
+      weights: DataFrame,
+      salt: String = "il",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("_h"), col(idCol))
+    docs
+      .withColumn("_h", graft.functions.Hash60(
+        concat(col(idCol).cast("string"), lit(":" + salt))))
+      .join(broadcast(weights.select(col(sourceCol), col("weight"))),
+        Seq(sourceCol))
+      .withColumn("src_rank", row_number().over(w))
+      .select(col(idCol), col(sourceCol), col("src_rank"),
+        ((col("src_rank").cast("double") - 0.5) / col("weight"))
+          .as("sched_key"))
+  }
+
+  /** Column profiler — the first query anyone runs against an unfamiliar
+    * 100 TB corpus drop: per requested column, row/null counts, EXACT
+    * distinct count, lexicographic min/max (string-cast so one report shape
+    * fits every type), and the modal value with its share. Output one row
+    * per column: `(column, n_rows, n_null, n_distinct, min_val, max_val,
+    * top_val, top_n, top_share)`; the modal tie falls to the smallest value
+    * string, share at 6dp.
+    *
+    * Scale: per column, ONE value-keyed hash aggregation (map-side partial —
+    * shuffle ∝ distinct values, not rows) feeding a one-row reduce; columns
+    * union their one-row results. Never a global sort, never a window; a
+    * near-unique column (an id) costs its cardinality in shuffle rows —
+    * same posture as exact-distinct anywhere.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    cols.map { c =>
+      val g = df.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("n")).otherwise(lit(0L))), lit(0L))
+          .as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"),
+        // modal value: lexicographic max over (n, reversed tie) is fragile —
+        // use min over (-n, v): largest count first, then smallest value
+        min(when(col("v").isNotNull, struct((-col("n")).as("nn"), col("v").as("v"))))
+          .as("_top"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          col("_top.v").as("top_val"), (-col("_top.nn")).as("top_n"),
+          round((-col("_top.nn")).cast("double") /
+            greatest(col("n_rows"), lit(1L)).cast("double"), 6).as("top_share"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weighted sampling WITHOUT replacement, k winners, probability ∝
     * `weightCol` — Efraimidis–Spirakis exponential race: each row draws a
     * deterministic uniform `u` from its id hash and races with key

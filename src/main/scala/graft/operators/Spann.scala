@@ -155,6 +155,24 @@ object Spann {
       .where(col("_rn") <= limit).drop("_rn")
   }
 
+  /** Posting-balance audit — the index-health report that tells an operator
+    * whether a built SPANN layout is servable BEFORE queries hit it (the
+    * reference prints per-posting page counts while laying out the SSD file,
+    * `ExtraFullGraphSearcher.h:1206-1290`; at 100 TB the analogous check is
+    * "is any head's posting so long that its bucket becomes a straggler, and
+    * how much replica fan-out did we pay"). Output one row per observed
+    * posting length: `(posting_len, n_heads, n_vectors)` — the same exact
+    * integer-histogram shape as [[Dedup.dedupReport]], so the report is
+    * engine-exact. Feed [[rebalancePostings]] with thresholds read off this
+    * histogram. Scale: two hash aggregations (head-keyed then length-keyed),
+    * state ∝ heads then ∝ distinct lengths; the vector column is never
+    * touched.
+    */
+  def postingAudit(postings: DataFrame): DataFrame =
+    postings.groupBy(col("head_id")).agg(count(lit(1)).as("posting_len"))
+      .groupBy(col("posting_len")).agg(count(lit(1)).as("n_heads"))
+      .withColumn("n_vectors", col("posting_len") * col("n_heads"))
+
   /** Posting rebalance — the SPANN maintenance op a continuously-ingesting
     * index needs between full rebuilds (the reference grows postings on add
     * and re-layouts on refine; SPFresh, cited in the reference `README.md:15`,

@@ -538,6 +538,71 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
 
+  /** Flesch-style readability score — the classic prose-complexity signal a
+    * quality gate adds next to [[quality]]'s ratio features (curation
+    * recipes band documents by reading ease; extreme scores flag boilerplate
+    * and word salad). Syllables are proxied by vowel-group runs
+    * (`[aeiouy]+`, min 1 per token — the standard dictionary-free
+    * approximation); sentences by terminal-punctuation count (min 1).
+    * Output `(doc_id, n_words, n_sentences, n_syllables, flesch)` with
+    * `flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * at 4dp (NULL for token-less docs). Pure per-row column math — scan
+    * speed, stream-safe, mirrored op-for-op by the oracle.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val words = size(t)
+    val sent = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]"), lit(0))), lit(1))
+    val syl = aggregate(t, lit(0), (acc, tok) =>
+      acc + greatest(
+        size(regexp_extract_all(tok, lit("[aeiouy]+"), lit(0))), lit(1)))
+    docs.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sent.cast("long").as("n_sentences"),
+      syl.cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 4)))
+  }
+
+  /** Vocabulary coverage / OOV curve: for each candidate vocabulary size in
+    * `cutoffs`, the share of ALL token occurrences covered by the top-V
+    * tokens of [[vocabulary]] (count DESC, token ASC) — the curve a
+    * tokenizer-budget decision reads ("which V covers 99% of the stream");
+    * everything off-vocab is the OOV mass a trainer pays in `<unk>`s.
+    * Output `(vocab_size, covered_tokens, total_tokens, coverage)`, one row
+    * per cutoff, coverage at 6dp.
+    *
+    * Scale: token counts are ONE vocabulary-bounded hash aggregation
+    * (checkpointed so the |cutoffs| consumers don't re-scan the corpus);
+    * each cutoff is a bounded `TakeOrderedAndProject` over that vocab frame
+    * (never a global sort of corpus rows), and the one-row total joins
+    * broadcast-style. No windows, no pair spaces.
+    */
+  def vocabCoverage(docs: DataFrame, cutoffs: Seq[Int],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ > 0), "cutoffs must be positive")
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"))
+    cutoffs.map { v =>
+      counts.orderBy(col("cnt").desc, col("token")).limit(v)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+        .select(lit(v).cast("int").as("vocab_size"), col("covered_tokens"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") /
+          greatest(col("total_tokens"), lit(1L)).cast("double"), 6))
+  }
+
   /** Per-language confidence score: the fraction of a text's tokens that
     * are stopwords of `lang` (4dp; 0.0 for token-less docs) — the raw
     * signal [[langId]] argmaxes over, exposed as a number so downstream

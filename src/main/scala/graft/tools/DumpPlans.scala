@@ -334,7 +334,25 @@ object DumpPlans {
         |plans ONE scan + Expand (one row per matching set per input row) +
         |a single hash aggregate — never one scan per set unioned. The
         |decimal sums partial-aggregate map-side before the grouping-key
-        |exchange.""".stripMargin)
+        |exchange.""".stripMargin,
+    "q227_dedup_keep_best" ->
+      """Keep-best dedup policy: winner selection is ONE hash aggregation
+        |over canon_id (lexicographic struct-max on (quality, -id) — no
+        |window, no per-group sort), then a left-semi hash join streams the
+        |corpus once. The quality score is in-row column math computed
+        |during the same scan that feeds the join.""".stripMargin,
+    "q229_vocab_coverage" ->
+      """OOV/coverage curve: token counts are ONE map-side-partial hash
+        |aggregate (shuffle ∝ vocabulary, checkpointed once for all
+        |cutoffs); each cutoff plans a bounded TakeOrderedAndProject over
+        |the vocab frame — the global ORDER BY a naive rank formulation
+        |would shuffle never appears; the one-row total broadcasts.""".stripMargin,
+    "q233_profile" ->
+      """Column profiler: per column ONE value-keyed hash aggregate
+        |(map-side partial, shuffle ∝ distinct values) feeding a one-row
+        |reduce that carries min/max/mode via struct-min — three tiny
+        |frames unioned, no windows, no sorts, no second corpus scan per
+        |statistic.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

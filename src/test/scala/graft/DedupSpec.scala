@@ -37,6 +37,30 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("applyDedupKeepBest keeps the argmax-score member; ties fall to min id") {
+    val corpus = Seq(
+      (0L, "a"), (1L, "b"), (2L, "c"), // group 0: 1 wins on score
+      (3L, "d"), (4L, "e"),            // group 3: score tie → min id 3
+      (5L, "f")                        // singleton: kept
+    ).toDF("doc_id", "text")
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "canon_id")
+    val score = when(col("doc_id") === 1L, 9.0)
+      .when(col("doc_id") <= 2L, 1.0).otherwise(5.0)
+    val kept = Dedup.applyDedupKeepBest(corpus, groups, score)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
+  test("applyDedupKeepBest with a constant score degenerates to applyDedup") {
+    val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
+    val best = Dedup.applyDedupKeepBest(docs, groups, lit(1.0))
+      .select("doc_id").as[Long].collect().toSet
+    val canon = Dedup.applyDedup(docs, groups)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best === canon)
+  }
+
   test("prefixJaccardPairs equals brute-force exact Jaccard at the threshold (100% recall)") {
     // real corpus slice: prefix filtering must reproduce the full τ-pair
     // set, not a probabilistic subset

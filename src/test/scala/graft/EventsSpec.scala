@@ -270,6 +270,22 @@ class EventsSpec extends SparkSpec {
     assert(got.map(_.getDouble(4)).toSeq === Seq(1.0, 0.5, 0.25))
   }
 
+  test("decayedValue: whole half-lives halve exactly; tail clamps at 12") {
+    import graft.operators.Events
+    val events = ev(Seq(
+      // user 1: at T, T-1d, T-2d → 10 + 20/2 + 40/4 = 30
+      (1L, "2026-01-21 00:00:00", 1L, "view", 10.0),
+      (2L, "2026-01-20 00:00:00", 1L, "view", 20.0),
+      (3L, "2026-01-19 00:00:00", 1L, "view", 40.0),
+      // user 2: 20 days old → k clamps at 12 → 4096·0.5^12 = 1.0
+      (4L, "2026-01-01 00:00:00", 2L, "view", 4096.0),
+      // user 3: 0.5 half-lives → floor → k = 0, full weight
+      (5L, "2026-01-20 12:00:00", 3L, "view", 7.0)))
+    val got = Events.decayedValue(events, 1.0).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 3L, 30.0), (2L, 1L, 1.0), (3L, 1L, 7.0)))
+  }
+
   test("positionAttribution: U-shape splits 40/20/40, degenerate journeys " +
       "follow the 1.0 and 0.5/0.5 conventions, credits sum to value") {
     import spark.implicits._

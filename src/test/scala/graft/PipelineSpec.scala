@@ -8,6 +8,88 @@ import graft.operators.Pipeline
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curriculum: per-source tiers are quality-ordered, pct spans [0,1]") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val cur = Pipeline.curriculum(docs, 4).cache()
+    // every (source, tier) respects ordering: max quality of tier t+1 never
+    // exceeds min quality of tier t (quality DESC fills tier 1 first)
+    val byTier = cur.groupBy("source", "tier")
+      .agg(min(col("quality")).as("lo"), max(col("quality")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    byTier.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val tiers = ks.map(_._2).toSeq.sorted
+      assert(tiers === (1 to tiers.max), s"$src: missing tier")
+      tiers.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byTier((src, b))._2 <= byTier((src, a))._1,
+            s"$src: tier $b quality overlaps above tier $a")
+        case _ =>
+      }
+      // ntile balance: sizes differ by at most 1
+      val sizes = tiers.map(t => byTier((src, t))._3)
+      assert(sizes.max - sizes.min <= 1, s"$src: unbalanced ntile $sizes")
+    }
+    val mm = cur.agg(min(col("pct")), max(col("pct"))).head()
+    assert(mm.getDouble(0) === 0.0 && mm.getDouble(1) === 1.0)
+    cur.unpersist()
+    ()
+  }
+
+  test("profile: exact counts, null accounting, deterministic modal value") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 2L), (None, 3L)
+    ).toDF("s", "k")
+    val got = Pipeline.profile(df, Seq("s", "k")).orderBy("column").collect()
+    val k = got(0) // "k" sorts before "s"
+    assert((k.getString(0), k.getLong(1), k.getLong(2), k.getLong(3)) ===
+      (("k", 4L, 0L, 3L)))
+    assert((k.getString(4), k.getString(5)) === (("1", "3"))) // lexicographic
+    assert((k.getString(6), k.getLong(7)) === (("2", 2L)))
+    assert(k.getDouble(8) === 0.5)
+    val s = got(1)
+    assert((s.getString(0), s.getLong(1), s.getLong(2), s.getLong(3)) ===
+      (("s", 4L, 1L, 2L)))
+    assert((s.getString(6), s.getLong(7)) === (("a", 2L)))
+    assert(s.getDouble(8) === 0.5)
+  }
+
+  test("interleave: schedule prefixes honor the mixture; unlisted sources drop") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val weights = Seq(("src0", 0.6), ("src1", 0.3)).toDF("source", "weight")
+    val sched = Pipeline.interleave(docs, weights)
+      .orderBy("sched_key", "doc_id").collect()
+    // src2 is unlisted → dropped entirely
+    assert(sched.length === 200)
+    assert(!sched.exists(_.getString(1) == "src2"))
+    // determinism: same call, same schedule
+    val again = Pipeline.interleave(docs, weights)
+      .orderBy("sched_key", "doc_id").collect()
+    assert(sched.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // mixture property: every prefix carries sources near the 2:1 ratio —
+    // after n draws, src0 count is within 1 of 2/3·n scaled by availability
+    for (n <- Seq(30, 90, 150)) {
+      val c0 = sched.take(n).count(_.getString(1) == "src0")
+      val expected = n * (0.6 / 0.9)
+      assert(math.abs(c0 - expected) <= 1.0,
+        s"prefix $n: src0 count $c0 vs expected $expected")
+    }
+    // sched_key is (rank - 0.5)/w exactly
+    val r = sched.find(x => x.getString(1) == "src1" && x.getInt(2) == 1).get
+    assert(r.getDouble(3) === 0.5 / 0.3)
+  }
+
+  test("profile modal tie resolves to the smallest value string") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("b", "b", "a", "a").toDF("v")
+    val got = Pipeline.profile(df, Seq("v")).head()
+    assert(got.getString(6) === "a")
+  }
+
   test("qualityQuantiles = exact type-1 quantiles of the collected per-doc scores") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

@@ -203,7 +203,9 @@ class PlanSpec extends SparkSpec {
       "q212_basket_lift",       // ONE-row basket-total scalar, broadcast
       "q224_sql_api",           // |Q|=10 query rows, broadcast by SQL hint
                                 // (the searchAggViaJoin shape from SQL text)
-      "q225_funnel_summary")    // ONE-row stage-1 count scalar, broadcast
+      "q225_funnel_summary",    // ONE-row stage-1 count scalar, broadcast
+      "q229_vocab_coverage",    // ONE-row token-total scalar, broadcast
+      "q235_decay_score")       // ONE-row max-ts as-of scalar, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

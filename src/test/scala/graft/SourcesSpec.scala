@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.operators.Spann
-import graft.sources.{IndexStore, LegacyFormats, QueryParser}
+import graft.sources.{CsvStore, IndexStore, LegacyFormats, QueryParser}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -386,5 +386,21 @@ class SourcesSpec extends SparkSpec {
     // y probe finds BOTH y=3 rows, including the negative-x one
     val py = graft.sources.ZOrderStore.probeY(idx, "y", 3L)
     assert(py.count() === 2, py.collect().mkString(", "))
+  }
+
+  test("CsvStore round-trip: RFC-4180 escaping, nulls, and types survive") {
+    val dir = tmp() + "/csv"
+    val df = Seq(
+      (1L, """he said "hi", twice""", Some(1.5)),
+      (2L, "plain text", None),
+      (3L, "", Some(-0.25)), // empty string, not null
+      (4L, "comma, semicolon; quote\" mix", Some(1e-9))
+    ).toDF("id", "s", "x")
+    val back = CsvStore.roundTrip(df, dir).orderBy("id")
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.collect().toSeq
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(b === a, s"round-trip drift:\n$a\nvs\n$b")
   }
 }

@@ -23,6 +23,22 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("postingAudit histogram: exact lengths, mass adds up to posting rows") {
+    import spark.implicits._
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val audit = Spann.postingAudit(postings).collect()
+    // mass conservation: Σ n_vectors = |postings|, Σ n_heads = distinct heads
+    assert(audit.map(_.getLong(2)).sum === postings.count())
+    assert(audit.map(_.getLong(1)).sum ===
+      postings.select("head_id").distinct().count())
+    // exactness on a hand-built frame: lengths 2 and 1
+    val tiny = Seq((10L, 1L), (10L, 2L), (20L, 3L)).toDF("head_id", "id")
+    val t = Spann.postingAudit(tiny).orderBy("posting_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t === Seq((1L, 1L, 1L), (2L, 1L, 2L)))
+  }
+
   test("filtered two-stage search: only passing ids, identical to pre-filtered postings") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)

@@ -353,6 +353,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getDouble(4) === 0.4)
   }
 
+  test("vocabCoverage: exact cumulative shares at each cutoff, monotone") {
+    // counts: a=4, b=2, c=1 (ties none) → total 7
+    val docs = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 3, 10))
+      .orderBy("vocab_size")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) === ((1, 4L, 7L, math.rint(4.0 / 7.0 * 1e6) / 1e6)))
+    assert(got(1) === ((2, 6L, 7L, math.rint(6.0 / 7.0 * 1e6) / 1e6)))
+    assert(got(2) === ((3, 7L, 7L, 1.0)))
+    // a cutoff past the vocabulary saturates, never overshoots
+    assert(got(3) === ((10, 7L, 7L, 1.0)))
+  }
+
+  test("vocabCoverage tie at the cutoff boundary resolves by token ASC") {
+    // b=2, a=2, c=2: top-1 must be 'a' (count tie → token ASC)
+    val docs = Seq((1L, "b b a a c c")).toDF("doc_id", "text")
+    val one = TextAnalysis.vocabCoverage(docs, Seq(1)).head()
+    assert(one.getLong(1) === 2L) // exactly one token's mass
+    // and which token: vocabulary picks 'a' first under the same order
+    assert(TextAnalysis.vocabulary(docs, 1).head().getString(0) === "a")
+  }
+
+  test("readability: hand-counted words/sentences/syllable proxy, empty doc NULL") {
+    val docs = Seq(
+      (1L, "the cat sat. it sat there!"), // 6 words, 2 sentences; vowel
+      // groups: the=1 cat=1 sat=1 it=1 sat=1 there=2 ("e","e") → 7
+      (2L, "unbelievable"),               // u-n-b-e-l-ie-v-a-b-l-e → groups: u,e,ie,a,e = 5
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) === ((6L, 2L, 7L)))
+    val f1 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0)
+    assert(got(0).getDouble(4) === math.rint(f1 * 1e4) / 1e4)
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) === ((1L, 1L, 5L)))
+    assert(got(2).getLong(1) === 0L)
+    assert(got(2).isNullAt(4), "token-less doc must have NULL flesch")
+  }
+
+  test("Eval.confusion: textbook 3-class cells, NULL where undefined") {
+    import graft.operators.Eval
+    // gold x: 2 correct, 1 predicted as y → support 3, tp 2, fn 1
+    // gold y: 1 correct, 1 predicted as z → support 2, tp 1, fn 1
+    // z never true, predicted once (fp) → support 0, no recall
+    val rows = Seq(("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"), ("y", "z"))
+    val got = Eval.confusion(rows.toDF("gold", "pred")).orderBy("label").collect()
+    val x = got(0)
+    assert((x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)) ===
+      (("x", 3L, 2L, 0L, 1L)))
+    assert(x.getDouble(5) === 1.0) // precision 2/2
+    assert(x.getDouble(6) === 0.666667) // recall 2/3
+    assert(x.getDouble(7) === 0.8) // f1 = 2·2/(4+0+1)
+    val z = got(2)
+    assert((z.getString(0), z.getLong(1), z.getLong(2), z.getLong(3), z.getLong(4)) ===
+      (("z", 0L, 0L, 1L, 0L)))
+    assert(z.getDouble(5) === 0.0) // precision 0/1 — defined, zero
+    assert(z.isNullAt(6), "never-true label must have NULL recall")
+    assert(z.getDouble(7) === 0.0)
+  }
+
+  test("Eval.confusion macro-F1 folds from the per-class rows") {
+    import graft.operators.Eval
+    val rows = Seq(("x", "x"), ("y", "x"), ("y", "y"))
+    val f1s = Eval.confusion(rows.toDF("gold", "pred"))
+      .agg(avg("f1")).head().getDouble(0)
+    // x: f1 = 2·1/(2+1+0) = 2/3; y: f1 = 2·1/(2+0+1) = 2/3
+    assert(math.abs(f1s - 0.666667) < 1e-9)
+  }
+
   test("clusterTopics ranks the cluster-specific token above the shared one") {
     import spark.implicits._
     // centroids = ids 0 and 100 (every-100th); apple-docs cluster at [1,0],
