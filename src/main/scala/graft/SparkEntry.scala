@@ -1613,7 +1613,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
       ordered(Dedup.applyDedupKeepBest(docs, groups,
-        TextAnalysis.quality(col("text")))
+        TextAnalysis.qualityRaw(col("text")))
         .select(col("doc_id"), col("source"), col("n_chars")))
     }),
     // SPANN index-health audit: exact posting-length histogram over the q07
@@ -1668,6 +1668,57 @@ object SparkEntry {
     // Flesch-style readability (vowel-group syllable proxy)
     "q236_readability" -> ((s, d) =>
       ordered(TextAnalysis.readability(Tables.documents(s, d)))),
+    // cross-source token overlap from bottom-k sketches alone (no join)
+    "q245_kmv_overlap" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sk = graft.functions.Sketches.kmv(toks, "source", "token", KmvK)
+      ordered(graft.functions.Sketches.kmvOverlap(
+        sk.where(col("source") === "src0"),
+        sk.where(col("source") === "src1"), KmvK))
+    }),
+    // k-anonymity audit over the (lang, source) quasi-identifier envelope
+    "q243_k_anonymity" -> ((s, d) =>
+      ordered(Pipeline.kAnonymity(
+        Tables.documents(s, d), Seq("lang", "source"), KAnonK))),
+    // LSH banding quality: candidate recall/precision vs brute Jaccard
+    "q244_lsh_recall" -> ((s, d) =>
+      ordered(Dedup.bandingRecall(Tables.documents(s, d), 0.3))),
+    // A/B readout: hash-bucketed variants, Welch t + Cohen's d over
+    // per-user value totals (integer-exact power sums, unrounded doubles)
+    "q242_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("_v"))
+        .select(
+          when(graft.functions.Hash60(
+            concat(col("user_id").cast("string"), lit(":ab"))) % 2L === 0L,
+            "control").otherwise("treatment").as("variant"),
+          (col("_v") * 10000).cast("long").as("x"))
+      ordered(Eval.abTest(perUser, 1e4))
+    }),
+    // leakage-free split: the q106 hash draw keyed on the near-dup GROUP id
+    "q240_group_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val groups = Dedup.canonicalGroups(docs, Dedup.minhashDedup(docs, 0.3))
+      ordered(Pipeline.groupAwareSplit(docs, groups))
+    }),
+    // leakage audit of the NAIVE per-doc split: near-dup pairs straddling
+    // split boundaries (the contamination q240 eliminates by construction)
+    "q241_leakage_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Pipeline.leakageAudit(
+        Pipeline.stratifiedSplit(docs).select(col("doc_id"), col("split")),
+        Dedup.minhashDedup(docs, 0.3)))
+    }),
+    // per-source Spearman: does the quality score order docs like length?
+    "q238_spearman" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("source"),
+        TextAnalysis.qualityRaw(col("text")).as("q"), col("n_chars"))
+      ordered(Eval.spearmanByGroup(scored, "source", "q", "n_chars"))
+    }),
+    // pairwise source vocabulary overlap (dataset-card similarity audit)
+    "q239_source_similarity" -> ((s, d) =>
+      ordered(TextAnalysis.sourceSimilarity(Tables.documents(s, d)))),
     // wide→long reshape anchor: native unpivot over per-source stats
     "q237_unpivot" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2057,6 +2108,10 @@ object SparkEntry {
   private val CurriculumTiers = 4
   // q232: held-out split — first 100 embeddings are the test queries
   private val ConfusionTestN = 100
+  // q243: release gate — quasi-classes under 10 rows are re-identifiable
+  private val KAnonK = 10
+  // q245: bottom-64 KMV sketches of two sources' token sets
+  private val KmvK = 64
   // q234: interleave mixture (sources outside the map are dropped)
   private val InterleaveWeights = Seq(("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
   // q235: one-day half-life, 12-half-life tail clamp (Events.decayedValue)
@@ -3080,7 +3135,7 @@ object SparkEntry {
          |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
          |),
          |grp AS (SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id),
-         |qual AS (SELECT doc_id, ${TextAnalysis.Sql.qualityExpr} AS q FROM documents),
+         |qual AS (SELECT doc_id, ${TextAnalysis.Sql.qualityRawExpr} AS q FROM documents),
          |win AS (SELECT grp.doc_id,
          |          row_number() OVER (PARTITION BY grp.canon_id
          |            ORDER BY qual.q DESC, grp.doc_id) AS rn
@@ -3116,7 +3171,7 @@ object SparkEntry {
     // row_number in both engines and percent_rank/ntile agree exactly
     "q230_curriculum" ->
       s"""WITH q AS (SELECT doc_id, source,
-         |             ${TextAnalysis.Sql.qualityExpr} AS quality
+         |             ${TextAnalysis.Sql.qualityRawExpr} AS quality
          |           FROM documents)
          |SELECT doc_id, source, quality,
          |  CAST(ntile($CurriculumTiers) OVER w AS INT) AS tier,
@@ -3224,7 +3279,7 @@ object SparkEntry {
          |        sum(CAST(vs AS DECIMAL(38,0)) * CAST(ww AS DECIMAL(38,0))) AS acc
          |      FROM w GROUP BY 1)
          |SELECT user_id, n_events,
-         |  round(CAST(acc AS DOUBLE) / 1e16, 6) AS decayed_value
+         |  CAST(acc AS DOUBLE) / 1e16 AS decayed_value
          |FROM s ORDER BY 1, 2, 3""".stripMargin
     },
     "q236_readability" -> {
@@ -3244,6 +3299,168 @@ object SparkEntry {
          |         - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
          |  END AS flesch
          |FROM t ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q245_kmv_overlap" -> {
+      val h = graft.functions.Hash60.sql("token")
+      val M = "1152921504606846976.0" // 2^60, the Hash60 value space
+      val k = KmvK
+      s"""WITH tok AS (SELECT source, unnest(TOKS) AS token FROM documents
+         |             WHERE source IN ('src0', 'src1')),
+         |dh AS (SELECT DISTINCT source, $h AS hh FROM tok),
+         |r AS (SELECT source, hh,
+         |        row_number() OVER (PARTITION BY source ORDER BY hh) AS rn
+         |      FROM dh),
+         |sa AS (SELECT list_sort(list(hh)) AS ka FROM r
+         |       WHERE source = 'src0' AND rn <= $k),
+         |sb AS (SELECT list_sort(list(hh)) AS kb FROM r
+         |       WHERE source = 'src1' AND rn <= $k),
+         |m AS (SELECT ka, kb,
+         |        list_sort(list_distinct(list_concat(ka, kb)))[1:$k] AS u
+         |      FROM sa CROSS JOIN sb)
+         |SELECT $k AS k,
+         |  CASE WHEN len(ka) < $k THEN len(ka)::DOUBLE
+         |       ELSE ${k - 1}.0 * $M / (ka[$k])::DOUBLE END AS est_a,
+         |  CASE WHEN len(kb) < $k THEN len(kb)::DOUBLE
+         |       ELSE ${k - 1}.0 * $M / (kb[$k])::DOUBLE END AS est_b,
+         |  CASE WHEN len(u) < $k THEN len(u)::DOUBLE
+         |       ELSE ${k - 1}.0 * $M / (u[$k])::DOUBLE END AS est_union,
+         |  CASE WHEN len(u) > 0 THEN
+         |    len(list_filter(u, x -> list_contains(ka, x) AND list_contains(kb, x)))::DOUBLE
+         |      / len(u)::DOUBLE
+         |      * (CASE WHEN len(u) < $k THEN len(u)::DOUBLE
+         |              ELSE ${k - 1}.0 * $M / (u[$k])::DOUBLE END)
+         |  ELSE 0.0 END AS est_intersect
+         |FROM m ORDER BY 1, 2, 3, 4, 5""".stripMargin
+        .replace("TOKS", TextAnalysis.Sql.toks("text"))
+    },
+    "q243_k_anonymity" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+         |  count(*) < $KAnonK AS at_risk
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q244_lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |tr AS (SELECT a, b FROM jac WHERE jaccard >= 0.3),
+         |ht AS (SELECT t.a, t.b FROM tr t JOIN cand c ON t.a = c.a AND t.b = c.b),
+         |s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM ht) AS n_hit)
+         |SELECT n_true, n_candidates, n_hit,
+         |  CASE WHEN n_true > 0
+         |    THEN n_hit::DOUBLE / n_true::DOUBLE END AS recall,
+         |  CASE WHEN n_candidates > 0
+         |    THEN n_hit::DOUBLE / n_candidates::DOUBLE END AS "precision"
+         |FROM s ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // every double below is the SAME fixed IEEE expression over exact
+    // DECIMAL(38,0) sums in both engines — emitted unrounded (q222 class)
+    "q242_ab_test" -> {
+      val h = graft.functions.Hash60.sql("user_id::VARCHAR || ':ab'")
+      s"""WITH pu AS (SELECT user_id,
+         |        CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+         |      FROM events GROUP BY user_id),
+         |u AS (SELECT CASE WHEN ($h % 2) = 0 THEN 'control'
+         |               ELSE 'treatment' END AS variant, x FROM pu),
+         |g AS (SELECT variant, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+         |      FROM u GROUP BY 1),
+         |p AS (SELECT a.variant AS variant_a, a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+         |        b.variant AS variant_b, b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+         |      FROM g a JOIN g b ON a.variant < b.variant),
+         |m AS (SELECT variant_a, na, variant_b, nb,
+         |        sxa::DOUBLE / na::DOUBLE / 10000.0 AS ma,
+         |        sxb::DOUBLE / nb::DOUBLE / 10000.0 AS mb,
+         |        CASE WHEN na >= 2 THEN (na * sxxa - sxa * sxa)::DOUBLE
+         |          / (na * (na - 1))::DOUBLE / 100000000.0 END AS va,
+         |        CASE WHEN nb >= 2 THEN (nb * sxxb - sxb * sxb)::DOUBLE
+         |          / (nb * (nb - 1))::DOUBLE / 100000000.0 END AS vb
+         |      FROM p)
+         |SELECT variant_a, CAST(na AS BIGINT) AS n_a, ma AS mean_a,
+         |  variant_b, CAST(nb AS BIGINT) AS n_b, mb AS mean_b,
+         |  CASE WHEN na >= 2 AND nb >= 2
+         |        AND (va / na::DOUBLE + vb / nb::DOUBLE) > 0
+         |    THEN (ma - mb) / sqrt(va / na::DOUBLE + vb / nb::DOUBLE)
+         |  END AS t_welch,
+         |  CASE WHEN na >= 2 AND nb >= 2
+         |        AND (((na - 1)::DOUBLE * va + (nb - 1)::DOUBLE * vb)
+         |             / (na + nb - 2)::DOUBLE) > 0
+         |    THEN (ma - mb) / sqrt(((na - 1)::DOUBLE * va + (nb - 1)::DOUBLE * vb)
+         |                          / (na + nb - 2)::DOUBLE)
+         |  END AS cohens_d
+         |FROM m ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+    },
+    "q240_group_split" -> {
+      val h = graft.functions.Hash60.sql("grp.canon_id::VARCHAR || ':gsplit'")
+      s"""WITH RECURSIVE $minhashCtes,
+         |pr AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |       WHERE j.jaccard >= 0.3),
+         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+         |),
+         |grp AS (SELECT id AS doc_id, min(lbl) AS canon_id FROM walk GROUP BY id)
+         |SELECT d.doc_id, d.source, grp.canon_id,
+         |  CASE WHEN ($h % 10000) < 8000 THEN 'train'
+         |       WHEN ($h % 10000) < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN grp ON grp.doc_id = d.doc_id
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    "q241_leakage_audit" -> {
+      val split = Pipeline.stratifiedSplitSql(80, 10, "split")
+      s"""WITH $minhashCtes,
+         |pr AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |       WHERE j.jaccard >= 0.3),
+         |spn AS ($split),
+         |lk AS (SELECT least(sa.split, sb.split) AS split_a,
+         |         greatest(sa.split, sb.split) AS split_b
+         |       FROM pr JOIN spn sa ON sa.doc_id = pr.a
+         |       JOIN spn sb ON sb.doc_id = pr.b)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lk GROUP BY 1, 2
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // doubled average ranks (2·rank + |ties| − 1, exact integers) feed the
+    // q221 DECIMAL power-sum correlation — mirrored term for term
+    "q238_spearman" ->
+      s"""WITH sc AS (SELECT source, ${TextAnalysis.Sql.qualityRawExpr} AS q,
+         |              n_chars FROM documents),
+         |r AS (SELECT source,
+         |        2 * rank() OVER (PARTITION BY source ORDER BY q)
+         |          + count(*) OVER (PARTITION BY source, q) - 1 AS x,
+         |        2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+         |          + count(*) OVER (PARTITION BY source, n_chars) - 1 AS y
+         |      FROM sc),
+         |s AS (SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy FROM r GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+         |        AND (n * syy - sy * sy)::DOUBLE > 0
+         |    THEN round((n * sxy - sx * sy)::DOUBLE /
+         |      (sqrt((n * sxx - sx * sx)::DOUBLE)
+         |       * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+         |  END AS spearman
+         |FROM s ORDER BY 1, 2, 3""".stripMargin,
+    "q239_source_similarity" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH st AS (SELECT DISTINCT src, token FROM
+         |      (SELECT source AS src, unnest($toks) AS token FROM documents)),
+         |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+         |p AS (SELECT a.src AS src_a, b.src AS src_b,
+         |        CAST(count(*) AS BIGINT) AS n_common
+         |      FROM st a JOIN st b ON a.token = b.token AND a.src < b.src
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  round(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE, 6)
+         |    AS jaccard
+         |FROM p JOIN sz sa ON sa.src = p.src_a JOIN sz sb ON sb.src = p.src_b
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     },
     "q237_unpivot" -> {
       val toks = TextAnalysis.Sql.toks("text")

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *  - [[hllRegisters]]: HyperLogLog register table (Flajolet et al. 2007) —
   *    2^p max-rank registers for distinct-count estimation;
   *    [[hllEstimate]] applies the standard bias-corrected harmonic mean.
+  *  - [[kmv]]/[[kmvOverlap]]: bottom-k (KMV) distinct sketch (Bar-Yossef
+  *    et al. 2002) — the k smallest hash values; unlike HLL it supports
+  *    SET OPERATIONS, so two datasets' overlap is estimable from their
+  *    sketches alone.
   *
   * Everything is derived from [[Hash60]] with engine-exact integer math
   * (bucket = hash mod width; HLL rank via the BINARY-STRING length of the
@@ -101,5 +105,61 @@ object Sketches {
     val e = alpha * m * m * z
     val zeros = regs.count(_ == 0)
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  /** Hash60's value space: hashes are uniform in `[0, 2^60)`. */
+  val KmvSpace: Double = math.pow(2.0, 60)
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch per key: the k
+    * SMALLEST distinct [[Hash60]] values of `valueCol`, sorted ascending.
+    * Unlike HLL registers, bottom-k sketches support SET OPERATIONS — the
+    * union of two sketches' k smallest values is a valid sketch of the
+    * union, and membership of one sketch's hashes in another estimates
+    * Jaccard — so cross-dataset overlap is estimable WITHOUT joining the
+    * datasets ([[kmvOverlap]]). Fully deterministic (md5 hash, exact
+    * integer order), so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale: distinct `(key, hash)` is one hash aggregation (∝ distinct
+    * values, not rows); the bottom-k is a keyed window over that
+    * deduplicated frame. Output `(key, kmv array<long>)`, length ≤ k.
+    */
+  def kmv(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_h"))
+    df.select(col(keyCol), Hash60(col(valueCol)).as("_h")).distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("_h"))).as("kmv"))
+  }
+
+  /** Overlap estimation from two KMV sketches (no data join): merge the
+    * two hash lists, take the k smallest of the union — a valid union
+    * sketch; `est_union = (k−1)·2^60 / U_(k)` (the classic bottom-k
+    * estimator; exact count when the sketch isn't full), Jaccard ≈ the
+    * share of union-sketch hashes present in BOTH inputs, and
+    * `est_intersect = jaccard · est_union`. Input: one row per side from
+    * [[kmv]]; output ONE row `(k, est_a, est_b, est_union, est_intersect)`
+    * — unrounded doubles (integer hash order + single divides).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val merged = a.select(col("kmv").as("_ka"))
+      .crossJoin(broadcast(b.select(col("kmv").as("_kb"))))
+      .withColumn("_u", slice(array_sort(array_union(col("_ka"), col("_kb"))), 1, k))
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+          element_at(arr, k).cast("double"))
+    merged.select(
+      lit(k).as("k"),
+      est(col("_ka")).as("est_a"),
+      est(col("_kb")).as("est_b"),
+      est(col("_u")).as("est_union"),
+      when(size(col("_u")) > 0,
+        size(filter(col("_u"), h =>
+          array_contains(col("_ka"), h) && array_contains(col("_kb"), h)))
+          .cast("double") / size(col("_u")).cast("double") *
+          est(col("_u"))).otherwise(lit(0.0)).as("est_intersect"))
   }
 }

@@ -459,6 +459,42 @@ object Dedup {
       groups.where(col(idCol) === col("canon_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** LSH banding quality harness — before trusting a (numHashes,
+    * rowsPerBand) configuration at corpus scale, measure it: candidate
+    * RECALL against the brute-force Jaccard-≥τ pair set and candidate
+    * PRECISION (share of candidates that verify). One row:
+    * `(n_true, n_candidates, n_hit, recall, precision)`, ratios as
+    * unrounded single divides of exact counts. The tuning loop this feeds
+    * is the reference recall-vs-budget methodology (`TruthSet.h:167-240`)
+    * applied to the dedup index instead of the ANN index.
+    *
+    * Scale: this is the OFFLINE tuning harness — the brute pair set comes
+    * from the shingle-join [[jaccard]] (∝ pairs sharing a shingle), so run
+    * it on a sample at 100 TB; the banding side is the production shape.
+    */
+  def bandingRecall(docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val truth = jaccard(shingles(docs))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val cand = lshCandidates(lshBands(
+      minhash(shingles(docs), numHashes), numHashes, rowsPerBand))
+      .localCheckpoint(true)
+    val hit = truth.join(cand, Seq("a", "b"), "left_semi")
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nC = cand.agg(count(lit(1)).as("n_candidates"))
+    val nH = hit.agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          col("n_hit").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"))
+  }
+
   /** [[applyDedup]] with a KEEP-BEST policy: per near-dup group keep the
     * document maximizing `score` (ties → lowest id) instead of the lowest
     * id unconditionally. This is the representative-selection rule real

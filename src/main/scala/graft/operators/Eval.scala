@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Truth generation + recall/MRR evaluation (Q12/Q13,
@@ -427,6 +428,92 @@ object Eval {
       when(dxx > 0 && dyy > 0, round(cov / (sqrt(dxx) * sqrt(dyy)), 6))
         .as("corr"),
       when(dxx > 0, round(cov / dxx, 6)).as("beta"))
+  }
+
+  /** Two-sample A/B comparison — the experiment readout an event pipeline
+    * serves (did the treatment move the per-user metric?): per variant,
+    * user count, mean and sample variance of the per-user metric, plus the
+    * Welch t statistic and Cohen's d effect size between exactly two
+    * variants. Input is a per-unit metric frame `(variant, x)` with `x`
+    * ALREADY integer-scaled by the caller (the q221 convention — e.g.
+    * `round(value·10⁴)` — so every sum below is integer-exact); `scale` is
+    * that factor. Output ONE row:
+    * `(variant_a, n_a, mean_a, variant_b, n_b, mean_b, t_welch, cohens_d)`
+    * with the doubles UNROUNDED (each is a fixed IEEE expression over exact
+    * DECIMAL(38,0) sums — bit-identical across engines); NULL t/d when
+    * either variance is undefined (n < 2) or both variances are zero.
+    *
+    * Scale: one variant-keyed hash aggregation over the unit frame
+    * (map-side partial, 2 groups), then driver-free one-row math. Exactly
+    * two variants required.
+    */
+  def abTest(units: DataFrame, scale: Double,
+      variantCol: String = "variant", xCol: String = "x"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = units.groupBy(col(variantCol).as("variant")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col(xCol)).cast(dec).as("sx"),
+      sum((col(xCol) * col(xCol)).cast(dec)).as("sxx"))
+    val a = g.select(col("variant").as("variant_a"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = g.select(col("variant").as("variant_b"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    // the single unordered pair (exactly two variants by contract)
+    val paired = a.join(b, col("variant_a") < col("variant_b"))
+    def mean(sx: Column, n: Column): Column =
+      sx.cast("double") / n.cast("double") / lit(scale)
+    // sample variance from power sums: (n·Σx² − (Σx)²) / (n(n−1)) / scale²
+    // — NULL for n < 2 (the n≥2 guard must live INSIDE this expression:
+    // common-subexpression elimination hoists it out of any outer `when`,
+    // and ANSI mode errors on the 0 divisor)
+    def varS(n: Column, sx: Column, sxx: Column): Column =
+      when(n >= 2,
+        (n * sxx - sx * sx).cast("double") /
+          (n * (n - 1)).cast("double") / lit(scale * scale))
+    val ma = mean(col("sxa"), col("na"))
+    val mb = mean(col("sxb"), col("nb"))
+    val va = varS(col("na"), col("sxa"), col("sxxa"))
+    val vb = varS(col("nb"), col("sxb"), col("sxxb"))
+    val se2 = va / col("na").cast("double") + vb / col("nb").cast("double")
+    val pooled = ((col("na") - 1).cast("double") * va +
+      (col("nb") - 1).cast("double") * vb) /
+      (col("na") + col("nb") - 2).cast("double")
+    paired.select(
+      col("variant_a"), col("na").cast("long").as("n_a"), ma.as("mean_a"),
+      col("variant_b"), col("nb").cast("long").as("n_b"), mb.as("mean_b"),
+      when(col("na") >= 2 && col("nb") >= 2 && se2 > 0,
+        (ma - mb) / sqrt(se2)).as("t_welch"),
+      when(col("na") >= 2 && col("nb") >= 2 && pooled > 0,
+        (ma - mb) / sqrt(pooled)).as("cohens_d"))
+  }
+
+  /** Per-group Spearman rank correlation between two columns — the
+    * scorer-agreement diagnostic ("does the quality score order documents
+    * the way length does?") that Pearson ([[groupOls]]) gets wrong under
+    * monotone-but-nonlinear relationships. Standard tie handling: average
+    * (fractional) ranks, carried as DOUBLED integers
+    * (`2·avgrank = 2·rank + |ties| − 1`, exact), so the whole computation
+    * is [[groupOls]]'s integer-exact DECIMAL(38,0) power-sum correlation
+    * over the scaled ranks. Output `(group, n, spearman)` at 6dp, NULL for
+    * constant columns.
+    *
+    * Scale: two keyed windows (rank + tie count) sharing the per-group
+    * exchange, then one hash aggregation — rank semantics force a per-group
+    * total order, the same contract as [[graft.operators.Pipeline.curriculum]].
+    * Doubled ranks square inside a LONG, so groups past ~1.5e9 rows need a
+    * wider intermediate (same bound as groupOls).
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def ranks2(c: String): org.apache.spark.sql.Column = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val ties = Window.partitionBy(col(groupCol), col(c))
+      (rank().over(w).cast("long") * 2 + count(lit(1)).over(ties) - 1)
+    }
+    groupOls(
+      df.withColumn("_rx", ranks2(xCol)).withColumn("_ry", ranks2(yCol)),
+      groupCol, "_rx", "_ry")
+      .select(col(groupCol), col("n"), col("corr").as("spearman"))
   }
 
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {

@@ -126,7 +126,7 @@ object Events {
     * old activity geometrically less). STEP decay for engine-exactness:
     * `weight = 0.5^k`, `k = min(floor(Δ/halfLife), cap)` whole half-lives
     * behind the corpus max timestamp (the deterministic as-of point).
-    * Output `(user_id, n_events, decayed_value)` at 6dp.
+    * Output `(user_id, n_events, decayed_value)` (UNROUNDED — see below).
     *
     * Exact-arithmetic contract (the q221 convention): values scale to
     * integers (×10⁴); `0.5^k·10^cap = 5^k·10^(cap−k)` is an exact LONG for
@@ -169,7 +169,12 @@ object Events {
         sum(col("_vs").cast("decimal(38,0)") * col("_w").cast("decimal(38,0)"))
           .as("_acc"))
       .select(col(keyCol), col("n_events"),
-        round(col("_acc").cast("double") / math.pow(10, cap + 4), 6)
+        // UNROUNDED: acc→double is correctly rounded and the divide is one
+        // IEEE op, so the double is bit-identical across engines; a 6dp
+        // round would re-introduce the q222 boundary class (the exact
+        // integer acc CAN sit exactly on a half boundary — observed at
+        // sf0.1)
+        (col("_acc").cast("double") / math.pow(10, cap + 4))
           .as("decayed_value"))
   }
 

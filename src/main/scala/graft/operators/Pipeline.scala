@@ -716,6 +716,56 @@ object Pipeline {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-free train/val/test split: [[stratifiedSplit]]'s stable hash
+    * draw, but on the near-dup group id (`canon_id` from
+    * [[Dedup.canonicalGroups]]) instead of the doc id — so a whole cluster
+    * of near-duplicates always lands on ONE side. The per-doc split is the
+    * classic eval-contamination bug: a test document's near-twin in train
+    * inflates every benchmark it touches; group-keyed assignment is the
+    * standard fix. Same stability contract as stratifiedSplit (a group's
+    * split never changes as the corpus grows, as long as its canonical id
+    * is stable). Output `(doc_id, source, canon_id, split)`.
+    *
+    * Scale: one equi-join of the corpus to its (corpus-sized, id-keyed)
+    * groups frame + scan-speed column math. Use [[leakageAudit]] to verify
+    * any split: this one audits to ZERO cross-split pairs by construction.
+    */
+  def groupAwareSplit(
+      docs: DataFrame,
+      groups: DataFrame, // (doc_id, canon_id)
+      trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "gsplit",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percentages must leave room for a test split")
+    val u = graft.functions.Hash60(
+      concat(col("canon_id").cast("string"), lit(":" + salt))) % 10000L
+    docs.join(groups.select(col(idCol), col("canon_id")), Seq(idCol))
+      .select(col(idCol), col(sourceCol), col("canon_id"),
+        when(u < trainPct * 100L, "train")
+          .when(u < (trainPct + valPct) * 100L, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Split leakage audit: how many near-dup pairs straddle split
+    * boundaries. `split` is any `(doc_id, split)` assignment; `pairs` is a
+    * verified near-dup pair frame (`(a, b)`, e.g. [[Dedup.minhashDedup]]).
+    * Output one row per unordered split combination
+    * `(split_a ≤ split_b, n_pairs)`; off-diagonal rows ARE the leakage —
+    * a [[groupAwareSplit]] audits to none, a per-doc split does not.
+    * Scale: two id-keyed hash joins on the pair frame + one tiny aggregate.
+    */
+  def leakageAudit(split: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    pairs
+      .join(split.select(col(idCol).as("a"), col("split").as("_sa")), Seq("a"))
+      .join(split.select(col(idCol).as("b"), col("split").as("_sb")), Seq("b"))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** DuckDB mirror of [[stratifiedSplit]] over `documents`. */
   def stratifiedSplitSql(trainPct: Int, valPct: Int, salt: String): String = {
     val u = graft.functions.Hash60.sql(s"doc_id::VARCHAR || ':$salt'") + " % 10000"
@@ -775,7 +825,9 @@ object Pipeline {
     * under `(quality DESC, id ASC)` — tier 1 is the best slice of ITS
     * source, so no source is starved by a globally stronger one (the same
     * per-source fairness contract as [[qualityFloor]]). Output
-    * `(doc_id, source, quality, tier, pct)`, pct at 6dp.
+    * `(doc_id, source, quality, tier, pct)`, pct at 6dp, quality UNROUNDED
+    * ([[TextAnalysis.qualityRaw]] — the ordering key must be the emitted
+    * value and must agree bit-for-bit across engines).
     *
     * Scale: both window functions partition by `source` and the intra-source
     * sort is the shuffle's sort order — one shuffle, keyed windows, no
@@ -794,11 +846,42 @@ object Pipeline {
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("quality").desc, col(idCol))
     docs
-      .withColumn("quality", TextAnalysis.quality(col(textCol)))
+      // UNROUNDED score: ordering and the emitted column must agree across
+      // engines, and rounding quality at 4dp is the q222 boundary class
+      // (observed live on this query at sf0.1)
+      .withColumn("quality", TextAnalysis.qualityRaw(col(textCol)))
       .select(col(idCol), col(sourceCol), col("quality"),
         ntile(buckets).over(w).as("tier"),
         round(percent_rank().over(w), 6).as("pct"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy check a
+    * corpus release runs before shipping metadata alongside text (a
+    * quasi-identifier combination shared by fewer than `k` rows can
+    * re-identify its members; the scrubbed TEXT being clean is not enough
+    * when the `(lang, source, …)` envelope is unique). Output one row per
+    * quasi-class: the quasi columns, its row count `n`, and `at_risk`
+    * (`n < k`). Feed [[kAnonymize]] to suppress. Scale: ONE hash
+    * aggregation keyed by the quasi tuple — map-side partial, state ∝
+    * distinct classes.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k > 0)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** Suppression pass for [[kAnonymity]]: drop every row whose quasi-class
+    * has fewer than `k` members (the standard release remedy when
+    * generalization isn't on the table). One aggregate + one left-semi hash
+    * join on the quasi tuple — the corpus streams once.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame =
+    df.join(
+      kAnonymity(df, quasiCols, k).where(!col("at_risk"))
+        .select(quasiCols.map(col): _*),
+      quasiCols, "left_semi")
 
   /** Deterministic weighted interleave schedule — the "training order"
     * generator that merges per-source document streams so each source

@@ -40,7 +40,19 @@ object TextAnalysis {
     * operator that ranks or thresholds on quality without paying a join
     * against the stats frame.
     */
-  def quality(text: Column): Column = {
+  def quality(text: Column): Column = round(qualityRaw(text), 4)
+
+  /** [[quality]] WITHOUT the 4dp round — the form to use when the score
+    * feeds ORDERING or further arithmetic that must agree across engines.
+    * The weighted sum of small-denominator ratios lands on exact `.xxxx5`
+    * decimal boundaries disproportionately often, and `round()` at such a
+    * boundary is engine-dependent (Spark rounds the shortest decimal repr
+    * half-up; DuckDB rounds `x·10⁴` in float — the q222 divergence class,
+    * observed live on quality at sf0.1). The UNROUNDED double is mirrored
+    * op-for-op by [[Sql.qualityRawExpr]] and is bit-identical in both
+    * engines.
+    */
+  def qualityRaw(text: Column): Column = {
     val t = tokens(text)
     val nTok = size(t).cast("double")
     val nUniq = size(array_distinct(t)).cast("double")
@@ -48,11 +60,10 @@ object TextAnalysis {
     val punct = (length(text) -
       length(regexp_replace(text, "[.,!?;:]", ""))).cast("double")
     val chars = length(text).cast("double")
-    round(
-      lit(0.4) * (nUniq / greatest(nTok, lit(1.0))) +
-        lit(0.3) * (stop / greatest(nTok, lit(1.0))) +
-        lit(0.2) * least(nTok / lit(200.0), lit(1.0)) +
-        lit(0.1) * (lit(1.0) - punct / greatest(chars, lit(1.0))), 4)
+    lit(0.4) * (nUniq / greatest(nTok, lit(1.0))) +
+      lit(0.3) * (stop / greatest(nTok, lit(1.0))) +
+      lit(0.2) * least(nTok / lit(200.0), lit(1.0)) +
+      lit(0.1) * (lit(1.0) - punct / greatest(chars, lit(1.0)))
   }
 
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -537,6 +548,38 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
+
+  /** Pairwise source vocabulary similarity — the dataset-card "how much do
+    * my corpus slices overlap lexically" audit (near-identical sources are
+    * mixture-weight double counting; disjoint ones signal domain silos).
+    * Per unordered source pair: distinct-token set sizes and their Jaccard.
+    * Output `(src_a, src_b, n_a, n_b, n_common, jaccard)` at 6dp; pairs
+    * with NO shared token don't appear (their Jaccard is 0 by omission).
+    *
+    * Scale: the corpus reduces to a distinct `(source, token)` frame — ONE
+    * hash aggregation, ∝ vocabulary × sources, never corpus rows — then the
+    * pair counts come from a token-keyed self-join whose fan-out is bounded
+    * by sources² per token (sources are few by construction; a token in all
+    * S sources yields S(S−1)/2 pair rows). No doc-pair space anywhere.
+    */
+  def sourceSimilarity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("_src"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = st.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    st.join(st.select(col("_src").as("_src2"), col("token")), Seq("token"))
+      .where(col("_src") < col("_src2"))
+      .groupBy(col("_src"), col("_src2")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("_src"), col("_n").as("n_a")), Seq("_src"))
+      .join(sizes.select(col("_src").as("_src2"), col("_n").as("n_b")), Seq("_src2"))
+      .select(col("_src").as("src_a"), col("_src2").as("src_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 
   /** Flesch-style readability score — the classic prose-complexity signal a
     * quality gate adds next to [[quality]]'s ratio features (curation
@@ -1067,17 +1110,22 @@ object TextAnalysis {
     /** The quality-score expression alone — [[statsSelect]]'s last column,
       * also the q71 curation oracle's filter predicate.
       */
-    val qualityExpr: String = {
+    val qualityExpr: String = s"round($qualityRawExpr, 4)"
+
+    /** Mirror of [[TextAnalysis.qualityRaw]] — the UNROUNDED double, for
+      * oracles whose query side orders or aggregates on the score.
+      */
+    lazy val qualityRawExpr: String = {
       val t = toks("text")
       val nTok = s"len($t)::DOUBLE"
       val nUniq = s"len(list_distinct($t))::DOUBLE"
       val stop = s"${hitCount(t, Stopwords.head._2)}::DOUBLE"
       val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE"
       val chars = "length(text)::DOUBLE"
-      s"""round(0.4::DOUBLE * ($nUniq / greatest($nTok, 1.0))
+      s"""(0.4::DOUBLE * ($nUniq / greatest($nTok, 1.0))
          |      + 0.3::DOUBLE * ($stop / greatest($nTok, 1.0))
          |      + 0.2::DOUBLE * least($nTok / 200.0, 1.0)
-         |      + 0.1::DOUBLE * (1.0 - $punct / greatest($chars, 1.0)), 4)""".stripMargin
+         |      + 0.1::DOUBLE * (1.0 - $punct / greatest($chars, 1.0)))""".stripMargin
     }
 
     val statsSelect: String = {

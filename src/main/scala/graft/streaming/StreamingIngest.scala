@@ -42,6 +42,35 @@ object StreamingIngest {
       .select(col("window").getField("start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Source-mix drift monitor over windowed counts — the alert a streaming
+    * ingest pipeline runs so one upstream feed silently flooding (or
+    * starving) the mixture is caught the window it happens. Input is the
+    * per-window per-type count frame [[eventsWindowedStream]] (or its batch
+    * twin) emits; output adds each type's within-window `share`, its
+    * `target` weight (0.0 for unlisted types), and a `drift` flag when
+    * `|share − target| > tol`.
+    *
+    * Two-phase by design: the heavy aggregation is the ONE streaming
+    * windowed groupBy (chained streaming aggregations are unsupported in
+    * append mode, and unnecessary — this finisher's input is
+    * |windows|·|types| rows, run it batch after the sink or per-batch in
+    * `foreachBatch`). The share window partitions by `window_start` — keyed,
+    * tiny groups. Deterministic: shares are one IEEE divide of exact counts,
+    * 6dp.
+    */
+  def mixReport(counts: DataFrame, targets: Map[String, Double],
+      tol: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+    counts
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(w).cast("double"), 6))
+      .withColumn("target",
+        coalesce(element_at(typedLit(targets), col("event_type")), lit(0.0)))
+      .withColumn("drift", abs(col("share") - col("target")) > tol)
+  }
+
   /** Streaming dedup on event id within the watermark horizon (the
     * streaming analogue of the exact-dedup operator).
     */

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bandingRecall: counts reconcile, ratios exact, identical docs always hit") {
+    val r = Dedup.bandingRecall(docs, 0.3).head()
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue >= 1, "fixture must have a >=0.3 pair")
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(r.getDouble(3) === nHit.toDouble / nTrue)
+    assert(r.getDouble(4) === nHit.toDouble / nCand)
+    // the exact-dup pair (0,1) shares every shingle → every band agrees →
+    // it is always a candidate AND always true, so recall can't be 0
+    assert(nHit >= 1)
+  }
+
   test("applyDedupKeepBest keeps the argmax-score member; ties fall to min id") {
     val corpus = Seq(
       (0L, "a"), (1L, "b"), (2L, "c"), // group 0: 1 wins on score

@@ -57,6 +57,57 @@ class PipelineSpec extends SparkSpec {
     assert(s.getDouble(8) === 0.5)
   }
 
+  test("kAnonymity flags small quasi-classes; kAnonymize suppresses exactly them") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"), // class of 3: safe at k=3
+      ("fr", "web"),                               // class of 1: at risk
+      ("en", "book"), ("en", "book")               // class of 2: at risk
+    ).toDF("lang", "src")
+    val audit = Pipeline.kAnonymity(df, Seq("lang", "src"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(audit(("en", "web")) === ((3L, false)))
+    assert(audit(("fr", "web")) === ((1L, true)))
+    assert(audit(("en", "book")) === ((2L, true)))
+    val kept = Pipeline.kAnonymize(df, Seq("lang", "src"), 3)
+    assert(kept.count() === 3)
+    assert(kept.where(col("src") =!= "web" || col("lang") =!= "en").count() === 0)
+  }
+
+  test("groupAwareSplit keeps near-dup groups whole; leakageAudit proves it " +
+    "and catches the per-doc split's straddle") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashDedup(docs, 0.3).cache()
+    assert(pairs.count() > 0, "fixture has no near-dup pairs — test is vacuous")
+    val groups = Dedup.canonicalGroups(docs, pairs)
+    // group-keyed split: every member of a group carries ONE split
+    val gs = Pipeline.groupAwareSplit(docs, groups).cache()
+    val splitsPerGroup = gs.groupBy("canon_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).head().getLong(0)
+    assert(splitsPerGroup === 1L, "a near-dup group straddles splits")
+    // audit: zero off-diagonal for the group split
+    val auditG = Pipeline.leakageAudit(gs.select(col("doc_id"), col("split")), pairs)
+      .where(col("split_a") =!= col("split_b")).count()
+    assert(auditG === 0L)
+    // the naive per-doc split leaks on a planted cross-split pair: force it
+    // by splitting a known pair's members apart
+    val p0 = pairs.select("a", "b").head()
+    val forced = docs.select(col("doc_id"),
+      when(col("doc_id") === p0.getLong(0), "train")
+        .when(col("doc_id") === p0.getLong(1), "test")
+        .otherwise("train").as("split"))
+    val auditN = Pipeline.leakageAudit(forced, pairs)
+      .where(col("split_a") =!= col("split_b"))
+      .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+    assert(auditN >= 1L, "planted cross-split pair not counted")
+    gs.unpersist(); pairs.unpersist()
+    ()
+  }
+
   test("interleave: schedule prefixes honor the mixture; unlisted sources drop") {
     import org.apache.spark.sql.functions._
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")

@@ -205,7 +205,10 @@ class PlanSpec extends SparkSpec {
                                 // (the searchAggViaJoin shape from SQL text)
       "q225_funnel_summary",    // ONE-row stage-1 count scalar, broadcast
       "q229_vocab_coverage",    // ONE-row token-total scalar, broadcast
-      "q235_decay_score")       // ONE-row max-ts as-of scalar, broadcast
+      "q235_decay_score",       // ONE-row max-ts as-of scalar, broadcast
+      "q242_ab_test",           // two ONE-row variant frames, broadcast pair
+      "q244_lsh_recall",        // three ONE-row count scalars, broadcast
+      "q245_kmv_overlap")       // two ONE-row sketch frames, broadcast pair
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -135,4 +135,40 @@ class SketchesSpec extends SparkSpec {
     val est = Sketches.hllEstimate(regs, 8)
     assert(math.abs(est - truth) / truth < 0.2, s"est $est vs true $truth")
   }
+
+  test("kmv: unfilled sketches are EXACT counts and exact intersections") {
+    import spark.implicits._
+    // 5 and 4 distinct values, 3 shared — k=64 holds everything
+    val df = (Seq("a", "b", "c", "d", "e").map(("s1", _)) ++
+      Seq("c", "d", "e", "f").map(("s2", _))).toDF("src", "v")
+    val sk = Sketches.kmv(df, "src", "v", 64)
+    val r = Sketches.kmvOverlap(
+      sk.where(col("src") === "s1"), sk.where(col("src") === "s2"), 64).head()
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 4.0)
+    assert(r.getDouble(3) === 6.0) // |union| exact
+    assert(r.getDouble(4) === 3.0) // |intersection| exact (share 3/6 · 6)
+  }
+
+  test("kmv estimator lands near the truth on full sketches; union ≥ each side") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val toks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val sk = Sketches.kmv(toks, "source", "token", 64)
+    val r = Sketches.kmvOverlap(
+      sk.where(col("source") === "src0"),
+      sk.where(col("source") === "src1"), 64).head()
+    val truthA = toks.where(col("source") === "src0")
+      .select("token").distinct().count().toDouble
+    val truthB = toks.where(col("source") === "src1")
+      .select("token").distinct().count().toDouble
+    // bottom-64 standard error ~ 1/sqrt(62) ≈ 13%; allow 3 sigma
+    assert(math.abs(r.getDouble(1) - truthA) / truthA < 0.4,
+      s"est_a ${r.getDouble(1)} vs $truthA")
+    assert(math.abs(r.getDouble(2) - truthB) / truthB < 0.4,
+      s"est_b ${r.getDouble(2)} vs $truthB")
+    assert(r.getDouble(3) >= math.max(r.getDouble(1), r.getDouble(2)) * 0.6)
+    assert(r.getDouble(4) <= r.getDouble(3))
+  }
 }

@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixReport over streamed window counts equals the batch path and " +
+    "flags the planted drift") {
+    val events = Tables.events(spark, sf0001)
+    val targets = Map("view" -> 0.8, "click" -> 0.15) // purchase unlisted
+    val batch = StreamingIngest.mixReport(
+      StreamingIngest.eventsWindowed(events), targets, tol = 0.05)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+    stream.addData(events.select("event_id", "ts", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toIndexedSeq)
+    val q = StreamingIngest.eventsWindowedStream(sdf)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = StreamingIngest.mixReport(
+        spark.table("mix_out"), targets, tol = 0.05)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+    // report invariants: shares sum to ~1 per window; unlisted types carry
+    // target 0.0 and (at tol 0.05) flag as drifted whenever present
+    val perWin = batch.groupBy("window_start")
+      .agg(sum("share").as("s")).collect()
+    assert(perWin.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
+    val unlisted = batch.where(col("event_type") === "purchase").collect()
+    assert(unlisted.nonEmpty)
+    assert(unlisted.forall(r => r.getDouble(r.fieldIndex("target")) === 0.0))
+    assert(unlisted.filter(r => r.getDouble(r.fieldIndex("share")) > 0.05)
+      .forall(r => r.getBoolean(r.fieldIndex("drift"))),
+      "unlisted share over tol must flag")
+  }
+
   test("stream-stream interval join equals the batch attribution pairs") {
     val events = Tables.events(spark, sf0001)
     val batch = graft.operators.Events.linearAttribution(events, 60)

@@ -390,6 +390,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).isNullAt(4), "token-less doc must have NULL flesch")
   }
 
+  test("abTest: textbook two-sample Welch t and Cohen's d; degenerate NULLs") {
+    import graft.operators.Eval
+    // control [1,2,3] (mean 2, var 1), treatment [2,4,6] (mean 4, var 4)
+    val units = Seq(("control", 1L), ("control", 2L), ("control", 3L),
+      ("treatment", 2L), ("treatment", 4L), ("treatment", 6L))
+      .toDF("variant", "x")
+    val r = Eval.abTest(units, 1.0).head()
+    assert((r.getString(0), r.getLong(1), r.getDouble(2)) === (("control", 3L, 2.0)))
+    assert((r.getString(3), r.getLong(4), r.getDouble(5)) === (("treatment", 3L, 4.0)))
+    val t = (2.0 - 4.0) / math.sqrt(1.0 / 3 + 4.0 / 3)
+    val d = (2.0 - 4.0) / math.sqrt((2 * 1.0 + 2 * 4.0) / 4)
+    assert(math.abs(r.getDouble(6) - t) < 1e-12)
+    assert(math.abs(r.getDouble(7) - d) < 1e-12)
+    // zero variance on both sides → NULL t and d, means still reported
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("variant", "x")
+    val f = Eval.abTest(flat, 1.0).head()
+    assert(f.getDouble(2) === 5.0 && f.getDouble(5) === 7.0)
+    assert(f.isNullAt(6) && f.isNullAt(7))
+    // n = 1 on one side → NULL (variance undefined)
+    val one = Seq(("a", 5L), ("b", 7L), ("b", 8L)).toDF("variant", "x")
+    assert(Eval.abTest(one, 1.0).head().isNullAt(6))
+  }
+
+  test("spearmanByGroup: +1/-1 on monotone data, tie-averaged ranks, NULL on constants") {
+    import graft.operators.Eval
+    val rows = Seq(
+      // group a: y = x³ (monotone, nonlinear) → spearman exactly 1
+      ("a", 1L, 1L), ("a", 2L, 8L), ("a", 3L, 27L), ("a", 4L, 64L),
+      // group b: strictly decreasing → exactly -1
+      ("b", 1L, 9L), ("b", 2L, 4L), ("b", 3L, 1L),
+      // group c: x constant → NULL
+      ("c", 5L, 1L), ("c", 5L, 2L)
+    ).toDF("g", "x", "y")
+    val got = Eval.spearmanByGroup(rows, "g", "x", "y").orderBy("g").collect()
+    assert(got(0).getDouble(2) === 1.0)
+    assert(got(1).getDouble(2) === -1.0)
+    assert(got(2).isNullAt(2))
+    // tie handling: x ties share an average rank; textbook rho for
+    // x=(1,2,2,4) vs y=(1,2,3,4): ranks x=(1,2.5,2.5,4) y=(1,2,3,4) →
+    // rho = cov/(sd·sd) = 0.9486832980505138 → 6dp
+    val tied = Seq(("t", 1L, 1L), ("t", 2L, 2L), ("t", 2L, 3L), ("t", 4L, 4L))
+      .toDF("g", "x", "y")
+    val rho = Eval.spearmanByGroup(tied, "g", "x", "y").head().getDouble(2)
+    assert(rho === 0.948683)
+  }
+
+  test("sourceSimilarity: hand-built overlap; disjoint pairs omitted") {
+    val docs = Seq(
+      (1L, "apple banana cherry", "s1"),
+      (2L, "banana cherry date", "s2"),
+      (3L, "zebra", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceSimilarity(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1∩s2 = {banana, cherry} = 2; union = 4 → jaccard 0.5
+    assert(got(("s1", "s2")) === ((3L, 3L, 2L, 0.5)))
+    // s3 shares nothing → no rows
+    assert(!got.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+  }
+
   test("Eval.confusion: textbook 3-class cells, NULL where undefined") {
     import graft.operators.Eval
     // gold x: 2 correct, 1 predicted as y → support 3, tp 2, fn 1
