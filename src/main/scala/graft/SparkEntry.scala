@@ -3242,7 +3242,7 @@ object SparkEntry {
         s"""SELECT '$c' AS "column", a.n_rows, a.n_null, a.n_distinct,
            |  a.min_val, a.max_val, t.v AS top_val, CAST(t.n AS BIGINT) AS top_n,
            |  round(t.n::DOUBLE / greatest(a.n_rows, 1)::DOUBLE, 6) AS top_share
-           |FROM a_$c a CROSS JOIN t_$c t WHERE t.rn = 1""".stripMargin
+           |FROM a_$c a LEFT JOIN t_$c t ON t.rn = 1""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH $ctes\n$sels\nORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9"
     },
@@ -3310,9 +3310,9 @@ object SparkEntry {
          |r AS (SELECT source, hh,
          |        row_number() OVER (PARTITION BY source ORDER BY hh) AS rn
          |      FROM dh),
-         |sa AS (SELECT list_sort(list(hh)) AS ka FROM r
+         |sa AS (SELECT list_sort(coalesce(list(hh), [])) AS ka FROM r
          |       WHERE source = 'src0' AND rn <= $k),
-         |sb AS (SELECT list_sort(list(hh)) AS kb FROM r
+         |sb AS (SELECT list_sort(coalesce(list(hh), [])) AS kb FROM r
          |       WHERE source = 'src1' AND rn <= $k),
          |m AS (SELECT ka, kb,
          |        list_sort(list_distinct(list_concat(ka, kb)))[1:$k] AS u
@@ -3361,8 +3361,8 @@ object SparkEntry {
          |u AS (SELECT CASE WHEN ($h % 2) = 0 THEN 'control'
          |               ELSE 'treatment' END AS variant, x FROM pu),
          |g AS (SELECT variant, CAST(count(*) AS DECIMAL(38,0)) AS n,
-         |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+         |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         |        sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
          |      FROM u GROUP BY 1),
          |p AS (SELECT a.variant AS variant_a, a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
          |        b.variant AS variant_b, b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
@@ -7075,8 +7075,11 @@ object SparkEntry {
        |bands AS (SELECT doc_id, j // 4 AS band,
        |            ${graft.functions.Hash60.sql("string_agg(mh::VARCHAR, '|' ORDER BY j)")} AS band_hash
        |          FROM mh GROUP BY doc_id, j // 4),
-       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
-       |         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+       |bsm AS (SELECT * FROM bands
+       |        QUALIFY count(*) OVER (PARTITION BY band, band_hash)
+       |                <= ${Dedup.MaxBandBucket}),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bsm l
+       |         JOIN bsm r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
        |$jaccardCtes""".stripMargin
   }
 

@@ -144,8 +144,15 @@ object Sketches {
     * — unrounded doubles (integer hash order + single divides).
     */
   def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    val merged = a.select(col("kmv").as("_ka"))
-      .crossJoin(broadcast(b.select(col("kmv").as("_kb"))))
+    // grand-aggregate each side to exactly ONE row (empty sketch for an
+    // absent key) so the output is always one row — a bare crossJoin of a
+    // 0-row side would yield 0 rows while the SQL mirror's grand
+    // aggregates yield 1
+    def side(df: DataFrame, out: String) = df
+      .agg(coalesce(first(col("kmv")),
+        array().cast("array<long>")).as(out))
+    val merged = side(a, "_ka")
+      .crossJoin(broadcast(side(b, "_kb")))
       .withColumn("_u", slice(array_sort(array_union(col("_ka"), col("_kb"))), 1, k))
     def est(arr: Column): Column =
       when(size(arr) < k, size(arr).cast("double"))

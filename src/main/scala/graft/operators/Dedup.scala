@@ -474,12 +474,15 @@ object Dedup {
     */
   def bandingRecall(docs: DataFrame, threshold: Double,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val truth = jaccard(shingles(docs))
+    // ONE shingle pass feeds both the truth and the banding path (shingling
+    // is the dominant scan; recomputing it doubles the harness cost)
+    val sh = shingles(docs).localCheckpoint(true)
+    val truth = jaccard(sh)
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"))
       .localCheckpoint(true)
     val cand = lshCandidates(lshBands(
-      minhash(shingles(docs), numHashes), numHashes, rowsPerBand))
+      minhash(sh, numHashes), numHashes, rowsPerBand))
       .localCheckpoint(true)
     val hit = truth.join(cand, Seq("a", "b"), "left_semi")
     val nT = truth.agg(count(lit(1)).as("n_true"))

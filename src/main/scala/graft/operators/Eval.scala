@@ -450,10 +450,13 @@ object Eval {
   def abTest(units: DataFrame, scale: Double,
       variantCol: String = "variant", xCol: String = "x"): DataFrame = {
     val dec = "decimal(38,0)"
+    // x widens to DECIMAL BEFORE any multiply/sum: a LONG-first x·x wraps
+    // silently past |x| ~ 3e9 (well inside a per-user metric total at the
+    // ×10⁴ scale), while the decimal product is exact in both engines
     val g = units.groupBy(col(variantCol).as("variant")).agg(
       count(lit(1)).cast(dec).as("n"),
-      sum(col(xCol)).cast(dec).as("sx"),
-      sum((col(xCol) * col(xCol)).cast(dec)).as("sxx"))
+      sum(col(xCol).cast(dec)).as("sx"),
+      sum(col(xCol).cast(dec) * col(xCol).cast(dec)).as("sxx"))
     val a = g.select(col("variant").as("variant_a"), col("n").as("na"),
       col("sx").as("sxa"), col("sxx").as("sxxa"))
     val b = g.select(col("variant").as("variant_b"), col("n").as("nb"),

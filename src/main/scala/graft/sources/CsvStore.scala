@@ -40,6 +40,12 @@ object CsvStore {
       .option("quote", "\"")
       .option("escape", "\"")
       .option("nullValue", "\\N")
+      // RFC-4180 permits line breaks inside quoted fields and the writer
+      // emits them; without multiLine the reader splits such a record in
+      // two. Cost at scale: multiLine files parse as whole-file units (not
+      // line-splittable) — shard writes into many files (the writer's
+      // per-task files already do) so parallelism comes from file count.
+      .option("multiLine", "true")
       .csv(path)
 
   /** Write-then-read in one call — the round-trip the q231 oracle gates

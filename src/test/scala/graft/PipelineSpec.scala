@@ -141,6 +141,18 @@ class PipelineSpec extends SparkSpec {
     assert(got.getString(6) === "a")
   }
 
+  test("profile keeps an all-NULL column as a row with NULL stats") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1L, 2L).toDF("k")
+      .withColumn("dead", lit(null).cast("string"))
+    val got = Pipeline.profile(df, Seq("dead", "k")).orderBy("column").collect()
+    val dead = got(0)
+    assert((dead.getString(0), dead.getLong(1), dead.getLong(2), dead.getLong(3)) ===
+      (("dead", 2L, 2L, 0L)))
+    assert(dead.isNullAt(4) && dead.isNullAt(5) && dead.isNullAt(6))
+    assert(dead.isNullAt(7) && dead.isNullAt(8))
+  }
+
   test("qualityQuantiles = exact type-1 quantiles of the collected per-doc scores") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

@@ -394,7 +394,8 @@ class SourcesSpec extends SparkSpec {
       (1L, """he said "hi", twice""", Some(1.5)),
       (2L, "plain text", None),
       (3L, "", Some(-0.25)), // empty string, not null
-      (4L, "comma, semicolon; quote\" mix", Some(1e-9))
+      (4L, "comma, semicolon; quote\" mix", Some(1e-9)),
+      (5L, "first line\nsecond line", Some(2.0)) // RFC-4180 quoted newline
     ).toDF("id", "s", "x")
     val back = CsvStore.roundTrip(df, dir).orderBy("id")
     val a = df.orderBy("id").collect().toSeq
