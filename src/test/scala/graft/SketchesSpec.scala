@@ -150,6 +150,19 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(4) === 3.0) // |intersection| exact (share 3/6 · 6)
   }
 
+  test("kmv mergeability: sketch of the union == bottom-k merge of the sketches") {
+    import spark.implicits._
+    val a = (0 until 300).map(i => ("k", s"a$i")).toDF("src", "v")
+    val b = (0 until 300).map(i => ("k", s"b$i")).toDF("src", "v")
+    val k = 32
+    val whole = Sketches.kmv(a.union(b), "src", "v", k)
+      .head().getSeq[Long](1)
+    val ska = Sketches.kmv(a, "src", "v", k).head().getSeq[Long](1)
+    val skb = Sketches.kmv(b, "src", "v", k).head().getSeq[Long](1)
+    val merged = (ska ++ skb).distinct.sorted.take(k)
+    assert(whole === merged, "bottom-k of sketch union must equal union sketch")
+  }
+
   test("kmv estimator lands near the truth on full sketches; union ≥ each side") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)

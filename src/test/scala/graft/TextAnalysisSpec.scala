@@ -436,6 +436,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rho === 0.948683)
   }
 
+  test("spearmanByGroup invariances: monotone transform, sign flip, swap symmetry") {
+    import graft.operators.Eval
+    val rows = Seq(("g", 3L, 9L), ("g", 1L, 2L), ("g", 7L, 5L),
+      ("g", 4L, 4L), ("g", 2L, 8L)).toDF("g", "x", "y")
+    def rho(df: org.apache.spark.sql.DataFrame) =
+      Eval.spearmanByGroup(df, "g", "x", "y").head().getDouble(2)
+    val base = rho(rows)
+    // strictly increasing transform of x preserves ranks exactly
+    assert(rho(rows.withColumn("x", col("x") * 2 + 1)) === base)
+    // negating x reverses every rank: rho flips sign
+    assert(rho(rows.withColumn("x", -col("x"))) === -base)
+    // swapping the two columns is symmetric
+    val swapped = rows.select(col("g"), col("y").as("x"), col("x").as("y"))
+    assert(rho(swapped) === base)
+  }
+
+  test("abTest is antisymmetric under variant relabeling") {
+    import graft.operators.Eval
+    val units = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 2L), ("b", 2L), ("b", 8L)).toDF("variant", "x")
+    val fwd = Eval.abTest(units, 1.0).head()
+    // relabel so the lexicographic pair order flips sides
+    val relabeled = units.withColumn("variant",
+      when(col("variant") === "a", "z").otherwise("b"))
+    val rev = Eval.abTest(relabeled, 1.0).head()
+    assert(rev.getString(0) === "b" && rev.getString(3) === "z")
+    assert(rev.getDouble(6) === -fwd.getDouble(6)) // t negates
+    assert(rev.getDouble(7) === -fwd.getDouble(7)) // d negates
+  }
+
   test("sourceSimilarity: hand-built overlap; disjoint pairs omitted") {
     val docs = Seq(
       (1L, "apple banana cherry", "s1"),
