@@ -1668,6 +1668,10 @@ object SparkEntry {
     // Flesch-style readability (vowel-group syllable proxy)
     "q236_readability" -> ((s, d) =>
       ordered(TextAnalysis.readability(Tables.documents(s, d)))),
+    // mixture-budgeted training set: alpha-tempered weights set per-source
+    // token budgets; each source fills with its best docs — ONE plan
+    "q246_mixture_budget" -> ((s, d) =>
+      ordered(Pipeline.mixtureBudgetSelect(Tables.documents(s, d), MixBudget))),
     // cross-source token overlap from bottom-k sketches alone (no join)
     "q245_kmv_overlap" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("source"),
@@ -2112,6 +2116,8 @@ object SparkEntry {
   private val KAnonK = 10
   // q245: bottom-64 KMV sketches of two sources' token sets
   private val KmvK = 64
+  // q246: total token budget split across sources at the 0.5-temperature mix
+  private val MixBudget = 10000L
   // q234: interleave mixture (sources outside the map are dropped)
   private val InterleaveWeights = Seq(("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
   // q235: one-day half-life, 12-half-life tail clamp (Events.decayedValue)
@@ -3299,6 +3305,23 @@ object SparkEntry {
          |         - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
          |  END AS flesch
          |FROM t ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q246_mixture_budget" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH mw AS (${Pipeline.mixtureWeightsSql(0.5)}),
+         |bud AS (SELECT source,
+         |          CAST(floor(weight * $MixBudget) AS BIGINT) AS src_budget
+         |        FROM mw),
+         |cum AS (SELECT doc_id, source,
+         |          sum(len($toks))
+         |            OVER (PARTITION BY source
+         |                  ORDER BY ${TextAnalysis.Sql.qualityExpr} DESC, doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |        FROM documents)
+         |SELECT c.doc_id, c.source, c.cum_tokens, b.src_budget
+         |FROM cum c JOIN bud b USING (source)
+         |WHERE c.cum_tokens <= b.src_budget
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     },
     "q245_kmv_overlap" -> {
       val h = graft.functions.Hash60.sql("token")

@@ -351,7 +351,52 @@ object Pipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       sourceCol: String = "source",
+      buckets: Int = 32): DataFrame =
+    cumTokensBySource(docs, idCol, textCol, sourceCol, buckets)
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(sourceCol), col("cum_tokens"))
+
+  /** Mixture-budgeted corpus selection — [[tokenBudgetSelect]] with the
+    * per-source budget set by the [[mixtureWeights]] α-tempered mixture
+    * instead of one flat number: source `s` gets
+    * `floor(weight_s · totalBudget)` tokens of its own best documents.
+    * This is the one-plan composition a pretraining run actually executes
+    * ("fill a 1T-token budget at the 0.5-temperature mixture, best docs
+    * first"). Output `(doc_id, source, cum_tokens, src_budget)`.
+    *
+    * Scale: the weights/budgets frame is sources-sized (broadcast); the
+    * selection is the same two-level prefix sum as tokenBudgetSelect. The
+    * whole composition stays one Catalyst plan.
+    */
+  def mixtureBudgetSelect(
+      docs: DataFrame,
+      totalBudget: Long,
+      alpha: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
       buckets: Int = 32): DataFrame = {
+    require(totalBudget > 0)
+    val budgets = mixtureWeights(docs, alpha, textCol, sourceCol)
+      .select(col(sourceCol),
+        floor(col("weight") * totalBudget).cast("long").as("src_budget"))
+    cumTokensBySource(docs, idCol, textCol, sourceCol, buckets)
+      .join(broadcast(budgets), Seq(sourceCol))
+      .where(col("cum_tokens") <= col("src_budget"))
+      .select(col(idCol), col(sourceCol), col("cum_tokens"), col("src_budget"))
+  }
+
+  /** The shared greedy-prefix core of [[tokenBudgetSelect]] /
+    * [[mixtureBudgetSelect]]: per source, every doc's cumulative token
+    * count in (quality DESC, id) order, via the two-level bucketed prefix
+    * sum documented on tokenBudgetSelect.
+    */
+  private def cumTokensBySource(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      buckets: Int): DataFrame = {
     val base = docs.select(
       col(idCol), col(sourceCol),
       TextAnalysis.quality(col(textCol)).as("_q"),
@@ -382,7 +427,6 @@ object Pipeline {
     withB
       .withColumn("_cumIn", sum(col("_ntok")).over(wIn))
       .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
-      .where(col("_off") + col("_cumIn") <= budget)
       .select(col(idCol), col(sourceCol),
         (col("_off") + col("_cumIn")).as("cum_tokens"))
   }

@@ -352,7 +352,13 @@ object DumpPlans {
         |(map-side partial, shuffle ∝ distinct values) feeding a one-row
         |reduce that carries min/max/mode via struct-min — three tiny
         |frames unioned, no windows, no sorts, no second corpus scan per
-        |statistic.""".stripMargin)
+        |statistic.""".stripMargin,
+    "q246_mixture_budget" ->
+      """Mixture-budgeted selection, ONE plan: the sources-sized tempered
+        |weight frame broadcasts per-source budgets onto the q86 two-level
+        |prefix sum (per-(source, bucket) windows + a histogram-sized
+        |offset frame) — no per-source total-order window over raw docs,
+        |no materialization between the mixture and selection stages.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

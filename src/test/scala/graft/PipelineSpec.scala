@@ -57,6 +57,35 @@ class PipelineSpec extends SparkSpec {
     assert(s.getDouble(8) === 0.5)
   }
 
+  test("mixtureBudgetSelect: per-source greedy prefix under the weighted budget") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val total = 2000L
+    val got = Pipeline.mixtureBudgetSelect(docs, total).cache()
+    // every kept row respects ITS source budget, and budgets split the total
+    assert(got.where(col("cum_tokens") > col("src_budget")).count() === 0)
+    val budgets = got.select("source", "src_budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets.values.sum <= total,
+      "floor'd per-source budgets must not exceed the total")
+    // greedy-prefix check on one source: kept set == the quality-DESC
+    // prefix whose running token total stays within the budget
+    val src = budgets.keys.min
+    val ordered = docs.where(col("source") === src)
+      .select(col("doc_id"), TextAnalysis.quality(col("text")).as("q"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    var cum = 0L
+    val expect = ordered.takeWhile { r => cum += r.getLong(2); cum <= budgets(src) }
+      .map(_.getLong(0)).toSet
+    val kept = got.where(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expect, s"$src greedy prefix mismatch")
+    got.unpersist()
+    ()
+  }
+
   test("kAnonymity flags small quasi-classes; kAnonymize suppresses exactly them") {
     import org.apache.spark.sql.functions._
     val df = Seq(

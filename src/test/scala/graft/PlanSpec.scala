@@ -208,7 +208,8 @@ class PlanSpec extends SparkSpec {
       "q235_decay_score",       // ONE-row max-ts as-of scalar, broadcast
       "q242_ab_test",           // two ONE-row variant frames, broadcast pair
       "q244_lsh_recall",        // three ONE-row count scalars, broadcast
-      "q245_kmv_overlap")       // two ONE-row sketch frames, broadcast pair
+      "q245_kmv_overlap",       // two ONE-row sketch frames, broadcast pair
+      "q246_mixture_budget")    // q107's ONE-row mixture totals, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
