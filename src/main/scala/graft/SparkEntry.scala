@@ -1668,6 +1668,11 @@ object SparkEntry {
     // Flesch-style readability (vowel-group syllable proxy)
     "q236_readability" -> ((s, d) =>
       ordered(TextAnalysis.readability(Tables.documents(s, d)))),
+    // duplication burden by source pair: template storms vs syndication
+    "q247_dup_sources" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.dupBySource(docs, Dedup.minhashDedup(docs, 0.3)))
+    }),
     // mixture-budgeted training set: alpha-tempered weights set per-source
     // token budgets; each source fills with its best docs — ONE plan
     "q246_mixture_budget" -> ((s, d) =>
@@ -3306,6 +3311,17 @@ object SparkEntry {
          |  END AS flesch
          |FROM t ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    "q247_dup_sources" ->
+      s"""WITH $minhashCtes,
+         |pr AS (SELECT j.a, j.b FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |       WHERE j.jaccard >= 0.3),
+         |lab AS (SELECT least(sa.source, sb.source) AS src_a,
+         |          greatest(sa.source, sb.source) AS src_b
+         |        FROM pr JOIN documents sa ON sa.doc_id = pr.a
+         |        JOIN documents sb ON sb.doc_id = pr.b)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM lab GROUP BY 1, 2
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q246_mixture_budget" -> {
       val toks = TextAnalysis.Sql.toks("text")
       s"""WITH mw AS (${Pipeline.mixtureWeightsSql(0.5)}),

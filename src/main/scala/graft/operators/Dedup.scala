@@ -459,6 +459,27 @@ object Dedup {
       groups.where(col(idCol) === col("canon_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Duplication-burden report by source pair — WHERE near-duplication
+    * comes from: within-source pairs are template storms a single feed
+    * emits; cross-source pairs are syndication/mirroring between feeds
+    * (the signal that two sources should share a mixture weight). Input is
+    * a verified pair frame (`(a, b)`, e.g. [[minhashDedup]]); output one
+    * row per unordered source pair `(src_a ≤ src_b, n_pairs)`. Scale: two
+    * id-keyed hash joins against the (id → source) projection + one tiny
+    * aggregate — the pair frame is the already-bounded dedup output.
+    */
+  def dupBySource(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("a"), col(sourceCol).as("_sa")), Seq("a"))
+      .join(src.select(col(idCol).as("b"), col(sourceCol).as("_sb")), Seq("b"))
+      .select(least(col("_sa"), col("_sb")).as("src_a"),
+        greatest(col("_sa"), col("_sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** LSH banding quality harness — before trusting a (numHashes,
     * rowsPerBand) configuration at corpus scale, measure it: candidate
     * RECALL against the brute-force Jaccard-≥τ pair set and candidate

@@ -37,6 +37,17 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("dupBySource: unordered pair normalization, exact counts") {
+    val corpus = Seq(
+      (0L, "x", "s2"), (1L, "y", "s1"), (2L, "z", "s1"), (3L, "w", "s3")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("a", "b")
+    val got = Dedup.dupBySource(corpus, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (0,1) and (0,2) are s2↔s1 → normalized to (s1, s2); (1,2) within s1
+    assert(got === Map(("s1", "s2") -> 2L, ("s1", "s1") -> 1L))
+  }
+
   test("bandingRecall: counts reconcile, ratios exact, identical docs always hit") {
     val r = Dedup.bandingRecall(docs, 0.3).head()
     val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
