@@ -3331,7 +3331,7 @@ object SparkEntry {
          |cum AS (SELECT doc_id, source,
          |          sum(len($toks))
          |            OVER (PARTITION BY source
-         |                  ORDER BY ${TextAnalysis.Sql.qualityExpr} DESC, doc_id
+         |                  ORDER BY ${TextAnalysis.Sql.qualityRawExpr} DESC, doc_id
          |                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
          |        FROM documents)
          |SELECT c.doc_id, c.source, c.cum_tokens, b.src_budget

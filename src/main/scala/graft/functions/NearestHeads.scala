@@ -105,8 +105,26 @@ case class NearestHeadsExpr(
 
 object NearestHeadsExpr {
   /** Collect a (ratio-bounded) heads frame and build the column. */
-  def fromHeads(heads: DataFrame, vec: Column, r: Int, metric: String): Column = {
-    val rows = heads.select("head_id", "head_vec").collect()
+  def fromHeads(heads: DataFrame, vec: Column, r: Int, metric: String): Column =
+    fromRows(heads.select("head_id", "head_vec").collect(), vec, r, metric)
+
+  /** [[fromHeads]] with a driver-collect budget: collects at most
+    * `maxRows + 1` rows and returns None when the heads frame exceeds the
+    * budget — the caller routes to its join/hier form instead of this
+    * in-expression scan. This makes the broadcast-vs-routed switch automatic
+    * (round-11 verdict: the switch should be a size guard, not a caller
+    * decision) and guarantees the guard itself never materializes an
+    * over-budget frame on the driver.
+    */
+  def fromHeadsBounded(heads: DataFrame, vec: Column, r: Int, metric: String,
+      maxRows: Int): Option[Column] = {
+    val rows = heads.select("head_id", "head_vec").limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None
+    else Some(fromRows(rows, vec, r, metric))
+  }
+
+  private def fromRows(rows: Array[org.apache.spark.sql.Row], vec: Column,
+      r: Int, metric: String): Column = {
     val ids = rows.map(_.getLong(0))
     // widen float heads to double (exact) so one internal representation
     // serves both float- and double-typed head tables

@@ -119,19 +119,19 @@ object Sketches {
     * datasets ([[kmvOverlap]]). Fully deterministic (md5 hash, exact
     * integer order), so the DuckDB oracle replays it bit-for-bit.
     *
-    * Scale: distinct `(key, hash)` is one hash aggregation (∝ distinct
-    * values, not rows); the bottom-k is a keyed window over that
-    * deduplicated frame. Output `(key, kmv array<long>)`, length ≤ k.
+    * Scale: ONE bounded aggregate — [[BottomKLongs]] keeps the k smallest
+    * DISTINCT hashes per key inside Spark's partial-aggregation machinery,
+    * so each map task reduces its slice to ≤ k values before the shuffle
+    * (O(keys · k · tasks) exchange rows). No distinct pre-pass (the buffer
+    * dedups in-place) and no per-key window over the corpus (which would
+    * move every distinct (key, hash) pair to ONE reducer per key and sort
+    * it). Output `(key, kmv array<long>)`, length ≤ k, ascending.
     */
   def kmv(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
     require(k > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("_h"))
-    df.select(col(keyCol), Hash60(col(valueCol)).as("_h")).distinct()
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
+    df.select(col(keyCol), Hash60(col(valueCol)).as("_h"))
       .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(col("_h"))).as("kmv"))
+      .agg(BottomKLongs.bottomk(col("_h"), k).as("kmv"))
   }
 
   /** Overlap estimation from two KMV sketches (no data join): merge the
@@ -147,10 +147,16 @@ object Sketches {
     // grand-aggregate each side to exactly ONE row (empty sketch for an
     // absent key) so the output is always one row — a bare crossJoin of a
     // 0-row side would yield 0 rows while the SQL mirror's grand
-    // aggregates yield 1
+    // aggregates yield 1. A side holding MORE than one sketch row (caller
+    // forgot the key filter) fails loudly instead of first() picking a
+    // nondeterministic sketch and silently skewing the estimate.
     def side(df: DataFrame, out: String) = df
-      .agg(coalesce(first(col("kmv")),
-        array().cast("array<long>")).as(out))
+      .agg(count(lit(1)).as("_c"),
+        coalesce(first(col("kmv")), array().cast("array<long>")).as(out))
+      .where(assert_true(col("_c") <= 1,
+        lit("Sketches.kmvOverlap: each side must hold at most one sketch " +
+          "row — filter to a single key first")).isNull)
+      .drop("_c")
     val merged = side(a, "_ka")
       .crossJoin(broadcast(side(b, "_kb")))
       .withColumn("_u", slice(array_sort(array_union(col("_ka"), col("_kb"))), 1, k))

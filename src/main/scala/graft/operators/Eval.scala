@@ -445,7 +445,10 @@ object Eval {
     *
     * Scale: one variant-keyed hash aggregation over the unit frame
     * (map-side partial, 2 groups), then driver-free one-row math. Exactly
-    * two variants required.
+    * two variants required — ENFORCED at runtime (a third variant or a
+    * degenerate single-variant frame would otherwise emit one row per
+    * unordered pair / zero rows: plausible-looking but wrong output for a
+    * caller bug like a bad hash-bucket expression).
     */
   def abTest(units: DataFrame, scale: Double,
       variantCol: String = "variant", xCol: String = "x"): DataFrame = {
@@ -461,8 +464,14 @@ object Eval {
       col("sx").as("sxa"), col("sxx").as("sxxa"))
     val b = g.select(col("variant").as("variant_b"), col("n").as("nb"),
       col("sx").as("sxb"), col("sxx").as("sxxb"))
-    // the single unordered pair (exactly two variants by contract)
+    // the single unordered pair; the contract check rides the plan as a
+    // filter over assert_true (NULL iff it passes — a filter can't be
+    // optimized away, unlike a dropped projection column)
+    val nv = g.agg(count(lit(1)).as("_nv"))
     val paired = a.join(b, col("variant_a") < col("variant_b"))
+      .crossJoin(broadcast(nv))
+      .where(assert_true(col("_nv") === 2,
+        lit("Eval.abTest: exactly two variants required")).isNull)
     def mean(sx: Column, n: Column): Column =
       sx.cast("double") / n.cast("double") / lit(scale)
     // sample variance from power sums: (n·Σx² − (Σx)²) / (n(n−1)) / scale²
@@ -500,21 +509,33 @@ object Eval {
     * over the scaled ranks. Output `(group, n, spearman)` at 6dp, NULL for
     * constant columns.
     *
-    * Scale: two keyed windows (rank + tie count) sharing the per-group
-    * exchange, then one hash aggregation — rank semantics force a per-group
-    * total order, the same contract as [[graft.operators.Pipeline.curriculum]].
-    * Doubled ranks square inside a LONG, so groups past ~1.5e9 rows need a
-    * wider intermediate (same bound as groupOls).
+    * Scale: a rank depends only on a row's VALUE, so the doubled average
+    * rank comes from the per-(group, value) count histogram —
+    * `2·avgrank(v) = 2·(#rows below v) + count(v) + 1` — and the histograms
+    * are bounded by value resolution (callers pass integer-scaled or
+    * resolution-bounded ratios, the q221 convention), never by corpus size.
+    * The corpus is scanned ONCE: two broadcast rank-map joins, then
+    * [[groupOls]]'s keyed hash aggregation; windows run only over the tiny
+    * histograms (the [[graft.operators.Pipeline.qualityQuantileFloor]]
+    * shape), never a group-partitioned window over raw rows. Doubled ranks
+    * square inside a LONG, so groups past ~1.5e9 rows need a wider
+    * intermediate (same bound as groupOls).
     */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    def ranks2(c: String): org.apache.spark.sql.Column = {
-      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
-      val ties = Window.partitionBy(col(groupCol), col(c))
-      (rank().over(w).cast("long") * 2 + count(lit(1)).over(ties) - 1)
+    // per-(group, value) histogram → doubled tie-averaged rank of the value:
+    // 2·avgrank = 2·rank + ties − 1 = 2·(#below) + count + 1, all integers
+    def rankMap(c: String, out: String): DataFrame = {
+      val wBelow = Window.partitionBy(col(groupCol)).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_below", coalesce(sum(col("_cnt")).over(wBelow), lit(0L)))
+        .select(col(groupCol), col(c),
+          (col("_below") * 2 + col("_cnt") + 1).as(out))
     }
     groupOls(
-      df.withColumn("_rx", ranks2(xCol)).withColumn("_ry", ranks2(yCol)),
+      df.join(broadcast(rankMap(xCol, "_rx")), Seq(groupCol, xCol))
+        .join(broadcast(rankMap(yCol, "_ry")), Seq(groupCol, yCol)),
       groupCol, "_rx", "_ry")
       .select(col(groupCol), col("n"), col("corr").as("spearman"))
   }

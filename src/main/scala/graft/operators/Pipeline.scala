@@ -322,9 +322,10 @@ object Pipeline {
        |WHERE pr >= $quantile""".stripMargin
 
   /** Token-budget corpus selection: per source, take documents in
-    * quality-descending order (ties by doc id) until the cumulative token
-    * count reaches `budget` — "fill N tokens per domain with that domain's
-    * best documents", the terminal corpus-assembly step once scores exist.
+    * quality-descending order (UNROUNDED [[TextAnalysis.qualityRaw]], ties
+    * by doc id) until the cumulative token count reaches `budget` — "fill N
+    * tokens per domain with that domain's best documents", the terminal
+    * corpus-assembly step once scores exist.
     * A doc is kept iff the running total INCLUDING it stays within budget
     * (documents larger than the remaining budget are skipped only if they
     * overflow it — no bin-packing backtrack, the deterministic greedy every
@@ -336,8 +337,10 @@ object Pipeline {
     * ORDERED key: (1) a per-source quality histogram (tiny — quality is a
     * 4-dp-rounded ratio) assigns every distinct quality value a rank-balanced
     * bucket 0..`buckets−1`, bucket 0 = best; the bucket map is monotone in
-    * the greedy order and never splits a tie group, so concatenating buckets
-    * preserves the exact global (quality DESC, id) order per source; (2) the
+    * the greedy order (round() is monotone, so rounded-value buckets are
+    * order-consistent with the raw ordering key) and never splits a rounded
+    * tie group, so concatenating buckets preserves the exact global
+    * (qualityRaw DESC, id) order per source; (2) the
     * in-bucket running sum is a window over `(source, bucket)` — `buckets`×
     * the parallelism, balanced by construction up to tie mass; (3) each
     * bucket's starting offset is the cumsum of earlier buckets' totals — a
@@ -397,9 +400,15 @@ object Pipeline {
       textCol: String,
       sourceCol: String,
       buckets: Int): DataFrame = {
+    // ordering key = the UNROUNDED score (4dp rounding is the q222
+    // half-boundary class: Spark and DuckDB can round a boundary double
+    // differently and reorder the greedy prefix); the histogram/bucket key
+    // stays the ROUNDED value — bounded distinct values, and round() is
+    // monotone so bucket order is consistent with the raw ordering key
     val base = docs.select(
       col(idCol), col(sourceCol),
       TextAnalysis.quality(col(textCol)).as("_q"),
+      TextAnalysis.qualityRaw(col(textCol)).as("_qr"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("_ntok"))
     // level 0: histogram → rank-balanced bucket per distinct quality value
     val hist = base.groupBy(col(sourceCol), col("_q")).agg(count(lit(1)).as("_cnt"))
@@ -415,7 +424,7 @@ object Pipeline {
     val withB = base.join(broadcast(bucketMap), Seq(sourceCol, "_q"))
     // level 1: in-bucket running sum (partition = source × bucket)
     val wIn = Window.partitionBy(col(sourceCol), col("_bkt"))
-      .orderBy(col("_q").desc, col(idCol))
+      .orderBy(col("_qr").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // level 2: bucket offsets = cumsum of earlier buckets' totals (tiny)
     val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
@@ -431,13 +440,14 @@ object Pipeline {
         (col("_off") + col("_cumIn")).as("cum_tokens"))
   }
 
-  /** DuckDB mirror of [[tokenBudgetSelect]] over `documents`. */
+  /** DuckDB mirror of [[tokenBudgetSelect]] over `documents` (ordering key =
+    * the unrounded mirrored-op score, matching the Spark side). */
   def tokenBudgetSelectSql(budget: Long): String =
     s"""SELECT doc_id, source, cum_tokens FROM (
        |  SELECT doc_id, source,
        |         sum(len(${TextAnalysis.Sql.toks("text")}))
        |           OVER (PARTITION BY source
-       |                 ORDER BY ${TextAnalysis.Sql.qualityExpr} DESC, doc_id
+       |                 ORDER BY ${TextAnalysis.Sql.qualityRawExpr} DESC, doc_id
        |                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
        |  FROM documents)
        |WHERE cum_tokens <= $budget""".stripMargin
@@ -873,12 +883,19 @@ object Pipeline {
     * ([[TextAnalysis.qualityRaw]] — the ordering key must be the emitted
     * value and must agree bit-for-bit across engines).
     *
-    * Scale: both window functions partition by `source` and the intra-source
-    * sort is the shuffle's sort order — one shuffle, keyed windows, no
-    * global ordering. Sources are the partition key; a skewed mega-source
-    * is one sorted partition chain (acceptable: rank semantics force
-    * per-source total order; at 100 TB schedule per (source, shard-hash)
-    * instead if a single source exceeds a task).
+    * Scale (the 100 TB path — NOT a per-source window over the corpus; a
+    * window partitioned only by `source` sorts a whole domain, tens of TB,
+    * in ONE task): both outputs are arithmetic over the doc's per-source
+    * POSITION `r` under `(quality DESC, id)`, and that position comes from
+    * the [[tokenBudgetSelect]] two-level rank — level 0 buckets by the
+    * per-source quality-value histogram (quality is a resolution-bounded
+    * ratio, so the histogram is tiny regardless of corpus size; rounding is
+    * monotone, so 4dp histogram buckets are order-consistent with the raw
+    * ordering key), level 1 is an in-bucket `row_number` over
+    * `(source, bucket)`, level 2 adds broadcast bucket-count offsets. Then
+    * `pct = (r−1)/(n−1)` (the ordering key is unique, so `percent_rank` =
+    * row position) and `tier` is the closed-form ntile bucket of `r` given
+    * `n` — both exact, no corpus-scale window anywhere.
     */
   def curriculum(
       docs: DataFrame,
@@ -887,16 +904,59 @@ object Pipeline {
       textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val w = Window.partitionBy(col(sourceCol))
+    // UNROUNDED score: ordering and the emitted column must agree across
+    // engines, and rounding quality at 4dp is the q222 boundary class
+    // (observed live on this query at sf0.1)
+    val base = docs.select(col(idCol), col(sourceCol),
+      TextAnalysis.qualityRaw(col(textCol)).as("quality"),
+      TextAnalysis.quality(col(textCol)).as("_q4"))
+    // level 0: per-source histogram of the ROUNDED score (bounded ≈10⁴
+    // values) → rank-balanced bucket per distinct value + per-source total n
+    val hist = base.groupBy(col(sourceCol), col("_q4"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wBefore = Window.partitionBy(col(sourceCol)).orderBy(col("_q4").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(sourceCol))
+    val rankBuckets = 32
+    val bucketMap = hist
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .select(col(sourceCol), col("_q4"), col("_n"),
+        least(floor(col("_before") * rankBuckets / col("_n")),
+          lit(rankBuckets - 1L)).cast("long").as("_bkt"))
+    val withB = base.join(broadcast(bucketMap), Seq(sourceCol, "_q4"))
+    // level 1: in-bucket position; raw-score order is consistent with the
+    // rounded bucket key because round() is monotone
+    val wIn = Window.partitionBy(col(sourceCol), col("_bkt"))
       .orderBy(col("quality").desc, col(idCol))
-    docs
-      // UNROUNDED score: ordering and the emitted column must agree across
-      // engines, and rounding quality at 4dp is the q222 boundary class
-      // (observed live on this query at sf0.1)
-      .withColumn("quality", TextAnalysis.qualityRaw(col(textCol)))
+    // level 2: bucket offsets = cumsum of earlier buckets' counts (tiny)
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(sourceCol), col("_bkt"))
+      .agg(count(lit(1)).as("_bc"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_off"))
+    val ranked = withB
+      .withColumn("_rIn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
+      .withColumn("_r", col("_off") + col("_rIn"))
+    // ntile(B) closed form: first n%B buckets hold n/B+1 rows, the rest n/B.
+    // Integer `div` keeps the arithmetic exact past double precision; the
+    // else-branch divisor is guarded with greatest(_,1) INSIDE the
+    // expression (CSE can hoist it out of the `when` — the q242 lesson).
+    ranked
+      .withColumn("_qt", expr(s"_n div ${buckets}L"))
+      .withColumn("_rem", col("_n") % buckets)
+      .withColumn("_cut", (col("_qt") + 1L) * col("_rem"))
       .select(col(idCol), col(sourceCol), col("quality"),
-        ntile(buckets).over(w).as("tier"),
-        round(percent_rank().over(w), 6).as("pct"))
+        when(col("_r") <= col("_cut"),
+          expr("(_r + _qt) div (_qt + 1)"))
+          .otherwise(col("_rem") +
+            expr("(_r - _cut + greatest(_qt, 1L) - 1) div greatest(_qt, 1L)"))
+          .cast("int").as("tier"),
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise(round((col("_r") - 1L).cast("double") /
+            (col("_n") - 1L).cast("double"), 6)).as("pct"))
   }
 
   /** k-anonymity audit over quasi-identifier columns — the privacy check a
@@ -940,25 +1000,43 @@ object Pipeline {
     *
     * The key is emitted rather than a global position: downstream writers
     * sort/shard by it (e.g. [[shardAssign]] or a range-partitioned write),
-    * so no partition-less global row-numbering window ever runs. Windows
-    * partition by source; `weights` is a broadcast-sized `(source, weight)`
-    * frame (weights > 0; docs from unlisted sources are dropped — the same
-    * contract as [[mixtureSample]]).
+    * so no partition-less global row-numbering window ever runs. `weights`
+    * is a broadcast-sized `(source, weight)` frame (weights > 0; docs from
+    * unlisted sources are dropped — the same contract as [[mixtureSample]]).
+    *
+    * Scale: `src_rank` is the [[sourceCap]] two-level rank with a HASH-RANGE
+    * level 0 — bucket = top `bucketBits` of the 60-bit hash, uniform by
+    * construction, so concatenating buckets in bucket order preserves the
+    * per-source (hash, id) total order without ever windowing the raw corpus
+    * partitioned only by `source` (a whole domain — tens of TB — would sort
+    * in ONE task). In-bucket `row_number` windows over `(source, bucket)`;
+    * bucket offsets are a bucket-count cumsum (tiny, broadcast back).
     */
   def interleave(
       docs: DataFrame,
       weights: DataFrame,
       salt: String = "il",
       idCol: String = "doc_id",
-      sourceCol: String = "source"): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("_h"), col(idCol))
-    docs
+      sourceCol: String = "source",
+      bucketBits: Int = 5): DataFrame = {
+    val base = docs
       .withColumn("_h", graft.functions.Hash60(
         concat(col(idCol).cast("string"), lit(":" + salt))))
       .join(broadcast(weights.select(col(sourceCol), col("weight"))),
         Seq(sourceCol))
-      .withColumn("src_rank", row_number().over(w))
+      .withColumn("_bkt", shiftright(col("_h"), 60 - bucketBits))
+    val wIn = Window.partitionBy(col(sourceCol), col("_bkt"))
+      .orderBy(col("_h"), col(idCol))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(sourceCol), col("_bkt"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col(sourceCol), col("_bkt"),
+        coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    base
+      .withColumn("_rIn", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
+      .withColumn("src_rank", (col("_off") + col("_rIn")).cast("int"))
       .select(col(idCol), col(sourceCol), col("src_rank"),
         ((col("src_rank").cast("double") - 0.5) / col("weight"))
           .as("sched_key"))

@@ -15,6 +15,15 @@ import graft.functions.{dist, RngPrune, TopKByDistance}
   */
 object Spann {
 
+  /** Driver-collect budget for the in-expression head scan: heads frames
+    * above this many rows route automatically to the join/batch-aggregate
+    * forms ([[buildPostings]]/[[candidateHeads]] guards) instead of
+    * collecting — aligned with [[graft.GraftConf]]'s default
+    * `hierThreshold`, the level at which [[graft.AnnIndex]] engages the
+    * routed two-level path.
+    */
+  val MaxBroadcastHeads: Int = 2000000
+
   /** Deterministic head selection: every `everyNth` vector is a head
     * (`head_id` = vector id). Semantically a stand-in for SelectHead's
     * ratio-targeted tree walk (`SPANNIndex.cpp:707-815`) with
@@ -36,6 +45,269 @@ object Spann {
     BalancedKMeans.fit(vectors, k, maxIter, lambda)
       .select(col("cluster_id").as("head_id"), col("center").as("head_vec"))
 
+  /** One collected BKT internal node (the walk's working set — internal
+    * nodes only, ≈ n/leafSize rows; leaf members stay distributed).
+    */
+  final case class BktTreeNode(
+      node: String, parent: String, centerId: Option[Long], nLeaf: Long)
+
+  /** A node the walk decided to SPLIT: emit the `selectCnt` largest-subtree
+    * children; `internal` = (cs, center_id) of contributing internal
+    * children, leaf children (cs = 1 each, ids still distributed) are
+    * resolved in a second pass.
+    */
+  final case class BktSplit(
+      node: String, selectCnt: Int, internal: Seq[(Long, Long)], nLeaf: Long)
+
+  /** BKT head-selection tree (B6 stage 1, the structure
+    * `SelectHeadInternal` builds via `BKTree::BuildTrees` —
+    * `SPANNIndex.cpp:731-744`): recursively partition the corpus, each split
+    * consuming `k` member vectors as child-node centers (the reference's
+    * cluster centers become tree nodes and leave the recursion) until a
+    * node's membership fits `leafSize` or `maxLevels` is hit. Centers are
+    * the k LOWEST-id members per node assigned by nearest-center — a
+    * deterministic, oracle-replayable stand-in for the reference's sampled
+    * k-means seeding (same tree SHAPE contract: every vector occupies
+    * exactly one slot, as a node center or a leaf).
+    *
+    * Returns `(internal, leaves)`:
+    * `internal` = `(node, parent, level, center_id, n_leaf)` — one row per
+    * tree node (root has NULL center_id), ≈ n/leafSize rows (collectable,
+    * the heads-frame contract); `leaves` = `(node, id)` — every remaining
+    * vector under its retired node, corpus-sized, NEVER collected (the walk
+    * pulls bounded per-node bottom-m slices on demand).
+    *
+    * Scale: each level is one bounded bottom-k aggregate (seed selection,
+    * map-side partial), one broadcast seed join + bounded top-1 aggregate
+    * (assignment) — no per-node jobs, no driver recursion, no corpus
+    * window; the per-level member frame is checkpointed so lineage stays
+    * flat (the [[rebalanceToFixpoint]] convention).
+    */
+  def buildHeadTree(
+      vectors: DataFrame,
+      k: Int = 4,
+      leafSize: Int = 8,
+      maxLevels: Int = 8,
+      metric: String = "l2sq"): (DataFrame, DataFrame) = {
+    require(k > 1 && leafSize > 0 && maxLevels > 0)
+    val spark = vectors.sparkSession
+    var members = vectors.select(col("id"), col("vec"), lit("0").as("node"))
+    val internals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val leafParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0
+    var remaining = true
+    while (level < maxLevels && remaining) {
+      val sizes = members.groupBy(col("node")).agg(count(lit(1)).as("_cnt"))
+      val splitNodes = sizes.where(col("_cnt") > leafSize).select(col("node"))
+      leafParts += members
+        .join(broadcast(splitNodes), Seq("node"), "left_anti")
+        .select(col("node"), col("id"))
+      val splitting = members.join(broadcast(splitNodes), Seq("node"))
+      if (splitting.isEmpty) {
+        remaining = false
+      } else {
+        // seeds: the k smallest member ids per splitting node (bounded
+        // bottom-k aggregate); they become the child-node centers and leave
+        // the member stream
+        val seedIds = splitting.groupBy(col("node"))
+          .agg(graft.functions.BottomKLongs.bottomk(col("id"), k).as("_sids"))
+          .select(col("node"), posexplode(col("_sids")).as(Seq("_pos", "seed_id")))
+          .select(col("node"), (col("_pos") + 1).cast("long").as("rnk"),
+            col("seed_id"))
+        val seeds = seedIds
+          .join(splitting.select(col("node"), col("id").as("seed_id"),
+            col("vec").as("seed_vec")), Seq("node", "seed_id"))
+        internals += seeds.select(
+          concat(col("node"), lit("."), col("rnk")).as("node"),
+          col("node").as("parent"), lit(level + 1).as("level"),
+          col("seed_id").as("center_id"))
+        val assigned = splitting
+          .join(broadcast(seedIds.select(col("seed_id").as("id"))),
+            Seq("id"), "left_anti")
+          .join(broadcast(seeds), Seq("node"))
+          .withColumn("_d", dist.byName(metric)(col("vec"), col("seed_vec")))
+          .groupBy(col("id"))
+          .agg(first(col("node")).as("_pnode"), first(col("vec")).as("vec"),
+            TopKByDistance.topk(col("rnk"), col("_d"), 1).as("_top"))
+          .select(col("id"), col("vec"),
+            concat(col("_pnode"), lit("."),
+              element_at(col("_top"), 1).getField("id")).as("node"))
+        members = assigned.localCheckpoint(true)
+        level += 1
+      }
+    }
+    if (remaining) leafParts += members.select(col("node"), col("id"))
+    val leaves = leafParts.reduce(_.unionByName(_))
+    val root = spark.range(1).select(
+      lit("0").as("node"), lit(null).cast("string").as("parent"),
+      lit(0).as("level"), lit(null).cast("long").as("center_id"))
+    val internal = internals.foldLeft(root)(_.unionByName(_))
+      .join(leaves.groupBy(col("node")).agg(count(lit(1)).as("n_leaf")),
+        Seq("node"), "left")
+      .select(col("node"), col("parent"), col("level"),
+        col("center_id"), coalesce(col("n_leaf"), lit(0L)).as("n_leaf"))
+    (internal, leaves)
+  }
+
+  /** The SelectHead tree walk (`SelectHeadDynamicallyInternal`,
+    * `SPANNIndex.cpp:579-628`), post-order over the COLLECTED internal tree:
+    * a node whose accumulated subtree size (`1 + Σ contributing children`,
+    * leaves contribute 1) reaches `selectThreshold` emits its own center and
+    * absorbs (returns 0 upward); if the subtree additionally exceeds
+    * `splitThreshold`, the `ceil(size / splitFactor)` largest-subtree
+    * children are emitted too (ties broken by ascending center id — the
+    * reference's unstable sort leaves ties implementation-defined, so this
+    * library pins them deterministically).
+    *
+    * Returns `(selfEmits, totalCount, pendingSplits)` — leaf picks inside a
+    * split stay symbolic (`BktSplit`) until [[resolveBktSplits]] fetches the
+    * bounded per-node bottom-m leaf ids; `totalCount` is already exact
+    * (every tree slot holds a distinct vector), which is what the
+    * ratio-targeting binary search needs without touching leaf ids.
+    */
+  def walkHeadTree(
+      nodes: Seq[BktTreeNode],
+      selectThreshold: Int,
+      splitThreshold: Int,
+      splitFactor: Int): (Seq[Long], Long, Seq[BktSplit]) = {
+    require(selectThreshold >= 2 && splitFactor >= 1)
+    val byParent = nodes.filter(_.parent != null).groupBy(_.parent)
+    val byName = nodes.map(n => n.node -> n).toMap
+    val selfEmits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[BktSplit]
+    var total = 0L
+    def rec(n: BktTreeNode): Long = {
+      val kidCs = byParent.getOrElse(n.node, Seq.empty).sortBy(_.node)
+        .map(c => (c, rec(c))).filter(_._2 > 0)
+      val childrenSize = 1L + n.nLeaf + kidCs.map(_._2).sum
+      if (childrenSize >= selectThreshold) {
+        n.centerId.foreach { cid => selfEmits += cid; total += 1 }
+        if (childrenSize > splitThreshold) {
+          val selectCnt =
+            ((childrenSize + splitFactor - 1) / splitFactor).toInt
+          val internal = kidCs.flatMap { case (c, cs) =>
+            c.centerId.map(cid => (cs, cid))
+          }
+          total += math.min(selectCnt.toLong, internal.size + n.nLeaf)
+          pending += BktSplit(n.node, selectCnt, internal, n.nLeaf)
+        }
+        0L
+      } else childrenSize
+    }
+    rec(byName("0"))
+    (selfEmits.toSeq, total, pending.toSeq)
+  }
+
+  /** Resolve the leaf picks of [[walkHeadTree]]'s pending splits: ONE
+    * distributed bounded bottom-m aggregate over the (still-distributed)
+    * leaves of just the demanded nodes, then the final (subtree-size DESC,
+    * id ASC) ranking per split on the driver. Never pulls more than
+    * `selectCnt` leaf ids per node — leaf picks are always the smallest ids
+    * of their node (all leaves tie at subtree size 1), so the bottom-m slice
+    * is exactly the candidate set.
+    */
+  def resolveBktSplits(leaves: DataFrame, pending: Seq[BktSplit]): Seq[Long] = {
+    val demands = pending
+      .map(p => (p.node, math.min(p.selectCnt.toLong, p.nLeaf)))
+      .filter(_._2 > 0)
+    val fetched: Map[String, Array[Long]] =
+      if (demands.isEmpty) Map.empty
+      else {
+        val spark = leaves.sparkSession
+        import spark.implicits._
+        val maxM = demands.map(_._2).max.toInt
+        leaves
+          .join(broadcast(demands.toDF("node", "_m")), Seq("node"))
+          .groupBy(col("node"))
+          .agg(graft.functions.BottomKLongs.bottomk(col("id"), maxM).as("ids"))
+          .as[(String, Array[Long])].collect().toMap
+      }
+    pending.flatMap { p =>
+      val leafContribs = fetched.getOrElse(p.node, Array.empty[Long])
+        .take(p.selectCnt).map(id => (1L, id)).toSeq
+      (p.internal ++ leafContribs)
+        .sortBy { case (cs, cid) => (-cs, cid) }
+        .take(p.selectCnt).map(_._2)
+    }
+  }
+
+  /** SPANN SelectHead with FIXED thresholds (B6,
+    * `SelectHeadDynamicallyInternal` applied once): build the BKT over the
+    * corpus, walk it, resolve split leaf picks, return the selected vectors
+    * as `(head_id, head_vec)`. The dynamic ratio-targeting wrapper is
+    * [[selectHeadsBktDynamic]].
+    */
+  def selectHeadsBkt(
+      vectors: DataFrame,
+      k: Int = 4,
+      leafSize: Int = 8,
+      maxLevels: Int = 8,
+      selectThreshold: Int = 6,
+      splitThreshold: Int = 25,
+      splitFactor: Int = 5,
+      metric: String = "l2sq"): DataFrame = {
+    val (internal, leaves) = buildHeadTree(vectors, k, leafSize, maxLevels, metric)
+    val nodes = collectTree(internal)
+    val (selfEmits, _, pending) =
+      walkHeadTree(nodes, selectThreshold, splitThreshold, splitFactor)
+    val ids = (selfEmits ++ resolveBktSplits(leaves, pending)).distinct.sorted
+    headsFromIds(vectors, ids)
+  }
+
+  /** Ratio-targeted SelectHead (`SelectHeadDynamically`,
+    * `SPANNIndex.cpp:629-705`): sweep selectThreshold 2..max, binary-search
+    * splitThreshold in (splitFactor, splitThresholdMax) minimizing
+    * `|selected/n − ratio|`, then emit with the best pair. Each probe is a
+    * COUNT-only walk over the collected internal tree (exact without leaf
+    * ids), so the whole search costs zero extra Spark jobs; a ratio that
+    * rounds to ≥ n short-circuits to "all vectors are heads"
+    * (`SPANNIndex.cpp:633-643`).
+    */
+  def selectHeadsBktDynamic(
+      vectors: DataFrame,
+      ratio: Double,
+      k: Int = 4,
+      leafSize: Int = 8,
+      maxLevels: Int = 8,
+      selectThresholdMax: Int = 6,
+      splitThresholdMax: Int = 25,
+      splitFactor: Int = 5,
+      metric: String = "l2sq"): DataFrame = {
+    val n = vectors.count()
+    if (math.round(ratio * n) >= n)
+      return vectors.select(col("id").as("head_id"), col("vec").as("head_vec"))
+    val (internal, leaves) = buildHeadTree(vectors, k, leafSize, maxLevels, metric)
+    val nodes = collectTree(internal)
+    var best = (selectThresholdMax, splitThresholdMax)
+    var minDiff = 100.0
+    for (select <- 2 to selectThresholdMax) {
+      var l = splitFactor
+      var r = splitThresholdMax
+      while (l < r - 1) {
+        val mid = (l + r) / 2
+        val (_, cnt, _) = walkHeadTree(nodes, select, mid, splitFactor)
+        val diff = cnt.toDouble / n - ratio
+        if (math.abs(diff) < minDiff) { minDiff = math.abs(diff); best = (select, mid) }
+        if (diff > 0) l = mid else r = mid
+      }
+    }
+    val (selfEmits, _, pending) = walkHeadTree(nodes, best._1, best._2, splitFactor)
+    val ids = (selfEmits ++ resolveBktSplits(leaves, pending)).distinct.sorted
+    headsFromIds(vectors, ids)
+  }
+
+  private def collectTree(internal: DataFrame): Seq[BktTreeNode] =
+    internal.select("node", "parent", "center_id", "n_leaf").collect().toSeq
+      .map(r => BktTreeNode(r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+
+  private def headsFromIds(vectors: DataFrame, ids: Seq[Long]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.join(broadcast(ids.toDF("id")), Seq("id"), "left_semi")
+      .select(col("id").as("head_id"), col("vec").as("head_vec"))
+  }
+
   /** Posting assignment (B8, `VectorIndex.cpp:884-986`): each vector joins
     * its `replicaCount` nearest heads. Heads are broadcast (ratio-bounded);
     * the corpus streams through map tasks and the bounded top-k aggregate
@@ -48,14 +320,22 @@ object Spann {
       vectors: DataFrame,
       heads: DataFrame,
       replicaCount: Int,
-      metric: String = "l2sq"): DataFrame = {
-    val nn = graft.functions.NearestHeadsExpr.fromHeads(
-      heads, col("vec"), replicaCount, metric)
-    vectors
-      .select(col("id"), col("vec"), explode(nn).as("r"))
-      .select(col("r.id").as("head_id"), col("id"), col("vec"),
-        col("r.dist").as("dist"))
-  }
+      metric: String = "l2sq",
+      maxHeadRows: Int = Spann.MaxBroadcastHeads): DataFrame =
+    graft.functions.NearestHeadsExpr.fromHeadsBounded(
+      heads, col("vec"), replicaCount, metric, maxHeadRows) match {
+      case Some(nn) =>
+        vectors
+          .select(col("id"), col("vec"), explode(nn).as("r"))
+          .select(col("r.id").as("head_id"), col("id"), col("vec"),
+            col("r.dist").as("dist"))
+      case None =>
+        // over-budget head set: route automatically to the broadcast-join +
+        // bounded-top-k form (Spark's executor-side broadcast, no driver
+        // collect); past a broadcastable size entirely, use
+        // [[buildPostingsHier]] via [[graft.AnnIndex]]'s hierThreshold switch
+        buildPostingsViaJoin(vectors, heads, replicaCount, metric)
+    }
 
   /** Join-formulated posting assignment — semantically identical to
     * [[buildPostings]] (tested equal); kept as the reference dataflow and
@@ -590,15 +870,28 @@ object Spann {
       maxDistRatio: Double = Double.MaxValue,
       metric: String = "l2sq",
       wideK: Int = 0,
-      closeRatio: Double = 1.0): DataFrame = {
+      closeRatio: Double = 1.0,
+      maxHeadRows: Int = Spann.MaxBroadcastHeads): DataFrame = {
     val probeK = math.max(internalK, wideK)
     // heads are ratio-bounded (broadcastable by contract) → tight-loop
     // expression per query row; nn arrives (dist, id)-sorted, so nn[0] is
-    // the per-query best distance — no window needed for the ratio prune
-    val nn = graft.functions.NearestHeadsExpr.fromHeads(
-      heads, col("qvec"), probeK, metric)
-    val exploded = queries
-      .select(col("query_id"), nn.as("nn"))
+    // the per-query best distance — no window needed for the ratio prune.
+    // An over-budget head set routes automatically to the inverted shape:
+    // the bounded query batch rides INSIDE a [[graft.functions.BatchTopK]]
+    // aggregate over one scan of the heads frame — no head collect or
+    // broadcast at any size (past THAT, the hier route in [[graft.AnnIndex]]
+    // bounds the per-query candidate set too)
+    val withNN = graft.functions.NearestHeadsExpr.fromHeadsBounded(
+      heads, col("qvec"), probeK, metric, maxHeadRows) match {
+      case Some(nn) => queries.select(col("query_id"), nn.as("nn"))
+      case None =>
+        val (qids, qvecs) = graft.functions.BatchTopK.collectQueries(queries)
+        heads.agg(graft.functions.BatchTopK.batchTopk(
+          col("head_id"), col("head_vec"), qids, qvecs, probeK, metric).as("b"))
+          .select(explode(col("b")).as("qr"))
+          .select(col("qr.query_id").as("query_id"), col("qr.nn").as("nn"))
+    }
+    val exploded = withNN
       .select(col("query_id"),
         element_at(col("nn"), 1).getField("dist").as("_best"),
         posexplode(col("nn")).as(Seq("pos", "r")))

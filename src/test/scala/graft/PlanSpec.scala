@@ -224,6 +224,22 @@ class PlanSpec extends SparkSpec {
       }
       assert(badWindows.isEmpty,
         s"$name: Window without partitioning — single-partition shuffle")
+      // the round-11 verdict's weak class: a window partitioned ONLY by
+      // `source` over a raw-corpus frame sorts a whole domain — tens of TB —
+      // in one task. Per-source windows are allowed only over histogram- /
+      // aggregate-sized frames (an Aggregate is always beneath); raw-corpus
+      // windows must carry a second partition key (bucket, shard, user…)
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+      val srcWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+                .toSet == Set("source") &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(srcWindows.isEmpty,
+        s"$name: Window.partitionBy(source) over a raw-corpus frame — " +
+          "single-task-per-source sort at 100 TB")
     }
   }
 

@@ -235,6 +235,31 @@ class SpannSpec extends SparkSpec {
     }
   }
 
+  test("over-budget head set auto-routes: buildPostings → join form, " +
+    "candidateHeads → batch aggregate, results unchanged") {
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    // budget of 1 head row forces the routed forms on this fixture
+    val routedBuild = Spann.buildPostings(corpus, heads, 3, "l2sq", maxHeadRows = 1)
+    val default = Spann.buildPostings(corpus, heads, 3)
+    assert(routedBuild.select("head_id", "id", "dist")
+      .exceptAll(default.select("head_id", "id", "dist")).count() === 0)
+    assert(default.select("head_id", "id", "dist")
+      .exceptAll(routedBuild.select("head_id", "id", "dist")).count() === 0)
+    // the routed build must NOT carry the in-expression head scan
+    val rp = routedBuild.queryExecution.executedPlan.toString
+    assert(!rp.contains("nearest_heads"), s"expected join form, got:\n$rp")
+    val dp = default.queryExecution.executedPlan.toString
+    assert(dp.contains("nearest_heads"), s"expected expression form, got:\n$dp")
+    // stage-1: routed form rides a batch_topk aggregate over the heads scan
+    val routedCand = Spann.candidateHeads(queries, heads, 8, maxHeadRows = 1)
+    val defaultCand = Spann.candidateHeads(queries, heads, 8)
+    assert(routedCand.exceptAll(defaultCand).count() === 0)
+    assert(defaultCand.exceptAll(routedCand).count() === 0)
+    val cp = routedCand.queryExecution.executedPlan.toString
+    assert(cp.contains("batch_topk") && !cp.contains("nearest_heads"),
+      s"expected batch-aggregate stage-1, got:\n$cp")
+  }
+
   test("posting truncation keeps closest per head (PostingPageLimit)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)
