@@ -53,11 +53,36 @@ class AnnIndex private (
     * beyond `conf.hierThreshold` assigns through the routed two-level path
     * ([[Spann.buildPostingsHier]]) — the build never broadcasts a head set
     * the search side wouldn't.
+    *
+    * Head selection follows the ini: an explicit `SelectHeadType=BKT`
+    * engages the reference's tree-walk path (`SelectHeadInternal`,
+    * `SPANNIndex.cpp:707-815`) — [[Spann.selectHeadsBktDynamic]] when
+    * `SelectDynamically` (its default), binary-searching the walk
+    * thresholds to hit `Ratio`, else [[Spann.selectHeadsBkt]] with the
+    * configured `SelectThreshold`/`SplitThreshold`/`SplitFactor`. Without
+    * an explicit selection type the deterministic modulo stand-in keeps the
+    * historical build contract.
     */
   def build(): AnnIndex = {
     val live = Mutations.liveView(vectors, deleted)
     val everyNth = math.max((1.0 / conf.headRatio).round.toInt, 1)
-    val h = Spann.selectHeadsModulo(live, everyNth)
+    val h =
+      if (conf.extra.get("selectheadtype").exists(_.equalsIgnoreCase("BKT"))) {
+        val leafSize = conf.get("bktleafsize").toInt
+        if (conf.get("selectdynamically").toBoolean)
+          Spann.selectHeadsBktDynamic(live, conf.headRatio, conf.kmeansK,
+            leafSize,
+            selectThresholdMax = conf.get("selectthreshold").toInt,
+            splitThresholdMax = conf.get("splitthreshold").toInt,
+            splitFactor = conf.get("splitfactor").toInt,
+            metric = conf.metric)
+        else
+          Spann.selectHeadsBkt(live, conf.kmeansK, leafSize,
+            selectThreshold = conf.get("selectthreshold").toInt,
+            splitThreshold = conf.get("splitthreshold").toInt,
+            splitFactor = conf.get("splitfactor").toInt,
+            metric = conf.metric)
+      } else Spann.selectHeadsModulo(live, everyNth)
     // count ONCE at build; the hint rides in the instance (and into save's
     // config), so neither this build's routing decision nor any later
     // search-path hierState recomputes the head frame

@@ -1677,6 +1677,21 @@ object SparkEntry {
     // token budgets; each source fills with its best docs — ONE plan
     "q246_mixture_budget" -> ((s, d) =>
       ordered(Pipeline.mixtureBudgetSelect(Tables.documents(s, d), MixBudget))),
+    // SPANN SelectHead tree-walk parity (B6): BKT build over embeddings +
+    // the subtree-size threshold walk with the reference's default knobs
+    "q248_bkt_select_heads" -> ((s, d) =>
+      ordered(Spann.selectHeadsBkt(
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")),
+        BktK, BktLeaf, BktLevels, BktSelT, BktSplT, BktSplF)
+        .select(col("head_id")))),
+    // exact duplicated spans: suffix-array-style verbatim-run localization
+    // (positional gram fingerprints + alignment-diagonal islands)
+    "q249_dup_spans" -> ((s, d) =>
+      ordered(Dedup.duplicatedSpans(
+        Tables.documents(s, d), DupSpanGram, DupSpanMinTokens))),
+    // token frequency spectrum: the Zipf/Heaps octave staircase per source
+    "q250_freq_spectrum" -> ((s, d) =>
+      ordered(TextAnalysis.freqSpectrum(Tables.documents(s, d)))),
     // cross-source token overlap from bottom-k sketches alone (no join)
     "q245_kmv_overlap" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("source"),
@@ -2123,6 +2138,18 @@ object SparkEntry {
   private val KmvK = 64
   // q246: total token budget split across sources at the 0.5-temperature mix
   private val MixBudget = 10000L
+  // q248: BKT SelectHead — tree shape (K-way, leaf cap, unroll depth) plus
+  // the reference's default walk thresholds (SelectThreshold/SplitThreshold/
+  // SplitFactor, SPANN/ParameterDefinitionList.h:40-67)
+  private val BktK = 4
+  private val BktLeaf = 16
+  private val BktLevels = 3
+  private val BktSelT = 6
+  private val BktSplT = 25
+  private val BktSplF = 5
+  // q249: 4-token grams, report verbatim shared runs of ≥ 8 tokens
+  private val DupSpanGram = 4
+  private val DupSpanMinTokens = 8
   // q234: interleave mixture (sources outside the map are dropped)
   private val InterleaveWeights = Seq(("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
   // q235: one-day half-life, 12-half-life tail clamp (Events.decayedValue)
@@ -3338,6 +3365,51 @@ object SparkEntry {
          |FROM cum c JOIN bud b USING (source)
          |WHERE c.cum_tokens <= b.src_budget
          |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    "q248_bkt_select_heads" ->
+      s"""WITH ${bktCtes(BktK, BktLeaf, BktLevels, BktSelT, BktSplT, BktSplF)}
+         |SELECT DISTINCT cid AS head_id FROM sel
+         |ORDER BY 1""".stripMargin,
+    "q249_dup_spans" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val g = DupSpanGram
+      val gh = graft.functions.Hash60.sql(
+        s"array_to_string(t.tk[g.pos:g.pos+${g - 1}], ' ')")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${g - 1}))
+         |        AS pos FROM t WHERE len(tk) >= $g),
+         |h AS MATERIALIZED (SELECT g.doc_id, g.pos, $gh AS gh
+         |     FROM g JOIN t USING (doc_id)),
+         |keepg AS (SELECT gh FROM (
+         |    SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+         |  WHERE df <= 64),
+         |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |      FROM k x JOIN k y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
+         |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
+         |                                ORDER BY pa) AS run
+         |      FROM p)
+         |SELECT a, b, min(pa) AS pos_a, min(pb) AS pos_b,
+         |       count(*) + ${g - 1} AS run_tokens
+         |FROM r GROUP BY a, b, diag, run
+         |HAVING count(*) + ${g - 1} >= $DupSpanMinTokens
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q250_freq_spectrum" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+         |c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |b AS (SELECT CAST(k AS INT) AS octave,
+         |        (1::BIGINT << CAST(k AS INT)) AS lo,
+         |        (2::BIGINT << CAST(k AS INT)) AS hi
+         |      FROM (SELECT unnest(generate_series(0, 39)) AS k))
+         |SELECT c.source, b.octave, b.lo,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(c.cnt) AS BIGINT) AS n_occurrences
+         |FROM c JOIN b ON c.cnt >= b.lo AND c.cnt < b.hi
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
     "q245_kmv_overlap" -> {
       val h = graft.functions.Hash60.sql("token")
@@ -7103,6 +7175,95 @@ object SparkEntry {
     * hashes, 16 minhashes, 4-row bands, LSH candidates `cand(a,b)`, exact
     * Jaccard `jac(a,b,jaccard)` — over any document-shaped relation.
     */
+  /** DuckDB replay of [[graft.operators.Spann.buildHeadTree]] +
+    * [[graft.operators.Spann.walkHeadTree]] (q248): per-level CTEs unroll
+    * the nearest-seed tree build (the B5/q77 pattern), then a bottom-up
+    * per-level walk accumulates subtree sizes, emits absorbing nodes'
+    * centers, and ranks split picks by (subtree DESC, id ASC).
+    */
+  private def bktCtes(k: Int, leaf: Int, levels: Int,
+      selT: Int, splT: Int, splF: Int): String = {
+    val d = Tables.distSql("l2sq", "p.vec", "s.seed_vec")
+    // every multi-referenced CTE is MATERIALIZED: DuckDB otherwise inlines
+    // (re-evaluates) CTE bodies per reference, and the per-level chain makes
+    // that re-evaluation exponential in depth (observed: minutes at 500 rows)
+    val build = (0 until levels).map { l =>
+      s"""sz$l AS (SELECT node, count(*) AS cnt FROM a$l GROUP BY 1),
+         |sp$l AS MATERIALIZED (SELECT node FROM sz$l WHERE cnt > $leaf),
+         |lf$l AS (SELECT node, id FROM a$l
+         |         WHERE node NOT IN (SELECT node FROM sp$l)),
+         |sd${l + 1} AS MATERIALIZED (
+         |    SELECT node, id AS seed_id, vec AS seed_vec, rnk FROM (
+         |    SELECT node, id, vec,
+         |           row_number() OVER (PARTITION BY node ORDER BY id) AS rnk
+         |    FROM a$l WHERE node IN (SELECT node FROM sp$l)) WHERE rnk <= $k),
+         |n${l + 1} AS (SELECT node || '.' || rnk AS node, node AS parent,
+         |              seed_id AS center_id FROM sd${l + 1}),
+         |a${l + 1} AS MATERIALIZED (SELECT id, vec, node FROM (
+         |    SELECT p.id, p.vec, s.node || '.' || s.rnk AS node,
+         |           row_number() OVER (PARTITION BY p.id
+         |             ORDER BY $d, s.rnk) AS pick
+         |    FROM a$l p JOIN sd${l + 1} s ON p.node = s.node
+         |    WHERE p.id NOT IN (SELECT seed_id FROM sd${l + 1})) WHERE pick = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val leafUnion =
+      ((0 until levels).map(l => s"SELECT node, id FROM lf$l") :+
+        s"SELECT node, id FROM a$levels").mkString(" UNION ALL ")
+    val nodeUnion =
+      (Seq("SELECT '0' AS node, NULL AS parent, NULL::BIGINT AS center_id") ++
+        (1 to levels).map(l => s"SELECT node, parent, center_id FROM n$l"))
+        .mkString(" UNION ALL ")
+    val walk = (0 to levels).reverse.map { l =>
+      val lvl = s"length(nl.node) - length(replace(nl.node, '.', '')) = $l"
+      val (kidJoin, ks) =
+        if (l == levels) ("", "1 + nl.n_leaf")
+        else (
+          s"""LEFT JOIN (SELECT parent, sum(cs) AS s FROM cs${l + 1}
+             |             WHERE cs > 0 GROUP BY 1) kc ON kc.parent = nl.node"""
+            .stripMargin,
+          "1 + nl.n_leaf + coalesce(kc.s, 0)")
+      val contribs =
+        if (l == levels) "SELECT node AS pnode, id AS cid, 1 AS cs FROM leaves"
+        else
+          s"""SELECT parent AS pnode, center_id AS cid, cs FROM cs${l + 1}
+             |      WHERE cs > 0
+             |      UNION ALL
+             |      SELECT node AS pnode, id AS cid, 1 AS cs FROM leaves"""
+            .stripMargin
+      s"""cs$l AS MATERIALIZED (
+         |  SELECT nl.node, nl.parent, nl.center_id, $ks AS ks,
+         |         CASE WHEN $ks >= $selT THEN 0 ELSE $ks END AS cs
+         |  FROM nl $kidJoin
+         |  WHERE $lvl),
+         |em$l AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |           row_number() OVER (PARTITION BY kk.node
+         |             ORDER BY c.cs DESC, c.cid) AS rn,
+         |           (kk.ks + ${splF - 1}) // $splF AS sc
+         |    FROM cs$l kk JOIN ($contribs) c ON c.pnode = kk.node
+         |    WHERE kk.ks > $splT AND kk.ks >= $selT)
+         |  WHERE rn <= sc)""".stripMargin
+    }.mkString(",\n")
+    val emits = (0 to levels).map { l =>
+      s"""SELECT center_id AS cid FROM cs$l
+         |  WHERE ks >= $selT AND center_id IS NOT NULL
+         |  UNION ALL SELECT cid FROM em$l""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""a0 AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec, '0' AS node
+       |       FROM embeddings),
+       |$build,
+       |leaves AS MATERIALIZED ($leafUnion),
+       |nl AS MATERIALIZED (SELECT n.node, n.parent, n.center_id,
+       |         coalesce(lc.c, 0) AS n_leaf
+       |       FROM ($nodeUnion) n
+       |       LEFT JOIN (SELECT node, count(*) AS c FROM leaves GROUP BY 1) lc
+       |         USING (node)),
+       |$walk,
+       |sel AS ($emits)""".stripMargin
+  }
+
   private def minhashCtesFrom(src: String): String = {
     val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
     val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")

@@ -772,6 +772,61 @@ object Dedup {
       .where(col("overlap") >= minOverlap)
   }
 
+  /** Exact duplicated-SPAN detection across documents — the token-level
+    * substring-dedup signal of the suffix-array method (find every maximal
+    * run of ≥ `minTokens` tokens that two documents share VERBATIM — the
+    * dedup class n-gram Jaccard and MinHash can't localize), re-expressed
+    * as positional gram fingerprints: each doc emits a [[Hash60]] per
+    * `gramLen`-token window with its position; two docs sharing `g`
+    * CONSECUTIVE grams on one alignment diagonal (`pos_a − pos_b` constant)
+    * share an exact run of `g + gramLen − 1` tokens, recovered with the
+    * gaps-and-islands trick (`pos − row_number()` per diagonal). Output one
+    * row per maximal shared run: `(a, b, pos_a, pos_b, run_tokens)`,
+    * positions 1-based, `a < b`.
+    *
+    * Stop-gram guard ([[MaxBandBucket]] rationale): grams present in more
+    * than `maxDf` documents are dropped BEFORE pairing — boilerplate that
+    * common is non-discriminative and its pair space is quadratic. A
+    * dropped stop-gram can split a covering run in two (same acceptance as
+    * every banded operator here).
+    *
+    * Scale: gram fingerprints shuffle by hash (∝ corpus tokens, map-side
+    * partial df); the pair join fans out only within ≤ `maxDf` doc lists;
+    * the island windows partition by `(a, b, diagonal)` — fine-grained
+    * keys, never a corpus-wide or source-wide sort.
+    */
+  def duplicatedSpans(docs: DataFrame, gramLen: Int = 8, minTokens: Int = 12,
+      maxDf: Long = 64L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramLen > 0 && minTokens >= gramLen)
+    val grams = docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= gramLen)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(1), size(col("_t")) - (gramLen - 1)),
+        i => Hash60(concat_ws(" ", slice(col("_t"), i, lit(gramLen))))))
+        .as(Seq("_p", "gh")))
+      .select(col("_id"), (col("_p") + 1).cast("long").as("pos"), col("gh"))
+    val dfreq = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("_id")).as("_df"))
+    val kept = grams
+      .join(dfreq.where(col("_df") <= maxDf).select(col("gh")), Seq("gh"))
+    val pairs = kept.select(col("gh"), col("_id").as("a"), col("pos").as("pa"))
+      .join(kept.select(col("gh"), col("_id").as("b"), col("pos").as("pb")),
+        Seq("gh"))
+      .where(col("a") < col("b"))
+      .withColumn("_diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("a"), col("b"), col("_diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("_run", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("_diag"), col("_run"))
+      .agg(min(col("pa")).as("pos_a"), min(col("pb")).as("pos_b"),
+        (count(lit(1)) + (gramLen - 1)).as("run_tokens"))
+      .where(col("run_tokens") >= minTokens)
+      .select(col("a"), col("b"), col("pos_a"), col("pos_b"), col("run_tokens"))
+  }
+
   /** Per-document n-gram novelty: the share of a doc's DISTINCT shingles
     * that appear in NO other document — the inverse signal of
     * [[graft.operators.TextAnalysis.boilerplate]] (novel ≈ fresh content,

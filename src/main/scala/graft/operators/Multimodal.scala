@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * a partition-local batch transform ([[Dataset.mapPartitions]] — the Scala
   * analogue of `mapInPandas` batch UDFs).
   *
-  * The decode step itself is a STUB (no media codecs in this environment):
-  * [[fakeDecode]] is a deterministic byte-level stand-in with the same
-  * shape a real decoder would have (bytes → fixed-length float features).
-  * Everything around it — schema, batching, partitioning, the feature
-  * contract — is real and tested.
+  * Two decode paths share one dataflow: [[decodeImage]] is a REAL image
+  * decoder (`javax.imageio` — PNG/BMP/GIF/JPEG, in the JVM itself, no
+  * external codec), used by [[extractImageFeatures]]; [[fakeDecode]] is the
+  * deterministic byte-level stand-in kept for byte-exact oracles and for
+  * audio/video payloads (whose codecs are genuinely absent here). Schema,
+  * batching, partitioning, and the feature contract are identical on both
+  * paths.
   */
 object Multimodal {
 
@@ -47,6 +49,65 @@ object Multimodal {
     }
     val n = math.max(payload.length, 1).toFloat
     hist.map(_ / n)
+  }
+
+  /** REAL image decode via `javax.imageio`: bytes → `(width, height,
+    * row-major grayscale plane in [0,1])`, grayscale = (r+g+b)/3 per pixel.
+    * Returns None for payloads no registered reader accepts — the caller
+    * decides fallback policy. Runs inside the same partition-local map as
+    * the stand-in (decoders are executor-local; payloads never shuffle).
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val plane = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3f
+            plane(y * w + x) = lum / 255f
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, plane))
+      }
+    } catch { case _: Exception => None }
+
+  /** Image-path feature extraction with the REAL decoder: decode the payload
+    * (`javax.imageio`), nearest-neighbor resize the grayscale plane to 4×4,
+    * and emit the 16 pixels as the feature vector (same `FeatureDim`
+    * contract as [[fakeDecode]]). Payloads that no image reader accepts fall
+    * back to the deterministic byte-histogram stand-in, so the operator is
+    * total over mixed/dirty corpora — the fallback share is observable via
+    * `checksum` (real decodes carry `-1`, the fallback keeps the byte sum).
+    * Partition-local map, no shuffle — the 100 TB posture of
+    * [[extractFeatures]] unchanged.
+    */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.payload) match {
+          case Some((w, h, plane)) =>
+            MediaFeatures(r.id, r.kind, r.payload.length, -1L,
+              resizeNearest(plane, w, h, 4, 4))
+          case None =>
+            var sum = 0L
+            var i = 0
+            while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+            MediaFeatures(r.id, r.kind, r.payload.length, sum,
+              fakeDecode(r.payload))
+        }
+      }
+    }
   }
 
   /** Partition-local feature extraction: one pass per partition, no shuffle;

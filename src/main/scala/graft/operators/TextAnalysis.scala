@@ -74,14 +74,18 @@ object TextAnalysis {
     val punct = (length(col(textCol)) -
       length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double")
     val chars = length(col(textCol)).cast("double")
+    // ratios and quality are UNROUNDED mirrored-op doubles (each a fixed
+    // IEEE expression over exact integers — bit-identical across engines);
+    // a 4dp round here is the half-boundary class that can diverge between
+    // Spark and DuckDB at scales beyond the sf0.01 gate (the q222 lesson)
     docs.select(
       col(idCol),
       size(t).as("n_tokens"),
       tokenCountBpe(col(textCol)).as("n_bpe_tokens"),
-      round(nUniq / greatest(nTok, lit(1.0)), 4).as("uniq_ratio"),
-      round(stop / greatest(nTok, lit(1.0)), 4).as("stop_ratio"),
-      round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
-      quality(col(textCol)).as("quality"))
+      (nUniq / greatest(nTok, lit(1.0))).as("uniq_ratio"),
+      (stop / greatest(nTok, lit(1.0))).as("stop_ratio"),
+      (punct / greatest(chars, lit(1.0))).as("punct_ratio"),
+      qualityRaw(col(textCol)).as("quality"))
   }
 
   /** Intra-document repetition (the duplicate-n-gram family of quality
@@ -548,6 +552,37 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(v)
+
+  /** Token frequency SPECTRUM per source — the Zipf/Heaps dataset-card
+    * statistic: how many distinct token types fall in each frequency
+    * octave `[2^k, 2^(k+1))`, and how many token occurrences they carry.
+    * A healthy natural-language source shows the power-law staircase
+    * (types ≈ halving per octave); a templated/machine-generated one shows
+    * mass spikes in high octaves. Octaves instead of a log-log slope keep
+    * every emitted number an exact integer — `log()` is not bit-identical
+    * across engines, integer range tests are. Output
+    * `(source, octave, lo, n_types, n_occurrences)`.
+    *
+    * Scale: one token-keyed hash groupBy (map-side partial, shuffle ∝
+    * vocabulary), then a broadcast range join against the ≤`maxOctave`-row
+    * bounds table (the q147 bounded-frame BNLJ pattern) and a tiny
+    * per-(source, octave) aggregation.
+    */
+  def freqSpectrum(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text", maxOctave: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    val bounds = spark.range(0, maxOctave).select(
+      col("id").cast("int").as("octave"),
+      expr("shiftleft(cast(1 as bigint), cast(id as int))").as("lo"),
+      expr("shiftleft(cast(2 as bigint), cast(id as int))").as("hi"))
+    val counts = docs
+      .select(col(sourceCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(sourceCol), col("_tok")).agg(count(lit(1)).as("_cnt"))
+    counts
+      .join(broadcast(bounds), col("_cnt") >= col("lo") && col("_cnt") < col("hi"))
+      .groupBy(col(sourceCol), col("octave"), col("lo"))
+      .agg(count(lit(1)).as("n_types"), sum(col("_cnt")).as("n_occurrences"))
+  }
 
   /** Pairwise source vocabulary similarity — the dataset-card "how much do
     * my corpus slices overlap lexically" audit (near-identical sources are
@@ -1138,10 +1173,10 @@ object TextAnalysis {
       s"""doc_id,
          |  len($t) AS n_tokens,
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-         |  round($nUniq / greatest($nTok, 1.0), 4) AS uniq_ratio,
-         |  round($stop / greatest($nTok, 1.0), 4) AS stop_ratio,
-         |  round($punct / greatest($chars, 1.0), 4) AS punct_ratio,
-         |  $qualityExpr AS quality""".stripMargin
+         |  $nUniq / greatest($nTok, 1.0) AS uniq_ratio,
+         |  $stop / greatest($nTok, 1.0) AS stop_ratio,
+         |  $punct / greatest($chars, 1.0) AS punct_ratio,
+         |  $qualityRawExpr AS quality""".stripMargin
     }
 
     /** DuckDB 1.0 lacks greatest() over structs; the priority-ordered argmax

@@ -415,6 +415,23 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("duplicatedSpans localizes the exact shared run (positions + length)") {
+    val fixture = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj xx yy zz"),
+      (2L, "pp qq aa bb cc dd ee ff gg hh ii jj rr"),
+      (3L, "totally unrelated words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fixture, gramLen = 4, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // docs 1 and 2 share the verbatim 10-token run "aa..jj": doc1 tokens
+    // 1-10, doc2 tokens 3-12 — one maximal island on diagonal -2
+    assert(got.toSeq === Seq((1L, 2L, 1L, 3L, 10L)))
+    // below the length floor: nothing reported
+    assert(Dedup.duplicatedSpans(fixture, gramLen = 4, minTokens = 11)
+      .count() === 0)
+  }
+
   test("noveltyScore: unique shingles score 1, cloned docs score 0") {
     val fixture = Seq(
       (1L, "one two three four five"),  // all 3 shingles unique

@@ -69,6 +69,58 @@ class IndexBuilderSpec extends SparkSpec {
       1).head().getLong(2) === 5L)
   }
 
+  test("ini SelectHeadType=BKT engages the tree-walk head selection (B6)") {
+    val dir = Files.createTempDirectory("idxbkt").toString
+    val n = 200
+    val dim = 10
+    val vecs = (0 until n).map(i => Array.fill(dim)(i.toFloat))
+    LegacyFormats.writeDefault(s"$dir/base.bin", vecs)
+    val qids = Seq(0, 5, 9)
+    LegacyFormats.writeDefault(s"$dir/query.bin", qids.map(vecs(_)))
+    val ini =
+      s"""[Base]
+         |ValueType=Float
+         |DistCalcMethod=L2
+         |Dim=$dim
+         |VectorPath=$dir/base.bin
+         |VectorType=DEFAULT
+         |QueryPath=$dir/query.bin
+         |QueryType=DEFAULT
+         |
+         |[SelectHead]
+         |isExecute=true
+         |SelectHeadType=BKT
+         |SelectDynamically=true
+         |Ratio=0.1
+         |BKTKmeansK=4
+         |BKTLeafSize=8
+         |
+         |[BuildSSDIndex]
+         |isExecute=true
+         |ReplicaCount=4
+         |InternalResultNum=16
+         |
+         |[SearchSSDIndex]
+         |isExecute=true
+         |ResultNum=3
+         |""".stripMargin
+    val report = IndexBuilder.run(spark, ini)
+    // dynamic walk landed a ratio-sized head set (binary search targets 10%)
+    val hn = report.index.heads.get.count()
+    assert(hn > 0 && math.abs(hn.toDouble / n - 0.1) < 0.1,
+      s"BKT dynamic head count $hn vs target ${n / 10}")
+    // heads are selected corpus vectors, not synthetic centroids
+    assert(report.index.heads.get
+      .join(report.index.vectors.select(
+        org.apache.spark.sql.functions.col("id").as("head_id")),
+        Seq("head_id"), "left_anti").count() === 0)
+    // two-stage search over the walk-selected heads finds every query itself
+    val top = report.results.get
+      .where(org.apache.spark.sql.functions.col("rank") === 1)
+      .orderBy("query_id").collect().map(_.getLong(2))
+    assert(top.toSeq === qids.map(_.toLong))
+  }
+
   test("IndexSearcher: gentruth → load → search → recall, the -g/-i/-x/-r flow") {
     import graft.tools.IndexSearcher
     val dir = Files.createTempDirectory("idxsearcher").toString

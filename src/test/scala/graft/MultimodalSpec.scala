@@ -19,6 +19,42 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
   }
 
+  test("real image decode: a generated PNG round-trips through " +
+    "decodeImage + extractImageFeatures; undecodable payloads fall back") {
+    import spark.implicits._
+    // 8x8 grayscale gradient PNG, generated with the JVM's own imageio
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = ((y * 8 + x) * 255) / 63
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // decodeImage recovers the exact plane
+    val Some((w, h, plane)) = Multimodal.decodeImage(png)
+    assert(w === 8 && h === 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (((y * 8 + x) * 255) / 63) / 255f
+      assert(math.abs(plane(y * 8 + x) - v) < 1e-6,
+        s"pixel ($x,$y): ${plane(y * 8 + x)} vs $v")
+    }
+    // through the Dataset path: PNG row decodes (checksum -1, 4x4 resize of
+    // the plane); garbage row falls back to the byte-histogram stand-in
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 8, 8, 0),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4), 0, 0, 0))
+    val feats = Multimodal.extractImageFeatures(rows.toDS())
+      .collect().sortBy(_.id)
+    assert(feats(0).checksum === -1L)
+    assert(feats(0).features.toSeq ===
+      Multimodal.resizeNearest(plane, 8, 8, 4, 4).toSeq)
+    assert(feats(1).checksum === 10L) // 1+2+3+4: the stand-in's byte sum
+    assert(feats(1).features.toSeq ===
+      Multimodal.fakeDecode(Array[Byte](1, 2, 3, 4)).toSeq)
+  }
+
   test("fakeDecode is a unit-normalized 16-bin histogram") {
     val f = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
     assert(f.length === 16)

@@ -209,7 +209,8 @@ class PlanSpec extends SparkSpec {
       "q242_ab_test",           // two ONE-row variant frames, broadcast pair
       "q244_lsh_recall",        // three ONE-row count scalars, broadcast
       "q245_kmv_overlap",       // two ONE-row sketch frames, broadcast pair
-      "q246_mixture_budget")    // q107's ONE-row mixture totals, broadcast
+      "q246_mixture_budget",    // q107's ONE-row mixture totals, broadcast
+      "q250_freq_spectrum")     // ≤40-row octave-bounds range table, broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -260,6 +260,64 @@ class SpannSpec extends SparkSpec {
       s"expected batch-aggregate stage-1, got:\n$cp")
   }
 
+  test("BKT head tree conserves vectors: every id is exactly one center or one leaf") {
+    val vecs = Tables.embeddingVec(spark, sf0001)
+      .select(col("id"), col("vec"))
+    val (internal, leaves) = Spann.buildHeadTree(vecs, k = 4, leafSize = 16,
+      maxLevels = 3)
+    val centers = internal.where(col("center_id").isNotNull)
+      .select(col("center_id").as("id"))
+    val all = centers.unionByName(leaves.select(col("id")))
+    assert(all.count() === vecs.count())
+    assert(all.distinct().count() === vecs.count())
+    // n_leaf bookkeeping matches the leaf frame
+    val fromCounts = internal.agg(sum(col("n_leaf"))).head.getLong(0)
+    assert(fromCounts === leaves.count())
+  }
+
+  test("SelectHead walk semantics on a hand-built tree (threshold emit + split picks)") {
+    import spark.implicits._
+    // root with two internal children: A holds 3 leaves (ids 31,32,33),
+    // B holds 1 leaf (id 41)
+    val nodes = Seq(
+      Spann.BktTreeNode("0", null, None, 0L),
+      Spann.BktTreeNode("0.1", "0", Some(10L), 3L),
+      Spann.BktTreeNode("0.2", "0", Some(20L), 1L))
+    val leaves = Seq(("0.1", 31L), ("0.1", 32L), ("0.1", 33L), ("0.2", 41L))
+      .toDF("node", "id")
+    // selT=4: A (size 1+3=4) absorbs and emits its center; B (2) and the
+    // root (1+2=3) stay under threshold
+    val (e1, c1, p1) = Spann.walkHeadTree(nodes, 4, 25, 5)
+    assert(e1 === Seq(10L) && c1 === 1L && p1.isEmpty)
+    // selT=2, splT=2, splF=2: A absorbs AND splits — selectCnt=ceil(4/2)=2
+    // of its 3 leaves (smallest ids); B absorbs without split (2 !> 2)
+    val (e2, c2, p2) = Spann.walkHeadTree(nodes, 2, 2, 2)
+    assert(e2.toSet === Set(10L, 20L) && c2 === 4L)
+    val resolved = Spann.resolveBktSplits(leaves, p2)
+    assert(resolved === Seq(31L, 32L))
+  }
+
+  test("BKT SelectHead end-to-end + dynamic ratio targeting (B6)") {
+    val vecs = Tables.embeddingVec(spark, sf0001)
+      .select(col("id"), col("vec"))
+    val n = vecs.count()
+    val heads = Spann.selectHeadsBkt(vecs, k = 4, leafSize = 16, maxLevels = 3,
+      selectThreshold = 6, splitThreshold = 25, splitFactor = 5)
+    val hn = heads.count()
+    assert(hn > 0 && hn < n)
+    // heads are real corpus vectors
+    assert(heads.join(vecs.select(col("id").as("head_id")),
+      Seq("head_id"), "left_anti").count() === 0)
+    // dynamic: lands near the requested ratio (SelectHeadDynamically's
+    // binary search); exact closeness depends on tree shape, so gate loosely
+    val dyn = Spann.selectHeadsBktDynamic(vecs, 0.12, k = 4, leafSize = 16,
+      maxLevels = 3)
+    val ratio = dyn.count().toDouble / n
+    assert(math.abs(ratio - 0.12) < 0.08, s"dynamic ratio $ratio vs 0.12")
+    // ratio >= 1 short-circuits to all vectors
+    assert(Spann.selectHeadsBktDynamic(vecs, 1.0).count() === n)
+  }
+
   test("posting truncation keeps closest per head (PostingPageLimit)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val postings = Spann.buildPostings(corpus, heads, 4)

@@ -10,9 +10,21 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq((1L, "the cat sat on the mat.")).toDF("doc_id", "text")
     val r = TextAnalysis.stats(docs).head()
     assert(r.getInt(1) === 6) // n_tokens
-    assert(r.getDouble(3) === 0.8333) // uniq: 5/6
+    assert(r.getDouble(3) === 5.0 / 6.0) // uniq (unrounded mirrored-op)
     assert(r.getDouble(4) === 0.5) // stopwords: the, on, the → 3/6
-    assert(r.getDouble(5) === 0.0435) // punct: 1/23
+    assert(r.getDouble(5) === 1.0 / 23.0) // punct
+  }
+
+  test("freqSpectrum bins token types into exact frequency octaves") {
+    val docs = Seq((1L, "s0", "aa aa aa aa bb bb cc"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.freqSpectrum(docs)
+      .orderBy("octave")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // aa×4 → octave 2 [4,8); bb×2 → octave 1 [2,4); cc×1 → octave 0 [1,2)
+    assert(got.toSeq === Seq(
+      ("s0", 0, 1L, 1L, 1L), ("s0", 1, 2L, 1L, 2L), ("s0", 2, 4L, 1L, 4L)))
   }
 
   test("langId picks the dominant stopword profile") {
