@@ -54,7 +54,9 @@ class AnnIndex private (
     * ([[Spann.buildPostingsHier]]) — the build never broadcasts a head set
     * the search side wouldn't.
     *
-    * Head selection follows the ini: an explicit `SelectHeadType=BKT`
+    * Head selection follows the ini: `SelectHeadType=Random` is the
+    * reference's uniform sample ([[Spann.selectHeadsRandom]], deterministic
+    * hash draw); an explicit `SelectHeadType=BKT`
     * engages the reference's tree-walk path (`SelectHeadInternal`,
     * `SPANNIndex.cpp:707-815`) — [[Spann.selectHeadsBktDynamic]] when
     * `SelectDynamically` (its default), binary-searching the walk
@@ -67,7 +69,9 @@ class AnnIndex private (
     val live = Mutations.liveView(vectors, deleted)
     val everyNth = math.max((1.0 / conf.headRatio).round.toInt, 1)
     val h =
-      if (conf.extra.get("selectheadtype").exists(_.equalsIgnoreCase("BKT"))) {
+      if (conf.extra.get("selectheadtype").exists(_.equalsIgnoreCase("Random")))
+        Spann.selectHeadsRandom(live, conf.headRatio)
+      else if (conf.extra.get("selectheadtype").exists(_.equalsIgnoreCase("BKT"))) {
         val leafSize = conf.get("bktleafsize").toInt
         if (conf.get("selectdynamically").toBoolean)
           Spann.selectHeadsBktDynamic(live, conf.headRatio, conf.kmeansK,

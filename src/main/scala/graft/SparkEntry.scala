@@ -1692,6 +1692,15 @@ object SparkEntry {
     // token frequency spectrum: the Zipf/Heaps octave staircase per source
     "q250_freq_spectrum" -> ((s, d) =>
       ordered(TextAnalysis.freqSpectrum(Tables.documents(s, d)))),
+    // span-level decontamination: WHERE benchmark text sits in train docs
+    // (same train/eval split convention as q69's doc-level verdict)
+    "q251_contamination_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ordered(Dedup.contaminationSpans(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7),
+        DupSpanGram, DupSpanMinTokens))
+    }),
     // cross-source token overlap from bottom-k sketches alone (no join)
     "q245_kmv_overlap" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("source"),
@@ -3386,6 +3395,33 @@ object SparkEntry {
          |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
          |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
          |      FROM k x JOIN k y ON x.gh = y.gh AND x.doc_id < y.doc_id),
+         |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
+         |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
+         |                                ORDER BY pa) AS run
+         |      FROM p)
+         |SELECT a, b, min(pa) AS pos_a, min(pb) AS pos_b,
+         |       count(*) + ${g - 1} AS run_tokens
+         |FROM r GROUP BY a, b, diag, run
+         |HAVING count(*) + ${g - 1} >= $DupSpanMinTokens
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    "q251_contamination_spans" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val g = DupSpanGram
+      val gh = graft.functions.Hash60.sql(
+        s"array_to_string(t.tk[g.pos:g.pos+${g - 1}], ' ')")
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${g - 1}))
+         |        AS pos FROM t WHERE len(tk) >= $g),
+         |h AS MATERIALIZED (SELECT g.doc_id, g.pos, $gh AS gh
+         |     FROM g JOIN t USING (doc_id)),
+         |keepg AS (SELECT gh FROM (
+         |    SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+         |  WHERE df <= 64),
+         |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |      FROM k x JOIN k y ON x.gh = y.gh
+         |      WHERE x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7),
          |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
          |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
          |                                ORDER BY pa) AS run

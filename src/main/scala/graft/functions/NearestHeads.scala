@@ -108,19 +108,20 @@ object NearestHeadsExpr {
   def fromHeads(heads: DataFrame, vec: Column, r: Int, metric: String): Column =
     fromRows(heads.select("head_id", "head_vec").collect(), vec, r, metric)
 
-  /** [[fromHeads]] with a driver-collect budget: collects at most
-    * `maxRows + 1` rows and returns None when the heads frame exceeds the
-    * budget — the caller routes to its join/hier form instead of this
-    * in-expression scan. This makes the broadcast-vs-routed switch automatic
-    * (round-11 verdict: the switch should be a size guard, not a caller
-    * decision) and guarantees the guard itself never materializes an
-    * over-budget frame on the driver.
+  /** [[fromHeads]] with a driver-collect budget: one `count()` guard before
+    * the collect — over-budget head frames return None and the caller
+    * routes to its join/hier form instead of this in-expression scan. This
+    * makes the broadcast-vs-routed switch automatic (round-11 verdict: a
+    * size guard, not a caller decision) and the guard never materializes an
+    * over-budget frame on the driver. A parallel count, not a
+    * `limit(n+1).collect()` probe: CollectLimit executes partitions in
+    * sequential scale-up waves, which tripled the heads-scan latency on the
+    * posting-build benchmark.
     */
   def fromHeadsBounded(heads: DataFrame, vec: Column, r: Int, metric: String,
       maxRows: Int): Option[Column] = {
-    val rows = heads.select("head_id", "head_vec").limit(maxRows + 1).collect()
-    if (rows.length > maxRows) None
-    else Some(fromRows(rows, vec, r, metric))
+    if (heads.count() > maxRows) None
+    else Some(fromHeads(heads, vec, r, metric))
   }
 
   private def fromRows(rows: Array[org.apache.spark.sql.Row], vec: Column,

@@ -799,14 +799,7 @@ object Dedup {
       maxDf: Long = 64L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(gramLen > 0 && minTokens >= gramLen)
-    val grams = docs
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
-      .where(size(col("_t")) >= gramLen)
-      .select(col("_id"), posexplode(transform(
-        sequence(lit(1), size(col("_t")) - (gramLen - 1)),
-        i => Hash60(concat_ws(" ", slice(col("_t"), i, lit(gramLen))))))
-        .as(Seq("_p", "gh")))
-      .select(col("_id"), (col("_p") + 1).cast("long").as("pos"), col("gh"))
+    val grams = gramFingerprints(docs, gramLen, idCol, textCol)
     val dfreq = grams.groupBy(col("gh"))
       .agg(countDistinct(col("_id")).as("_df"))
     val kept = grams
@@ -815,10 +808,61 @@ object Dedup {
       .join(kept.select(col("gh"), col("_id").as("b"), col("pos").as("pb")),
         Seq("gh"))
       .where(col("a") < col("b"))
-      .withColumn("_diag", col("pa") - col("pb"))
+    spanIslands(pairs, gramLen, minTokens)
+  }
+
+  /** Span-level decontamination report — [[duplicatedSpans]] ACROSS two
+    * corpora: every maximal verbatim run of ≥ `minTokens` tokens a TRAIN
+    * document shares with an EVAL document, with positions on both sides.
+    * This is the audit behind [[contamination]]'s doc-level verdict: where
+    * exactly the benchmark text sits inside the training document (span
+    * scrubbing needs positions, not just a flag). Output
+    * `(a, b, pos_a, pos_b, run_tokens)` with `a` = train id, `b` = eval id.
+    *
+    * The stop-gram guard's document frequency counts BOTH corpora (a gram
+    * common across train is boilerplate even if rare in eval). Scale: same
+    * shape as duplicatedSpans; the pair join fans out only train×eval
+    * within ≤ `maxDf` doc lists.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+      gramLen: Int = 8, minTokens: Int = 12, maxDf: Long = 64L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramLen > 0 && minTokens >= gramLen)
+    val tg = gramFingerprints(train, gramLen, idCol, textCol)
+    val eg = gramFingerprints(eval, gramLen, idCol, textCol)
+    val dfreq = tg.unionByName(eg).groupBy(col("gh"))
+      .agg(countDistinct(col("_id")).as("_df"))
+    val keepGh = dfreq.where(col("_df") <= maxDf).select(col("gh"))
+    val pairs = tg.join(keepGh, Seq("gh"))
+      .select(col("gh"), col("_id").as("a"), col("pos").as("pa"))
+      .join(eg.select(col("gh"), col("_id").as("b"), col("pos").as("pb")),
+        Seq("gh"))
+    spanIslands(pairs, gramLen, minTokens)
+  }
+
+  /** Positional `gramLen`-token fingerprints: `(_id, pos, gh)`, pos 1-based
+    * (shared by [[duplicatedSpans]] / [[contaminationSpans]]).
+    */
+  private def gramFingerprints(docs: DataFrame, gramLen: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= gramLen)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(1), size(col("_t")) - (gramLen - 1)),
+        i => Hash60(concat_ws(" ", slice(col("_t"), i, lit(gramLen))))))
+        .as(Seq("_p", "gh")))
+      .select(col("_id"), (col("_p") + 1).cast("long").as("pos"), col("gh"))
+
+  /** Merge matched gram positions `(a, b, pa, pb)` into maximal runs per
+    * alignment diagonal (gaps-and-islands) and keep runs ≥ `minTokens`.
+    */
+  private def spanIslands(pairs: DataFrame, gramLen: Int,
+      minTokens: Int): DataFrame = {
     val w = Window.partitionBy(col("a"), col("b"), col("_diag"))
       .orderBy(col("pa"))
     pairs
+      .withColumn("_diag", col("pa") - col("pb"))
       .withColumn("_run", col("pa") - row_number().over(w))
       .groupBy(col("a"), col("b"), col("_diag"), col("_run"))
       .agg(min(col("pa")).as("pos_a"), min(col("pb")).as("pos_b"),

@@ -34,6 +34,21 @@ object Spann {
     vectors.where(col("id") % everyNth === 0)
       .select(col("id").as("head_id"), col("vec").as("head_vec"))
 
+  /** SelectHead's `Random` option (`SPANNIndex.cpp:723-730`): a uniform
+    * `ratio` sample of the vectors as heads. The reference shuffles ids
+    * with an RNG and truncates; here the deterministic salted-hash draw
+    * (the mixtureSample contract — pure function of the id) so re-runs,
+    * partitionings, and both engines agree. Map-only scan, no shuffle.
+    */
+  def selectHeadsRandom(vectors: DataFrame, ratio: Double,
+      salt: String = "heads"): DataFrame = {
+    require(ratio > 0)
+    vectors.where(pmod(graft.functions.Hash60(
+      concat(col("id").cast("string"), lit(":" + salt))), lit(10000L)) <
+      math.round(ratio * 10000).min(10000L))
+      .select(col("id").as("head_id"), col("vec").as("head_vec"))
+  }
+
   /** Head selection via balanced k-means (B1+B6): cluster, then emit the
     * centroids as head vectors with synthetic ids.
     */

@@ -432,6 +432,23 @@ class DedupSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("contaminationSpans: cross-corpus runs only, train side first") {
+    val train = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj xx yy zz"),
+      (4L, "aa bb cc dd ee ff gg hh ii jj xx yy zz"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (2L, "pp qq aa bb cc dd ee ff gg hh ii jj rr"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, eval, gramLen = 4, minTokens = 8)
+      .orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // each TRAIN doc pairs with the eval doc; the identical train pair
+    // (1, 4) is NOT reported — only cross-corpus spans
+    assert(got.toSeq === Seq((1L, 2L, 1L, 3L, 10L), (4L, 2L, 1L, 3L, 10L)))
+  }
+
   test("noveltyScore: unique shingles score 1, cloned docs score 0") {
     val fixture = Seq(
       (1L, "one two three four five"),  // all 3 shingles unique

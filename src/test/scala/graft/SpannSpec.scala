@@ -297,6 +297,17 @@ class SpannSpec extends SparkSpec {
     assert(resolved === Seq(31L, 32L))
   }
 
+  test("Random SelectHead: deterministic hash draw lands near the ratio") {
+    val vecs = Tables.embeddingVec(spark, sf0001).select(col("id"), col("vec"))
+    val n = vecs.count()
+    val h1 = Spann.selectHeadsRandom(vecs, 0.2)
+    val cnt = h1.count()
+    assert(math.abs(cnt.toDouble / n - 0.2) < 0.08, s"ratio ${cnt.toDouble / n}")
+    // pure function of the id: re-run identical
+    assert(h1.select("head_id").exceptAll(
+      Spann.selectHeadsRandom(vecs, 0.2).select("head_id")).count() === 0)
+  }
+
   test("BKT SelectHead end-to-end + dynamic ratio targeting (B6)") {
     val vecs = Tables.embeddingVec(spark, sf0001)
       .select(col("id"), col("vec"))
