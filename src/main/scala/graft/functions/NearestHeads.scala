@@ -108,19 +108,32 @@ object NearestHeadsExpr {
   def fromHeads(heads: DataFrame, vec: Column, r: Int, metric: String): Column =
     fromRows(heads.select("head_id", "head_vec").collect(), vec, r, metric)
 
-  /** [[fromHeads]] with a driver-collect budget: one `count()` guard before
-    * the collect — over-budget head frames return None and the caller
-    * routes to its join/hier form instead of this in-expression scan. This
-    * makes the broadcast-vs-routed switch automatic (round-11 verdict: a
-    * size guard, not a caller decision) and the guard never materializes an
-    * over-budget frame on the driver. A parallel count, not a
-    * `limit(n+1).collect()` probe: CollectLimit executes partitions in
-    * sequential scale-up waves, which tripled the heads-scan latency on the
-    * posting-build benchmark.
+  /** Plans whose optimizer size estimate stays under this are collected
+    * directly and row-checked post-hoc (one job, no extra scan); larger
+    * estimates pay one parallel `count()` before deciding. 256 MB is far
+    * under driver heap but far over any contract-bounded heads frame.
+    */
+  val SafeCollectBytes: Long = 256L << 20
+
+  /** [[fromHeads]] with a driver-collect budget: over-budget head frames
+    * return None and the caller routes to its join/hier form instead of
+    * this in-expression scan — the automatic broadcast-vs-routed switch
+    * (round-11 verdict: a size guard, not a caller decision) that never
+    * materializes an over-budget frame on the driver. Guard shape matters:
+    * a `limit(n+1).collect()` probe executes CollectLimit's sequential
+    * scale-up waves (tripled the posting-build heads scan), and an
+    * unconditional `count()` adds a full extra scan per call (+20% on the
+    * two-stage search benchmark) — so frames the optimizer's size estimate
+    * already proves driver-safe are collected in ONE job and row-checked
+    * post-hoc; only estimate-heavy frames pay the count.
     */
   def fromHeadsBounded(heads: DataFrame, vec: Column, r: Int, metric: String,
       maxRows: Int): Option[Column] = {
-    if (heads.count() > maxRows) None
+    val est = heads.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= SafeCollectBytes) {
+      val rows = heads.select("head_id", "head_vec").collect()
+      if (rows.length > maxRows) None else Some(fromRows(rows, vec, r, metric))
+    } else if (heads.count() > maxRows) None
     else Some(fromHeads(heads, vec, r, metric))
   }
 
