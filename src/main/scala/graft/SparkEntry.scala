@@ -3379,59 +3379,9 @@ object SparkEntry {
       s"""WITH ${bktCtes(BktK, BktLeaf, BktLevels, BktSelT, BktSplT, BktSplF)}
          |SELECT DISTINCT cid AS head_id FROM sel
          |ORDER BY 1""".stripMargin,
-    "q249_dup_spans" -> {
-      val toks = TextAnalysis.Sql.toks("text")
-      val g = DupSpanGram
-      val gh = graft.functions.Hash60.sql(
-        s"array_to_string(t.tk[g.pos:g.pos+${g - 1}], ' ')")
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${g - 1}))
-         |        AS pos FROM t WHERE len(tk) >= $g),
-         |h AS MATERIALIZED (SELECT g.doc_id, g.pos, $gh AS gh
-         |     FROM g JOIN t USING (doc_id)),
-         |keepg AS (SELECT gh FROM (
-         |    SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
-         |  WHERE df <= 64),
-         |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
-         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |      FROM k x JOIN k y ON x.gh = y.gh AND x.doc_id < y.doc_id),
-         |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
-         |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
-         |                                ORDER BY pa) AS run
-         |      FROM p)
-         |SELECT a, b, min(pa) AS pos_a, min(pb) AS pos_b,
-         |       count(*) + ${g - 1} AS run_tokens
-         |FROM r GROUP BY a, b, diag, run
-         |HAVING count(*) + ${g - 1} >= $DupSpanMinTokens
-         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
-    },
-    "q251_contamination_spans" -> {
-      val toks = TextAnalysis.Sql.toks("text")
-      val g = DupSpanGram
-      val gh = graft.functions.Hash60.sql(
-        s"array_to_string(t.tk[g.pos:g.pos+${g - 1}], ' ')")
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${g - 1}))
-         |        AS pos FROM t WHERE len(tk) >= $g),
-         |h AS MATERIALIZED (SELECT g.doc_id, g.pos, $gh AS gh
-         |     FROM g JOIN t USING (doc_id)),
-         |keepg AS (SELECT gh FROM (
-         |    SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
-         |  WHERE df <= 64),
-         |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
-         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |      FROM k x JOIN k y ON x.gh = y.gh
-         |      WHERE x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7),
-         |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
-         |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
-         |                                ORDER BY pa) AS run
-         |      FROM p)
-         |SELECT a, b, min(pa) AS pos_a, min(pb) AS pos_b,
-         |       count(*) + ${g - 1} AS run_tokens
-         |FROM r GROUP BY a, b, diag, run
-         |HAVING count(*) + ${g - 1} >= $DupSpanMinTokens
-         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
-    },
+    "q249_dup_spans" -> dupSpanSql("x.doc_id < y.doc_id"),
+    "q251_contamination_spans" ->
+      dupSpanSql("x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7"),
     "q250_freq_spectrum" -> {
       val toks = TextAnalysis.Sql.toks("text")
       s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
@@ -7211,6 +7161,40 @@ object SparkEntry {
     * hashes, 16 minhashes, 4-row bands, LSH candidates `cand(a,b)`, exact
     * Jaccard `jac(a,b,jaccard)` — over any document-shaped relation.
     */
+  /** Shared DuckDB mirror of [[graft.operators.Dedup.duplicatedSpans]] /
+    * [[graft.operators.Dedup.contaminationSpans]] (q249/q251): positional
+    * gram fingerprints, the both-corpora df stop-gram guard, and the
+    * gaps-and-islands maximal-run merge — only the pair predicate differs
+    * (`a < b` within one corpus vs the train/eval split).
+    */
+  private def dupSpanSql(pairPredicate: String): String = {
+    val toks = TextAnalysis.Sql.toks("text")
+    val g = DupSpanGram
+    val gh = graft.functions.Hash60.sql(
+      s"array_to_string(t.tk[g.pos:g.pos+${g - 1}], ' ')")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS tk FROM documents),
+       |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - ${g - 1}))
+       |        AS pos FROM t WHERE len(tk) >= $g),
+       |h AS MATERIALIZED (SELECT g.doc_id, g.pos, $gh AS gh
+       |     FROM g JOIN t USING (doc_id)),
+       |keepg AS (SELECT gh FROM (
+       |    SELECT gh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+       |  WHERE df <= 64),
+       |k AS MATERIALIZED (SELECT h.* FROM h JOIN keepg USING (gh)),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+       |      FROM k x JOIN k y ON x.gh = y.gh
+       |      WHERE $pairPredicate),
+       |r AS (SELECT a, b, pa, pb, pa - pb AS diag,
+       |        pa - row_number() OVER (PARTITION BY a, b, pa - pb
+       |                                ORDER BY pa) AS run
+       |      FROM p)
+       |SELECT a, b, min(pa) AS pos_a, min(pb) AS pos_b,
+       |       count(*) + ${g - 1} AS run_tokens
+       |FROM r GROUP BY a, b, diag, run
+       |HAVING count(*) + ${g - 1} >= $DupSpanMinTokens
+       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.operators.Spann.buildHeadTree]] +
     * [[graft.operators.Spann.walkHeadTree]] (q248): per-level CTEs unroll
     * the nearest-seed tree build (the B5/q77 pattern), then a bottom-up

@@ -118,8 +118,12 @@ object NearestHeadsExpr {
   /** [[fromHeads]] with a driver-collect budget: over-budget head frames
     * return None and the caller routes to its join/hier form instead of
     * this in-expression scan — the automatic broadcast-vs-routed switch
-    * (round-11 verdict: a size guard, not a caller decision) that never
-    * materializes an over-budget frame on the driver. Guard shape matters:
+    * (round-11 verdict: a size guard, not a caller decision). The driver
+    * never materializes more than a [[SafeCollectBytes]]-estimated frame
+    * before a decision is made: small-estimate frames are collected (a
+    * driver-safe amount by construction, even when the ROW budget then
+    * fails post-hoc and routes to the join form), estimate-heavy frames
+    * never collect without a row count. Guard shape matters:
     * a `limit(n+1).collect()` probe executes CollectLimit's sequential
     * scale-up waves (tripled the posting-build heads scan), and an
     * unconditional `count()` adds a full extra scan per call (+20% on the

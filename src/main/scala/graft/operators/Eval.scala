@@ -524,8 +524,12 @@ object Eval {
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     // per-(group, value) histogram → doubled tie-averaged rank of the value:
-    // 2·avgrank = 2·rank + ties − 1 = 2·(#below) + count + 1, all integers
-    def rankMap(c: String, out: String): DataFrame = {
+    // 2·avgrank = 2·rank + ties − 1 = 2·(#below) + count + 1, all integers.
+    // NO broadcast hint on the rank-map joins: a near-tie-free column (an
+    // unrounded score) makes the map ∝ distinct values, and Spark's own
+    // threshold then picks a shuffle join — still scale-safe (equi-join on
+    // (group, value)), where a forced broadcast would blow the driver
+    val rankMap = (c: String, out: String) => {
       val wBelow = Window.partitionBy(col(groupCol)).orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, -1)
       df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("_cnt"))
@@ -534,8 +538,8 @@ object Eval {
           (col("_below") * 2 + col("_cnt") + 1).as(out))
     }
     groupOls(
-      df.join(broadcast(rankMap(xCol, "_rx")), Seq(groupCol, xCol))
-        .join(broadcast(rankMap(yCol, "_ry")), Seq(groupCol, yCol)),
+      df.join(rankMap(xCol, "_rx"), Seq(groupCol, xCol))
+        .join(rankMap(yCol, "_ry"), Seq(groupCol, yCol)),
       groupCol, "_rx", "_ry")
       .select(col(groupCol), col("n"), col("corr").as("spearman"))
   }

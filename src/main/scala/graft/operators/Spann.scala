@@ -43,9 +43,13 @@ object Spann {
   def selectHeadsRandom(vectors: DataFrame, ratio: Double,
       salt: String = "heads"): DataFrame = {
     require(ratio > 0)
-    vectors.where(pmod(graft.functions.Hash60(
-      concat(col("id").cast("string"), lit(":" + salt))), lit(10000L)) <
-      math.round(ratio * 10000).min(10000L))
+    // threshold in the hash's own 60-bit space — a coarser modulus would
+    // quantize tiny ratios to zero (ratio 3e-5 on a 100M corpus must still
+    // draw ~3000 heads, not none)
+    val threshold = math.round(ratio * graft.functions.Sketches.KmvSpace)
+      .min(1L << 60)
+    vectors.where(graft.functions.Hash60(
+      concat(col("id").cast("string"), lit(":" + salt))) < threshold)
       .select(col("id").as("head_id"), col("vec").as("head_vec"))
   }
 

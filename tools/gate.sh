@@ -27,7 +27,6 @@ fi
 echo "[gate] compare_oracle → $SUMMARY"
 python3 tools/compare_oracle.py "$SF" "$OUT" --jobs 8 \
   --summary "${SUMMARY}.tmp" > /tmp/graft_gate_compare.log 2>&1
-RC=$?
 if [ ! -f "${SUMMARY}.tmp" ]; then
   echo "[gate] FAIL: compare produced no summary (see /tmp/graft_gate_compare.log)"
   exit 3
