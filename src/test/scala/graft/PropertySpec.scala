@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{RngPrune, TopKBuffer, VectorDistance}
+import graft.functions.{BottomKLongBuffer, RngPrune, TopKBuffer, VectorDistance}
 
 /** ScalaCheck properties over the engine's pure kernels (SURVEY.md §5's
   * property list): distance-kernel laws (the analogue of the reference's
@@ -22,6 +22,12 @@ class PropertySpec extends SparkSpec {
 
   private def check(name: String, p: Prop): Unit = {
     val res = SCTest.check(params, p)
+    assert(res.passed, s"property '$name' failed: ${res.status}")
+  }
+
+  /** For properties that launch Spark jobs per case: fewer cases. */
+  private def checkN(name: String, n: Int, p: Prop): Unit = {
+    val res = SCTest.check(params.withMinSuccessfulTests(n), p)
     assert(res.passed, s"property '$name' failed: ${res.status}")
   }
 
@@ -292,6 +298,62 @@ class PropertySpec extends SparkSpec {
             concat(acc, lit(y))).otherwise(concat(acc, lit(" "), s))))
         .head().getString(0)
       folded == greedy(syms, x, y).mkString(" ")
+    })
+  }
+
+  test("bottom-k long buffer: equals distinct-sort-take(k); split-merge law (KMV)") {
+    // small value range → deliberate duplicates (the distinct contract)
+    val genVals = Gen.listOf(Gen.chooseNum(0L, 60L))
+    val gen = for {
+      xs <- genVals
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, xs.length)
+    } yield (xs, k, cut)
+    check("bottomk-sort", Prop.forAll(gen) { case (xs, k, _) =>
+      val buf = new BottomKLongBuffer(k)
+      xs.foreach(buf.insert)
+      buf.sorted.toList == xs.distinct.sorted.take(k)
+    })
+    check("bottomk-merge", Prop.forAll(gen) { case (xs, k, cut) =>
+      val (l, r) = xs.splitAt(cut)
+      val bl = new BottomKLongBuffer(k); l.foreach(bl.insert)
+      val br = new BottomKLongBuffer(k); r.foreach(br.insert)
+      var i = 0
+      while (i < br.size) { bl.insert(br.vals(i)); i += 1 }
+      val whole = new BottomKLongBuffer(k); xs.foreach(whole.insert)
+      bl.sorted.toList == whole.sorted.toList
+    })
+  }
+
+  test("curriculum closed-form tier/pct equal Spark's own ntile/percent_rank") {
+    import spark.implicits._
+    // random per-source score sets with deliberate raw-score ties; compare
+    // the two-level-rank arithmetic against the window functions directly
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      buckets <- Gen.chooseNum(1, 7)
+      scores <- Gen.listOfN(n, Gen.chooseNum(0, 12))
+    } yield (buckets, scores)
+    checkN("curriculum-ntile", 12, Prop.forAll(gen) { case (buckets, scores) =>
+      val docs = scores.zipWithIndex.map { case (s, i) =>
+        // text whose quality varies with s deterministically: s copies of a
+        // stopword among filler makes stop_ratio (hence quality) vary
+        (i.toLong, "src", ("the " * s) + ("zz " * (13 - s)))
+      }.toDF("doc_id", "source", "text")
+      val got = graft.operators.Pipeline.curriculum(docs, buckets)
+        .select("doc_id", "tier", "pct").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val want = docs
+        .withColumn("quality",
+          graft.operators.TextAnalysis.qualityRaw(col("text")))
+        .select(col("doc_id"), ntile(buckets).over(w).as("tier"),
+          round(percent_rank().over(w), 6).as("pct"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1)
+      got.toList == want.toList
     })
   }
 }
