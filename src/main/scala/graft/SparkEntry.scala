@@ -1692,6 +1692,11 @@ object SparkEntry {
     // token frequency spectrum: the Zipf/Heaps octave staircase per source
     "q250_freq_spectrum" -> ((s, d) =>
       ordered(TextAnalysis.freqSpectrum(Tables.documents(s, d)))),
+    // IVF recall-vs-nprobe tuning curve (the q244 harness for the IVF path)
+    "q252_ivf_recall_curve" -> ((s, d) =>
+      ordered(SimilaritySearch.ivfRecallCurve(
+        embQueries(s, d), Tables.embeddingVec(s, d), K,
+        centroidEveryNth = 25, nprobes = IvfNprobes))),
     // span-level decontamination: WHERE benchmark text sits in train docs
     // (same train/eval split convention as q69's doc-level verdict)
     "q251_contamination_spans" -> ((s, d) => {
@@ -2159,6 +2164,8 @@ object SparkEntry {
   // q249: 4-token grams, report verbatim shared runs of ≥ 8 tokens
   private val DupSpanGram = 4
   private val DupSpanMinTokens = 8
+  // q252: probe budgets for the IVF recall curve
+  private val IvfNprobes = Seq(1, 2, 4, 8)
   // q234: interleave mixture (sources outside the map are dropped)
   private val InterleaveWeights = Seq(("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
   // q235: one-day half-life, 12-half-life tail clamp (Events.decayedValue)
@@ -3380,6 +3387,54 @@ object SparkEntry {
          |SELECT DISTINCT cid AS head_id FROM sel
          |ORDER BY 1""".stripMargin,
     "q249_dup_spans" -> dupSpanSql("x.doc_id < y.doc_id"),
+    "q252_ivf_recall_curve" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
+      val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
+      val tDist = Tables.distSql("cos", "q.qvec", "v.vec")
+      val perNp = IvfNprobes.map { np =>
+        s"""hits$np AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+           |  FROM (SELECT * FROM chr WHERE rn <= $np) ch
+           |  JOIN p ON ch.head_id = p.head_id GROUP BY 1, 2),
+           |r$np AS (SELECT query_id, id FROM (SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist, id) AS rank FROM hits$np) WHERE rank <= $K)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = IvfNprobes.map { np =>
+        s"""SELECT $np AS nprobe,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM r$np JOIN truth USING (query_id, id))
+           |    AS n_hit""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 10),
+         |h AS MATERIALIZED (SELECT id AS head_id, vec AS head_vec FROM v
+         |  WHERE id % 25 = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist
+         |       FROM v CROSS JOIN h),
+         |p AS MATERIALIZED (SELECT * FROM (SELECT id, vec, head_id, dist,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |  FROM pd) WHERE rn <= 1),
+         |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist
+         |        FROM q CROSS JOIN h),
+         |chr AS MATERIALIZED (SELECT query_id, qvec, head_id, hdist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hdist, head_id) AS rn FROM chd),
+         |td AS (SELECT q.query_id, v.id, $tDist AS dist FROM q CROSS JOIN v),
+         |truth AS MATERIALIZED (SELECT query_id, id FROM (
+         |    SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist, id) AS rank FROM td) WHERE rank <= $K),
+         |$perNp
+         |SELECT nprobe, n_true, n_hit,
+         |  CASE WHEN n_true > 0
+         |       THEN n_hit::DOUBLE / n_true::DOUBLE END AS recall
+         |FROM ($rows)
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     "q251_contamination_spans" ->
       dupSpanSql("x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7"),
     "q250_freq_spectrum" -> {

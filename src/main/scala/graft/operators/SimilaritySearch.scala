@@ -42,6 +42,47 @@ object SimilaritySearch {
     Spann.searchTwoStage(queries, cents, postings, k, nprobe, metric = metric)
   }
 
+  /** Recall-vs-nprobe curve for [[ivfSearch]] — the tuning table an IVF
+    * deployment reads before picking its probe budget (the LSH analogue is
+    * [[graft.operators.Dedup.bandingRecall]]): per candidate `nprobe`,
+    * recall@k of the IVF result against the exact scan. One row per nprobe:
+    * `(nprobe, n_true, n_hit, recall)`, recall a single integer divide —
+    * engine-exact.
+    *
+    * Cost shape: the index (centroids + postings) is built ONCE and
+    * checkpointed; the exact truth is ONE [[Knn.search]] corpus scan; each
+    * probe level reuses both, so the sweep costs `|nprobes|` bounded
+    * two-stage searches, not `|nprobes|` index builds.
+    */
+  def ivfRecallCurve(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroidEveryNth: Int,
+      nprobes: Seq[Int],
+      metric: String = "cos"): DataFrame = {
+    require(nprobes.nonEmpty)
+    val cents = Spann.selectHeadsModulo(corpus, centroidEveryNth)
+      .localCheckpoint(true)
+    val postings = Spann.buildPostings(corpus, cents, 1, metric)
+      .localCheckpoint(true)
+    val truth = Knn.search(queries, corpus, k, metric)
+      .select(col("query_id"), col("id")).localCheckpoint(true)
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    nprobes.map { np =>
+      val hit = Spann.searchTwoStage(queries, cents, postings, k, np,
+        metric = metric)
+        .select(col("query_id"), col("id"))
+        .join(truth, Seq("query_id", "id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(broadcast(hit)).select(
+        lit(np).as("nprobe"), col("n_true"), col("n_hit"),
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Deterministic hyperplane-LSH codes: `planes` pseudo-random integer
     * hyperplanes derived from [[Hash60]] (plane p, dim d →
     * weight = hash60(p||'_'||d) % 2001 − 1000); embeddings are quantized to

@@ -210,7 +210,8 @@ class PlanSpec extends SparkSpec {
       "q244_lsh_recall",        // three ONE-row count scalars, broadcast
       "q245_kmv_overlap",       // two ONE-row sketch frames, broadcast pair
       "q246_mixture_budget",    // q107's ONE-row mixture totals, broadcast
-      "q250_freq_spectrum")     // ≤40-row octave-bounds range table, broadcast
+      "q250_freq_spectrum",     // ≤40-row octave-bounds range table, broadcast
+      "q252_ivf_recall_curve")  // per-nprobe ONE-row (n_true × n_hit) scalars
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

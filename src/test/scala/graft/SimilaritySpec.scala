@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(8) >= rec(2) - 1e-9)
   }
 
+  test("ivfRecallCurve: monotone in nprobe, exact at full probe") {
+    val heads = emb.count().toInt / 25 + 1 // every 25th id is a centroid
+    val curve = SimilaritySearch
+      .ivfRecallCurve(queries, emb, 10, 25, Seq(1, 4, heads))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(curve.map(_._4).sliding(2).forall(w => w(0) <= w(1) + 1e-9),
+      s"recall not monotone: ${curve.toSeq}")
+    // probing every centroid reaches every posting → exact search
+    assert(curve.last._4 === 1.0, s"full probe recall ${curve.last._4}")
+    assert(curve.forall { case (_, nt, nh, _) => nh <= nt && nt > 0 })
+  }
+
   test("LSH codes: identical vectors share a code; planes produce spread") {
     val codes = SimilaritySearch.lshCodes(emb, dims = 64)
     val n = codes.count()
