@@ -1353,7 +1353,7 @@ object SparkEntry {
     "q180_psi" -> ((s, d) =>
       ordered(Eval.psi(Tables.documents(s, d).select(
         (col("doc_id") % 2 === 1).as("snap"),
-        TextAnalysis.quality(col("text")).as("score"))))),
+        TextAnalysis.qualityRaw(col("text")).as("score"))))),
     // end-to-end entity resolution: q166's fuzzy pairs drive the q60
     // min-label walk and the q66 keep-set — the canonical part catalog
     "q181_entity_resolution" -> ((s, d) => {
@@ -1416,7 +1416,7 @@ object SparkEntry {
     "q187_correlation" -> ((s, d) => {
       val bigDec = "decimal(38,0)"
       val docs = Tables.documents(s, d).select(
-        round(TextAnalysis.quality(col("text")) * 10000).cast("long").as("x"),
+        round(TextAnalysis.qualityRaw(col("text")) * 10000).cast("long").as("x"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("y"))
       ordered(docs.agg(
         count(lit(1)).cast(bigDec).as("_n"),
@@ -1455,7 +1455,7 @@ object SparkEntry {
     // bounded histograms, cross-multiplied 3σ-equivalent flag
     "q190_mad_outliers" -> ((s, d) =>
       ordered(Pipeline.madOutliers(Tables.documents(s, d),
-        TextAnalysis.quality(col("text"))))),
+        TextAnalysis.qualityRaw(col("text"))))),
     // weekly load-shape profile: (type, dow, hour) cells + type share
     "q191_seasonality" -> ((s, d) =>
       ordered(graft.operators.Events.seasonality(Tables.events(s, d)))),
@@ -5595,12 +5595,12 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 10),
          |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          |pd AS (SELECT q.query_id, e.id, e.vec, $pDist AS dist FROM q CROSS JOIN e),
-         |pool AS (SELECT query_id, id, vec, 1.0 - round(dist, 4) AS rel FROM (
+         |pool AS (SELECT query_id, id, vec, 1.0 - dist AS rel FROM (
          |    SELECT query_id, id, vec, dist,
          |      row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
          |    FROM pd) WHERE rank <= $MmrPool),
          |sims AS (SELECT l.query_id, l.id AS sa, r.id AS sb,
-         |           1.0 - round($sDist, 4) AS sim
+         |           1.0 - ($sDist) AS sim
          |         FROM pool l JOIN pool r
          |           ON l.query_id = r.query_id AND l.id <> r.id),
          |c1 AS (SELECT query_id, id, 1 AS pick, rel AS score FROM (
@@ -5608,7 +5608,7 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
          |    FROM pool) WHERE rn = 1),
          |$rounds
-         |SELECT query_id, CAST(pick AS INT) AS pick, id, round(score, 4) AS score
+         |SELECT query_id, CAST(pick AS INT) AS pick, id, score
          |FROM c$MmrK ORDER BY query_id, pick, id, score""".stripMargin
     },
     // per-doc novelty: corpus shingle df, share with df = 1
@@ -5868,7 +5868,7 @@ object SparkEntry {
     // shares as single divides, ln-term 6dp
     "q180_psi" ->
       s"""WITH s AS (SELECT (doc_id % 2 = 1) AS snap,
-         |             ${TextAnalysis.Sql.qualityExpr} AS score FROM documents),
+         |             ${TextAnalysis.Sql.qualityRawExpr} AS score FROM documents),
          |i AS (SELECT CAST(round(score * 10000) AS BIGINT) AS sc,
          |        CASE WHEN snap THEN 1 ELSE 0 END AS a,
          |        CASE WHEN snap THEN 0 ELSE 1 END AS b FROM s),
@@ -6297,7 +6297,7 @@ object SparkEntry {
     "q187_correlation" -> {
       val toks = TextAnalysis.Sql.toks("text")
       s"""WITH t AS (SELECT
-         |  CAST(round(${TextAnalysis.Sql.qualityExpr} * 10000) AS BIGINT) AS x,
+         |  CAST(round(${TextAnalysis.Sql.qualityRawExpr} * 10000) AS BIGINT) AS x,
          |  CAST(len($toks) AS BIGINT) AS y FROM documents),
          |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
          |        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
@@ -6335,7 +6335,7 @@ object SparkEntry {
     // MAD: the same two-level lower-median histograms, integer throughout
     "q190_mad_outliers" ->
       s"""WITH s AS (SELECT doc_id, source,
-         |             CAST(round(${TextAnalysis.Sql.qualityExpr} * 10000) AS BIGINT) AS x
+         |             CAST(round(${TextAnalysis.Sql.qualityRawExpr} * 10000) AS BIGINT) AS x
          |           FROM documents),
          |h1 AS (SELECT source, x AS v, count(*) AS c FROM s GROUP BY 1, 2),
          |n1 AS (SELECT source, sum(c) AS n FROM h1 GROUP BY 1),
@@ -6504,7 +6504,7 @@ object SparkEntry {
          |rk AS (SELECT doc_id, lang AS pred_label, score,
          |         row_number() OVER (PARTITION BY doc_id
          |           ORDER BY score DESC, lang) AS rn FROM tot)
-         |SELECT rk.doc_id, rk.pred_label, round(rk.score::DOUBLE, 4) AS score,
+         |SELECT rk.doc_id, rk.pred_label, round(rk.score, 4)::DOUBLE AS score,
          |  d.lang AS true_lang,
          |  CAST(rk.pred_label = d.lang AS INT) AS hit
          |FROM rk JOIN documents d ON d.doc_id = rk.doc_id

@@ -855,11 +855,13 @@ object SimilaritySearch {
     * copies of one document. λ=0 degenerates to plain top-k order (the
     * spec's identity check).
     *
-    * Determinism contract: `rel = 1 − dist` over [[Knn.search]]'s
-    * 4dp-rounded distances and `sim = 1 − round(cos, 4)` are exact doubles;
-    * λ and 1−λ must be exactly representable (0.5 is); products and the
-    * running max/argmax are then bit-identical in any engine, ties on id
-    * ascending. The oracle unrolls the k greedy rounds as CTEs.
+    * Determinism contract: `rel = 1 − dist` and `sim = 1 − cos` over the
+    * UNROUNDED mirrored-op distances (a 4dp round here feeds the greedy
+    * score arithmetic — the forbidden boundary-rounding class, observed
+    * live at sf0.1); λ and 1−λ must be exactly representable (0.5 is);
+    * products and the running max/argmax are then bit-identical in any
+    * engine, ties on id ascending, and the emitted score is unrounded.
+    * The oracle unrolls the k greedy rounds as CTEs.
     *
     * Scale posture: the pool is ≤|Q|·R rows (bounded by the batch-query
     * contract) and is localCheckpointed once; the pairwise sim frame is
@@ -874,8 +876,10 @@ object SimilaritySearch {
       lambda: Double,
       poolR: Int,
       metric: String = "cos"): DataFrame = {
-    val pool = Knn.search(queries, corpus, poolR, metric)
-      .select(col("query_id"), col("id"), (lit(1.0) - col("dist")).as("rel"))
+    val pool = Knn.searchAgg(queries, corpus, poolR, metric)
+      .select(col("query_id"), explode(col("nn")).as("r"))
+      .select(col("query_id"), col("r.id").as("id"),
+        (lit(1.0) - col("r.dist")).as("rel"))
       .join(corpus.select(col("id"), col("vec")), Seq("id"))
       .localCheckpoint(true)
     val sims = pool.select(col("query_id"), col("id").as("sa"), col("vec").as("va"))
@@ -883,7 +887,7 @@ object SimilaritySearch {
         Seq("query_id"))
       .where(col("sa") =!= col("sb"))
       .select(col("query_id"), col("sa"), col("sb"),
-        (lit(1.0) - round(graft.functions.dist.cos(col("va"), col("vb")), 4)).as("sim"))
+        (lit(1.0) - graft.functions.dist.cos(col("va"), col("vb"))).as("sim"))
       .localCheckpoint(true)
     var selected = pool.groupBy(col("query_id"))
       .agg(max_by(struct(col("id"), col("rel")),
@@ -907,8 +911,7 @@ object SimilaritySearch {
           lit(t).as("pick"), col("b.score").as("score"))
       selected = selected.unionByName(next)
     }
-    selected.select(col("query_id"), col("pick"), col("id"),
-      round(col("score"), 4).as("score"))
+    selected.select(col("query_id"), col("pick"), col("id"), col("score"))
   }
 
   /** Late-interaction (ColBERT-style) MaxSim retrieval over vector BAGS:

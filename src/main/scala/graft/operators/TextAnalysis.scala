@@ -316,8 +316,13 @@ object TextAnalysis {
   /** Apply an [[nbTrain]] model: `(idCol, pred_label, score)` — argmax over
     * classes of `prior + Σ_features lcp(label, bucket)`, ties to the
     * lexicographically smaller label; score is the winning log-posterior
-    * (unnormalized), 4dp. Documents with no bigrams are omitted (no
-    * features — the q91 convention).
+    * (unnormalized), rounded to 4dp IN DECIMAL SPACE — `round` on the
+    * DecimalType sum (model values are exact DECIMAL(18,9), so the sum is
+    * exact and the half-away-from-zero decimal round is engine-identical;
+    * mirror with DuckDB `round(score, 4)`, NOT a `::DECIMAL(18,4)` cast,
+    * which DuckDB rounds half-to-even). A double-space `round(,4)` here
+    * half-boundary diverged between Spark and DuckDB at sf0.1, 1 doc in
+    * 5000. Documents with no bigrams are omitted (the q91 convention).
     */
   def nbClassify(
       docs: DataFrame,
@@ -342,7 +347,7 @@ object TextAnalysis {
     scored.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(col(idCol), col("label").as("pred_label"),
-        round(col("_score").cast("double"), 4).as("score"))
+        round(col("_score"), 4).cast("double").as("score"))
   }
 
   /** [[nbClassify]] as a PURE PROJECTION (the [[importanceScore]] split):
@@ -389,7 +394,7 @@ object TextAnalysis {
       .where(size(col("_bg")) > 0)
       .withColumn("_best", best)
       .select(col(idCol), col("_best.l").as("pred_label"),
-        round(col("_best.s").cast("double"), 4).as("score"))
+        round(col("_best.s"), 4).cast("double").as("score"))
   }
 
   /** Bigram language-model familiarity score — the perplexity-filter signal

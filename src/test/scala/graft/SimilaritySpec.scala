@@ -387,16 +387,16 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(16, 200) >= r16 - 1e-9, "bigger rerank budget must not lose recall")
   }
 
-  test("mmr with lambda 0 reproduces top-k order on the 4dp-rounded distances") {
-    import org.apache.spark.sql.expressions.Window
-    // mmr scores on Knn.search's 4dp-rounded dist (the oracle-parity
-    // contract), so the λ=0 identity holds against the rounded-dist order —
-    // sub-4dp ties legitimately re-break on id
+  test("mmr with lambda 0 reproduces the exact top-k order") {
+    // mmr scores on the UNROUNDED distances (rounding would feed the greedy
+    // arithmetic — the boundary class), so the λ=0 identity holds against
+    // the raw (dist, id) order from the bounded-top-k aggregate
     val corpus = emb.where(col("id") >= 10).select("id", "vec")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))
-    val plain = SimilaritySearch.bruteForce(queries, corpus, 20)
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("id"))
+    val plain = graft.operators.Knn.searchAgg(queries, corpus, 20, "cos")
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "r")))
+      .where(col("pos") < 5)
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("r.id").as("id"))
     val mmr0 = SimilaritySearch.mmr(queries, corpus, 5, lambda = 0.0, poolR = 20)
       .select(col("query_id"), col("pick").as("rank"), col("id"))
     assert(mmr0.exceptAll(plain).count() === 0)
