@@ -26,6 +26,10 @@ object SparkEntry {
   private val HeadNth = 200
   private val Replicas = 4
   private val InternalK = 8
+  // id-disjoint window chunks in the posting-assignment oracle (see
+  // spannCtes): bounds the DuckDB replay's window spill to 1/8 of the
+  // |corpus|×|heads| pair space at a time — the sf0.1 stress-sweep enabler
+  private val PostingChunks = 8
 
   private def q(s: SparkSession, d: String): DataFrame =
     Tables.ordersQuery(s, d).where(col("query_id") < QN)
@@ -96,6 +100,16 @@ object SparkEntry {
 
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+
+  // q217's PCA model is fitted ONCE per (session, dir) and shared between
+  // the dumped query and the dynamic oracle ([[oracleSqlDynamic]]) so both
+  // sides project through literally the same basis
+  private val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.functions.PCA.Model]
+
+  private def pcaModel(s: SparkSession, d: String): graft.functions.PCA.Model =
+    pcaModelCache.getOrElseUpdate((s, d),
+      graft.functions.PCA.fit(Tables.embeddings(s, d), PcaK, "embedding"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_knn_l2" -> ((s, d) =>
@@ -1587,15 +1601,16 @@ object SparkEntry {
     }),
     // PCA projection of the embedding corpus (fit = one Gram-partials
     // pass + driver-side Jacobi on the d×d covariance; project = codegen
-    // dot products). Eigendecomposition is not SQL-expressible — no
-    // oracle entry; correctness carried by PCASpec's analytic fixtures
-    // (exact eigenvalues, oblique direction recovery, rank-k isometry).
+    // dot products). The fit is cached ([[pcaModel]]) so the dynamic
+    // oracle ([[oracleSqlDynamic]]) inlines the IDENTICAL model literals
+    // and the projection arithmetic is fully oracle-checked; dumped as
+    // scalars (vec_id, dim, value) — array columns are unsortable in the
+    // driver's pandas canonicalization.
     "q217_pca_project" -> ((s, d) => {
       import graft.functions.PCA
       val emb = Tables.embeddings(s, d)
-      val m = PCA.fit(emb, PcaK, "embedding")
-      ordered(PCA.project(emb, m, "embedding", "proj", 4)
-        .select(col("vec_id"), col("proj")))
+      ordered(PCA.project(emb, pcaModel(s, d), "embedding", "proj", 4)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value"))))
     }),
     // funnel conversion-rate dashboard over the q100 stages
     "q225_funnel_summary" -> ((s, d) =>
@@ -1692,6 +1707,30 @@ object SparkEntry {
     // token frequency spectrum: the Zipf/Heaps octave staircase per source
     "q250_freq_spectrum" -> ((s, d) =>
       ordered(TextAnalysis.freqSpectrum(Tables.documents(s, d)))),
+    // REAL audio path end-to-end, driver-gated: synthesize a per-id
+    // square-wave WAV (16-bit PCM via javax.sound.sampled), decode it back
+    // with the REAL decoder, emit the 16-segment RMS profile. The signal
+    // is analytic — segment s of id carries amplitude ((id+s)%32)·1000, so
+    // every decoded RMS is EXACTLY amp/32768 (dyadic quantize/square/
+    // average/sqrt are exact IEEE ops) and the oracle states the closed
+    // form. Both stages are partition-local maps; payloads never shuffle.
+    "q253_audio_rms" -> ((s, d) => {
+      import s.implicits._
+      val n = 256
+      val dim = Multimodal.FeatureDim
+      val feats = s.range(0, 64).as[Long].mapPartitions { ids =>
+        ids.flatMap { id =>
+          val wav = Multimodal.synthWavSquare(
+            seg => (((id + seg) % 32) * 1000).toInt, n, dim, 8000f)
+          Multimodal.decodeAudio(wav).toSeq.flatMap { case (_, samples) =>
+            Multimodal.rmsProfile(samples, dim).zipWithIndex.map {
+              case (r, sIdx) => (id, sIdx, r)
+            }
+          }
+        }
+      }.toDF("id", "seg", "rms")
+      ordered(feats)
+    }),
     // IVF recall-vs-nprobe tuning curve (the q244 harness for the IVF path)
     "q252_ivf_recall_curve" -> ((s, d) =>
       ordered(SimilaritySearch.ivfRecallCurve(
@@ -2826,14 +2865,30 @@ object SparkEntry {
       if (wideK > internalK)
         s"(rank <= $internalK OR (rank <= $wideK AND hdist <= $closeRatio * best))"
       else s"rank <= $internalK"
+    // the posting-assignment top-k runs as PChunks id-disjoint windows
+    // (each MATERIALIZED so they execute one at a time), with `vec`
+    // DROPPED from the window input and joined back on the unique id
+    // afterwards: one monolithic window over |corpus|×|heads| rows
+    // carrying a 64-float list was a ~500 GB DuckDB spill at sf0.1 —
+    // id-chunking leaves every id's partition whole, so row_number picks
+    // are bit-identical and the replay becomes sf0.1-feasible
+    val pChunks = (0 until PostingChunks).map { c =>
+      s"""pc$c AS MATERIALIZED (
+         |  SELECT id, head_id, dist FROM (
+         |    SELECT id, head_id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |    FROM (SELECT v.id, h.head_id, $pDist AS dist
+         |          FROM v CROSS JOIN h WHERE v.id % $PostingChunks = $c))
+         |  WHERE rn <= $Replicas)""".stripMargin
+    }.mkString(",\n")
+    val pUnion = (0 until PostingChunks)
+      .map(c => s"SELECT * FROM pc$c").mkString(" UNION ALL ")
     s"""v AS (${Tables.lineitemVecSql}),
        |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
        |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
-       |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
-       |p AS (SELECT * FROM (
-       |    SELECT id, vec, head_id, dist,
-       |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
-       |    FROM pd) WHERE rn <= $Replicas),
+       |$pChunks,
+       |p AS (SELECT pc.id, v.vec, pc.head_id, pc.dist
+       |      FROM ($pUnion) pc JOIN v USING (id)),
        |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist FROM q CROSS JOIN h),
        |ch AS (SELECT * FROM (
        |    SELECT query_id, qvec, head_id, hdist,
@@ -2887,16 +2942,52 @@ object SparkEntry {
     * `rows_only` verdict (output present, rows > 0, schema dumped) instead
     * of a hash compare. Keep this set minimal — a query belongs here only
     * when the blocking step is genuinely outside SQL (eigendecomposition),
-    * not merely awkward.
-    *
-    *  - q217: PCA fit = driver-side Jacobi eigendecomposition of the
-    *    corpus covariance; DuckDB has no eigensolver and the fitted basis
-    *    is data-dependent, so no static SQL can reproduce the projection.
-    *    Value-level correctness is carried by PCASpec's analytic fixtures
-    *    (exact eigenvalues, oblique direction recovery, rank-k isometry,
-    *    equal-variance Jacobi rotation).
+    * not merely awkward. Currently EMPTY: the one former member (q217)
+    * graduated to a [[oracleSqlDynamic]] full oracle — its fitted basis is
+    * data-dependent but, once fitted, a pure set of literals.
     */
-  def rowsOnly: Set[String] = Set("q217_pca_project")
+  def rowsOnly: Set[String] = Set.empty
+
+  /** Queries whose oracle can only be authored once a model is fitted on
+    * the ACTUAL data — the fit step is outside SQL (eigendecomposition),
+    * but the fitted model is driver-side literals, so Verify inlines them
+    * and the downstream arithmetic is fully oracle-checked. Keys are
+    * disjoint from [[oracleSql]] and [[rowsOnly]]; Verify merges
+    * [[oracleSqlDynamic]] into oracle_sql.json so the driver's DuckDB
+    * replay sees a complete map.
+    */
+  def dynamicOracleNames: Set[String] = Set("q217_pca_project")
+
+  /** Shortest round-trip double literal: DuckDB's (correctly-rounded)
+    * strtod parse of `Double.toString`'s shortest repr recovers the EXACT
+    * bit pattern Spark's `lit()` carries, so mirrored arithmetic is
+    * bit-identical.
+    */
+  private def dlit(x: Double): String = {
+    val str = java.lang.Double.toString(x)
+    if (str.exists(c => c == 'E' || c == '.')) str else str + ".0"
+  }
+
+  /** See [[dynamicOracleNames]]. q217: fit the (cached — identical object
+    * to the query side's) PCA model, inline mean/components as double
+    * literals, and mirror [[graft.functions.PCA.project]]'s exact
+    * arithmetic — left-to-right `(x_i − μ_i)·c_i` accumulation per
+    * component, `round(·, 4)` terminal — as one UNION ALL branch per
+    * output dimension.
+    */
+  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = Map(
+    "q217_pca_project" -> {
+      val m = pcaModel(s, d)
+      val branches = m.components.zipWithIndex.map { case (c, j) =>
+        val expr = c.indices.map { i =>
+          s"(vec[${i + 1}]::DOUBLE - ${dlit(m.mean(i))}) * ${dlit(c(i))}"
+        }.mkString(" + ")
+        s"SELECT vec_id, CAST($j AS INT) AS dim, round($expr, 4) AS value FROM e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding AS vec FROM embeddings)
+         |$branches
+         |ORDER BY vec_id, dim, value""".stripMargin
+    })
 
   def oracleSql: Map[String, String] = Map(
     "q01_knn_l2" -> knnOracle("l2sq"),
@@ -3029,7 +3120,7 @@ object SparkEntry {
          |${step(1)},
          |${step(2)},
          |${step(3)}
-         |SELECT id, pr FROM p3 ORDER BY id, pr""".stripMargin
+         |SELECT id, pr::BIGINT AS pr FROM p3 ORDER BY id, pr""".stripMargin
     },
     "q19_mrr" -> {
       val exDist = Tables.distSql("l2sq", "q.qvec", "v.vec")
@@ -3377,7 +3468,7 @@ object SparkEntry {
          |                  ORDER BY ${TextAnalysis.Sql.qualityRawExpr} DESC, doc_id
          |                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
          |        FROM documents)
-         |SELECT c.doc_id, c.source, c.cum_tokens, b.src_budget
+         |SELECT c.doc_id, c.source, c.cum_tokens::BIGINT AS cum_tokens, b.src_budget
          |FROM cum c JOIN bud b USING (source)
          |WHERE c.cum_tokens <= b.src_budget
          |ORDER BY 1, 2, 3, 4""".stripMargin
@@ -3387,6 +3478,14 @@ object SparkEntry {
          |SELECT DISTINCT cid AS head_id FROM sel
          |ORDER BY 1""".stripMargin,
     "q249_dup_spans" -> dupSpanSql("x.doc_id < y.doc_id"),
+    // the closed form of the synthesized signal: RMS of segment s of id is
+    // exactly ((id+s)%32)·1000/32768 — the Spark side must land on it
+    // through the full WAV encode → javax.sound decode → RMS pipeline
+    "q253_audio_rms" ->
+      """SELECT g.id::BIGINT AS id, CAST(s.seg AS INT) AS seg,
+        |  ((((g.id + s.seg) % 32) * 1000)::DOUBLE / 32768.0)::FLOAT AS rms
+        |FROM generate_series(0, 63) g(id), generate_series(0, 15) s(seg)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q252_ivf_recall_curve" -> {
       val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
       val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
@@ -3443,7 +3542,8 @@ object SparkEntry {
          |c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
          |b AS (SELECT CAST(k AS INT) AS octave,
          |        (1::BIGINT << CAST(k AS INT)) AS lo,
-         |        (2::BIGINT << CAST(k AS INT)) AS hi
+         |        CASE WHEN k = 39 THEN 9223372036854775807::BIGINT
+         |             ELSE (2::BIGINT << CAST(k AS INT)) END AS hi
          |      FROM (SELECT unnest(generate_series(0, 39)) AS k))
          |SELECT c.source, b.octave, b.lo,
          |  CAST(count(*) AS BIGINT) AS n_types,
@@ -4308,7 +4408,7 @@ object SparkEntry {
     "q93_bpe_merges" ->
       s"""WITH ${bpeCtes(BpeRounds)}
          |${(1 to BpeRounds).map(r =>
-             s"SELECT CAST($r AS INT) AS round, x AS lhs, y AS rhs, pc AS cnt FROM t$r")
+             s"SELECT CAST($r AS INT) AS round, x AS lhs, y AS rhs, pc::BIGINT AS cnt FROM t$r")
              .mkString("\n|UNION ALL ")}
          |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q94_bpe_segments" ->
@@ -4392,7 +4492,7 @@ object SparkEntry {
          |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          |          AS session_idx
          |      FROM g)
-         |SELECT user_id, session_idx, min(ts) AS session_start,
+         |SELECT user_id, session_idx::BIGINT AS session_idx, min(ts) AS session_start,
          |  max(ts) AS session_end, count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY user_id, session_idx
@@ -4548,7 +4648,7 @@ object SparkEntry {
          |${step(1)},
          |${step(2)},
          |${step(3)}
-         |SELECT id, pr FROM p3 ORDER BY id, pr""".stripMargin
+         |SELECT id, pr::BIGINT AS pr FROM p3 ORDER BY id, pr""".stripMargin
     },
     // q102's chunk CTEs feeding q105's BM25 CTEs over the chunk text —
     // passage key doc_id·1000 + chunk_idx
@@ -4709,7 +4809,7 @@ object SparkEntry {
          |    SELECT source, pred_lang,
          |           row_number() OVER (PARTITION BY source
          |             ORDER BY cnt DESC, pred_lang) AS rn FROM lc) WHERE rn = 1)
-         |SELECT st.source, st.n_docs, tk.n_tokens, st.mean_quality, st.dup_rate, tl.top_lang
+         |SELECT st.source, st.n_docs, tk.n_tokens::BIGINT AS n_tokens, st.mean_quality, st.dup_rate, tl.top_lang
          |FROM st JOIN tk ON tk.source = st.source JOIN tl ON tl.source = st.source
          |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     },
@@ -5020,7 +5120,7 @@ object SparkEntry {
          |         CAST(round((0 - (c / n.n)) * ln(c / n.n), 6)
          |              AS DECIMAL(18,9)) AS term
          |       FROM ct JOIN n USING (doc_id))
-         |SELECT doc_id, n AS n_tokens, n_uniq,
+         |SELECT doc_id, n::BIGINT AS n_tokens, n_uniq,
          |  round(sum(term), 4)::DOUBLE AS entropy
          |FROM tm GROUP BY doc_id, n, n_uniq
          |ORDER BY 1, 2, 3, 4""".stripMargin
@@ -5093,7 +5193,7 @@ object SparkEntry {
          |         ON a.head_id = b.head_id AND a.dim = b.dim
          |        AND NOT a.snap AND b.snap
          |       GROUP BY 1)
-         |SELECT cnt.head_id, n_a, n_b,
+         |SELECT cnt.head_id, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
          |  round(n_a::DOUBLE / ta, 6) AS share_a,
          |  round(n_b::DOUBLE / tb, 6) AS share_b,
          |  round(round(n_b::DOUBLE / tb, 6) - round(n_a::DOUBLE / ta, 6), 6) AS share_delta,
@@ -5213,7 +5313,7 @@ object SparkEntry {
          |tot AS (SELECT sum(pos) AS tpos FROM per),
          |cum AS (SELECT a.thr, sum(b.pos) AS tp, sum(b.neg) AS fp
          |        FROM per a JOIN per b ON b.thr >= a.thr GROUP BY 1)
-         |SELECT thr, tp, fp, (tpos - tp) AS fn,
+         |SELECT thr, tp::BIGINT AS tp, fp::BIGINT AS fp, (tpos - tp)::BIGINT AS fn,
          |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
          |  CASE WHEN tpos = 0 THEN NULL
          |       ELSE round(tp::DOUBLE / tpos, 6) END AS recall,
@@ -6251,7 +6351,7 @@ object SparkEntry {
         |ORDER BY 1, 2, 3, 4""".stripMargin,
     // q213: permissive JSON — TRY_CAST drops what Spark's cast nulls out
     "q213_json_props" ->
-      """SELECT event_type, count(*) AS n_with, sum(v) AS sum_v,
+      """SELECT event_type, count(*) AS n_with, sum(v)::BIGINT AS sum_v,
         |  min(v) AS min_v, max(v) AS max_v,
         |  count(DISTINCT v) AS n_distinct
         |FROM (SELECT event_type,
@@ -6443,6 +6543,11 @@ object SparkEntry {
     * end-to-end — shared by the join-formulated (q121) and in-row-scored
     * (q125) paths, which are value-identical on the fit corpus.
     */
+  // terminal `+ 0.0` on the rounded column: DuckDB's C-style round keeps
+  // the sign of a tiny negative (−1e-9 → −0.0) where Spark's BigDecimal
+  // round yields +0.0 — repr-divergent at the driver ("−0.0" vs "0.0")
+  // though value-equal. +0.0 normalizes −0.0 and is an exact identity for
+  // every other double (and NULL).
   private def importanceOracleSql: String = {
     val toks = TextAnalysis.Sql.toks("text")
     val h = graft.functions.Hash60.sql("toks[i] || ' ' || toks[i + 1]")
@@ -6459,7 +6564,8 @@ object SparkEntry {
        |      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot),
        |s AS (SELECT doc_id, count(*) AS n_feats, sum(w.lw) AS slw
        |      FROM bg JOIN w ON w.b = bg.b GROUP BY doc_id)
-       |SELECT doc_id, n_feats, round(slw::DOUBLE / n_feats, 4) AS importance
+       |SELECT doc_id, n_feats,
+       |  round(slw::DOUBLE / n_feats, 4) + 0.0 AS importance
        |FROM s ORDER BY 1, 2, 3""".stripMargin
   }
 

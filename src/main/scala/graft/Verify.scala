@@ -62,7 +62,12 @@ object Verify {
     // outDir for every query that finished (round 8's driver stall turned
     // the whole round's correctness artifact into `{}` because this file
     // was written last)
-    writeOracleJson(outDir, SparkEntry.oracleSql.filter(kv => keep(kv._1)))
+    // dynamic entries (data-dependent model literals, e.g. q217's fitted
+    // PCA basis) are generated here — the fit caches, so the q217 query
+    // run below reuses the identical model object
+    writeOracleJson(outDir,
+      (SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, sfDir))
+        .filter(kv => keep(kv._1)))
     // queries dump through a small thread pool: Spark schedules concurrent
     // jobs fine (FIFO within the one session), each query writes its own
     // directory, and no query shares mutable state (scratch subdirs are

@@ -466,12 +466,16 @@ object Eval {
       col("sx").as("sxb"), col("sxx").as("sxxb"))
     // the single unordered pair; the contract check rides the plan as a
     // filter over assert_true (NULL iff it passes — a filter can't be
-    // optimized away, unlike a dropped projection column)
+    // optimized away, unlike a dropped projection column). The assert
+    // lives on the always-one-row nv frame ITSELF, not on `paired`: a 0-
+    // or 1-variant input makes `paired` empty, and a filter riding an
+    // empty frame never evaluates — the degenerate case would silently
+    // return zero rows instead of erroring
     val nv = g.agg(count(lit(1)).as("_nv"))
-    val paired = a.join(b, col("variant_a") < col("variant_b"))
-      .crossJoin(broadcast(nv))
       .where(assert_true(col("_nv") === 2,
         lit("Eval.abTest: exactly two variants required")).isNull)
+    val paired = a.join(b, col("variant_a") < col("variant_b"))
+      .crossJoin(broadcast(nv))
     def mean(sx: Column, n: Column): Column =
       sx.cast("double") / n.cast("double") / lit(scale)
     // sample variance from power sums: (n·Σx² − (Σx)²) / (n(n−1)) / scale²
@@ -523,6 +527,12 @@ object Eval {
     */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
+    // NULL x or y is dropped UP FRONT (a rank over NULL is meaningless and
+    // the rank-map equi-joins below would silently drop such rows anyway —
+    // filtering first makes n and the coefficient well-defined: Spearman
+    // over the complete (x, y) pairs only, the standard pairwise-deletion
+    // convention)
+    val df2 = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
     // per-(group, value) histogram → doubled tie-averaged rank of the value:
     // 2·avgrank = 2·rank + ties − 1 = 2·(#below) + count + 1, all integers.
     // NO broadcast hint on the rank-map joins: a near-tie-free column (an
@@ -532,13 +542,13 @@ object Eval {
     val rankMap = (c: String, out: String) => {
       val wBelow = Window.partitionBy(col(groupCol)).orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, -1)
-      df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("_cnt"))
+      df2.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("_cnt"))
         .withColumn("_below", coalesce(sum(col("_cnt")).over(wBelow), lit(0L)))
         .select(col(groupCol), col(c),
           (col("_below") * 2 + col("_cnt") + 1).as(out))
     }
     groupOls(
-      df.join(rankMap(xCol, "_rx"), Seq(groupCol, xCol))
+      df2.join(rankMap(xCol, "_rx"), Seq(groupCol, xCol))
         .join(rankMap(yCol, "_ry"), Seq(groupCol, yCol)),
       groupCol, "_rx", "_ry")
       .select(col(groupCol), col("n"), col("corr").as("spearman"))

@@ -81,6 +81,143 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AU/AIFF PCM — in the
+    * JVM itself, no external codec): bytes → `(sampleRate, mono samples in
+    * [−1,1])`, channels averaged. Accepts the common PCM forms (8-bit
+    * unsigned, 16-bit signed, either endianness); anything else returns
+    * None and the caller decides fallback policy — the same total-operator
+    * contract as [[decodeImage]]. Runs inside the partition-local map;
+    * payloads never shuffle.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Float, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val bits = fmt.getSampleSizeInBits
+        val ok = (bits == 8 && enc == PCM_UNSIGNED) ||
+          (bits == 8 && enc == PCM_SIGNED) || (bits == 16 && enc == PCM_SIGNED)
+        if (!ok) None
+        else {
+          val bytes = in.readAllBytes()
+          val ch = math.max(fmt.getChannels, 1)
+          val sampleBytes = bits / 8
+          val frameBytes = sampleBytes * ch
+          val nFrames = bytes.length / frameBytes
+          val out = new Array[Float](nFrames)
+          val big = fmt.isBigEndian
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0f
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * sampleBytes
+              val v =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) ((bytes(off) & 0xff) - 128) / 128f
+                  else bytes(off) / 128f
+                } else {
+                  val lo = bytes(off + (if (big) 1 else 0)) & 0xff
+                  val hi = bytes(off + (if (big) 0 else 1)).toInt
+                  ((hi << 8) | lo).toShort / 32768f
+                }
+              acc += v
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          Some((fmt.getSampleRate, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** `nSeg`-segment RMS energy profile of a mono sample buffer — the
+    * classic fixed-width audio descriptor (what a loudness/VAD gate or a
+    * cheap audio-dedup key reads). Deterministic segment boundaries
+    * (`floor(len · s / nSeg)`), each at least one sample wide.
+    */
+  def rmsProfile(samples: Array[Float], nSeg: Int): Array[Float] = {
+    require(nSeg > 0 && samples.nonEmpty, "need samples and nSeg > 0")
+    val out = new Array[Float](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val lo = (samples.length.toLong * s / nSeg).toInt
+      val hi = math.min(
+        math.max((samples.length.toLong * (s + 1) / nSeg).toInt, lo + 1),
+        samples.length)
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += samples(i).toDouble * samples(i); i += 1 }
+      out(s) = math.sqrt(acc / math.max(hi - lo, 1)).toFloat
+      s += 1
+    }
+    out
+  }
+
+  /** Audio-path feature extraction with the REAL decoder
+    * ([[decodeAudio]]): decode to mono samples, emit the
+    * [[FeatureDim]]-segment [[rmsProfile]] (same feature contract as the
+    * image path). Payloads no audio reader accepts fall back to the
+    * deterministic byte-histogram stand-in, so the operator is total over
+    * mixed/dirty corpora — fallback share observable via `checksum` (real
+    * decodes carry `-1`, the fallback keeps the byte sum). Partition-local
+    * map, no shuffle — the 100 TB posture of [[extractFeatures]] unchanged.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.payload) match {
+          case Some((_, samples)) if samples.nonEmpty =>
+            MediaFeatures(r.id, r.kind, r.payload.length, -1L,
+              rmsProfile(samples, FeatureDim))
+          case _ =>
+            var sum = 0L
+            var i = 0
+            while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+            MediaFeatures(r.id, r.kind, r.payload.length, sum,
+              fakeDecode(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Deterministic square-wave WAV synthesizer (16-bit signed mono PCM,
+    * little-endian, written through the SAME `javax.sound.sampled`
+    * container API [[decodeAudio]] reads): `nSamples` samples in `nSeg`
+    * equal segments, segment `s` alternating `±ampPerSeg(s)` — zero DC,
+    * constant per-segment magnitude, so the decoded [[rmsProfile]] is
+    * analytically `ampPerSeg(s)/32768` EXACTLY (dyadic values: quantize,
+    * square, average over a power-of-two segment and sqrt are all exact
+    * IEEE ops). The synthetic-audio fixture generator a pipeline test rig
+    * needs, and the oracle anchor for the real-decode path.
+    */
+  def synthWavSquare(ampPerSeg: Int => Int, nSamples: Int, nSeg: Int,
+      rate: Float): Array[Byte] = {
+    require(nSamples % nSeg == 0, "segments must divide samples")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val amp = ampPerSeg(i * nSeg / nSamples)
+      require(amp >= 0 && amp < 32768, s"amp $amp out of 16-bit range")
+      val v: Short = (if (i % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Image-path feature extraction with the REAL decoder: decode the payload
     * (`javax.imageio`), nearest-neighbor resize the grayscale plane to 4×4,
     * and emit the 16 pixels as the feature vector (same `FeatureDim`

@@ -443,7 +443,7 @@ object Pipeline {
   /** DuckDB mirror of [[tokenBudgetSelect]] over `documents` (ordering key =
     * the unrounded mirrored-op score, matching the Spark side). */
   def tokenBudgetSelectSql(budget: Long): String =
-    s"""SELECT doc_id, source, cum_tokens FROM (
+    s"""SELECT doc_id, source, cum_tokens::BIGINT AS cum_tokens FROM (
        |  SELECT doc_id, source,
        |         sum(len(${TextAnalysis.Sql.toks("text")}))
        |           OVER (PARTITION BY source
@@ -1232,7 +1232,7 @@ object Pipeline {
       if (alpha == 0.5) "sqrt(n_tokens::DOUBLE / tot::DOUBLE)"
       else s"pow(n_tokens::DOUBLE / tot::DOUBLE, $alpha)"
     s"""WITH s AS (SELECT source, count(*) AS n_docs,
-       |             sum(len($toks)) AS n_tokens
+       |             sum(len($toks))::BIGINT AS n_tokens
        |           FROM documents GROUP BY source),
        |t AS (SELECT sum(n_tokens) AS tot FROM s),
        |r AS (SELECT source, n_docs, n_tokens,

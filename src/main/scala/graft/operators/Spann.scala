@@ -76,7 +76,7 @@ object Spann {
     * resolved in a second pass.
     */
   final case class BktSplit(
-      node: String, selectCnt: Int, internal: Seq[(Long, Long)], nLeaf: Long)
+      node: String, selectCnt: Long, internal: Seq[(Long, Long)], nLeaf: Long)
 
   /** BKT head-selection tree (B6 stage 1, the structure
     * `SelectHeadInternal` builds via `BKTree::BuildTrees` —
@@ -202,12 +202,15 @@ object Spann {
       if (childrenSize >= selectThreshold) {
         n.centerId.foreach { cid => selfEmits += cid; total += 1 }
         if (childrenSize > splitThreshold) {
-          val selectCnt =
-            ((childrenSize + splitFactor - 1) / splitFactor).toInt
+          // Long arithmetic throughout: a root-level split on a corpus
+          // past ~splitFactor·2³¹ vectors would overflow an Int selectCnt
+          // to negative, corrupting split picks AND the count the dynamic
+          // ratio binary search reads
+          val selectCnt = (childrenSize + splitFactor - 1) / splitFactor
           val internal = kidCs.flatMap { case (c, cs) =>
             c.centerId.map(cid => (cs, cid))
           }
-          total += math.min(selectCnt.toLong, internal.size + n.nLeaf)
+          total += math.min(selectCnt, internal.size + n.nLeaf)
           pending += BktSplit(n.node, selectCnt, internal, n.nLeaf)
         }
         0L
@@ -227,7 +230,7 @@ object Spann {
     */
   def resolveBktSplits(leaves: DataFrame, pending: Seq[BktSplit]): Seq[Long] = {
     val demands = pending
-      .map(p => (p.node, math.min(p.selectCnt.toLong, p.nLeaf)))
+      .map(p => (p.node, math.min(p.selectCnt, p.nLeaf)))
       .filter(_._2 > 0)
     val fetched: Map[String, Array[Long]] =
       if (demands.isEmpty) Map.empty
@@ -242,11 +245,14 @@ object Spann {
           .as[(String, Array[Long])].collect().toMap
       }
     pending.flatMap { p =>
+      // take() is Int-bounded; a demanded count past 2³¹ can't be picked
+      // driver-side anyway (the budget guard refuses such trees upstream)
+      val want = math.min(p.selectCnt, Int.MaxValue.toLong).toInt
       val leafContribs = fetched.getOrElse(p.node, Array.empty[Long])
-        .take(p.selectCnt).map(id => (1L, id)).toSeq
+        .take(want).map(id => (1L, id)).toSeq
       (p.internal ++ leafContribs)
         .sortBy { case (cs, cid) => (-cs, cid) }
-        .take(p.selectCnt).map(_._2)
+        .take(want).map(_._2)
     }
   }
 
@@ -315,10 +321,36 @@ object Spann {
     headsFromIds(vectors, ids)
   }
 
-  private def collectTree(internal: DataFrame): Seq[BktTreeNode] =
-    internal.select("node", "parent", "center_id", "n_leaf").collect().toSeq
-      .map(r => BktTreeNode(r.getString(0), r.getString(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+  /** Driver budget for the B6 parity walk's collected internal tree. The
+    * frame is O(n/leafSize) when `maxLevels` is raised to keep `leafSize`
+    * small on a huge corpus — bounded today by the defaults (≤ ~87k nodes
+    * at k=4, maxLevels=8) but NOT structurally, so the collect is guarded:
+    * fail loudly instead of OOMing the driver. The scalable SelectHead
+    * path remains [[selectHeadsKMeans]] (the reference walk is
+    * single-machine too — parity op, not the 100 TB path).
+    */
+  private[graft] val MaxTreeNodes: Long = 2L << 20
+
+  private[graft] def collectTree(internal: DataFrame): Seq[BktTreeNode] = {
+    val sel = internal.select("node", "parent", "center_id", "n_leaf")
+    def refuse(n: Long): Nothing = throw new IllegalStateException(
+      s"selectHeadsBkt: internal tree has $n nodes > $MaxTreeNodes driver " +
+        "budget — raise leafSize / lower maxLevels, or use " +
+        "selectHeadsKMeans (the scalable SelectHead path)")
+    // the fromHeadsBounded guard shape (NearestHeads.scala:134): a frame
+    // the optimizer's size estimate already proves driver-safe collects in
+    // ONE job and is row-checked post-hoc; only an estimate-heavy frame
+    // pays a count() probe, and it refuses BEFORE any collect
+    val est = sel.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > graft.functions.NearestHeadsExpr.SafeCollectBytes) {
+      val n = sel.count()
+      if (n > MaxTreeNodes) refuse(n)
+    }
+    val rows = sel.collect()
+    if (rows.length > MaxTreeNodes) refuse(rows.length)
+    rows.toSeq.map(r => BktTreeNode(r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+  }
 
   private def headsFromIds(vectors: DataFrame, ids: Seq[Long]): DataFrame = {
     val spark = vectors.sparkSession

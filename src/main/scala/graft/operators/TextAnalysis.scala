@@ -576,10 +576,14 @@ object TextAnalysis {
   def freqSpectrum(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text", maxOctave: Int = 40): DataFrame = {
     val spark = docs.sparkSession
+    // the LAST octave is open-ended (hi = Long.MaxValue): a token type
+    // whose count reaches 2^maxOctave must land in the top bucket, not
+    // silently vanish from the spectrum
     val bounds = spark.range(0, maxOctave).select(
       col("id").cast("int").as("octave"),
       expr("shiftleft(cast(1 as bigint), cast(id as int))").as("lo"),
-      expr("shiftleft(cast(2 as bigint), cast(id as int))").as("hi"))
+      when(col("id") === maxOctave - 1, lit(Long.MaxValue))
+        .otherwise(expr("shiftleft(cast(2 as bigint), cast(id as int))")).as("hi"))
     val counts = docs
       .select(col(sourceCol), explode(tokens(col(textCol))).as("_tok"))
       .groupBy(col(sourceCol), col("_tok")).agg(count(lit(1)).as("_cnt"))

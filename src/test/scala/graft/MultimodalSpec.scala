@@ -55,6 +55,59 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.fakeDecode(Array[Byte](1, 2, 3, 4)).toSeq)
   }
 
+  test("real audio decode: a generated WAV round-trips through " +
+    "decodeAudio + extractAudioFeatures; undecodable payloads fall back") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // 16-bit signed mono PCM, 800 samples: first half amplitude 16384
+    // (=0.5) square, second half silence — RMS profile is analytic
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // decodeAudio recovers rate + the exact quantized samples
+    val Some((rate, samples)) = Multimodal.decodeAudio(wav)
+    assert(rate === 16000f && samples.length === n)
+    assert(samples(0) === 16384 / 32768f && samples(1) === -16384 / 32768f)
+    assert(samples(n - 1) === 0f)
+    // analytic RMS: segments 0..7 all |0.5|, segments 8..15 all 0
+    val prof = Multimodal.rmsProfile(samples, Multimodal.FeatureDim)
+    for (s <- 0 until 8) assert(math.abs(prof(s) - 0.5f) < 1e-6, s"seg $s")
+    for (s <- 8 until 16) assert(prof(s) === 0f, s"seg $s")
+    // through the Dataset path: WAV row decodes (checksum -1); garbage row
+    // falls back to the byte-histogram stand-in
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 0, 0, 16000),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](9, 9), 0, 0, 0))
+    val feats = Multimodal.extractAudioFeatures(rows.toDS())
+      .collect().sortBy(_.id)
+    assert(feats(0).checksum === -1L)
+    assert(feats(0).features.toSeq === prof.toSeq)
+    assert(feats(1).checksum === 18L)
+    assert(feats(1).features.toSeq ===
+      Multimodal.fakeDecode(Array[Byte](9, 9)).toSeq)
+    // stereo averaging: L = +0.5, R = -0.5 → mono 0
+    val st = new Array[Byte](8)
+    st(0) = 0; st(1) = 0x40; st(2) = 0; st(3) = 0xc0.toByte
+    st(4) = 0; st(5) = 0x40; st(6) = 0; st(7) = 0xc0.toByte
+    val fmt2 = new AudioFormat(8000f, 16, 2, true, false)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(st), fmt2, 2L),
+      AudioFileFormat.Type.WAVE, bos2)
+    val Some((_, mono)) = Multimodal.decodeAudio(bos2.toByteArray)
+    assert(mono.toSeq === Seq(0f, 0f))
+  }
+
   test("fakeDecode is a unit-normalized 16-bin histogram") {
     val f = Multimodal.fakeDecode("hello world".getBytes("UTF-8"))
     assert(f.length === 16)

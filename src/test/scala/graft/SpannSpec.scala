@@ -297,6 +297,34 @@ class SpannSpec extends SparkSpec {
     assert(resolved === Seq(31L, 32L))
   }
 
+  test("collectTree refuses an over-budget internal tree before OOMing the driver") {
+    // the B6 parity walk collects the internal tree (O(n/leafSize) when
+    // maxLevels is raised on a huge corpus) — the guard must fail loudly
+    // and point at the scalable path
+    val big = spark.range(0, Spann.MaxTreeNodes + 1).select(
+      col("id").cast("string").as("node"), lit("0").as("parent"),
+      col("id").as("center_id"), lit(1L).as("n_leaf"))
+    val e = intercept[IllegalStateException] { Spann.collectTree(big) }
+    assert(e.getMessage.contains("selectHeadsKMeans"))
+  }
+
+  test("walkHeadTree split counts stay exact past Int range (billion-leaf nodes)") {
+    // a root-level split on a >2³¹-leaf subtree: the old Int selectCnt
+    // overflowed negative, corrupting the picks AND the count the dynamic
+    // ratio binary search reads
+    val big = 5_000_000_000L
+    val nodes = Seq(
+      Spann.BktTreeNode("0", null, None, 0L),
+      Spann.BktTreeNode("0.1", "0", Some(10L), big))
+    val (emits, total, pending) = Spann.walkHeadTree(nodes, 2, 2, 1)
+    assert(emits === Seq(10L))
+    assert(pending.size === 1)
+    val p = pending.head
+    assert(p.selectCnt === big + 1L, "ceil((1+big)/1) must not wrap")
+    // total = emitted center + min(selectCnt, nLeaf picks available)
+    assert(total === 1L + big)
+  }
+
   test("Random SelectHead: deterministic hash draw lands near the ratio") {
     val vecs = Tables.embeddingVec(spark, sf0001).select(col("id"), col("vec"))
     val n = vecs.count()

@@ -27,6 +27,18 @@ class TextAnalysisSpec extends SparkSpec {
       ("s0", 0, 1L, 1L, 1L), ("s0", 1, 2L, 1L, 2L), ("s0", 2, 4L, 1L, 4L)))
   }
 
+  test("freqSpectrum's top octave is open-ended — ultra-frequent types land there") {
+    // maxOctave = 2 → buckets [1,2) and [2,∞); a count of 5 reaches 2^2
+    // and must surface in the top bucket, never silently vanish
+    val docs = Seq((1L, "s0", "aa aa aa aa aa bb"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.freqSpectrum(docs, maxOctave = 2)
+      .orderBy("octave")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("s0", 0, 1L, 1L, 1L), ("s0", 1, 2L, 1L, 5L)))
+  }
+
   test("langId picks the dominant stopword profile") {
     val docs = Seq(
       (1L, "the cat and the dog in the house"),
@@ -423,6 +435,32 @@ class TextAnalysisSpec extends SparkSpec {
     // n = 1 on one side → NULL (variance undefined)
     val one = Seq(("a", 5L), ("b", 7L), ("b", 8L)).toDF("variant", "x")
     assert(Eval.abTest(one, 1.0).head().isNullAt(6))
+  }
+
+  test("abTest enforces exactly two variants — 1- and 3-variant inputs ERROR") {
+    import graft.operators.Eval
+    // a single variant makes `paired` empty; the runtime contract check
+    // must still FIRE (it rides the always-one-row variant-count frame,
+    // not the possibly-empty pair frame) instead of silently returning 0
+    // rows for a caller bug like a bad hash-bucket expression
+    val single = Seq(("only", 1L), ("only", 2L)).toDF("variant", "x")
+    val e1 = intercept[Exception] { Eval.abTest(single, 1.0).collect() }
+    assert(e1.getMessage.contains("exactly two variants"))
+    val three = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("variant", "x")
+    val e3 = intercept[Exception] { Eval.abTest(three, 1.0).collect() }
+    assert(e3.getMessage.contains("exactly two variants"))
+  }
+
+  test("spearmanByGroup drops NULL pairs up front (pairwise deletion)") {
+    import graft.operators.Eval
+    // the two NULL-bearing rows must not affect n or the coefficient —
+    // identical answer to the frame with complete pairs only
+    val full = Seq(("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
+      ("g", Some(3.0), Some(3.0)), ("g", None, Some(9.0)),
+      ("g", Some(9.0), None)).toDF("g", "x", "y")
+    val r = Eval.spearmanByGroup(full, "g", "x", "y").head()
+    assert(r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
   test("spearmanByGroup: +1/-1 on monotone data, tie-averaged ranks, NULL on constants") {

@@ -12,12 +12,28 @@ class VerifySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     val ro = SparkEntry.rowsOnly
-    // the explicit carve-out: rows-only queries are real queries with NO
-    // oracle — never a silent omission, never a dangling registry entry
+    val dyn = SparkEntry.dynamicOracleNames
+    // the explicit carve-outs: rows-only queries are real queries with NO
+    // oracle, dynamic-oracle queries get theirs authored at Verify time —
+    // never a silent omission, never a dangling registry entry
     assert((ro -- q).isEmpty, s"rowsOnly names without a query: ${ro -- q}")
     assert((ro & o).isEmpty, s"rowsOnly names that DO have an oracle: ${ro & o}")
-    assert((q -- o -- ro).isEmpty, s"queries without oracle: ${q -- o -- ro}")
+    assert((dyn -- q).isEmpty, s"dynamic oracle names without a query: ${dyn -- q}")
+    assert((dyn & o).isEmpty, s"dynamic names that ALSO have a static oracle: ${dyn & o}")
+    assert((dyn & ro).isEmpty, s"dynamic names marked rows-only: ${dyn & ro}")
+    assert((q -- o -- ro -- dyn).isEmpty, s"queries without oracle: ${q -- o -- ro -- dyn}")
     assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("dynamic oracles generate for exactly their declared names") {
+    val gen = SparkEntry.oracleSqlDynamic(spark, sf0001)
+    assert(gen.keySet === SparkEntry.dynamicOracleNames)
+    gen.values.foreach(sql => assert(sql.trim.nonEmpty))
+    // the q217 oracle must inline the fitted basis as literals — one
+    // UNION ALL branch per output dimension, arithmetic over embeddings
+    val q217 = gen("q217_pca_project")
+    assert(q217.contains("FROM embeddings"))
+    assert("UNION ALL".r.findAllIn(q217).size === 7, "expected 8 dim branches")
   }
 
   test("rows-only queries still dump non-empty output (the weaker gate)") {

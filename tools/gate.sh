@@ -24,6 +24,14 @@ if [ ! -f "$OUT/oracle_sql.json" ]; then
   echo "[gate] FAIL: Verify did not complete (see /tmp/graft_gate_verify.log)"
   exit 2
 fi
+echo "[gate] static dtype-pairing check (check_oracle_types.py)"
+python3 tools/check_oracle_types.py "$SF" "$OUT" --selftest \
+  --report /tmp/graft_gate_types.json
+if [ $? -ne 0 ]; then
+  echo "[gate] FAIL: oracle/spark dtype pairing violations (see above +"
+  echo "       /tmp/graft_gate_types.json) — repr-divergent at the driver"
+  exit 4
+fi
 echo "[gate] compare_oracle → $SUMMARY"
 python3 tools/compare_oracle.py "$SF" "$OUT" --jobs 8 \
   --summary "${SUMMARY}.tmp" > /tmp/graft_gate_compare.log 2>&1
