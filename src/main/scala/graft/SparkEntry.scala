@@ -101,6 +101,38 @@ object SparkEntry {
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(col).toIndexedSeq: _*)
 
+  /** The 5-NN cosine digraph of the embedding set `(src, dst)` — shared by
+    * the graph-analytics queries (q109 PageRank, q254 mutual-kNN, q256
+    * label propagation). The exact self-kNN edge build here is the ORACLE
+    * path (all vectors as batch queries — fixture-bounded, like q95); at
+    * corpus scale the operators consume the B2/B3 TP-tree graph's edge
+    * table instead. Top-(k+1) then drop self: removing one element can
+    * only promote, so the k best remaining ranks are exactly the oracle's
+    * self-free top-k.
+    */
+  private def knnDigraph(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+    val qs = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    Knn.search(qs, vecs, PrK + 1, "cos")
+      .where(col("id") =!= col("query_id"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= PrK)
+      .select(col("query_id").as("src"), col("id").as("dst"))
+  }
+
+  /** DuckDB mirror of [[knnDigraph]] (v/dd/e CTE prefix). */
+  private def knnDigraphCtes: String = {
+    val cd = Tables.distSql("cos", "a.vec", "b.vec")
+    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |dd AS (SELECT a.id AS src, b.id AS dst, $cd AS dist
+       |       FROM v a CROSS JOIN v b WHERE a.id <> b.id),
+       |e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM dd)
+       |      WHERE rn <= $PrK)""".stripMargin
+  }
+
   // q217's PCA model is fitted ONCE per (session, dir) and shared between
   // the dumped query and the dynamic oracle ([[oracleSqlDynamic]]) so both
   // sides project through literally the same basis
@@ -822,17 +854,8 @@ object SparkEntry {
     // (KnnGraphSpec runs pageRank over rngRefine output via k <= 0)
     "q109_pagerank" -> ((s, d) => {
       val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
-      val qs = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
-      // top-(k+1) then drop self: removing one element can only promote, so
-      // the 5 best remaining ranks are exactly the oracle's self-free top-5
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("rank"))
-      val edges = Knn.search(qs, vecs, PrK + 1, "cos")
-        .where(col("id") =!= col("query_id"))
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= PrK)
-        .select(col("query_id").as("src"), col("id").as("dst"))
-      ordered(graft.operators.KnnGraph.pageRank(edges, vecs.select(col("id")), PrK, PrIters))
+      ordered(graft.operators.KnnGraph.pageRank(
+        knnDigraph(s, d), vecs.select(col("id")), PrK, PrIters))
     }),
     // RAG passage retrieval: token-window chunking (q102) composed with BM25
     // (q105) over the chunk text — the retrieval step of a RAG pipeline,
@@ -1730,6 +1753,29 @@ object SparkEntry {
         }
       }.toDF("id", "seg", "rms")
       ordered(feats)
+    }),
+    // mutual (reciprocal) kNN pairs over the 5-NN cosine digraph — the
+    // hub-robust near-dup / cluster-seed pair generator
+    "q254_mutual_knn" -> ((s, d) =>
+      ordered(graft.operators.KnnGraph.mutualKnn(knnDigraph(s, d)))),
+    // centroid silhouette of the q149-convention clustering (heads = every
+    // SemNth-th embedding): per-centroid cohesion-vs-separation score
+    "q255_silhouette" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d)
+      ordered(graft.operators.Eval.silhouette(
+        vecs.select(col("id"), col("vec")),
+        vecs.where(col("id") % SemNth === 0)
+          .select(col("id").as("head_id"), col("vec").as("head_vec"))))
+    }),
+    // semi-supervised label propagation: clamp every 5th embedding's gold
+    // label, spread along the 5-NN digraph for PrIters synchronous rounds
+    "q256_label_prop" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d)
+      ordered(graft.operators.KnnGraph.labelPropagate(
+        knnDigraph(s, d),
+        vecs.select(col("id")),
+        vecs.where(col("id") % 5 === 0).select(col("id"), col("label")),
+        PrIters))
     }),
     // IVF recall-vs-nprobe tuning curve (the q244 harness for the IVF path)
     "q252_ivf_recall_curve" -> ((s, d) =>
@@ -3486,6 +3532,60 @@ object SparkEntry {
         |  ((((g.id + s.seg) % 32) * 1000)::DOUBLE / 32768.0)::FLOAT AS rms
         |FROM generate_series(0, 63) g(id), generate_series(0, 15) s(seg)
         |ORDER BY 1, 2, 3""".stripMargin,
+    // both directed edges must exist; a < b canonicalizes the pair
+    "q254_mutual_knn" ->
+      s"""WITH $knnDigraphCtes
+         |SELECT l.src AS a, l.dst AS b
+         |FROM e l JOIN e r ON r.src = l.dst AND r.dst = l.src
+         |WHERE l.src < l.dst
+         |ORDER BY 1, 2""".stripMargin,
+    // top-2 head distances per vector → s = (b−a)/max(a,b); exact DECIMAL
+    // sum of 6dp-rounded scores so the mean is reduction-order-free;
+    // terminal +0.0 normalizes a possible −0.0 (the q121 lesson)
+    "q255_silhouette" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $SemNth = 0),
+         |pd AS (SELECT v.id, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |t2 AS (SELECT id, head_id, dist, rn FROM (
+         |    SELECT id, head_id, dist,
+         |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |    FROM pd) WHERE rn <= 2),
+         |pv AS (SELECT id,
+         |         min(CASE WHEN rn = 1 THEN head_id END) AS head_id,
+         |         min(CASE WHEN rn = 1 THEN dist END) AS a,
+         |         min(CASE WHEN rn = 2 THEN dist END) AS b
+         |       FROM t2 GROUP BY id),
+         |sc AS (SELECT head_id,
+         |         CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |              ELSE 0.0 END AS s
+         |       FROM pv)
+         |SELECT head_id, count(*) AS n,
+         |  round(sum(CAST(round(s, 6) AS DECIMAL(18,6)))::DOUBLE / count(*), 6) + 0.0
+         |    AS mean_silhouette
+         |FROM sc GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // clamped seeds + PrIters unrolled majority rounds (count DESC, label
+    // ASC tiebreak), mirroring KnnGraph.labelPropagate round-for-round
+    "q256_label_prop" -> {
+      val rounds = (1 to PrIters).map { r =>
+        s"""cnt$r AS (SELECT e.dst, l.label, count(*) AS c
+           |        FROM e JOIN lp${r - 1} l ON l.id = e.src
+           |        WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |pk$r AS (SELECT dst AS id, label FROM (
+           |    SELECT dst, label,
+           |           row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+           |    FROM cnt$r) WHERE rn = 1),
+           |lp$r AS MATERIALIZED (SELECT v.id, coalesce(sd.label, pk$r.label) AS label
+           |      FROM v LEFT JOIN sd USING (id) LEFT JOIN pk$r USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnDigraphCtes,
+         |sd AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 = 0),
+         |lp0 AS (SELECT v.id, sd.label FROM v LEFT JOIN sd USING (id)),
+         |$rounds
+         |SELECT id, label FROM lp$PrIters WHERE label IS NOT NULL
+         |ORDER BY 1, 2""".stripMargin
+    },
     "q252_ivf_recall_curve" -> {
       val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
       val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")

@@ -554,6 +554,41 @@ object Eval {
       .select(col(groupCol), col("n"), col("corr").as("spearman"))
   }
 
+  /** Centroid silhouette — the clustering-quality score an embedding-
+    * curation pipeline reads before trusting cluster-based ops (SemDeDup
+    * buckets, cluster sampling, IVF cells): per vector, `a` = distance to
+    * its own (nearest) centroid, `b` = distance to the best OTHER centroid,
+    * `s = (b − a) / max(a, b)` (the standard simplified silhouette — the
+    * exact pairwise form is O(n²) and adds nothing at centroid granularity).
+    * Output one row per centroid: `(head_id, n, mean_silhouette)` at 6dp.
+    *
+    * Scale: `a`/`b` are ranks 1–2 of ONE bounded top-k pass over the corpus
+    * ([[Knn.searchAgg]]'s single-scan aggregate — heads ride inside the
+    * expression, nothing shuffles but the per-head partial aggregates);
+    * the mean is an exact DECIMAL sum of 6dp-rounded scores, so it is
+    * reduction-order-independent and engine-exact. `s = 0` when both
+    * distances are 0 (a vector sitting ON two coincident centroids).
+    */
+  def silhouette(vecs: DataFrame, heads: DataFrame,
+      metric: String = "cos"): DataFrame = {
+    val top2 = Knn.searchAgg(
+      vecs.select(col("id").as("query_id"), col("vec").as("qvec")),
+      heads.select(col("head_id").as("id"), col("head_vec").as("vec")),
+      2, metric)
+    val scored = top2.select(
+      element_at(col("nn"), 1).getField("id").as("head_id"),
+      element_at(col("nn"), 1).getField("dist").as("_a"),
+      element_at(col("nn"), 2).getField("dist").as("_b"))
+      .select(col("head_id"),
+        when(greatest(col("_a"), col("_b")) > 0,
+          (col("_b") - col("_a")) / greatest(col("_a"), col("_b")))
+          .otherwise(lit(0.0)).as("_s"))
+    scored.groupBy(col("head_id")).agg(
+      count(lit(1)).as("n"),
+      round(sum(round(col("_s"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("mean_silhouette"))
+  }
+
   def mrrAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
     val t = truthDf.where(col("rank") <= k)
       .select(col("query_id"), col("id"))

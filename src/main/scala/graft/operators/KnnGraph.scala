@@ -367,6 +367,64 @@ object KnnGraph {
     * contract (the oracle mirror unrolls exactly `maxRounds` rounds in
     * SQL, so both sides truncate identically).
     */
+  /** Mutual (reciprocal) kNN pairs: `(a, b)` with `a < b` kept iff BOTH
+    * directed edges a→b and b→a exist in the kNN digraph. The classic
+    * high-precision near-duplicate / cluster-seed signal (a one-sided kNN
+    * edge only says "b is among a's closest", which hubs satisfy for
+    * everyone; mutuality kills hub false-positives) — the pair generator
+    * RNN-clustering and two-way-match dedup start from.
+    *
+    * Scale: one self-equi-join of the edge list on (src, dst) — edges are
+    * O(n·k), never the corpus pair space; no windows, no driver state.
+    */
+  def mutualKnn(edges: DataFrame): DataFrame = {
+    val f = edges.select(col("src"), col("dst"))
+    f.where(col("src") < col("dst"))
+      .join(f.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .select(col("src").as("a"), col("dst").as("b"))
+  }
+
+  /** Semi-supervised label propagation over a kNN digraph (the standard
+    * "spread the few gold labels along nearest-neighbor edges" labeler a
+    * curation pipeline uses to cheaply extend a small labeled set): seeds
+    * are CLAMPED; every other node adopts, each synchronous round, the
+    * majority label among its in-neighbors' current labels (count DESC,
+    * label ASC on ties — deterministic), staying unlabeled until a labeled
+    * in-neighbor exists. Returns `(id, label)` for the labeled nodes after
+    * `iters` rounds.
+    *
+    * Scale shape per round (the [[pageRank]] contract): one hash join of
+    * edges against the |V|-row label frame + a (dst, label)-keyed count
+    * aggregate; the majority pick windows only the aggregated
+    * (node × live-label) frame — bounded by the label vocabulary, never
+    * corpus rows.
+    */
+  def labelPropagate(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clamp = seeds.select(col("id"), col("label").as("_seed"))
+    var cur = nodes.select(col("id"))
+      .join(clamp, Seq("id"), "left")
+      .select(col("id"), col("_seed").as("label"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(cur.select(col("id").as("src"), col("label")), Seq("src"))
+        .where(col("label").isNotNull)
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("_c").desc, col("label"))
+      val pick = contrib
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("dst").as("id"), col("label").as("_pick"))
+      cur = nodes.select(col("id"))
+        .join(clamp, Seq("id"), "left")
+        .join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_seed"), col("_pick")).as("label"))
+    }
+    cur.where(col("label").isNotNull)
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64,
       requireFixpoint: Boolean = true): DataFrame = {
     require(k >= 1 && maxRounds >= 1)

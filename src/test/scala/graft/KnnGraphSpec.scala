@@ -279,4 +279,57 @@ class KnnGraphSpec extends SparkSpec {
       assert(got === refCore(k), s"k=$k")
     }
   }
+
+  test("mutualKnn keeps exactly the reciprocal pairs, canonicalized a < b") {
+    import spark.implicits._
+    // 1↔2 mutual, 1→3 one-sided, 3↔4 mutual (given reversed), 5→5 ignored
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = KnnGraph.mutualKnn(edges).as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 2L), (3L, 4L)))
+  }
+
+  test("labelPropagate: clamped seeds, majority adoption, deterministic ties") {
+    import spark.implicits._
+    // chain 1 → 2 → 3 (edges point INTO the adopter); node 2 hears one 'a'
+    // round 1, node 3 hears it round 2; node 4 hears 'a' and 'b' equally —
+    // tie breaks to the smaller label 'a'; seed node 5 keeps 'b' despite
+    // an incoming 'a' edge (clamped)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (5L, 4L), (1L, 5L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val seeds = Seq((1L, "a"), (5L, "b")).toDF("id", "label")
+    val r1 = KnnGraph.labelPropagate(edges, nodes, seeds, 1)
+      .as[(Long, String)].collect().toMap
+    assert(r1 === Map(1L -> "a", 2L -> "a", 4L -> "a", 5L -> "b"))
+    val r2 = KnnGraph.labelPropagate(edges, nodes, seeds, 2)
+      .as[(Long, String)].collect().toMap
+    assert(r2(3L) === "a" && r2(2L) === "a" && r2(5L) === "b")
+  }
+
+  test("silhouette: analytic two-cluster fixture; coincident-centroid s = 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // heads at distinct points on the 1-D line embedded in 2-D via l2sq;
+    // vector (1,0) sits ON head 10 → a = 0, b = 4 → s = 1; vector (2,0)
+    // is equidistant (1) from head 10 and head 20 → wait, use clean gaps
+    val heads = Seq((10L, Seq(0.0, 0.0)), (20L, Seq(4.0, 0.0)))
+      .toDF("head_id", "head_vec")
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)),  // on head 10: a=0,  b=16 → s=1
+      (2L, Seq(1.0, 0.0)),  // a=1 (h10), b=9 (h20) → s=(9-1)/9
+      (3L, Seq(4.0, 0.0)))  // on head 20: a=0, b=16 → s=1
+      .toDF("id", "vec")
+    val got = Eval.silhouette(vecs, heads, "l2sq")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L)._1 === 2L)
+    assert(math.abs(got(10L)._2 - (1.0 + 8.0 / 9.0) / 2) < 1e-5)
+    assert(got(20L) === ((1L, 1.0)))
+    // both distances zero (vector on two coincident centroids) → s = 0
+    val co = Seq((10L, Seq(0.0, 0.0)), (20L, Seq(0.0, 0.0)))
+      .toDF("head_id", "head_vec")
+    val one = Seq((1L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val s0 = Eval.silhouette(one, co, "l2sq").collect()
+    assert(s0.length === 1 && s0(0).getDouble(2) === 0.0)
+  }
 }

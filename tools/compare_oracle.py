@@ -62,6 +62,10 @@ def compare_one(name, sql, out_dir):
         return v
     con = duckdb.connect()
     con.execute("SET threads TO 4")
+    # spill away from the repo (a killed sf0.1 run once left 79 GB in
+    # ./.tmp and filled the disk); /tmp is cleaned by the OS
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{_SF_DIR}/{t}.parquet"
         if os.path.exists(p):

@@ -25,13 +25,15 @@ if [ ! -f "$OUT/oracle_sql.json" ]; then
   exit 2
 fi
 echo "[gate] static dtype-pairing check (check_oracle_types.py)"
+TYPES=TYPES_local_${TAG}.json
 python3 tools/check_oracle_types.py "$SF" "$OUT" --selftest \
-  --report /tmp/graft_gate_types.json
+  --report "${TYPES}.tmp"
 if [ $? -ne 0 ]; then
   echo "[gate] FAIL: oracle/spark dtype pairing violations (see above +"
-  echo "       /tmp/graft_gate_types.json) — repr-divergent at the driver"
+  echo "       ${TYPES}.tmp) — repr-divergent at the driver"
   exit 4
 fi
+mv "${TYPES}.tmp" "$TYPES"
 echo "[gate] compare_oracle → $SUMMARY"
 python3 tools/compare_oracle.py "$SF" "$OUT" --jobs 8 \
   --summary "${SUMMARY}.tmp" > /tmp/graft_gate_compare.log 2>&1
