@@ -358,7 +358,26 @@ object DumpPlans {
         |weight frame broadcasts per-source budgets onto the q86 two-level
         |prefix sum (per-(source, bucket) windows + a histogram-sized
         |offset frame) — no per-source total-order window over raw docs,
-        |no materialization between the mixture and selection stages.""".stripMargin)
+        |no materialization between the mixture and selection stages.""".stripMargin,
+    "q254_mutual_knn" ->
+      """Mutual-kNN pairs: the 5-NN digraph builds as ONE batch_topk corpus
+        |scan (the q01 aggregate), then reciprocity is a single left-semi
+        |hash join of the O(n·k) edge list against its own reversal — edge
+        |keys only, no vectors, no windows past the bounded per-query rank
+        |cut.""".stripMargin,
+    "q255_silhouette" ->
+      """Centroid silhouette: ranks 1–2 per vector come from the SAME
+        |single-scan bounded top-k aggregate kNN uses (heads ride inside
+        |the expression); a/b/s are in-row projections and the per-centroid
+        |mean is one hash aggregate over an exact DECIMAL sum — no |V|×|H|
+        |join materialization, no windows, reduction-order-free.""".stripMargin,
+    "q256_label_prop" ->
+      """Label propagation: per round ONE hash join of the edge list
+        |against the |V|-row label frame + a (dst, label)-keyed partial
+        |aggregate; the majority pick windows only the aggregated node ×
+        |live-label frame (bounded by the label vocabulary). Seeds clamp
+        |via broadcast left joins; nothing driver-side, frame size |V|
+        |throughout — the pageRank iterative-dataflow contract.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
