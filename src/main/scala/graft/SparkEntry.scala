@@ -110,8 +110,13 @@ object SparkEntry {
     * only promote, so the k best remaining ranks are exactly the oracle's
     * self-free top-k.
     */
-  private def knnDigraph(s: SparkSession, d: String): DataFrame = {
-    val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+  private def knnDigraph(s: SparkSession, d: String): DataFrame =
+    knnDigraphOver(Tables.embeddingVec(s, d).select(col("id"), col("vec")))
+
+  /** [[knnDigraph]] over an explicit vector snapshot (q270 compares the
+    * graph of two snapshots of the same corpus).
+    */
+  private def knnDigraphOver(vecs: DataFrame): DataFrame = {
     val qs = vecs.select(col("id").as("query_id"), col("vec").as("qvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rank"))
@@ -122,16 +127,21 @@ object SparkEntry {
       .select(col("query_id").as("src"), col("id").as("dst"))
   }
 
-  /** DuckDB mirror of [[knnDigraph]] (v/dd/e CTE prefix). */
-  private def knnDigraphCtes: String = {
-    val cd = Tables.distSql("cos", "a.vec", "b.vec")
-    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-       |dd AS (SELECT a.id AS src, b.id AS dst, $cd AS dist
-       |       FROM v a CROSS JOIN v b WHERE a.id <> b.id),
-       |e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
-       |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM dd)
+  /** DuckDB mirror of [[knnDigraph]] (v/dd/e CTE prefix; `suffix` +
+    * `where` emit an independently-named filtered snapshot).
+    */
+  private def knnDigraphCtesFor(suffix: String, where: String): String = {
+    val cd = Tables.distSql("cos", s"a.vec", s"b.vec")
+    val v = s"v$suffix"; val dd = s"dd$suffix"; val e = s"e$suffix"
+    s"""$v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings$where),
+       |$dd AS (SELECT a.id AS src, b.id AS dst, $cd AS dist
+       |       FROM $v a CROSS JOIN $v b WHERE a.id <> b.id),
+       |$e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst,
+       |        row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn FROM $dd)
        |      WHERE rn <= $PrK)""".stripMargin
   }
+
+  private def knnDigraphCtes: String = knnDigraphCtesFor("", "")
 
   // q217's PCA model is fitted ONCE per (session, dir) and shared between
   // the dumped query and the dynamic oracle ([[oracleSqlDynamic]]) so both
@@ -1777,6 +1787,121 @@ object SparkEntry {
         vecs.where(col("id") % 5 === 0).select(col("id"), col("label")),
         PrIters))
     }),
+    // declarative data-contract audit over the orders fact table: one
+    // row per expectation (nulls / key uniqueness / range / enumerated
+    // domain / referential integrity vs customer)
+    "q257_constraint_audit" -> ((s, d) =>
+      ordered(Pipeline.constraintAudit(Tables.orders(s, d),
+        notNull = Seq("o_custkey"),
+        unique = Seq("o_orderkey"),
+        ranges = Seq(("o_totalprice", 0.0, 400000.0)),
+        accepted = Seq(("o_orderstatus", Seq("O", "F"))),
+        refs = Seq(("o_custkey", Tables.customer(s, d), "c_custkey"))))),
+    // chi-square independence + Cramér's V between language and source —
+    // the "is lang confounded with source" mixture-design audit
+    "q258_chi2_assoc" -> ((s, d) =>
+      ordered(graft.operators.Association.categoricalAssociation(
+        Tables.documents(s, d), "lang", "source"))),
+    // external clustering quality: per-cluster label purity of the
+    // q149-convention clustering (heads = every SemNth-th embedding)
+    "q259_cluster_purity" -> ((s, d) =>
+      ordered(graft.operators.Eval.clusterPurity(
+        clusterAssign(s, d), embLabels(s, d)))),
+    // normalized mutual information of the same clustering vs labels
+    "q260_cluster_nmi" -> ((s, d) =>
+      ordered(graft.operators.Eval.clusterNmi(
+        clusterAssign(s, d), embLabels(s, d)))),
+    // greedy vocabulary set-cover selection: 4 rounds of max-marginal-
+    // coverage picks over the document token sets
+    "q261_coverage_select" -> ((s, d) =>
+      Pipeline.coverageSelect(Tables.documents(s, d), CoverageRounds)
+        .orderBy(col("round"))),
+    // DPO-style preference pairs: per source, rank-i best-quality doc
+    // paired with rank-i worst (i ≤ 3), positive-margin pairs only
+    "q262_pref_pairs" -> ((s, d) =>
+      ordered(Pipeline.preferencePairs(
+        Tables.documents(s, d)
+          .withColumn("quality", TextAnalysis.quality(col("text"))),
+        "quality", PrefPairs))),
+    // HITS hubs/authorities over the 5-NN digraph (integer fixed-point,
+    // L1-renormalized per half-round) — the density-peak centrality
+    "q263_hits" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d)
+      ordered(graft.operators.KnnGraph.hits(
+        knnDigraph(s, d), vecs.select(col("id")), HitsIters))
+    }),
+    // leave-one-source-out sensitivity of the corpus mean quality
+    "q264_jackknife" -> ((s, d) =>
+      ordered(graft.operators.Eval.jackknifeMean(
+        Tables.documents(s, d)
+          .withColumn("quality", TextAnalysis.quality(col("text"))),
+        "source", "quality"))),
+    // Kaplan-Meier signup→purchase survival with administrative
+    // right-censoring at the stream's last timestamp
+    "q265_kaplan_meier" -> ((s, d) =>
+      ordered(graft.operators.Events.kaplanMeier(Tables.events(s, d)))),
+    // temporal train/test split with a 72h embargo gap + entity audit
+    "q266_embargo_split" -> ((s, d) =>
+      ordered(Pipeline.temporalSplitAudit(
+        Pipeline.temporalEmbargoSplit(
+          Tables.events(s, d), "ts", EmbargoCutoff, EmbargoHours),
+        "user_id"))),
+    // Gini concentration of per-doc token counts (corpus inequality)
+    "q267_gini_tokens" -> ((s, d) =>
+      ordered(Pipeline.gini(
+        Tables.documents(s, d)
+          .select(size(TextAnalysis.tokens(col("text"))).as("n_toks")),
+        "n_toks"))),
+    // Hill MLE tail exponent of the token frequency distribution
+    "q268_hill_tail" -> ((s, d) =>
+      ordered(TextAnalysis.hillTail(Tables.documents(s, d), HillXmin))),
+    // capped waterfilling of a token budget across sources (weights =
+    // sqrt of available tokens, integer-scaled; caps = availability)
+    "q269_budget_allocate" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("_t"))
+        .groupBy(col("source")).agg(sum(col("_t")).as("cap"))
+        .select(col("source"),
+          expr("CAST(round(sqrt(CAST(cap AS DOUBLE)) * 1000) AS BIGINT)")
+            .as("weight1e6"),
+          col("cap"))
+      ordered(Pipeline.waterfillAllocate(per, WfBudget))
+    }),
+    // kNN neighborhood stability between the full embedding snapshot and
+    // a refresh that dropped every 10th vector — overlap histogram
+    "q270_knn_stability" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d).select(col("id"), col("vec"))
+      ordered(graft.operators.KnnGraph.knnStability(
+        knnDigraphOver(vecs),
+        knnDigraphOver(vecs.where(col("id") % 10 =!= 7))))
+    }),
+    // cross-lingual near-dups: q36's banded-LSH embedding pairs whose doc
+    // language tags DIFFER — the translated-duplicate detector
+    "q271_crosslang_neardup" -> ((s, d) => {
+      val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      ordered(SimilaritySearch.lshNearDup(
+          Tables.embeddingVec(s, d), dims = 64, maxCosDist = 0.6)
+        .join(lang.select(col("doc_id").as("a"), col("lang").as("lang_a")),
+          Seq("a"))
+        .join(lang.select(col("doc_id").as("b"), col("lang").as("lang_b")),
+          Seq("b"))
+        .where(col("lang_a") =!= col("lang_b"))
+        .select(col("a"), col("b"), col("lang_a"), col("lang_b"),
+          col("cos_dist")))
+    }),
+    // 1-Wasserstein drift between the two snapshot halves' quality
+    // distributions — the metric-aware companion to q148's PSI
+    "q272_wasserstein_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("q", TextAnalysis.quality(col("text")))
+      ordered(graft.operators.Eval.wasserstein1(
+        docs.where(col("doc_id") % 2 === 0).select(col("q")),
+        docs.where(col("doc_id") % 2 === 1).select(col("q")), "q"))
+    }),
+    // sentence-granularity duplication rate per source
+    "q273_sentence_dup" -> ((s, d) =>
+      ordered(TextAnalysis.sentenceDupRate(Tables.documents(s, d)))),
     // IVF recall-vs-nprobe tuning curve (the q244 harness for the IVF path)
     "q252_ivf_recall_curve" -> ((s, d) =>
       ordered(SimilaritySearch.ivfRecallCurve(
@@ -2053,6 +2178,57 @@ object SparkEntry {
   // directly comparable
   private val SemNth = 25
   private val SemMaxCos = 0.6
+  // q261: greedy coverage rounds (each round = one anti-join + argmax)
+  private val CoverageRounds = 4
+  // q262: preference pairs per source (bounded top/bottom-k aggregates)
+  private val PrefPairs = 3
+  // q263: HITS half-round pairs (each = two keyed aggs + two renorms)
+  private val HitsIters = 2
+  // q265: KM time buckets (1h over the 30-day fixture → ≤720 rows)
+  private val KmResolutionSec = 3600L
+  // q266: cutoff 2/3 through the fixture month, 72h embargo
+  private val EmbargoCutoff = "2024-01-20 00:00:00"
+  private val EmbargoHours = 72
+  // q268: Hill tail threshold — types seen ≥ 5 times
+  private val HillXmin = 5L
+  // q269: token budget — ~74% of the sf0.01 corpus, so sqrt-weighted
+  // small sources saturate and surplus re-flows
+  private val WfBudget = 20000L
+  // q269 oracle: unrolled rounds ≥ sources + 2 (20 sources in testdata);
+  // post-fixpoint rounds recompute the identical allocation (no-ops)
+  private val WfOracleRounds = 22
+
+  /** q259/q260's clustering: rank-1 cosine assignment of every embedding
+    * to the q149-convention head set (every SemNth-th embedding) — ONE
+    * bounded top-k pass ([[Knn.searchAgg]]), heads broadcast-tiny.
+    */
+  private def clusterAssign(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddingVec(s, d)
+    Knn.searchAgg(
+      vecs.select(col("id").as("query_id"), col("vec").as("qvec")),
+      vecs.where(col("id") % SemNth === 0).select(col("id"), col("vec")),
+      1, "cos")
+      .select(col("query_id").as("id"),
+        element_at(col("nn"), 1).getField("id").as("cluster"))
+  }
+
+  private def embLabels(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("label"))
+
+  /** DuckDB mirror of [[clusterAssign]] (v/h/pd/p CTE prefix; `p` =
+    * `(id, cluster)`).
+    */
+  private def clusterAssignCtes: String = {
+    val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $SemNth = 0),
+       |pd AS (SELECT v.id, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+       |p AS (SELECT id, head_id AS cluster FROM (
+       |        SELECT id, head_id,
+       |          row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+       |        FROM pd) WHERE rn = 1)""".stripMargin
+  }
   // q121: 256 hashed-feature buckets — sf0.01 carries ~20k bigram
   // instances, so every bucket is populated and the smoothing term stays
   // a small correction; the target slice (lang='en') is ~43% of docs
@@ -3586,6 +3762,358 @@ object SparkEntry {
          |SELECT id, label FROM lp$PrIters WHERE label IS NOT NULL
          |ORDER BY 1, 2""".stripMargin
     },
+    // one conditional-aggregate row per expectation over orders, plus the
+    // anti-join referential check vs customer
+    "q257_constraint_audit" ->
+      s"""WITH nn AS (SELECT 'not_null' AS check_name, 'o_custkey' AS col_name,
+         |        count(*)::BIGINT AS n_checked,
+         |        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_violations FROM orders),
+         |u AS (SELECT 'unique', 'o_orderkey', count(o_orderkey)::BIGINT,
+         |        (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+         |      FROM orders),
+         |r AS (SELECT 'in_range', 'o_totalprice', count(o_totalprice)::BIGINT,
+         |        sum(CASE WHEN o_totalprice IS NOT NULL
+         |              AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+         |            THEN 1 ELSE 0 END)::BIGINT FROM orders),
+         |a AS (SELECT 'accepted_values', 'o_orderstatus',
+         |        count(o_orderstatus)::BIGINT,
+         |        sum(CASE WHEN o_orderstatus IS NOT NULL
+         |              AND o_orderstatus NOT IN ('O', 'F')
+         |            THEN 1 ELSE 0 END)::BIGINT FROM orders),
+         |ri AS (SELECT 'ref_integrity', 'o_custkey',
+         |        (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)::BIGINT,
+         |        (SELECT count(*) FROM orders o LEFT JOIN customer c
+         |           ON o.o_custkey = c.c_custkey
+         |         WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT)
+         |SELECT * FROM (
+         |  SELECT * FROM nn UNION ALL SELECT * FROM u UNION ALL
+         |  SELECT * FROM r UNION ALL SELECT * FROM a UNION ALL SELECT * FROM ri)
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // dense r×c grid; per-cell (o−e)²/e rounded 8dp → DECIMAL(38,8) sum
+    "q258_chi2_assoc" ->
+      s"""WITH o AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents
+         |           GROUP BY 1, 2),
+         |rm AS (SELECT a, sum(o)::BIGINT AS ra FROM o GROUP BY 1),
+         |cm AS (SELECT b, sum(o)::BIGINT AS cb FROM o GROUP BY 1),
+         |t AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT a)::BIGINT AS r,
+         |        count(DISTINCT b)::BIGINT AS c FROM o),
+         |cells AS (SELECT t.n, t.r, t.c,
+         |        round((coalesce(o.o, 0)::DOUBLE - (rm.ra::DOUBLE * cm.cb / t.n))
+         |            * (coalesce(o.o, 0)::DOUBLE - (rm.ra::DOUBLE * cm.cb / t.n))
+         |            / (rm.ra::DOUBLE * cm.cb / t.n), 8)::DECIMAL(38,8) AS term
+         |      FROM rm CROSS JOIN cm
+         |      LEFT JOIN o ON o.a = rm.a AND o.b = cm.b
+         |      CROSS JOIN t),
+         |s AS (SELECT n, r, c, sum(term)::DOUBLE AS chi2 FROM cells
+         |      GROUP BY 1, 2, 3)
+         |SELECT n, r, c, round(chi2, 4) AS chi2,
+         |  round(CASE WHEN least(r, c) > 1
+         |          THEN sqrt(chi2 / (n * (least(r, c) - 1)))
+         |          ELSE 0.0 END, 6) AS cramers_v
+         |FROM s ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // q149-convention assignment joined to gold labels; majority by
+    // (count DESC, label ASC)
+    "q259_cluster_purity" ->
+      s"""WITH $clusterAssignCtes,
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |j AS (SELECT p.cluster, lab.label, count(*) AS cl
+         |      FROM p JOIN lab USING (id) GROUP BY 1, 2),
+         |m AS (SELECT cluster, label, cl,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY cl DESC, label) AS rn FROM j),
+         |tt AS (SELECT cluster, sum(cl)::BIGINT AS n FROM j GROUP BY 1)
+         |SELECT m.cluster, tt.n, m.label AS top_label,
+         |  round(m.cl::DOUBLE / tt.n, 6) AS purity
+         |FROM m JOIN tt USING (cluster) WHERE rn = 1
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // per-cell log terms rounded 8dp → DECIMAL(38,8) sums (order-free)
+    "q260_cluster_nmi" ->
+      s"""WITH $clusterAssignCtes,
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |j AS (SELECT p.cluster, lab.label, count(*) AS cl
+         |      FROM p JOIN lab USING (id) GROUP BY 1, 2),
+         |n AS (SELECT sum(cl)::BIGINT AS n FROM j),
+         |cm AS (SELECT cluster, sum(cl)::BIGINT AS c FROM j GROUP BY 1),
+         |lm AS (SELECT label, sum(cl)::BIGINT AS l FROM j GROUP BY 1),
+         |hc AS (SELECT sum(round((c::DOUBLE / n.n) * -ln(c::DOUBLE / n.n),
+         |          8)::DECIMAL(38,8))::DOUBLE AS hc FROM cm CROSS JOIN n),
+         |hl AS (SELECT sum(round((l::DOUBLE / n.n) * -ln(l::DOUBLE / n.n),
+         |          8)::DECIMAL(38,8))::DOUBLE AS hl FROM lm CROSS JOIN n),
+         |mi AS (SELECT sum(round((cl::DOUBLE / n.n)
+         |            * ln(cl::DOUBLE * n.n / (cm.c::DOUBLE * lm.l)),
+         |          8)::DECIMAL(38,8))::DOUBLE AS mi
+         |       FROM j JOIN cm USING (cluster) JOIN lm USING (label)
+         |       CROSS JOIN n)
+         |SELECT n.n, round(mi.mi, 6) AS mi, round(hc.hc, 6) AS h_cluster,
+         |  round(hl.hl, 6) AS h_label,
+         |  round(CASE WHEN hc.hc > 0 AND hl.hl > 0
+         |          THEN mi.mi / sqrt(hc.hc * hl.hl) ELSE 0.0 END, 6) AS nmi
+         |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN n
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // greedy set cover unrolled round-for-round: anti-join gains, argmax
+    // by (gain DESC, doc_id), covered set grows by the winner's tokens
+    "q261_coverage_select" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val rounds = (2 to CoverageRounds).map { r =>
+        s"""g$r AS (SELECT t.doc_id, count(*) AS g FROM tok t
+           |      LEFT JOIN c${r - 1} c ON t.token = c.token
+           |      WHERE c.token IS NULL GROUP BY 1),
+           |p$r AS (SELECT $r AS round, doc_id, g FROM g$r
+           |      ORDER BY g DESC, doc_id LIMIT 1),
+           |c$r AS MATERIALIZED (SELECT token FROM c${r - 1}
+           |      UNION SELECT token FROM tok JOIN p$r USING (doc_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val all = (1 to CoverageRounds)
+        .map(r => s"SELECT * FROM p$r").mkString(" UNION ALL ")
+      s"""WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents)),
+         |g1 AS (SELECT doc_id, count(*) AS g FROM tok GROUP BY 1),
+         |p1 AS (SELECT 1 AS round, doc_id, g FROM g1
+         |      ORDER BY g DESC, doc_id LIMIT 1),
+         |c1 AS MATERIALIZED (SELECT DISTINCT token FROM tok JOIN p1 USING (doc_id)),
+         |$rounds
+         |SELECT round, doc_id, g AS new_tokens FROM ($all)
+         |ORDER BY round""".stripMargin
+    },
+    // per-source top/bottom ranks by the quantized quality score; the
+    // margin compares the exact 1e-4 longs
+    "q262_pref_pairs" -> {
+      val qe = TextAnalysis.Sql.qualityExpr
+      s"""WITH q AS (SELECT source, doc_id,
+         |        CAST(round(($qe) * 10000) AS BIGINT) AS s FROM documents),
+         |cs AS (SELECT source, doc_id, s,
+         |        row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id)
+         |          AS rn FROM q),
+         |rs AS (SELECT source, doc_id, s,
+         |        row_number() OVER (PARTITION BY source ORDER BY s, doc_id)
+         |          AS rn FROM q)
+         |SELECT cs.source, cs.rn AS pair_rank, cs.doc_id AS chosen_id,
+         |  rs.doc_id AS rejected_id,
+         |  round((cs.s - rs.s)::DOUBLE / 10000.0, 4) AS margin
+         |FROM cs JOIN rs ON cs.source = rs.source AND cs.rn = rs.rn
+         |WHERE cs.rn <= $PrefPairs AND cs.doc_id <> rs.doc_id AND cs.s > rs.s
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // HITS unrolled: per half-round a keyed sum over the 5-NN digraph
+    // then an integer L1 renorm — every rank stays an exact BIGINT
+    "q263_hits" -> {
+      val Scale = 1000000000L
+      val rounds = (1 to HitsIters).map { r =>
+        s"""ap$r AS (SELECT e.dst AS id, sum(h.h)::BIGINT AS x
+           |      FROM e JOIN h${r - 1} h ON h.id = e.src GROUP BY 1),
+           |at$r AS (SELECT greatest(sum(coalesce(x, 0))::BIGINT, 1) AS t
+           |      FROM v LEFT JOIN ap$r ON ap$r.id = v.id),
+           |a$r AS MATERIALIZED (SELECT v.id,
+           |        (coalesce(ap$r.x, 0) * ${Scale}) // at$r.t AS a
+           |      FROM v LEFT JOIN ap$r ON ap$r.id = v.id CROSS JOIN at$r),
+           |hp$r AS (SELECT e.src AS id, sum(a.a)::BIGINT AS x
+           |      FROM e JOIN a$r a ON a.id = e.dst GROUP BY 1),
+           |ht$r AS (SELECT greatest(sum(coalesce(x, 0))::BIGINT, 1) AS t
+           |      FROM v LEFT JOIN hp$r ON hp$r.id = v.id),
+           |h$r AS MATERIALIZED (SELECT v.id,
+           |        (coalesce(hp$r.x, 0) * ${Scale}) // ht$r.t AS h
+           |      FROM v LEFT JOIN hp$r ON hp$r.id = v.id CROSS JOIN ht$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnDigraphCtes,
+         |nn AS (SELECT count(*) AS n FROM v),
+         |h0 AS (SELECT id, ${Scale} // nn.n AS h FROM v CROSS JOIN nn),
+         |$rounds
+         |SELECT v.id, h$HitsIters.h::BIGINT AS hub, a$HitsIters.a::BIGINT AS auth
+         |FROM v JOIN h$HitsIters ON h$HitsIters.id = v.id
+         |JOIN a$HitsIters ON a$HitsIters.id = v.id
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // closed-form leave-one-out means from one per-source DECIMAL agg
+    "q264_jackknife" -> {
+      val qe = TextAnalysis.Sql.qualityExpr
+      s"""WITH s AS (SELECT source AS g,
+         |        round($qe, 6)::DECIMAL(28,6) AS v FROM documents),
+         |p AS (SELECT g, sum(v) AS sg, count(*) AS ng FROM s GROUP BY 1),
+         |t AS (SELECT sum(sg) AS st, sum(ng)::BIGINT AS nt FROM p)
+         |SELECT g AS left_out, (nt - ng)::BIGINT AS n_rest,
+         |  round((st - sg)::DOUBLE / (nt - ng), 6) AS mean_rest,
+         |  round((st - sg)::DOUBLE / (nt - ng) - st::DOUBLE / nt, 6) AS delta
+         |FROM p CROSS JOIN t WHERE nt > ng
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // product-limit survival unrolled on the bounded time-bucket frame;
+    // log-space DECIMAL prefix sums, d = n_risk zeroes via the flag
+    "q265_kaplan_meier" ->
+      s"""WITH hz AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS h FROM events),
+         |su AS (SELECT user_id, min(ts) AS su FROM events
+         |       WHERE event_type = 'signup' GROUP BY 1),
+         |cv AS (SELECT e.user_id,
+         |        min(CAST(floor(epoch(e.ts)) AS BIGINT)
+         |            - CAST(floor(epoch(su)) AS BIGINT)) AS dobs
+         |      FROM events e JOIN su USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts >= su GROUP BY 1),
+         |dur AS (SELECT
+         |        (coalesce(cv.dobs,
+         |           hz.h - CAST(floor(epoch(su.su)) AS BIGINT))
+         |         // $KmResolutionSec) * $KmResolutionSec AS t,
+         |        cv.dobs IS NOT NULL AS obs
+         |      FROM su LEFT JOIN cv USING (user_id) CROSS JOIN hz),
+         |h AS (SELECT t, sum(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d,
+         |        sum(CASE WHEN obs THEN 0 ELSE 1 END)::BIGINT AS c
+         |      FROM dur GROUP BY 1),
+         |n0 AS (SELECT sum(d + c)::BIGINT AS n0 FROM h),
+         |r AS (SELECT a.t, a.d, a.c,
+         |        n0.n0 - coalesce(sum(b.d + b.c), 0)::BIGINT AS n_risk
+         |      FROM h a LEFT JOIN h b ON b.t < a.t CROSS JOIN n0
+         |      GROUP BY a.t, a.d, a.c, n0.n0),
+         |terms AS (SELECT t, d, c, n_risk,
+         |        CASE WHEN d = n_risk THEN NULL
+         |             ELSE round(ln(1.0 - d::DOUBLE / n_risk),
+         |               8)::DECIMAL(38,8) END AS lnf
+         |      FROM r WHERE d > 0)
+         |SELECT a.t AS t_sec, a.n_risk, a.d AS n_events, a.c AS n_censored,
+         |  CASE WHEN bool_or(b.lnf IS NULL) THEN 0.0
+         |       ELSE round(exp(sum(b.lnf)::DOUBLE), 6) END AS survival
+         |FROM terms a JOIN terms b ON b.t <= a.t
+         |GROUP BY a.t, a.n_risk, a.d, a.c
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // per-row split column math; the audit is entity-level aggregation
+    "q266_embargo_split" ->
+      s"""WITH f AS (SELECT user_id,
+         |        CASE WHEN ts < TIMESTAMP '$EmbargoCutoff' THEN 'train'
+         |             WHEN ts >= TIMESTAMP '$EmbargoCutoff'
+         |                  + INTERVAL $EmbargoHours HOURS THEN 'test'
+         |        END AS split FROM events),
+         |per AS (SELECT user_id, split, count(*) AS n FROM f
+         |        WHERE split IS NOT NULL GROUP BY 1, 2),
+         |sh AS (SELECT count(*)::BIGINT AS shared FROM (
+         |        SELECT user_id FROM per GROUP BY 1 HAVING count(*) = 2))
+         |SELECT split, sum(n)::BIGINT AS n_rows,
+         |  count(*)::BIGINT AS n_entities, sh.shared AS n_shared_entities
+         |FROM per CROSS JOIN sh GROUP BY 1, sh.shared
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // closed-form Gini from the value histogram (exact integer rank sums)
+    "q267_gini_tokens" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH s AS (SELECT CAST(len($toks) AS BIGINT) AS v FROM documents),
+         |h AS (SELECT v, count(*) AS c FROM s GROUP BY 1),
+         |p AS (SELECT a.v, a.c, coalesce(sum(b.c), 0)::BIGINT AS f
+         |      FROM h a LEFT JOIN h b ON b.v < a.v GROUP BY 1, 2),
+         |t AS (SELECT sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS tot,
+         |        sum(v * (c * f + (c * (c + 1)) // 2))::BIGINT AS ri FROM p)
+         |SELECT n, tot AS total,
+         |  round(CASE WHEN tot > 0 AND n > 0
+         |          THEN 2.0 * ri / (n::DOUBLE * tot) - (n + 1)::DOUBLE / n
+         |          ELSE 0.0 END, 6) AS gini
+         |FROM t ORDER BY 1, 2, 3""".stripMargin
+    },
+    // per-type 8dp DECIMAL ln ratios; α from the exact sum
+    "q268_hill_tail" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM (
+         |        SELECT unnest($toks) AS token FROM documents) GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS n_tail,
+         |        sum(round(ln(cnt::DOUBLE / $HillXmin), 8)::DECIMAL(38,8)) AS s
+         |      FROM c WHERE cnt >= $HillXmin)
+         |SELECT $HillXmin::BIGINT AS xmin, n_tail,
+         |  round(CASE WHEN s IS NOT NULL AND s > 0
+         |          THEN 1.0 + n_tail::DOUBLE / s::DOUBLE
+         |          ELSE NULL END, 6) AS alpha
+         |FROM t ORDER BY 1, 2, 3""".stripMargin
+    },
+    // waterfilling unrolled: each round is a one-row pool CTE + a 20-row
+    // reallocation; post-fixpoint rounds are provable no-ops
+    "q269_budget_allocate" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val rounds = (1 to WfOracleRounds).map { r =>
+        s"""p$r AS (SELECT $WfBudget - coalesce(sum(CASE WHEN sat THEN alloc END), 0)::BIGINT AS r,
+           |        coalesce(sum(CASE WHEN NOT sat THEN w END), 0)::BIGINT AS wsum
+           |      FROM st${r - 1}),
+           |a$r AS (SELECT source, w, cap,
+           |        CASE WHEN sat THEN alloc
+           |             WHEN p.wsum > 0 THEN ((p.r::HUGEINT * w) // p.wsum)::BIGINT
+           |             ELSE 0 END AS a, sat
+           |      FROM st${r - 1} CROSS JOIN p$r p),
+           |st$r AS MATERIALIZED (SELECT source, w, cap,
+           |        CASE WHEN NOT sat AND a >= cap THEN cap ELSE a END AS alloc,
+           |        (sat OR a >= cap) AS sat FROM a$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH per AS (SELECT source,
+         |        CAST(round(sqrt(cap::DOUBLE) * 1000) AS BIGINT) AS w, cap
+         |      FROM (SELECT source, sum(CAST(len($toks) AS BIGINT))::BIGINT AS cap
+         |            FROM documents GROUP BY 1)),
+         |st0 AS (SELECT source, w, cap, NULL::BIGINT AS alloc, false AS sat
+         |        FROM per),
+         |$rounds
+         |SELECT source, w AS weight1e6, cap, alloc AS allocated,
+         |  sat AS saturated
+         |FROM st$WfOracleRounds ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // q36's banded candidate chain + the doc-language join
+    "q271_crosslang_neardup" -> {
+      val cd = Tables.distSql("cos", "a.vec", "b.vec")
+      s"""WITH $lshBandCtes,
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b FROM bands l
+         |         JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id),
+         |p AS (SELECT c.a, c.b, round($cd, 4) AS cos_dist
+         |      FROM cand c JOIN e a ON a.id = c.a JOIN e b ON b.id = c.b
+         |      WHERE $cd < 0.6),
+         |la AS (SELECT doc_id, lang FROM documents)
+         |SELECT p.a, p.b, x.lang AS lang_a, y.lang AS lang_b, p.cos_dist
+         |FROM p JOIN la x ON x.doc_id = p.a JOIN la y ON y.doc_id = p.b
+         |WHERE x.lang <> y.lang
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // merged-value CDF segments, 8dp DECIMAL fold — no sort, no windows
+    "q272_wasserstein_drift" -> {
+      val qe = TextAnalysis.Sql.qualityExpr
+      s"""WITH qa AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 0),
+         |qb AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 1),
+         |ha AS (SELECT v, count(*) AS ca FROM qa GROUP BY 1),
+         |hb AS (SELECT v, count(*) AS cb FROM qb GROUP BY 1),
+         |vals AS (SELECT v FROM ha UNION SELECT v FROM hb),
+         |na AS (SELECT sum(ca)::BIGINT AS na FROM ha),
+         |nb AS (SELECT sum(cb)::BIGINT AS nb FROM hb),
+         |fa AS (SELECT a.v, coalesce(sum(b.ca), 0)::BIGINT AS fa
+         |       FROM vals a LEFT JOIN ha b ON b.v <= a.v GROUP BY 1),
+         |fb AS (SELECT a.v, coalesce(sum(b.cb), 0)::BIGINT AS fb
+         |       FROM vals a LEFT JOIN hb b ON b.v <= a.v GROUP BY 1),
+         |nx AS (SELECT a.v, min(b.v) AS nxt FROM vals a
+         |       JOIN vals b ON b.v > a.v GROUP BY 1),
+         |terms AS (SELECT round(abs(fa.fa::DOUBLE / na.na
+         |            - fb.fb::DOUBLE / nb.nb) * (nx.nxt - fa.v),
+         |          8)::DECIMAL(38,8) AS t
+         |       FROM fa JOIN fb ON fb.v = fa.v JOIN nx ON nx.v = fa.v
+         |       CROSS JOIN na CROSS JOIN nb),
+         |w AS (SELECT sum(t) AS s FROM terms)
+         |SELECT na.na AS n_a, nb.nb AS n_b,
+         |  round(coalesce(s::DOUBLE, 0.0), 6) AS w1
+         |FROM w CROSS JOIN na CROSS JOIN nb
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // one explode + one per-source agg; the same split/trim/drop chain
+    "q273_sentence_dup" ->
+      """WITH s AS (SELECT source,
+        |    unnest(list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+'), x -> trim(x)),
+        |      x -> x <> '')) AS sentence
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_sentences,
+        |  count(DISTINCT sentence)::BIGINT AS n_distinct,
+        |  round((count(*) - count(DISTINCT sentence))::DOUBLE / count(*), 6)
+        |    AS dup_rate
+        |FROM s GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // two digraph snapshots (full vs every-10th-dropped), edge-set
+    // intersection per shared node, exact overlap histogram
+    "q270_knn_stability" ->
+      s"""WITH ${knnDigraphCtesFor("", "")},
+         |${knnDigraphCtesFor("2", " WHERE vec_id % 10 <> 7")},
+         |c AS (SELECT e2.src, count(*) AS c FROM e2
+         |      JOIN e ON e.src = e2.src AND e.dst = e2.dst GROUP BY 1),
+         |sh AS (SELECT src FROM (SELECT DISTINCT src FROM e)
+         |       WHERE src IN (SELECT DISTINCT src FROM e2))
+         |SELECT n_common, count(*)::BIGINT AS n_nodes FROM (
+         |  SELECT coalesce(c.c, 0)::BIGINT AS n_common
+         |  FROM sh LEFT JOIN c USING (src))
+         |GROUP BY 1 ORDER BY 1, 2""".stripMargin,
     "q252_ivf_recall_curve" -> {
       val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
       val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")

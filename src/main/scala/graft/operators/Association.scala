@@ -59,4 +59,53 @@ object Association {
         round(col("pair_cnt").cast("double") * col("_n") /
           (col("cnt_a").cast("double") * col("cnt_b")), 6).as("lift"))
   }
+
+  /** Chi-square test of independence between two categorical columns,
+    * with Cramér's V — the "is my language mix confounded with my source
+    * mix" audit a mixture designer runs before reweighting a corpus.
+    * Output ONE row: `(n, r, c, chi2, cramers_v)` where `r`/`c` are the
+    * observed category counts, `chi2 = Σ_cells (o−e)²/e` over the FULL
+    * r×c grid (zero-observed cells still contribute `e`), and
+    * `cramers_v = sqrt(chi2 / (n · min(r−1, c−1)))` (0.0 when either
+    * margin is a single category).
+    *
+    * Determinism contract: each cell's `(o−e)²/e` is one double
+    * expression over exact long counts, rounded to 8dp and cast to
+    * DECIMAL(38,8) BEFORE the sum, so the statistic is
+    * reduction-order-independent and engine-exact; the oracle mirrors
+    * the per-cell expression verbatim.
+    *
+    * Scale shape: one hash agg over the fact table builds the
+    * contingency counts; every later step (margins, the r×c dense grid,
+    * the final fold) runs on that post-aggregation frame, which is
+    * bounded by |A|·|B| categories — broadcast-tiny by the categorical
+    * contract. Nothing else shuffles.
+    */
+  def categoricalAssociation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rowm = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val colm = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = obs.agg(sum(col("_o")).as("_n"),
+      countDistinct(col("_a")).as("_r"), countDistinct(col("_b")).as("_c"))
+    // dense r×c grid: zero-observed cells still carry their expected count
+    val cells = rowm.crossJoin(colm)
+      .join(obs, Seq("_a", "_b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("_n"), col("_r"), col("_c"),
+        coalesce(col("_o"), lit(0L)).cast("double").as("_od"),
+        (col("_ra").cast("double") * col("_cb") / col("_n")).as("_e"))
+      .select(col("_n"), col("_r"), col("_c"),
+        round((col("_od") - col("_e")) * (col("_od") - col("_e")) / col("_e"), 8)
+          .cast("decimal(38,8)").as("_t"))
+    cells.groupBy(col("_n"), col("_r"), col("_c"))
+      .agg(sum(col("_t")).cast("double").as("_chi2"))
+      .select(col("_n").as("n"), col("_r").as("r"), col("_c").as("c"),
+        round(col("_chi2"), 4).as("chi2"),
+        round(when(least(col("_r"), col("_c")) > 1,
+          sqrt(col("_chi2") /
+            (col("_n") * (least(col("_r"), col("_c")) - 1))))
+          .otherwise(lit(0.0)), 6).as("cramers_v"))
+  }
 }

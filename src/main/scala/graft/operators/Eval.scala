@@ -601,4 +601,151 @@ object Eval {
       .select(col("query_id"),
         round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 4).as("mrr"))
   }
+
+  /** Per-cluster purity against gold labels: for each cluster, the share
+    * of members carrying its majority label (ties → smaller label).
+    * Inputs: `assign(id, cluster)` and `labels(id, label)`. Output
+    * `(cluster, n, top_label, purity)` with purity at 6dp — the external
+    * clustering-quality table read next to [[silhouette]]'s internal one.
+    *
+    * Scale shape: one equi-join on id, one hash agg to the
+    * cluster×label contingency frame; everything downstream (majority
+    * pick, the ratio) runs on that bounded frame. The majority pick is a
+    * max_by-shaped aggregate, not a window.
+    */
+  def clusterPurity(assign: DataFrame, labels: DataFrame): DataFrame = {
+    val joint = assign.select(col("id"), col("cluster"))
+      .join(labels.select(col("id"), col("label")), Seq("id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("_cl"))
+    joint.groupBy(col("cluster")).agg(
+      sum(col("_cl")).as("n"),
+      // (count, -label) max ⇒ majority count, ties to the SMALLER label
+      max(struct(col("_cl"), (-col("label")).as("_nl"))).as("_m"))
+      .select(col("cluster"), col("n"),
+        (-col("_m").getField("_nl")).as("top_label"),
+        round(col("_m").getField("_cl").cast("double") / col("n"), 6)
+          .as("purity"))
+  }
+
+  /** Normalized mutual information between a clustering and gold labels —
+    * ONE row `(n, mi, h_cluster, h_label, nmi)` (nats, 6dp), with the
+    * sqrt normalization `nmi = mi / sqrt(h_cluster · h_label)` (0.0 when
+    * either entropy is 0). Inputs as in [[clusterPurity]].
+    *
+    * Determinism contract: each contingency/margin cell contributes one
+    * double log-term rounded to 8dp and cast to DECIMAL(38,8) before the
+    * sum — reduction-order-independent, oracle-mirrored verbatim.
+    * Scale shape: identical to [[clusterPurity]] — one join + one hash
+    * agg; all log-space math on the bounded contingency frame.
+    */
+  def clusterNmi(assign: DataFrame, labels: DataFrame): DataFrame = {
+    val joint = assign.select(col("id"), col("cluster"))
+      .join(labels.select(col("id"), col("label")), Seq("id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("_cl"))
+      .localCheckpoint(eager = false)
+    val n = joint.agg(sum(col("_cl")).as("_n"))
+    def entropy(margin: DataFrame, cnt: String, out: String): DataFrame =
+      margin.crossJoin(broadcast(n))
+        .select(round((col(cnt) .cast("double") / col("_n")) *
+            -log(col(cnt).cast("double") / col("_n")), 8)
+          .cast("decimal(38,8)").as("_t"))
+        .agg(sum(col("_t")).cast("double").as(out))
+    val hc = entropy(joint.groupBy(col("cluster"))
+      .agg(sum(col("_cl")).as("_c")), "_c", "_hc")
+    val hl = entropy(joint.groupBy(col("label"))
+      .agg(sum(col("_cl")).as("_l")), "_l", "_hl")
+    val mi = joint
+      .join(joint.groupBy(col("cluster")).agg(sum(col("_cl")).as("_c")),
+        Seq("cluster"))
+      .join(joint.groupBy(col("label")).agg(sum(col("_cl")).as("_l")),
+        Seq("label"))
+      .crossJoin(broadcast(n))
+      .select(round((col("_cl").cast("double") / col("_n")) *
+          log(col("_cl").cast("double") * col("_n") /
+            (col("_c").cast("double") * col("_l"))), 8)
+        .cast("decimal(38,8)").as("_t"))
+      .agg(sum(col("_t")).cast("double").as("_mi"))
+    mi.crossJoin(hc).crossJoin(hl).crossJoin(broadcast(n))
+      .select(col("_n").as("n"), round(col("_mi"), 6).as("mi"),
+        round(col("_hc"), 6).as("h_cluster"),
+        round(col("_hl"), 6).as("h_label"),
+        round(when(col("_hc") > 0 && col("_hl") > 0,
+          col("_mi") / sqrt(col("_hc") * col("_hl")))
+          .otherwise(lit(0.0)), 6).as("nmi"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between two score samples — the
+    * metric-aware drift number [[psi]]'s binned ratios miss (PSI is
+    * blind to HOW FAR mass moved; W1 integrates |CDF_a − CDF_b| over the
+    * value axis). One row: `(n_a, n_b, w1)` at 6dp. Inputs: two frames
+    * with a numeric `valueCol` (quantize upstream — the distinct-value
+    * set must be bounded by contract, e.g. 4dp scores).
+    *
+    * Determinism contract: per merged distinct value, the segment term
+    * `|F_a − F_b| · (next − v)` is one double over exact longs, rounded
+    * 8dp → DECIMAL(38,8) before the sum. Scale shape: one hash agg per
+    * side to value histograms; CDFs, the next-value step, and the fold
+    * are self-joins on the bounded merged-value frame — no global sort,
+    * no partition-less windows.
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("_v"))
+        .groupBy(col("_v")).agg(count(lit(1)).as(out))
+    val ha = hist(a, "_ca"); val hb = hist(b, "_cb")
+    val vals = ha.select(col("_v")).unionByName(hb.select(col("_v")))
+      .distinct().localCheckpoint(eager = false)
+    val na = ha.agg(sum(col("_ca")).as("_na"))
+    val nb = hb.agg(sum(col("_cb")).as("_nb"))
+    def cdf(h: DataFrame, cnt: String, out: String): DataFrame =
+      vals.join(broadcast(h.select(col("_v").as("_u"), col(cnt))),
+          col("_u") <= col("_v"), "left")
+        .groupBy(col("_v")).agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
+    val nxt = vals.join(broadcast(vals.select(col("_v").as("_w"))),
+        col("_w") > col("_v"))
+      .groupBy(col("_v")).agg(min(col("_w")).as("_nxt"))
+    val terms = cdf(ha, "_ca", "_fa").join(cdf(hb, "_cb", "_fb"), Seq("_v"))
+      .join(nxt, Seq("_v")) // the max value has no next → no segment
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(round(abs(col("_fa").cast("double") / col("_na") -
+          col("_fb").cast("double") / col("_nb")) *
+          (col("_nxt") - col("_v")), 8)
+        .cast("decimal(38,8)").as("_t"))
+    terms.agg(sum(col("_t")).as("_w1"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(coalesce(col("_w1").cast("double"), lit(0.0)), 6).as("w1"))
+  }
+
+  /** Leave-one-group-out (jackknife) sensitivity of a corpus-level mean:
+    * for each group, the mean of `valueCol` over all OTHER groups, its
+    * delta vs the full mean, plus the group's own weight — the "which
+    * source is dragging my quality metric" audit. Output
+    * `(left_out, n_rest, mean_rest, delta)` at 6dp.
+    *
+    * Scale shape: ONE hash agg over the corpus to per-group
+    * (Σ rounded-DECIMAL value, count); every leave-one-out mean is then
+    * closed-form from the global totals minus the group's —
+    * `(S − S_g) / (N − n_g)` — on the bounded per-group frame. No
+    * per-group rescans, no windows; exact DECIMAL sums make each mean
+    * reduction-order-independent.
+    */
+  def jackknifeMean(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("_g"),
+        round(col(valueCol), 6).cast("decimal(28,6)").as("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_v")).as("_sg"), count(lit(1)).as("_ng"))
+      .localCheckpoint(eager = false)
+    val tot = per.agg(sum(col("_sg")).as("_s"), sum(col("_ng")).as("_n"))
+    per.crossJoin(broadcast(tot))
+      .where(col("_n") > col("_ng"))
+      .select(col("_g").as("left_out"),
+        (col("_n") - col("_ng")).as("n_rest"),
+        round((col("_s") - col("_sg")).cast("double") /
+          (col("_n") - col("_ng")), 6).as("mean_rest"),
+        round((col("_s") - col("_sg")).cast("double") /
+            (col("_n") - col("_ng")) -
+          col("_s").cast("double") / col("_n"), 6).as("delta"))
+  }
 }

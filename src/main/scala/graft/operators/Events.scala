@@ -385,6 +385,84 @@ object Events {
       .groupBy(col("pct")).agg(min(col("v")).as("delay_sec"))
   }
 
+  /** Kaplan–Meier survival curve of `fromType → toType` conversion with
+    * administrative right-censoring at the stream's last timestamp — the
+    * estimator [[timeToConvert]] cannot replace once non-converters exist
+    * (dropping them biases every percentile optimistic). Per subject
+    * (first `fromType` per user): duration = seconds to first subsequent
+    * `toType` (observed) or to the global max ts (censored), floored to
+    * `resolutionSec` buckets. Output one row per observed-event time:
+    * `(t_sec, n_risk, n_events, n_censored, survival)` with the standard
+    * product-limit `S(t_i) = Π_{j≤i} (1 − d_j/n_j)` and the ties
+    * convention "events before censorings at the same time".
+    *
+    * Determinism contract: each factor's `ln(1 − d/n)` is one double over
+    * exact longs, rounded 8dp → DECIMAL(38,8); the prefix sum runs on the
+    * BOUNDED time-bucket histogram, so `S = exp(Σ)` is engine-exact. A
+    * bucket that exhausts the risk set (d = n) zeroes survival from there
+    * on via an explicit flag — never `ln(0)`.
+    *
+    * Scale shape: two keyed aggs build per-user durations; ONE hash agg
+    * collapses them to the time histogram (≤ horizon/resolution rows —
+    * bounded by contract); the at-risk and product prefixes are
+    * self-joins on that bounded frame. No per-user windows, no collects.
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase",
+      resolutionSec: Long = 3600L): DataFrame = {
+    require(resolutionSec > 0)
+    val horizon = events.agg(max(col("ts")).as("_hz"))
+    val su = events.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_su"))
+    val conv = events.where(col("event_type") === toType)
+      .join(su, Seq("user_id"))
+      .where(col("ts") >= col("_su"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_timestamp(col("ts")) - unix_timestamp(col("_su")))
+        .as("_dobs"))
+    val durations = su.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        (floor(coalesce(col("_dobs"),
+          unix_timestamp(col("_hz")) - unix_timestamp(col("_su"))) /
+          resolutionSec).cast("long") * resolutionSec).as("t"),
+        col("_dobs").isNotNull.as("_obs"))
+    val hist = durations.groupBy(col("t")).agg(
+      sum(when(col("_obs"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("_obs"), 0L).otherwise(1L)).as("c"))
+      .localCheckpoint(eager = false)
+    val n0 = hist.agg(sum(col("d") + col("c")).as("_n0"))
+    // at-risk at t = N − everyone removed strictly before t
+    val risk = hist.select(col("t"), col("d"), col("c"))
+      .join(broadcast(hist.select(col("t").as("_u"),
+        (col("d") + col("c")).as("_rm"))), col("_u") < col("t"), "left")
+      .groupBy(col("t"), col("d"), col("c"))
+      .agg(coalesce(sum(col("_rm")), lit(0L)).as("_before"))
+      .crossJoin(broadcast(n0))
+      .select(col("t"), col("d"), col("c"),
+        (col("_n0") - col("_before")).as("n_risk"))
+      .localCheckpoint(eager = false)
+    // product-limit in log space over the bounded event-time frame
+    val terms = risk.where(col("d") > 0)
+      .select(col("t"), col("d"), col("c"), col("n_risk"),
+        when(col("d") === col("n_risk"), lit(null))
+          .otherwise(round(
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")), 8)
+            .cast("decimal(38,8)")).as("_ln"))
+    terms.select(col("t"), col("d"), col("c"), col("n_risk"))
+      .join(broadcast(terms.select(col("t").as("_u"), col("_ln"),
+        (col("_ln").isNull).as("_dead"))), col("_u") <= col("t"))
+      .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+      .agg(sum(col("_ln")).as("_sum"), max(col("_dead")).as("_anydead"))
+      .select(col("t").as("t_sec"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        when(col("_anydead"), lit(0.0))
+          .otherwise(round(exp(col("_sum").cast("double")), 6))
+          .as("survival"))
+  }
+
   /** First-order Markov transition matrix of a user's event stream: counts
     * and probabilities of `from_type → to_type` over consecutive events per
     * user (ordered by `(ts, event_id)`), the path-analysis table behind

@@ -290,6 +290,85 @@ object KnnGraph {
     pr
   }
 
+  /** HITS hubs & authorities over a directed edge list (Kleinberg '99) —
+    * the companion centrality to [[pageRank]] for kNN digraphs: a high
+    * AUTHORITY is a vector many good hubs point at (a density peak /
+    * canonical representative); a high HUB points at many good
+    * authorities. Output `(id, hub, auth)` as integer fixed-point
+    * (Scale=1e12-normalized L1 per round).
+    *
+    * Determinism contract: exact integer arithmetic end-to-end, exactly
+    * like [[pageRank]] — each round is `auth = Σ_in hub`, then L1
+    * renormalize via `(x · Scale) div Σx`, then `hub = Σ_out auth`,
+    * renormalize — so every engine reproduces the same longs and the
+    * oracle unrolls the rounds verbatim. Scale is 1e9 (not [[pageRank]]'s
+    * 1e12): the renorm multiplies a rank bounded by Scale (a pre-renorm
+    * rank never exceeds the previous round's total mass) by Scale again,
+    * and 1e9 keeps that product at 1e18 — inside Long, where 1e12 would
+    * overflow.
+    *
+    * Scale shape: per round, two keyed hash-agg joins over the edge list
+    * (shuffle ∝ |E|) and two one-row broadcast totals; ranks
+    * localCheckpoint per round so the plan stays flat. No windows, no
+    * collects.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame = {
+    val Scale = 1000000000L
+    val n = nodes.agg(count(lit(1)).as("_n"))
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(greatest(sum(col(c)), lit(1L)).as("_t"))
+      df.crossJoin(broadcast(tot))
+        .select(col("id"), expr(s"($c * ${Scale}L) div _t").as(c))
+    }
+    var hub = nodes.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${Scale}L div _n").as("hub"))
+    var auth = hub.select(col("id"), col("hub").as("auth"))
+    for (_ <- 1 to iters) {
+      auth = renorm(
+        nodes.join(
+          edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+            .withColumnRenamed("dst", "id"),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth").localCheckpoint(eager = false)
+      hub = renorm(
+        nodes.join(
+          edges.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint(eager = false)
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("hub"), col("auth"))
+  }
+
+  /** Neighborhood stability between two kNN edge snapshots — the
+    * re-embedding / data-refresh health check: for every query node
+    * present in BOTH snapshots, how many of its neighbors survived?
+    * Output the overlap histogram `(n_common, n_nodes)` (0 ≤ n_common ≤
+    * k; a spike at low overlap = the refresh rewired the space). Exact
+    * integer counts — engine-trivial.
+    *
+    * Scale shape: both inputs are O(n·k) edge lists (bounded top-k
+    * passes); the overlap is one equi-join on (src, dst) + two hash aggs.
+    * Zero-overlap nodes are kept via the shared-src frame (semi-joins),
+    * never a window.
+    */
+  def knnStability(edgesA: DataFrame, edgesB: DataFrame): DataFrame = {
+    val a = edgesA.select(col("src"), col("dst"))
+    val b = edgesB.select(col("src"), col("dst"))
+    val shared = a.select(col("src")).distinct()
+      .join(b.select(col("src")).distinct(), Seq("src"), "left_semi")
+    val common = a.join(b, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("_c"))
+    shared.join(common, Seq("src"), "left")
+      .select(coalesce(col("_c"), lit(0L)).as("n_common"))
+      .groupBy(col("n_common")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over a
     * directed edge list — the structural health metric of a kNN graph
     * (well-built neighborhoods close into triangles; a broken / random

@@ -1243,4 +1243,293 @@ object Pipeline {
        |       round(w::DOUBLE / z::DOUBLE, 6) AS weight
        |FROM r, z""".stripMargin
   }
+
+  /** Declarative data-contract audit — the expectation-suite gate a
+    * pipeline runs on a new table drop before any training job reads it.
+    * One row per constraint: `(check_name, col_name, n_checked, n_violations)`.
+    *
+    *   - `notNull`: rows where the column IS NULL;
+    *   - `unique`: rows carrying a duplicated (non-null) key value
+    *     (`n_nonnull − n_distinct` — 0 iff the column is a key);
+    *   - `ranges` `(col, lo, hi)`: non-null rows outside `[lo, hi]`;
+    *   - `accepted` `(col, values)`: non-null rows whose value is not in
+    *     the enumerated domain;
+    *   - `refs` `(col, dim, dimCol)`: referential integrity — non-null
+    *     rows whose key has no match in the dimension table.
+    *
+    * Scale shape: every scan-family check (notNull/unique/ranges/accepted)
+    * is a conditional aggregate of ONE pass over the fact table — a single
+    * hash agg, no per-check scans; `unique` rides the same agg as a
+    * `count distinct` (Spark expands it into the same scan). Each `refs`
+    * check is one LEFT ANTI join counted (dimension side broadcast when
+    * small); results union onto the scan row set. Nothing collects.
+    */
+  def constraintAudit(
+      df: DataFrame,
+      notNull: Seq[String] = Nil,
+      unique: Seq[String] = Nil,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      accepted: Seq[(String, Seq[String])] = Nil,
+      refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    val aggs: Seq[(String, String, Column, Column)] =
+      notNull.map { c =>
+        ("not_null", c, count(lit(1)),
+          sum(when(col(c).isNull, 1L).otherwise(0L)))
+      } ++ unique.map { c =>
+        ("unique", c, sum(when(col(c).isNotNull, 1L).otherwise(0L)),
+          sum(when(col(c).isNotNull, 1L).otherwise(0L)) -
+            countDistinct(col(c)))
+      } ++ ranges.map { case (c, lo, hi) =>
+        ("in_range", c, sum(when(col(c).isNotNull, 1L).otherwise(0L)),
+          sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+            .otherwise(0L)))
+      } ++ accepted.map { case (c, vs) =>
+        ("accepted_values", c, sum(when(col(c).isNotNull, 1L).otherwise(0L)),
+          sum(when(col(c).isNotNull && !col(c).isInCollection(vs), 1L)
+            .otherwise(0L)))
+      }
+    val scanned: Option[DataFrame] =
+      if (aggs.isEmpty) None
+      else {
+        // coalesce unifies nullability across branches (count is non-null,
+        // sum is nullable) — stack() requires identical struct types
+        val exprs = aggs.zipWithIndex.flatMap { case ((_, _, nc, vc), i) =>
+          Seq(coalesce(nc, lit(0L)).as(s"_n$i"),
+            coalesce(vc, lit(0L)).as(s"_v$i")) }
+        val one = df.agg(exprs.head, exprs.tail: _*)
+        val rows = aggs.zipWithIndex.map { case ((name, c, _, _), i) =>
+          struct(lit(name).as("check_name"), lit(c).as("col_name"),
+            col(s"_n$i").as("n_checked"), col(s"_v$i").as("n_violations")) }
+        Some(one.select(inline(array(rows: _*))))
+      }
+    val refChecks = refs.map { case (c, dim, dimCol) =>
+      val nn = df.where(col(c).isNotNull).select(col(c))
+      nn.join(broadcast(dim.select(col(dimCol).as(c)).distinct()),
+          Seq(c), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("ref_integrity").as("check_name"), lit(c).as("col_name"),
+          col("n_violations"))
+        .crossJoin(broadcast(nn.agg(count(lit(1)).as("_cnt"))))
+        .select(col("check_name"), col("col_name"),
+          col("_cnt").as("n_checked"), col("n_violations"))
+    }
+    (scanned.toSeq ++ refChecks).reduce(_ unionByName _)
+  }
+
+  /** Greedy coverage-based selection (facility-location / set-cover style
+    * data curation): over `rounds` synchronous rounds, pick the document
+    * adding the most NOT-YET-COVERED distinct tokens (ties → smaller id),
+    * then mark its tokens covered. Output one row per pick:
+    * `(round, doc_id, new_tokens)` — the classic submodular-coverage
+    * ordering used to seed a maximally-diverse fine-tuning subset.
+    *
+    * Scale shape: the doc→token incidence list is built once (one
+    * projection + distinct); each round is (a) one ANTI join of the
+    * incidence list against the covered-token set, (b) one hash agg to
+    * per-doc gains, (c) a global top-1 (`TakeOrderedAndProject` — no full
+    * sort), and (d) a semi-join growing the covered set, which is
+    * localCheckpointed so the plan stays flat across rounds. The only
+    * driver materialization is the single winning row per round — the
+    * greedy argmax is inherently sequential across rounds (rounds is a
+    * small constant by contract), never across the corpus.
+    */
+  def coverageSelect(docs: DataFrame, rounds: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inc = docs.select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .distinct().localCheckpoint(eager = false)
+    var covered = inc.select(col("_tok")).limit(0)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val gains = inc.join(covered, Seq("_tok"), "left_anti")
+        .groupBy(col("_id")).agg(count(lit(1)).as("_gain"))
+        .orderBy(col("_gain").desc, col("_id")).limit(1)
+      // bounded driver materialization: exactly one row per round
+      val top = gains.collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0); val gain = top(0).getLong(1)
+        picks += ((r, id, gain))
+        covered = covered
+          .unionByName(inc.where(col("_id") === id).select(col("_tok")))
+          .distinct().localCheckpoint(eager = false)
+      }
+    }
+    picks.toSeq.toDF("round", "doc_id", "new_tokens")
+  }
+
+  /** Time-based train/test split with an embargo gap (the leakage control
+    * temporal ML needs that [[groupAwareSplit]]'s entity keys don't give):
+    * `train` = rows strictly before `cutoff`, `test` = rows at or after
+    * `cutoff + embargoHours`, rows inside the gap are dropped (label
+    * horizons crossing the boundary would leak future into train).
+    * Returns the input plus a `split` column with gap rows REMOVED.
+    * Purely per-row column math — one scan, no shuffle.
+    */
+  def temporalEmbargoSplit(df: DataFrame, tsCol: String, cutoff: String,
+      embargoHours: Int): DataFrame = {
+    val c = to_timestamp(lit(cutoff))
+    val e = c + expr(s"INTERVAL $embargoHours HOURS")
+    df.withColumn("split",
+        when(col(tsCol) < c, "train")
+          .when(col(tsCol) >= e, "test"))
+      .where(col("split").isNotNull)
+  }
+
+  /** Per-split audit of [[temporalEmbargoSplit]]: row/entity counts plus
+    * the count of entities present on BOTH sides — the residual
+    * entity-level leakage an embargo alone cannot remove (same user, far
+    * apart in time). One row per split:
+    * `(split, n_rows, n_entities, n_shared_entities)`.
+    * Scale shape: one hash agg per (entity, split), then counts on the
+    * entity-level frame; no windows.
+    */
+  def temporalSplitAudit(split: DataFrame, entityCol: String): DataFrame = {
+    val per = split.groupBy(col(entityCol).as("_e"), col("split"))
+      .agg(count(lit(1)).as("_n")).localCheckpoint(eager = false)
+    val shared = per.groupBy(col("_e"))
+      .agg(count(lit(1)).as("_sides"))
+      .where(col("_sides") === 2)
+      .agg(count(lit(1)).as("_shared"))
+    per.groupBy(col("split"))
+      .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_entities"))
+      .crossJoin(broadcast(shared))
+      .select(col("split"), col("n_rows"), col("n_entities"),
+        coalesce(col("_shared"), lit(0L)).as("n_shared_entities"))
+  }
+
+  /** Gini coefficient of a non-negative LONG measure (token counts, bytes,
+    * cluster sizes) — the corpus-concentration number behind "10% of the
+    * docs carry 80% of the tokens". One row: `(n, total, gini)` at 6dp,
+    * `G = 2·Σ rank_i·x_i / (n·Σx) − (n+1)/n` over ascending values.
+    *
+    * Scale shape: closed form over the VALUE HISTOGRAM — rows with value
+    * v occupy ranks F_v+1..F_v+c_v (F_v = rows strictly below v), so
+    * `Σ rank·x = Σ_v v·(c_v·F_v + c_v(c_v+1)/2)` — all exact integer
+    * arithmetic on the bounded distinct-value frame; the prefix count is
+    * a self-join on that bounded histogram, never a global rank window
+    * over raw rows. The final expression is one double over exact longs —
+    * engine-exact with no rounding staging.
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val h = df.select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(eager = false)
+    val pre = h.join(broadcast(h.select(col("_v").as("_u"), col("_c").as("_cu"))),
+        col("_u") < col("_v"), "left")
+      .groupBy(col("_v"), col("_c"))
+      .agg(coalesce(sum(col("_cu")), lit(0L)).as("_f"))
+    pre.select(col("_c"), (col("_v") * col("_c")).as("_vc"),
+        (col("_v") * (col("_c") * col("_f") +
+          expr("(_c * (_c + 1)) div 2"))).as("_r"))
+      .agg(sum(col("_c")).as("_n"), sum(col("_vc")).as("_tot"),
+        sum(col("_r")).as("_ri"))
+      .select(col("_n").as("n"), col("_tot").as("total"),
+        round(when(col("_tot") > 0 && col("_n") > 0,
+          lit(2.0) * col("_ri") / (col("_n").cast("double") * col("_tot")) -
+            (col("_n") + 1).cast("double") / col("_n"))
+          .otherwise(lit(0.0)), 6).as("gini"))
+  }
+
+  /** Capped proportional budget allocation (waterfilling) across sources —
+    * the mixture-design step AFTER [[mixtureWeights]]: a token budget is
+    * split ∝ weight, but a source can't give more than it has, and its
+    * surplus re-flows to the others ∝ their weights. Input one row per
+    * source `(source, weight1e6, cap)` (integer-scaled weights, token
+    * caps); output `(source, weight1e6, cap, allocated, saturated)`.
+    *
+    * Algorithm (synchronous rounds, ≤ one per source): allocate the
+    * remaining budget to unsaturated sources as `R·w div ΣW` (exact
+    * integer floor); any allocation meeting its cap saturates AT the cap
+    * and returns its surplus to the pool; stop when a round saturates
+    * nothing. Floor remainders (< one unit per source per round) stay
+    * unallocated — deterministic, oracle-unrollable.
+    *
+    * Scale shape: the per-source frame is bounded by the source
+    * vocabulary (broadcast-tiny by contract); each round is one one-row
+    * aggregate crossJoined back — the driver loop only counts rounds.
+    */
+  def waterfillAllocate(perSource: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0)
+    var cur = perSource.select(col("source"), col("weight1e6"), col("cap"),
+      lit(null).cast("long").as("allocated"), lit(false).as("saturated"))
+      .localCheckpoint(eager = false)
+    var done = false
+    var rounds = 0
+    val maxRounds = 64 // saturation strictly shrinks the unsaturated set
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val pool = cur.agg(
+        (lit(budget) - coalesce(sum(when(col("saturated"),
+          col("allocated"))), lit(0L))).as("_r"),
+        coalesce(sum(when(!col("saturated"), col("weight1e6"))), lit(0L))
+          .as("_w"),
+        count(lit(1)).as("_nu"))
+      val stepped = cur.crossJoin(broadcast(pool))
+        .select(col("source"), col("weight1e6"), col("cap"),
+          when(col("saturated"), col("allocated"))
+            // 38-digit intermediate: R·w overflows Long once budgets reach
+            // corpus scale (1e14 tokens · 1e6 weight); div returns BIGINT
+            .otherwise(when(col("_w") > 0,
+              expr("CAST(_r AS DECIMAL(38,0)) * weight1e6 div _w"))
+              .otherwise(lit(0L)))
+            .as("_a"),
+          col("saturated"))
+      val next = stepped.select(col("source"), col("weight1e6"), col("cap"),
+          when(!col("saturated") && col("_a") >= col("cap"), col("cap"))
+            .otherwise(col("_a")).as("allocated"),
+          (col("saturated") || col("_a") >= col("cap")).as("saturated"))
+        .localCheckpoint(eager = false)
+      // a round that saturates nothing is final (bounded one-row collect)
+      val newly = next.agg(sum(when(col("saturated"), 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+      val prev = cur.agg(sum(when(col("saturated"), 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+      cur = next
+      done = newly == prev
+    }
+    cur
+  }
+
+  /** DPO-style preference-pair assembly: within each group, pair the
+    * rank-i BEST-scoring doc with the rank-i WORST (i = 1..pairs), ties
+    * on id ascending, keeping only pairs with a strictly positive margin
+    * and distinct members. Output
+    * `(group, pair_rank, chosen_id, rejected_id, margin)` — the chosen /
+    * rejected tuple layout of a preference-optimization training set.
+    *
+    * Scale shape: the top list and the bottom list are each ONE bounded
+    * top-k aggregate pass ([[graft.functions.TopKByDistance]]'s map-side-reduced
+    * buffer — at most `pairs` rows per group cross the shuffle), never a
+    * per-group window over the raw corpus. The pairing join runs on the
+    * post-aggregation frame (≤ `pairs` rows per group per side). The
+    * score is quantized to 1e-4 longs for the buffer's (dist, id)
+    * ordering — exactly the 4dp-rounded score the contract exposes.
+    */
+  def preferencePairs(docs: DataFrame, scoreCol: String, pairs: Int,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      round(col(scoreCol) * 10000).cast("long").as("_s1e4"))
+    def ranked(d: DataFrame, distCol: Column, out: String): DataFrame =
+      d.groupBy(col("_g"))
+        .agg(graft.functions.TopKByDistance.topk(col("_id"), distCol, pairs)
+          .as("_nn"))
+        .select(col("_g"), posexplode(col("_nn")).as(Seq("_p", "_e")))
+        .select(col("_g"), (col("_p") + 1).cast("long").as("pair_rank"),
+          col("_e").getField("id").as(s"${out}_id"),
+          col("_e").getField("dist").as(s"_${out}_d"))
+    // best = smallest negated score; worst = smallest raw score
+    val best = ranked(base, -col("_s1e4").cast("double"), "chosen")
+    val worst = ranked(base, col("_s1e4").cast("double"), "rejected")
+    best.join(worst, Seq("_g", "pair_rank"))
+      .where(col("chosen_id") =!= col("rejected_id"))
+      .select(col("_g").as(groupCol), col("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        ((-col("_chosen_d") - col("_rejected_d")) / 10000.0).as("margin"))
+      .where(col("margin") > 0)
+      .withColumn("margin", round(col("margin"), 4))
+  }
 }

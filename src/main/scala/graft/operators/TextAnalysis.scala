@@ -593,6 +593,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_types"), sum(col("_cnt")).as("n_occurrences"))
   }
 
+  /** Hill maximum-likelihood tail exponent of the token frequency
+    * distribution — the single number [[freqSpectrum]]'s octave staircase
+    * eyeballs: `α = 1 + n_tail / Σ ln(x_i / xmin)` over token types with
+    * count ≥ `xmin` (the continuous-MLE Hill estimator; a healthy natural
+    * corpus sits near the Zipf α ≈ 2, boilerplate-heavy ones drift low).
+    * One row: `(xmin, n_tail, alpha)` at 6dp. Types with count = xmin
+    * contribute ln 1 = 0 but DO count in n_tail, per the estimator.
+    *
+    * Determinism contract: each type's ln ratio is rounded 8dp →
+    * DECIMAL(38,8) before the sum (order-free); the final α is one double
+    * expression over the exact sum. Scale shape: one token hash agg to
+    * type counts, one filtered agg — nothing else.
+    */
+  def hillTail(docs: DataFrame, xmin: Long,
+      textCol: String = "text"): DataFrame = {
+    require(xmin >= 1)
+    docs.select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= xmin)
+      .select(round(log(col("_cnt").cast("double") / xmin), 8)
+        .cast("decimal(38,8)").as("_ln"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("_ln")).as("_s"))
+      .select(lit(xmin).as("xmin"), col("n_tail"),
+        round(when(col("_s").isNotNull && col("_s") > 0,
+          lit(1.0) + col("n_tail").cast("double") / col("_s").cast("double"))
+          .otherwise(lit(null).cast("double")), 6).as("alpha"))
+  }
+
+  /** Sentence-granularity duplication rate per source — the corpus-health
+    * number between chunk-level exact dedup (token windows) and doc-level
+    * dedup: boilerplate repeats SENTENCES long before whole docs repeat.
+    * Sentences = text split on `[.!?]+`, trimmed, empties dropped; output
+    * `(source, n_sentences, n_distinct, dup_rate)` with
+    * `dup_rate = (n − distinct) / n` at 6dp (instance-level: 100 copies
+    * of one sentence → 0.99).
+    *
+    * Scale shape: one explode + one hash agg (count + count distinct per
+    * source) — corpus-linear, no pair space.
+    */
+  def sentenceDupRate(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(filter(transform(split(col(textCol), "[.!?]+"),
+          s => trim(s)), s => s =!= lit(""))).as("sentence"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sentences"),
+        countDistinct(col("sentence")).as("n_distinct"))
+      .select(col("source"), col("n_sentences"), col("n_distinct"),
+        round((col("n_sentences") - col("n_distinct")).cast("double") /
+          col("n_sentences"), 6).as("dup_rate"))
+
   /** Pairwise source vocabulary similarity — the dataset-card "how much do
     * my corpus slices overlap lexically" audit (near-identical sources are
     * mixture-weight double counting; disjoint ones signal domain silos).

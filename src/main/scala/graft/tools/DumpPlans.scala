@@ -377,7 +377,31 @@ object DumpPlans {
         |aggregate; the majority pick windows only the aggregated node ×
         |live-label frame (bounded by the label vocabulary). Seeds clamp
         |via broadcast left joins; nothing driver-side, frame size |V|
-        |throughout — the pageRank iterative-dataflow contract.""".stripMargin)
+        |throughout — the pageRank iterative-dataflow contract.""".stripMargin,
+    "q257_constraint_audit" ->
+      """Data-contract audit: all scan-family expectations (nulls, key
+        |uniqueness, ranges, enumerated domains) fold into ONE conditional
+        |aggregate over a single fact-table pass — adding a check adds a
+        |column, not a scan; each referential check is one broadcast ANTI
+        |join counted. Output is rows-per-check via inline(), driver-free.""".stripMargin,
+    "q261_coverage_select" ->
+      """Greedy set-cover selection: per round one ANTI join of the
+        |doc-token incidence list against the covered set, one hash agg to
+        |per-doc gains, and a global top-1 (TakeOrderedAndProject — no full
+        |sort). The covered set is localCheckpointed so plans stay flat;
+        |the only driver materialization is the single winning row per
+        |round — greedy is sequential across ROUNDS, never across docs.""".stripMargin,
+    "q262_pref_pairs" ->
+      """Preference-pair assembly: the per-group best and worst lists are
+        |each ONE bounded top-k aggregate pass (map-side reduced — at most
+        |`pairs` rows per group reach the shuffle), never a per-source
+        |window over the raw corpus; the pairing join runs on the
+        |post-aggregation frame.""".stripMargin,
+    "q263_hits" ->
+      """HITS centrality: each half-round is a keyed hash-agg join over the
+        |edge list (shuffle ∝ |E|) plus a one-row broadcast total for the
+        |integer L1 renorm; ranks localCheckpoint per round. Exact BIGINT
+        |arithmetic end-to-end — the pageRank fixed-point contract.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -37,4 +37,31 @@ class AssociationSpec extends SparkSpec {
     assert(got(("r", "s")) === 2.0)
     assert(!got.contains(("p", "r"))) // zero co-occurrence never surfaces
   }
+
+  test("categoricalAssociation: independence → chi2 0; perfect 2×2 " +
+      "dependence → V 1; hand-computed mixed case") {
+    import spark.implicits._
+    // perfectly independent 2×2: every (a, b) cell = 2
+    val ind = Seq.tabulate(8)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val gi = Association.categoricalAssociation(ind, "x", "y").collect()(0)
+    assert(gi.getLong(0) === 8L && gi.getDouble(3) === 0.0 &&
+      gi.getDouble(4) === 0.0)
+    // perfect dependence: a0↔b0, a1↔b1 (4 rows each)
+    val dep = (Seq.fill(4)(("a0", "b0")) ++ Seq.fill(4)(("a1", "b1")))
+      .toDF("x", "y")
+    val gd = Association.categoricalAssociation(dep, "x", "y").collect()(0)
+    // chi2 = n·min(r−1,c−1) = 8 → V = 1
+    assert(gd.getDouble(3) === 8.0 && gd.getDouble(4) === 1.0)
+    // hand case: cells a0b0=3 a0b1=1 a1b0=1 a1b1=3 (n=8, margins all 4)
+    // e = 2 everywhere → chi2 = 4·(1)²/2 = 2; V = sqrt(2/8) = 0.5
+    val mix = (Seq.fill(3)(("a0", "b0")) ++ Seq(("a0", "b1"), ("a1", "b0")) ++
+      Seq.fill(3)(("a1", "b1"))).toDF("x", "y")
+    val gm = Association.categoricalAssociation(mix, "x", "y").collect()(0)
+    assert(gm.getDouble(3) === 2.0 && gm.getDouble(4) === 0.5)
+    // single-category margin: V defined as 0, chi2 0 (1×2 table)
+    val one = Seq(("a0", "b0"), ("a0", "b1")).toDF("x", "y")
+    val go = Association.categoricalAssociation(one, "x", "y").collect()(0)
+    assert(go.getLong(1) === 1L && go.getDouble(4) === 0.0)
+  }
 }

@@ -368,4 +368,36 @@ class EventsSpec extends SparkSpec {
       ("a", 3L, 17L, 5L, 7L, 2L),
       ("b", 1L, -3L, -3L, -3L, 1L)))
   }
+
+  test("kaplanMeier: hand-checked product-limit with censoring; " +
+      "risk-set exhaustion zeroes the tail") {
+    // 4 signups; conversions at +1h (u1), +2h (u2); u3/u4 censored at the
+    // max ts (+3h from their signups at 10:00). With 1h buckets:
+    //   t=3600: d=1, n=4 → S = 3/4
+    //   t=7200: d=1, n=3 → S = 3/4 · 2/3 = 1/2
+    // censored mass (u3, u4) falls at t=10800 (no event row emitted there)
+    val events = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2026-01-01 11:00:00", 1L, "purchase", 1.0),
+      (3L, "2026-01-01 10:00:00", 2L, "signup", 0.0),
+      (4L, "2026-01-01 12:00:00", 2L, "purchase", 1.0),
+      (5L, "2026-01-01 10:00:00", 3L, "signup", 0.0),
+      (6L, "2026-01-01 10:00:00", 4L, "signup", 0.0),
+      (7L, "2026-01-01 13:00:00", 9L, "view", 0.0))) // horizon anchor
+    val got = Events.kaplanMeier(events)
+      .orderBy("t_sec")
+      .select("t_sec", "n_risk", "n_events", "n_censored", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((3600L, 4L, 1L, 0L, 0.75), (7200L, 3L, 1L, 0L, 0.5)))
+    // no censoring, last event exhausts the risk set → survival hits 0.0
+    val all = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2026-01-01 11:00:00", 1L, "purchase", 1.0),
+      (3L, "2026-01-01 10:00:00", 2L, "signup", 0.0),
+      (4L, "2026-01-01 12:00:00", 2L, "purchase", 1.0)))
+    val g2 = Events.kaplanMeier(all).orderBy("t_sec")
+      .select("t_sec", "survival").as[(Long, Double)].collect().toSeq
+    assert(g2 === Seq((3600L, 0.5), (7200L, 0.0)),
+      "d = n_risk must zero survival, not ln(0)")
+  }
 }

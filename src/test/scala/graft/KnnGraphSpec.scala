@@ -332,4 +332,102 @@ class KnnGraphSpec extends SparkSpec {
     val s0 = Eval.silhouette(one, co, "l2sq").collect()
     assert(s0.length === 1 && s0(0).getDouble(2) === 0.0)
   }
+
+  test("hits: authorities collect in-link mass, hubs collect out-link " +
+      "mass; L1 mass ≈ Scale after renorm") {
+    import spark.implicits._
+    // bipartite-ish: 1,2,3 all point at 4 and 5; 4 points at 5
+    val edges = Seq((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    val nodes = (1L to 5L).toDF("id")
+    val got = KnnGraph.hits(edges, nodes, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 5 is the best authority (4 in-links incl. from semi-authority 4);
+    // pure sources 1-3 are equal hubs with zero authority
+    assert(got(5L)._2 > got(4L)._2, s"5 outranks 4 as authority: $got")
+    assert(got(1L) === got(2L) && got(2L) === got(3L), "symmetric hubs tie")
+    assert(got(1L)._2 === 0L && got(5L)._1 === 0L,
+      "no in-links → auth 0; no out-links → hub 0")
+    val hubMass = got.values.map(_._1).sum
+    val authMass = got.values.map(_._2).sum
+    assert(hubMass > 999999990L && hubMass <= 1000000000L, s"hub: $hubMass")
+    assert(authMass > 999999990L && authMass <= 1000000000L, s"auth: $authMass")
+  }
+
+  test("hits equals a plain-Scala integer reference on random digraphs") {
+    import spark.implicits._
+    val Scale = 1000000000L
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 5 + rng.nextInt(10)
+      val edgeSeq = (0L until n.toLong).flatMap { src =>
+        rng.shuffle((0L until n.toLong).filter(_ != src).toList).take(2)
+          .map(dst => (src, dst))
+      }
+      var hub = Array.fill(n)(Scale / n)
+      var auth = Array.fill(n)(0L)
+      def renorm(a: Array[Long]): Array[Long] = {
+        val t = math.max(a.sum, 1L)
+        a.map(x => x * Scale / t)
+      }
+      for (_ <- 1 to 2) {
+        val ap = Array.fill(n)(0L)
+        for ((s, d) <- edgeSeq) ap(d.toInt) += hub(s.toInt)
+        auth = renorm(ap)
+        val hp = Array.fill(n)(0L)
+        for ((s, d) <- edgeSeq) hp(s.toInt) += auth(d.toInt)
+        hub = renorm(hp)
+      }
+      val got = KnnGraph.hits(
+        edgeSeq.toDF("src", "dst"), (0L until n.toLong).toDF("id"), 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      for (i <- 0 until n)
+        assert(got(i.toLong) === ((hub(i), auth(i))), s"node $i of n=$n")
+    }
+  }
+
+  test("clusterPurity: majority share per cluster, ties to smaller label") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L))
+      .toDF("id", "cluster")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 8), (4L, 9), (5L, 3))
+      .toDF("id", "label")
+    val got = Eval.clusterPurity(assign, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got(10L) === ((3L, 7, BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(20L) === ((2L, 3, 0.5)), "1-1 tie picks the smaller label")
+  }
+
+  test("clusterNmi: perfect clustering → nmi 1; single label → nmi 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "cluster")
+    val perfect = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2)).toDF("id", "label")
+    val gp = Eval.clusterNmi(assign, perfect).collect()(0)
+    assert(gp.getDouble(4) === 1.0, s"perfect match is NMI 1: $gp")
+    assert(math.abs(gp.getDouble(1) - math.log(2)) < 1e-6)
+    val const = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1)).toDF("id", "label")
+    val gc = Eval.clusterNmi(assign, const).collect()(0)
+    assert(gc.getDouble(1) === 0.0 && gc.getDouble(4) === 0.0,
+      s"degenerate single-label margin: $gc")
+  }
+
+  test("knnStability: overlap histogram over shared sources only; " +
+      "zero-overlap nodes kept") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L),
+      (5L, 1L)).toDF("src", "dst")
+    // node 3 absent from snapshot B; node 5 rewired entirely
+    val b = Seq((1L, 2L), (1L, 4L), (2L, 1L), (2L, 3L), (5L, 2L))
+      .toDF("src", "dst")
+    val got = KnnGraph.knnStability(a, b).as[(Long, Long)].collect()
+      .toSeq.sorted
+    // src 1: {2} common → 1; src 2: {1,3} → 2; src 5: ∅ → 0
+    assert(got === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
 }

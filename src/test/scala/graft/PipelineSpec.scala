@@ -710,4 +710,163 @@ class PipelineSpec extends SparkSpec {
     assert(c.isNullAt(2), s"zero y-variance must NULL corr: $c")
     assert(c.getDouble(3) === 0.0, s"flat y over varying x is slope 0: $c")
   }
+
+  test("constraintAudit: every check family counts its violations on a " +
+      "hand fixture; nulls excluded from domain checks") {
+    import spark.implicits._
+    val fact = Seq(
+      (Some(1L), Some(10.0), Some("O")),
+      (Some(1L), Some(-5.0), Some("F")),   // dup key; below range
+      (Some(2L), Some(20.0), Some("X")),   // bad status
+      (None, Some(999.0), None),           // null key; above range
+      (Some(9L), None, Some("O"))          // orphan key (dim has 1, 2)
+    ).toDF("k", "price", "status")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val got = Pipeline.constraintAudit(fact,
+      notNull = Seq("k"), unique = Seq("k"),
+      ranges = Seq(("price", 0.0, 100.0)),
+      accepted = Seq(("status", Seq("O", "F"))),
+      refs = Seq(("k", dim, "dk")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got === Seq(
+      ("accepted_values", "status", 4L, 1L),
+      ("in_range", "price", 4L, 2L),
+      ("not_null", "k", 5L, 1L),
+      ("ref_integrity", "k", 4L, 1L),
+      ("unique", "k", 4L, 1L)))
+  }
+
+  test("coverageSelect: greedy max-marginal-coverage order on a hand " +
+      "corpus; id tiebreak; exhaustion stops early") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "a b c d"),      // 4 tokens — round 1 winner
+      (3L, "e f"),          // 2 new after doc 2 — round 2 winner
+      (4L, "a e"),          // fully covered after rounds 1-2
+      (5L, "g")             // 1 new — round 3 winner
+    ).toDF("doc_id", "text")
+    val got = Pipeline.coverageSelect(docs, rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 2L, 4L), (2, 3L, 2L), (3, 5L, 1L)),
+      s"greedy picks diverge: $got")
+    // tie in round 1 (docs 1 and 2 both 3 tokens) → smaller id wins
+    val tie = Seq((2L, "x y z"), (1L, "p q r")).toDF("doc_id", "text")
+    val t1 = Pipeline.coverageSelect(tie, rounds = 1).collect()(0)
+    assert(t1.getLong(1) === 1L)
+  }
+
+  test("preferencePairs: rank-i best pairs rank-i worst per group; " +
+      "zero-margin and self pairs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 0.9), ("s1", 2L, 0.7), ("s1", 3L, 0.5), ("s1", 4L, 0.1),
+      ("s2", 5L, 0.4), ("s2", 6L, 0.4)   // all-tied group → no pairs
+    ).toDF("source", "doc_id", "score")
+    val got = Pipeline.preferencePairs(docs, "score", pairs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq.sorted
+    // s1: (best1=1, worst1=4, .8), (best2=2, worst2=3, .2)
+    assert(got === Seq(("s1", 1L, 1L, 4L, 0.8), ("s1", 2L, 2L, 3L, 0.2)))
+  }
+
+  test("jackknifeMean: closed-form leave-one-out means and deltas") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", 7.0), ("c", 9.0))
+      .toDF("g", "v")
+    val got = graft.operators.Eval.jackknifeMean(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got === Seq(
+      ("a", 3L, BigDecimal(21.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("b", 4L, 5.0),
+      ("c", 3L, 3.0)))
+    // single-group frame: no leave-one-out rows (nt == ng)
+    val one = Seq(("a", 1.0)).toDF("g", "v")
+    assert(graft.operators.Eval.jackknifeMean(one, "g", "v").count() === 0L)
+  }
+
+  test("temporalEmbargoSplit + audit: gap rows dropped, shared entities " +
+      "counted once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-25 00:00:00"), // both sides
+      (2L, "2024-01-05 00:00:00"),                              // train only
+      (3L, "2024-01-21 00:00:00"),                              // gap → gone
+      (4L, "2024-01-24 00:00:00"), (4L, "2024-01-26 00:00:00")  // test only
+    ).toDF("user_id", "_ts")
+      .withColumn("ts", to_timestamp(col("_ts"))).drop("_ts")
+    val split = Pipeline.temporalEmbargoSplit(
+      rows, "ts", "2024-01-20 00:00:00", 72)
+    assert(split.count() === 5L, "the gap row is removed")
+    val got = Pipeline.temporalSplitAudit(split, "user_id")
+      .orderBy("split").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(("test", 3L, 2L, 1L), ("train", 2L, 2L, 1L)))
+  }
+
+  test("gini: equal values → 0; full concentration → (n−1)/n; " +
+      "hand histogram value") {
+    import spark.implicits._
+    val eq = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Pipeline.gini(eq, "v").collect()(0).getDouble(2) === 0.0)
+    val conc = Seq(0L, 0L, 0L, 100L).toDF("v")
+    // ranks 1..4, Σrank·x = 4·100 → G = 800/(4·100) − 5/4 = 0.75
+    assert(Pipeline.gini(conc, "v").collect()(0).getDouble(2) === 0.75)
+    // values 1,2,3,4: Σrank·x = 1+4+9+16 = 30 → 60/40 − 5/4 = 0.25
+    val g = Pipeline.gini(Seq(3L, 1L, 4L, 2L).toDF("v"), "v").collect()(0)
+    assert((g.getLong(0), g.getLong(1), g.getDouble(2)) === ((4L, 10L, 0.25)))
+    // duplicate values use the closed-form rank-block sum
+    val dup = Pipeline.gini(Seq(1L, 1L, 2L).toDF("v"), "v").collect()(0)
+    // ranks: 1,2 → value 1; 3 → 2; Σ = 1+2+6 = 9 → 18/12 − 4/3 = 1/6
+    assert(dup.getDouble(2) === BigDecimal(1.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("waterfillAllocate: saturation re-flows surplus proportionally; " +
+      "exact integer rounds") {
+    import spark.implicits._
+    val per = Seq(("a", 1000L, 100L), ("b", 1000L, 10000L),
+      ("c", 2000L, 10000L)).toDF("source", "weight1e6", "cap")
+    val got = Pipeline.waterfillAllocate(per, 4000L).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toSeq.sortBy(_._1)
+    // round 1: a gets 1000 ≥ cap 100 → saturates; round 2 splits the
+    // remaining 3900 over w 1000:2000 → 1300 / 2600
+    assert(got === Seq(("a", 100L, true), ("b", 1300L, false),
+      ("c", 2600L, false)))
+    // budget above Σcaps: everyone saturates at cap
+    val all = Pipeline.waterfillAllocate(per, 1000000L).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toSeq.sortBy(_._1)
+    assert(all === Seq(("a", 100L, true), ("b", 10000L, true),
+      ("c", 10000L, true)))
+    // degenerate zero weights: nothing allocated, nothing saturated
+    val zw = Seq(("a", 0L, 5L)).toDF("source", "weight1e6", "cap")
+    val gz = Pipeline.waterfillAllocate(zw, 100L).collect()(0)
+    assert(gz.getLong(3) === 0L && !gz.getBoolean(4))
+  }
+
+  test("wasserstein1: identical samples → 0; shifted point masses → the " +
+      "shift; hand two-segment case") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val same = Eval.wasserstein1(a, a, "v").collect()(0)
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2)) ===
+      ((3L, 3L, 0.0)))
+    // point mass at 0 vs point mass at 2.5 → W1 = 2.5
+    val pa = Seq(0.0, 0.0).toDF("v"); val pb = Seq(2.5, 2.5).toDF("v")
+    assert(Eval.wasserstein1(pa, pb, "v").collect()(0).getDouble(2) === 2.5)
+    // a = {0, 1}, b = {0, 2}: |CDF| diff is 0 on [0,1), 0.5 on [1,2) → 0.5
+    val ha = Seq(0.0, 1.0).toDF("v"); val hb = Seq(0.0, 2.0).toDF("v")
+    assert(Eval.wasserstein1(ha, hb, "v").collect()(0).getDouble(2) === 0.5)
+    // single shared value on both sides: no segment, W1 = 0
+    val one = Seq(7.0).toDF("v")
+    assert(Eval.wasserstein1(one, one, "v").collect()(0).getDouble(2) === 0.0)
+  }
 }

@@ -211,7 +211,25 @@ class PlanSpec extends SparkSpec {
       "q245_kmv_overlap",       // two ONE-row sketch frames, broadcast pair
       "q246_mixture_budget",    // q107's ONE-row mixture totals, broadcast
       "q250_freq_spectrum",     // ≤40-row octave-bounds range table, broadcast
-      "q252_ivf_recall_curve")  // per-nprobe ONE-row (n_true × n_hit) scalars
+      "q252_ivf_recall_curve",  // per-nprobe ONE-row (n_true × n_hit) scalars
+      "q257_constraint_audit",  // ONE-row ref-check counts, broadcast pair
+      "q258_chi2_assoc",        // post-aggregation margin grid (r×c categories)
+                                // + ONE-row totals, broadcast
+      "q259_cluster_purity",    // ONE-row count scalar inside the shared
+                                // rank-1 assignment subplan
+      "q260_cluster_nmi",       // ONE-row n + entropy scalars over the
+                                // bounded contingency frame, broadcast
+      "q263_hits",              // ONE-row node-count + per-round L1 totals
+      "q264_jackknife",         // ONE-row (S, N) totals, broadcast
+      "q265_kaplan_meier",      // resolution-bounded time-bucket histogram
+                                // self-joins + ONE-row totals (q192 pattern)
+      "q266_embargo_split",     // ONE-row shared-entity count, broadcast
+      "q267_gini_tokens",       // value-histogram prefix self-join
+                                // (q159 pattern), broadcast
+      "q269_budget_allocate",   // per-round ONE-row pool scalar over the
+                                // broadcast-tiny per-source frame
+      "q272_wasserstein_drift") // merged-value histogram CDF/next self-joins
+                                // + ONE-row totals (q159 pattern)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -693,4 +693,39 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(5) === expected)
   }
+
+  test("hillTail: exact MLE on hand counts; xmin-count types weigh in; " +
+      "all-at-xmin tail → NULL alpha") {
+    // counts: a=8 b=4 c=2 d=2 e=1; xmin=2 → tail {8,4,2,2}, n=4
+    // Σln(x/2) = ln4 + ln2 + 0 + 0; α = 1 + 4/Σ (8dp-rounded terms)
+    val fixture = Seq(
+      (1L, ("a " * 8 + "b " * 4 + "c c d d e").trim)).toDF("doc_id", "text")
+    val got = TextAnalysis.hillTail(fixture, 2L).collect()(0)
+    assert((got.getLong(0), got.getLong(1)) === ((2L, 4L)))
+    def r8(x: Double) = BigDecimal(x).setScale(8,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = r8(math.log(4.0 / 2)) + r8(math.log(2.0 / 2)) +
+      r8(math.log(8.0 / 2)) + r8(math.log(2.0 / 2))
+    assert(got.getDouble(2) === BigDecimal(1.0 + 4.0 / s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every tail type exactly at xmin → Σ = 0 → alpha undefined (NULL)
+    val flat = Seq((1L, "x x y y")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.hillTail(flat, 2L).collect()(0)
+    assert(g2.getLong(1) === 2L && g2.isNullAt(2))
+  }
+
+  test("sentenceDupRate: instance-level dup share per source; empty " +
+      "fragments dropped; trim collapses padding") {
+    val docs = Seq(
+      (1L, "s1", "Hello there. Hello there. Bye now."),
+      (2L, "s1", " Hello there.  "),   // same sentence after trim
+      (3L, "s2", "Unique one! Unique two?"),
+      (4L, "s2", "...")                // only empty fragments
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sentenceDupRate(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    // s1: 4 instances {Hello there ×3, Bye now} → 2 distinct → 0.5
+    assert(got === Seq(("s1", 4L, 2L, 0.5), ("s2", 2L, 2L, 0.0)))
+  }
 }
