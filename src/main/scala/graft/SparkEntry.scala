@@ -1902,6 +1902,50 @@ object SparkEntry {
     // sentence-granularity duplication rate per source
     "q273_sentence_dup" -> ((s, d) =>
       ordered(TextAnalysis.sentenceDupRate(Tables.documents(s, d)))),
+    // rank-biased overlap between the exact kNN ranking and the IVF
+    // ranking per query — the ordering-agreement ANN-quality metric
+    "q274_rbo" -> ((s, d) =>
+      ordered(graft.operators.Eval.rboAt(
+        SimilaritySearch.bruteForce(
+          embQueries(s, d), Tables.embeddingVec(s, d), K),
+        SimilaritySearch.ivfSearch(
+          embQueries(s, d), Tables.embeddingVec(s, d), K,
+          centroidEveryNth = 25, nprobe = 4),
+        K))),
+    // Benford first-digit forensics on order totals
+    "q275_benford" -> ((s, d) =>
+      ordered(Pipeline.benfordAudit(Tables.orders(s, d), "o_totalprice"))),
+    // tokenizer fertility per language: pieces-per-token of the trained
+    // BPE segmentation — the tokenizer-quality table a vocab ships with
+    "q276_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, segs) = TextAnalysis.bpeTrain(docs, BpeRounds)
+      val tok = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      ordered(tok
+        .join(segs.select(col("token"),
+          size(split(col("seg"), " ")).cast("long").as("_p")), Seq("token"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("_p")).as("n_pieces"))
+        .select(col("lang"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens"), 6)
+            .as("fertility")))
+    }),
+    // CUSUM drift alarms over daily event volumes (closed-form
+    // recurrence). The day dumps as a midnight TIMESTAMP: a Spark date32
+    // parquet column reaches pandas as date objects while DuckDB's DATE
+    // arrives as datetime64 — the q101 convention pairs them repr-equal
+    "q277_cusum" -> ((s, d) =>
+      ordered(graft.operators.Events.cusumDaily(Tables.events(s, d))
+        .withColumn("day", col("day").cast("timestamp")))),
+    // personalized PageRank from every-50th seed embeddings — the
+    // graph-expansion "closeness to exemplars" corpus selector
+    "q278_ppr" -> ((s, d) => {
+      val vecs = Tables.embeddingVec(s, d)
+      ordered(graft.operators.KnnGraph.personalizedPageRank(
+        knnDigraph(s, d), vecs.select(col("id")),
+        vecs.where(col("id") % 50 === 0).select(col("id")), PrK, PrIters))
+    }),
     // IVF recall-vs-nprobe tuning curve (the q244 harness for the IVF path)
     "q252_ivf_recall_curve" -> ((s, d) =>
       ordered(SimilaritySearch.ivfRecallCurve(
@@ -4089,6 +4133,119 @@ object SparkEntry {
          |FROM w CROSS JOIN na CROSS JOIN nb
          |ORDER BY 1, 2, 3""".stripMargin
     },
+    // q37's exact ranking + q38's IVF chain + the driver-baked 12dp
+    // RBO depth weights — one weight lookup per matched id
+    "q274_rbo" -> {
+      val tDist = Tables.distSql("cos", "q.qvec", "v.vec")
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
+      val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
+      val wVals = graft.operators.Eval.rboWeights(K, 0.9)
+        .map { case (m, w) => s"($m, CAST($w AS DECIMAL(18,12)))" }
+        .mkString(", ")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |      WHERE vec_id < 10),
+         |d37 AS (SELECT q.query_id, v.id, $tDist AS dist FROM q CROSS JOIN v),
+         |re AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+         |          AS rank FROM d37) WHERE rank <= $K),
+         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % 25 = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+         |p AS (SELECT * FROM (SELECT id, vec, head_id, dist,
+         |        row_number() OVER (PARTITION BY id ORDER BY dist, head_id)
+         |          AS rn FROM pd) WHERE rn <= 1),
+         |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist
+         |        FROM q CROSS JOIN h),
+         |ch AS (SELECT * FROM (SELECT query_id, qvec, head_id, hdist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id)
+         |          AS rn FROM chd) WHERE rn <= 4),
+         |hits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+         |         FROM ch JOIN p ON ch.head_id = p.head_id
+         |         GROUP BY ch.query_id, p.id),
+         |ri AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+         |          AS rank FROM hits) WHERE rank <= $K),
+         |w(m, wt) AS (VALUES $wVals),
+         |mm AS (SELECT re.query_id, greatest(re.rank, ri.rank) AS m
+         |       FROM re JOIN ri ON ri.query_id = re.query_id AND ri.id = re.id),
+         |s AS (SELECT query_id, sum(wt) AS s FROM mm JOIN w ON w.m = mm.m
+         |      GROUP BY 1)
+         |SELECT q.query_id, round(coalesce(s.s::DOUBLE, 0.0), 6) AS rbo
+         |FROM q LEFT JOIN s USING (query_id)
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // the q94 merge-chain replay + a (lang, token)-keyed piece-count join
+    "q276_bpe_fertility" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH ${bpeCtes(BpeRounds)},
+         |tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+         |f AS (SELECT t.lang, count(*) AS n_tokens,
+         |        sum(len(string_split(s.seg, ' ')))::BIGINT AS n_pieces
+         |      FROM tok t JOIN s$BpeRounds s ON s.token = t.token GROUP BY 1)
+         |SELECT lang, n_tokens::BIGINT AS n_tokens, n_pieces,
+         |  round(n_pieces::DOUBLE / n_tokens, 6) AS fertility
+         |FROM f ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // closed-form CUSUM: prefix sums / prefix minima on the bounded
+    // (type × day) histogram; all-integer
+    "q277_cusum" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |        count(*) AS x FROM events GROUP BY 1, 2),
+         |ref AS (SELECT event_type, (sum(x)::BIGINT) // count(*) AS k
+         |        FROM daily GROUP BY 1),
+         |w AS (SELECT d.event_type, d.day, d.x, r.k
+         |      FROM daily d JOIN ref r USING (event_type)),
+         |c AS (SELECT a.event_type, a.day, a.x, a.k,
+         |        sum(b.x - b.k)::BIGINT AS c
+         |      FROM w a JOIN w b ON b.event_type = a.event_type
+         |        AND b.day <= a.day
+         |      GROUP BY 1, 2, 3, 4),
+         |m AS (SELECT a.event_type, a.day, a.x, a.k, a.c,
+         |        min(b.c)::BIGINT AS mn
+         |      FROM c a JOIN c b ON b.event_type = a.event_type
+         |        AND b.day <= a.day
+         |      GROUP BY 1, 2, 3, 4, 5)
+         |SELECT event_type, day, x::BIGINT AS x, k,
+         |  (c - least(mn, 0))::BIGINT AS cusum,
+         |  (c - least(mn, 0)) > k * 2 AS alarm
+         |FROM m ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // q109's unrolled integer rounds with seed-only teleport
+    "q278_ppr" -> {
+      val step = (i: Int) =>
+        s"""i$i AS (SELECT e.dst AS id, sum((p.pr * 85) // ${100 * PrK})::BIGINT AS m
+           |      FROM e JOIN p${i - 1} p ON p.id = e.src GROUP BY e.dst),
+           |p$i AS (SELECT v.id,
+           |      (CASE WHEN sd.id IS NOT NULL THEN 15000000000000 // (100 * ns.ns)
+           |            ELSE 0 END + coalesce(i$i.m, 0))::BIGINT AS pr
+           |      FROM v LEFT JOIN sd ON sd.id = v.id CROSS JOIN ns
+           |      LEFT JOIN i$i ON i$i.id = v.id)""".stripMargin
+      s"""WITH $knnDigraphCtes,
+         |sd AS (SELECT id FROM v WHERE id % 50 = 0),
+         |ns AS (SELECT count(*) AS ns FROM sd),
+         |p0 AS (SELECT v.id,
+         |      CASE WHEN sd.id IS NOT NULL THEN 1000000000000 // ns.ns
+         |           ELSE 0 END AS pr
+         |      FROM v LEFT JOIN sd ON sd.id = v.id CROSS JOIN ns),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT id, pr::BIGINT AS pr FROM p$PrIters ORDER BY 1, 2""".stripMargin
+    },
+    // integer-cents string head (never floor(log10)); baked 6dp shares
+    "q275_benford" ->
+      s"""WITH e(digit, expected) AS (VALUES ${Pipeline.benfordExpectedSql}),
+         |c AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS c
+         |      FROM orders),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+         |      FROM c WHERE c > 0),
+         |h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS t FROM h)
+         |SELECT e.digit, coalesce(h.n, 0)::BIGINT AS n,
+         |  round(coalesce(h.n, 0)::DOUBLE / t.t, 6) AS share, e.expected,
+         |  round(coalesce(h.n, 0)::DOUBLE / t.t - e.expected, 6) AS delta
+         |FROM e LEFT JOIN h USING (digit) CROSS JOIN t
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // one explode + one per-source agg; the same split/trim/drop chain
     "q273_sentence_dup" ->
       """WITH s AS (SELECT source,

@@ -674,6 +674,56 @@ object Eval {
           .otherwise(lit(0.0)), 6).as("nmi"))
   }
 
+  /** Rank-biased overlap at depth k (Webber et al., TOIS'10, truncated
+    * form) between two per-query rankings — the ORDERING-agreement metric
+    * recall@k cannot express (two searchers can share all k ids yet rank
+    * them oppositely; RBO@k = 1 only when the prefixes agree depth by
+    * depth). Inputs: `(query_id, rank, id)` frames; output one row per
+    * query of the FIRST ranking: `(query_id, rbo)` at 6dp (0.0 when
+    * nothing overlaps).
+    *
+    * Closed form without per-depth loops: a shared id first co-present at
+    * depth `m = max(rank_a, rank_b)` contributes
+    * `w(m) = (1−p)/p · Σ_{d=m..k} p^d/d` to
+    * `RBO = (1−p)/p · Σ_{d≤k} p^d·|A_d ∩ B_d|/d` — so RBO is one weight
+    * lookup per MATCHED id. The k weights are driver-computed literals
+    * rounded to 12dp DECIMAL, making the per-query sum exact and
+    * reduction-order-free; the oracle embeds the identical literals.
+    *
+    * Scale shape: one equi-join of two O(|Q|·k) rank frames, a broadcast
+    * k-row weight join, one hash agg — nothing corpus-sized.
+    */
+  def rboAt(a: DataFrame, b: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val w = rboWeights(k, p).map { case (m, s) => (m, s.bigDecimal) }
+    val wdf = w.toDF("_m", "_w")
+    val ar = a.where(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank").as("_ra"))
+    val br = b.where(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank").as("_rb"))
+    val per = ar.join(br, Seq("query_id", "id"))
+      .select(col("query_id"),
+        greatest(col("_ra"), col("_rb")).cast("long").as("_m"))
+      .join(broadcast(wdf), Seq("_m"))
+      .groupBy(col("query_id")).agg(sum(col("_w")).as("_s"))
+    a.select(col("query_id")).distinct()
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("_s").cast("double"), lit(0.0)), 6).as("rbo"))
+  }
+
+  /** The RBO@k depth-weight table `(m, w(m))` — shared by [[rboAt]] and
+    * its oracle so both sides sum literally identical 12dp decimals.
+    */
+  def rboWeights(k: Int, p: Double): Seq[(Long, BigDecimal)] =
+    (1 to k).map { m =>
+      val s = (m to k).map(d => math.pow(p, d) / d).sum * (1 - p) / p
+      (m.toLong,
+        BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    }
+
   /** 1-Wasserstein (earth-mover) distance between two score samples — the
     * metric-aware drift number [[psi]]'s binned ratios miss (PSI is
     * blind to HOW FAR mass moved; W1 integrates |CDF_a − CDF_b| over the

@@ -463,6 +463,58 @@ object Events {
           .as("survival"))
   }
 
+  /** CUSUM drift alarm over daily event volumes — the sequential change
+    * detector a stream-health monitor runs where a plain z-score
+    * ([[graft.streaming.StreamingIngest.rateAnomalyStream]]'s shape)
+    * only sees single-day spikes: CUSUM accumulates SUSTAINED drift.
+    * Per event type and observed day: the daily count `x`, the one-sided
+    * CUSUM `s_t = max(0, s_{t−1} + x_t − k)` with reference `k` = the
+    * type's integer mean daily volume, and `alarm = s_t > h·k`
+    * (h = `alarmMeanDays` — drift worth that many mean days).
+    *
+    * Determinism contract: all-integer arithmetic (counts, integer-div
+    * mean). The recurrence is computed CLOSED FORM as
+    * `s_t = C_t − min(0, min_{j≤t} C_j)` over prefix sums `C` of
+    * `x − k` — exactly equal to the max(0,·) recurrence — so no row
+    * order or driver loop exists at all.
+    *
+    * Scale shape: one hash agg to the (type × day) histogram — bounded
+    * by the observation window by contract; prefix sums and prefix mins
+    * are self-joins on that bounded frame. No windows, no collects.
+    */
+  def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = false)
+    val ref = daily.groupBy(col("event_type"))
+      .agg(expr("sum(x) div count(1)").as("k"))
+    val withK = daily.join(broadcast(ref), Seq("event_type"))
+    // prefix sums of (x − k) and their prefix minima, both on the bounded
+    // per-type day histogram
+    val c = withK.as("a")
+      .join(withK.select(col("event_type"), col("day").as("_d"),
+        col("x").as("_x"), col("k").as("_k")).as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("_d") <= col("a.day"))
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.x").as("x"), col("a.k").as("k"))
+      .agg(sum(col("_x") - col("_k")).as("_c"))
+      .localCheckpoint(eager = false)
+    c.as("a")
+      .join(c.select(col("event_type"), col("day").as("_d"),
+        col("_c").as("_cj")).as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("_d") <= col("a.day"))
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.x").as("x"), col("a.k").as("k"), col("a._c").as("_c"))
+      .agg(min(col("_cj")).as("_mn"))
+      .select(col("event_type"), col("day"), col("x"), col("k"),
+        (col("_c") - least(col("_mn"), lit(0L))).as("cusum"))
+      .withColumn("alarm", col("cusum") > col("k") * alarmMeanDays)
+  }
+
   /** First-order Markov transition matrix of a user's event stream: counts
     * and probabilities of `from_type → to_type` over consecutive events per
     * user (ordered by `(ts, event_id)`), the path-analysis table behind

@@ -290,6 +290,48 @@ object KnnGraph {
     pr
   }
 
+  /** Personalized PageRank: [[pageRank]] with teleport restricted to a
+    * SEED set — the graph-expansion selector for domain-targeted data
+    * curation ("rank the whole corpus by closeness to these exemplar
+    * docs", the random-walk complement of DSIR's importance weights).
+    * Identical integer fixed-point arithmetic; mass starts uniform on
+    * the seeds and the (100−damping)% teleport returns ONLY to seeds,
+    * so non-seed nodes rank purely by inbound walk mass. Output
+    * `(id, pr)` BIGINT.
+    *
+    * Scale shape: same as [[pageRank]] — per round one keyed agg join
+    * over the edge list; the seed indicator rides a broadcast-joined
+    * flag column; one one-row seed-count broadcast.
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, k: Int, iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    val Scale = 1000000000000L
+    val ns = seeds.agg(count(lit(1)).as("_ns"))
+    val flagged = nodes
+      .join(seeds.select(col("id"), lit(1).as("_seed")), Seq("id"), "left")
+      .localCheckpoint(eager = false)
+    var pr = flagged.crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("_seed").isNotNull, expr(s"${Scale}L div _ns"))
+          .otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          expr(s"(pr * $dampingPct) div ${100 * k}").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+      pr = flagged.crossJoin(broadcast(ns))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("_seed").isNotNull,
+            expr(s"${(100L - dampingPct) * Scale}L div (100 * _ns)"))
+            .otherwise(lit(0L)) +
+            coalesce(col("_in"), lit(0L))).as("pr"))
+    }
+    pr
+  }
+
   /** HITS hubs & authorities over a directed edge list (Kleinberg '99) —
     * the companion centrality to [[pageRank]] for kNN digraphs: a high
     * AUTHORITY is a vector many good hubs point at (a density peak /

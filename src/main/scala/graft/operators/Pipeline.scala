@@ -1434,6 +1434,61 @@ object Pipeline {
           .otherwise(lit(0.0)), 6).as("gini"))
   }
 
+  /** Benford first-significant-digit audit of a positive monetary/measure
+    * column — the data-forensics check for fabricated or truncated feeds
+    * (natural multi-scale data follows `P(d) = log10(1 + 1/d)`; a flat or
+    * spiked digit histogram flags synthetic rows). Output one row per
+    * digit 1–9: `(digit, n, share, expected, delta)` at 6dp; zero-count
+    * digits are kept (their deficit IS the signal).
+    *
+    * Determinism contract: values quantize to integer units
+    * (`round(x·10^scale)` — exact for money-like columns), and the first
+    * digit comes from the INTEGER's string head — never from
+    * `floor(log10(x))`, whose 1-ulp wobble at exact powers of ten
+    * misclassifies boundary values differently per engine. The expected
+    * shares are driver-baked 6dp literals, so no engine's `log10` is in
+    * the compare path.
+    *
+    * Scale shape: one projection + one 9-key hash agg + a one-row total;
+    * the digit/expected frame is a 9-row broadcast.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9).map(d => (d,
+      BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val exp = expected.toDF("digit", "expected")
+    val mult = math.pow(10.0, scale)
+    val digits = df
+      .select(round(col(valueCol) * mult).cast("long").as("_c"))
+      .where(col("_c") > 0)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("_n"))
+    val tot = digits.agg(sum(col("_n")).as("_t"))
+    broadcast(exp).join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("_n"), lit(0L)).as("n"),
+        round(coalesce(col("_n"), lit(0L)).cast("double") / col("_t"), 6)
+          .as("share"),
+        col("expected"),
+        round(coalesce(col("_n"), lit(0L)).cast("double") / col("_t") -
+          col("expected"), 6).as("delta"))
+  }
+
+  /** The 6dp expected-share literals, for the oracle's VALUES list
+    * (cast ::DOUBLE — a bare decimal literal would type the column
+    * DECIMAL and trip the dtype-pairing gate).
+    */
+  def benfordExpectedSql: String =
+    (1 to 9).map { d =>
+      val e = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s"($d, $e::DOUBLE)"
+    }.mkString(", ")
+
   /** Capped proportional budget allocation (waterfilling) across sources —
     * the mixture-design step AFTER [[mixtureWeights]]: a token budget is
     * split ∝ weight, but a source can't give more than it has, and its

@@ -513,6 +513,24 @@ object StreamingIngest {
       .toDF("bucket", "n_seen", "token", "est")
   }
 
+  /** Streaming twin of [[graft.operators.Pipeline.constraintAudit]]'s
+    * scan-family checks: a cumulative data-contract monitor over an
+    * ingest stream — the same ONE conditional aggregate (null / range /
+    * accepted-values violations), run as a streaming global aggregation
+    * (complete/update mode re-emits the running totals per micro-batch).
+    * `unique` and referential checks are deliberately absent: streaming
+    * distinct-count and arbitrary anti-joins are unsupported/unbounded
+    * state — those two families stay batch (run them on the compacted
+    * table, where they are one scan).
+    */
+  def constraintAuditStream(
+      rows: DataFrame, // streaming
+      notNull: Seq[String] = Nil,
+      ranges: Seq[(String, Double, Double)] = Nil,
+      accepted: Seq[(String, Seq[String])] = Nil): DataFrame =
+    graft.operators.Pipeline.constraintAudit(
+      rows, notNull = notNull, ranges = ranges, accepted = accepted)
+
   def nearDupStream(
       docs: DataFrame, // streaming (doc_id, text)
       threshold: Double,

@@ -401,7 +401,23 @@ object DumpPlans {
       """HITS centrality: each half-round is a keyed hash-agg join over the
         |edge list (shuffle ∝ |E|) plus a one-row broadcast total for the
         |integer L1 renorm; ranks localCheckpoint per round. Exact BIGINT
-        |arithmetic end-to-end — the pageRank fixed-point contract.""".stripMargin)
+        |arithmetic end-to-end — the pageRank fixed-point contract.""".stripMargin,
+    "q265_kaplan_meier" ->
+      """Kaplan-Meier survival: two keyed aggs build per-user durations, ONE
+        |hash agg collapses them to the resolution-bounded time-bucket
+        |histogram, and the at-risk / product-limit prefixes are self-joins
+        |on that bounded frame (log-space DECIMAL folds). Censoring adds a
+        |coalesce, not a scan.""".stripMargin,
+    "q272_wasserstein_drift" ->
+      """1-Wasserstein drift: per side one hash agg to value histograms;
+        |CDFs, the next-value step, and the |F_a−F_b|·Δv fold are
+        |self-joins on the bounded merged-value frame — no global sort.
+        |W1 integrates HOW FAR mass moved; PSI's bins cannot.""".stripMargin,
+    "q277_cusum" ->
+      """CUSUM drift alarms: the sequential max(0,·) recurrence is computed
+        |closed form (prefix sums minus prefix minima) on the bounded
+        |type×day histogram — all-integer self-joins, no driver loop, so a
+        |century of days costs two tiny joins.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -400,4 +400,36 @@ class EventsSpec extends SparkSpec {
     assert(g2 === Seq((3600L, 0.5), (7200L, 0.0)),
       "d = n_risk must zero survival, not ln(0)")
   }
+
+  test("cusumDaily: closed form equals the max(0,·) recurrence; sustained " +
+      "drift alarms where a single-day z-score would not") {
+    // one type, daily counts 1,1,1,13 → k = 16/4 = 4; CUSUM 0,0,0,9;
+    // alarm on day 4 (9 > 2k = 8)
+    val rows = Seq(1, 1, 1, 13).zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i =>
+        ((d * 100 + i).toLong, f"2026-01-${d + 1}%02d 10:00:${i % 60}%02d",
+          1L, "view", 0.0))
+    }
+    val got = Events.cusumDaily(ev(rows))
+      .orderBy("day").select("x", "k", "cusum", "alarm")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 4L, 0L, false), (1L, 4L, 0L, false),
+      (1L, 4L, 0L, false), (13L, 4L, 9L, true)))
+    // random sequences: closed form ≡ the sequential recurrence
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val counts = Seq.fill(6)(1 + rng.nextInt(9))
+      val events = ev(counts.zipWithIndex.flatMap { case (n, d) =>
+        (1 to n).map(i =>
+          ((d * 1000 + i).toLong, f"2026-02-${d + 1}%02d 09:00:${i % 60}%02d",
+            1L, "click", 0.0))
+      })
+      val k = counts.sum / counts.length
+      var s = 0L
+      val expect = counts.map { x => s = math.max(0L, s + x - k); s }
+      val cs = Events.cusumDaily(events).orderBy("day")
+        .select("cusum").as[Long].collect().toSeq
+      assert(cs === expect, s"counts=$counts k=$k")
+    }
+  }
 }

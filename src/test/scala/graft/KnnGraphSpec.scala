@@ -430,4 +430,43 @@ class KnnGraphSpec extends SparkSpec {
     // src 1: {2} common → 1; src 2: {1,3} → 2; src 5: ∅ → 0
     assert(got === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
+
+  test("personalizedPageRank: mass stays in the seed component; equals a " +
+      "plain-Scala integer reference") {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    // 1,2 form a 2-cycle; 3,4 form a separate 2-cycle; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val nodes = (1L to 4L).toDF("id")
+    val seeds = Seq(1L).toDF("id")
+    val got = KnnGraph.personalizedPageRank(edges, nodes, seeds, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 0L && got(4L) === 0L,
+      s"unreachable component must hold zero mass: $got")
+    assert(got(1L) > 0L && got(2L) > 0L)
+    // reference: same fixed-point arithmetic in plain Scala on a random
+    // out-regular digraph with a random seed subset
+    val rng = new scala.util.Random(23)
+    val n = 10; val k = 2
+    val edgeSeq = (0L until n.toLong).flatMap { src =>
+      rng.shuffle((0L until n.toLong).filter(_ != src).toList).take(k)
+        .map(dst => (src, dst))
+    }
+    val seedIds = (0L until n.toLong).filter(_ % 3 == 0)
+    val ns = seedIds.length
+    var ref = Array.tabulate(n)(i =>
+      if (i % 3 == 0) Scale / ns else 0L)
+    for (_ <- 1 to 3) {
+      val in = Array.fill(n)(0L)
+      for ((s, d) <- edgeSeq) in(d.toInt) += ref(s.toInt) * 85L / (100L * k)
+      ref = Array.tabulate(n)(i =>
+        (if (i % 3 == 0) (15L * Scale) / (100L * ns) else 0L) + in(i))
+    }
+    val got2 = KnnGraph.personalizedPageRank(
+      edgeSeq.toDF("src", "dst"), (0L until n.toLong).toDF("id"),
+      seedIds.toDF("id"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until n) assert(got2(i.toLong) === ref(i), s"node $i")
+  }
 }

@@ -869,4 +869,36 @@ class PipelineSpec extends SparkSpec {
     val one = Seq(7.0).toDF("v")
     assert(Eval.wasserstein1(one, one, "v").collect()(0).getDouble(2) === 0.0)
   }
+
+  test("rboAt: analytic k=2 p=0.5 cases — agreement 0.75, swapped 0.25, " +
+      "disjoint 0.0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def rk(rows: (Long, Int, Long)*) =
+      rows.toSeq.toDF("query_id", "rank", "id")
+    val a = rk((1L, 1, 10L), (1L, 2, 20L))
+    // identical prefixes: w(1)+w(2) = 0.625 + 0.125
+    assert(Eval.rboAt(a, a, 2, 0.5).collect()(0).getDouble(1) === 0.75)
+    // same ids, opposite order: both matches at depth 2 → 2·0.125
+    val b = rk((1L, 1, 20L), (1L, 2, 10L))
+    assert(Eval.rboAt(a, b, 2, 0.5).collect()(0).getDouble(1) === 0.25)
+    // disjoint ids: zero matches → 0.0 via the query-list left join
+    val c = rk((1L, 1, 30L), (1L, 2, 40L))
+    assert(Eval.rboAt(a, c, 2, 0.5).collect()(0).getDouble(1) === 0.0)
+  }
+
+  test("benfordAudit: integer-cents digit extraction; non-positive and " +
+      "null values dropped; zero-count digits kept") {
+    import spark.implicits._
+    val vals = Seq(Some(1.23), Some(0.05), Some(9.99), Some(2.00),
+      Some(-3.0), None, Some(0.004)).toDF("v")
+    val got = Pipeline.benfordAudit(vals, "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.map(_._1) === (1 to 9))
+    val byDigit = got.map(g => g._1 -> g._2).toMap
+    assert(byDigit === Map(1 -> 1L, 2 -> 1L, 3 -> 0L, 4 -> 0L, 5 -> 1L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    assert(got.head._3 === 0.25 && got.head._4 === 0.30103)
+  }
 }

@@ -228,8 +228,12 @@ class PlanSpec extends SparkSpec {
                                 // (q159 pattern), broadcast
       "q269_budget_allocate",   // per-round ONE-row pool scalar over the
                                 // broadcast-tiny per-source frame
-      "q272_wasserstein_drift") // merged-value histogram CDF/next self-joins
+      "q272_wasserstein_drift", // merged-value histogram CDF/next self-joins
                                 // + ONE-row totals (q159 pattern)
+      "q275_benford",           // ONE-row digit-total scalar over the
+                                // 9-row digit frame, broadcast
+      "q278_ppr")               // ONE-row seed-count scalar, broadcast
+                                // (the q109 pattern)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

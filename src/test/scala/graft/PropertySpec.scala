@@ -356,4 +356,96 @@ class PropertySpec extends SparkSpec {
       got.toList == want.toList
     })
   }
+
+  test("gini: equals the sorted-rank reference; bounded in [0, 1)") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+    checkN("gini-reference", 12, Prop.forAll(gen) { vals =>
+      val got = graft.operators.Pipeline.gini(vals.toDF("v"), "v")
+        .collect()(0)
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      val tot = sorted.sum
+      val ri = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want =
+        if (tot == 0) 0.0
+        else BigDecimal(2.0 * ri / (n.toDouble * tot) - (n + 1).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got.getLong(0) == n && got.getLong(1) == tot &&
+        got.getDouble(2) == want &&
+        got.getDouble(2) >= 0.0 && got.getDouble(2) < 1.0
+    })
+  }
+
+  test("waterfillAllocate: never over budget, never over cap, saturation " +
+      "is exactly allocated == cap") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      ws <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L))
+      cs <- Gen.listOfN(n, Gen.chooseNum(0L, 3000L))
+      b <- Gen.chooseNum(0L, 8000L)
+    } yield (ws, cs, b)
+    checkN("waterfill-laws", 10, Prop.forAll(gen) { case (ws, cs, b) =>
+      val per = ws.zip(cs).zipWithIndex
+        .map { case ((w, c), i) => (s"s$i", w, c) }
+        .toDF("source", "weight1e6", "cap")
+      val got = graft.operators.Pipeline.waterfillAllocate(per, b).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      // allocations live in [0, cap]; the saturation flag is EXACTLY
+      // allocated == cap (a computed hit on the cap saturates that round);
+      // floor division can only under-allocate, never overspend
+      got.forall { case (_, cap, a, sat) =>
+        a >= 0 && a <= cap && sat == (a == cap) } &&
+        got.map(_._3).sum <= b
+    })
+  }
+
+  test("wasserstein1: equals the sorted-sample L1 reference on equal-size " +
+      "samples; symmetric") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      a <- Gen.listOfN(n, Gen.chooseNum(0, 40).map(_ / 4.0))
+      b <- Gen.listOfN(n, Gen.chooseNum(0, 40).map(_ / 4.0))
+    } yield (a, b)
+    checkN("w1-reference", 10, Prop.forAll(gen) { case (a, b) =>
+      import graft.operators.Eval
+      val g1 = Eval.wasserstein1(a.toDF("v"), b.toDF("v"), "v")
+        .collect()(0).getDouble(2)
+      val g2 = Eval.wasserstein1(b.toDF("v"), a.toDF("v"), "v")
+        .collect()(0).getDouble(2)
+      // equal-size closed form: mean |a_(i) − b_(i)| over sorted samples
+      val want = a.sorted.zip(b.sorted)
+        .map { case (x, y) => math.abs(x - y) }.sum / a.length
+      g1 == g2 && math.abs(g1 - want) < 1e-6
+    })
+  }
+
+  test("rboAt: equals the per-depth definition on random rankings; " +
+      "bounded by the self-agreement maximum") {
+    import spark.implicits._
+    val k = 5; val p = 0.9
+    val gen = for {
+      pa <- Gen.pick(k, 0L until 12L)
+      pb <- Gen.pick(k, 0L until 12L)
+    } yield (pa.toList, pb.toList)
+    checkN("rbo-definition", 10, Prop.forAll(gen) { case (pa, pb) =>
+      import graft.operators.Eval
+      def rk(ids: List[Long]) = ids.zipWithIndex
+        .map { case (id, i) => (1L, i + 1, id) }.toDF("query_id", "rank", "id")
+      val got = Eval.rboAt(rk(pa), rk(pb), k, p).collect()(0).getDouble(1)
+      // direct definition: (1−p)/p Σ_d p^d · |A_d ∩ B_d| / d, with each
+      // match's contribution staged through the same 12dp weights
+      val w = Eval.rboWeights(k, p).toMap
+      val want = pa.zipWithIndex.flatMap { case (id, i) =>
+        val j = pb.indexOf(id)
+        if (j < 0) None else Some(w(math.max(i, j).toLong + 1))
+      }.sum
+      val selfMax = Eval.rboWeights(k, p).map(_._2).sum
+      got == BigDecimal(want.toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble &&
+        got <= selfMax.toDouble + 1e-9 && got >= 0.0
+    })
+  }
 }

@@ -69,6 +69,33 @@ class StreamingSpec extends SparkSpec {
       "unlisted share over tol must flag")
   }
 
+  test("streaming constraint audit equals the batch scan-family checks " +
+      "across micro-batches") {
+    import graft.operators.Pipeline
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Option[Long], Option[Double], String)]
+    val sdf = stream.toDF().toDF("k", "price", "status")
+    val b1 = Seq((Some(1L), Some(10.0), "O"), (None, Some(-5.0), "X"))
+    val b2 = Seq((Some(2L), Some(999.0), "F"), (Some(3L), None, "O"))
+    val batch = Pipeline.constraintAudit(
+      (b1 ++ b2).toDF("k", "price", "status"),
+      notNull = Seq("k"), ranges = Seq(("price", 0.0, 100.0)),
+      accepted = Seq(("status", Seq("O", "F"))))
+    val q = StreamingIngest.constraintAuditStream(sdf,
+        notNull = Seq("k"), ranges = Seq(("price", 0.0, 100.0)),
+        accepted = Seq(("status", Seq("O", "F"))))
+      .writeStream.format("memory").queryName("audit_out")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("audit_out")
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch attribution pairs") {
     val events = Tables.events(spark, sf0001)
     val batch = graft.operators.Events.linearAttribution(events, 60)
