@@ -143,6 +143,41 @@ object SparkEntry {
 
   private def knnDigraphCtes: String = knnDigraphCtesFor("", "")
 
+  /** Shared oracle chain for the ranking-agreement metrics (q274 RBO,
+    * q279 MAP): `re` = the q37 exact top-K ranking, `ri` = the q38 IVF
+    * top-K ranking, both `(query_id, id, rank)` over the same query set
+    * `q`.
+    */
+  private def exactVsIvfCtes: String = {
+    val tDist = Tables.distSql("cos", "q.qvec", "v.vec")
+    val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+    val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
+    val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
+    s"""v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < 10),
+       |d37 AS (SELECT q.query_id, v.id, $tDist AS dist FROM q CROSS JOIN v),
+       |re AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+       |          AS rank FROM d37) WHERE rank <= $K),
+       |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % 25 = 0),
+       |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
+       |p AS (SELECT * FROM (SELECT id, vec, head_id, dist,
+       |        row_number() OVER (PARTITION BY id ORDER BY dist, head_id)
+       |          AS rn FROM pd) WHERE rn <= 1),
+       |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist
+       |        FROM q CROSS JOIN h),
+       |ch AS (SELECT * FROM (SELECT query_id, qvec, head_id, hdist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id)
+       |          AS rn FROM chd) WHERE rn <= 4),
+       |hits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+       |         FROM ch JOIN p ON ch.head_id = p.head_id
+       |         GROUP BY ch.query_id, p.id),
+       |ri AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
+       |          AS rank FROM hits) WHERE rank <= $K)""".stripMargin
+  }
+
   // q217's PCA model is fitted ONCE per (session, dir) and shared between
   // the dumped query and the dynamic oracle ([[oracleSqlDynamic]]) so both
   // sides project through literally the same basis
@@ -1938,6 +1973,16 @@ object SparkEntry {
     "q277_cusum" -> ((s, d) =>
       ordered(graft.operators.Events.cusumDaily(Tables.events(s, d))
         .withColumn("day", col("day").cast("timestamp")))),
+    // average precision at K of the IVF ranking vs exact truth — the
+    // order-sensitive companion to recall (q244) and RBO (q274)
+    "q279_map" -> ((s, d) =>
+      ordered(graft.operators.Eval.mapAt(
+        SimilaritySearch.ivfSearch(
+          embQueries(s, d), Tables.embeddingVec(s, d), K,
+          centroidEveryNth = 25, nprobe = 4),
+        SimilaritySearch.bruteForce(
+          embQueries(s, d), Tables.embeddingVec(s, d), K),
+        K))),
     // personalized PageRank from every-50th seed embeddings — the
     // graph-expansion "closeness to exemplars" corpus selector
     "q278_ppr" -> ((s, d) => {
@@ -4136,36 +4181,10 @@ object SparkEntry {
     // q37's exact ranking + q38's IVF chain + the driver-baked 12dp
     // RBO depth weights — one weight lookup per matched id
     "q274_rbo" -> {
-      val tDist = Tables.distSql("cos", "q.qvec", "v.vec")
-      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
-      val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
-      val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
       val wVals = graft.operators.Eval.rboWeights(K, 0.9)
         .map { case (m, w) => s"($m, CAST($w AS DECIMAL(18,12)))" }
         .mkString(", ")
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-         |      WHERE vec_id < 10),
-         |d37 AS (SELECT q.query_id, v.id, $tDist AS dist FROM q CROSS JOIN v),
-         |re AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
-         |          AS rank FROM d37) WHERE rank <= $K),
-         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % 25 = 0),
-         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
-         |p AS (SELECT * FROM (SELECT id, vec, head_id, dist,
-         |        row_number() OVER (PARTITION BY id ORDER BY dist, head_id)
-         |          AS rn FROM pd) WHERE rn <= 1),
-         |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist
-         |        FROM q CROSS JOIN h),
-         |ch AS (SELECT * FROM (SELECT query_id, qvec, head_id, hdist,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id)
-         |          AS rn FROM chd) WHERE rn <= 4),
-         |hits AS (SELECT ch.query_id, p.id, min($sDist) AS dist
-         |         FROM ch JOIN p ON ch.head_id = p.head_id
-         |         GROUP BY ch.query_id, p.id),
-         |ri AS (SELECT query_id, id, rank FROM (SELECT query_id, id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id)
-         |          AS rank FROM hits) WHERE rank <= $K),
+      s"""WITH $exactVsIvfCtes,
          |w(m, wt) AS (VALUES $wVals),
          |mm AS (SELECT re.query_id, greatest(re.rank, ri.rank) AS m
          |       FROM re JOIN ri ON ri.query_id = re.query_id AND ri.id = re.id),
@@ -4190,8 +4209,16 @@ object SparkEntry {
     // closed-form CUSUM: prefix sums / prefix minima on the bounded
     // (type × day) histogram; all-integer
     "q277_cusum" ->
-      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      s"""WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
          |        count(*) AS x FROM events GROUP BY 1, 2),
+         |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |         FROM obs GROUP BY 1),
+         |days AS (SELECT event_type,
+         |        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |          AS day FROM span),
+         |daily AS (SELECT dd.event_type, dd.day, coalesce(o.x, 0)::BIGINT AS x
+         |        FROM days dd LEFT JOIN obs o
+         |          ON o.event_type = dd.event_type AND o.day = dd.day),
          |ref AS (SELECT event_type, (sum(x)::BIGINT) // count(*) AS k
          |        FROM daily GROUP BY 1),
          |w AS (SELECT d.event_type, d.day, d.x, r.k
@@ -4210,6 +4237,23 @@ object SparkEntry {
          |  (c - least(mn, 0))::BIGINT AS cusum,
          |  (c - least(mn, 0)) > k * 2 AS alarm
          |FROM m ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // the shared exact-vs-IVF chain + per-hit integer precision terms
+    "q279_map" ->
+      s"""WITH $exactVsIvfCtes,
+         |nr AS (SELECT query_id, count(*) AS nrel FROM re GROUP BY 1),
+         |mh AS (SELECT ri.query_id, ri.rank,
+         |        row_number() OVER (PARTITION BY ri.query_id
+         |          ORDER BY ri.rank) AS h
+         |      FROM ri JOIN re ON re.query_id = ri.query_id
+         |        AND re.id = ri.id),
+         |tm AS (SELECT mh.query_id,
+         |        round(h::DOUBLE / rank / least($K, nr.nrel),
+         |          8)::DECIMAL(38,8) AS t
+         |      FROM mh JOIN nr ON nr.query_id = mh.query_id),
+         |ap AS (SELECT query_id, sum(t) AS s FROM tm GROUP BY 1)
+         |SELECT q.query_id, round(coalesce(ap.s::DOUBLE, 0.0), 6) AS ap
+         |FROM q LEFT JOIN ap USING (query_id)
+         |ORDER BY 1, 2""".stripMargin,
     // q109's unrolled integer rounds with seed-only teleport
     "q278_ppr" -> {
       val step = (i: Int) =>
@@ -4240,7 +4284,7 @@ object SparkEntry {
          |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
          |      FROM c WHERE c > 0),
          |h AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-         |t AS (SELECT sum(n)::BIGINT AS t FROM h)
+         |t AS (SELECT greatest(sum(n)::BIGINT, 1) AS t FROM h)
          |SELECT e.digit, coalesce(h.n, 0)::BIGINT AS n,
          |  round(coalesce(h.n, 0)::DOUBLE / t.t, 6) AS share, e.expected,
          |  round(coalesce(h.n, 0)::DOUBLE / t.t - e.expected, 6) AS delta

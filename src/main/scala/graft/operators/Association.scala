@@ -83,7 +83,13 @@ object Association {
     */
   def categoricalAssociation(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
+    // NULL categories are excluded up front: a null-keyed group survives
+    // the groupBy but can never match the dense-grid equi-join, so it
+    // would contribute phantom (o=0, e>0) cells to chi2 while
+    // countDistinct excludes it from r/c — the test is over OBSERVED
+    // category pairs, missing values are not a category
     val obs = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
     val rowm = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
     val colm = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))

@@ -617,14 +617,18 @@ object Eval {
     val joint = assign.select(col("id"), col("cluster"))
       .join(labels.select(col("id"), col("label")), Seq("id"))
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("_cl"))
-    joint.groupBy(col("cluster")).agg(
-      sum(col("_cl")).as("n"),
-      // (count, -label) max ⇒ majority count, ties to the SMALLER label
-      max(struct(col("_cl"), (-col("label")).as("_nl"))).as("_m"))
-      .select(col("cluster"), col("n"),
-        (-col("_m").getField("_nl")).as("top_label"),
-        round(col("_m").getField("_cl").cast("double") / col("n"), 6)
-          .as("purity"))
+      .localCheckpoint(eager = false)
+    // majority pick in two label-type-agnostic aggs (a negate-based
+    // struct-max trick would silently NULL non-numeric labels): max count
+    // per cluster, then the SMALLEST label attaining it
+    val tops = joint.groupBy(col("cluster")).agg(
+      sum(col("_cl")).as("n"), max(col("_cl")).as("_mc"))
+    tops.join(joint, Seq("cluster"))
+      .where(col("_cl") === col("_mc"))
+      .groupBy(col("cluster"), col("n"), col("_mc"))
+      .agg(min(col("label")).as("top_label"))
+      .select(col("cluster"), col("n"), col("top_label"),
+        round(col("_mc").cast("double") / col("n"), 6).as("purity"))
   }
 
   /** Normalized mutual information between a clustering and gold labels —
@@ -672,6 +676,43 @@ object Eval {
         round(when(col("_hc") > 0 && col("_hl") > 0,
           col("_mi") / sqrt(col("_hc") * col("_hl")))
           .otherwise(lit(0.0)), 6).as("nmi"))
+  }
+
+  /** Mean-average-precision at k: per query, `AP@k = Σ_{hits h}
+    * P@rank(h) / min(k, |relevant|)` over the result ranking, with the
+    * truth set as relevance — the order-sensitive middle ground between
+    * recall@k (set-blind) and [[ndcgAt]] (graded). Output one row per
+    * query `(query_id, ap)` at 6dp; mean it for MAP.
+    *
+    * Determinism contract: `P@r = hits_so_far / r` where `hits_so_far`
+    * is the hit's position among the query's hits ordered by rank — an
+    * exact integer pair per hit; each `P@r / denom` term rounds to 8dp
+    * DECIMAL before the sum (order-free). The per-query hit numbering
+    * windows ONLY the matched-hit frame (≤ k rows per query).
+    *
+    * Scale shape: one equi-join of two O(|Q|·k) rank frames, one bounded
+    * window, two hash aggs.
+    */
+  def mapAt(results: DataFrame, truthDf: DataFrame, k: Int): DataFrame = {
+    val r = results.where(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"))
+    val t = truthDf.where(col("rank") <= k)
+      .select(col("query_id"), col("id"))
+    val nRel = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("_nrel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perHit = r.join(t, Seq("query_id", "id"), "left_semi")
+      .withColumn("_h", row_number().over(w).cast("long"))
+      .join(broadcast(nRel), Seq("query_id"))
+      .select(col("query_id"),
+        round(col("_h").cast("double") / col("rank") /
+          least(lit(k.toLong), col("_nrel")), 8)
+          .cast("decimal(38,8)").as("_t"))
+    results.select(col("query_id")).distinct()
+      .join(perHit.groupBy(col("query_id")).agg(sum(col("_t")).as("_s")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("_s").cast("double"), lit(0.0)), 6).as("ap"))
   }
 
   /** Rank-biased overlap at depth k (Webber et al., TOIS'10, truncated

@@ -467,7 +467,9 @@ object Events {
     * detector a stream-health monitor runs where a plain z-score
     * ([[graft.streaming.StreamingIngest.rateAnomalyStream]]'s shape)
     * only sees single-day spikes: CUSUM accumulates SUSTAINED drift.
-    * Per event type and observed day: the daily count `x`, the one-sided
+    * Per event type and calendar day of the type's [first, last] span
+    * (zero-event days densified in — an outage decays the statistic and
+    * counts against the mean): the daily count `x`, the one-sided
     * CUSUM `s_t = max(0, s_{t−1} + x_t − k)` with reference `k` = the
     * type's integer mean daily volume, and `alarm = s_t > h·k`
     * (h = `alarmMeanDays` — drift worth that many mean days).
@@ -483,10 +485,22 @@ object Events {
     * are self-joins on that bounded frame. No windows, no collects.
     */
   def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {
-    val daily = events
+    val obs = events
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
+    // densify to the type's full calendar span: a zero-event day MUST
+    // feed the recurrence as x = 0 − k (an outage decays the statistic
+    // and counts against the mean), else the CUSUM freezes across gaps
+    val span = obs.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val daily = span
+      .select(col("event_type"),
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as("day"))
+      .join(obs, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
       .localCheckpoint(eager = false)
     val ref = daily.groupBy(col("event_type"))
       .agg(expr("sum(x) div count(1)").as("k"))

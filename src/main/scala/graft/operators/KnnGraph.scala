@@ -355,6 +355,7 @@ object KnnGraph {
     * collects.
     */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs at least one round")
     val Scale = 1000000000L
     val n = nodes.agg(count(lit(1)).as("_n"))
     def renorm(df: DataFrame, c: String): DataFrame = {
@@ -364,7 +365,7 @@ object KnnGraph {
     }
     var hub = nodes.crossJoin(broadcast(n))
       .select(col("id"), expr(s"${Scale}L div _n").as("hub"))
-    var auth = hub.select(col("id"), col("hub").as("auth"))
+    var auth: DataFrame = null // always assigned in round 1
     for (_ <- 1 to iters) {
       auth = renorm(
         nodes.join(

@@ -1271,6 +1271,10 @@ object Pipeline {
       ranges: Seq[(String, Double, Double)] = Nil,
       accepted: Seq[(String, Seq[String])] = Nil,
       refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    require(
+      notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
+        accepted.nonEmpty || refs.nonEmpty,
+      "constraintAudit needs at least one expectation")
     val aggs: Seq[(String, String, Column, Column)] =
       notNull.map { c =>
         ("not_null", c, count(lit(1)),
@@ -1337,7 +1341,8 @@ object Pipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val inc = docs.select(col(idCol).as("_id"),
+    // ids ride as LONG: the per-round argmax row is read back typed
+    val inc = docs.select(col(idCol).cast("long").as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
       .distinct().localCheckpoint(eager = false)
     var covered = inc.select(col("_tok")).limit(0)
@@ -1467,7 +1472,9 @@ object Pipeline {
       .select(substring(col("_c").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("_n"))
-    val tot = digits.agg(sum(col("_n")).as("_t"))
+    // greatest(Σ, 1): an all-nonpositive/empty feed reports 0.0 shares
+    // (their deficit vs expected IS the verdict), never 9 NULL rows
+    val tot = digits.agg(greatest(sum(col("_n")), lit(1L)).as("_t"))
     broadcast(exp).join(digits, Seq("digit"), "left")
       .crossJoin(broadcast(tot))
       .select(col("digit"), coalesce(col("_n"), lit(0L)).as("n"),
@@ -1514,15 +1521,17 @@ object Pipeline {
       .localCheckpoint(eager = false)
     var done = false
     var rounds = 0
-    val maxRounds = 64 // saturation strictly shrinks the unsaturated set
+    // each non-final round saturates ≥ 1 source, so sources + 1 rounds
+    // always reach the fixpoint (one bounded count on the tiny frame)
+    val maxRounds = cur.count().toInt + 1
+    var prevSat = 0L
     while (!done && rounds < maxRounds) {
       rounds += 1
       val pool = cur.agg(
         (lit(budget) - coalesce(sum(when(col("saturated"),
           col("allocated"))), lit(0L))).as("_r"),
         coalesce(sum(when(!col("saturated"), col("weight1e6"))), lit(0L))
-          .as("_w"),
-        count(lit(1)).as("_nu"))
+          .as("_w"))
       val stepped = cur.crossJoin(broadcast(pool))
         .select(col("source"), col("weight1e6"), col("cap"),
           when(col("saturated"), col("allocated"))
@@ -1538,13 +1547,15 @@ object Pipeline {
             .otherwise(col("_a")).as("allocated"),
           (col("saturated") || col("_a") >= col("cap")).as("saturated"))
         .localCheckpoint(eager = false)
-      // a round that saturates nothing is final (bounded one-row collect)
-      val newly = next.agg(sum(when(col("saturated"), 1L).otherwise(0L)))
-        .collect()(0).getLong(0)
-      val prev = cur.agg(sum(when(col("saturated"), 1L).otherwise(0L)))
+      // a round that saturates nothing is final (ONE bounded one-row
+      // collect per round; the previous count carries in a local)
+      val sat = next
+        .agg(coalesce(sum(when(col("saturated"), 1L).otherwise(0L)),
+          lit(0L)))
         .collect()(0).getLong(0)
       cur = next
-      done = newly == prev
+      done = sat == prevSat
+      prevSat = sat
     }
     cur
   }

@@ -415,6 +415,18 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(got === Seq((1L, 4L, 0L, false), (1L, 4L, 0L, false),
       (1L, 4L, 0L, false), (13L, 4L, 9L, true)))
+    // zero-event calendar gaps feed the recurrence as x = 0 − k and
+    // count against the mean: days 1 and 3 carry 9 events, day 2 none →
+    // k = 18 div 3 = 6 and the CUSUM decays to 0 across the gap
+    val gap = ev(Seq(0, 2).flatMap { d =>
+      (1 to 9).map(i =>
+        ((d * 100 + i).toLong, f"2026-03-${d + 1}%02d 10:00:${i % 60}%02d",
+          1L, "view", 0.0))
+    })
+    val gg = Events.cusumDaily(gap).orderBy("day")
+      .select("x", "k", "cusum").as[(Long, Long, Long)].collect().toSeq
+    assert(gg === Seq((9L, 6L, 3L), (0L, 6L, 0L), (9L, 6L, 3L)),
+      s"gap day must appear with x=0 and decay the statistic: $gg")
     // random sequences: closed form ≡ the sequential recurrence
     val rng = new scala.util.Random(11)
     for (_ <- 1 to 3) {

@@ -400,6 +400,15 @@ class KnnGraphSpec extends SparkSpec {
     assert(got(10L) === ((3L, 7, BigDecimal(2.0 / 3).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got(20L) === ((2L, 3, 0.5)), "1-1 tie picks the smaller label")
+    // non-numeric labels work too (the negate-trick regression): ties
+    // break to the lexicographically smaller string
+    val slab = Seq((1L, "fr"), (2L, "en"), (3L, "en"), (4L, "de"),
+      (5L, "fr")).toDF("id", "label")
+    val gs = Eval.clusterPurity(assign, slab).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(gs(10L) === (("en", BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(gs(20L) === (("de", 0.5)), "string tie → lexicographic min")
   }
 
   test("clusterNmi: perfect clustering → nmi 1; single label → nmi 0") {

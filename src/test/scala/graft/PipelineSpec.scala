@@ -887,6 +887,30 @@ class PipelineSpec extends SparkSpec {
     assert(Eval.rboAt(a, c, 2, 0.5).collect()(0).getDouble(1) === 0.0)
   }
 
+  test("mapAt: hand AP — hits at ranks 1 and 3 of 2 relevant → 5/6; " +
+      "zero-hit query → 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def rk(rows: (Long, Int, Long)*) =
+      rows.toSeq.toDF("query_id", "rank", "id")
+    val truth = rk((1L, 1, 10L), (1L, 2, 20L), (2L, 1, 10L))
+    // q1: rank1 = hit (P=1), rank2 = miss, rank3 = hit (P=2/3) → AP =
+    // (1 + 2/3)/2; q2: all misses → 0.0
+    val res = rk((1L, 1, 10L), (1L, 2, 99L), (1L, 3, 20L),
+      (2L, 1, 77L), (2L, 2, 88L), (2L, 3, 99L))
+    val got = Eval.mapAt(res, truth, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r8(x: Double) = BigDecimal(x).setScale(8,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = BigDecimal(r8(1.0 / 1 / 2) + r8(2.0 / 3 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === want && got(2L) === 0.0)
+    // perfect ranking → AP = 1
+    val perfect = Eval.mapAt(truth, truth, 3).collect()
+      .map(r => r.getDouble(1))
+    assert(perfect.forall(_ === 1.0))
+  }
+
   test("benfordAudit: integer-cents digit extraction; non-positive and " +
       "null values dropped; zero-count digits kept") {
     import spark.implicits._
