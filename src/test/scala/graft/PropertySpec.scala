@@ -422,6 +422,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("kaplanMeier equals a plain-Scala product-limit reference on " +
+      "random censored cohorts") {
+    import spark.implicits._
+    val H = 6 // horizon in hours; censored subjects carry duration H
+    val gen = for {
+      n <- Gen.chooseNum(3, 10)
+      durs <- Gen.listOfN(n, Gen.chooseNum(1, 5))
+      obs <- Gen.listOfN(n, Gen.chooseNum(0, 9).map(_ < 7))
+    } yield durs.zip(obs)
+    checkN("km-reference", 6, Prop.forAll(gen) { subjects =>
+      // all users sign up at 10:00; observed user u purchases dur hours
+      // later; a horizon anchor pins max ts at +H hours
+      val rows = subjects.zipWithIndex.flatMap { case ((dur, ob), u) =>
+        val su = (u * 10 + 1L, "2026-01-01 10:00:00", u.toLong, "signup", 0.0)
+        if (ob) Seq(su, (u * 10 + 2L, f"2026-01-01 ${10 + dur}%02d:00:00",
+          u.toLong, "purchase", 0.0))
+        else Seq(su)
+      } :+ (99999L, f"2026-01-01 ${10 + H}%02d:00:00", 888L, "view", 0.0)
+      val got = graft.operators.Events.kaplanMeier(
+        rows.toDF("event_id", "_ts", "user_id", "event_type", "value")
+          .withColumn("ts", to_timestamp(col("_ts"))).drop("_ts"))
+        .orderBy("t_sec")
+        .select("t_sec", "n_risk", "n_events", "n_censored", "survival")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      // plain-Scala product-limit with the same 8dp log staging
+      val durations = subjects.map { case (dur, ob) =>
+        (if (ob) dur.toLong else H.toLong) * 3600L -> ob }
+      val hist = durations.groupBy(_._1).map { case (t, xs) =>
+        (t, xs.count(_._2).toLong, xs.count(!_._2).toLong) }.toSeq.sortBy(_._1)
+      var atRisk = durations.size.toLong
+      var lnSum = BigDecimal(0)
+      var dead = false
+      val want = hist.flatMap { case (t, d, c) =>
+        val row = if (d > 0) {
+          if (d == atRisk) dead = true
+          else lnSum += BigDecimal(math.log(1.0 - d.toDouble / atRisk))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+          val s = if (dead) 0.0
+            else BigDecimal(math.exp(lnSum.toDouble))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((t, atRisk, d, c, s))
+        } else None
+        atRisk -= (d + c)
+        row
+      }
+      got == want
+    })
+  }
+
   test("rboAt: equals the per-depth definition on random rankings; " +
       "bounded by the self-agreement maximum") {
     import spark.implicits._
