@@ -1971,7 +1971,8 @@ object SparkEntry {
     // parquet column reaches pandas as date objects while DuckDB's DATE
     // arrives as datetime64 — the q101 convention pairs them repr-equal
     "q277_cusum" -> ((s, d) =>
-      ordered(graft.operators.Events.cusumDaily(Tables.events(s, d))
+      ordered(graft.operators.Events.cusumDaily(
+        Tables.events(s, d), CusumAlarmMeanDays)
         .withColumn("day", col("day").cast("timestamp")))),
     // average precision at K of the IVF ranking vs exact truth — the
     // order-sensitive companion to recall (q244) and RBO (q274)
@@ -1983,6 +1984,40 @@ object SparkEntry {
         SimilaritySearch.bruteForce(
           embQueries(s, d), Tables.embeddingVec(s, d), K),
         K))),
+    // REAL video path end-to-end, driver-gated (the q253 pattern): per id,
+    // synthesize an MJPEG-style AVI of solid-gray frames (JPEG-encoded at
+    // quality 1.0 — DC-only blocks survive the lossy codec EXACTLY), parse
+    // the RIFF container + decode every frame with the REAL decoder, emit
+    // per-frame (dims, mean luminance). gray(id, f) is analytic, so the
+    // oracle states the closed form. Both stages partition-local flatMaps;
+    // payloads never shuffle.
+    "q280_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, VideoN).as[Long].map { id =>
+        Multimodal.MediaRow(id, "video",
+          Multimodal.synthAviGray(
+            f => (((id * 7 + f * 13) % 16) * 16 + 8).toInt,
+            (2 + id % 3).toInt, VideoW, VideoH),
+          VideoW, VideoH, 0)
+      }
+      ordered(Multimodal.extractVideoFeatures(media)
+        .select(col("id"), col("frameNo").as("frame_no"),
+          col("width"), col("height"),
+          round(col("meanLum").cast("double") * 255, 0).cast("int").as("gray")))
+    }),
+    // IVF knob auto-tune (the reference's nni-auto-tune analogue):
+    // replicas × nprobe grid at the q252 centroid ratio; `best` marks the
+    // cheapest config (probed posting entries) meeting the recall floor
+    "q281_ivf_autotune" -> ((s, d) =>
+      ordered(graft.operators.AutoTune.ivfSweep(
+        embQueries(s, d),
+        Tables.embeddingVec(s, d).select(col("id"), col("vec")), K,
+        SemNth, TuneReplicas, TuneNprobes, TuneIvfFloorBp))),
+    // LSH banding auto-tune: three bandings of the 16-hash signature
+    // against the exact-Jaccard truth at the q33 threshold
+    "q282_lsh_autotune" -> ((s, d) =>
+      ordered(graft.operators.AutoTune.lshBandSweep(
+        Tables.documents(s, d), 0.3, TuneBandCfgs, TuneLshFloorBp))),
     // personalized PageRank from every-50th seed embeddings — the
     // graph-expansion "closeness to exemplars" corpus selector
     "q278_ppr" -> ((s, d) => {
@@ -2275,6 +2310,23 @@ object SparkEntry {
   private val HitsIters = 2
   // q265: KM time buckets (1h over the 30-day fixture → ≤720 rows)
   private val KmResolutionSec = 3600L
+  // q277: alarm when cusum > k·h, h in mean-days — passed to cusumDaily AND
+  // interpolated into the oracle so the two sides cannot desynchronize
+  private val CusumAlarmMeanDays = 2L
+  // q280: 48 synthetic AVIs of 2-4 solid-gray 32×24 frames; gray levels
+  // 16·((7id+13f) mod 16)+8 span the 8-bit range off the quant midpoints
+  private val VideoN = 48L
+  private val VideoW = 32
+  private val VideoH = 24
+  // q281/q282 (AutoTune): IVF grid = replicas × nprobe at the q252
+  // centroid ratio under a 0.80 recall floor; LSH grid = three bandings of
+  // the 16-hash signature (8×2 / 4×4 / 2×8 bands×rows) under 0.70. Floors
+  // are integer basis points so `n_hit·10000 ≥ bp·n_true` is engine-exact.
+  private val TuneReplicas = Seq(1, 2)
+  private val TuneNprobes = Seq(1, 2, 4)
+  private val TuneIvfFloorBp = 8000
+  private val TuneBandCfgs = Seq((16, 2), (16, 4), (16, 8))
+  private val TuneLshFloorBp = 7000
   // q266: cutoff 2/3 through the fixture month, 72h embargo
   private val EmbargoCutoff = "2024-01-20 00:00:00"
   private val EmbargoHours = 72
@@ -3138,19 +3190,19 @@ object SparkEntry {
     */
   private def rngGraphCtes: String = {
       val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
-      s"""v AS (${Tables.lineitemVecSql}),
-         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
-         |w AS (SELECT t, p, d,
+      s"""v AS MATERIALIZED (${Tables.lineitemVecSql}),
+         |qv AS MATERIALIZED (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS MATERIALIZED (SELECT t, p, d,
          |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
          |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
-         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
-         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |dots AS MATERIALIZED (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS MATERIALIZED (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
          |           FROM dots GROUP BY id, t),
-         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
-         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |lsrc AS MATERIALIZED (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS MATERIALIZED (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
          |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
          |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
-         |ranked AS (SELECT * FROM (
+         |ranked AS MATERIALIZED (SELECT * FROM (
          |    SELECT src, dst, d,
          |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INT) AS rn
          |    FROM pairs) WHERE rn <= 8),
@@ -3194,14 +3246,14 @@ object SparkEntry {
     }.mkString(",\n")
     val pUnion = (0 until PostingChunks)
       .map(c => s"SELECT * FROM pc$c").mkString(" UNION ALL ")
-    s"""v AS (${Tables.lineitemVecSql}),
-       |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
-       |q AS (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
+    s"""v AS MATERIALIZED (${Tables.lineitemVecSql}),
+       |h AS MATERIALIZED (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+       |q AS MATERIALIZED (SELECT * FROM (${Tables.ordersQuerySql}) WHERE query_id < $QN),
        |$pChunks,
-       |p AS (SELECT pc.id, v.vec, pc.head_id, pc.dist
+       |p AS MATERIALIZED (SELECT pc.id, v.vec, pc.head_id, pc.dist
        |      FROM ($pUnion) pc JOIN v USING (id)),
        |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist FROM q CROSS JOIN h),
-       |ch AS (SELECT * FROM (
+       |ch AS MATERIALIZED (SELECT * FROM (
        |    SELECT query_id, qvec, head_id, hdist,
        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY hdist, head_id) AS INT) AS rank,
        |           min(hdist) OVER (PARTITION BY query_id) AS best
@@ -3210,7 +3262,7 @@ object SparkEntry {
        |           FROM ch JOIN p ON ch.head_id = p.head_id
        |           ${corpusFilter.map(f => s"WHERE p.id IN (SELECT id FROM v WHERE $f)").getOrElse("")}
        |           GROUP BY ch.query_id, p.id),
-       |sp AS (SELECT * FROM (
+       |sp AS MATERIALIZED (SELECT * FROM (
        |    SELECT query_id, id, dist,
        |           CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS INT) AS rank
        |    FROM sphits) WHERE rank <= $K)""".stripMargin
@@ -3417,17 +3469,17 @@ object SparkEntry {
     // corpus-scale composition oracle-gated end-to-end
     "q117_graph_pagerank" -> {
       val step = (i: Int) =>
-        s"""i$i AS (SELECT eg.dst AS id, sum((p.pr * 85) // (100 * dg.deg)) AS m
+        s"""i$i AS MATERIALIZED (SELECT eg.dst AS id, sum((p.pr * 85) // (100 * dg.deg)) AS m
            |      FROM eg JOIN deg dg ON dg.src = eg.src
            |      JOIN p${i - 1} p ON p.id = eg.src GROUP BY eg.dst),
-           |p$i AS (SELECT nd.id, 15000000000000 // (100 * nn.n) + coalesce(i$i.m, 0) AS pr
+           |p$i AS MATERIALIZED (SELECT nd.id, 15000000000000 // (100 * nn.n) + coalesce(i$i.m, 0) AS pr
            |      FROM nd CROSS JOIN nn LEFT JOIN i$i ON i$i.id = nd.id)""".stripMargin
       s"""WITH RECURSIVE $rngGraphCtes,
-         |eg AS (SELECT src, unnest(acc_ids) AS dst FROM fin),
-         |nd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),
-         |deg AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
-         |nn AS (SELECT count(*) AS n FROM nd),
-         |p0 AS (SELECT id, 1000000000000 // nn.n AS pr FROM nd CROSS JOIN nn),
+         |eg AS MATERIALIZED (SELECT src, unnest(acc_ids) AS dst FROM fin),
+         |nd AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM eg UNION ALL SELECT dst FROM eg)),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nd),
+         |p0 AS MATERIALIZED (SELECT id, 1000000000000 // nn.n AS pr FROM nd CROSS JOIN nn),
          |${step(1)},
          |${step(2)},
          |${step(3)}
@@ -3797,6 +3849,137 @@ object SparkEntry {
         |  ((((g.id + s.seg) % 32) * 1000)::DOUBLE / 32768.0)::FLOAT AS rms
         |FROM generate_series(0, 63) g(id), generate_series(0, 15) s(seg)
         |ORDER BY 1, 2, 3""".stripMargin,
+    // the q252 chain extended along the replicas axis (pall keeps rn ≤ max
+    // replicas; each config slices it), plus the integer n_cand cost and
+    // the basis-point best-pick rule mirrored from AutoTune.markBest
+    "q281_ivf_autotune" -> {
+      val pDist = Tables.distSql("cos", "v.vec", "h.head_vec")
+      val hDist = Tables.distSql("cos", "q.qvec", "h.head_vec")
+      val sDist = Tables.distSql("cos", "ch.qvec", "p.vec")
+      val tDist = Tables.distSql("cos", "q.qvec", "v.vec")
+      val maxR = TuneReplicas.max
+      val per = (for (r <- TuneReplicas; np <- TuneNprobes) yield
+        s"""hits${r}_$np AS (SELECT ch.query_id, p.id, min($sDist) AS dist
+           |  FROM (SELECT * FROM chr WHERE rn <= $np) ch
+           |  JOIN (SELECT * FROM pall WHERE rn <= $r) p
+           |    ON ch.head_id = p.head_id
+           |  GROUP BY 1, 2),
+           |r${r}_$np AS (SELECT query_id, id FROM (SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY dist, id) AS rank
+           |  FROM hits${r}_$np) WHERE rank <= $K)""".stripMargin)
+        .mkString(",\n")
+      val rows = (for (r <- TuneReplicas; np <- TuneNprobes) yield
+        s"""SELECT $r AS replicas, $np AS nprobe,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM r${r}_$np JOIN truth USING (query_id, id))
+           |    AS n_hit,
+           |  (SELECT coalesce(sum(pl.cnt), 0)
+           |   FROM (SELECT head_id FROM chr WHERE rn <= $np) c
+           |   JOIN (SELECT head_id, count(*) AS cnt FROM pall
+           |         WHERE rn <= $r GROUP BY 1) pl USING (head_id)) AS n_cand"""
+          .stripMargin).mkString(" UNION ALL ")
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 10),
+         |h AS MATERIALIZED (SELECT id AS head_id, vec AS head_vec FROM v
+         |  WHERE id % $SemNth = 0),
+         |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist
+         |       FROM v CROSS JOIN h),
+         |pall AS MATERIALIZED (SELECT * FROM (SELECT id, vec, head_id, dist,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+         |  FROM pd) WHERE rn <= $maxR),
+         |chd AS (SELECT q.query_id, q.qvec, h.head_id, $hDist AS hdist
+         |        FROM q CROSS JOIN h),
+         |chr AS MATERIALIZED (SELECT query_id, qvec, head_id, hdist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hdist, head_id) AS rn FROM chd),
+         |td AS (SELECT q.query_id, v.id, $tDist AS dist FROM q CROSS JOIN v),
+         |truth AS MATERIALIZED (SELECT query_id, id FROM (
+         |    SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dist, id) AS rank FROM td) WHERE rank <= $K),
+         |$per,
+         |allrows AS MATERIALIZED (SELECT * FROM ($rows)),
+         |pick AS (SELECT replicas, nprobe FROM allrows
+         |  ORDER BY CASE WHEN n_hit * 10000 >= $TuneIvfFloorBp * n_true
+         |             THEN 0 ELSE 1 END,
+         |    CASE WHEN n_hit * 10000 >= $TuneIvfFloorBp * n_true
+         |      THEN n_cand ELSE -n_hit END,
+         |    replicas, nprobe LIMIT 1)
+         |SELECT a.replicas, a.nprobe, a.n_true::BIGINT AS n_true,
+         |  a.n_hit::BIGINT AS n_hit,
+         |  CASE WHEN a.n_true > 0
+         |    THEN a.n_hit::DOUBLE / a.n_true::DOUBLE END AS recall,
+         |  a.n_cand::BIGINT AS n_cand,
+         |  (a.replicas = p.replicas AND a.nprobe = p.nprobe) AS best
+         |FROM allrows a, pick p
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    },
+    // the q244 chain re-banded per config (shared sh/h32/mh/jac; per
+    // config its own bands/bucket-guard/cand), same best-pick rule
+    "q282_lsh_autotune" -> {
+      val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
+      val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")
+      val hBand = graft.functions.Hash60.sql(
+        "string_agg(mh::VARCHAR, '|' ORDER BY j)")
+      val per = TuneBandCfgs.map { case (_, rpb) =>
+        s"""bands$rpb AS (SELECT doc_id, j // $rpb AS band, $hBand AS band_hash
+           |  FROM mh GROUP BY doc_id, j // $rpb),
+           |bsm$rpb AS MATERIALIZED (SELECT * FROM bands$rpb
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_hash)
+           |          <= ${Dedup.MaxBandBucket}),
+           |cand$rpb AS MATERIALIZED (
+           |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bsm$rpb l
+           |  JOIN bsm$rpb r ON l.band = r.band
+           |    AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = TuneBandCfgs.map { case (nh, rpb) =>
+        s"""SELECT $nh AS num_hashes, $rpb AS rows_per_band,
+           |  (SELECT count(*) FROM truth) AS n_true,
+           |  (SELECT count(*) FROM truth t JOIN cand$rpb c
+           |     ON t.a = c.a AND t.b = c.b) AS n_hit,
+           |  (SELECT count(*) FROM cand$rpb) AS n_cand""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ${shingleCtes},
+         |h32 AS (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
+         |mh AS MATERIALIZED (SELECT doc_id, j,
+         |       min(($aArr[j + 1] * h32 + $bArr[j + 1]) % ${Dedup.M31}) AS mh
+         |     FROM h32, generate_series(0, 15) g(j) GROUP BY doc_id, j),
+         |$jaccardCtes,
+         |truth AS MATERIALIZED (SELECT a, b FROM jac WHERE jaccard >= 0.3),
+         |$per,
+         |allrows AS MATERIALIZED (SELECT * FROM ($rows)),
+         |pick AS (SELECT num_hashes, rows_per_band FROM allrows
+         |  ORDER BY CASE WHEN n_hit * 10000 >= $TuneLshFloorBp * n_true
+         |             THEN 0 ELSE 1 END,
+         |    CASE WHEN n_hit * 10000 >= $TuneLshFloorBp * n_true
+         |      THEN n_cand ELSE -n_hit END,
+         |    num_hashes, rows_per_band LIMIT 1)
+         |SELECT a.num_hashes, a.rows_per_band, a.n_true::BIGINT AS n_true,
+         |  a.n_hit::BIGINT AS n_hit,
+         |  CASE WHEN a.n_true > 0
+         |    THEN a.n_hit::DOUBLE / a.n_true::DOUBLE END AS recall,
+         |  a.n_cand::BIGINT AS n_cand,
+         |  (a.num_hashes = p.num_hashes
+         |    AND a.rows_per_band = p.rows_per_band) AS best
+         |FROM allrows a, pick p
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    },
+    // the closed form of the synthesized video: id's frame f (f < 2+id%3)
+    // is a solid 32×24 frame at gray 16·((7id+13f) mod 16)+8 — the Spark
+    // side must land on it through the full AVI encode → RIFF parse →
+    // javax.imageio frame decode → mean-luminance pipeline
+    "q280_video_decode" ->
+      s"""SELECT g.id::BIGINT AS id, CAST(f.f AS INT) AS frame_no,
+         |  CAST($VideoW AS INT) AS width, CAST($VideoH AS INT) AS height,
+         |  CAST(((g.id * 7 + f.f * 13) % 16) * 16 + 8 AS INT) AS gray
+         |FROM generate_series(0, ${VideoN - 1}) g(id),
+         |     generate_series(0, 3) f(f)
+         |WHERE f.f < 2 + g.id % 3
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // both directed edges must exist; a < b canonicalizes the pair
     "q254_mutual_knn" ->
       s"""WITH $knnDigraphCtes
@@ -3882,6 +4065,7 @@ object SparkEntry {
     // dense r×c grid; per-cell (o−e)²/e rounded 8dp → DECIMAL(38,8) sum
     "q258_chi2_assoc" ->
       s"""WITH o AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents
+         |           WHERE lang IS NOT NULL AND source IS NOT NULL
          |           GROUP BY 1, 2),
          |rm AS (SELECT a, sum(o)::BIGINT AS ra FROM o GROUP BY 1),
          |cm AS (SELECT b, sum(o)::BIGINT AS cb FROM o GROUP BY 1),
@@ -4235,7 +4419,7 @@ object SparkEntry {
          |      GROUP BY 1, 2, 3, 4, 5)
          |SELECT event_type, day, x::BIGINT AS x, k,
          |  (c - least(mn, 0))::BIGINT AS cusum,
-         |  (c - least(mn, 0)) > k * 2 AS alarm
+         |  (c - least(mn, 0)) > k * $CusumAlarmMeanDays AS alarm
          |FROM m ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // the shared exact-vs-IVF chain + per-hit integer precision terms
     "q279_map" ->
@@ -4785,24 +4969,24 @@ object SparkEntry {
     "q48_delete_by_meta" -> knnOracle("l2sq", corpusFilter = "AND meta <> 'RF'"),
     "q49_graph_rebuild" -> {
       val dd = Tables.distSql("l2sq", "a.vec", "b.vec")
-      s"""WITH v AS (${Tables.lineitemVecSql}),
-         |qv AS (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
-         |w AS (SELECT t, p, d,
+      s"""WITH v AS MATERIALIZED (${Tables.lineitemVecSql}),
+         |qv AS MATERIALIZED (SELECT id, list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT) AS q FROM v),
+         |w AS MATERIALIZED (SELECT t, p, d,
          |        ${graft.functions.Hash60.sql("t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR")} % 2001 - 1000 AS wt
          |      FROM generate_series(0, 1) gt(t), generate_series(0, 7) gp(p), generate_series(0, 5) gd(d)),
-         |dots AS (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
-         |leaves AS (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
+         |dots AS MATERIALIZED (SELECT qv.id, w.t, w.p, sum(qv.q[w.d + 1] * w.wt) AS dot FROM qv, w GROUP BY 1, 2, 3),
+         |leaves AS MATERIALIZED (SELECT id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS leaf
          |           FROM dots GROUP BY id, t),
-         |lsrc AS (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
-         |pairs AS (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
+         |lsrc AS MATERIALIZED (SELECT t, leaf, id AS src FROM leaves WHERE id <= 2000),
+         |pairs AS MATERIALIZED (SELECT DISTINCT s.src, r.id AS dst, $dd AS d
          |          FROM lsrc s JOIN leaves r ON s.t = r.t AND s.leaf = r.leaf AND s.src <> r.id
          |          JOIN v a ON a.id = s.src JOIN v b ON b.id = r.id),
-         |ranked AS (SELECT * FROM (
+         |ranked AS MATERIALIZED (SELECT * FROM (
          |    SELECT src, dst, d,
          |           row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
          |    FROM pairs) WHERE rn <= 8),
-         |ind AS (SELECT dst, count(*) AS in_deg FROM ranked GROUP BY dst),
-         |rr AS (SELECT r.src, r.dst, r.d,
+         |ind AS MATERIALIZED (SELECT dst, count(*) AS in_deg FROM ranked GROUP BY dst),
+         |rr AS MATERIALIZED (SELECT r.src, r.dst, r.d,
          |         row_number() OVER (PARTITION BY r.src ORDER BY i.in_deg, r.d, r.dst) AS rn2
          |       FROM ranked r JOIN ind i ON i.dst = r.dst)
          |SELECT src, dst, round(d, 4) AS dist FROM rr WHERE rn2 <= 4
@@ -5538,50 +5722,50 @@ object SparkEntry {
       val aDist = Tables.distSql("l2sq", "m.vec", "pa.avec")
       val bDist = Tables.distSql("l2sq", "mb.vec", "pb.bvec")
       val oDist = Tables.distSql("l2sq", "o.vec", "s.head_vec")
-      s"""WITH v AS (${Tables.lineitemVecSql}),
-         |h AS (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+      s"""WITH v AS MATERIALIZED (${Tables.lineitemVecSql}),
+         |h AS MATERIALIZED (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
          |pd AS (SELECT v.id, v.vec, h.head_id, $pDist AS dist FROM v CROSS JOIN h),
-         |p AS (SELECT id, vec, head_id, dist FROM (
+         |p AS MATERIALIZED (SELECT id, vec, head_id, dist FROM (
          |    SELECT id, vec, head_id, dist,
          |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
          |    FROM pd) WHERE rn <= $Replicas),
-         |l AS (SELECT head_id, count(*) AS len FROM p GROUP BY head_id),
+         |l AS MATERIALIZED (SELECT head_id, count(*) AS len FROM p GROUP BY head_id),
          |ov AS (SELECT head_id FROM l WHERE len > $RebalMax),
          |un AS (SELECT head_id FROM l WHERE len < $RebalMin),
-         |m AS (SELECT p.* FROM p JOIN ov USING (head_id)),
-         |pa AS (SELECT head_id, vec AS avec FROM (
+         |m AS MATERIALIZED (SELECT p.* FROM p JOIN ov USING (head_id)),
+         |pa AS MATERIALIZED (SELECT head_id, vec AS avec FROM (
          |    SELECT head_id, vec,
          |           row_number() OVER (PARTITION BY head_id ORDER BY dist DESC, id DESC) AS rn
          |    FROM m) WHERE rn = 1),
-         |mb AS (SELECT m.head_id, m.id, m.vec, $aDist AS da
+         |mb AS MATERIALIZED (SELECT m.head_id, m.id, m.vec, $aDist AS da
          |       FROM m JOIN pa USING (head_id)),
-         |pb AS (SELECT head_id, vec AS bvec FROM (
+         |pb AS MATERIALIZED (SELECT head_id, vec AS bvec FROM (
          |    SELECT head_id, vec,
          |           row_number() OVER (PARTITION BY head_id ORDER BY da DESC, id DESC) AS rn
          |    FROM mb) WHERE rn = 1),
          |off AS (SELECT max(head_id) + 1 AS off FROM h),
-         |sd AS (SELECT mb.head_id, mb.id, mb.da AS dist_a, $bDist AS dist_b
+         |sd AS MATERIALIZED (SELECT mb.head_id, mb.id, mb.da AS dist_a, $bDist AS dist_b
          |       FROM mb JOIN pb USING (head_id)),
-         |sp AS (SELECT CASE WHEN dist_a <= dist_b THEN head_id
+         |sp AS MATERIALIZED (SELECT CASE WHEN dist_a <= dist_b THEN head_id
          |              ELSE head_id + off.off END AS head_id, id,
          |         CASE WHEN dist_a <= dist_b THEN dist_a ELSE dist_b END AS dist
          |       FROM sd, off),
-         |sh AS (SELECT head_id, avec AS head_vec FROM pa
+         |sh AS MATERIALIZED (SELECT head_id, avec AS head_vec FROM pa
          |       UNION ALL
          |       SELECT pa.head_id + off.off, pb.bvec
          |       FROM pa JOIN pb USING (head_id), off),
-         |surv AS (SELECT head_id, head_vec FROM h
+         |surv AS MATERIALIZED (SELECT head_id, head_vec FROM h
          |         WHERE head_id NOT IN (SELECT head_id FROM ov
          |                               UNION SELECT head_id FROM un)
          |         UNION ALL SELECT head_id, head_vec FROM sh),
-         |orp AS (SELECT DISTINCT p.id, p.vec FROM p JOIN un USING (head_id)),
-         |rd AS (SELECT o.id, s.head_id, $oDist AS dist
+         |orp AS MATERIALIZED (SELECT DISTINCT p.id, p.vec FROM p JOIN un USING (head_id)),
+         |rd AS MATERIALIZED (SELECT o.id, s.head_id, $oDist AS dist
          |       FROM orp o CROSS JOIN surv s),
-         |ra AS (SELECT head_id, id, dist FROM (
+         |ra AS MATERIALIZED (SELECT head_id, id, dist FROM (
          |    SELECT head_id, id, dist,
          |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
          |    FROM rd) WHERE rn = 1),
-         |keep AS (SELECT head_id, id, dist FROM p
+         |keep AS MATERIALIZED (SELECT head_id, id, dist FROM p
          |         WHERE head_id NOT IN (SELECT head_id FROM ov
          |                               UNION SELECT head_id FROM un)),
          |allp AS (SELECT head_id, id, dist FROM keep
@@ -7484,28 +7668,28 @@ object SparkEntry {
       s"list_transform($c, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
     val rot = (c: String) => if (rotated) rotateSql(c) else c
     val lloyd = (i: Int) =>
-      s"""a${i + 1} AS (SELECT * FROM (
+      s"""a${i + 1} AS MATERIALIZED (SELECT * FROM (
          |    SELECT s.id, s.sub, s.sv, c.code,
          |           row_number() OVER (PARTITION BY s.id, s.sub
          |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
          |    FROM sub s JOIN c$i c ON c.sub = s.sub) WHERE rn = 1),
-         |u${i + 1} AS (SELECT sub, code,
+         |u${i + 1} AS MATERIALIZED (SELECT sub, code,
          |         [sum(sv[1]) / count(*), sum(sv[2]) / count(*)] AS center
          |       FROM a${i + 1} GROUP BY sub, code),
-         |c${i + 1} AS (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
+         |c${i + 1} AS MATERIALIZED (SELECT c.sub, c.code, coalesce(u.center, c.center) AS center
          |       FROM c$i c LEFT JOIN u${i + 1} u ON u.sub = c.sub AND u.code = c.code)""".stripMargin
-    s"""v0 AS (${Tables.lineitemVecSql}),
-       |vi AS (SELECT id, ${rot("sv")} AS vec
+    s"""v0 AS MATERIALIZED (${Tables.lineitemVecSql}),
+       |vi AS MATERIALIZED (SELECT id, ${rot("sv")} AS vec
        |       FROM (SELECT id, ${scaleSql("vec")} AS sv FROM v0)),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT id, 0 AS sub, [vec[1], vec[2]] AS sv FROM vi
        |  UNION ALL SELECT id, 1, [vec[3], vec[4]] FROM vi
        |  UNION ALL SELECT id, 2, [vec[5], vec[6]] FROM vi),
-       |c0 AS (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM sub WHERE id < 16),
+       |c0 AS MATERIALIZED (SELECT sub, CAST(id - 1 AS INT) AS code, sv AS center FROM sub WHERE id < 16),
        |${lloyd(0)},
        |${lloyd(1)},
        |${lloyd(2)},
-       |codes AS (SELECT * FROM (
+       |codes AS MATERIALIZED (SELECT * FROM (
        |    SELECT s.id, s.sub, c.code, c.center,
        |           row_number() OVER (PARTITION BY s.id, s.sub
        |             ORDER BY ${l2("s.sv", "c.center")}, c.code) AS rn
@@ -7625,17 +7809,17 @@ object SparkEntry {
     val scaleSql = "list_transform(vec, x -> round(x::DOUBLE * 1000)::BIGINT::DOUBLE)"
     val mean = (1 to 6).map(i => s"sum(vec[$i]) / count(*)").mkString("[", ", ", "]")
     val lloyd = (i: Int) =>
-      s"""a${i + 1} AS (SELECT * FROM (
+      s"""a${i + 1} AS MATERIALIZED (SELECT * FROM (
          |    SELECT vi.id, vi.vec, c.cid,
          |           row_number() OVER (PARTITION BY vi.id
          |             ORDER BY ${l2("vi.vec", "c.center")}, c.cid) AS rn
          |    FROM vi CROSS JOIN c$i c) WHERE rn = 1),
-         |u${i + 1} AS (SELECT cid, $mean AS center FROM a${i + 1} GROUP BY cid),
-         |c${i + 1} AS (SELECT c.cid, coalesce(u.center, c.center) AS center
+         |u${i + 1} AS MATERIALIZED (SELECT cid, $mean AS center FROM a${i + 1} GROUP BY cid),
+         |c${i + 1} AS MATERIALIZED (SELECT c.cid, coalesce(u.center, c.center) AS center
          |       FROM c$i c LEFT JOIN u${i + 1} u ON u.cid = c.cid)""".stripMargin
     s"""WITH v0 AS (${Tables.lineitemVecSql}),
-       |vi AS (SELECT id, $scaleSql AS vec FROM v0),
-       |c0 AS (SELECT id - 1 AS cid, vec AS center FROM vi WHERE id <= 8),
+       |vi AS MATERIALIZED (SELECT id, $scaleSql AS vec FROM v0),
+       |c0 AS MATERIALIZED (SELECT id - 1 AS cid, vec AS center FROM vi WHERE id <= 8),
        |${lloyd(0)},
        |${lloyd(1)},
        |${lloyd(2)},
@@ -8140,7 +8324,7 @@ object SparkEntry {
     */
   private def shingleCtesFrom(src: String): String =
     s"""t AS (SELECT doc_id, ${TextAnalysis.Sql.toks("text")} AS toks FROM $src),
-       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(len(toks) - 2, 1)),
        |    i -> array_to_string(toks[i:i+2], ' ')))) AS sh FROM t))""".stripMargin
@@ -8278,17 +8462,17 @@ object SparkEntry {
     val aArr = (0 until 16).map(Dedup.minhashA).mkString("[", ", ", "]")
     val bArr = (0 until 16).map(Dedup.minhashB).mkString("[", ", ", "]")
     s"""${shingleCtesFrom(src)},
-       |h32 AS (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
-       |mh AS (SELECT doc_id, j,
+       |h32 AS MATERIALIZED (SELECT doc_id, ${graft.functions.Hash60.sql("sh")} % ${Dedup.M31} AS h32 FROM sh),
+       |mh AS MATERIALIZED (SELECT doc_id, j,
        |         min(($aArr[j + 1] * h32 + $bArr[j + 1]) % ${Dedup.M31}) AS mh
        |       FROM h32, generate_series(0, 15) g(j) GROUP BY doc_id, j),
-       |bands AS (SELECT doc_id, j // 4 AS band,
+       |bands AS MATERIALIZED (SELECT doc_id, j // 4 AS band,
        |            ${graft.functions.Hash60.sql("string_agg(mh::VARCHAR, '|' ORDER BY j)")} AS band_hash
        |          FROM mh GROUP BY doc_id, j // 4),
-       |bsm AS (SELECT * FROM bands
+       |bsm AS MATERIALIZED (SELECT * FROM bands
        |        QUALIFY count(*) OVER (PARTITION BY band, band_hash)
        |                <= ${Dedup.MaxBandBucket}),
-       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bsm l
+       |cand AS MATERIALIZED (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bsm l
        |         JOIN bsm r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
        |$jaccardCtes""".stripMargin
   }
@@ -8297,11 +8481,11 @@ object SparkEntry {
 
   /** Jaccard CTEs over `sh`: pair intersections, sizes, `jac(a,b,jaccard)`. */
   private def jaccardCtes: String =
-    """inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+    """inter AS MATERIALIZED (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
       |          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
       |          GROUP BY l.doc_id, r.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |jac AS (SELECT i.a, i.b,
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jac AS MATERIALIZED (SELECT i.a, i.b,
       |          round(i.inter::DOUBLE / (sa.n + sb.n - i.inter)::DOUBLE, 4) AS jaccard
       |        FROM inter i JOIN sizes sa ON i.a = sa.doc_id
       |        JOIN sizes sb ON i.b = sb.doc_id)""".stripMargin

@@ -307,9 +307,17 @@ object KnnGraph {
       seeds: DataFrame, k: Int, iters: Int = 3,
       dampingPct: Int = 85): DataFrame = {
     val Scale = 1000000000000L
-    val ns = seeds.agg(count(lit(1)).as("_ns"))
+    // teleport shares count only seeds that EXIST in `nodes`, each once —
+    // raw seed frames may carry duplicates or ids outside the graph, and
+    // counting those would silently leak teleport mass (an empty effective
+    // seed set would make every `div _ns` a NULL that poisons all rounds)
+    val effSeeds = seeds.select(col("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+    val ns = effSeeds.agg(count(lit(1)).as("_ns"))
+    require(!effSeeds.isEmpty,
+      "personalizedPageRank needs at least one seed present in `nodes`")
     val flagged = nodes
-      .join(seeds.select(col("id"), lit(1).as("_seed")), Seq("id"), "left")
+      .join(effSeeds.select(col("id"), lit(1).as("_seed")), Seq("id"), "left")
       .localCheckpoint(eager = false)
     var pr = flagged.crossJoin(broadcast(ns))
       .select(col("id"),

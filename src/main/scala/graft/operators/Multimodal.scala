@@ -311,6 +311,163 @@ object Multimodal {
       }
   }
 
+  /** REAL video decode: parse a RIFF/AVI container (the MJPEG-in-AVI
+    * layout — `RIFF('AVI ' … LIST('movi' 00dc/00db…))`), hand each frame
+    * chunk to [[decodeImage]] (`javax.imageio` reads the JPEG frames of a
+    * real MJPEG file and the lossless frames [[synthAviGray]] writes —
+    * no external codec). Returns the decoded frames in stream order, or
+    * None when the payload is not a RIFF/AVI or contains no decodable
+    * frame — the caller decides fallback policy, the same total-operator
+    * contract as [[decodeImage]]/[[decodeAudio]]. Cross-codec AVIs (e.g.
+    * H.264-in-AVI, which no pure-JVM decoder reads) land on None and flow
+    * through the byte-histogram stand-in. Runs inside the partition-local
+    * map; payloads never shuffle.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[Seq[(Int, Int, Array[Float])]] = {
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    try {
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Float])]
+      // walk top-level chunks; descend into LIST('movi') and decode its
+      // '##db'/'##dc' members (chunk sizes pad to even per RIFF)
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val id = fourcc(off)
+        val sz = u32(off + 4).toInt
+        if (id == "LIST" && off + 12 <= payload.length &&
+          fourcc(off + 8) == "movi") {
+          var p = off + 12
+          val end = math.min(off + 8 + sz, payload.length)
+          while (p + 8 <= end) {
+            val cid = fourcc(p)
+            val csz = u32(p + 4).toInt
+            if (cid.endsWith("db") || cid.endsWith("dc")) {
+              val lo = p + 8
+              val hi = math.min(lo + csz, payload.length)
+              if (hi > lo)
+                decodeImage(java.util.Arrays.copyOfRange(payload, lo, hi))
+                  .foreach(frames += _)
+            }
+            p += 8 + csz + (csz & 1)
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic MJPEG-style AVI synthesizer: `nFrames` solid-gray
+    * `w × h` frames (frame `f` at gray level `grayPerFrame(f)`), each
+    * encoded by the JVM's own image writer and wrapped in a spec-shaped
+    * RIFF/AVI container (`hdrl` with avih/strh/strf, then `movi` with one
+    * `00dc` chunk per frame). Solid-gray frames survive the lossy encode
+    * EXACTLY (a uniform block's DCT is DC-only, RGB→YCbCr is identity on
+    * gray, so decode returns the input level bit-for-bit — asserted in
+    * MultimodalSpec), which makes the decoded per-frame mean luminance
+    * analytically `gray/255` — the oracle anchor for [[decodeVideo]], the
+    * way [[synthWavSquare]] anchors [[decodeAudio]].
+    */
+  def synthAviGray(grayPerFrame: Int => Int, nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    require(nFrames > 0 && w > 0 && h > 0, "need frames and positive dims")
+    val jpegs = (0 until nFrames).map { f =>
+      val g = grayPerFrame(f)
+      require(g >= 0 && g < 256, s"gray $g out of byte range")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f) // quant tables of 1 → DC-only exactness
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ u32(body.length + 4L) ++ fourcc(typ) ++ body
+    // avih: usec/frame (25 fps), flags 0, total frames, 1 stream, dims
+    val avih = chunk("avih", u32(40000) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(nFrames.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(w.toLong) ++
+      u32(h.toLong) ++ Array.fill(16)(0.toByte))
+    // strh: video stream, MJPG, rate 25/1, length = nFrames
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+      u32(0) ++ u16(0) ++ u16(0) ++ u32(0) ++ u32(1) ++ u32(25) ++ u32(0) ++
+      u32(nFrames.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u16(0) ++ u16(0) ++ u16(w) ++ u16(h))
+    // strf: BITMAPINFOHEADER with biCompression = MJPG
+    val strf = chunk("strf", u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
+      u16(1) ++ u16(24) ++ fourcc("MJPG") ++ u32(w.toLong * h * 3) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    out.write(fourcc("RIFF")); out.write(u32(body.length.toLong)); out.write(body)
+    out.toByteArray
+  }
+
+  /** Video-path feature extraction with the REAL decoder ([[decodeVideo]]):
+    * one media row in → one row per decoded frame out (`flatMap` — the
+    * dataflow [[sampleFrames]] stubs), each with the frame's mean luminance.
+    * Payloads no AVI/frame reader accepts fall back to ONE stand-in row
+    * (`frame_no = -1`, byte-histogram mean) so the operator stays total over
+    * mixed/dirty corpora — real decodes observable via `checksum = -1`, the
+    * fallback keeps the byte sum. Partition-local, payloads never shuffle.
+    */
+  case class VideoFrameFeatures(id: Long, frameNo: Int, width: Int,
+      height: Int, nBytes: Int, checksum: Long, meanLum: Float)
+
+  def extractVideoFeatures(
+      media: Dataset[MediaRow]): Dataset[VideoFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideo(r.payload) match {
+          case Some(frames) =>
+            frames.zipWithIndex.map { case ((w, h, plane), f) =>
+              var acc = 0.0
+              var i = 0
+              while (i < plane.length) { acc += plane(i); i += 1 }
+              VideoFrameFeatures(r.id, f, w, h, r.payload.length, -1L,
+                (acc / math.max(plane.length, 1)).toFloat)
+            }
+          case None =>
+            var sum = 0L
+            var i = 0
+            while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+            val hist = fakeDecode(r.payload)
+            Seq(VideoFrameFeatures(r.id, -1, 0, 0, r.payload.length, sum,
+              hist.sum / math.max(hist.length, 1)))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video-kind payloads: deterministic stride over the
     * payload (a real impl strides over decoded frames; same dataflow shape:
     * one row in → `nFrames` rows out via flatMap).

@@ -188,4 +188,50 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
+
+  test("solid-gray JPEG frames at quality 1.0 survive the codec exactly " +
+    "(the q280 oracle's exactness premise, checked at EVERY 8-bit level)") {
+    for (g <- 0 until 256) {
+      val avi = Multimodal.synthAviGray(_ => g, 1, 8, 8)
+      val Some(frames) = Multimodal.decodeVideo(avi)
+      assert(frames.length === 1)
+      val (w, h, plane) = frames.head
+      assert(w === 8 && h === 8)
+      plane.foreach(v => assert(v === g / 255f,
+        s"gray $g decoded to ${v * 255}"))
+    }
+  }
+
+  test("real video decode: a synthesized MJPEG-style AVI round-trips " +
+    "through decodeVideo + extractVideoFeatures; undecodable payloads " +
+    "fall back") {
+    import spark.implicits._
+    val avi = Multimodal.synthAviGray(f => 40 * f + 20, 3, 32, 24)
+    // container-level parse: 3 frames in stream order, right dims, exact
+    // solid planes
+    val Some(frames) = Multimodal.decodeVideo(avi)
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case ((w, h, plane), f) =>
+      assert(w === 32 && h === 24)
+      assert(plane.forall(_ === (40 * f + 20) / 255f))
+    }
+    // non-AVI payloads refuse at the container gate
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeVideo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // Dataset path: one row per decoded frame with checksum -1 and the
+    // analytic mean luminance; the garbage row falls back to ONE stand-in
+    // row keeping its byte sum
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi, 32, 24, 0),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3, 4), 0, 0, 0))
+    val feats = Multimodal.extractVideoFeatures(rows.toDS())
+      .collect().sortBy(r => (r.id, r.frameNo))
+    assert(feats.count(_.id == 1L) === 3)
+    feats.filter(_.id == 1L).foreach { r =>
+      assert(r.checksum === -1L && r.width === 32 && r.height === 24)
+      assert(math.round(r.meanLum * 255).toInt === 40 * r.frameNo + 20)
+    }
+    val fb = feats.filter(_.id == 2L)
+    assert(fb.length === 1 && fb.head.frameNo === -1 && fb.head.checksum === 10L)
+  }
 }

@@ -232,8 +232,12 @@ class PlanSpec extends SparkSpec {
                                 // + ONE-row totals (q159 pattern)
       "q275_benford",           // ONE-row digit-total scalar over the
                                 // 9-row digit frame, broadcast
-      "q278_ppr")               // ONE-row seed-count scalar, broadcast
+      "q278_ppr",               // ONE-row seed-count scalar, broadcast
                                 // (the q109 pattern)
+      "q281_ivf_autotune",      // per-config ONE-row count scalars + the
+                                // ONE-row best-pick frame, broadcast
+      "q282_lsh_autotune")      // same sweep-table shape over the banding
+                                // harness
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -147,6 +147,7 @@ def main():
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
 
+    t_start = time.time()
     jsonl_path = args.jsonl or f"{args.out_dir}/compare_results.jsonl"
     # costliest-first scheduling: a handful of oracles (rebalance, graph
     # rebuild, unrolled Lloyd chains) run for minutes each — if one starts
@@ -218,8 +219,15 @@ def main():
             "sf_dir": args.sf_dir,
             "n_total": len(names),
             "n_ok": len(names) - n_bad,
+            # per-query oracle-replay secs ride along so oracle-cost
+            # regressions (the r13 empty-artifact class) are visible per
+            # round; wall/cpu totals summarize the sweep's budget fit
+            "compare_wall_secs": round(time.time() - t_start, 1),
+            "compare_cpu_secs": round(sum(r.get("secs", 0.0)
+                                          for r in results.values()), 1),
             "queries": {n: {"mode": r["mode"], "rows": r["rows"],
-                            "schema": r["schema"], "hash": r["hash"]}
+                            "schema": r["schema"], "hash": r["hash"],
+                            "secs": r.get("secs", 0.0)}
                         for n, r in sorted(results.items())},
         }
         with open(args.summary, "w") as f:
