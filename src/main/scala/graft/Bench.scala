@@ -21,12 +21,15 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** The anchor's median on the quiet reference host (measured at the
-    * round-14 re-anchor, 3 child-session medians; provenance in BASELINE.md
-    * round-14 notes). host_ratio = 1.0 ≈ the host state under which the
-    * committed per-query target column holds.
+  /** The anchor's wall time on a host in the state under which the
+    * committed target column holds (host_ratio = 1.0). Calibrated round 14
+    * from two quiet clean invocations (anchor 3.164 at total 7.441, anchor
+    * 3.013 at total 7.620 — a 1.44-1.47× day) scaled to the committed 5.17
+    * level: mean of 3.164·(5.17/7.441) = 2.198 and 3.013·(5.17/7.620) =
+    * 2.044. Full derivation + both invocations in BASELINE.md round-14
+    * notes; re-derive ONLY if the frozen anchor job ever changes.
     */
-  private val AnchorQuietSecs = 0.0 // set after first calibration run
+  private val AnchorQuietSecs = 2.12
 
   private def loadavg(): String =
     try new String(java.nio.file.Files.readAllBytes(
@@ -121,26 +124,29 @@ object Bench {
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble
     val invocationClean = load1(preWorkLoad) <= loadThreshold
-    // host-state anchor: 1 discarded JIT warm + 3 timed runs on fresh child
-    // sessions (same protocol as the query runs), median → host_ratio
+    // host-state anchor: 1 discarded JIT warm, then timed reps INTERLEAVED
+    // with the query runs (after the first, middle, and last run) so the
+    // anchor samples the same wall-clock window the headline numbers do —
+    // an invocation-start-only anchor over-read a decaying-load host by
+    // 45% relative to its own headline runs (r14 calibration note)
     anchorOnce(spark.newSession())
-    val anchorSecs = {
-      val xs = (1 to 3).map(_ => anchorOnce(spark.newSession())).sorted
-      xs(1)
-    }
-    val hostRatio =
-      if (AnchorQuietSecs > 0) anchorSecs / AnchorQuietSecs else 1.0
+    val anchorReps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val anchorAt = Set(1, numRuns / 2 + 1, numRuns)
     val loads = scala.collection.mutable.ArrayBuffer.empty[String]
-    val runs = (1 to numRuns).map { _ =>
+    val runs = (1 to numRuns).map { i =>
       val lb = loadavg()
       // EVERY run gets a fresh child session — including the first. The
       // primary session keeps the sf0.001 warmup's cache/GC baggage and
       // measured consistently ~20% slower than the child-session runs it
       // was averaged with (8.6 vs 6.6/7.0 in the round-9 logs)
       val r = runOnce(spark.newSession())
+      if (anchorAt(i)) anchorReps += anchorOnce(spark.newSession())
       System.gc() // drop orphaned checkpoint/cache blocks between runs
       (lb, r)
     }
+    val anchorSecs = { val xs = anchorReps.sorted; xs(xs.size / 2) }
+    val hostRatio =
+      if (AnchorQuietSecs > 0) anchorSecs / AnchorQuietSecs else 1.0
     loads += preWorkLoad
     loads ++= runs.map(_._1)
     loads += loadavg()
