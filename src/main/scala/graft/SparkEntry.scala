@@ -2005,6 +2005,27 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("meanLum").cast("double") * 255, 0).cast("int").as("gray")))
     }),
+    // JSONL interchange round-trip over documents (embedded quotes /
+    // newlines exercise JSON string escaping; explicit schema, no
+    // inference) — the LLM-pipeline wire format next to q231's CSV
+    "q283_jsonl_roundtrip" -> ((s, d) =>
+      ordered(graft.sources.JsonlStore.roundTrip(
+        Tables.documents(s, d), scratch("q283_jsonl")))),
+    // dirty-dump ingest audit: the documents corpus as JSONL plus
+    // JsonlCorruptN malformed lines, read PERMISSIVE with a corrupt-record
+    // column → ("good", N) / ("corrupt", K) counts
+    "q284_jsonl_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val goodDir = scratch("q284_good")
+      graft.sources.JsonlStore.save(docs, goodDir)
+      val corrupt = s.range(0, JsonlCorruptN).select(
+        concat(lit("{\"doc_id\": "), col("id"),
+          lit(", \"text\": unterminated")).as("value"))
+      val mixedDir = scratch("q284_mixed")
+      s.read.text(goodDir).unionByName(corrupt)
+        .write.mode("overwrite").text(mixedDir)
+      ordered(graft.sources.JsonlStore.ingestAudit(s, mixedDir, docs.schema))
+    }),
     // IVF knob auto-tune (the reference's nni-auto-tune analogue):
     // replicas × nprobe grid at the q252 centroid ratio; `best` marks the
     // cheapest config (probed posting entries) meeting the recall floor
@@ -2327,6 +2348,8 @@ object SparkEntry {
   private val TuneIvfFloorBp = 8000
   private val TuneBandCfgs = Seq((16, 2), (16, 4), (16, 8))
   private val TuneLshFloorBp = 7000
+  // q284: malformed JSONL lines appended to the good dump
+  private val JsonlCorruptN = 7L
   // q266: cutoff 2/3 through the fixture month, 72h embargo
   private val EmbargoCutoff = "2024-01-20 00:00:00"
   private val EmbargoHours = 72
@@ -3849,6 +3872,18 @@ object SparkEntry {
         |  ((((g.id + s.seg) % 32) * 1000)::DOUBLE / 32768.0)::FLOAT AS rms
         |FROM generate_series(0, 63) g(id), generate_series(0, 15) s(seg)
         |ORDER BY 1, 2, 3""".stripMargin,
+    // the oracle reads the parquet original — equality IS the round-trip
+    // fidelity claim (the Spark side went through JSONL text and back)
+    "q283_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // the closed form: every original row parses, every synthesized
+    // malformed line lands in the corrupt bucket
+    "q284_jsonl_audit" ->
+      s"""SELECT 'corrupt' AS verdict, $JsonlCorruptN::BIGINT AS n
+         |UNION ALL
+         |SELECT 'good', (SELECT count(*) FROM documents)::BIGINT
+         |ORDER BY 1, 2""".stripMargin,
     // the q252 chain extended along the replicas axis (pall keeps rn ≤ max
     // replicas; each config slices it), plus the integer n_cand cost and
     // the basis-point best-pick rule mirrored from AutoTune.markBest

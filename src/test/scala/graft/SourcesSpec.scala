@@ -404,4 +404,49 @@ class SourcesSpec extends SparkSpec {
       df.schema.map(f => (f.name, f.dataType)))
     assert(b === a, s"round-trip drift:\n$a\nvs\n$b")
   }
+
+  test("JsonlStore round-trip: JSON escaping, nulls, and types survive; " +
+    "audited read routes malformed lines; ingestAudit counts both") {
+    import graft.sources.JsonlStore
+    val dir = tmp() + "/jsonl"
+    val df = Seq(
+      (1L, """he said "hi" {with: braces}""", Some(1.5)),
+      (2L, "plain text", None),
+      (3L, "", Some(-0.25)),
+      (4L, "backslash \\ and tab\tand unicode ¤", Some(1e-9)),
+      (5L, "first line\nsecond line", Some(2.0)) // JSON-escaped newline
+    ).toDF("id", "s", "x")
+    val back = JsonlStore.roundTrip(df, dir).orderBy("id")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSeq === df.orderBy("id").collect().toSeq)
+    // JSONL stays line-splittable: one record per physical line
+    assert(spark.read.text(dir).count() === 5)
+
+    // dirty dump: good lines + malformed ones
+    val mixed = tmp() + "/jsonl_mixed"
+    spark.read.text(dir)
+      .unionByName(Seq("{\"id\": 6, \"s\": unterminated",
+        "not json at all").toDF("value"))
+      .write.mode("overwrite").text(mixed)
+    // full-frame collect: Spark forbids file-scan queries whose referenced
+    // columns prune down to ONLY the corrupt-record column (e.g.
+    // `.where(_corrupt.isNull).count()`), which is exactly why ingestAudit
+    // goes through from_json — asserted below
+    val auditedRows = JsonlStore.loadAudited(spark, mixed, df.schema).collect()
+    assert(auditedRows.count(_.getAs[String]("_corrupt") == null) === 5)
+    assert(auditedRows.count(_.getAs[String]("_corrupt") != null) === 2)
+    // good rows parse with their values intact through the audited path
+    assert(auditedRows.filter(_.getAs[String]("_corrupt") == null)
+      .find(_.getAs[Long]("id") == 1L).get
+      .getAs[String]("s") === """he said "hi" {with: braces}""")
+    val counts = JsonlStore.ingestAudit(spark, mixed, df.schema)
+      .orderBy("verdict").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts === Seq(("corrupt", 2L), ("good", 5L)))
+    // strict load refuses the dirty dump outright
+    intercept[Exception] {
+      JsonlStore.load(spark, mixed, df.schema).count()
+    }
+  }
 }
