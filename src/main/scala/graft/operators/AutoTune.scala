@@ -36,7 +36,7 @@ object AutoTune {
     * struct-min aggregate over the (bounded, few-row) sweep table folded to
     * a broadcast row — no window, no collect.
     */
-  private def markBest(table: DataFrame, cfgCols: Seq[String],
+  private[graft] def markBest(table: DataFrame, cfgCols: Seq[String],
       recallFloorBp: Int): DataFrame = {
     val meets = col("n_hit") * lit(10000L) >= lit(recallFloorBp.toLong) * col("n_true")
     val key = struct(

@@ -531,6 +531,29 @@ object StreamingIngest {
     graft.operators.Pipeline.constraintAudit(
       rows, notNull = notNull, ranges = ranges, accepted = accepted)
 
+  /** Streaming twin of [[graft.sources.JsonlStore.ingestAudit]]: running
+    * good/corrupt line counts over a JSONL drop directory as files land —
+    * the live ingest monitor in front of a dirty dump feed. Same from_json
+    * in-struct corrupt-record verdict as the batch op (identical counts on
+    * the same lines, StreamingSpec-gated); state is the two-group running
+    * aggregate — bounded by construction. Feed it
+    * `spark.readStream.text(dir)`; complete/update mode re-emits totals
+    * per micro-batch.
+    */
+  def jsonlAuditStream(
+      lines: DataFrame, // streaming (value: STRING)
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val parsed = from_json(col("value"),
+      schema.add("_corrupt", StringType),
+      java.util.Map.of("mode", "PERMISSIVE",
+        "columnNameOfCorruptRecord", "_corrupt"))
+    lines
+      .select(when(parsed.getField("_corrupt").isNull, lit("good"))
+        .otherwise(lit("corrupt")).as("verdict"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+  }
+
   def nearDupStream(
       docs: DataFrame, // streaming (doc_id, text)
       threshold: Double,

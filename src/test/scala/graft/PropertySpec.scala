@@ -497,4 +497,58 @@ class PropertySpec extends SparkSpec {
         got <= selfMax.toDouble + 1e-9 && got >= 0.0
     })
   }
+
+  test("AutoTune.markBest: the Spark struct-min pick equals the plain-Scala " +
+      "floor-then-cost rule on random sweep tables") {
+    import spark.implicits._
+    // random (cfg, n_true, n_hit≤n_true, n_cand) tables with duplicate-free
+    // config keys; floors span never-met .. always-met
+    val genRow = for {
+      nTrue <- Gen.chooseNum(0L, 50L)
+      nHit <- Gen.chooseNum(0L, nTrue)
+      nCand <- Gen.chooseNum(0L, 10000L)
+    } yield (nTrue, nHit, nCand)
+    val gen = for {
+      n <- Gen.chooseNum(1, 8)
+      rows <- Gen.listOfN(n, genRow)
+      floorBp <- Gen.oneOf(0, 5000, 8000, 10000, 10001)
+    } yield (rows.zipWithIndex.map { case ((t, h, c), i) => (i, t, h, c) },
+      floorBp)
+    checkN("markBest-reference", 12, Prop.forAll(gen) { case (rows, floorBp) =>
+      val table = rows.toDF("cfg", "n_true", "n_hit", "n_cand")
+      val got = graft.operators.AutoTune
+        .markBest(table, Seq("cfg"), floorBp)
+        .collect().filter(_.getAs[Boolean]("best"))
+        .map(_.getAs[Int]("cfg")).toSeq
+      val meets = rows.filter { case (_, t, h, _) =>
+        h * 10000L >= floorBp.toLong * t }
+      val want =
+        if (meets.nonEmpty) meets.minBy { case (cfg, _, _, c) => (c, cfg) }._1
+        else rows.minBy { case (cfg, _, h, _) => (-h, cfg) }._1
+      got == Seq(want)
+    })
+  }
+
+  test("video codec: synthAviGray → decodeVideo is exact for random " +
+      "frame counts, dims, and gray sequences") {
+    import graft.operators.Multimodal
+    val gen = for {
+      nf <- Gen.chooseNum(1, 5)
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      grays <- Gen.listOfN(nf, Gen.chooseNum(0, 255))
+    } yield (nf, w, h, grays)
+    checkN("avi-roundtrip", 20, Prop.forAll(gen) { case (nf, w, h, grays) =>
+      val avi = Multimodal.synthAviGray(grays(_), nf, w, h)
+      Multimodal.decodeVideo(avi) match {
+        case Some(frames) =>
+          frames.length == nf && frames.zipWithIndex.forall {
+            case ((fw, fh, plane), i) =>
+              fw == w && fh == h && plane.length == w * h &&
+                plane.forall(_ == grays(i) / 255f)
+          }
+        case None => false
+      }
+    })
+  }
 }

@@ -96,6 +96,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JSONL ingest audit equals the batch good/corrupt counts " +
+      "across micro-batches") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    implicit val sq = spark.sqlContext
+    val schema = new StructType().add("id", LongType).add("s", StringType)
+    val good = Seq("""{"id": 1, "s": "a"}""", """{"id": 2, "s": "b"}""",
+      """{"id": 3, "s": "c"}""")
+    val bad = Seq("{\"id\": 4, \"s\": unterminated", "not json")
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.jsonlAuditStream(
+        stream.toDF().toDF("value"), schema)
+      .writeStream.format("memory").queryName("jsonl_audit_out")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(good.take(2).toIndexedSeq); q.processAllAvailable()
+      stream.addData((good.drop(2) ++ bad).toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("jsonl_audit_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === Map("good" -> 3L, "corrupt" -> 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch attribution pairs") {
     val events = Tables.events(spark, sf0001)
     val batch = graft.operators.Events.linearAttribution(events, 60)
