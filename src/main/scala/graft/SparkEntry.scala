@@ -392,6 +392,15 @@ object SparkEntry {
       val shards = Seq(0, 1, 2).map(i => corpus.where(col("id") % 3 === i))
       ordered(graft.operators.Serving.scatterGather(q(s, d), shards, K))
     }),
+    // degraded-mode aggregation (the reference's Timeout/FailedNetwork
+    // slots): shard 2 of 4 is down; results = exact kNN of the surviving
+    // three shards, annotated (n_shards_ok, n_shards)
+    "q285_scatter_partial" -> ((s, d) => {
+      val corpus = Tables.lineitemVec(s, d)
+      val shards = (0 until 4).map(i => corpus.where(col("id") % 4 === i))
+      ordered(graft.operators.Serving.scatterGatherPartial(
+        q(s, d), shards, K, failedShards = Set(2)))
+    }),
     // B11: merge with last-write-wins on id (the "other" index carries
     // shifted vectors for every 7th id), then exact kNN over the merged view
     "q51_merge_index" -> ((s, d) => {
@@ -5029,6 +5038,12 @@ object SparkEntry {
     },
     // per-shard top-k + global re-merge is exactly global exact kNN
     "q50_scatter_gather" -> knnOracle("l2sq"),
+    // partial aggregation ≡ exact kNN over the surviving shards (shard 2
+    // of the id%4 split is down), plus the two literal status columns
+    "q285_scatter_partial" -> knnOracle("l2sq",
+      corpusFilter = "AND id % 4 <> 2",
+      extraSel = ", 3 AS n_shards_ok, 4 AS n_shards",
+      extraOrder = ", n_shards_ok, n_shards"),
     "q51_merge_index" -> {
       val dd = Tables.distSql("l2sq", "q.qvec", "v.vec")
       s"""WITH v0 AS (${Tables.lineitemVecSql}),

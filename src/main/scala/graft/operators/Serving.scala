@@ -53,4 +53,33 @@ object Serving {
       unioned.groupBy(col("query_id"))
         .agg(graft.functions.TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
+
+  /** Degraded-mode scatter-gather — the reference aggregator's PARTIAL
+    * aggregation (`AggregatorService.cpp:285-340`): a per-server callback
+    * that times out or fails the network marks that server's slot
+    * Timeout/FailedNetwork and `AggregateResults` merges whatever
+    * succeeded. Here the failed set is explicit (`failedShards` — batch
+    * dataflows don't time out mid-plan; the caller's health checker names
+    * the dead shards) and the result is EXACTLY the top-k over the
+    * surviving shards, annotated with `(n_shards_ok, n_shards)` so a
+    * client can tell a degraded answer from a full one — the same signal
+    * the reference's per-slot ResultStatus carries.
+    *
+    * Scale shape: identical to [[scatterGather]] minus the dead shards —
+    * per-shard bounded top-k, one k·shards-row re-merge; the annotation is
+    * two literals.
+    */
+  def scatterGatherPartial(
+      queries: DataFrame,
+      partitionedCorpora: Seq[DataFrame],
+      k: Int,
+      failedShards: Set[Int],
+      metric: String = "l2sq"): DataFrame = {
+    val alive = partitionedCorpora.zipWithIndex
+      .collect { case (c, i) if !failedShards(i) => c }
+    require(alive.nonEmpty, "every shard failed — nothing to aggregate")
+    scatterGather(queries, alive, k, metric)
+      .withColumn("n_shards_ok", lit(alive.size))
+      .withColumn("n_shards", lit(partitionedCorpora.size))
+  }
 }

@@ -35,6 +35,28 @@ class ServingSpec extends SparkSpec {
     assert(direct.exceptAll(gathered).count() === 0)
   }
 
+  test("partial scatter-gather: dead shards drop out, results equal the " +
+    "surviving-subset kNN, status columns annotate degradation (V2)") {
+    val corpus = synthVectors(500).select("id", "vec")
+    val parts = (0 until 4).map(i => corpus.where(col("id") % 4 === i))
+    val queries = synthQueries(3)
+    val partial = Serving.scatterGatherPartial(queries, parts, 5, Set(1, 3))
+    val expect = Knn.search(
+      queries, corpus.where(col("id") % 4 === 0 || col("id") % 4 === 2), 5)
+      .withColumn("n_shards_ok", lit(2)).withColumn("n_shards", lit(4))
+    assert(partial.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(partial).count() === 0)
+    // no failures ≡ the full gather with a clean annotation
+    val full = Serving.scatterGatherPartial(queries, parts, 5, Set.empty)
+    assert(full.head().getAs[Int]("n_shards_ok") === 4)
+    assert(full.drop("n_shards_ok", "n_shards")
+      .exceptAll(Serving.scatterGather(queries, parts, 5)).count() === 0)
+    // every shard down is a contract violation, not an empty answer
+    intercept[IllegalArgumentException] {
+      Serving.scatterGatherPartial(queries, parts, 5, Set(0, 1, 2, 3))
+    }
+  }
+
   test("latency report: percentiles + serial-time QPS (V4)") {
     import graft.operators.Eval
     // 1..1000 ms, uniform: percentiles are exact rank statistics
