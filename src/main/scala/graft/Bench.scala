@@ -23,13 +23,17 @@ object Bench {
 
   /** The anchor's wall time on a host in the state under which the
     * committed target column holds (host_ratio = 1.0). Calibrated round 14
-    * from two quiet clean invocations (anchor 3.164 at total 7.441, anchor
-    * 3.013 at total 7.620 — a 1.44-1.47× day) scaled to the committed 5.17
-    * level: mean of 3.164·(5.17/7.441) = 2.198 and 3.013·(5.17/7.620) =
-    * 2.044. Full derivation + both invocations in BASELINE.md round-14
-    * notes; re-derive ONLY if the frozen anchor job ever changes.
+    * from three clean invocations of the SHIPPED interleaved-anchor
+    * protocol, each scaled to the committed 5.17 level (anchor·5.17/total:
+    * 4.975/11.491 → 2.238, 3.862/7.746 → 2.578, 3.361/7.955 → 2.184;
+    * mean 2.33 — interleaved reps read ~10% above start-of-invocation
+    * reps, so the constant MUST come from the same protocol that measures
+    * it). Normalized totals across a 7.7-11.5 raw spread: 5.38/4.67/5.52 —
+    * host_ratio resolves the 1.5-2.5× day swings, not ±10% effects. Full
+    * table in BASELINE.md round-14 notes; re-derive ONLY if the frozen
+    * anchor job ever changes.
     */
-  private val AnchorQuietSecs = 2.12
+  private val AnchorQuietSecs = 2.33
 
   private def loadavg(): String =
     try new String(java.nio.file.Files.readAllBytes(
