@@ -335,28 +335,40 @@ object Multimodal {
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Float])]
       // walk top-level chunks; descend into LIST('movi') and decode its
       // '##db'/'##dc' members (chunk sizes pad to even per RIFF)
+      // size fields are UNSIGNED 32-bit; a corrupt/crafted value above
+      // Int.MaxValue (or any size walking the cursor backwards) must end
+      // the parse, not spin it — a dirty corpus payload must never hang an
+      // executor. Both walks therefore refuse non-positive advances.
       var off = 12
-      while (off + 8 <= payload.length) {
+      var ok = true
+      while (ok && off + 8 <= payload.length) {
         val id = fourcc(off)
-        val sz = u32(off + 4).toInt
-        if (id == "LIST" && off + 12 <= payload.length &&
-          fourcc(off + 8) == "movi") {
-          var p = off + 12
-          val end = math.min(off + 8 + sz, payload.length)
-          while (p + 8 <= end) {
-            val cid = fourcc(p)
-            val csz = u32(p + 4).toInt
-            if (cid.endsWith("db") || cid.endsWith("dc")) {
-              val lo = p + 8
-              val hi = math.min(lo + csz, payload.length)
-              if (hi > lo)
-                decodeImage(java.util.Arrays.copyOfRange(payload, lo, hi))
-                  .foreach(frames += _)
+        val sz = u32(off + 4)
+        if (sz < 0 || sz > Int.MaxValue - 12) ok = false
+        else {
+          if (id == "LIST" && off + 12 <= payload.length &&
+            fourcc(off + 8) == "movi") {
+            var p = off + 12
+            val end = math.min(off + 8 + sz.toInt, payload.length)
+            var okc = true
+            while (okc && p + 8 <= end) {
+              val cid = fourcc(p)
+              val csz = u32(p + 4)
+              if (csz < 0 || csz > Int.MaxValue - 12) okc = false
+              else {
+                if (cid.endsWith("db") || cid.endsWith("dc")) {
+                  val lo = p + 8
+                  val hi = math.min(lo.toLong + csz, payload.length.toLong).toInt
+                  if (hi > lo)
+                    decodeImage(java.util.Arrays.copyOfRange(payload, lo, hi))
+                      .foreach(frames += _)
+                }
+                p += 8 + csz.toInt + (csz.toInt & 1)
+              }
             }
-            p += 8 + csz + (csz & 1)
           }
+          off += 8 + sz.toInt + (sz.toInt & 1)
         }
-        off += 8 + sz + (sz & 1)
       }
       if (frames.isEmpty) None else Some(frames.toSeq)
     } catch { case _: Exception => None }

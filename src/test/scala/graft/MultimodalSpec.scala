@@ -218,6 +218,16 @@ class MultimodalSpec extends SparkSpec {
     // non-AVI payloads refuse at the container gate
     assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Multimodal.decodeVideo("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // corrupt size fields (unsigned 32-bit overflow / cursor-reversing
+    // values) terminate the parse instead of spinning the executor
+    val crafted = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ "AVI LIST".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ "movi00dc".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ Array.fill(32)(0.toByte)
+    assert(Multimodal.decodeVideo(crafted).isEmpty)
+    // a truncated copy of a VALID avi must also terminate (any result is
+    // acceptable; the assertion is that the call returns at all)
+    Multimodal.decodeVideo(avi.take(avi.length / 2))
     // Dataset path: one row per decoded frame with checksum -1 and the
     // analytic mean luminance; the garbage row falls back to ONE stand-in
     // row keeping its byte sum
