@@ -2204,6 +2204,81 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("sum_qty"), col("n_rows")))
+    }),
+    // Kolmogorov–Smirnov drift between the snapshot halves' quality
+    // distributions — the worst-single-CDF-gap companion to q272's W1
+    // (mass-weighted) and q148's PSI (binned): same frames, third lens
+    "q286_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("q", TextAnalysis.quality(col("text")))
+      ordered(graft.operators.Eval.ksStat(
+        docs.where(col("doc_id") % 2 === 0).select(col("q")),
+        docs.where(col("doc_id") % 2 === 1).select(col("q")), "q"))
+    }),
+    // mutual information between lang and source — "does source already
+    // encode lang" in nats, for the mixture designer (q258's chi² asks
+    // whether the association is significant; this asks how BIG it is)
+    "q287_mutual_info" -> ((s, d) =>
+      ordered(Association.mutualInformation(
+        Tables.documents(s, d), "lang", "source"))),
+    // cross-source quantile normalization of the quality score: the
+    // bounded (source, v) → pooled-quantile mapping table that calibrates
+    // per-source scorers before any global floor. Scores key as exact
+    // 1e-4-unit integers (the q190 convention: a round(double, 4) KEY
+    // diverges between engines at half boundaries — observed live at
+    // sf0.1 on this very query)
+    "q288_quantile_norm" -> ((s, d) =>
+      ordered(Pipeline.quantileNormalize(
+        Tables.documents(s, d), "source",
+        round(TextAnalysis.qualityRaw(col("text")) * 10000).cast("long")))),
+    // interpolated Kneser–Ney bigram LM score per doc — q91's Laplace
+    // smoothing upgraded with continuation-count backoff
+    "q289_kneser_ney" -> ((s, d) =>
+      ordered(TextAnalysis.knBigramScore(Tables.documents(s, d), KnDiscount))),
+    // distinct-n lexical diversity per source (n = 1, 2) — the
+    // corpus-level twin of q70's per-doc repetition signal
+    "q290_distinct_n" -> ((s, d) =>
+      ordered(TextAnalysis.distinctNgrams(Tables.documents(s, d)))),
+    // per-source unigram KL from the pooled corpus — distribution-level
+    // source distinctiveness where q239 reads only vocabulary overlap
+    "q291_source_kl" -> ((s, d) =>
+      ordered(TextAnalysis.sourceKl(Tables.documents(s, d), KlAlpha))),
+    // context-length budget report: what a 64-token context costs each
+    // source (overflow docs, truncation loss, perfect-packer bin floor)
+    "q292_packing_report" -> ((s, d) =>
+      ordered(Pipeline.packingReport(Tables.documents(s, d), PackMaxLen))),
+    // novelty-over-time curve on synthetic ingest periods: share of each
+    // period's distinct shingles never seen in an earlier period
+    "q293_novelty_curve" -> ((s, d) =>
+      ordered(Dedup.noveltyCurve(
+        Tables.documents(s, d)
+          .withColumn("period", col("doc_id") % NoveltyPeriods), "period"))),
+    // Kendall τ-b between quality (1e-2 units) and clamped token count —
+    // "does my quality score just measure length", tie-corrected
+    "q294_kendall_tau" -> ((s, d) =>
+      ordered(graft.operators.Eval.kendallTau(
+        Tables.documents(s, d).select(
+          round(TextAnalysis.qualityRaw(col("text")) * 100).cast("long")
+            .as("q100"),
+          least(size(TextAnalysis.tokens(col("text"))).cast("long"),
+            lit(TauLenCap.toLong)).as("toks")),
+        "q100", "toks"))),
+    // winsorized per-source quality card (p05/p95 clamp, exact 1e-4 units)
+    "q295_winsorized" -> ((s, d) =>
+      ordered(Pipeline.winsorizedStats(Tables.documents(s, d),
+        round(TextAnalysis.qualityRaw(col("text")) * 10000), 5, 95))),
+    // kNN label-noise audit: vectors whose neighbors outvote their own
+    // label (confident-learning pass before any classifier fit)
+    "q296_label_noise" -> ((s, d) =>
+      ordered(SimilaritySearch.labelNoise(Tables.embeddingVec(s, d), K))),
+    // whitened PCA projection — q217's basis scaled to unit variance
+    // (fitted factors inlined as literals; dynamic oracle)
+    "q297_pca_whiten" -> ((s, d) => {
+      import graft.functions.PCA
+      val emb = Tables.embeddings(s, d)
+      ordered(PCA.whiten(emb, pcaModel(s, d), PcaWhitenEps, "embedding",
+        "white", 4)
+        .select(col("vec_id"), posexplode(col("white")).as(Seq("dim", "value"))))
     })
   )
 
@@ -2343,6 +2418,20 @@ object SparkEntry {
   // q277: alarm when cusum > k·h, h in mean-days — passed to cusumDaily AND
   // interpolated into the oracle so the two sides cannot desynchronize
   private val CusumAlarmMeanDays = 2L
+  // q289: the Kneser–Ney absolute discount — passed to knBigramScore AND
+  // interpolated into the oracle (the CusumAlarmMeanDays rule)
+  private val KnDiscount = 0.75
+  // q291: Laplace smoothing for the per-source KL unigram LMs (same rule)
+  private val KlAlpha = 0.5
+  // q292: the context-length budget — small enough that the fixture's
+  // longer docs genuinely overflow it
+  private val PackMaxLen = 64
+  // q293: synthetic ingest periods (doc_id mod) for the novelty curve
+  private val NoveltyPeriods = 12
+  // q294: token-count clamp bounding the Kendall grid's y-axis resolution
+  private val TauLenCap = 512
+  // q297: eigenvalue floor for the whitening factors (1/sqrt(lambda + eps))
+  private val PcaWhitenEps = 1e-9
   // q280: 48 synthetic AVIs of 2-4 solid-gray 32×24 frames; gray levels
   // 16·((7id+13f) mod 16)+8 span the 8-bit range off the quant midpoints
   private val VideoN = 48L
@@ -3351,7 +3440,8 @@ object SparkEntry {
     * [[oracleSqlDynamic]] into oracle_sql.json so the driver's DuckDB
     * replay sees a complete map.
     */
-  def dynamicOracleNames: Set[String] = Set("q217_pca_project")
+  def dynamicOracleNames: Set[String] =
+    Set("q217_pca_project", "q297_pca_whiten")
 
   /** Shortest round-trip double literal: DuckDB's (correctly-rounded)
     * strtod parse of `Double.toString`'s shortest repr recovers the EXACT
@@ -3378,6 +3468,22 @@ object SparkEntry {
           s"(vec[${i + 1}]::DOUBLE - ${dlit(m.mean(i))}) * ${dlit(c(i))}"
         }.mkString(" + ")
         s"SELECT vec_id, CAST($j AS INT) AS dim, round($expr, 4) AS value FROM e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding AS vec FROM embeddings)
+         |$branches
+         |ORDER BY vec_id, dim, value""".stripMargin
+    },
+    // q297: q217's fitted chain with each branch scaled by the literal
+    // whitening factor 1/sqrt(lambda_j + eps)
+    "q297_pca_whiten" -> {
+      val m = pcaModel(s, d)
+      val branches = m.components.zipWithIndex.map { case (c, j) =>
+        val expr = c.indices.map { i =>
+          s"(vec[${i + 1}]::DOUBLE - ${dlit(m.mean(i))}) * ${dlit(c(i))}"
+        }.mkString(" + ")
+        val w = 1.0 / math.sqrt(m.varExplained(j) + PcaWhitenEps)
+        s"SELECT vec_id, CAST($j AS INT) AS dim, " +
+          s"round(($expr) * ${dlit(w)}, 4) AS value FROM e"
       }.mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding AS vec FROM embeddings)
          |$branches
@@ -7599,6 +7705,272 @@ object SparkEntry {
          |SELECT query_id, count(*) AS n_pairs,
          |  round(sum(dd)::DOUBLE / count(*), 6) AS ild
          |FROM t GROUP BY 1 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // q272's merged-value CDF staging minus the next-value step: the gap
+    // per distinct value rounds 8dp, max is order-free, no DECIMAL fold
+    "q286_ks_drift" -> {
+      val qe = TextAnalysis.Sql.qualityExpr
+      s"""WITH qa AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 0),
+         |qb AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 1),
+         |ha AS MATERIALIZED (SELECT v, count(*) AS ca FROM qa GROUP BY 1),
+         |hb AS MATERIALIZED (SELECT v, count(*) AS cb FROM qb GROUP BY 1),
+         |vals AS MATERIALIZED (SELECT v FROM ha UNION SELECT v FROM hb),
+         |na AS (SELECT sum(ca)::BIGINT AS na FROM ha),
+         |nb AS (SELECT sum(cb)::BIGINT AS nb FROM hb),
+         |fa AS (SELECT a.v, coalesce(sum(b.ca), 0)::BIGINT AS fa
+         |       FROM vals a LEFT JOIN ha b ON b.v <= a.v GROUP BY 1),
+         |fb AS (SELECT a.v, coalesce(sum(b.cb), 0)::BIGINT AS fb
+         |       FROM vals a LEFT JOIN hb b ON b.v <= a.v GROUP BY 1),
+         |g AS (SELECT round(abs(fa.fa::DOUBLE / na.na
+         |               - fb.fb::DOUBLE / nb.nb), 8) AS g
+         |      FROM fa JOIN fb ON fb.v = fa.v CROSS JOIN na CROSS JOIN nb)
+         |SELECT na.na AS n_a, nb.nb AS n_b, round(max(g.g), 6) AS ks
+         |FROM g CROSS JOIN na CROSS JOIN nb
+         |GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // observed-cells-only MI (zero cells contribute exactly 0 — no dense
+    // grid, unlike q258's chi²); 8dp DECIMAL folds for every entropy sum
+    "q287_mutual_info" ->
+      s"""WITH obs AS MATERIALIZED (
+         |  SELECT lang AS a, source AS b, count(*) AS o FROM documents
+         |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         |rm AS MATERIALIZED (SELECT a, sum(o)::BIGINT AS ra FROM obs GROUP BY 1),
+         |cm AS MATERIALIZED (SELECT b, sum(o)::BIGINT AS cb FROM obs GROUP BY 1),
+         |n AS (SELECT sum(o)::BIGINT AS n FROM obs),
+         |ha AS (SELECT coalesce(sum(round(-(ra::DOUBLE / n.n) * ln(ra::DOUBLE / n.n),
+         |         8)::DECIMAL(38,8))::DOUBLE, 0.0) AS ha FROM rm CROSS JOIN n),
+         |hb AS (SELECT coalesce(sum(round(-(cb::DOUBLE / n.n) * ln(cb::DOUBLE / n.n),
+         |         8)::DECIMAL(38,8))::DOUBLE, 0.0) AS hb FROM cm CROSS JOIN n),
+         |mi AS (SELECT coalesce(sum(round((o::DOUBLE / n.n)
+         |         * ln(o::DOUBLE * n.n / (ra::DOUBLE * cb)),
+         |         8)::DECIMAL(38,8))::DOUBLE, 0.0) AS mi
+         |       FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN n)
+         |SELECT n.n AS n, round(ha.ha, 6) AS h_a, round(hb.hb, 6) AS h_b,
+         |  round(mi.mi, 6) AS mi,
+         |  round(CASE WHEN ha.ha > 0.0 AND hb.hb > 0.0
+         |        THEN mi.mi / sqrt(ha.ha * hb.hb) ELSE 0.0 END, 6) AS nmi
+         |FROM n CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // ECDF matching on the bounded (source, v) histogram; the quantile
+    // match cross-multiplies exact counts in HUGEINT (Spark: DECIMAL(38))
+    // so no double ever decides a rank and corpus-scale counts never
+    // overflow the product. Scores key as 1e-4-unit integers (q190 rule)
+    "q288_quantile_norm" -> {
+      val qe = TextAnalysis.Sql.qualityRawExpr
+      s"""WITH h AS MATERIALIZED (
+         |  SELECT source AS g, CAST(round(($qe) * 10000) AS BIGINT) AS v,
+         |         count(*) AS c FROM documents GROUP BY 1, 2),
+         |ns AS MATERIALIZED (SELECT g, sum(c)::BIGINT AS ng FROM h GROUP BY 1),
+         |hp AS MATERIALIZED (SELECT v, sum(c)::BIGINT AS cp FROM h GROUP BY 1),
+         |np AS (SELECT sum(cp)::BIGINT AS np FROM hp),
+         |fs AS MATERIALIZED (SELECT a.g, a.v, sum(b.c)::BIGINT AS fs
+         |      FROM h a JOIN h b ON b.g = a.g AND b.v <= a.v GROUP BY 1, 2),
+         |fp AS MATERIALIZED (SELECT a.v AS w, sum(b.cp)::BIGINT AS fp
+         |      FROM hp a JOIN hp b ON b.v <= a.v GROUP BY 1),
+         |m AS (SELECT fs.g, fs.v, min(fp.w) AS v_norm
+         |      FROM fs JOIN ns USING (g) CROSS JOIN np
+         |      JOIN fp ON fp.fp::HUGEINT * ns.ng >= fs.fs::HUGEINT * np.np
+         |      GROUP BY 1, 2)
+         |SELECT m.g AS source, m.v AS v, m.v_norm, h.c::BIGINT AS n_docs
+         |FROM m JOIN h ON h.g = m.g AND h.v = m.v
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // q91's bigram staging + continuation-count tables; per-bigram KN
+    // log-prob rounds 6dp → DECIMAL(18,9) before the per-doc fold
+    "q289_kneser_ney" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val dd = dlit(KnDiscount)
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1,
+         |        count(DISTINCT w2) AS r1 FROM bg GROUP BY 1),
+         |l2 AS MATERIALIZED (SELECT w2, count(*) AS l2 FROM c2 GROUP BY 1),
+         |ty AS (SELECT count(*) AS types FROM c2),
+         |lp AS (SELECT bg.doc_id,
+         |         round(ln(greatest(c2.c2 - $dd, 0.0) / c1.c1
+         |           + $dd * c1.r1 / c1.c1 * (l2.l2::DOUBLE / ty.types)),
+         |           6)::DECIMAL(18,9) AS lp
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |       JOIN l2 USING (w2) CROSS JOIN ty)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(sum(lp)::DOUBLE / count(*), 4) AS kn_score
+         |FROM lp GROUP BY doc_id
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+    // in-row n-gram formation mirrored with unnest(range); one agg per order
+    "q290_distinct_n" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH t AS MATERIALIZED (SELECT source, $toks AS toks FROM documents),
+         |u AS (SELECT source, unnest(toks) AS g FROM t),
+         |b AS (SELECT source, array_to_string(toks[i:i+1], ' ') AS g
+         |      FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |d1 AS (SELECT source, 1 AS n, count(*)::BIGINT AS total_ngrams,
+         |         count(DISTINCT g)::BIGINT AS distinct_ngrams FROM u GROUP BY 1),
+         |d2 AS (SELECT source, 2 AS n, count(*)::BIGINT AS total_ngrams,
+         |         count(DISTINCT g)::BIGINT AS distinct_ngrams FROM b GROUP BY 1),
+         |a AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         |SELECT source, n, total_ngrams, distinct_ngrams,
+         |  round(distinct_ngrams::DOUBLE / total_ngrams, 6) AS diversity
+         |FROM a ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // smoothed-unigram KL over the dense source×V grid; per-(source, word)
+    // 8dp DECIMAL terms
+    "q291_source_kl" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val al = dlit(KlAlpha)
+      val ps = s"(coalesce(sw.cs, 0)::DOUBLE + $al) / (g.ns + $al * tot.v)"
+      val pc = s"(g.cw::DOUBLE + $al) / (tot.n + $al * tot.v)"
+      s"""WITH tok AS MATERIALIZED (SELECT source AS s, unnest($toks) AS w
+         |       FROM documents),
+         |sw AS MATERIALIZED (SELECT s, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+         |cw AS MATERIALIZED (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+         |ns AS MATERIALIZED (SELECT s, sum(cs)::BIGINT AS ns FROM sw GROUP BY 1),
+         |tot AS (SELECT sum(cw)::BIGINT AS n, count(*)::BIGINT AS v FROM cw),
+         |grid AS (SELECT cw.w, cw.cw, ns.s, ns.ns FROM cw CROSS JOIN ns),
+         |t AS (SELECT g.s, g.ns,
+         |        round(($ps) * ln(($ps) / ($pc)), 8)::DECIMAL(38,8) AS t
+         |      FROM grid g LEFT JOIN sw ON sw.s = g.s AND sw.w = g.w
+         |      CROSS JOIN tot)
+         |SELECT s AS source, ns AS n_tokens, round(sum(t)::DOUBLE, 6) AS kl
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2, 3""".stripMargin
+    },
+    // all-integer budget arithmetic; ceil as (kept + M−1) // M
+    "q292_packing_report" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val m = PackMaxLen
+      s"""WITH t AS (SELECT source, len($toks)::BIGINT AS t FROM documents),
+         |a AS (SELECT source, count(*) AS n_docs, sum(t)::BIGINT AS n_tokens,
+         |        sum(CASE WHEN t > $m THEN 1 ELSE 0 END)::BIGINT AS n_overflow_docs,
+         |        sum(greatest(t - $m, 0))::BIGINT AS n_truncated_tokens,
+         |        sum(least(t, $m))::BIGINT AS n_kept_tokens
+         |      FROM t GROUP BY 1),
+         |b AS (SELECT *, CAST((n_kept_tokens + ${m - 1}) // $m AS BIGINT)
+         |        AS n_bins_lb FROM a)
+         |SELECT source, n_docs, n_tokens, n_overflow_docs, n_truncated_tokens,
+         |  n_kept_tokens, n_bins_lb,
+         |  round(n_kept_tokens::DOUBLE / (n_bins_lb * $m), 6) AS fill_ratio
+         |FROM b ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+    },
+    // per-period distinct shingles + min-period first-seen (q92's shingle
+    // formation, q293's synthetic doc_id mod periods)
+    "q293_novelty_curve" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH d AS (SELECT doc_id % $NoveltyPeriods AS p, $toks AS toks
+         |       FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT p, array_to_string(toks[i:i+2], ' ') AS sh, count(*) AS c
+         |  FROM (SELECT p, toks,
+         |          unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+         |        FROM d) GROUP BY 1, 2),
+         |f AS (SELECT sh, min(p) AS fp FROM sh GROUP BY 1)
+         |SELECT p AS period, count(*) AS n_shingles,
+         |  sum(CASE WHEN fp = sh.p THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         |  round(sum(CASE WHEN fp = sh.p THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS new_share
+         |FROM sh JOIN f USING (sh) GROUP BY 1 ORDER BY 1, 2, 3, 4""".stripMargin
+    },
+    // τ-b on the dense grid: two window passes (each partitioned by one
+    // bounded axis), strictly-below-x margins via a histogram self-join,
+    // HUGEINT C/D folds (Spark: DECIMAL(38))
+    "q294_kendall_tau" -> {
+      val qre = TextAnalysis.Sql.qualityRawExpr
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH src AS (SELECT CAST(round(($qre) * 100) AS BIGINT) AS x,
+         |        least(len($toks)::BIGINT, $TauLenCap) AS y FROM documents),
+         |j AS MATERIALIZED (SELECT x, y, count(*) AS c FROM src GROUP BY 1, 2),
+         |grid AS MATERIALIZED (
+         |  SELECT xs.x, ys.y, coalesce(j.c, 0)::BIGINT AS c
+         |  FROM (SELECT DISTINCT x FROM j) xs
+         |  CROSS JOIN (SELECT DISTINCT y FROM j) ys
+         |  LEFT JOIN j USING (x, y)),
+         |s AS MATERIALIZED (SELECT x, y, c,
+         |  coalesce(sum(ay) OVER (PARTITION BY y ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS slt,
+         |  coalesce(sum(ayle) OVER (PARTITION BY y ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sle
+         |  FROM (SELECT x, y, c,
+         |    coalesce(sum(c) OVER (PARTITION BY x ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ay,
+         |    sum(c) OVER (PARTITION BY x ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ayle
+         |    FROM grid)),
+         |tx AS MATERIALIZED (SELECT x, sum(c)::BIGINT AS tx FROM j GROUP BY 1),
+         |ty AS (SELECT y, sum(c)::BIGINT AS ty FROM j GROUP BY 1),
+         |txlt AS (SELECT a.x, coalesce(sum(b.tx), 0)::BIGINT AS txlt
+         |         FROM tx a LEFT JOIN tx b ON b.x < a.x GROUP BY 1),
+         |cd AS (SELECT coalesce(sum(s.c::HUGEINT * s.slt), 0) AS cc,
+         |         coalesce(sum(s.c::HUGEINT * (txlt.txlt - s.sle)), 0) AS dd
+         |       FROM s JOIN txlt USING (x) WHERE s.c > 0),
+         |n AS (SELECT sum(c)::BIGINT AS n FROM j),
+         |n1 AS (SELECT sum(tx::HUGEINT * (tx - 1)) AS n1 FROM tx),
+         |n2 AS (SELECT sum(ty::HUGEINT * (ty - 1)) AS n2 FROM ty),
+         |dn AS (SELECT n.n, n.n::HUGEINT * (n.n - 1) - n1.n1 AS da,
+         |         n.n::HUGEINT * (n.n - 1) - n2.n2 AS db
+         |       FROM n CROSS JOIN n1 CROSS JOIN n2)
+         |SELECT dn.n AS n,
+         |  round(CASE WHEN dn.da > 0 AND dn.db > 0
+         |    THEN 2.0 * (cd.cc - cd.dd)::DOUBLE
+         |      / sqrt(dn.da::DOUBLE * dn.db::DOUBLE)
+         |    ELSE 0.0 END, 6) AS tau
+         |FROM cd CROSS JOIN dn ORDER BY 1, 2""".stripMargin
+    },
+    // per-source p05/p95 clamp off the q159 histogram rank rule; exact
+    // integer power sums (Σx² in HUGEINT / Spark DECIMAL(38))
+    "q295_winsorized" -> {
+      val qre = TextAnalysis.Sql.qualityRawExpr
+      s"""WITH s AS (SELECT source,
+         |        CAST(round(($qre) * 10000) AS BIGINT) AS x FROM documents),
+         |h AS MATERIALIZED (SELECT source, x AS v, count(*) AS c
+         |     FROM s GROUP BY 1, 2),
+         |n AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT h.source, v,
+         |          sum(c) OVER (PARTITION BY h.source ORDER BY v) AS cum, n
+         |        FROM h JOIN n USING (source)),
+         |qs AS (SELECT source, pct, min(v) AS value
+         |       FROM cum, (SELECT unnest([5, 95]) AS pct)
+         |       WHERE cum * 100 >= pct * n GROUP BY 1, 2),
+         |b AS (SELECT source, min(CASE WHEN pct = 5 THEN value END) AS lo,
+         |             min(CASE WHEN pct = 95 THEN value END) AS hi
+         |      FROM qs GROUP BY 1),
+         |w AS (SELECT s.source, b.lo, b.hi,
+         |        greatest(least(s.x, b.hi), b.lo) AS w
+         |      FROM s JOIN b USING (source)),
+         |a AS (SELECT source, lo, hi, count(*) AS n, sum(w)::BIGINT AS sx,
+         |        sum(w::HUGEINT * w) AS sxx FROM w GROUP BY 1, 2, 3)
+         |SELECT source, lo, hi, n,
+         |  round(sx::DOUBLE / n, 6) AS mean_w,
+         |  round(sqrt(greatest(sxx::DOUBLE / n
+         |    - (sx::DOUBLE / n) * (sx::DOUBLE / n), 0.0)), 6) AS std_w
+         |FROM a ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    },
+    // self-free exact kNN (top-(k+1)-drop-self ≡ ranking the self-free
+    // pair set, the q278 equivalence) + the q96 vote/tie chain; flagged
+    // rows only with own-vote evidence
+    "q296_label_noise" -> {
+      val cd = Tables.distSql("cos", "q.qvec", "v.vec")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings),
+         |d AS (SELECT q.query_id, v.id, $cd AS dist FROM q CROSS JOIN v
+         |      WHERE v.id <> q.query_id),
+         |r AS (SELECT query_id, id FROM (
+         |    SELECT query_id, id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |    FROM d) WHERE rank <= $K),
+         |c AS MATERIALIZED (SELECT r.query_id, v.label, count(*) AS votes
+         |      FROM r JOIN v USING (id) GROUP BY 1, 2),
+         |b AS (SELECT query_id, label AS pred_label, votes AS votes_pred FROM (
+         |    SELECT query_id, label, votes,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY votes DESC, label) AS rn
+         |    FROM c) WHERE rn = 1),
+         |o AS (SELECT v.id, v.label, coalesce(c.votes, 0)::BIGINT AS votes_own
+         |      FROM v LEFT JOIN c ON c.query_id = v.id AND c.label = v.label)
+         |SELECT o.id, o.label, b.pred_label, b.votes_pred, o.votes_own
+         |FROM o JOIN b ON b.query_id = o.id
+         |WHERE b.pred_label <> o.label
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     }
   )
 

@@ -151,4 +151,28 @@ object PCA {
     }
     df.withColumn(outCol, array(coords: _*))
   }
+
+  /** Whitened projection: [[project]]'s coordinates scaled to unit
+    * variance — coordinate j multiplies by the driver-precomputed literal
+    * `1/√(λ_j + eps)` (eps guards near-zero components). The standard
+    * embedding preprocessing before cosine dedup/retrieval: without it one
+    * dominant variance direction carries every similarity score
+    * (SemDeDup-style pipelines whiten first). Same broadcast-literal
+    * per-row codegen shape as [[project]]; nothing shuffles, and the
+    * fitted factors are pure literals so the whole chain stays
+    * dynamic-oracle-checkable (the q217 contract).
+    */
+  def whiten(df: DataFrame, model: Model, eps: Double = 1e-9,
+      vecCol: String = "vec", outCol: String = "white",
+      scale: Int = 6): DataFrame = {
+    val coords = model.components.zipWithIndex.map { case (comp, j) =>
+      val terms = comp.indices.map { i =>
+        (col(vecCol).getItem(i).cast("double") - lit(model.mean(i))) *
+          lit(comp(i))
+      }
+      val w = 1.0 / math.sqrt(model.varExplained(j) + eps)
+      round(terms.reduce(_ + _) * lit(w), scale)
+    }
+    df.withColumn(outCol, array(coords: _*))
+  }
 }

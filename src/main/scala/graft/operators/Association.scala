@@ -81,6 +81,62 @@ object Association {
     * bounded by |A|·|B| categories — broadcast-tiny by the categorical
     * contract. Nothing else shuffles.
     */
+  /** Mutual information between two categorical columns — the
+    * information-theoretic companion to [[categoricalAssociation]]'s chi²:
+    * chi² asks "is the deviation from independence significant", MI asks
+    * "how many nats does knowing A tell you about B" — the number a
+    * mixture designer reads to decide whether `source` already encodes
+    * `lang` (redundant stratification) or carries independent signal. One
+    * row: `(n, h_a, h_b, mi, nmi)` in nats at 6dp, with
+    * `nmi = mi / sqrt(h_a·h_b)` (0 when either marginal entropy is 0, i.e.
+    * a constant column ⇒ nothing to tell).
+    *
+    * NULL categories are excluded up front (the [[categoricalAssociation]]
+    * contract: missing values are not a category — a null key would count
+    * in the joint but vanish from the margins' equi-joins, skewing every
+    * p·log p term).
+    *
+    * Determinism contract: each cell/margin term is one double over exact
+    * long counts — `(o/n)·ln(o·n/(ra·cb))` with the long products cast at
+    * the head — rounded 8dp → DECIMAL(38,8) before the fold, so the sums
+    * are order-independent; final stats round 6dp. MI needs only OBSERVED
+    * cells (zero-observed cells contribute exactly 0), so unlike chi²
+    * there is no dense r×c grid. Scale shape: one hash agg to the
+    * contingency table (bounded by the category-pair count), margins as
+    * keyed aggs over it, one-row broadcast total — no windows, no sorts.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val rowm = obs.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val colm = obs.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val tot = obs.agg(sum(col("_o")).as("_n"))
+    def entropyOf(margin: DataFrame, cnt: String, out: String): DataFrame =
+      margin.crossJoin(broadcast(tot))
+        .select(round(-(col(cnt).cast("double") / col("_n")) *
+            log(col(cnt).cast("double") / col("_n")), 8)
+          .cast("decimal(38,8)").as("_t"))
+        .agg(coalesce(sum(col("_t")).cast("double"), lit(0.0)).as(out))
+    val mi = obs.join(rowm, Seq("_a")).join(colm, Seq("_b"))
+      .crossJoin(broadcast(tot))
+      .select(round((col("_o").cast("double") / col("_n")) *
+          log(col("_o").cast("double") * col("_n") /
+            (col("_ra").cast("double") * col("_cb"))), 8)
+        .cast("decimal(38,8)").as("_t"))
+      .agg(coalesce(sum(col("_t")).cast("double"), lit(0.0)).as("_mi"))
+    tot.crossJoin(broadcast(entropyOf(rowm, "_ra", "_ha")))
+      .crossJoin(broadcast(entropyOf(colm, "_cb", "_hb")))
+      .crossJoin(broadcast(mi))
+      .select(col("_n").as("n"),
+        round(col("_ha"), 6).as("h_a"), round(col("_hb"), 6).as("h_b"),
+        round(col("_mi"), 6).as("mi"),
+        round(when(col("_ha") > 0.0 && col("_hb") > 0.0,
+            col("_mi") / sqrt(col("_ha") * col("_hb")))
+          .otherwise(lit(0.0)), 6).as("nmi"))
+  }
+
   def categoricalAssociation(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     // NULL categories are excluded up front: a null-keyed group survives

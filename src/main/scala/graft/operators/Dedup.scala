@@ -882,6 +882,38 @@ object Dedup {
     * Scale: one shingle hash-groupBy for corpus df + one equi-join back —
     * shuffle ∝ corpus tokens, no pair space, the q76 boilerplate shape.
     */
+  /** Corpus novelty over time: per ingest period, the share of the
+    * period's DISTINCT shingles never seen in ANY earlier period — the
+    * "is my crawl still finding new content or re-crawling itself" curve
+    * a growing corpus is monitored by (a falling new-share means the
+    * marginal crawl dollar buys duplicates; [[noveltyScore]] is the
+    * per-doc signal, this is the longitudinal one). Input carries an
+    * integer/date period column; output
+    * `(period, n_shingles, n_new, new_share)` at 6dp.
+    *
+    * Scale shape: per-period distinct shingle sets via one (period, sh)
+    * hash agg; first-seen period via a min agg keyed by shingle; the
+    * period report is a count/conditional-count agg — no windows, no
+    * self-joins, shuffle keyed on shingles exactly once.
+    */
+  def noveltyCurve(docs: DataFrame, periodCol: String, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(periodCol).as("_p"), tokens(col(textCol)).as("toks"))
+      .select(col("_p"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("sh"))
+      .groupBy(col("_p"), col("sh")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(eager = false)
+    val first = sh.groupBy(col("sh")).agg(min(col("_p")).as("_first"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("_p"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("_p"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("_p").as(periodCol), col("n_shingles"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_shingles"), 6)
+          .as("new_share"))
+  }
+
   def noveltyScore(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, n, idCol, textCol)

@@ -808,6 +808,115 @@ object Eval {
         round(coalesce(col("_w1").cast("double"), lit(0.0)), 6).as("w1"))
   }
 
+  /** Kendall rank correlation τ-b between two integer-unit columns —
+    * tie-corrected, exact, computed entirely from the bounded joint
+    * histogram (both columns must be resolution-bounded by contract, the
+    * [[ksStat]] rule). Complements [[spearmanByGroup]]: Spearman reads
+    * monotone association through ranks, τ-b reads it through concordant
+    * vs discordant PAIRS — robust to the heavy ties integer-unit scores
+    * produce. One row: `(n, tau)` at 6dp (0.0 when either margin is all
+    * ties, where τ-b is undefined).
+    *
+    * Closed form without touching pairs: on the DENSE |X|×|Y| grid,
+    * strictly-less 2D prefix sums give each cell its concordant
+    * (`x'<x, y'<y`) and discordant (`x'<x, y'>y`) mass — two
+    * constant-size window passes (each partitioned by one axis over the
+    * bounded grid) plus a broadcast margin self-join; C, D, and the tie
+    * terms accumulate in DECIMAL(38) so corpus-scale n² never overflows.
+    * τ-b = 2(C−D)/√((n(n−1)−Σtₓ(tₓ−1))·(n(n−1)−Σt_y(t_y−1))).
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val j = df.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(eager = false)
+    val grid = j.select(col("_x")).distinct()
+      .crossJoin(broadcast(j.select(col("_y")).distinct()))
+      .join(j, Seq("_x", "_y"), "left")
+      .select(col("_x"), col("_y"), coalesce(col("_c"), lit(0L)).as("_c"))
+    // strictly-less-in-y running sums within each x column (dense grid ⇒
+    // ROWS ≡ RANGE), then strictly-less-in-x sums of those within each y
+    val wyLt = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyLe = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wxLt = Window.partitionBy(col("_y")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = grid
+      .withColumn("_ay", coalesce(sum(col("_c")).over(wyLt), lit(0L)))
+      .withColumn("_ayle", sum(col("_c")).over(wyLe))
+      .withColumn("_slt", coalesce(sum(col("_ay")).over(wxLt), lit(0L)))
+      .withColumn("_sle", coalesce(sum(col("_ayle")).over(wxLt), lit(0L)))
+    val tx = j.groupBy(col("_x")).agg(sum(col("_c")).as("_tx"))
+    val ty = j.groupBy(col("_y")).agg(sum(col("_c")).as("_ty"))
+    // strictly-below-x margin totals via the bounded-histogram self-join
+    val txLt = tx.select(col("_x"))
+      .join(broadcast(tx.select(col("_x").as("_u"), col("_tx"))),
+        col("_u") < col("_x"), "left")
+      .groupBy(col("_x")).agg(coalesce(sum(col("_tx")), lit(0L)).as("_txlt"))
+    val cd = s.join(broadcast(txLt), Seq("_x"))
+      .where(col("_c") > 0)
+      .select((col("_c").cast(d38) * col("_slt")).as("_tc"),
+        (col("_c").cast(d38) * (col("_txlt") - col("_sle"))).as("_td"))
+      .agg(coalesce(sum(col("_tc")), lit(0L).cast(d38)).as("_cc"),
+        coalesce(sum(col("_td")), lit(0L).cast(d38)).as("_dd"))
+    val n = j.agg(sum(col("_c")).as("_n"))
+    val n1 = tx.agg(sum(col("_tx").cast(d38) * (col("_tx") - 1)).as("_n1"))
+    val n2 = ty.agg(sum(col("_ty").cast(d38) * (col("_ty") - 1)).as("_n2"))
+    cd.crossJoin(broadcast(n)).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("_n"),
+        (col("_n").cast(d38) * (col("_n") - 1) - col("_n1")).as("_da"),
+        (col("_n").cast(d38) * (col("_n") - 1) - col("_n2")).as("_db"),
+        col("_cc"), col("_dd"))
+      .select(col("_n").as("n"),
+        round(when(col("_da") > 0 && col("_db") > 0,
+            lit(2.0) * (col("_cc") - col("_dd")).cast("double") /
+              sqrt(col("_da").cast("double") * col("_db").cast("double")))
+          .otherwise(lit(0.0)), 6).as("tau"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic `sup_v |F_a(v) − F_b(v)|` —
+    * the worst single CDF gap between two numeric samples. Completes the
+    * drift triad: [[psi]] is bin-blind, [[wasserstein1]] integrates the gap
+    * (a localized shift averages away), KS reads the one worst point, so it
+    * flags a narrow distribution shift the other two smooth over. One row:
+    * `(n_a, n_b, ks)` at 6dp. Inputs: two frames with a numeric `valueCol`
+    * whose distinct-value set is bounded by contract (e.g. 4dp scores).
+    *
+    * Determinism contract: per merged distinct value the gap
+    * `|F_a/n_a − F_b/n_b|` is one double over exact longs rounded 8dp;
+    * `max` is order-independent so no DECIMAL fold is needed. Scale shape =
+    * [[wasserstein1]] minus the next-value step: one hash agg per side to
+    * value histograms, CDFs as broadcast ≤ self-joins on the bounded
+    * merged-value frame, then a single max — no global sort, no windows.
+    */
+  def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("_v"))
+        .groupBy(col("_v")).agg(count(lit(1)).as(out))
+    val ha = hist(a, "_ca"); val hb = hist(b, "_cb")
+    val vals = ha.select(col("_v")).unionByName(hb.select(col("_v")))
+      .distinct().localCheckpoint(eager = false)
+    val na = ha.agg(sum(col("_ca")).as("_na"))
+    val nb = hb.agg(sum(col("_cb")).as("_nb"))
+    def cdf(h: DataFrame, cnt: String, out: String): DataFrame =
+      vals.join(broadcast(h.select(col("_v").as("_u"), col(cnt))),
+          col("_u") <= col("_v"), "left")
+        .groupBy(col("_v")).agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
+    cdf(ha, "_ca", "_fa").join(cdf(hb, "_cb", "_fb"), Seq("_v"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("_na"), col("_nb"),
+        round(abs(col("_fa").cast("double") / col("_na") -
+          col("_fb").cast("double") / col("_nb")), 8).as("_g"))
+      .groupBy(col("_na"), col("_nb")).agg(max(col("_g")).as("_ks"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(col("_ks"), 6).as("ks"))
+  }
+
   /** Leave-one-group-out (jackknife) sensitivity of a corpus-level mean:
     * for each group, the mean of `valueCol` over all OTHER groups, its
     * delta vs the full mean, plus the group's own weight — the "which

@@ -1178,6 +1178,129 @@ object Pipeline {
       .groupBy(col(groupCol), col("pct")).agg(min(col("v")).as("value"))
   }
 
+  /** Context-length budget report per source for a training `maxLen`: doc
+    * and token counts, docs that overflow the context, tokens lost to
+    * truncation, tokens kept after clamping, the bin-count LOWER BOUND
+    * `ceil(kept / maxLen)` (what a perfect packer needs — the fill target
+    * [[packSequences]]' concat-and-chunk actually achieves up to one tail
+    * chunk per bucket), and the fill ratio against it. The "what does a
+    * 4k context cost me per source" dashboard read before picking a
+    * sequence length. All-integer (ceil as `(kept + maxLen − 1) div
+    * maxLen`); the one ratio divides exact longs, 6dp. One hash agg.
+    */
+  def packingReport(docs: DataFrame, maxLen: Int,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    docs.select(col(sourceCol).as("source"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("_t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_t")).as("n_tokens"),
+        sum(when(col("_t") > maxLen, 1L).otherwise(0L)).as("n_overflow_docs"),
+        sum(greatest(col("_t") - maxLen, lit(0L))).as("n_truncated_tokens"),
+        sum(least(col("_t"), lit(maxLen.toLong))).as("n_kept_tokens"))
+      .withColumn("n_bins_lb",
+        expr(s"(n_kept_tokens + ${maxLen - 1}L) div ${maxLen}L"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_overflow_docs"), col("n_truncated_tokens"),
+        col("n_kept_tokens"), col("n_bins_lb"),
+        round(col("n_kept_tokens").cast("double") /
+          (col("n_bins_lb") * maxLen), 6).as("fill_ratio"))
+  }
+
+  /** Per-source winsorized moments of an exact integer-unit score: clamp at
+    * the source's own `loPct`/`hiPct` histogram percentiles (the q159
+    * lower-value rank rule), then mean and population std of the clamped
+    * values — the robust "source quality card" row whose tails one junk
+    * cluster cannot drag. Output `(source, lo, hi, n, mean_w, std_w)`;
+    * mean/std are mirrored-op doubles over exact integer power sums
+    * (Σx, Σx² of clamped units), rounded 6dp.
+    *
+    * Scale shape: percentiles read off the resolution-bounded per-source
+    * value histogram (windows run over histogram rows, never the corpus);
+    * the clamp + power sums are one map + hash agg pass.
+    */
+  def winsorizedStats(docs: DataFrame, scoreUnits: Column, loPct: Int,
+      hiPct: Int, sourceCol: String = "source"): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100, "need 1<=lo<hi<=100")
+    val scored = docs.select(col(sourceCol).as("source"),
+      scoreUnits.cast("long").as("_x"))
+    val qs = groupQuantiles(scored, "source", "_x", Seq(loPct, hiPct))
+    val bounds = qs.groupBy(col("source")).agg(
+      min(when(col("pct") === loPct, col("value"))).as("_lo"),
+      min(when(col("pct") === hiPct, col("value"))).as("_hi"))
+    scored.join(broadcast(bounds), Seq("source"))
+      .select(col("source"), col("_lo"), col("_hi"),
+        greatest(least(col("_x"), col("_hi")), col("_lo")).as("_w"))
+      .groupBy(col("source"), col("_lo"), col("_hi"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("_sx"),
+        // Σx² in DECIMAL(38): unit² × corpus-scale row counts overflows long
+        sum((col("_w").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("_w"))).as("_sxx"))
+      .select(col("source"), col("_lo").as("lo"), col("_hi").as("hi"),
+        col("n"),
+        round(col("_sx").cast("double") / col("n"), 6).as("mean_w"),
+        round(sqrt(greatest(
+          col("_sxx").cast("double") / col("n") -
+            (col("_sx").cast("double") / col("n")) *
+            (col("_sx").cast("double") / col("n")), lit(0.0))), 6)
+          .as("std_w"))
+  }
+
+  /** Cross-source quantile normalization: map each source's score
+    * distribution onto the POOLED corpus distribution by ECDF matching —
+    * `v_norm = min{u : F_pool(u) ≥ F_src(v)}`. This is the calibration
+    * step before any global quality floor ([[qualityQuantileFloor]]'s
+    * complement): a source whose scorer runs generous floods a raw global
+    * threshold; after quantile normalization the p-th percentile of every
+    * source lands on the same normalized value, so one global cut takes
+    * the same FRACTION from each source's own ranking. Returns the bounded
+    * MAPPING table `(source, v, v_norm, n_docs)` — apply is a broadcast
+    * join on `(source, v)`, and at 100 TB the mapping (≤ distinct-values ×
+    * sources rows) is the only thing that ever leaves the scan.
+    *
+    * All-integer determinism: `valueCol` must be resolution-bounded (the
+    * 4dp quality contract); ECDF comparisons cross-multiply exact long
+    * counts (`F_pool(u)·n_src ≥ F_src(v)·n_pool`) so no double ever
+    * decides a rank. Scale shape: one hash agg to the (source, v)
+    * histogram, CDFs as broadcast ≤ self-joins on the bounded histogram,
+    * the quantile match as a broadcast ≥ join histogram×histogram — no
+    * corpus-wide windows, no sorts.
+    */
+  def quantileNormalize(
+      docs: DataFrame,
+      groupCol: String,
+      valueCol: Column): DataFrame = {
+    val h = docs.select(col(groupCol).as("_g"), valueCol.as("_v"))
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(eager = false)
+    val ns = h.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val hp = h.groupBy(col("_v")).agg(sum(col("_c")).as("_cp"))
+    val np = hp.agg(sum(col("_cp")).as("_np"))
+    // per-(source, v) ECDF numerator: counts of same-source values ≤ v
+    val fs = h.select(col("_g"), col("_v"))
+      .join(broadcast(h.select(col("_g"), col("_v").as("_u"), col("_c"))),
+        Seq("_g"))
+      .where(col("_u") <= col("_v"))
+      .groupBy(col("_g"), col("_v")).agg(sum(col("_c")).as("_fs"))
+    // pooled ECDF numerator per distinct value
+    val fp = hp.select(col("_v").as("_w"))
+      .join(broadcast(hp.select(col("_v").as("_u"), col("_cp"))),
+        col("_u") <= col("_w"))
+      .groupBy(col("_w")).agg(sum(col("_cp")).as("_fp"))
+    // quantile match: smallest pooled value whose pooled ECDF reaches the
+    // source ECDF level — integer cross-multiplication, never a ratio
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    fs.join(ns, Seq("_g")).crossJoin(broadcast(np))
+      .join(broadcast(fp),
+        col("_fp").cast(d38) * col("_ng") >= col("_fs").cast(d38) * col("_np"))
+      .groupBy(col("_g"), col("_v"), col("_fs"))
+      .agg(min(col("_w")).as("v_norm"))
+      .join(h, Seq("_g", "_v"))
+      .select(col("_g").as(groupCol), col("_v").as("v"),
+        col("v_norm"), col("_c").as("n_docs"))
+  }
+
   /** Per-source robust outliers by median absolute deviation: flag docs
     * whose 4dp score sits more than `factor1e4/10⁴ × MAD` from their OWN
     * source's median (default 3σ-equivalent: 3·1.4826 = 4.4478). Robust

@@ -313,6 +313,51 @@ object SimilaritySearch {
       .select(col("query_id"), col("best.label").as("pred_label"),
         col("best.votes").as("votes"))
 
+  /** kNN label-noise audit (confident-learning style): flag vectors whose
+    * k nearest OTHER vectors majority-vote a different label — the standard
+    * "find the mislabeled training examples" pass before a classifier fit
+    * ([[knnClassify]] predicts; this audits the corpus against itself).
+    * Integer labels by contract (the [[knnClassify]] tie rule: most votes,
+    * then the smaller label). Output: the FLAGGED rows only, with evidence
+    * `(id, label, pred_label, votes_pred, votes_own)`.
+    *
+    * Self-kNN here is the exact all-as-queries form (fixture-bounded, the
+    * q95/knnDigraph pattern — one `batch_topk` corpus scan); at corpus
+    * scale feed the audit from the B2/B3 TP-tree graph's edge list
+    * instead. Top-(k+1) then drop self: removing one element only
+    * promotes, so the k best remaining ranks are exactly the self-free
+    * top-k. The per-query re-rank window runs on ≤k+1 rows per
+    * high-cardinality key.
+    */
+  def labelNoise(
+      vectors: DataFrame, // (id, vec, label: integer)
+      k: Int,
+      metric: String = "cos"): DataFrame = {
+    val base = vectors.select(col("id"), col("vec"), col("label"))
+    val qs = base.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val votes = Knn.search(qs, base.select(col("id"), col("vec")), k + 1, metric)
+      .where(col("id") =!= col("query_id"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .join(base.select(col("id"), col("label").as("_nl")), Seq("id"))
+      .groupBy(col("query_id"), col("_nl")).agg(count(lit(1)).as("_v"))
+    val best = votes.groupBy(col("query_id"))
+      .agg(max_by(struct(col("_nl"), col("_v")),
+        struct(col("_v"), (-col("_nl")).as("nl"))).as("_b"))
+      .select(col("query_id").as("id"), col("_b._nl").as("pred_label"),
+        col("_b._v").as("votes_pred"))
+    val lbl = base.select(col("id"), col("label"))
+    val ownVotes = lbl.join(
+      votes.select(col("query_id").as("id"), col("_nl").as("label"),
+        col("_v").as("_vo")), Seq("id", "label"), "left")
+    ownVotes.join(best, Seq("id"))
+      .where(col("pred_label") =!= col("label"))
+      .select(col("id"), col("label"), col("pred_label"), col("votes_pred"),
+        coalesce(col("_vo"), lit(0L)).as("votes_own"))
+  }
+
   /** Coarse-to-fine ANN over 1-bit codes ([[graft.functions.BinaryQuantizer]]):
     * Hamming candidate generation over packed sign codes (XOR + popcount —
     * 8 bytes per corpus row instead of a float vector), then exact `metric`

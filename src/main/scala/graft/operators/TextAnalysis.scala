@@ -459,6 +459,95 @@ object TextAnalysis {
     * aggregations and one equi-join, all keyed by `doc_id` (+token) —
     * high-cardinality keys, map-side partials, no windows.
     */
+  /** Interpolated Kneser–Ney bigram LM score per document — the
+    * production-grade upgrade of [[ngramLmScore]]'s Laplace smoothing (the
+    * standard perplexity-filter LM family: KN backs off to CONTINUATION
+    * counts, so "francisco" — frequent but only ever after "san" — stops
+    * looking like a plausible continuation everywhere the way raw-frequency
+    * smoothing makes it). Per bigram, with discount `d`:
+    * `p = max(c₁₂ − d, 0)/c₁ + (d·N₁₊(w₁·)/c₁)·N₁₊(·w₂)/T` where `c₁` is
+    * w₁'s bigram-start count, `N₁₊(w₁·)`/`N₁₊(·w₂)` the distinct right/left
+    * continuation counts and `T` the total distinct bigram types. Trained
+    * on the corpus itself and scored in-corpus (every scored bigram has
+    * c₁₂ ≥ 1 — the [[ngramLmScore]] contract). Output
+    * `(doc_id, n_bigrams, kn_score)`: mean log-prob at 4dp.
+    *
+    * Determinism: each bigram's log-prob is one double over exact longs
+    * rounded 6dp → DECIMAL(18,9) before the per-doc fold. Scale shape:
+    * count/continuation tables are hash aggs keyed by token (bounded by
+    * vocabulary), the score pass is the doc-bigram stream equi-joining
+    * those tables — no windows, no sorts, type total is a one-row
+    * broadcast.
+    */
+  def knBigramScore(
+      docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bigrams = toked
+      .select(col(idCol), explode(transform(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        (w, i) => struct(w.as("w1"), element_at(col("toks"), i + 2).as("w2"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("r1"))
+    val l2 = c2.groupBy(col("w2")).agg(count(lit(1)).as("l2"))
+    val types = c2.agg(count(lit(1)).as("types"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(l2, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp",
+        round(log(
+          greatest(col("c2") - lit(discount), lit(0.0)) / col("c1") +
+          lit(discount) * col("r1") / col("c1") *
+            (col("l2").cast("double") / col("types"))), 6)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp")).as("sum_lp"), count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_lp").cast("double") / col("n_bigrams"), 4).as("kn_score"))
+  }
+
+  /** Distinct-n diversity per source: for each n-gram order, the fraction
+    * of n-gram OCCURRENCES that are distinct — the standard lexical
+    * diversity dashboard (low distinct-2 = template/boilerplate-heavy or
+    * model-generated text; the corpus-level twin of [[repetition]]'s
+    * per-doc signal). Output `(source, n, total_ngrams, distinct_ngrams,
+    * diversity)` with diversity at 6dp.
+    *
+    * Scale shape: n-grams form IN-ROW (transform over the token array —
+    * nothing fans out before the aggregation), then ONE hash agg per order
+    * with a partial-aggregating `count` + `countDistinct` keyed by source.
+    * No windows, no joins.
+    */
+  def distinctNgrams(
+      docs: DataFrame, ns: Seq[Int] = Seq(1, 2),
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
+    val toked = docs.select(col(sourceCol).as("source"),
+      tokens(col(textCol)).as("toks"))
+    ns.map { n =>
+      val grams =
+        if (n == 1) col("toks")
+        else transform(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - (n - 1), lit(0))),
+          (_, i) => concat_ws(" ",
+            slice(col("toks"), i + 1, lit(n))))
+      toked.select(col("source"), explode(grams).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .select(col("source"), lit(n).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+            .as("diversity"))
+    }.reduce(_.unionByName(_))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -687,6 +776,48 @@ object TextAnalysis {
     * at 4dp (NULL for token-less docs). Pure per-row column math — scan
     * speed, stream-safe, mirrored op-for-op by the oracle.
     */
+  /** Per-source unigram KL divergence from the pooled corpus distribution —
+    * `KL(P_src ‖ P_corpus)` in nats over the corpus vocabulary with Laplace
+    * `alpha` smoothing on BOTH distributions (so zero-count words are
+    * defined and the divergence is finite). The "which source is
+    * token-distributionally distinctive" table: [[sourceSimilarity]] reads
+    * set overlap, this reads the full distribution — a source can share
+    * every word yet weight them so differently it needs its own mixture
+    * slot. Output `(source, n_tokens, kl)` at 6dp.
+    *
+    * Determinism: per-(source, word) term is one double over exact longs
+    * rounded 8dp → DECIMAL(38,8) before the fold. Scale shape: counts are
+    * two hash aggs (vocabulary- and source-bounded); the dense source×V
+    * grid is vocabulary crossJoin broadcast-tiny source list, zero-filled
+    * via a left join — rows ∝ |V|·|sources|, never corpus-sized.
+    */
+  def sourceKl(docs: DataFrame, alpha: Double = 0.5,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(sourceCol).as("_src"),
+      explode(tokens(col(textCol))).as("w"))
+    val sw = tok.groupBy(col("_src"), col("w")).agg(count(lit(1)).as("_cs"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("_cw"))
+      .localCheckpoint(eager = false)
+    val ns = sw.groupBy(col("_src")).agg(sum(col("_cs")).as("_ns"))
+    val tot = cw.agg(sum(col("_cw")).as("_n"), count(lit(1)).as("_v"))
+    val terms = cw.crossJoin(broadcast(ns))
+      .join(sw, Seq("_src", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("_src"), col("_ns"),
+        ((coalesce(col("_cs"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("_ns") + lit(alpha) * col("_v"))).as("_ps"),
+        ((col("_cw").cast("double") + lit(alpha)) /
+          (col("_n") + lit(alpha) * col("_v"))).as("_pc"))
+      .select(col("_src"), col("_ns"),
+        round(col("_ps") * log(col("_ps") / col("_pc")), 8)
+          .cast(DecimalType(38, 8)).as("_t"))
+    terms.groupBy(col("_src"), col("_ns"))
+      .agg(sum(col("_t")).cast("double").as("_kl"))
+      .select(col("_src").as("source"), col("_ns").as("n_tokens"),
+        round(col("_kl"), 6).as("kl"))
+  }
+
   def readability(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))

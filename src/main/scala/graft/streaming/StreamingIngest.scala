@@ -554,6 +554,21 @@ object StreamingIngest {
       .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming twin of the drift monitors' histogram side
+    * ([[graft.operators.Eval.ksStat]]/`wasserstein1`/`psi` all start from a
+    * value histogram): the running integer-unit value histogram as ONE
+    * streaming groupBy aggregate — the live half of a drift dashboard (the
+    * frozen reference histogram sits next to it; the KS/W1/PSI readout is
+    * the same bounded closed form over the two completed histograms).
+    * State is one row per distinct unit value — bounded by the resolution
+    * contract (the [[graft.operators.Eval.ksStat]] rule), so the store
+    * never grows with the stream. StreamingSpec gates the running
+    * histogram against the batch groupBy on the same rows.
+    */
+  def driftHistogramStream(values: DataFrame, unitCol: String): DataFrame =
+    values.groupBy(col(unitCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+
   def nearDupStream(
       docs: DataFrame, // streaming (doc_id, text)
       threshold: Double,

@@ -38,6 +38,35 @@ class AssociationSpec extends SparkSpec {
     assert(!got.contains(("p", "r"))) // zero co-occurrence never surfaces
   }
 
+  test("mutualInformation: independence → mi 0; identical balanced binary " +
+      "→ mi = ln 2, nmi 1; NULLs excluded; constant column → nmi 0") {
+    import spark.implicits._
+    // perfectly independent 2×2 (every cell 2): knowing x says nothing
+    val ind = Seq.tabulate(8)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val gi = Association.mutualInformation(ind, "x", "y").collect()(0)
+    assert(gi.getLong(0) === 8L)
+    assert(gi.getDouble(3) === 0.0 && gi.getDouble(4) === 0.0)
+    // identical balanced binary: H(A) = H(B) = MI = ln 2, nmi = 1
+    val same = (Seq.fill(4)(("a0", "b0")) ++ Seq.fill(4)(("a1", "b1")))
+      .toDF("x", "y")
+    val gs = Association.mutualInformation(same, "x", "y").collect()(0)
+    assert(gs.getDouble(1) === 0.693147 && gs.getDouble(2) === 0.693147)
+    assert(gs.getDouble(3) === 0.693147 && gs.getDouble(4) === 1.0)
+    // NULL categories are not categories: n stays 8
+    val withNull = same.unionByName(
+      Seq((Option.empty[String], Option("b0")),
+        (Option("a0"), Option.empty[String]))
+        .toDF("x", "y"))
+    val gn = Association.mutualInformation(withNull, "x", "y").collect()(0)
+    assert(gn.getLong(0) === 8L && gn.getDouble(4) === 1.0)
+    // constant column: h_a = 0 → mi 0, nmi defined as 0
+    val const = Seq(("k", "b0"), ("k", "b1")).toDF("x", "y")
+    val gc = Association.mutualInformation(const, "x", "y").collect()(0)
+    assert(gc.getDouble(1) === 0.0 && gc.getDouble(3) === 0.0 &&
+      gc.getDouble(4) === 0.0)
+  }
+
   test("categoricalAssociation: independence → chi2 0; perfect 2×2 " +
       "dependence → V 1; hand-computed mixed case") {
     import spark.implicits._

@@ -449,6 +449,19 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1L, 3L, 10L), (4L, 2L, 1L, 3L, 10L)))
   }
 
+  test("noveltyCurve: first period all-new; later periods count only " +
+      "genuinely unseen shingles") {
+    val d = Seq((0L, 0L, "a b c"), (1L, 1L, "a b c d"), (2L, 2L, "a b c"))
+      .toDF("doc_id", "period", "text")
+    val got = Dedup.noveltyCurve(d, "period").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // p0: {a b c} new; p1: {a b c, b c d} — one new; p2: nothing new
+    assert(got(0L) === ((1L, 1L, 1.0)))
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("noveltyScore: unique shingles score 1, cloned docs score 0") {
     val fixture = Seq(
       (1L, "one two three four five"),  // all 3 shingles unique

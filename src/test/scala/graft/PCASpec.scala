@@ -94,4 +94,32 @@ class PCASpec extends SparkSpec {
         s"pair ($i,$j)")
     }
   }
+
+  test("whiten: each whitened coordinate has unit variance; equals project " +
+      "scaled by the literal factors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // anisotropic 2-D cloud: x ~ ±10, y ~ ±1
+    val pts = (1 to 200).map(i =>
+      (i.toLong, Seq(rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 2 - 1)))
+    val df = pts.toDF("id", "vec")
+    val m = PCA.fit(df, 2)
+    val white = PCA.whiten(df, m, scale = 9).select("id", "white")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // population variance of each whitened coordinate ≈ 1 (λ/(λ+eps) ≈ 1)
+    for (jdx <- 0 until 2) {
+      val xs = white.values.map(_(jdx)).toSeq
+      val mean = xs.sum / xs.size
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+      assert(math.abs(v - 1.0) < 1e-4, s"dim $jdx variance $v")
+    }
+    // whiten ≡ project × 1/sqrt(λ+eps), coordinate-wise (before rounding)
+    val proj = PCA.project(df, m, scale = 9).select("id", "proj")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (i <- 1L to 20L; jdx <- 0 until 2) {
+      val w = 1.0 / math.sqrt(m.varExplained(jdx) + 1e-9)
+      assert(math.abs(white(i)(jdx) - proj(i)(jdx) * w) < 1e-6,
+        s"id $i dim $jdx")
+    }
+  }
 }

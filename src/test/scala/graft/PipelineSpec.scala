@@ -851,6 +851,88 @@ class PipelineSpec extends SparkSpec {
     assert(gz.getLong(3) === 0L && !gz.getBoolean(4))
   }
 
+  test("packingReport: hand-counted budget arithmetic at maxLen 4") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a b c d e f"), ("s1", "a b"))
+      .toDF("source", "text")
+    val r = Pipeline.packingReport(docs, 4).collect()(0)
+    // tokens 6+2: one overflow doc, 2 truncated, 6 kept, ceil(6/4)=2 bins,
+    // fill 6/8
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getDouble(7)) ===
+      ((2L, 8L, 1L, 2L, 6L, 2L, 0.75)))
+  }
+
+  test("winsorizedStats: p20/p80 clamp on 1..10 — hand mean/std") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 10).map(v => ("s1", v.toLong)).toDF("source", "u")
+    val r = Pipeline.winsorizedStats(docs, col("u"), 20, 80).collect()(0)
+    // lo=2 hi=8 → clamped [2,2,3,4,5,6,7,8,8,8]: Σ=53 Σ²=335
+    // mean 5.3, var 33.5−5.3² = 5.41, std 2.325941
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 8L, 10L)))
+    assert(r.getDouble(4) === 5.3 && r.getDouble(5) === 2.325941)
+  }
+
+  test("kendallTau: perfect concordance 1, reverse −1, balanced ties 0, " +
+      "degenerate margin guarded to 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Eval.kendallTau(up, "x", "y").collect()(0).getDouble(1) === 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Eval.kendallTau(down, "x", "y").collect()(0).getDouble(1) === -1.0)
+    // 2×2 balanced: one concordant, one discordant, four tied pairs
+    val bal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val rb = Eval.kendallTau(bal, "x", "y").collect()(0)
+    assert(rb.getLong(0) === 4L && rb.getDouble(1) === 0.0)
+    // all-tied y margin: τ-b undefined → 0.0 by contract
+    val deg = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    assert(Eval.kendallTau(deg, "x", "y").collect()(0).getDouble(1) === 0.0)
+  }
+
+  test("ksStat: identical samples → 0; disjoint point masses → 1; " +
+      "hand two-value case → 0.5") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val same = Eval.ksStat(a, a, "v").collect()(0)
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2)) ===
+      ((3L, 3L, 0.0)))
+    // point mass at 0 vs point mass at 2.5: at v=0 the gap is 1
+    val pa = Seq(0.0, 0.0).toDF("v"); val pb = Seq(2.5, 2.5).toDF("v")
+    assert(Eval.ksStat(pa, pb, "v").collect()(0).getDouble(2) === 1.0)
+    // a = {0, 1}, b = {0, 2}: gaps 0 at v=0, 0.5 at v=1, 0 at v=2
+    val ha = Seq(0.0, 1.0).toDF("v"); val hb = Seq(0.0, 2.0).toDF("v")
+    assert(Eval.ksStat(ha, hb, "v").collect()(0).getDouble(2) === 0.5)
+  }
+
+  test("quantileNormalize: equal-size disjoint-range sources map onto the " +
+      "SAME pooled quantiles; mapping covers every (source, v); monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // source A scores 1..4, source B scores 11..14 — after normalization
+    // the p-th percentile of each source lands on the same pooled value
+    val docs = (Seq(1, 2, 3, 4).map(v => ("A", v.toDouble)) ++
+      Seq(11, 12, 13, 14).map(v => ("B", v.toDouble))).toDF("source", "v")
+    val got = Pipeline.quantileNormalize(docs, "source", col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got.size === 8 && got.values.forall(_._2 === 1L))
+    // pooled sorted: 1 2 3 4 11 12 13 14; levels .25/.5/.75/1 → 2 4 12 14
+    assert(got(("A", 1.0))._1 === 2.0 && got(("B", 11.0))._1 === 2.0)
+    assert(got(("A", 2.0))._1 === 4.0 && got(("B", 12.0))._1 === 4.0)
+    assert(got(("A", 3.0))._1 === 12.0 && got(("B", 13.0))._1 === 12.0)
+    assert(got(("A", 4.0))._1 === 14.0 && got(("B", 14.0))._1 === 14.0)
+    // duplicate values fold into one mapping row carrying the doc count
+    val dup = Seq(("C", 5.0), ("C", 5.0), ("C", 7.0)).toDF("source", "v")
+    val gd = Pipeline.quantileNormalize(dup, "source", col("v"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(gd === Seq((5.0, 5.0, 2L), (7.0, 7.0, 1L)))
+  }
+
   test("wasserstein1: identical samples → 0; shifted point masses → the " +
       "shift; hand two-segment case") {
     import spark.implicits._

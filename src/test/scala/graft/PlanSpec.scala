@@ -236,8 +236,22 @@ class PlanSpec extends SparkSpec {
                                 // (the q109 pattern)
       "q281_ivf_autotune",      // per-config ONE-row count scalars + the
                                 // ONE-row best-pick frame, broadcast
-      "q282_lsh_autotune")      // same sweep-table shape over the banding
+      "q282_lsh_autotune",      // same sweep-table shape over the banding
                                 // harness
+      "q286_ks_drift",          // merged-value histogram CDF self-joins +
+                                // ONE-row totals (the q272 pattern)
+      "q287_mutual_info",       // ONE-row total + entropy/MI scalars over
+                                // the bounded contingency/margin frames
+      "q288_quantile_norm",     // bounded (source, v) histogram CDF
+                                // self-joins + ONE-row pooled total
+      "q289_kneser_ney",        // ONE-row bigram-type total, broadcast
+                                // (the q91 pattern)
+      "q291_source_kl",         // vocabulary × broadcast-tiny source list
+                                // dense grid + ONE-row totals
+      "q294_kendall_tau",       // bounded dense-grid crossjoin + margin
+                                // histogram self-join + ONE-row scalars
+      "q295_winsorized")        // pct-literal broadcast over the per-source
+                                // histogram (the q159 pattern)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -149,6 +149,22 @@ class SimilaritySpec extends SparkSpec {
     assert(tie(10L) === 1 && tie(11L) === 1)
   }
 
+  test("labelNoise: the planted mislabel is flagged with full outvote; " +
+      "clean separated clusters flag nothing else") {
+    import spark.implicits._
+    // two tight clusters; vector 4 sits in cluster A but carries label 2
+    val vecs = Seq(
+      (1L, Seq(0f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 1),
+      (4L, Seq(1f, 1f), 2),
+      (5L, Seq(100f, 0f), 2), (6L, Seq(101f, 0f), 2), (7L, Seq(100f, 1f), 2)
+    ).toDF("id", "vec", "label")
+    val got = SimilaritySearch.labelNoise(vecs, 3, "l2sq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    // only id 4: its 3 nearest are all label 1, own label gets 0 votes
+    assert(got.toSeq === Seq((4L, 2, 1, 3L, 0L)))
+  }
+
   test("planeWeight matches the Hash60 definition") {
     import graft.functions.Hash60
     import spark.implicits._

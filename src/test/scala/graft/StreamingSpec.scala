@@ -96,6 +96,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift histogram equals the batch value histogram across " +
+      "micro-batches, and the KS readout over it matches the batch ksStat") {
+    import graft.operators.Eval
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Long]
+    // integer-unit scores with duplicates across batches
+    val b1 = Seq(10L, 10L, 12L, 15L)
+    val b2 = Seq(10L, 12L, 20L, 20L, 21L)
+    val q = StreamingIngest.driftHistogramStream(
+        stream.toDF().toDF("u"), "u")
+      .writeStream.format("memory").queryName("drift_hist_out")
+      .outputMode("complete")
+      .start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("drift_hist_out")
+      val batch = (b1 ++ b2).toDF("u").groupBy(col("u").cast("long").as("v"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+      // the monitor's readout: KS of (live values vs a reference) computed
+      // from the completed histogram equals ksStat on the raw rows
+      val live = streamed.select(
+        explode(array_repeat(col("v"), col("n").cast("int"))).as("v"))
+      val ref = Seq(10L, 12L, 15L, 20L).toDF("v")
+      val fromHist = Eval.ksStat(ref, live, "v").collect()(0).getDouble(2)
+      val fromRows = Eval.ksStat(ref, (b1 ++ b2).toDF("v"), "v")
+        .collect()(0).getDouble(2)
+      assert(fromHist === fromRows)
+    } finally q.stop()
+  }
+
   test("streaming JSONL ingest audit equals the batch good/corrupt counts " +
       "across micro-batches") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}

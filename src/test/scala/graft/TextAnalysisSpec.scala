@@ -51,6 +51,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "fr", "und"))
   }
 
+  test("sourceKl: identical token distributions → 0; mirrored skew → " +
+      "equal positive divergences matching a plain-Scala reference") {
+    // identical: every source's smoothed LM equals the pooled LM exactly
+    val same = Seq((1L, "s1", "a b"), (2L, "s2", "a b"))
+      .toDF("doc_id", "source", "text")
+    val gs = TextAnalysis.sourceKl(same.select(col("source"), col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gs("s1") === 0.0 && gs("s2") === 0.0)
+    // mirrored skew: s1 = "a a", s2 = "b b" — symmetric, so equal KL; pin
+    // the value against the same 8dp-rounded-term fold in plain Scala
+    val skew = Seq(("s1", "a a"), ("s2", "b b")).toDF("source", "text")
+    val gk = TextAnalysis.sourceKl(skew)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def term(cs: Long, ns: Long, cw: Long): BigDecimal = {
+      val ps = (cs + 0.5) / (ns + 0.5 * 2); val pc = (cw + 0.5) / (4 + 0.5 * 2)
+      BigDecimal(ps * math.log(ps / pc))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expect = BigDecimal((term(2, 2, 2) + term(0, 2, 2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gk("s1") === expect && gk("s2") === expect && expect > 0.0)
+  }
+
+  test("knBigramScore: hand-computed Kneser–Ney probabilities; per-w1 " +
+      "probabilities are properly normalized") {
+    // corpus: "a b", "a b", "a c" → c2(a,b)=2 c2(a,c)=1, c1(a)=3 r1(a)=2,
+    // N1+(·b)=N1+(·c)=1, T=2
+    // p(b|a) = (2−.75)/3 + (.75·2/3)·(1/2) = 2/3 → ln = −0.405465
+    // p(c|a) = (1−.75)/3 + (.75·2/3)·(1/2) = 1/3 → ln = −1.098612
+    // (they sum to 1: interpolated KN is a proper distribution)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((1L, -0.4055)) && got(2L) === ((1L, -0.4055)))
+    assert(got(3L) === ((1L, -1.0986)))
+    // single-token docs carry no bigram → no row
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.knBigramScore(short).count() === 0L)
+  }
+
+  test("distinctNgrams: hand-counted per-source unigram/bigram diversity; " +
+      "a source with no bigrams emits no n=2 row") {
+    val docs = Seq((1L, "s1", "a b a b"), (2L, "s1", "a b c"),
+      (3L, "s2", "x")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.distinctNgrams(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s1 unigrams: 7 occurrences of {a,b,c}; bigrams: 5 of {a b, b a, b c}
+    assert(got(("s1", 1)) === ((7L, 3L, 0.428571)))
+    assert(got(("s1", 2)) === ((5L, 3L, 0.6)))
+    assert(got(("s2", 1)) === ((1L, 1L, 1.0)))
+    assert(!got.contains(("s2", 2)) && got.size === 3)
+  }
+
   test("repetition scores duplicate n-grams; distinct text scores zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"), // one trigram repeated
