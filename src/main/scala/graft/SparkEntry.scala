@@ -4490,8 +4490,8 @@ object SparkEntry {
       val qe = TextAnalysis.Sql.qualityExpr
       s"""WITH qa AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 0),
          |qb AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 1),
-         |ha AS (SELECT v, count(*) AS ca FROM qa GROUP BY 1),
-         |hb AS (SELECT v, count(*) AS cb FROM qb GROUP BY 1),
+         |ha AS (SELECT v, count(*) AS ca FROM qa WHERE v IS NOT NULL GROUP BY 1),
+         |hb AS (SELECT v, count(*) AS cb FROM qb WHERE v IS NOT NULL GROUP BY 1),
          |vals AS (SELECT v FROM ha UNION SELECT v FROM hb),
          |na AS (SELECT sum(ca)::BIGINT AS na FROM ha),
          |nb AS (SELECT sum(cb)::BIGINT AS nb FROM hb),
@@ -7712,8 +7712,10 @@ object SparkEntry {
       val qe = TextAnalysis.Sql.qualityExpr
       s"""WITH qa AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 0),
          |qb AS (SELECT $qe AS v FROM documents WHERE doc_id % 2 = 1),
-         |ha AS MATERIALIZED (SELECT v, count(*) AS ca FROM qa GROUP BY 1),
-         |hb AS MATERIALIZED (SELECT v, count(*) AS cb FROM qb GROUP BY 1),
+         |ha AS MATERIALIZED (SELECT v, count(*) AS ca FROM qa
+         |     WHERE v IS NOT NULL GROUP BY 1),
+         |hb AS MATERIALIZED (SELECT v, count(*) AS cb FROM qb
+         |     WHERE v IS NOT NULL GROUP BY 1),
          |vals AS MATERIALIZED (SELECT v FROM ha UNION SELECT v FROM hb),
          |na AS (SELECT sum(ca)::BIGINT AS na FROM ha),
          |nb AS (SELECT sum(cb)::BIGINT AS nb FROM hb),
@@ -7759,7 +7761,8 @@ object SparkEntry {
       val qe = TextAnalysis.Sql.qualityRawExpr
       s"""WITH h AS MATERIALIZED (
          |  SELECT source AS g, CAST(round(($qe) * 10000) AS BIGINT) AS v,
-         |         count(*) AS c FROM documents GROUP BY 1, 2),
+         |         count(*) AS c FROM documents
+         |  WHERE text IS NOT NULL GROUP BY 1, 2),
          |ns AS MATERIALIZED (SELECT g, sum(c)::BIGINT AS ng FROM h GROUP BY 1),
          |hp AS MATERIALIZED (SELECT v, sum(c)::BIGINT AS cp FROM h GROUP BY 1),
          |np AS (SELECT sum(cp)::BIGINT AS np FROM hp),
@@ -7840,7 +7843,9 @@ object SparkEntry {
     "q292_packing_report" -> {
       val toks = TextAnalysis.Sql.toks("text")
       val m = PackMaxLen
-      s"""WITH t AS (SELECT source, len($toks)::BIGINT AS t FROM documents),
+      s"""WITH t AS (SELECT source,
+         |        greatest(coalesce(len($toks), 0), 0)::BIGINT AS t
+         |      FROM documents),
          |a AS (SELECT source, count(*) AS n_docs, sum(t)::BIGINT AS n_tokens,
          |        sum(CASE WHEN t > $m THEN 1 ELSE 0 END)::BIGINT AS n_overflow_docs,
          |        sum(greatest(t - $m, 0))::BIGINT AS n_truncated_tokens,
@@ -7878,7 +7883,8 @@ object SparkEntry {
       val qre = TextAnalysis.Sql.qualityRawExpr
       val toks = TextAnalysis.Sql.toks("text")
       s"""WITH src AS (SELECT CAST(round(($qre) * 100) AS BIGINT) AS x,
-         |        least(len($toks)::BIGINT, $TauLenCap) AS y FROM documents),
+         |        least(len($toks)::BIGINT, $TauLenCap) AS y FROM documents
+         |      WHERE text IS NOT NULL),
          |j AS MATERIALIZED (SELECT x, y, count(*) AS c FROM src GROUP BY 1, 2),
          |grid AS MATERIALIZED (
          |  SELECT xs.x, ys.y, coalesce(j.c, 0)::BIGINT AS c
@@ -7921,7 +7927,8 @@ object SparkEntry {
     "q295_winsorized" -> {
       val qre = TextAnalysis.Sql.qualityRawExpr
       s"""WITH s AS (SELECT source,
-         |        CAST(round(($qre) * 10000) AS BIGINT) AS x FROM documents),
+         |        CAST(round(($qre) * 10000) AS BIGINT) AS x FROM documents
+         |      WHERE text IS NOT NULL),
          |h AS MATERIALIZED (SELECT source, x AS v, count(*) AS c
          |     FROM s GROUP BY 1, 2),
          |n AS (SELECT source, sum(c) AS n FROM h GROUP BY 1),

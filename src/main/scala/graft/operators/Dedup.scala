@@ -897,11 +897,12 @@ object Dedup {
     * self-joins, shuffle keyed on shingles exactly once.
     */
   def noveltyCurve(docs: DataFrame, periodCol: String, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(periodCol).as("_p"), tokens(col(textCol)).as("toks"))
-      .select(col("_p"), explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("sh"))
+      textCol: String = "text"): DataFrame = {
+    // reuse the canonical shingle formation (one definition to keep in sync
+    // with the DuckDB clamp); the per-doc distinct sets collapse to the
+    // per-period distinct set at the groupBy
+    val sh = shingles(docs.select(col(periodCol).as("_p"), col(textCol)),
+        n, "_p", textCol)
       .groupBy(col("_p"), col("sh")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(eager = false)
     val first = sh.groupBy(col("sh")).agg(min(col("_p")).as("_first"))

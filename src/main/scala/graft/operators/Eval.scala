@@ -780,22 +780,11 @@ object Eval {
     * no partition-less windows.
     */
   def wasserstein1(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    def hist(df: DataFrame, out: String): DataFrame =
-      df.select(col(valueCol).cast("double").as("_v"))
-        .groupBy(col("_v")).agg(count(lit(1)).as(out))
-    val ha = hist(a, "_ca"); val hb = hist(b, "_cb")
-    val vals = ha.select(col("_v")).unionByName(hb.select(col("_v")))
-      .distinct().localCheckpoint(eager = false)
-    val na = ha.agg(sum(col("_ca")).as("_na"))
-    val nb = hb.agg(sum(col("_cb")).as("_nb"))
-    def cdf(h: DataFrame, cnt: String, out: String): DataFrame =
-      vals.join(broadcast(h.select(col("_v").as("_u"), col(cnt))),
-          col("_u") <= col("_v"), "left")
-        .groupBy(col("_v")).agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
+    val (vals, cdfs, na, nb) = mergedCdf(a, b, valueCol)
     val nxt = vals.join(broadcast(vals.select(col("_v").as("_w"))),
         col("_w") > col("_v"))
       .groupBy(col("_v")).agg(min(col("_w")).as("_nxt"))
-    val terms = cdf(ha, "_ca", "_fa").join(cdf(hb, "_cb", "_fb"), Seq("_v"))
+    val terms = cdfs
       .join(nxt, Seq("_v")) // the max value has no next → no segment
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(round(abs(col("_fa").cast("double") / col("_na") -
@@ -806,6 +795,34 @@ object Eval {
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("_na").as("n_a"), col("_nb").as("n_b"),
         round(coalesce(col("_w1").cast("double"), lit(0.0)), 6).as("w1"))
+  }
+
+  /** Shared staging of the two-sample drift statistics ([[wasserstein1]],
+    * [[ksStat]] — the "same frames, different lens" guarantee lives here):
+    * per-side value histograms with NULL values excluded up front (a
+    * missing score is not a sample — the [[kendallTau]] convention; an
+    * unfiltered null bucket would count in n_a/n_b yet never join a CDF,
+    * deflating every F), the merged distinct-value frame, per-side totals,
+    * and both CDF numerators joined per value. Every self-join runs on the
+    * bounded merged-value frame.
+    */
+  private def mergedCdf(a: DataFrame, b: DataFrame, valueCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("_v"))
+        .where(col("_v").isNotNull)
+        .groupBy(col("_v")).agg(count(lit(1)).as(out))
+    val ha = hist(a, "_ca"); val hb = hist(b, "_cb")
+    val vals = ha.select(col("_v")).unionByName(hb.select(col("_v")))
+      .distinct().localCheckpoint(eager = false)
+    val na = ha.agg(sum(col("_ca")).as("_na"))
+    val nb = hb.agg(sum(col("_cb")).as("_nb"))
+    def cdf(h: DataFrame, cnt: String, out: String): DataFrame =
+      vals.join(broadcast(h.select(col("_v").as("_u"), col(cnt))),
+          col("_u") <= col("_v"), "left")
+        .groupBy(col("_v")).agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
+    (vals, cdf(ha, "_ca", "_fa").join(cdf(hb, "_cb", "_fb"), Seq("_v")),
+      na, nb)
   }
 
   /** Kendall rank correlation τ-b between two integer-unit columns —
@@ -895,19 +912,8 @@ object Eval {
     * merged-value frame, then a single max — no global sort, no windows.
     */
   def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    def hist(df: DataFrame, out: String): DataFrame =
-      df.select(col(valueCol).cast("double").as("_v"))
-        .groupBy(col("_v")).agg(count(lit(1)).as(out))
-    val ha = hist(a, "_ca"); val hb = hist(b, "_cb")
-    val vals = ha.select(col("_v")).unionByName(hb.select(col("_v")))
-      .distinct().localCheckpoint(eager = false)
-    val na = ha.agg(sum(col("_ca")).as("_na"))
-    val nb = hb.agg(sum(col("_cb")).as("_nb"))
-    def cdf(h: DataFrame, cnt: String, out: String): DataFrame =
-      vals.join(broadcast(h.select(col("_v").as("_u"), col(cnt))),
-          col("_u") <= col("_v"), "left")
-        .groupBy(col("_v")).agg(coalesce(sum(col(cnt)), lit(0L)).as(out))
-    cdf(ha, "_ca", "_fa").join(cdf(hb, "_cb", "_fb"), Seq("_v"))
+    val (_, cdfs, na, nb) = mergedCdf(a, b, valueCol)
+    cdfs
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("_na"), col("_nb"),
         round(abs(col("_fa").cast("double") / col("_na") -

@@ -1191,8 +1191,11 @@ object Pipeline {
   def packingReport(docs: DataFrame, maxLen: Int,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
     require(maxLen >= 1, "maxLen must be >= 1")
+    // NULL text counts as 0 tokens — without the coalesce it would reach
+    // the budget columns as size()'s null/-1 and leave kept > total
     docs.select(col(sourceCol).as("source"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("_t"))
+      greatest(coalesce(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+        lit(0L)), lit(0L)).as("_t"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_t")).as("n_tokens"),
@@ -1223,8 +1226,12 @@ object Pipeline {
   def winsorizedStats(docs: DataFrame, scoreUnits: Column, loPct: Int,
       hiPct: Int, sourceCol: String = "source"): DataFrame = {
     require(1 <= loPct && loPct < hiPct && hiPct <= 100, "need 1<=lo<hi<=100")
+    // NULL scores are not observations (the kendallTau convention): unclamped
+    // they'd ride least/greatest straight to the hi bound AND shift the
+    // percentile histogram (nulls sort first in the cum window)
     val scored = docs.select(col(sourceCol).as("source"),
       scoreUnits.cast("long").as("_x"))
+      .where(col("_x").isNotNull)
     val qs = groupQuantiles(scored, "source", "_x", Seq(loPct, hiPct))
     val bounds = qs.groupBy(col("source")).agg(
       min(when(col("pct") === loPct, col("value"))).as("_lo"),
@@ -1271,7 +1278,11 @@ object Pipeline {
       docs: DataFrame,
       groupCol: String,
       valueCol: Column): DataFrame = {
+    // NULL values are excluded up front: a null bucket would count in the
+    // _ng/_np totals yet never satisfy the ≤/≥ ECDF joins, silently
+    // shifting every mapping and dropping max-level rows entirely
     val h = docs.select(col(groupCol).as("_g"), valueCol.as("_v"))
+      .where(col("_v").isNotNull)
       .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .localCheckpoint(eager = false)
     val ns = h.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))

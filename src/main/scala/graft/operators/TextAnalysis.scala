@@ -418,17 +418,25 @@ object TextAnalysis {
     * (w1,w2)/(w1) + a broadcast 1-row vocab size. No pair space, no window;
     * documents with <2 tokens carry no bigrams and are omitted.
     */
-  def ngramLmScore(
-      docs: DataFrame, alpha: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val bigrams = toked
+  /** Per-doc adjacent-token bigram stream `(idCol, w1, w2)` off a
+    * `(idCol, toks)` frame — the shared staging of the LM scorers
+    * ([[ngramLmScore]], [[knBigramScore]]): ONE definition of the
+    * off-by-one-prone slice/element_at indexing.
+    */
+  private def bigramsOf(toked: DataFrame, idCol: String): DataFrame =
+    toked
       .select(col(idCol), explode(transform(
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
         (w, i) => struct(w.as("w1"), element_at(col("toks"), i + 2).as("w2"))))
         .as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def ngramLmScore(
+      docs: DataFrame, alpha: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bigrams = bigramsOf(toked, idCol)
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toked.select(explode(col("toks")).as("w"))
@@ -483,13 +491,8 @@ object TextAnalysis {
       docs: DataFrame, discount: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val bigrams = toked
-      .select(col(idCol), explode(transform(
-        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
-        (w, i) => struct(w.as("w1"), element_at(col("toks"), i + 2).as("w2"))))
-        .as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = bigramsOf(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks")), idCol)
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bigrams.groupBy(col("w1"))
       .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("r1"))
@@ -528,24 +531,27 @@ object TextAnalysis {
       docs: DataFrame, ns: Seq[Int] = Seq(1, 2),
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
-    val toked = docs.select(col(sourceCol).as("source"),
-      tokens(col(textCol)).as("toks"))
-    ns.map { n =>
+    // every order's n-grams form in ONE row pass (each tagged with its n,
+    // concatenated in-row), so the corpus is scanned and tokenized once —
+    // a per-order union would re-read and re-split the full table per n
+    val tagged = ns.map { n =>
       val grams =
         if (n == 1) col("toks")
         else transform(
           slice(col("toks"), lit(1), greatest(size(col("toks")) - (n - 1), lit(0))),
           (_, i) => concat_ws(" ",
             slice(col("toks"), i + 1, lit(n))))
-      toked.select(col("source"), explode(grams).as("g"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("total_ngrams"),
-          countDistinct(col("g")).as("distinct_ngrams"))
-        .select(col("source"), lit(n).as("n"),
-          col("total_ngrams"), col("distinct_ngrams"),
-          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
-            .as("diversity"))
-    }.reduce(_.unionByName(_))
+      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+    }.reduce(concat(_, _))
+    docs.select(col(sourceCol).as("source"), tokens(col(textCol)).as("toks"))
+      .select(col("source"), explode(tagged).as("t"))
+      .groupBy(col("source"), col("t.n").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("t.g")).as("distinct_ngrams"))
+      .select(col("source"), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("diversity"))
   }
 
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
