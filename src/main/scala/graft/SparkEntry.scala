@@ -2279,7 +2279,41 @@ object SparkEntry {
       ordered(PCA.whiten(emb, pcaModel(s, d), PcaWhitenEps, "embedding",
         "white", 4)
         .select(col("vec_id"), posexplode(col("white")).as(Seq("dim", "value"))))
-    })
+    }),
+    // deterministic Poisson-bootstrap CI on per-source mean quality — the
+    // sampling-noise error bars next to q264's leave-group-out jackknife
+    "q298_bootstrap_ci" -> ((s, d) =>
+      ordered(graft.operators.Eval.bootstrapCi(
+        Tables.documents(s, d), "source", "doc_id",
+        round(TextAnalysis.qualityRaw(col("text")) * 10000), 1e4,
+        BootB, BootAlpha))),
+    // CUPED variance-reduced A/B readout: pre-period spend is the
+    // covariate, post-period spend the metric (q242's variant hash)
+    "q299_cuped" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id")).agg(
+        sum(when(col("ts").cast("date") < lit(CupedSplitDay),
+          col("value").cast("decimal(18,4)"))).as("_x"),
+        sum(when(col("ts").cast("date") >= lit(CupedSplitDay),
+          col("value").cast("decimal(18,4)"))).as("_y"))
+        .select(
+          when(graft.functions.Hash60(
+            concat(col("user_id").cast("string"), lit(":ab"))) % 2L === 0L,
+            "control").otherwise("treatment").as("variant"),
+          coalesce((col("_x") * 10000).cast("long"), lit(0L)).as("x"),
+          coalesce((col("_y") * 10000).cast("long"), lit(0L)).as("y"))
+      ordered(graft.operators.Eval.cuped(perUser, 1e4))
+    }),
+    // EWMA control chart over daily event volumes — the recency-weighted
+    // companion to q277's all-history CUSUM (q101 day-dump convention)
+    "q300_ewma" -> ((s, d) =>
+      ordered(graft.operators.Events.ewmaDaily(
+        Tables.events(s, d), EwmaAlpha, EwmaBand)
+        .withColumn("day", col("day").cast("timestamp")))),
+    // count-based word vectors: symmetrized PPMI co-occurrence factorized
+    // by the fitted eigenbasis (inlined literals; dynamic oracle)
+    "q301_word_vectors" -> ((s, d) =>
+      ordered(TextAnalysis.wordVectors(
+        Tables.documents(s, d), wvModel(s, d), WvVocab)))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -2432,6 +2466,25 @@ object SparkEntry {
   private val TauLenCap = 512
   // q297: eigenvalue floor for the whitening factors (1/sqrt(lambda + eps))
   private val PcaWhitenEps = 1e-9
+  // q298: Poisson-bootstrap replicates + order-statistic CI level
+  private val BootB = 32
+  private val BootAlpha = 0.1
+  // q299: CUPED pre/post period boundary over the 30-day event fixture
+  private val CupedSplitDay = "2024-01-16"
+  // q300: EWMA smoothing + alarm band (both interpolated into the oracle)
+  private val EwmaAlpha = 0.3
+  private val EwmaBand = 3.0
+  // q301: PPMI word-vector vocabulary and embedding dims
+  private val WvVocab = 48
+  private val WvK = 4
+
+  private val wvModelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), TextAnalysis.WvModel]
+
+  private def wvModel(s: SparkSession, d: String): TextAnalysis.WvModel =
+    wvModelCache.getOrElseUpdate((s, d),
+      TextAnalysis.wordVectorsFit(Tables.documents(s, d), WvVocab, WvK))
   // q280: 48 synthetic AVIs of 2-4 solid-gray 32×24 frames; gray levels
   // 16·((7id+13f) mod 16)+8 span the 8-bit range off the quant midpoints
   private val VideoN = 48L
@@ -3441,7 +3494,7 @@ object SparkEntry {
     * replay sees a complete map.
     */
   def dynamicOracleNames: Set[String] =
-    Set("q217_pca_project", "q297_pca_whiten")
+    Set("q217_pca_project", "q297_pca_whiten", "q301_word_vectors")
 
   /** Shortest round-trip double literal: DuckDB's (correctly-rounded)
     * strtod parse of `Double.toString`'s shortest repr recovers the EXACT
@@ -3488,6 +3541,43 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding AS vec FROM embeddings)
          |$branches
          |ORDER BY vec_id, dim, value""".stripMargin
+    },
+    // q301: the PPMI chain replayed in SQL (co-occurrence, margins, the
+    // greatest(ln ·, 0) expression) against the fitted scaled basis
+    // u_j(c)/sqrt(lambda_j) inlined as VALUES literals
+    "q301_word_vectors" -> {
+      val m = wvModel(s, d)
+      val toks = TextAnalysis.Sql.toks("text")
+      val basisVals = m.toks.zipWithIndex.flatMap { case (t, c) =>
+        m.scaled.zipWithIndex.map { case (u, j) =>
+          s"('$t', $j, CAST(${dlit(u(c))} AS DOUBLE))" }
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+         |vc AS MATERIALIZED (SELECT token FROM (
+         |    SELECT unnest($toks) AS token FROM documents)
+         |  GROUP BY token ORDER BY count(*) DESC, token LIMIT $WvVocab),
+         |pr AS (SELECT w1, w2 FROM bg UNION ALL SELECT w2, w1 FROM bg),
+         |cooc AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c FROM pr
+         |  WHERE w1 IN (SELECT token FROM vc) AND w2 IN (SELECT token FROM vc)
+         |  GROUP BY 1, 2),
+         |rm AS MATERIALIZED (SELECT w1, sum(c)::BIGINT AS nw FROM cooc
+         |  GROUP BY 1),
+         |nn AS (SELECT sum(c)::BIGINT AS nn FROM cooc),
+         |pp AS (SELECT cooc.w1, cooc.w2,
+         |        greatest(ln(cooc.c::DOUBLE * nn.nn / (a.nw::DOUBLE * b.nw)),
+         |          0.0) AS p
+         |      FROM cooc JOIN rm a ON a.w1 = cooc.w1
+         |      JOIN rm b ON b.w1 = cooc.w2 CROSS JOIN nn),
+         |basis(ct, dim, u) AS (VALUES $basisVals)
+         |SELECT pp.w1 AS token, basis.dim,
+         |  round(sum(round(pp.p * basis.u, 8)::DECIMAL(38,8))::DOUBLE, 4)
+         |    AS value
+         |FROM pp JOIN basis ON basis.ct = pp.w2
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2, 3""".stripMargin
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -7978,6 +8068,132 @@ object SparkEntry {
          |FROM o JOIN b ON b.query_id = o.id
          |WHERE b.pred_label <> o.label
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // the deterministic Poisson draw (hash60 mod 10000 vs fixed integer
+    // pmf thresholds), per-(source, b) weighted means, order-statistic CI
+    "q298_bootstrap_ci" -> {
+      val qre = TextAnalysis.Sql.qualityRawExpr
+      val h = graft.functions.Hash60.sql(
+        "doc_id::VARCHAR || ':' || b::VARCHAR || ':boot'")
+      val loIdx = math.ceil(BootAlpha * BootB).toInt.max(1)
+      val hiIdx = BootB + 1 - loIdx
+      s"""WITH s AS MATERIALIZED (SELECT source, doc_id,
+         |        CAST(round(($qre) * 10000) AS BIGINT) AS x FROM documents
+         |      WHERE text IS NOT NULL),
+         |r AS (SELECT source, doc_id, x, unnest(range(0, $BootB)) AS b FROM s),
+         |w AS (SELECT source, x, b,
+         |        CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+         |             WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+         |             WHEN u < 9963 THEN 4 ELSE 5 END AS w
+         |      FROM (SELECT source, x, b, ($h % 10000) AS u FROM r)),
+         |reps AS (SELECT source, b,
+         |        round(sum(w::HUGEINT * x)::DOUBLE / sum(w) / 10000.0, 6) AS m
+         |      FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+         |ms AS (SELECT source, list_sort(list(m)) AS ms FROM reps GROUP BY 1),
+         |base AS (SELECT source, count(*) AS n, sum(x)::BIGINT AS sx
+         |      FROM s GROUP BY 1)
+         |SELECT base.source, base.n,
+         |  round(base.sx::DOUBLE / base.n / 10000.0, 6) AS mean,
+         |  ms.ms[least($loIdx, len(ms.ms))] AS ci_lo,
+         |  ms.ms[least($hiIdx, len(ms.ms))] AS ci_hi
+         |FROM base JOIN ms USING (source)
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // q242's per-user staging split pre/post; pooled DECIMAL(38) power
+    // sums drive every closed form
+    "q299_cuped" -> {
+      val h = graft.functions.Hash60.sql("user_id::VARCHAR || ':ab'")
+      val s2 = dlit(1e8); val s1 = dlit(1e4)
+      s"""WITH pu AS (SELECT user_id,
+         |    coalesce(CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '$CupedSplitDay'
+         |      THEN CAST(value AS DECIMAL(18,4)) END) * 10000 AS BIGINT), 0) AS x,
+         |    coalesce(CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '$CupedSplitDay'
+         |      THEN CAST(value AS DECIMAL(18,4)) END) * 10000 AS BIGINT), 0) AS y
+         |  FROM events GROUP BY user_id),
+         |u AS (SELECT CASE WHEN ($h % 2) = 0 THEN 'control'
+         |        ELSE 'treatment' END AS variant, x, y FROM pu),
+         |g AS (SELECT variant, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         |        sum(CAST(y AS DECIMAL(38,0))) AS sy
+         |      FROM u GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS tn,
+         |        sum(CAST(x AS DECIMAL(38,0))) AS tsx,
+         |        sum(CAST(y AS DECIMAL(38,0))) AS tsy,
+         |        sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS tsxx,
+         |        sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS tsyy,
+         |        sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS tsxy
+         |      FROM u),
+         |m AS (SELECT g.variant, g.n, g.sx, g.sy, t.tn, t.tsx,
+         |        (t.tn * t.tsxy - t.tsx * t.tsy)::DOUBLE
+         |          / (t.tn * t.tn)::DOUBLE / $s2 AS covxy,
+         |        (t.tn * t.tsxx - t.tsx * t.tsx)::DOUBLE
+         |          / (t.tn * t.tn)::DOUBLE / $s2 AS varx,
+         |        (t.tn * t.tsyy - t.tsy * t.tsy)::DOUBLE
+         |          / (t.tn * t.tn)::DOUBLE / $s2 AS vary
+         |      FROM g CROSS JOIN t),
+         |f AS (SELECT variant, n,
+         |        sy::DOUBLE / n::DOUBLE / $s1 AS meany,
+         |        sx::DOUBLE / n::DOUBLE / $s1 AS meanx,
+         |        tsx::DOUBLE / tn::DOUBLE / $s1 AS meanxall,
+         |        CASE WHEN varx > 0.0 THEN covxy / varx ELSE 0.0 END AS theta,
+         |        covxy, vary FROM m)
+         |SELECT variant, CAST(n AS BIGINT) AS n,
+         |  round(meany, 6) AS mean_y,
+         |  round(meany - theta * (meanx - meanxall), 6) AS mean_adj,
+         |  round(theta, 6) AS theta,
+         |  round(vary, 6) AS var_y,
+         |  round(vary - theta * covxy, 6) AS var_adj,
+         |  round(CASE WHEN vary > 0.0 THEN theta * covxy / vary
+         |        ELSE 0.0 END, 6) AS var_reduction
+         |FROM f ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+    },
+    // q277's calendar densification + day-index ranks; closed-form EWMA
+    // weight folds at both indices; population-σ band
+    "q300_ewma" -> {
+      val al = dlit(EwmaAlpha); val om = dlit(1.0 - EwmaAlpha)
+      val band = dlit(EwmaBand)
+      s"""WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |        count(*) AS x FROM events GROUP BY 1, 2),
+         |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |         FROM obs GROUP BY 1),
+         |days AS (SELECT event_type,
+         |        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |          AS day FROM span),
+         |daily AS MATERIALIZED (
+         |  SELECT dd.event_type, dd.day, coalesce(o.x, 0)::BIGINT AS x,
+         |    row_number() OVER (PARTITION BY dd.event_type ORDER BY dd.day) - 1
+         |      AS i
+         |  FROM days dd LEFT JOIN obs o
+         |    ON o.event_type = dd.event_type AND o.day = dd.day),
+         |e0 AS (SELECT a.event_type, a.day,
+         |        sum(round(CASE WHEN b.i = 0 THEN power($om, a.i)
+         |              ELSE $al * power($om, a.i - b.i) END * b.x,
+         |            8)::DECIMAL(38,8)) AS e
+         |      FROM daily a JOIN daily b ON b.event_type = a.event_type
+         |        AND b.i <= a.i
+         |      GROUP BY 1, 2),
+         |e1 AS (SELECT a.event_type, a.day,
+         |        sum(round(CASE WHEN b.i = 0 THEN power($om, a.i - 1)
+         |              ELSE $al * power($om, a.i - 1 - b.i) END * b.x,
+         |            8)::DECIMAL(38,8)) AS e
+         |      FROM daily a JOIN daily b ON b.event_type = a.event_type
+         |        AND b.i <= a.i - 1
+         |      GROUP BY 1, 2),
+         |sig AS (SELECT event_type,
+         |        sqrt(greatest(sum(x::HUGEINT * x)::DOUBLE / count(*)
+         |          - (sum(x)::DOUBLE / count(*)) * (sum(x)::DOUBLE / count(*)),
+         |          0.0)) AS sig
+         |      FROM daily GROUP BY 1)
+         |SELECT d.event_type, d.day, d.x,
+         |  round(e0.e::DOUBLE, 6) AS ewma,
+         |  round(d.x - coalesce(e1.e::DOUBLE, d.x::DOUBLE), 6) AS resid,
+         |  abs(d.x - coalesce(e1.e::DOUBLE, d.x::DOUBLE)) > $band * sig.sig
+         |    AS alarm
+         |FROM daily d
+         |JOIN e0 ON e0.event_type = d.event_type AND e0.day = d.day
+         |LEFT JOIN e1 ON e1.event_type = d.event_type AND e1.day = d.day
+         |JOIN sig ON sig.event_type = d.event_type
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     }
   )
 

@@ -93,7 +93,7 @@ object PCA {
     * copy): returns (eigenvalues, column-eigenvector matrix). O(d³) per
     * sweep, driver-side, d model-sized.
     */
-  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

@@ -825,6 +825,117 @@ object Eval {
       na, nb)
   }
 
+  /** Deterministic bootstrap confidence interval on a per-group mean —
+    * the error bars for the corpus quality dashboard ([[jackknifeMean]]
+    * reads leave-one-GROUP-out sensitivity; this reads within-group
+    * sampling noise). Classic Poisson bootstrap made reproducible: row r's
+    * multiplicity in replicate b is a Poisson(1) draw read off the
+    * deterministic `hash60(id:b:salt) mod 10000` uniform against the fixed
+    * integer pmf thresholds (0.3679/0.3679/0.1839/0.0613/0.0153 mass on
+    * 0..4, remainder 5) — no RNG state, identical in any engine, and the
+    * replicate loop rides IN-ROW (one explode), so the pass stays one scan
+    * + one (group, b)-keyed agg. The CI is the order-statistic interval of
+    * the `b` replicate means: `lo = sorted[ceil(alpha·b)]`,
+    * `hi = sorted[b + 1 − ceil(alpha·b)]` (1-based) — the per-group sort
+    * runs on a `b`-element in-row array, never on data.
+    * Output `(group, n, mean, ci_lo, ci_hi)` at 6dp; integer-unit
+    * `valueUnits` by contract, `scale` maps units back (the [[abTest]]
+    * convention). Degenerate all-zero-weight replicates (possible only for
+    * tiny groups) drop out of the order statistics.
+    */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      valueUnits: Column, scale: Double, b: Int = 32, alpha: Double = 0.1,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 4 && alpha > 0 && alpha < 0.5, "need b >= 4, 0 < alpha < .5")
+    val loIdx = math.ceil(alpha * b).toInt.max(1)
+    val hiIdx = b + 1 - loIdx
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        valueUnits.cast("long").as("_x"))
+      .where(col("_x").isNotNull)
+      .select(col("_g"), col("_x"), col("_id"),
+        explode(sequence(lit(0), lit(b - 1))).as("_b"))
+      .withColumn("_u", graft.functions.Hash60(concat(
+        col("_id").cast("string"), lit(":"), col("_b").cast("string"),
+        lit(":" + salt))) % 10000L)
+      .withColumn("_w",
+        when(col("_u") < 3679, 0L).when(col("_u") < 7358, 1L)
+          .when(col("_u") < 9197, 2L).when(col("_u") < 9810, 3L)
+          .when(col("_u") < 9963, 4L).otherwise(5L))
+    val reps = rows.groupBy(col("_g"), col("_b"))
+      .agg(sum(col("_w").cast(dec) * col("_x")).as("_swx"),
+        sum(col("_w")).as("_sw"))
+      .where(col("_sw") > 0)
+      .select(col("_g"),
+        round(col("_swx").cast("double") / col("_sw") / scale, 6).as("_m"))
+    val base = df.select(col(groupCol).as("_g"),
+        valueUnits.cast("long").as("_x"))
+      .where(col("_x").isNotNull)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_x").cast(dec)).as("_sx"))
+    reps.groupBy(col("_g"))
+      .agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .join(base, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"),
+        round(col("_sx").cast("double") / col("n") / scale, 6).as("mean"),
+        element_at(col("_ms"), least(lit(loIdx), size(col("_ms"))))
+          .as("ci_lo"),
+        element_at(col("_ms"), least(lit(hiIdx), size(col("_ms"))))
+          .as("ci_hi"))
+  }
+
+  /** CUPED variance reduction for the A/B readout ([[abTest]]'s
+    * experimentation companion): adjust each unit's post-period metric by
+    * its own PRE-period covariate, `ŷ = y − θ(x − x̄)` with
+    * `θ = cov(x, y)/var(x)` estimated over all units pooled — the standard
+    * trick that removes the between-user variance both variants share,
+    * shrinking the standard error while leaving the treatment-effect
+    * estimate unbiased under randomization. Input: per-unit
+    * `(variant, x, y)` with integer-unit metrics (pre-scale, the [[abTest]]
+    * contract); output one row per variant
+    * `(variant, n, mean_y, mean_adj, theta, var_y, var_adj,
+    * var_reduction)` at 6dp — everything closed form from ONE pass of
+    * pooled power sums (Σx, Σy, Σx², Σy², Σxy in DECIMAL(38) — exact; no
+    * per-unit adjusted column ever materializes) plus the per-variant
+    * (n, Σx, Σy) agg. θ guards a constant covariate (var(x)=0 → θ=0, no
+    * adjustment).
+    */
+  def cuped(units: DataFrame, scale: Double,
+      variantCol: String = "variant", xCol: String = "x",
+      yCol: String = "y"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def dx = col(xCol).cast(dec)
+    def dy = col(yCol).cast(dec)
+    val g = units.groupBy(col(variantCol).as("variant")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(dx).as("sx"), sum(dy).as("sy"))
+    val tot = units.agg(
+      count(lit(1)).cast(dec).as("tn"),
+      sum(dx).as("tsx"), sum(dy).as("tsy"),
+      sum(dx * dx).as("tsxx"), sum(dy * dy).as("tsyy"),
+      sum(dx * dy).as("tsxy"))
+    val s2 = lit(scale * scale)
+    val covxy = (col("tn") * col("tsxy") - col("tsx") * col("tsy"))
+      .cast("double") / (col("tn") * col("tn")).cast("double") / s2
+    val varx = (col("tn") * col("tsxx") - col("tsx") * col("tsx"))
+      .cast("double") / (col("tn") * col("tn")).cast("double") / s2
+    val vary = (col("tn") * col("tsyy") - col("tsy") * col("tsy"))
+      .cast("double") / (col("tn") * col("tn")).cast("double") / s2
+    val theta = when(varx > 0.0, covxy / varx).otherwise(lit(0.0))
+    val meanY = col("sy").cast("double") / col("n").cast("double") / scale
+    val meanX = col("sx").cast("double") / col("n").cast("double") / scale
+    val meanXAll = col("tsx").cast("double") / col("tn").cast("double") / scale
+    g.crossJoin(broadcast(tot)).select(
+      col("variant"), col("n").cast("long").as("n"),
+      round(meanY, 6).as("mean_y"),
+      round(meanY - theta * (meanX - meanXAll), 6).as("mean_adj"),
+      round(theta, 6).as("theta"),
+      round(vary, 6).as("var_y"),
+      round(vary - theta * covxy, 6).as("var_adj"),
+      round(when(vary > 0.0, theta * covxy / vary).otherwise(lit(0.0)), 6)
+        .as("var_reduction"))
+  }
+
   /** Kendall rank correlation τ-b between two integer-unit columns —
     * tie-corrected, exact, computed entirely from the bounded joint
     * histogram (both columns must be resolution-bounded by contract, the

@@ -484,6 +484,80 @@ object Events {
     * by the observation window by contract; prefix sums and prefix mins
     * are self-joins on that bounded frame. No windows, no collects.
     */
+  /** EWMA control chart over daily event volumes — the smoothed-baseline
+    * companion to [[cusumDaily]] (CUSUM accumulates small sustained
+    * drifts; the EWMA chart scores each day against an exponentially
+    * weighted history, catching level shifts with recency CUSUM's
+    * all-history mean dilutes). Per type and day:
+    * `E_t = α·x_t + (1−α)·E_{t−1}`, `E_0 = x_0`, computed CLOSED FORM as
+    * `E_t = (1−α)^t·x_0 + Σ_{j=1..t} α·(1−α)^{t−j}·x_j` over the
+    * calendar-densified (type × day) histogram — zero-event days feed
+    * x = 0 exactly like the CUSUM. The alarm compares the day's residual
+    * `x_t − E_{t−1}` against `bandFactor · σ_type` (population std of the
+    * densified daily counts, closed form from power sums). Output
+    * `(event_type, day, x, ewma, resid, alarm)`; ewma/resid at 6dp.
+    *
+    * Determinism: per-(t, j) weight terms are one double rounded 8dp →
+    * DECIMAL(38,8) before the fold. Scale shape: day-index ranks and both
+    * folds run on the bounded per-type day histogram (windows over an
+    * aggregate; the O(T²) self-join is calendar-bounded) — no corpus-sized
+    * shuffles, no driver loop.
+    */
+  def ewmaDaily(events: DataFrame, alpha: Double = 0.3,
+      bandFactor: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val obs = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = obs.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = span
+      .select(col("event_type"),
+        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
+          .as("day"))
+      .join(obs, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("_i", row_number().over(w) - 1)
+      .localCheckpoint(eager = false)
+    // E at index i: Σ_{j≤i} weight(i, j)·x_j with weight(i, 0) = (1−α)^i
+    // and weight(i, j≥1) = α·(1−α)^(i−j); terms 8dp-DECIMAL-folded
+    def ewmaAt(shift: Int, out: String): DataFrame = daily.as("a")
+      .join(daily.select(col("event_type"), col("_i").as("_j"),
+        col("x").as("_xj")).as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("_j") <= col("a._i") - shift)
+      .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        round(when(col("_j") === 0,
+            pow(lit(1.0 - alpha), col("a._i") - shift))
+          .otherwise(lit(alpha) *
+            pow(lit(1.0 - alpha), col("a._i") - shift - col("_j"))) *
+          col("_xj"), 8).cast(DecimalType(38, 8)).as("_t"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("_t")).cast("double").as(out))
+    val sig = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), sum(col("x")).as("_sx"),
+        // x² in DECIMAL(38): corpus-scale daily volumes overflow long
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("_sxx"))
+      .select(col("event_type"),
+        sqrt(greatest(
+          col("_sxx").cast("double") / col("_n") -
+            (col("_sx").cast("double") / col("_n")) *
+            (col("_sx").cast("double") / col("_n")), lit(0.0))).as("_sig"))
+    daily.select(col("event_type"), col("day"), col("x"))
+      .join(ewmaAt(0, "_e"), Seq("event_type", "day"))
+      .join(ewmaAt(1, "_ep"), Seq("event_type", "day"), "left")
+      .join(broadcast(sig), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("_e"), 6).as("ewma"),
+        round(col("x") - coalesce(col("_ep"), col("x").cast("double")), 6)
+          .as("resid"),
+        (abs(col("x") - coalesce(col("_ep"), col("x").cast("double"))) >
+          lit(bandFactor) * col("_sig")).as("alarm"))
+  }
+
   def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {
     val obs = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

@@ -554,6 +554,107 @@ object TextAnalysis {
           .as("diversity"))
   }
 
+  /** Count-based word embeddings: PPMI co-occurrence factorized by
+    * eigendecomposition — the classic construction (Levy & Goldberg's
+    * result that SVD of the PPMI matrix approximates skip-gram's implicit
+    * factorization), giving every pipeline that has no neural tokenizer a
+    * corpus-native vector per word for synonym mining and query expansion.
+    * Stages: (1) adjacent-token co-occurrence counts restricted to the
+    * top-`v` vocabulary, SYMMETRIZED (both directions of each bigram) so
+    * the matrix is symmetric and eigen ≡ SVD; (2)
+    * `PPMI(w,c) = max(0, ln(n_wc·N/(n_w·n_c)))` on the bounded grid;
+    * (3) driver-side Jacobi eigendecomposition of the collected matrix
+    * (`v` is model-sized by contract — the [[graft.functions.PCA]]
+    * bounded-driver adjudication; requires the kept top-`k` eigenvalues
+    * positive); (4) the embedding
+    * `value(w, j) = (Σ_c PPMI(w,c)·u_j(c)) / √λ_j` — row w of `U·Λ^½` up
+    * to the eigen residual — computed AS A DATAFRAME EXPRESSION over the
+    * PPMI rows with the scaled basis inlined as a broadcast-literal frame,
+    * so the whole chain stays dynamic-oracle-replayable (the q217
+    * contract: the fit is outside SQL; the fitted numbers are literals;
+    * every downstream double is mirrored). Output `(token, dim, value)`
+    * at 4dp; vocabulary words with no in-vocabulary neighbor have no
+    * co-occurrence row and thus no vector.
+    *
+    * Determinism: counts are exact longs; per-(w, c, j) terms are one
+    * double rounded 8dp → DECIMAL(38,8) before the per-(w, j) fold; the
+    * Jacobi basis follows [[graft.functions.PCA.fit]]'s sign convention.
+    */
+  /** `scaled(j)(c)` = `u_j(toks(c)) / √λ_j` — the literal factors the
+    * embedding fold and the dynamic oracle both consume.
+    */
+  final case class WvModel(toks: Array[String], scaled: Array[Array[Double]])
+
+  /** The symmetric PPMI frame `(w1, w2, p)` over the top-`v` vocabulary —
+    * the mirrored expression both [[wordVectorsFit]] (collect) and
+    * [[wordVectors]]' embedding fold (join) consume, and the one the
+    * dynamic oracle replays in SQL.
+    */
+  private def ppmiFrame(docs: DataFrame, v: Int, textCol: String): DataFrame = {
+    val bg = bigramsOf(docs.select(lit(0L).as("_id"),
+      tokens(col(textCol)).as("toks")), "_id").select(col("w1"), col("w2"))
+    val vtok = vocabulary(docs, v, textCol = textCol).select(col("token"))
+    val pairs = bg.unionByName(
+      bg.select(col("w2").as("w1"), col("w1").as("w2")))
+    val cooc = pairs
+      .join(broadcast(vtok.select(col("token").as("w1"))), Seq("w1"))
+      .join(broadcast(vtok.select(col("token").as("w2"))), Seq("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val rowm = cooc.groupBy(col("w1")).agg(sum(col("c")).as("nw"))
+    val tot = cooc.agg(sum(col("c")).as("nn"))
+    cooc.join(rowm, Seq("w1"))
+      .join(rowm.select(col("w1").as("w2"), col("nw").as("nc")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        greatest(log(col("c").cast("double") * col("nn") /
+          (col("nw").cast("double") * col("nc"))), lit(0.0)).as("p"))
+  }
+
+  /** Fit the scaled eigenbasis of the PPMI matrix (stage 3 of
+    * [[wordVectors]]); collect is bounded by v².
+    */
+  def wordVectorsFit(docs: DataFrame, v: Int = 48, k: Int = 4,
+      textCol: String = "text"): WvModel = {
+    require(k >= 1 && k <= v, s"k=$k out of range for vocab $v")
+    val rows = ppmiFrame(docs, v, textCol).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val toks = rows.map(_._1).distinct.sorted
+    val idx = toks.zipWithIndex.toMap
+    val m = Array.ofDim[Double](toks.length, toks.length)
+    rows.foreach { case (a, b, p) => m(idx(a))(idx(b)) = p }
+    val (vals, vecsM) = graft.functions.PCA.jacobiEigen(m)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    require(order.forall(vals(_) > 0),
+      s"wordVectors: top-$k PPMI spectrum not positive (corpus too small)")
+    val scaled = order.map { ei =>
+      val u = Array.tabulate(toks.length)(r => vecsM(r)(ei))
+      val mx = u.indices.maxBy(i => (math.abs(u(i)), -i))
+      val s = (if (u(mx) < 0) -1.0 else 1.0) / math.sqrt(vals(ei))
+      u.map(_ * s)
+    }.toArray
+    WvModel(toks, scaled)
+  }
+
+  def wordVectors(docs: DataFrame, model: WvModel, v: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val basis = model.toks.zipWithIndex.map { case (t, c) =>
+      (t, model.scaled.map(_(c)).toSeq)
+    }.toSeq.toDF("_ct", "_us")
+    ppmiFrame(docs, v, textCol)
+      .join(broadcast(basis), col("w2") === col("_ct"))
+      .select(col("w1"), col("p"),
+        posexplode(col("_us")).as(Seq("dim", "_u")))
+      .select(col("w1").as("token"), col("dim"),
+        round(col("p") * col("_u"), 8).cast(DecimalType(38, 8)).as("_t"))
+      .groupBy(col("token"), col("dim"))
+      .agg(sum(col("_t")).cast("double").as("_v"))
+      .select(col("token"), col("dim"), round(col("_v"), 4).as("value"))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -401,6 +401,51 @@ class EventsSpec extends SparkSpec {
       "d = n_risk must zero survival, not ln(0)")
   }
 
+  test("ewmaDaily: closed form equals the sequential recurrence; gap days " +
+      "decay the baseline; the level shift alarms") {
+    // one type, daily counts 4,4,10 at alpha 0.5: E = 4, 4, 7;
+    // resid = 0, 0, 6; sigma = sqrt(8) -> only day 3 crosses 1.5*sigma
+    val rows = Seq(4, 4, 10).zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i =>
+        ((d * 100 + i).toLong, f"2026-01-${d + 1}%02d 10:00:${i % 60}%02d",
+          1L, "view", 0.0))
+    }
+    val got = Events.ewmaDaily(ev(rows), alpha = 0.5, bandFactor = 1.5)
+      .orderBy("day").select("x", "ewma", "resid", "alarm")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(got === Seq((4L, 4.0, 0.0, false), (4L, 4.0, 0.0, false),
+      (10L, 7.0, 6.0, true)))
+    // calendar gap: counts 2,(0),2 at alpha 0.5 → E = 2, 1, 1.5 — the
+    // missing day feeds x = 0 and decays the baseline
+    val gap = ev(Seq(0, 2).flatMap { d =>
+      (1 to 2).map(i =>
+        ((d * 100 + i).toLong, f"2026-03-${d + 1}%02d 10:00:${i % 60}%02d",
+          1L, "view", 0.0))
+    })
+    val gg = Events.ewmaDaily(gap, alpha = 0.5, bandFactor = 3.0)
+      .orderBy("day").select("x", "ewma", "resid")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(gg === Seq((2L, 2.0, 0.0), (0L, 1.0, -2.0), (2L, 1.5, 1.0)))
+    // random sequences: the weight-fold closed form ≡ the recurrence
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val counts = Seq.fill(5)(1 + rng.nextInt(9))
+      val events = ev(counts.zipWithIndex.flatMap { case (n, d) =>
+        (1 to n).map(i =>
+          ((d * 1000 + i).toLong, f"2026-02-${d + 1}%02d 09:00:${i % 60}%02d",
+            1L, "click", 0.0))
+      })
+      val a = 0.3
+      val ref = counts.tail.scanLeft(counts.head.toDouble)(
+        (e, x) => a * x + (1 - a) * e)
+      val gotR = Events.ewmaDaily(events, alpha = a).orderBy("day")
+        .select("ewma").as[Double].collect().toSeq
+      gotR.zip(ref).foreach { case (g, r) =>
+        assert(math.abs(g - r) < 1e-5, s"$gotR vs $ref")
+      }
+    }
+  }
+
   test("cusumDaily: closed form equals the max(0,·) recurrence; sustained " +
       "drift alarms where a single-day z-score would not") {
     // one type, daily counts 1,1,1,13 → k = 16/4 = 4; CUSUM 0,0,0,9;

@@ -851,6 +851,44 @@ class PipelineSpec extends SparkSpec {
     assert(gz.getLong(3) === 0L && !gz.getBoolean(4))
   }
 
+  test("cuped: a perfectly predictive covariate removes all shared " +
+      "variance — hand-computed theta, adjusted means, reduction") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // y = 2x + effect (0 control / 1 treatment), x balanced across arms:
+    // theta = 2 exactly; var_adj = var(effect) = 0.25; means unchanged
+    val units = Seq(
+      ("control", 1L, 2L), ("control", 2L, 4L), ("control", 3L, 6L),
+      ("treatment", 1L, 3L), ("treatment", 2L, 5L), ("treatment", 3L, 7L))
+      .toDF("variant", "x", "y")
+    val got = Eval.cuped(units, 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toMap
+    assert(got("control") === ((3L, 4.0, 4.0, 2.0, 2.916667, 0.25, 0.914286)))
+    assert(got("treatment") === ((3L, 5.0, 5.0, 2.0, 2.916667, 0.25, 0.914286)))
+  }
+
+  test("bootstrapCi: constant values collapse the CI to the mean; CI is " +
+      "ordered and deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Eval
+    val const = (1L to 50L).map(i => ("s1", i, 7000L)).toDF("source", "id", "u")
+    val rc = Eval.bootstrapCi(const, "source", "id", col("u"), 1e4)
+      .collect()(0)
+    assert((rc.getLong(1), rc.getDouble(2), rc.getDouble(3),
+      rc.getDouble(4)) === ((50L, 0.7, 0.7, 0.7)))
+    val spread = (1L to 200L).map(i => ("s1", i, (i % 13) * 1000L))
+      .toDF("source", "id", "u")
+    val r1 = Eval.bootstrapCi(spread, "source", "id", col("u"), 1e4).collect()(0)
+    val r2 = Eval.bootstrapCi(spread, "source", "id", col("u"), 1e4).collect()(0)
+    assert(r1 === r2)
+    assert(r1.getDouble(3) <= r1.getDouble(4))
+    assert(r1.getDouble(3) <= r1.getDouble(2) &&
+      r1.getDouble(2) <= r1.getDouble(4))
+  }
+
   test("packingReport: hand-counted budget arithmetic at maxLen 4") {
     import spark.implicits._
     val docs = Seq(("s1", "a b c d e f"), ("s1", "a b"))

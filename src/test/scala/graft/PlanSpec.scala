@@ -250,8 +250,11 @@ class PlanSpec extends SparkSpec {
                                 // dense grid + ONE-row totals
       "q294_kendall_tau",       // bounded dense-grid crossjoin + margin
                                 // histogram self-join + ONE-row scalars
-      "q295_winsorized")        // pct-literal broadcast over the per-source
+      "q295_winsorized",        // pct-literal broadcast over the per-source
                                 // histogram (the q159 pattern)
+      "q299_cuped",             // ONE-row pooled power-sum frame, broadcast
+      "q301_word_vectors")      // ONE-row cooc total inside the PPMI chain,
+                                // broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

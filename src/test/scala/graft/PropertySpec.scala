@@ -529,6 +529,94 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("kendallTau: the grid prefix-sum closed form equals brute-force " +
+      "pair counting with tie correction on random tied samples") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 6L))
+      ys <- Gen.listOfN(n, Gen.chooseNum(0L, 6L))
+    } yield xs.zip(ys)
+    checkN("kendall-brute", 12, Prop.forAll(gen) { pairs =>
+      val got = Eval.kendallTau(pairs.toDF("x", "y"), "x", "y")
+        .collect()(0).getDouble(1)
+      var cc = 0L; var dd = 0L
+      for (i <- pairs.indices; j <- 0 until i) {
+        val sx = math.signum((pairs(i)._1 - pairs(j)._1).toDouble)
+        val sy = math.signum((pairs(i)._2 - pairs(j)._2).toDouble)
+        if (sx * sy > 0) cc += 1 else if (sx * sy < 0) dd += 1
+      }
+      val n = pairs.length.toLong
+      def ties(vs: Seq[Long]) =
+        vs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val da = n * (n - 1) - ties(pairs.map(_._1))
+      val db = n * (n - 1) - ties(pairs.map(_._2))
+      val want =
+        if (da > 0 && db > 0)
+          BigDecimal(2.0 * (cc - dd) / math.sqrt(da.toDouble * db.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      math.abs(got - want) < 2e-6
+    })
+  }
+
+  test("ksStat: equals the plain-Scala two-sample sup-gap on random " +
+      "integer samples") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val gen = for {
+      na <- Gen.chooseNum(1, 30); nb <- Gen.chooseNum(1, 30)
+      as <- Gen.listOfN(na, Gen.chooseNum(0, 9))
+      bs <- Gen.listOfN(nb, Gen.chooseNum(0, 9))
+    } yield (as.map(_.toDouble), bs.map(_.toDouble))
+    checkN("ks-reference", 12, Prop.forAll(gen) { case (as, bs) =>
+      val got = Eval.ksStat(as.toDF("v"), bs.toDF("v"), "v")
+        .collect()(0).getDouble(2)
+      val vals = (as ++ bs).distinct.sorted
+      val want = vals.map { v =>
+        math.abs(as.count(_ <= v).toDouble / as.size -
+          bs.count(_ <= v).toDouble / bs.size)
+      }.max
+      math.abs(got - want) < 2e-6
+    })
+  }
+
+  test("quantileNormalize: per-source mapping is monotone, covers every " +
+      "(source, v), and preserves per-source counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Pipeline
+    val gen = for {
+      n <- Gen.chooseNum(2, 60)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("s1", "s2", "s3")
+        v <- Gen.chooseNum(0L, 12L)
+      } yield (s, v))
+    } yield rows
+    checkN("qnorm-invariants", 10, Prop.forAll(gen) { rows =>
+      val got = Pipeline.quantileNormalize(rows.toDF("source", "v"),
+          "source", col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val bySrc = got.groupBy(_._1)
+      val inKeys = rows.groupBy(identity).map { case ((s, v), g) =>
+        (s, v) -> g.size.toLong }
+      // coverage + counts
+      val covers = inKeys.forall { case ((s, v), c) =>
+        got.exists(r => r._1 == s && r._2 == v && r._4 == c) } &&
+        got.length == inKeys.size
+      // monotone: higher v never maps below a lower v's image
+      val mono = bySrc.values.forall { rs =>
+        rs.toSeq.sortBy(_._2).sliding(2).forall {
+          case Seq(a, b) => a._3 <= b._3
+          case _ => true
+        }
+      }
+      covers && mono
+    })
+  }
+
   test("video codec: synthAviGray → decodeVideo is exact for random " +
       "frame counts, dims, and gray sequences") {
     import graft.operators.Multimodal

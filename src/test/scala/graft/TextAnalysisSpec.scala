@@ -51,6 +51,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "fr", "und"))
   }
 
+  test("wordVectors: block-diagonal PPMI separates the two topic clusters " +
+      "into disjoint dims; fit is deterministic") {
+    // two disjoint co-occurrence blocks: {a,b} and {c,d} never meet, so
+    // each eigen dim's support is exactly one block
+    val docs = ((1 to 6).map(i => (i.toLong, "a b")) ++
+      (7 to 10).map(i => (i.toLong, "c d"))).toDF("doc_id", "text")
+    val m1 = TextAnalysis.wordVectorsFit(docs, v = 4, k = 2)
+    val m2 = TextAnalysis.wordVectorsFit(docs, v = 4, k = 2)
+    assert(m1.toks.toSeq === m2.toks.toSeq)
+    assert(m1.scaled.map(_.toSeq).toSeq === m2.scaled.map(_.toSeq).toSeq)
+    val vecs = TextAnalysis.wordVectors(docs, m1, v = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(vecs.size === 8) // 4 tokens × 2 dims
+    for (j <- 0 until 2) {
+      val support = Seq("a", "b", "c", "d")
+        .filter(t => math.abs(vecs((t, j))) > 1e-3).toSet
+      assert(support === Set("a", "b") || support === Set("c", "d"),
+        s"dim $j support $support")
+    }
+    // both blocks carry a dim (the two positive eigenvalues)
+    val supports = (0 until 2).map(j => Seq("a", "b", "c", "d")
+      .filter(t => math.abs(vecs((t, j))) > 1e-3).toSet).toSet
+    assert(supports === Set(Set("a", "b"), Set("c", "d")))
+  }
+
   test("sourceKl: identical token distributions → 0; mirrored skew → " +
       "equal positive divergences matching a plain-Scala reference") {
     // identical: every source's smoothed LM equals the pooled LM exactly
