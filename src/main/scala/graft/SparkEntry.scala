@@ -2313,7 +2313,7 @@ object SparkEntry {
     // by the fitted eigenbasis (inlined literals; dynamic oracle)
     "q301_word_vectors" -> ((s, d) =>
       ordered(TextAnalysis.wordVectors(
-        Tables.documents(s, d), wvModel(s, d), WvVocab)))
+        Tables.documents(s, d), wvModel(s, d))))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -8172,27 +8172,22 @@ object SparkEntry {
          |      FROM daily a JOIN daily b ON b.event_type = a.event_type
          |        AND b.i <= a.i
          |      GROUP BY 1, 2),
-         |e1 AS (SELECT a.event_type, a.day,
-         |        sum(round(CASE WHEN b.i = 0 THEN power($om, a.i - 1)
-         |              ELSE $al * power($om, a.i - 1 - b.i) END * b.x,
-         |            8)::DECIMAL(38,8)) AS e
-         |      FROM daily a JOIN daily b ON b.event_type = a.event_type
-         |        AND b.i <= a.i - 1
-         |      GROUP BY 1, 2),
          |sig AS (SELECT event_type,
          |        sqrt(greatest(sum(x::HUGEINT * x)::DOUBLE / count(*)
          |          - (sum(x)::DOUBLE / count(*)) * (sum(x)::DOUBLE / count(*)),
          |          0.0)) AS sig
-         |      FROM daily GROUP BY 1)
-         |SELECT d.event_type, d.day, d.x,
-         |  round(e0.e::DOUBLE, 6) AS ewma,
-         |  round(d.x - coalesce(e1.e::DOUBLE, d.x::DOUBLE), 6) AS resid,
-         |  abs(d.x - coalesce(e1.e::DOUBLE, d.x::DOUBLE)) > $band * sig.sig
+         |      FROM daily GROUP BY 1),
+         |ew AS (SELECT d.event_type, d.day, d.x, e0.e::DOUBLE AS e,
+         |        lag(e0.e::DOUBLE) OVER (
+         |          PARTITION BY d.event_type ORDER BY d.day) AS ep
+         |      FROM daily d
+         |      JOIN e0 ON e0.event_type = d.event_type AND e0.day = d.day)
+         |SELECT ew.event_type, ew.day, ew.x,
+         |  round(ew.e, 6) AS ewma,
+         |  round(ew.x - coalesce(ew.ep, ew.x::DOUBLE), 6) AS resid,
+         |  abs(ew.x - coalesce(ew.ep, ew.x::DOUBLE)) > $band * sig.sig
          |    AS alarm
-         |FROM daily d
-         |JOIN e0 ON e0.event_type = d.event_type AND e0.day = d.day
-         |LEFT JOIN e1 ON e1.event_type = d.event_type AND e1.day = d.day
-         |JOIN sig ON sig.event_type = d.event_type
+         |FROM ew JOIN sig ON sig.event_type = ew.event_type
          |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
     }
   )

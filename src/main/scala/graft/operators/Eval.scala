@@ -873,9 +873,13 @@ object Eval {
       .where(col("_x").isNotNull)
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_x").cast(dec)).as("_sx"))
-    reps.groupBy(col("_g"))
-      .agg(sort_array(collect_list(col("_m"))).as("_ms"))
-      .join(base, Seq("_g"))
+    // base LEFT JOIN the replicate means: a group whose every replicate
+    // degenerated to zero weight still reports its n/mean, with NULL CI
+    // bounds (element_at on a NULL array) — never a silently dropped row
+    base.join(
+        reps.groupBy(col("_g"))
+          .agg(sort_array(collect_list(col("_m"))).as("_ms")),
+        Seq("_g"), "left")
       .select(col("_g").as(groupCol), col("n"),
         round(col("_sx").cast("double") / col("n") / scale, 6).as("mean"),
         element_at(col("_ms"), least(lit(loIdx), size(col("_ms"))))
@@ -906,10 +910,14 @@ object Eval {
     val dec = "decimal(38,0)"
     def dx = col(xCol).cast(dec)
     def dy = col(yCol).cast(dec)
-    val g = units.groupBy(col(variantCol).as("variant")).agg(
+    // a unit with a NULL metric is not an observation (the kendallTau
+    // convention): count(*) would keep it while the sums skip it, silently
+    // desynchronizing every mean/variance denominator
+    val obs = units.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val g = obs.groupBy(col(variantCol).as("variant")).agg(
       count(lit(1)).cast(dec).as("n"),
       sum(dx).as("sx"), sum(dy).as("sy"))
-    val tot = units.agg(
+    val tot = obs.agg(
       count(lit(1)).cast(dec).as("tn"),
       sum(dx).as("tsx"), sum(dy).as("tsy"),
       sum(dx * dx).as("tsxx"), sum(dy * dy).as("tsyy"),

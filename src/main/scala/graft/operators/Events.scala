@@ -506,34 +506,24 @@ object Events {
   def ewmaDaily(events: DataFrame, alpha: Double = 0.3,
       bandFactor: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val obs = events
-      .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("x"))
-    val span = obs.groupBy(col("event_type"))
-      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val daily = span
-      .select(col("event_type"),
-        explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
-          .as("day"))
-      .join(obs, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("x"), lit(0L)).as("x"))
+    val daily = densifiedDaily(events)
       .withColumn("_i", row_number().over(w) - 1)
       .localCheckpoint(eager = false)
     // E at index i: Σ_{j≤i} weight(i, j)·x_j with weight(i, 0) = (1−α)^i
-    // and weight(i, j≥1) = α·(1−α)^(i−j); terms 8dp-DECIMAL-folded
-    def ewmaAt(shift: Int, out: String): DataFrame = daily.as("a")
+    // and weight(i, j≥1) = α·(1−α)^(i−j); terms 8dp-DECIMAL-folded.
+    // E_{t−1} is NOT a second O(T²) fold: term-for-term it IS E at t−1
+    // (same weights, same rounding pedigree), so it reads as lag(E) below
+    def ewmaAt(out: String): DataFrame = daily.as("a")
       .join(daily.select(col("event_type"), col("_i").as("_j"),
         col("x").as("_xj")).as("b"),
         col("a.event_type") === col("b.event_type") &&
-          col("_j") <= col("a._i") - shift)
+          col("_j") <= col("a._i"))
       .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
         round(when(col("_j") === 0,
-            pow(lit(1.0 - alpha), col("a._i") - shift))
+            pow(lit(1.0 - alpha), col("a._i")))
           .otherwise(lit(alpha) *
-            pow(lit(1.0 - alpha), col("a._i") - shift - col("_j"))) *
+            pow(lit(1.0 - alpha), col("a._i") - col("_j"))) *
           col("_xj"), 8).cast(DecimalType(38, 8)).as("_t"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("_t")).cast("double").as(out))
@@ -547,8 +537,8 @@ object Events {
             (col("_sx").cast("double") / col("_n")) *
             (col("_sx").cast("double") / col("_n")), lit(0.0))).as("_sig"))
     daily.select(col("event_type"), col("day"), col("x"))
-      .join(ewmaAt(0, "_e"), Seq("event_type", "day"))
-      .join(ewmaAt(1, "_ep"), Seq("event_type", "day"), "left")
+      .join(ewmaAt("_e"), Seq("event_type", "day"))
+      .withColumn("_ep", lag(col("_e"), 1).over(w))
       .join(broadcast(sig), Seq("event_type"))
       .select(col("event_type"), col("day"), col("x"),
         round(col("_e"), 6).as("ewma"),
@@ -558,24 +548,30 @@ object Events {
           lit(bandFactor) * col("_sig")).as("alarm"))
   }
 
-  def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {
+  /** Calendar-densified daily counts `(event_type, day, x)` — shared by
+    * the drift charts ([[cusumDaily]], [[ewmaDaily]]): a zero-event day
+    * MUST feed both recurrences as x = 0 (an outage decays the statistic
+    * / the baseline), else they freeze across gaps. One definition so the
+    * two charts' calendars can never diverge.
+    */
+  private def densifiedDaily(events: DataFrame): DataFrame = {
     val obs = events
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
-    // densify to the type's full calendar span: a zero-event day MUST
-    // feed the recurrence as x = 0 − k (an outage decays the statistic
-    // and counts against the mean), else the CUSUM freezes across gaps
     val span = obs.groupBy(col("event_type"))
       .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
-    val daily = span
+    span
       .select(col("event_type"),
         explode(sequence(col("_d0"), col("_d1"), expr("interval 1 day")))
           .as("day"))
       .join(obs, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("x"), lit(0L)).as("x"))
-      .localCheckpoint(eager = false)
+  }
+
+  def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {
+    val daily = densifiedDaily(events).localCheckpoint(eager = false)
     val ref = daily.groupBy(col("event_type"))
       .agg(expr("sum(x) div count(1)").as("k"))
     val withK = daily.join(broadcast(ref), Seq("event_type"))

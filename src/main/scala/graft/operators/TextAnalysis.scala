@@ -583,7 +583,8 @@ object TextAnalysis {
   /** `scaled(j)(c)` = `u_j(toks(c)) / √λ_j` — the literal factors the
     * embedding fold and the dynamic oracle both consume.
     */
-  final case class WvModel(toks: Array[String], scaled: Array[Array[Double]])
+  final case class WvModel(v: Int, toks: Array[String],
+      scaled: Array[Array[Double]])
 
   /** The symmetric PPMI frame `(w1, w2, p)` over the top-`v` vocabulary —
     * the mirrored expression both [[wordVectorsFit]] (collect) and
@@ -600,7 +601,7 @@ object TextAnalysis {
       .join(broadcast(vtok.select(col("token").as("w1"))), Seq("w1"))
       .join(broadcast(vtok.select(col("token").as("w2"))), Seq("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val rowm = cooc.groupBy(col("w1")).agg(sum(col("c")).as("nw"))
     val tot = cooc.agg(sum(col("c")).as("nn"))
     cooc.join(rowm, Seq("w1"))
@@ -623,6 +624,9 @@ object TextAnalysis {
     val idx = toks.zipWithIndex.toMap
     val m = Array.ofDim[Double](toks.length, toks.length)
     rows.foreach { case (a, b, p) => m(idx(a))(idx(b)) = p }
+    require(toks.length >= k,
+      s"wordVectors: only ${toks.length} co-occurring vocabulary tokens " +
+        s"for k=$k dims (corpus too small)")
     val (vals, vecsM) = graft.functions.PCA.jacobiEigen(m)
     val order = vals.indices.sortBy(i => -vals(i)).take(k)
     require(order.forall(vals(_) > 0),
@@ -633,10 +637,15 @@ object TextAnalysis {
       val s = (if (u(mx) < 0) -1.0 else 1.0) / math.sqrt(vals(ei))
       u.map(_ * s)
     }.toArray
-    WvModel(toks, scaled)
+    WvModel(v, toks, scaled)
   }
 
-  def wordVectors(docs: DataFrame, model: WvModel, v: Int = 48,
+  /** The embedding fold over [[ppmiFrame]] — the vocabulary size rides on
+    * the model (a mismatched v would rebuild co-occurrence over a
+    * DIFFERENT vocabulary than the one the basis was fitted on and
+    * silently produce values from a mismatched factorization).
+    */
+  def wordVectors(docs: DataFrame, model: WvModel,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val spark = docs.sparkSession
@@ -644,7 +653,7 @@ object TextAnalysis {
     val basis = model.toks.zipWithIndex.map { case (t, c) =>
       (t, model.scaled.map(_(c)).toSeq)
     }.toSeq.toDF("_ct", "_us")
-    ppmiFrame(docs, v, textCol)
+    ppmiFrame(docs, model.v, textCol)
       .join(broadcast(basis), col("w2") === col("_ct"))
       .select(col("w1"), col("p"),
         posexplode(col("_us")).as(Seq("dim", "_u")))

@@ -61,7 +61,7 @@ class TextAnalysisSpec extends SparkSpec {
     val m2 = TextAnalysis.wordVectorsFit(docs, v = 4, k = 2)
     assert(m1.toks.toSeq === m2.toks.toSeq)
     assert(m1.scaled.map(_.toSeq).toSeq === m2.scaled.map(_.toSeq).toSeq)
-    val vecs = TextAnalysis.wordVectors(docs, m1, v = 4).collect()
+    val vecs = TextAnalysis.wordVectors(docs, m1).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(vecs.size === 8) // 4 tokens × 2 dims
     for (j <- 0 until 2) {
