@@ -2313,7 +2313,22 @@ object SparkEntry {
     // by the fitted eigenbasis (inlined literals; dynamic oracle)
     "q301_word_vectors" -> ((s, d) =>
       ordered(TextAnalysis.wordVectors(
-        Tables.documents(s, d), wvModel(s, d))))
+        Tables.documents(s, d), wvModel(s, d)))),
+    // Neyman-optimal eval-sample allocation across sources: shares ∝ N·σ
+    // of the quality score (1e-4 units), largest-remainder rounding
+    "q302_neyman_alloc" -> ((s, d) =>
+      ordered(Pipeline.neymanAllocate(Tables.documents(s, d), "source",
+        round(TextAnalysis.qualityRaw(col("text")) * 10000), NeymanBudget))),
+    // isotonic (PAV) calibration of the quality score against the q97
+    // rule-gate verdict — fitted blocks inlined (dynamic oracle)
+    "q303_isotonic" -> ((s, d) =>
+      ordered(graft.operators.Eval.isotonicCalibrate(
+        isoScored(s, d), isoModel(s, d)))),
+    // Nelson–Aalen cumulative hazard on q265's risk sets — the additive
+    // companion whose slope reads conversion pressure
+    "q304_nelson_aalen" -> ((s, d) =>
+      ordered(graft.operators.Events.nelsonAalen(
+        Tables.events(s, d), resolutionSec = KmResolutionSec)))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -2477,6 +2492,31 @@ object SparkEntry {
   // q301: PPMI word-vector vocabulary and embedding dims
   private val WvVocab = 48
   private val WvK = 4
+
+  // q302: eval-set sampling budget for the Neyman allocation
+  private val NeymanBudget = 500L
+
+  /** q303: the (score, keep) frame the isotonic calibration fits and
+    * applies on — quality in exact 1e-2 units vs the q97 rule-gate verdict.
+    */
+  private def isoScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"),
+        round(TextAnalysis.qualityRaw(col("text")) * 100).cast("long")
+          .as("score"))
+      .join(TextAnalysis.ruleFilter(docs).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .select(col("score"), col("keep"))
+  }
+
+  private val isoModelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[graft.operators.Eval.IsoBlock]]
+
+  private def isoModel(s: SparkSession,
+      d: String): Seq[graft.operators.Eval.IsoBlock] =
+    isoModelCache.getOrElseUpdate((s, d),
+      graft.operators.Eval.isotonicFit(isoScored(s, d)))
 
   private val wvModelCache =
     scala.collection.concurrent.TrieMap
@@ -3494,7 +3534,8 @@ object SparkEntry {
     * replay sees a complete map.
     */
   def dynamicOracleNames: Set[String] =
-    Set("q217_pca_project", "q297_pca_whiten", "q301_word_vectors")
+    Set("q217_pca_project", "q297_pca_whiten", "q301_word_vectors",
+      "q303_isotonic")
 
   /** Shortest round-trip double literal: DuckDB's (correctly-rounded)
     * strtod parse of `Double.toString`'s shortest repr recovers the EXACT
@@ -3542,6 +3583,42 @@ object SparkEntry {
          |$branches
          |ORDER BY vec_id, dim, value""".stripMargin
     },
+    // q303: the (score, keep) histogram replayed in SQL (q97's rule-gate
+    // columns + the 1e-2-unit score) against the PAV blocks as VALUES —
+    // the fit is outside SQL, the block stats and the rate divide are
+    // fully checked
+    "q303_isotonic" -> {
+      val blocks = isoModel(s, d)
+      val vals = blocks
+        .map(b => s"(${b.lo}, ${b.hi}, ${b.n}, ${b.pos})").mkString(", ")
+      val qre = TextAnalysis.Sql.qualityRawExpr
+      val toks = TextAnalysis.Sql.toks("text")
+      val stop = TextAnalysis.Sql.hitCount("toks", TextAnalysis.Stopwords.head._2)
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents
+         |      WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id,
+         |        len(toks)::BIGINT AS n_tokens,
+         |        round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+         |              / greatest(len(toks), 1)::DOUBLE, 4) AS mean_word_len,
+         |        round(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+         |              / greatest(len(toks), 1)::DOUBLE, 4) AS alpha_ratio,
+         |        $stop::BIGINT AS stop_hits,
+         |        CAST(round(($qre) * 100) AS BIGINT) AS score
+         |      FROM t),
+         |sc AS (SELECT score,
+         |        ((n_tokens >= 10 AND n_tokens <= 10000)
+         |         AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+         |         AND (alpha_ratio >= 0.7) AND (stop_hits >= 2)) AS keep
+         |      FROM m),
+         |hh AS (SELECT score, count(*) AS n,
+         |        sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_pos
+         |      FROM sc GROUP BY 1),
+         |blocks(lo, hi, bn, bp) AS (VALUES $vals)
+         |SELECT hh.score, hh.n, hh.n_pos,
+         |  round(blocks.bp::DOUBLE / blocks.bn, 6) AS rate
+         |FROM hh JOIN blocks ON hh.score >= blocks.lo AND hh.score <= blocks.hi
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     // q301: the PPMI chain replayed in SQL (co-occurrence, margins, the
     // greatest(ln ·, 0) expression) against the fitted scaled basis
     // u_j(c)/sqrt(lambda_j) inlined as VALUES literals
@@ -3579,6 +3656,34 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY 1, 2, 3""".stripMargin
     })
+
+  /** The shared survival-staging CTE chain of the q265/q304 oracles —
+    * bucketed durations, the (t, d, c) histogram, and at-risk counts `r`
+    * (mirrors `Events.survivalRisk` stage for stage).
+    */
+  private lazy val kmRiskCtes: String =
+    s"""hz AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS h FROM events),
+       |su AS (SELECT user_id, min(ts) AS su FROM events
+       |       WHERE event_type = 'signup' GROUP BY 1),
+       |cv AS (SELECT e.user_id,
+       |        min(CAST(floor(epoch(e.ts)) AS BIGINT)
+       |            - CAST(floor(epoch(su)) AS BIGINT)) AS dobs
+       |      FROM events e JOIN su USING (user_id)
+       |      WHERE e.event_type = 'purchase' AND e.ts >= su GROUP BY 1),
+       |dur AS (SELECT
+       |        (coalesce(cv.dobs,
+       |           hz.h - CAST(floor(epoch(su.su)) AS BIGINT))
+       |         // $KmResolutionSec) * $KmResolutionSec AS t,
+       |        cv.dobs IS NOT NULL AS obs
+       |      FROM su LEFT JOIN cv USING (user_id) CROSS JOIN hz),
+       |h AS (SELECT t, sum(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d,
+       |        sum(CASE WHEN obs THEN 0 ELSE 1 END)::BIGINT AS c
+       |      FROM dur GROUP BY 1),
+       |n0 AS (SELECT sum(d + c)::BIGINT AS n0 FROM h),
+       |r AS (SELECT a.t, a.d, a.c,
+       |        n0.n0 - coalesce(sum(b.d + b.c), 0)::BIGINT AS n_risk
+       |      FROM h a LEFT JOIN h b ON b.t < a.t CROSS JOIN n0
+       |      GROUP BY a.t, a.d, a.c, n0.n0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_knn_l2" -> knnOracle("l2sq"),
@@ -4455,28 +4560,7 @@ object SparkEntry {
     // product-limit survival unrolled on the bounded time-bucket frame;
     // log-space DECIMAL prefix sums, d = n_risk zeroes via the flag
     "q265_kaplan_meier" ->
-      s"""WITH hz AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS h FROM events),
-         |su AS (SELECT user_id, min(ts) AS su FROM events
-         |       WHERE event_type = 'signup' GROUP BY 1),
-         |cv AS (SELECT e.user_id,
-         |        min(CAST(floor(epoch(e.ts)) AS BIGINT)
-         |            - CAST(floor(epoch(su)) AS BIGINT)) AS dobs
-         |      FROM events e JOIN su USING (user_id)
-         |      WHERE e.event_type = 'purchase' AND e.ts >= su GROUP BY 1),
-         |dur AS (SELECT
-         |        (coalesce(cv.dobs,
-         |           hz.h - CAST(floor(epoch(su.su)) AS BIGINT))
-         |         // $KmResolutionSec) * $KmResolutionSec AS t,
-         |        cv.dobs IS NOT NULL AS obs
-         |      FROM su LEFT JOIN cv USING (user_id) CROSS JOIN hz),
-         |h AS (SELECT t, sum(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d,
-         |        sum(CASE WHEN obs THEN 0 ELSE 1 END)::BIGINT AS c
-         |      FROM dur GROUP BY 1),
-         |n0 AS (SELECT sum(d + c)::BIGINT AS n0 FROM h),
-         |r AS (SELECT a.t, a.d, a.c,
-         |        n0.n0 - coalesce(sum(b.d + b.c), 0)::BIGINT AS n_risk
-         |      FROM h a LEFT JOIN h b ON b.t < a.t CROSS JOIN n0
-         |      GROUP BY a.t, a.d, a.c, n0.n0),
+      s"""WITH $kmRiskCtes,
          |terms AS (SELECT t, d, c, n_risk,
          |        CASE WHEN d = n_risk THEN NULL
          |             ELSE round(ln(1.0 - d::DOUBLE / n_risk),
@@ -8189,7 +8273,55 @@ object SparkEntry {
          |    AS alarm
          |FROM ew JOIN sig ON sig.event_type = ew.event_type
          |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
-    }
+    },
+    // Neyman shares ∝ N·σ over exact power sums; largest-remainder via
+    // the bounded-frame rank self-join; single-pass population clamp
+    "q302_neyman_alloc" -> {
+      val qre = TextAnalysis.Sql.qualityRawExpr
+      s"""WITH s AS (SELECT source AS g,
+         |        CAST(round(($qre) * 10000) AS BIGINT) AS x FROM documents
+         |      WHERE text IS NOT NULL),
+         |per AS MATERIALIZED (SELECT g, count(*) AS n,
+         |        sqrt(greatest(sum(x::HUGEINT * x)::DOUBLE / count(*)
+         |          - (sum(x)::DOUBLE / count(*)) * (sum(x)::DOUBLE / count(*)),
+         |          0.0)) AS sig
+         |      FROM s GROUP BY 1),
+         |pw AS MATERIALIZED (SELECT g, n, sig,
+         |        round(n * sig, 8)::DECIMAL(38,8) AS w FROM per),
+         |tw AS (SELECT sum(w) AS tw FROM pw),
+         |q AS (SELECT g, n, sig,
+         |        CASE WHEN tw.tw > 0
+         |          THEN $NeymanBudget * w::DOUBLE / tw.tw::DOUBLE
+         |          ELSE 0.0 END AS q
+         |      FROM pw CROSS JOIN tw),
+         |qb AS MATERIALIZED (SELECT g, n, sig, q,
+         |        CAST(floor(q) AS BIGINT) AS base,
+         |        q - CAST(floor(q) AS BIGINT) AS rem FROM q),
+         |used AS (SELECT sum(base)::BIGINT AS used FROM qb),
+         |rk AS (SELECT a.g, count(b.g) + 1 AS rank
+         |      FROM qb a LEFT JOIN qb b
+         |        ON b.rem > a.rem OR (b.rem = a.rem AND b.g < a.g)
+         |      GROUP BY 1),
+         |raw AS (SELECT qb.g, qb.n, qb.sig,
+         |        qb.base + CASE WHEN rk.rank <= $NeymanBudget - used.used
+         |              AND qb.rem > 0.0 THEN 1 ELSE 0 END AS raw
+         |      FROM qb JOIN rk USING (g) CROSS JOIN used)
+         |SELECT g AS source, n AS n_pop, round(sig, 6) AS sigma,
+         |  least(raw, n) AS alloc, raw > n AS capped
+         |FROM raw
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+    },
+    // the q265 risk sets + the additive hazard fold (every risk row
+    // emits, censor-only times carry the running hazard forward)
+    "q304_nelson_aalen" ->
+      s"""WITH $kmRiskCtes,
+         |terms AS (SELECT t, round(d::DOUBLE / n_risk, 8)::DECIMAL(38,8) AS hh
+         |      FROM r WHERE d > 0)
+         |SELECT a.t AS t_sec, a.n_risk, a.d AS n_events, a.c AS n_censored,
+         |  round(coalesce(sum(b.hh)::DOUBLE, 0.0), 6) AS cum_hazard
+         |FROM r a LEFT JOIN terms b ON b.t <= a.t
+         |GROUP BY a.t, a.n_risk, a.d, a.c
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

@@ -825,6 +825,80 @@ object Eval {
       na, nb)
   }
 
+  /** One pooled block of the isotonic (PAV) fit: scores in `[lo, hi]`
+    * share the calibrated rate `pos/n`.
+    */
+  final case class IsoBlock(lo: Long, hi: Long, n: Long, pos: Long)
+
+  /** Isotonic regression (pool-adjacent-violators) of a boolean outcome
+    * against an integer-unit score — the shape-free upgrade of
+    * [[calibration]]'s fixed bins: PAV finds the best monotone step
+    * function, so the calibrated rate is non-decreasing in the score by
+    * construction (the property a threshold picker actually needs).
+    * Fits driver-side on the collected (score, n, pos) histogram
+    * (bounded by the score-resolution contract, the k-means/PCA
+    * bounded-driver adjudication); all pooling comparisons cross-multiply
+    * exact counts in BigInt, so the fit is engine- and order-exact.
+    */
+  def isotonicFit(scored: DataFrame, scoreCol: String = "score",
+      labelCol: String = "keep"): Seq[IsoBlock] = {
+    val hist = scored.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(hist.nonEmpty, "isotonicFit: empty input")
+    val stack = scala.collection.mutable.ArrayBuffer.empty[IsoBlock]
+    hist.foreach { case (s0, n0, p0) =>
+      var b = IsoBlock(s0, s0, n0, p0)
+      while (stack.nonEmpty &&
+          BigInt(stack.last.pos) * b.n >= BigInt(b.pos) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        b = IsoBlock(prev.lo, b.hi, prev.n + b.n, prev.pos + b.pos)
+      }
+      stack += b
+    }
+    // extend each block's hi to the next block's lo − 1 so the blocks
+    // PARTITION the trained score range: an unobserved score between two
+    // trained scores takes the lower block's rate (right-continuous step),
+    // never falls through a range-join gap
+    val raw = stack.toSeq
+    raw.zipWithIndex.map { case (b, i) =>
+      if (i + 1 < raw.length) b.copy(hi = raw(i + 1).lo - 1) else b
+    }
+  }
+
+  /** Apply a fitted [[isotonicFit]] model: the per-distinct-score outcome
+    * histogram joined to the broadcast-literal block table — output
+    * `(score, n, n_pos, rate)` with `rate` monotone in `score`. The whole
+    * chain is dynamic-oracle-checkable (the q217 contract: the PAV fit is
+    * outside SQL, the blocks are literals, the stats and the rate divide
+    * are mirrored).
+    */
+  def isotonicCalibrate(scored: DataFrame, blocks: Seq[IsoBlock],
+      scoreCol: String = "score", labelCol: String = "keep"): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val bdf = blocks.map(b => (b.lo, b.hi, b.n, b.pos))
+      .toDF("_lo", "_hi", "_bn", "_bp")
+    // out-of-sample scores clamp to the nearest fitted block (the standard
+    // isotonic extrapolation: constant beyond the training range) — an
+    // inner join on the raw score would silently DROP them
+    val minLo = blocks.map(_.lo).min
+    val maxHi = blocks.map(_.hi).max
+    scored.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("_sc",
+        greatest(least(col("score"), lit(maxHi)), lit(minLo)))
+      .join(broadcast(bdf),
+        col("_sc") >= col("_lo") && col("_sc") <= col("_hi"))
+      .select(col("score"), col("n"), col("n_pos"),
+        round(col("_bp").cast("double") / col("_bn"), 6).as("rate"))
+  }
+
   /** Deterministic bootstrap confidence interval on a per-group mean —
     * the error bars for the corpus quality dashboard ([[jackknifeMean]]
     * reads leave-one-GROUP-out sensitivity; this reads within-group

@@ -385,33 +385,17 @@ object Events {
       .groupBy(col("pct")).agg(min(col("v")).as("delay_sec"))
   }
 
-  /** Kaplan–Meier survival curve of `fromType → toType` conversion with
-    * administrative right-censoring at the stream's last timestamp — the
-    * estimator [[timeToConvert]] cannot replace once non-converters exist
-    * (dropping them biases every percentile optimistic). Per subject
-    * (first `fromType` per user): duration = seconds to first subsequent
-    * `toType` (observed) or to the global max ts (censored), floored to
-    * `resolutionSec` buckets. Output one row per observed-event time:
-    * `(t_sec, n_risk, n_events, n_censored, survival)` with the standard
-    * product-limit `S(t_i) = Π_{j≤i} (1 − d_j/n_j)` and the ties
-    * convention "events before censorings at the same time".
-    *
-    * Determinism contract: each factor's `ln(1 − d/n)` is one double over
-    * exact longs, rounded 8dp → DECIMAL(38,8); the prefix sum runs on the
-    * BOUNDED time-bucket histogram, so `S = exp(Σ)` is engine-exact. A
-    * bucket that exhausts the risk set (d = n) zeroes survival from there
-    * on via an explicit flag — never `ln(0)`.
-    *
-    * Scale shape: two keyed aggs build per-user durations; ONE hash agg
-    * collapses them to the time histogram (≤ horizon/resolution rows —
-    * bounded by contract); the at-risk and product prefixes are
-    * self-joins on that bounded frame. No per-user windows, no collects.
+  /** The shared survival staging of [[kaplanMeier]] and [[nelsonAalen]]:
+    * bucketed durations → the bounded (t, d, c) event/censor histogram →
+    * at-risk counts `(t, d, c, n_risk)` via the strictly-before margin
+    * self-join. One definition so the two estimators can never disagree
+    * on risk sets.
     */
-  def kaplanMeier(
+  private def survivalRisk(
       events: DataFrame,
-      fromType: String = "signup",
-      toType: String = "purchase",
-      resolutionSec: Long = 3600L): DataFrame = {
+      fromType: String,
+      toType: String,
+      resolutionSec: Long): DataFrame = {
     require(resolutionSec > 0)
     val horizon = events.agg(max(col("ts")).as("_hz"))
     val su = events.where(col("event_type") === fromType)
@@ -444,6 +428,37 @@ object Events {
       .select(col("t"), col("d"), col("c"),
         (col("_n0") - col("_before")).as("n_risk"))
       .localCheckpoint(eager = false)
+    risk
+  }
+
+  /** Kaplan–Meier survival curve of `fromType → toType` conversion with
+    * administrative right-censoring at the stream's last timestamp — the
+    * estimator [[timeToConvert]] cannot replace once non-converters exist
+    * (dropping them biases every percentile optimistic). Per subject
+    * (first `fromType` per user): duration = seconds to first subsequent
+    * `toType` (observed) or to the global max ts (censored), floored to
+    * `resolutionSec` buckets. Output one row per observed-event time:
+    * `(t_sec, n_risk, n_events, n_censored, survival)` with the standard
+    * product-limit `S(t_i) = Π_{j≤i} (1 − d_j/n_j)` and the ties
+    * convention "events before censorings at the same time".
+    *
+    * Determinism contract: each factor's `ln(1 − d/n)` is one double over
+    * exact longs, rounded 8dp → DECIMAL(38,8); the prefix sum runs on the
+    * BOUNDED time-bucket histogram, so `S = exp(Σ)` is engine-exact. A
+    * bucket that exhausts the risk set (d = n) zeroes survival from there
+    * on via an explicit flag — never `ln(0)`.
+    *
+    * Scale shape: two keyed aggs build per-user durations; ONE hash agg
+    * collapses them to the time histogram (≤ horizon/resolution rows —
+    * bounded by contract); the at-risk and product prefixes are
+    * self-joins on that bounded frame. No per-user windows, no collects.
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase",
+      resolutionSec: Long = 3600L): DataFrame = {
+    val risk = survivalRisk(events, fromType, toType, resolutionSec)
     // product-limit in log space over the bounded event-time frame
     val terms = risk.where(col("d") > 0)
       .select(col("t"), col("d"), col("c"), col("n_risk"),
@@ -568,6 +583,40 @@ object Events {
       .join(obs, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Nelson–Aalen cumulative hazard — the additive companion to
+    * [[kaplanMeier]]'s product-limit on the SAME risk sets
+    * ([[survivalRisk]]): `H(t) = Σ_{tᵢ ≤ t} dᵢ/n_riskᵢ`. Where KM answers
+    * "what fraction survives past t", the cumulative hazard's SLOPE reads
+    * the instantaneous conversion pressure and is the quantity hazard
+    * models (Cox et al.) are fit against. Output
+    * `(t_sec, n_risk, n_events, n_censored, cum_hazard)` at 6dp over the
+    * bounded event-time frame.
+    *
+    * Determinism: each increment `d/n` is one double over exact longs
+    * rounded 8dp → DECIMAL(38,8); the cumulative fold is the ≤ self-join
+    * on the bounded time histogram (the [[cusumDaily]] prefix pattern) —
+    * no windows, no sorts.
+    */
+  def nelsonAalen(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase",
+      resolutionSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val risk = survivalRisk(events, fromType, toType, resolutionSec)
+    val terms = risk.where(col("d") > 0)
+      .select(col("t"),
+        round(col("d").cast("double") / col("n_risk"), 8)
+          .cast(DecimalType(38, 8)).as("_h"))
+    risk
+      .join(broadcast(terms.select(col("t").as("_u"), col("_h"))),
+        col("_u") <= col("t"), "left")
+      .groupBy(col("t"), col("d"), col("c"), col("n_risk"))
+      .agg(coalesce(sum(col("_h")).cast("double"), lit(0.0)).as("_ch"))
+      .select(col("t").as("t_sec"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), round(col("_ch"), 6).as("cum_hazard"))
   }
 
   def cusumDaily(events: DataFrame, alarmMeanDays: Long = 2L): DataFrame = {

@@ -1254,6 +1254,71 @@ object Pipeline {
           .as("std_w"))
   }
 
+  /** Neyman-optimal stratified sampling allocation: each stratum's share
+    * of a total sample `budget` is ∝ N_h·σ_h — the allocation that
+    * minimizes the variance of the stratified mean estimator (a big AND
+    * internally-diverse stratum earns more eval samples than a
+    * big-but-uniform one; proportional allocation ignores σ). The
+    * eval-set-construction companion to [[waterfillAllocate]] (weights
+    * from dispersion instead of externally supplied). Input: rows with a
+    * stratum column and an exact integer-unit score; output
+    * `(stratum, n_pop, sigma, alloc, capped)` with Σ alloc ≤ budget —
+    * largest-remainder rounding, allocations clamp at the stratum
+    * population (single pass; a clamped stratum's unplaced remainder
+    * shows in Σ alloc — feed waterfilling if it must redistribute).
+    *
+    * Determinism: σ from exact integer power sums (Σx, Σx² in
+    * DECIMAL(38)); the weights N_h·σ_h round 8dp → DECIMAL before the
+    * total fold (order-free); the largest-remainder ranks resolve on the
+    * bounded per-stratum frame via a self-join with a
+    * (remainder DESC, stratum ASC) tie order — no windows, no sorts.
+    */
+  def neymanAllocate(df: DataFrame, stratumCol: String,
+      valueUnits: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val per = df.select(col(stratumCol).as("_g"),
+        valueUnits.cast("long").as("_x"))
+      .where(col("_x").isNotNull)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x").cast(d38)).as("_sx"),
+        sum(col("_x").cast(d38) * col("_x")).as("_sxx"))
+      .select(col("_g"), col("_n"),
+        sqrt(greatest(
+          col("_sxx").cast("double") / col("_n") -
+            (col("_sx").cast("double") / col("_n")) *
+            (col("_sx").cast("double") / col("_n")), lit(0.0))).as("_sig"))
+      .withColumn("_w", round(col("_n") * col("_sig"), 8).cast(d8))
+      .localCheckpoint(eager = false)
+    val tot = per.agg(sum(col("_w")).as("_tw"))
+    val quota = per.crossJoin(broadcast(tot))
+      .withColumn("_q", when(col("_tw") > 0,
+          lit(budget) * col("_w").cast("double") / col("_tw").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("_base", floor(col("_q")).cast("long"))
+      .withColumn("_rem", col("_q") - col("_base"))
+      .localCheckpoint(eager = false)
+    val used = quota.agg(sum(col("_base")).as("_used"))
+    // largest-remainder rank on the bounded per-stratum frame
+    val rk = quota.select(col("_g"), col("_rem"))
+      .join(broadcast(quota.select(col("_g").as("_g2"), col("_rem").as("_r2"))),
+        col("_r2") > col("_rem") ||
+          (col("_r2") === col("_rem") && col("_g2") < col("_g")), "left")
+      .groupBy(col("_g")).agg((count(col("_g2")) + 1).as("_rank"))
+    quota.join(rk, Seq("_g")).crossJoin(broadcast(used))
+      // remainder units require a POSITIVE remainder: in the all-degenerate
+      // case (total weight 0) every quota is 0.0 and rem ties at 0 — rank
+      // alone would hand the whole budget out one unit per stratum
+      .withColumn("_raw", col("_base") +
+        when(col("_rank") <= lit(budget) - col("_used") &&
+          col("_rem") > 0.0, 1L).otherwise(0L))
+      .select(col("_g").as(stratumCol), col("_n").as("n_pop"),
+        round(col("_sig"), 6).as("sigma"),
+        least(col("_raw"), col("_n")).as("alloc"),
+        (col("_raw") > col("_n")).as("capped"))
+  }
+
   /** Cross-source quantile normalization: map each source's score
     * distribution onto the POOLED corpus distribution by ECDF matching —
     * `v_norm = min{u : F_pool(u) ≥ F_src(v)}`. This is the calibration

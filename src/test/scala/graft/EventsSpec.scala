@@ -401,6 +401,25 @@ class EventsSpec extends SparkSpec {
       "d = n_risk must zero survival, not ln(0)")
   }
 
+  test("nelsonAalen: hand-checked cumulative hazard on the kaplanMeier " +
+      "fixture; censor-only times carry the hazard forward") {
+    // same risk sets as the KM fixture: t=3600 d=1 n=4 → H = 0.25;
+    // t=7200 d=1 n=3 → H = 0.25 + 1/3; t=10800 censors only → H unchanged
+    val events = ev(Seq(
+      (1L, "2026-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2026-01-01 11:00:00", 1L, "purchase", 1.0),
+      (3L, "2026-01-01 10:00:00", 2L, "signup", 0.0),
+      (4L, "2026-01-01 12:00:00", 2L, "purchase", 1.0),
+      (5L, "2026-01-01 10:00:00", 3L, "signup", 0.0),
+      (6L, "2026-01-01 10:00:00", 4L, "signup", 0.0),
+      (7L, "2026-01-01 13:00:00", 9L, "view", 0.0))) // horizon anchor
+    val got = Events.nelsonAalen(events).orderBy("t_sec")
+      .select("t_sec", "n_risk", "n_events", "n_censored", "cum_hazard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((3600L, 4L, 1L, 0L, 0.25),
+      (7200L, 3L, 1L, 0L, 0.583333), (10800L, 2L, 0L, 2L, 0.583333)))
+  }
+
   test("ewmaDaily: closed form equals the sequential recurrence; gap days " +
       "decay the baseline; the level shift alarms") {
     // one type, daily counts 4,4,10 at alpha 0.5: E = 4, 4, 7;

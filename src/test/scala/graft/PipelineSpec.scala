@@ -851,6 +851,54 @@ class PipelineSpec extends SparkSpec {
     assert(gz.getLong(3) === 0L && !gz.getBoolean(4))
   }
 
+  test("neymanAllocate: zero-variance stratum gets nothing; population " +
+      "clamp flags; largest-remainder tie breaks by stratum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A has spread (sigma 5000), B is constant (sigma 0) → all budget to A
+    val ab = ((1 to 5).map(i => ("A", 0L)) ++ (1 to 5).map(i => ("A", 10000L))
+      ++ (1 to 10).map(i => ("B", 7000L))).toDF("source", "u")
+    val got = Pipeline.neymanAllocate(ab, "source", col("u"), 6L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("A") === ((10L, 5000.0, 6L, false)))
+    assert(got("B") === ((10L, 0.0, 0L, false)))
+    // budget beyond the only eligible population: clamp + flag
+    val gc = Pipeline.neymanAllocate(ab, "source", col("u"), 20L)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(gc("A") === ((10L, true)) && gc("B") === ((0L, false)))
+    // equal weights, budget 3: quotas 1.5/1.5 → remainder tie → the
+    // lexicographically smaller stratum takes the extra unit
+    val eq = (Seq(("A", 0L), ("A", 1000L)) ++ Seq(("B", 0L), ("B", 1000L)))
+      .toDF("source", "u")
+    val ge = Pipeline.neymanAllocate(eq, "source", col("u"), 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ge === Map("A" -> 2L, "B" -> 1L))
+  }
+
+  test("isotonic PAV: violating adjacent rates pool; monotone input stays " +
+      "unpooled; calibrate joins every score to its block") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // score 1: 0/2, score 2: 2/2, score 3: 1/2 → (2,3) violate → pool 3/4
+    val scored = Seq((1L, false), (1L, false), (2L, true), (2L, true),
+      (3L, true), (3L, false)).toDF("score", "keep")
+    val blocks = Eval.isotonicFit(scored)
+    assert(blocks === Seq(Eval.IsoBlock(1L, 1L, 2L, 0L),
+      Eval.IsoBlock(2L, 3L, 4L, 3L)))
+    val cal = Eval.isotonicCalibrate(scored, blocks)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cal(1L) === ((2L, 0L, 0.0)))
+    assert(cal(2L) === ((2L, 2L, 0.75)) && cal(3L) === ((2L, 1L, 0.75)))
+    // already monotone: blocks stay per-score
+    val mono = Seq((1L, false), (1L, true), (2L, true), (2L, true))
+      .toDF("score", "keep")
+    assert(Eval.isotonicFit(mono) === Seq(Eval.IsoBlock(1L, 1L, 2L, 1L),
+      Eval.IsoBlock(2L, 2L, 2L, 2L)))
+  }
+
   test("cuped: a perfectly predictive covariate removes all shared " +
       "variance — hand-computed theta, adjusted means, reduction") {
     import spark.implicits._

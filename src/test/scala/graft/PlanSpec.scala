@@ -253,8 +253,13 @@ class PlanSpec extends SparkSpec {
       "q295_winsorized",        // pct-literal broadcast over the per-source
                                 // histogram (the q159 pattern)
       "q299_cuped",             // ONE-row pooled power-sum frame, broadcast
-      "q301_word_vectors")      // ONE-row cooc total inside the PPMI chain,
+      "q301_word_vectors",      // ONE-row cooc total inside the PPMI chain,
                                 // broadcast
+      "q302_neyman_alloc",      // ONE-row weight-total + used scalars and
+                                // the bounded per-stratum rank self-join
+      "q303_isotonic",          // broadcast-literal PAV block range join
+                                // over the bounded score histogram
+      "q304_nelson_aalen")      // q265's bounded time-histogram ≤ self-join
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString
