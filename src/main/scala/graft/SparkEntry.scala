@@ -2328,7 +2328,12 @@ object SparkEntry {
     // companion whose slope reads conversion pressure
     "q304_nelson_aalen" -> ((s, d) =>
       ordered(graft.operators.Events.nelsonAalen(
-        Tables.events(s, d), resolutionSec = KmResolutionSec)))
+        Tables.events(s, d), resolutionSec = KmResolutionSec))),
+    // synonym mining over the q301 vectors: exact cosine self-kNN of the
+    // bounded vocabulary table (shared dynamic-oracle chain)
+    "q305_word_synonyms" -> ((s, d) =>
+      ordered(TextAnalysis.wordSynonyms(
+        Tables.documents(s, d), wvModel(s, d), WvSynK)))
   )
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
@@ -2492,6 +2497,8 @@ object SparkEntry {
   // q301: PPMI word-vector vocabulary and embedding dims
   private val WvVocab = 48
   private val WvK = 4
+  // q305: synonym neighbors per token over the q301 vectors
+  private val WvSynK = 3
 
   // q302: eval-set sampling budget for the Neyman allocation
   private val NeymanBudget = 500L
@@ -3535,7 +3542,7 @@ object SparkEntry {
     */
   def dynamicOracleNames: Set[String] =
     Set("q217_pca_project", "q297_pca_whiten", "q301_word_vectors",
-      "q303_isotonic")
+      "q303_isotonic", "q305_word_synonyms")
 
   /** Shortest round-trip double literal: DuckDB's (correctly-rounded)
     * strtod parse of `Double.toString`'s shortest repr recovers the EXACT
@@ -3554,6 +3561,44 @@ object SparkEntry {
     * component, `round(·, 4)` terminal — as one UNION ALL branch per
     * output dimension.
     */
+  /** The q301/q305 shared dynamic-oracle chain: the PPMI co-occurrence
+    * replay in SQL joined to the fitted scaled basis as VALUES literals,
+    * ending in the per-(token, dim) embedding CTE `emb`.
+    */
+  private def wvChainSql(m: TextAnalysis.WvModel): String = {
+    val toks = TextAnalysis.Sql.toks("text")
+    val basisVals = m.toks.zipWithIndex.flatMap { case (t, c) =>
+      m.scaled.zipWithIndex.map { case (u, j) =>
+        s"('$t', $j, CAST(${dlit(u(c))} AS DOUBLE))" }
+    }.mkString(",\n  ")
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |vc AS MATERIALIZED (SELECT token FROM (
+       |    SELECT unnest($toks) AS token FROM documents)
+       |  GROUP BY token ORDER BY count(*) DESC, token LIMIT $WvVocab),
+       |pr AS (SELECT w1, w2 FROM bg UNION ALL SELECT w2, w1 FROM bg),
+       |cooc AS MATERIALIZED (
+       |  SELECT w1, w2, count(*) AS c FROM pr
+       |  WHERE w1 IN (SELECT token FROM vc) AND w2 IN (SELECT token FROM vc)
+       |  GROUP BY 1, 2),
+       |rm AS MATERIALIZED (SELECT w1, sum(c)::BIGINT AS nw FROM cooc
+       |  GROUP BY 1),
+       |nn AS (SELECT sum(c)::BIGINT AS nn FROM cooc),
+       |pp AS (SELECT cooc.w1, cooc.w2,
+       |        greatest(ln(cooc.c::DOUBLE * nn.nn / (a.nw::DOUBLE * b.nw)),
+       |          0.0) AS p
+       |      FROM cooc JOIN rm a ON a.w1 = cooc.w1
+       |      JOIN rm b ON b.w1 = cooc.w2 CROSS JOIN nn),
+       |basis(ct, dim, u) AS (VALUES $basisVals),
+       |emb AS MATERIALIZED (
+       |  SELECT pp.w1 AS token, basis.dim,
+       |    round(sum(round(pp.p * basis.u, 8)::DECIMAL(38,8))::DOUBLE, 4)
+       |      AS value
+       |  FROM pp JOIN basis ON basis.ct = pp.w2
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = Map(
     "q217_pca_project" -> {
       val m = pcaModel(s, d)
@@ -3621,40 +3666,27 @@ object SparkEntry {
     },
     // q301: the PPMI chain replayed in SQL (co-occurrence, margins, the
     // greatest(ln ·, 0) expression) against the fitted scaled basis
-    // u_j(c)/sqrt(lambda_j) inlined as VALUES literals
-    "q301_word_vectors" -> {
-      val m = wvModel(s, d)
-      val toks = TextAnalysis.Sql.toks("text")
-      val basisVals = m.toks.zipWithIndex.flatMap { case (t, c) =>
-        m.scaled.zipWithIndex.map { case (u, j) =>
-          s"('$t', $j, CAST(${dlit(u(c))} AS DOUBLE))" }
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |bg AS MATERIALIZED (SELECT toks[i] AS w1, toks[i + 1] AS w2
-         |      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
-         |vc AS MATERIALIZED (SELECT token FROM (
-         |    SELECT unnest($toks) AS token FROM documents)
-         |  GROUP BY token ORDER BY count(*) DESC, token LIMIT $WvVocab),
-         |pr AS (SELECT w1, w2 FROM bg UNION ALL SELECT w2, w1 FROM bg),
-         |cooc AS MATERIALIZED (
-         |  SELECT w1, w2, count(*) AS c FROM pr
-         |  WHERE w1 IN (SELECT token FROM vc) AND w2 IN (SELECT token FROM vc)
-         |  GROUP BY 1, 2),
-         |rm AS MATERIALIZED (SELECT w1, sum(c)::BIGINT AS nw FROM cooc
-         |  GROUP BY 1),
-         |nn AS (SELECT sum(c)::BIGINT AS nn FROM cooc),
-         |pp AS (SELECT cooc.w1, cooc.w2,
-         |        greatest(ln(cooc.c::DOUBLE * nn.nn / (a.nw::DOUBLE * b.nw)),
-         |          0.0) AS p
-         |      FROM cooc JOIN rm a ON a.w1 = cooc.w1
-         |      JOIN rm b ON b.w1 = cooc.w2 CROSS JOIN nn),
-         |basis(ct, dim, u) AS (VALUES $basisVals)
-         |SELECT pp.w1 AS token, basis.dim,
-         |  round(sum(round(pp.p * basis.u, 8)::DECIMAL(38,8))::DOUBLE, 4)
-         |    AS value
-         |FROM pp JOIN basis ON basis.ct = pp.w2
-         |GROUP BY 1, 2
-         |ORDER BY 1, 2, 3""".stripMargin
+    // u_j(c)/sqrt(lambda_j) inlined as VALUES literals (shared chain)
+    "q301_word_vectors" ->
+      s"""WITH ${wvChainSql(wvModel(s, d))}
+         |SELECT token, dim, value FROM emb
+         |ORDER BY 1, 2, 3""".stripMargin,
+    // q305: the q301 chain assembled to per-token vectors, then the exact
+    // cosine self-kNN over the bounded vocabulary (pair space ≤ v² rows
+    // by construction)
+    "q305_word_synonyms" -> {
+      val cd = Tables.distSql("cos", "a.vec", "b.vec")
+      s"""WITH ${wvChainSql(wvModel(s, d))},
+         |wv AS (SELECT token, list(value ORDER BY dim) AS vec
+         |       FROM emb GROUP BY token),
+         |p AS (SELECT a.token, b.token AS neighbor, $cd AS dist
+         |      FROM wv a JOIN wv b ON a.token <> b.token),
+         |r AS (SELECT token, neighbor, dist,
+         |        row_number() OVER (PARTITION BY token
+         |          ORDER BY dist, neighbor) AS rank FROM p)
+         |SELECT token, rank, neighbor, round(dist, 4) AS dist
+         |FROM r WHERE rank <= $WvSynK
+         |ORDER BY 1, 2, 3, 4""".stripMargin
     })
 
   /** The shared survival-staging CTE chain of the q265/q304 oracles —

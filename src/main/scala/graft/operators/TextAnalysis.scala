@@ -664,6 +664,36 @@ object TextAnalysis {
       .select(col("token"), col("dim"), round(col("_v"), 4).as("value"))
   }
 
+  /** Nearest-neighbor synonyms over the [[wordVectors]] embeddings: the
+    * exact cosine self-kNN of the ≤v-token vector table — the
+    * query-expansion / synonym-mining readout the PPMI factorization
+    * exists for. The pair space is bounded at v² by CONSTRUCTION (the
+    * vocabulary is model-sized), so the exact pairwise form IS the scale
+    * path; zero-norm vectors take the cosine kernel's dist-1 convention.
+    * Output `(token, rank, neighbor, dist)` with the kNN family's
+    * (dist, neighbor) deterministic tie order and 4dp distances.
+    */
+  def wordSynonyms(docs: DataFrame, model: WvModel, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val vecs = wordVectors(docs, model, textCol)
+      .groupBy(col("token"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        x => x.getField("value")).as("vec"))
+      .localCheckpoint(eager = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("dist"), col("neighbor"))
+    vecs
+      .join(broadcast(vecs.select(col("token").as("neighbor"),
+        col("vec").as("_vb"))), col("token") =!= col("neighbor"))
+      .withColumn("dist",
+        graft.functions.dist.byName("cos")(col("vec"), col("_vb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("token"), col("rank"), col("neighbor"),
+        round(col("dist"), 4).as("dist"))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -259,7 +259,9 @@ class PlanSpec extends SparkSpec {
                                 // the bounded per-stratum rank self-join
       "q303_isotonic",          // broadcast-literal PAV block range join
                                 // over the bounded score histogram
-      "q304_nelson_aalen")      // q265's bounded time-histogram ≤ self-join
+      "q304_nelson_aalen",      // q265's bounded time-histogram ≤ self-join
+      "q305_word_synonyms")     // ≤v-token vector-table self-pairing +
+                                // the q301 chain's ONE-row cooc total
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -76,6 +76,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(supports === Set(Set("a", "b"), Set("c", "d")))
   }
 
+  test("wordSynonyms: same-block tokens rank first at distance 0; " +
+      "cross-block tokens sit at cosine 1") {
+    val docs = ((1 to 6).map(i => (i.toLong, "a b")) ++
+      (7 to 10).map(i => (i.toLong, "c d"))).toDF("doc_id", "text")
+    val m = TextAnalysis.wordVectorsFit(docs, v = 4, k = 2)
+    val got = TextAnalysis.wordSynonyms(docs, m, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    // a and b share a block (equal vectors) → rank-1 synonym at dist 0;
+    // the other block is orthogonal → dist 1, tie-broken by name
+    assert(got(("a", 1)) === (("b", 0.0)))
+    assert(got(("a", 2)) === (("c", 1.0)) && got(("a", 3)) === (("d", 1.0)))
+    assert(got(("c", 1)) === (("d", 0.0)))
+  }
+
   test("sourceKl: identical token distributions → 0; mirrored skew → " +
       "equal positive divergences matching a plain-Scala reference") {
     // identical: every source's smoothed LM equals the pooled LM exactly
