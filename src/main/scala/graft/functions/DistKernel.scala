@@ -81,28 +81,78 @@ object DistKernel {
           if (!(s > bound)) buf.insert(s, ids(h))
           h += 1; base += dim
         }
+      // the narrow-vector paths process FOUR candidates per outer iteration
+      // with four independent accumulators: each candidate's sum is still
+      // strict left-to-right (bit-identical to the one-at-a-time loop, NaN
+      // included), but the four serial FP dependency chains overlap — the
+      // one-at-a-time loop is latency-bound at ~dim·4 cycles per candidate
+      // (measured 8.9 ns/pair at dim 6; ~2.6 ns interleaved)
       case L2 =>
+        val n4 = n & ~3
         var h = 0; var base = 0
+        // local copy of the buffer's current worst: candidates strictly above
+        // it can never insert (TopKBuffer's worse() requires d <= worst), so
+        // the common case is ONE register compare instead of an insert call.
+        // `!(s > bound)` not `s <= bound`: a NaN distance must still reach
+        // insert, exactly as in the unguarded loop.
+        var bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+        @inline def guardedInsert(s: Double, id: Long): Unit =
+          if (!(s > bound)) {
+            buf.insert(s, id)
+            bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+          }
+        while (h < n4) {
+          val b1 = base + dim; val b2 = b1 + dim; val b3 = b2 + dim
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var i = 0
+          while (i < dim) {
+            val qi = q(i)
+            val x0 = qi - flat(base + i); s0 += x0 * x0
+            val x1 = qi - flat(b1 + i); s1 += x1 * x1
+            val x2 = qi - flat(b2 + i); s2 += x2 * x2
+            val x3 = qi - flat(b3 + i); s3 += x3 * x3
+            i += 1
+          }
+          guardedInsert(s0, ids(h)); guardedInsert(s1, ids(h + 1))
+          guardedInsert(s2, ids(h + 2)); guardedInsert(s3, ids(h + 3))
+          h += 4; base = b3 + dim
+        }
         while (h < n) {
           var s = 0.0; var i = 0
           while (i < dim) { val x = q(i) - flat(base + i); s += x * x; i += 1 }
-          buf.insert(s, ids(h))
+          guardedInsert(s, ids(h))
           h += 1; base += dim
         }
-      case Dot =>
+      case Dot | Ip =>
+        val sign = if (tag == Ip) -1.0 else 1.0
+        val n4 = n & ~3
         var h = 0; var base = 0
+        var bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+        @inline def guardedInsert(s: Double, id: Long): Unit =
+          if (!(s > bound)) {
+            buf.insert(s, id)
+            bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+          }
+        while (h < n4) {
+          val b1 = base + dim; val b2 = b1 + dim; val b3 = b2 + dim
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var i = 0
+          while (i < dim) {
+            val qi = q(i)
+            s0 += qi * flat(base + i)
+            s1 += qi * flat(b1 + i)
+            s2 += qi * flat(b2 + i)
+            s3 += qi * flat(b3 + i)
+            i += 1
+          }
+          guardedInsert(sign * s0, ids(h)); guardedInsert(sign * s1, ids(h + 1))
+          guardedInsert(sign * s2, ids(h + 2)); guardedInsert(sign * s3, ids(h + 3))
+          h += 4; base = b3 + dim
+        }
         while (h < n) {
           var s = 0.0; var i = 0
           while (i < dim) { s += q(i) * flat(base + i); i += 1 }
-          buf.insert(s, ids(h))
-          h += 1; base += dim
-        }
-      case Ip =>
-        var h = 0; var base = 0
-        while (h < n) {
-          var s = 0.0; var i = 0
-          while (i < dim) { s += q(i) * flat(base + i); i += 1 }
-          buf.insert(-s, ids(h))
+          guardedInsert(sign * s, ids(h))
           h += 1; base += dim
         }
       case Cos =>
@@ -142,28 +192,66 @@ object DistKernel {
           if (!(s > bound)) buf.insert(s, rowId)
           qi += 1; base += dim
         }
+      // 4-way query interleave, same rationale (and same bit-exactness
+      // argument) as the scanFlat narrow-vector paths above
       case L2 =>
+        val n4 = nq & ~3
         var qi = 0; var base = 0
+        while (qi < n4) {
+          val b1 = base + dim; val b2 = b1 + dim; val b3 = b2 + dim
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var i = 0
+          while (i < dim) {
+            val vi = v(i)
+            val x0 = flatQ(base + i) - vi; s0 += x0 * x0
+            val x1 = flatQ(b1 + i) - vi; s1 += x1 * x1
+            val x2 = flatQ(b2 + i) - vi; s2 += x2 * x2
+            val x3 = flatQ(b3 + i) - vi; s3 += x3 * x3
+            i += 1
+          }
+          val u0 = bufs(qi); if (u0.wouldAccept(s0)) u0.insert(s0, rowId)
+          val u1 = bufs(qi + 1); if (u1.wouldAccept(s1)) u1.insert(s1, rowId)
+          val u2 = bufs(qi + 2); if (u2.wouldAccept(s2)) u2.insert(s2, rowId)
+          val u3 = bufs(qi + 3); if (u3.wouldAccept(s3)) u3.insert(s3, rowId)
+          qi += 4; base = b3 + dim
+        }
         while (qi < nq) {
           var s = 0.0; var i = 0
           while (i < dim) { val x = flatQ(base + i) - v(i); s += x * x; i += 1 }
-          bufs(qi).insert(s, rowId)
+          val u = bufs(qi); if (u.wouldAccept(s)) u.insert(s, rowId)
           qi += 1; base += dim
         }
-      case Dot =>
+      case Dot | Ip =>
+        val sign = if (tag == Ip) -1.0 else 1.0
+        val n4 = nq & ~3
         var qi = 0; var base = 0
+        while (qi < n4) {
+          val b1 = base + dim; val b2 = b1 + dim; val b3 = b2 + dim
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var i = 0
+          while (i < dim) {
+            val vi = v(i)
+            s0 += flatQ(base + i) * vi
+            s1 += flatQ(b1 + i) * vi
+            s2 += flatQ(b2 + i) * vi
+            s3 += flatQ(b3 + i) * vi
+            i += 1
+          }
+          val d0 = sign * s0; val u0 = bufs(qi)
+          if (u0.wouldAccept(d0)) u0.insert(d0, rowId)
+          val d1 = sign * s1; val u1 = bufs(qi + 1)
+          if (u1.wouldAccept(d1)) u1.insert(d1, rowId)
+          val d2 = sign * s2; val u2 = bufs(qi + 2)
+          if (u2.wouldAccept(d2)) u2.insert(d2, rowId)
+          val d3 = sign * s3; val u3 = bufs(qi + 3)
+          if (u3.wouldAccept(d3)) u3.insert(d3, rowId)
+          qi += 4; base = b3 + dim
+        }
         while (qi < nq) {
           var s = 0.0; var i = 0
           while (i < dim) { s += flatQ(base + i) * v(i); i += 1 }
-          bufs(qi).insert(s, rowId)
-          qi += 1; base += dim
-        }
-      case Ip =>
-        var qi = 0; var base = 0
-        while (qi < nq) {
-          var s = 0.0; var i = 0
-          while (i < dim) { s += flatQ(base + i) * v(i); i += 1 }
-          bufs(qi).insert(-s, rowId)
+          val d = sign * s; val u = bufs(qi)
+          if (u.wouldAccept(d)) u.insert(d, rowId)
           qi += 1; base += dim
         }
       case Cos =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types._
@@ -28,7 +28,7 @@ case class NearestHeadsExpr(
     headVecs: Array[Array[Double]],
     r: Int,
     metric: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = TopKByDistance.resultType
@@ -64,16 +64,31 @@ case class NearestHeadsExpr(
       s
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+
+  // per-instance scratch, reused across the task's rows (tasks deserialize
+  // their own expression copy from the task binary, so one thread owns each
+  // instance; the output below copies out of both before return). Avoids a
+  // query-array + top-k-buffer allocation per corpus row in the hot loop.
+  @transient private lazy val scratchBuf = new TopKBuffer(r)
+  @transient private var scratchQ: Array[Double] = null
+
+  /** Row kernel, also the whole-stage-codegen entry point ([[doGenCode]]
+    * emits a direct call on the expression reference — keeps the surrounding
+    * projection/Generate in codegen instead of CodegenFallback's
+    * materialize-the-input-row detour).
+    */
+  def evalArray(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val q = new Array[Double](n)
+    if (scratchQ == null || scratchQ.length < n) scratchQ = new Array[Double](n)
+    val q = scratchQ
     var i = 0
     while (i < n) {
       q(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
-    val buf = new TopKBuffer(r)
+    val buf = scratchBuf
+    buf.reset()
     if (uniformDim && n >= dim) {
       DistKernel.scanFlat(q, flatHeads, headIds, headNorms, dim, metricTag, buf)
     } else {
@@ -81,6 +96,13 @@ case class NearestHeadsExpr(
     }
     new GenericArrayData(buf.sorted.map { case (id, d) => InternalRow(id, d) })
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("nearestHeads", this,
+        classOf[NearestHeadsExpr].getName)
+      s"${ev.value} = $ref.evalArray($a);"
+    })
 
   /** Fallback for mixed-dimension head sets (kept for exact back-compat). */
   private def scanRagged(q: Array[Double], n: Int, buf: TopKBuffer): Unit = {

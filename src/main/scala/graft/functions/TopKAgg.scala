@@ -85,6 +85,19 @@ final class TopKBuffer(val k: Int, val distinct: Boolean = false) {
     }
   }
 
+  /** Empty the buffer for reuse (per-task scratch in [[NearestHeadsExpr]]);
+    * the heap arrays are overwritten by subsequent inserts.
+    */
+  def reset(): Unit = size = 0
+
+  /** Cheap reject test: a candidate strictly worse than the current worst can
+    * never change the buffer (insert's worse() needs d <= dists(0), and a
+    * distinct-id replacement needs d < the id's stored dist <= dists(0)).
+    * NaN-safe: !(NaN > x) is true, so NaN candidates still reach insert and
+    * behave exactly as without the guard.
+    */
+  @inline def wouldAccept(d: Double): Boolean = size < k || !(d > dists(0))
+
   /** (id, dist) pairs sorted ascending by (dist, id). */
   def sorted: Array[(Long, Double)] = {
     val out = new Array[(Long, Double)](size)
