@@ -2333,8 +2333,127 @@ object SparkEntry {
     // bounded vocabulary table (shared dynamic-oracle chain)
     "q305_word_synonyms" -> ((s, d) =>
       ordered(TextAnalysis.wordSynonyms(
-        Tables.documents(s, d), wvModel(s, d), WvSynK)))
+        Tables.documents(s, d), wvModel(s, d), WvSynK))),
+    // ---- q306-q310: the deployed streaming monitors, oracle-gated (r14
+    // verdict item 5). Each runs its streaming twin on a deterministic
+    // two-micro-batch drop of the driver tables (global (ts, id) order, so
+    // the per-key in-order delivery contract each twin states holds) and
+    // dumps the final sink table; the oracle is the batch closed form the
+    // twin is proven equal to in StreamingSpec — now checked by the driver
+    // on real data, not only by the spec's fixtures.
+    "q306_stream_quota" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("event_id").cast("long"), col("ts"),
+          col("user_id").cast("long"))
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+        .sortBy(r => (r._2.getTime, r._1)).toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val out = streamToTable(s, b1, b2, Seq("event_id", "ts", "user_id"),
+        df => graft.streaming.StreamingIngest
+          .quotaStream(df, QuotaMax, QuotaWinMin), "append")
+      ordered(out.select(col("event_id"), col("user_id")))
+    }),
+    "q307_stream_drift_hist" -> ((s, d) => {
+      import s.implicits._
+      val vals = Tables.events(s, d).where(col("value").isNotNull)
+        .select(floor(col("value")).cast("long").as("u"))
+        .as[Long].collect().sorted.toSeq
+      val (b1, b2) = vals.splitAt(vals.length / 2)
+      ordered(streamToTable(s, b1, b2, Seq("u"),
+        df => graft.streaming.StreamingIngest.driftHistogramStream(df, "u"),
+        "complete"))
+    }),
+    // JSONL ingest audit on synthesized lines: to_json of (doc_id, source),
+    // with every doc_id % 5 == 0 line truncated by two chars (always
+    // malformed: the tail of a JSON object is `"}` or a digit+`}`), so the
+    // good/corrupt split is derivable in SQL without a JSON parser
+    "q308_stream_jsonl_audit" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("source"))).as("line"))
+        .select(when(col("doc_id") % 5 === 0,
+            expr("substring(line, 1, length(line) - 2)"))
+          .otherwise(col("line")).as("line"))
+        .as[String].collect().sorted.toSeq
+      val (b1, b2) = lines.splitAt(lines.length / 2)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("source", StringType)
+      ordered(streamToTable(s, b1, b2, Seq("value"),
+        df => graft.streaming.StreamingIngest.jsonlAuditStream(df, schema),
+        "complete"))
+    }),
+    "q309_stream_rate_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("event_id").cast("long"))
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .sortBy(r => (r._1.getTime, r._3)).toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      // the stream emits CLOSED minutes only (each type's final minute stays
+      // open forever) — the oracle drops each type's max minute to match
+      ordered(streamToTable(s, b1, b2, Seq("ts", "event_type", "event_id"),
+        df => graft.streaming.StreamingIngest
+          .rateAnomalyStream(df, RateTrailing, RateZ), "append"))
+    }),
+    // arrival in doc_id order makes the stream's (earlier, newcomer) pair
+    // orientation equal the batch pipeline's a < b; bucket-cap semantics
+    // coincide while no bucket exceeds MaxBandBucket (true by corpus size
+    // at the driver's scale factors — 5000 docs max vs the 1024 cap needing
+    // 1024 near-identical docs in one band bucket)
+    "q310_stream_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val out = streamToTable(s, b1, b2, Seq("doc_id", "text"),
+        df => graft.streaming.StreamingIngest.nearDupStream(df, 0.3),
+        "append")
+      // a pair sharing several buckets is emitted once per shared bucket
+      // (identical values) — distinct() is the documented sink-side dedup
+      ordered(out.distinct())
+    })
   )
+
+  // q306-q310: monotonically-named memory-sink tables, so concurrent Verify
+  // dumps (thread pool) and repeated bench/test runs in one JVM never collide
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming twin over exactly two micro-batches from a MemoryStream
+    * and return its final memory-sink table, eagerly materialized (the sink
+    * table is dropped before returning). `cols` names the stream frame's
+    * columns; `mode` is the sink output mode the twin's contract states
+    * (append for flatMapGroupsWithState emitters, complete for running
+    * aggregates).
+    */
+  private def streamToTable[T](
+      s: SparkSession,
+      b1: Seq[T],
+      b2: Seq[T],
+      cols: Seq[String],
+      build: DataFrame => DataFrame,
+      mode: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val name = s"graft_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = build(stream.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // eager checkpoint: the sink table dies with the query; the checkpoint
+      // is bounded by the monitor's own state contract (counters/pairs)
+      s.table(name).localCheckpoint(true)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name): Unit
+    }
+  }
 
   /** q167 inputs: orders as the version-0 snapshot; a deterministic change
     * batch derived from the key — upserts (keys ≡3 mod 10, two versions so
@@ -8353,7 +8472,66 @@ object SparkEntry {
          |  round(coalesce(sum(b.hh)::DOUBLE, 0.0), 6) AS cum_hazard
          |FROM r a LEFT JOIN terms b ON b.t <= a.t
          |GROUP BY a.t, a.n_risk, a.d, a.c
-         |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // ---- q306-q310: streaming-twin oracles = the batch closed forms the
+    // twins are StreamingSpec-proven equal to (r14 verdict item 5)
+    // q195's row_number admission rule, minus the event_type projection
+    "q306_stream_quota" ->
+      s"""WITH w AS (SELECT event_id, user_id,
+         |    row_number() OVER (
+         |      PARTITION BY user_id,
+         |        CAST(floor(floor(epoch(ts)) / ${QuotaWinMin * 60}) AS BIGINT)
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |SELECT event_id, user_id FROM w WHERE rn <= $QuotaMax
+         |ORDER BY 1, 2""".stripMargin,
+    "q307_stream_drift_hist" ->
+      """SELECT CAST(floor(value) AS BIGINT) AS v, count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1, 2""".stripMargin,
+    // good/corrupt is decidable without a JSON parser: the query truncates
+    // exactly the doc_id % 5 == 0 lines (always malformed), the rest are
+    // to_json output (always well-formed for the (doc_id, source) schema)
+    "q308_stream_jsonl_audit" ->
+      """SELECT 'corrupt' AS verdict, count(*) AS n
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 'good' AS verdict, count(*) AS n
+        |FROM documents WHERE doc_id % 5 <> 0
+        |ORDER BY 1, 2""".stripMargin,
+    // q157's closed form, minus each type's final (still-open) minute
+    "q309_stream_rate_anomaly" ->
+      s"""WITH b AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+         |             count(*) AS cnt
+         |           FROM events GROUP BY 1, 2),
+         |wf AS (SELECT event_type, minute, cnt,
+         |         count(cnt) OVER tw AS k,
+         |         sum(cnt) OVER tw AS s,
+         |         sum(cnt * cnt) OVER tw AS q
+         |       FROM b
+         |       WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+         |                     ROWS BETWEEN $RateTrailing PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT event_type, minute, cnt,
+         |        CASE WHEN k = $RateTrailing
+         |              AND k::DECIMAL(38,0) * q::DECIMAL(38,0)
+         |                  - s::DECIMAL(38,0) * s::DECIMAL(38,0) > 0
+         |             THEN round((cnt * k - s)::DOUBLE /
+         |                    sqrt((k::DECIMAL(38,0) * q::DECIMAL(38,0)
+         |                          - s::DECIMAL(38,0) * s::DECIMAL(38,0))::DOUBLE), 4)
+         |             ELSE NULL END AS z
+         |      FROM wf),
+         |lastm AS (SELECT event_type, max(minute) AS m FROM b GROUP BY 1)
+         |SELECT z.event_type, z.minute, z.cnt, z.z,
+         |  coalesce(abs(z.z) > $RateZ, false) AS is_anomaly
+         |FROM z JOIN lastm USING (event_type) WHERE z.minute < lastm.m
+         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // identical to q33's oracle: id-ordered arrival makes the stream's
+    // (earlier, newcomer) orientation the batch pipeline's a < b
+    "q310_stream_neardup" ->
+      s"""WITH $minhashCtes
+         |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jaccard >= 0.3
+         |ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

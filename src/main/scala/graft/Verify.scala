@@ -77,18 +77,33 @@ object Verify {
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val todo = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq.sortBy(_._1)
+    // per-query dump secs in the log (round-14 verdict item 7): the
+    // registry's wall is the other half of the driver-window budget, so a
+    // tail regression must be visible in the round it lands, same as
+    // compare_oracle.py's per-oracle secs
+    val secs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val futures = todo.map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+        override def run(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val dt = (System.nanoTime() - t0) / 1e9
+            secs.put(name, dt)
+            println(f"[verify] $name ok in $dt%.1fs")
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+        }
       })
     }
     futures.foreach(_.get())
     pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val slowest = secs.asScala.toSeq.sortBy(-_._2).take(10)
+      .map { case (n, s) => f"$n=$s%.1f" }.mkString(" ")
+    println(s"[verify] done: ${secs.size()}/${todo.size} dumped; slowest: $slowest")
     spark.stop()
   }
 }
