@@ -3687,6 +3687,12 @@ object SparkEntry {
   private def wvChainSql(m: TextAnalysis.WvModel): String = {
     val toks = TextAnalysis.Sql.toks("text")
     val basisVals = m.toks.zipWithIndex.flatMap { case (t, c) =>
+      // fitted vocabulary tokens are [a-z0-9]+ by TextAnalysis.tokens'
+      // construction; assert at emission so a future tokenizer change
+      // admitting quotes/backslashes fails loudly here instead of silently
+      // corrupting (or injecting into) the interpolated oracle SQL
+      require(t.matches("[a-z0-9]+"),
+        s"wvChainSql: vocabulary token '$t' not SQL-literal-safe")
       m.scaled.zipWithIndex.map { case (u, j) =>
         s"('$t', $j, CAST(${dlit(u(c))} AS DOUBLE))" }
     }.mkString(",\n  ")
@@ -8331,9 +8337,13 @@ object SparkEntry {
          |  round(base.sx::DOUBLE / base.n / 10000.0, 6) AS mean,
          |  ms.ms[least($loIdx, len(ms.ms))] AS ci_lo,
          |  ms.ms[least($hiIdx, len(ms.ms))] AS ci_hi
-         |FROM base JOIN ms USING (source)
+         |FROM base LEFT JOIN ms USING (source)
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin
     },
+    // LEFT join above (not inner): a source whose every replicate drew
+    // weight 0 has no `reps` rows, and Eval.bootstrapCi's LEFT join keeps
+    // it with a NULL CI — the degenerate-group contract must match on both
+    // sides (unreachable at fixture scale, but the contract is the point)
     // q242's per-user staging split pre/post; pooled DECIMAL(38) power
     // sums drive every closed form
     "q299_cuped" -> {

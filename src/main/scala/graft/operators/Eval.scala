@@ -1106,14 +1106,19 @@ object Eval {
     */
   def ksStat(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val (_, cdfs, na, nb) = mergedCdf(a, b, valueCol)
+    // global aggregate + coalesce, NOT a groupBy on (_na, _nb): exactly
+    // wasserstein1's degenerate-input shape, so the two drift stats over the
+    // shared mergedCdf staging behave identically at the edges — empty
+    // inputs yield ONE well-formed row (ks 0.0, the empty side's n NULL)
+    // instead of zero rows / a NULL ks
     cdfs
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-      .select(col("_na"), col("_nb"),
-        round(abs(col("_fa").cast("double") / col("_na") -
-          col("_fb").cast("double") / col("_nb")), 8).as("_g"))
-      .groupBy(col("_na"), col("_nb")).agg(max(col("_g")).as("_ks"))
+      .select(round(abs(col("_fa").cast("double") / col("_na") -
+        col("_fb").cast("double") / col("_nb")), 8).as("_g"))
+      .agg(max(col("_g")).as("_ks"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("_na").as("n_a"), col("_nb").as("n_b"),
-        round(col("_ks"), 6).as("ks"))
+        round(coalesce(col("_ks"), lit(0.0)), 6).as("ks"))
   }
 
   /** Leave-one-group-out (jackknife) sensitivity of a corpus-level mean:
