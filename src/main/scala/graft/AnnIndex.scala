@@ -93,7 +93,9 @@ class AnnIndex private (
     val hn = h.count()
     val raw = hierOver(h, hn) match {
       case Some((sh, routing)) =>
-        Spann.buildPostingsHier(live, sh, routing, conf.replicaCount,
+        // routed expression form (falls back to the hier join automatically
+        // when the routing table outgrows the expression's collect budget)
+        Spann.buildPostingsRouted(live, sh, routing, conf.replicaCount,
           conf.superK, conf.metric)
       case None =>
         Spann.buildPostings(live, h, conf.replicaCount, conf.metric)

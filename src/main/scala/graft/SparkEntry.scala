@@ -2398,6 +2398,16 @@ object SparkEntry {
         df => graft.streaming.StreamingIngest
           .rateAnomalyStream(df, RateTrailing, RateZ), "append"))
     }),
+    // B8 at the beyond-broadcast-head-set scale: the routed two-level
+    // posting assignment as ONE map-pass expression (supers + routing ride
+    // inside RoutedNearestHeadsExpr) — the scale path the 10x probe
+    // motivated; SpannSpec pins routed ≡ hier-join bit-for-bit
+    "q311_spann_routed_postings" -> ((s, d) => {
+      val routing = Spann.routeHeads(heads(s, d), superHeads(s, d), RouteReplicas)
+      ordered(Spann.buildPostingsRouted(
+        Tables.lineitemVec(s, d), superHeads(s, d), routing, Replicas, SuperK)
+        .select(col("head_id"), col("id"), round(col("dist"), 4).as("dist")))
+    }),
     // arrival in doc_id order makes the stream's (earlier, newcomer) pair
     // orientation equal the batch pipeline's a < b; bucket-cap semantics
     // coincide while no bucket exceeds MaxBandBucket (true by corpus size
@@ -8535,6 +8545,51 @@ object SparkEntry {
          |  coalesce(abs(z.z) > $RateZ, false) AS is_anomaly
          |FROM z JOIN lastm USING (event_type) WHERE z.minute < lastm.m
          |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    // routed posting assignment: per-vector superK nearest supers
+    // (row_number over v×s), candidate heads via the routing table
+    // (DISTINCT — a head may arrive via two supers), top-Replicas by
+    // (dist, head_id). id-chunked like the q07 posting windows so the
+    // replay's window memory stays sf0.1-feasible.
+    "q311_spann_routed_postings" -> {
+      val hsDist = Tables.distSql("l2sq", "h.head_vec", "s.super_vec")
+      val vsDist = Tables.distSql("l2sq", "v.vec", "s.super_vec")
+      val vhDist = Tables.distSql("l2sq", "v.vec", "h.head_vec")
+      val chunks = (0 until PostingChunks).map { c =>
+        s"""rp$c AS MATERIALIZED (
+           |  SELECT id, head_id, dist FROM (
+           |    SELECT id, head_id, dist,
+           |           row_number() OVER (PARTITION BY id ORDER BY dist, head_id) AS rn
+           |    FROM (
+           |      SELECT cnd.id, cnd.head_id, $vhDist AS dist
+           |      FROM (
+           |        SELECT DISTINCT vsc.id, rt.head_id
+           |        FROM (SELECT id, super_id FROM (
+           |                SELECT v.id, s.super_id,
+           |                       row_number() OVER (PARTITION BY v.id
+           |                         ORDER BY $vsDist, s.super_id) AS srn
+           |                FROM v CROSS JOIN s
+           |                WHERE v.id % $PostingChunks = $c)
+           |              WHERE srn <= $SuperK) vsc
+           |        JOIN rt ON vsc.super_id = rt.super_id) cnd
+           |      JOIN v ON v.id = cnd.id
+           |      JOIN h ON h.head_id = cnd.head_id))
+           |  WHERE rn <= $Replicas)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until PostingChunks)
+        .map(c => s"SELECT * FROM rp$c").mkString(" UNION ALL ")
+      s"""WITH v AS MATERIALIZED (${Tables.lineitemVecSql}),
+         |h AS MATERIALIZED (SELECT id AS head_id, vec AS head_vec FROM v WHERE id % $HeadNth = 0),
+         |s AS MATERIALIZED (SELECT head_id AS super_id, head_vec AS super_vec FROM h
+         |     WHERE head_id % $SuperNth = 0),
+         |rt AS MATERIALIZED (SELECT head_id, super_id FROM (
+         |    SELECT h.head_id, s.super_id,
+         |           row_number() OVER (PARTITION BY h.head_id ORDER BY $hsDist, s.super_id) AS rn
+         |    FROM h CROSS JOIN s)
+         |  WHERE rn <= $RouteReplicas),
+         |$chunks
+         |SELECT head_id, id, round(dist, 4) AS dist FROM ($union)
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
     // identical to q33's oracle: id-ordered arrival makes the stream's
     // (earlier, newcomer) orientation the batch pipeline's a < b
     "q310_stream_neardup" ->

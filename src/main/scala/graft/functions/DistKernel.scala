@@ -62,6 +62,46 @@ object DistKernel {
       if (denom == 0.0) 1.0 else 1.0 - s / denom
   }
 
+  /** ONE query row against the flattened candidate slice `[hFrom, hTo)` —
+    * the routed-block scan ([[RoutedNearestHeadsExpr]]). Per-candidate math
+    * is [[VectorDistance]]'s (strict left-to-right, `ip = -dot`, cosine over
+    * the caller-supplied `qNorm`); blocks are small (tens of heads per
+    * super), so the plain loop + wouldAccept guard is the right shape — no
+    * interleave needed.
+    */
+  def scanFlatSlice(q: Array[Double], flat: Array[Double], ids: Array[Long],
+      norms: Array[Double], dim: Int, tag: Int, buf: TopKBuffer,
+      hFrom: Int, hTo: Int, qNorm: Double): Unit = tag match {
+    case L2 =>
+      var h = hFrom; var base = hFrom * dim
+      while (h < hTo) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val x = q(i) - flat(base + i); s += x * x; i += 1 }
+        if (buf.wouldAccept(s)) buf.insert(s, ids(h))
+        h += 1; base += dim
+      }
+    case Dot | Ip =>
+      val sign = if (tag == Ip) -1.0 else 1.0
+      var h = hFrom; var base = hFrom * dim
+      while (h < hTo) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += q(i) * flat(base + i); i += 1 }
+        val d = sign * s
+        if (buf.wouldAccept(d)) buf.insert(d, ids(h))
+        h += 1; base += dim
+      }
+    case Cos =>
+      var h = hFrom; var base = hFrom * dim
+      while (h < hTo) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += q(i) * flat(base + i); i += 1 }
+        val denom = math.sqrt(qNorm * norms(h))
+        val d = if (denom == 0.0) 1.0 else 1.0 - s / denom
+        if (buf.wouldAccept(d)) buf.insert(d, ids(h))
+        h += 1; base += dim
+      }
+  }
+
   /** ONE query row against ALL flattened candidates → bounded top-k into
     * `buf` ([[NearestHeadsExpr]] shape). `q.length >= dim` required.
     */

@@ -125,6 +125,191 @@ case class NearestHeadsExpr(
     copy(child = newChild)
 }
 
+/** `routed_nearest_heads(vec)` — the two-level posting assignment as ONE
+  * map-pass expression: pick the `superK` nearest super-heads, then scan only
+  * the heads ROUTED to those supers for the `r` nearest (distinct-id, a head
+  * reachable via two supers counts once). Output and tie rules are exactly
+  * [[graft.operators.Spann.buildPostingsHier]]'s (`topkDistinct` over the
+  * routed candidate join) — SpannSpec pins the equality — but where the join
+  * form materializes one row per (vector, routed head) pair (the 10× scale
+  * probe measured ~1 GB shuffle and join-row copies dominating the wall),
+  * this evaluates in place: the only rows that ever exist are the O(n·r)
+  * results. Supers + routing ride inside the expression under the same
+  * driver-collect budget discipline as [[NearestHeadsExpr]]; over-budget
+  * routing tables fall back to the join form automatically.
+  *
+  * Reference: the two-level head routing is the `SPANNIndex.cpp:707-815`
+  * SelectHead hierarchy applied at assignment time (`VectorIndex.cpp:884-986`
+  * assigns against the head index rather than a flat scan).
+  */
+case class RoutedNearestHeadsExpr(
+    child: Expression,
+    superIds: Array[Long],
+    superVecs: Array[Array[Double]],
+    blockOffsets: Array[Int], // length nSupers+1, into headIds/headVecs
+    headIds: Array[Long], // flattened per-super blocks (repeats allowed)
+    headVecs: Array[Array[Double]],
+    r: Int,
+    superK: Int,
+    metric: String)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = TopKByDistance.resultType
+  override def prettyName: String = "routed_nearest_heads"
+
+  private lazy val childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private lazy val metricTag: Int = DistKernel.tag(metric)
+  @transient private lazy val dim: Int =
+    if (superVecs.isEmpty) 0 else superVecs(0).length
+  @transient private lazy val flatSupers: Array[Double] = {
+    val out = new Array[Double](superVecs.length * dim)
+    var i = 0
+    while (i < superVecs.length) {
+      System.arraycopy(superVecs(i), 0, out, i * dim, dim); i += 1
+    }
+    out
+  }
+  @transient private lazy val flatHeads: Array[Double] = {
+    val out = new Array[Double](headVecs.length * dim)
+    var i = 0
+    while (i < headVecs.length) {
+      System.arraycopy(headVecs(i), 0, out, i * dim, dim); i += 1
+    }
+    out
+  }
+  @transient private lazy val superNorms: Array[Double] =
+    superVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+  @transient private lazy val headNorms: Array[Double] =
+    headVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+  // chosen supers come back from the top-k buffer as ids (the (dist, id) tie
+  // rule needs the REAL super_id); map back to block index for the slice scan
+  @transient private lazy val idToBlock: java.util.HashMap[Long, Integer] = {
+    val m = new java.util.HashMap[Long, Integer](superIds.length * 2)
+    var i = 0
+    while (i < superIds.length) { m.put(superIds(i), i); i += 1 }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+
+  @transient private lazy val superBuf = new TopKBuffer(superK)
+  @transient private lazy val resultBuf = new TopKBuffer(r, distinct = true)
+  @transient private var scratchQ: Array[Double] = null
+
+  def evalArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (scratchQ == null || scratchQ.length < n) scratchQ = new Array[Double](n)
+    val q = scratchQ
+    var i = 0
+    while (i < n) {
+      q(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    // stage 0: superK nearest supers — same kernel (and so the same tie and
+    // qNorm conventions) the hier join form's NearestHeadsExpr stage uses
+    superBuf.reset()
+    DistKernel.scanFlat(q, flatSupers, superIds, superNorms, dim, metricTag,
+      superBuf)
+    // stage 1: distinct top-r over the chosen supers' routed blocks; cosine
+    // qNorm over min(n, dim) components — VectorDistance's n = min rule,
+    // matching the join form's per-pair dist expression
+    resultBuf.reset()
+    var qNorm = 0.0
+    if (metricTag == DistKernel.Cos) {
+      val m = math.min(n, dim); var j = 0
+      while (j < m) { qNorm += q(j) * q(j); j += 1 }
+    }
+    val chosen = superBuf.sorted
+    var c = 0
+    while (c < chosen.length) {
+      val b = idToBlock.get(chosen(c)._1)
+      if (b != null) {
+        DistKernel.scanFlatSlice(q, flatHeads, headIds, headNorms, dim,
+          metricTag, resultBuf, blockOffsets(b), blockOffsets(b + 1), qNorm)
+      }
+      c += 1
+    }
+    new GenericArrayData(resultBuf.sorted.map { case (id, d) => InternalRow(id, d) })
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("routedNearestHeads", this,
+        classOf[RoutedNearestHeadsExpr].getName)
+      s"${ev.value} = $ref.evalArray($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RoutedNearestHeadsExpr {
+  /** Collect supers + routing under the [[NearestHeadsExpr.SafeCollectBytes]]
+    * discipline and build the routed-assignment column. Returns None (caller
+    * falls back to the join form) when the routing table is over the row
+    * budget, when any vector dimension is ragged, or when the estimate-heavy
+    * frames refuse to collect — never a silent driver blow-up.
+    */
+  def fromFramesBounded(superHeads: DataFrame, routing: DataFrame, vec: Column,
+      r: Int, superK: Int, metric: String, maxRows: Int): Option[Column] = {
+    def boundedCollect(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= NearestHeadsExpr.SafeCollectBytes) {
+        val rows = df.collect()
+        if (rows.length > maxRows) None else Some(rows)
+      } else if (df.count() > maxRows) None
+      else Some(df.collect())
+    }
+    def vecOf(a: Any): Array[Double] = a match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray
+    }
+    for {
+      sRows <- boundedCollect(superHeads.select("super_id", "super_vec"))
+      rRows <- boundedCollect(routing.select("super_id", "head_id", "head_vec"))
+      supers = sRows.map(r0 => (r0.getLong(0), vecOf(r0.get(1))))
+      dims = (supers.map(_._2.length) ++
+        rRows.map(r0 => vecOf(r0.get(2)).length)).distinct
+      if dims.length <= 1 // ragged head/super dims → join form handles them
+    } yield {
+      val bySuper = rRows.groupBy(_.getLong(0))
+      val superIds = supers.map(_._1)
+      val offsets = new Array[Int](superIds.length + 1)
+      val hIds = Array.newBuilder[Long]
+      val hVecs = Array.newBuilder[Array[Double]]
+      var i = 0
+      while (i < superIds.length) {
+        // deterministic block order (head_id asc) — irrelevant to the
+        // (dist, id) result, kept for reproducible plans
+        val block = bySuper
+          .getOrElse(superIds(i), Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getLong(1))
+        block.foreach { b => hIds += b.getLong(1); hVecs += vecOf(b.get(2)) }
+        offsets(i + 1) = offsets(i) + block.length
+        i += 1
+      }
+      ColumnShim.column(RoutedNearestHeadsExpr(ColumnShim.expression(vec),
+        superIds, supers.map(_._2), offsets, hIds.result(), hVecs.result(),
+        r, superK, metric))
+    }
+  }
+}
+
 object NearestHeadsExpr {
   /** Collect a (ratio-bounded) heads frame and build the column. */
   def fromHeads(heads: DataFrame, vec: Column, r: Int, metric: String): Column =

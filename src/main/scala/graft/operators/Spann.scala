@@ -451,6 +451,38 @@ object Spann {
     * per-vector candidate set bounded by superK · heads-per-super — no
     * full-head broadcast anywhere.
     */
+  /** Routed posting assignment as ONE map pass: supers + routing ride inside
+    * [[graft.functions.RoutedNearestHeadsExpr]] (driver-collect budget
+    * guarded), so the only rows that ever exist are the O(n·replicaCount)
+    * results — where [[buildPostingsHier]] materializes one joined row per
+    * (vector, routed head) pair. Output and tie rules are identical
+    * (SpannSpec pins routed ≡ hier); over-budget or ragged-dimension inputs
+    * fall back to the join form automatically. The 10× scale probe measured
+    * the join form at ~1 GB shuffle with row copies dominating its wall —
+    * this is the assignment shape a 100 TB build wants until the head set
+    * itself outgrows the expression budget.
+    */
+  def buildPostingsRouted(
+      vectors: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      replicaCount: Int,
+      superK: Int,
+      metric: String = "l2sq",
+      maxRoutingRows: Int = Spann.MaxBroadcastHeads): DataFrame =
+    graft.functions.RoutedNearestHeadsExpr.fromFramesBounded(
+      superHeads, routing, col("vec"), replicaCount, superK, metric,
+      maxRoutingRows) match {
+      case Some(nn) =>
+        vectors
+          .select(col("id"), col("vec"), explode(nn).as("r"))
+          .select(col("r.id").as("head_id"), col("id"), col("vec"),
+            col("r.dist").as("dist"))
+      case None =>
+        buildPostingsHier(vectors, superHeads, routing, replicaCount, superK,
+          metric)
+    }
+
   def buildPostingsHier(
       vectors: DataFrame,
       superHeads: DataFrame,

@@ -107,15 +107,25 @@ object ScaleProbe {
     val names = Seq("q01_knn_l2", "q07_spann_postings", "q08_spann_search",
       "q33_dedup_minhash", "q37_ann_bruteforce")
 
-    def hierPostings(s: SparkSession, d: String): DataFrame = {
+    def hierInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
       import graft.operators.Spann
       val vecs = graft.Tables.lineitemVec(s, d)
       val heads = Spann.selectHeadsModulo(vecs, 200)
-      val sh = Spann.selectHeadsModulo(
-        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 20)
+      // every 20th HEAD: head ids are the corpus ids divisible by 200, so
+      // the super rule is id % (200·20) — a bare %20 on head_id selects
+      // EVERY head (all multiples of 200) and degenerates supers to the
+      // full head set
+      val sh = Spann.selectHeadsModulo(vecs, 200 * 20)
         .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
-      val routing = Spann.routeHeads(heads, sh, 2)
-      Spann.buildPostingsHier(vecs, sh, routing, 4, superK = 4)
+      (vecs, sh, Spann.routeHeads(heads, sh, 2))
+    }
+    def hierPostings(s: SparkSession, d: String): DataFrame = {
+      val (vecs, sh, routing) = hierInputs(s, d)
+      graft.operators.Spann.buildPostingsHier(vecs, sh, routing, 4, superK = 4)
+    }
+    def routedPostings(s: SparkSession, d: String): DataFrame = {
+      val (vecs, sh, routing) = hierInputs(s, d)
+      graft.operators.Spann.buildPostingsRouted(vecs, sh, routing, 4, superK = 4)
     }
 
     def measure(tag: String, d: String): Map[String, (Double, Long)] = {
@@ -130,13 +140,19 @@ object ScaleProbe {
         println(f"[probe] $tag $n%-20s ${secs}%8.2f s  shuffleW ${sw / 1e6}%9.1f MB  rows=$rows")
         n -> ((secs, sw))
       }.toMap
-      shuffleWrite.set(0)
-      val h0 = System.nanoTime()
-      val hrows = hierPostings(sess, d).count()
-      val hsecs = (System.nanoTime() - h0) / 1e9
-      val hsw = shuffleWrite.get()
-      println(f"[probe] $tag q07_hier_routed      ${hsecs}%8.2f s  shuffleW ${hsw / 1e6}%9.1f MB  rows=$hrows")
-      base + ("q07_hier_routed" -> ((hsecs, hsw)))
+      val extra = Seq(
+        "q07_hier_join" -> (() => hierPostings(sess, d)),
+        "q07_routed_expr" -> (() => routedPostings(sess, d))).map {
+        case (n, f) =>
+          shuffleWrite.set(0)
+          val h0 = System.nanoTime()
+          val hrows = f().count()
+          val hsecs = (System.nanoTime() - h0) / 1e9
+          val hsw = shuffleWrite.get()
+          println(f"[probe] $tag $n%-20s ${hsecs}%8.2f s  shuffleW ${hsw / 1e6}%9.1f MB  rows=$hrows")
+          n -> ((hsecs, hsw))
+      }
+      base ++ extra
     }
 
     // JIT warm on the tiny fixture first so both measured passes are steady
@@ -149,7 +165,7 @@ object ScaleProbe {
     val at01 = measure("sf0.1 ", src)
     val at10 = measure("scale10", dst)
     println("[probe] ---- 10x / sf0.1 ratios ----")
-    (names :+ "q07_hier_routed").foreach { n =>
+    (names ++ Seq("q07_hier_join", "q07_routed_expr")).foreach { n =>
       val (s1, w1) = at01(n); val (s10, w10) = at10(n)
       println(f"[probe] ratio $n%-20s wall ${s10 / s1}%6.1fx  shuffleW ${
         if (w1 > 0) f"${w10.toDouble / w1}%6.1fx" else "   n/a"}")

@@ -210,6 +210,39 @@ class SpannSpec extends SparkSpec {
     assert(partial.groupBy("id").count().agg(max("count")).head().getLong(0) <= 4)
   }
 
+  test("routed in-expression posting build ≡ hier join build (B8 routed)") {
+    import spark.implicits._
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val supers = Spann.selectHeadsModulo(
+        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 200)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+    // partial fan across metrics: the routed expression must reproduce the
+    // join form bit-for-bit — same supers chosen, same distinct top-k over
+    // the routed blocks, same tie rules
+    Seq("l2sq", "cos", "ip").foreach { m =>
+      val routing = Spann.routeHeads(heads, supers, routeReplicas = 2, m)
+      val routed = Spann.buildPostingsRouted(corpus, supers, routing, 4,
+          superK = 2, m)
+        .select("head_id", "id", "dist").as[(Long, Long, Double)]
+        .collect().toSeq.sorted
+      val hier = Spann.buildPostingsHier(corpus, supers, routing, 4,
+          superK = 2, m)
+        .select("head_id", "id", "dist").as[(Long, Long, Double)]
+        .collect().toSeq.sorted
+      assert(routed === hier, s"metric $m")
+    }
+    // over-budget routing rows → automatic fall-back to the join form
+    val routing = Spann.routeHeads(heads, supers, routeReplicas = 2)
+    val fallback = Spann.buildPostingsRouted(corpus, supers, routing, 4,
+        superK = 2, maxRoutingRows = 1)
+      .select("head_id", "id", "dist").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    val hier = Spann.buildPostingsHier(corpus, supers, routing, 4, superK = 2)
+      .select("head_id", "id", "dist").as[(Long, Long, Double)]
+      .collect().toSeq.sorted
+    assert(fallback === hier)
+  }
+
   test("hierarchical two-stage search keeps recall under partial fan (Q5 hier)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val supers = Spann.selectHeadsModulo(
