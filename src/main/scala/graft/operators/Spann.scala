@@ -861,11 +861,40 @@ object Spann {
 
   /** Stage-1 candidates via two-level head routing: queries hit the (tiny,
     * broadcastable) super-head set, then rank only the heads routed to those
-    * super-heads — an equi-join on `super_id`, never a broadcast of the full
-    * head set. A head routed to several chosen super-heads is counted once
-    * (distinct-id top-k; its query distance is deterministic).
+    * super-heads. A head routed to several chosen super-heads is counted once
+    * (distinct-id top-k; its query distance is deterministic). Evaluates as
+    * ONE map pass over the query batch ([[graft.functions.RoutedNearestHeadsExpr]]
+    * — for a large batch the join form materializes one row per
+    * (query, routed head) pair, the cost the 10× probe measured on the
+    * assignment side); over-budget routing tables fall back to the join
+    * form ([[candidateHeadsHierJoin]], tested equal) automatically.
     */
   def candidateHeadsHier(
+      queries: DataFrame,
+      superHeads: DataFrame,
+      routing: DataFrame,
+      internalK: Int,
+      superK: Int,
+      metric: String = "l2sq",
+      maxRoutingRows: Int = Spann.MaxBroadcastHeads): DataFrame =
+    graft.functions.RoutedNearestHeadsExpr.fromFramesBounded(
+      superHeads, routing, col("qvec"), internalK, superK, metric,
+      maxRoutingRows) match {
+      case Some(nn) =>
+        queries
+          .select(col("query_id"), posexplode(nn).as(Seq("pos", "r")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("r.id").as("head_id"), col("r.dist").as("hdist"))
+      case None =>
+        candidateHeadsHierJoin(queries, superHeads, routing, internalK,
+          superK, metric)
+    }
+
+  /** Join-formulated [[candidateHeadsHier]] — the fallback when the routing
+    * table outgrows the expression's driver-collect budget (equi-join on
+    * `super_id`, never a broadcast of the full head set); tested equal.
+    */
+  def candidateHeadsHierJoin(
       queries: DataFrame,
       superHeads: DataFrame,
       routing: DataFrame,

@@ -243,6 +243,26 @@ class SpannSpec extends SparkSpec {
     assert(fallback === hier)
   }
 
+  test("routed stage-1 candidates ≡ join-formulated hier candidates (Q5 routed)") {
+    import spark.implicits._
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val supers = Spann.selectHeadsModulo(
+        heads.select(col("head_id").as("id"), col("head_vec").as("vec")), 200)
+      .select(col("head_id").as("super_id"), col("head_vec").as("super_vec"))
+    val routing = Spann.routeHeads(heads, supers, routeReplicas = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "head_id", "hdist")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    // expression path (routing fits the budget) vs the join form
+    val expr = rows(Spann.candidateHeadsHier(queries, supers, routing, 8, 2))
+    val join = rows(Spann.candidateHeadsHierJoin(queries, supers, routing, 8, 2))
+    assert(expr === join)
+    // over-budget → candidateHeadsHier itself falls back to the join form
+    val fb = rows(Spann.candidateHeadsHier(queries, supers, routing, 8, 2,
+      maxRoutingRows = 1))
+    assert(fb === join)
+  }
+
   test("hierarchical two-stage search keeps recall under partial fan (Q5 hier)") {
     val heads = Spann.selectHeadsModulo(corpus, 50)
     val supers = Spann.selectHeadsModulo(
