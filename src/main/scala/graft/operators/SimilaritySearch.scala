@@ -844,13 +844,15 @@ object SimilaritySearch {
     */
   def randomProject(emb: DataFrame, dims: Int, outDims: Int = 8): DataFrame = {
     val sv = transform(col("vec"), v => round(v.cast("double") * 1000).cast("long"))
-    val pvec = array((0 until outDims).map { j =>
-      (0 until dims).map { d =>
-        col("_sv").getItem(d) * lit(rpWeight(j, d))
-      }.reduce(_ + _)
-    }: _*)
-    emb.select(col("id"), sv.as("_sv"))
-      .select(col("id"), pvec.as("pvec"))
+    // matrix-vector product as ONE compact expression: the unrolled
+    // getItem(d)*lit(w) sum chain generated ~13k Java lines at 8×64 and
+    // blew Janino's 64 KB method limit, dropping the whole stage out of
+    // whole-stage codegen (same exact LONG arithmetic either way)
+    val w = Array.tabulate(outDims, dims)(rpWeight)
+    val pvec = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.IntProjectExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(sv), w))
+    emb.select(col("id"), pvec.as("pvec"))
   }
 
   /** Coarse-to-fine ANN over the JL sketch: exact integer L2 top-`rerankR`

@@ -39,6 +39,16 @@ object DumpPlans {
         |super_id; stage-2 unchanged. Every fan-out is bounded by
         |(superK, internalK, replicaCount) knobs — nothing scales with the
         |corpus except partitioned scans.""".stripMargin,
+    "q311_spann_routed_postings" ->
+      """Routed posting assignment for head sets beyond a broadcast: supers +
+        |routing ride INSIDE the `routed_nearest_heads` expression, so the
+        |two-level assignment is a map-only pass over the corpus — per vector
+        |it scans the superK nearest supers' routed blocks only, and the only
+        |rows that ever exist are the O(n·replicas) results (the join
+        |formulation materializes one row per (vector, routed head) pair; the
+        |10× probe measured that at ~1 GB shuffle and 16× the wall). Falls
+        |back to the join form automatically past the expression's
+        |driver-collect budget.""".stripMargin,
     "q33_dedup_minhash" ->
       """MinHash+LSH dedup with per-doc packed shingle sets: signatures are
         |in-row array_min (no groupBy), the Jaccard verify is in-row
@@ -438,6 +448,7 @@ object DumpPlans {
     sb.append("# PLANS — flagship physical plans (generated by `graft.tools.DumpPlans`)\n\n")
     sb.append(s"Source fixture: `$sfDir`. Regenerate after plan-shape changes.\n")
     for ((name, note) <- notes) {
+      println(s"[plans] dumping $name")
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.count() // let AQE finalize the executed plan
       sb.append(s"\n## $name\n\n")
