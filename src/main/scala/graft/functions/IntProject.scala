@@ -20,6 +20,11 @@ case class IntProjectExpr(child: Expression, weights: Array[Array[Long]])
     extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // evalArray itself returns null on a short input, so the expression is
+  // nullable even over a non-null child — without this override ev.isNull
+  // is the FalseLiteral constant and the generated assignment to it fails
+  // Janino compilation ("not an rvalue")
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "int_project"
 
@@ -44,6 +49,74 @@ case class IntProjectExpr(child: Expression, weights: Array[Array[Long]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("intProject", this,
       classOf[IntProjectExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $ref.evalArray($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `centered_project(x)` — the PCA projection `out_j = round((Σ_i (x_i −
+  * mean_i) · comp_j_i) · postScale_j, roundScale)` as one compact call,
+  * replacing the unrolled per-(component, dim) literal column chains that
+  * blew Janino's 64 KB method limit on q217/q297 (the IntProjectExpr
+  * rationale, double flavor). Bit-identical to the column form: strict
+  * left-to-right double accumulation over ascending i, multiply-then-round,
+  * and `BigDecimal.valueOf(x).setScale(s, HALF_UP)` — exactly Spark's
+  * `round()` on DoubleType (the nearDupStream precedent). An input shorter
+  * than the component width nulls the output (the old form nulled every
+  * coordinate through getItem's NULL propagation).
+  */
+case class CenteredProjectExpr(
+    child: Expression,
+    mean: Array[Double],
+    components: Array[Array[Double]],
+    postScale: Array[Double],
+    roundScale: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  // see IntProjectExpr: null-returning evalArray requires nullable = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centered_project"
+
+  private lazy val childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+
+  def evalArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](components.length)
+    var j = 0
+    while (j < components.length) {
+      val comp = components(j)
+      if (comp.length > n) return null
+      var s = 0.0
+      var i = 0
+      while (i < comp.length) {
+        val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += (x - mean(i)) * comp(i)
+        i += 1
+      }
+      out(j) = BigDecimal.valueOf(s * postScale(j))
+        .setScale(roundScale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centeredProject", this,
+      classOf[CenteredProjectExpr].getName)
     nullSafeCodeGen(ctx, ev, a => {
       s"""
          |${ev.value} = $ref.evalArray($a);

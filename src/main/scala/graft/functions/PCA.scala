@@ -141,16 +141,16 @@ object PCA {
     * literal arrays.
     */
   def project(df: DataFrame, model: Model, vecCol: String = "vec",
-      outCol: String = "proj", scale: Int = 6): DataFrame = {
-    val coords = model.components.map { comp =>
-      val terms = comp.indices.map { i =>
-        (col(vecCol).getItem(i).cast("double") - lit(model.mean(i))) *
-          lit(comp(i))
-      }
-      round(terms.reduce(_ + _), scale)
-    }
-    df.withColumn(outCol, array(coords: _*))
-  }
+      outCol: String = "proj", scale: Int = 6): DataFrame =
+    // one compact expression, not per-(component, dim) literal chains: the
+    // unrolled form generated >64 KB methods (Janino limit) and knocked the
+    // stage out of whole-stage codegen; math is bit-identical (see
+    // CenteredProjectExpr)
+    df.withColumn(outCol, org.apache.spark.sql.graft.ColumnShim.column(
+      CenteredProjectExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(vecCol)),
+        model.mean, model.components,
+        Array.fill(model.components.length)(1.0), scale)))
 
   /** Whitened projection: [[project]]'s coordinates scaled to unit
     * variance — coordinate j multiplies by the driver-precomputed literal
@@ -165,14 +165,10 @@ object PCA {
   def whiten(df: DataFrame, model: Model, eps: Double = 1e-9,
       vecCol: String = "vec", outCol: String = "white",
       scale: Int = 6): DataFrame = {
-    val coords = model.components.zipWithIndex.map { case (comp, j) =>
-      val terms = comp.indices.map { i =>
-        (col(vecCol).getItem(i).cast("double") - lit(model.mean(i))) *
-          lit(comp(i))
-      }
-      val w = 1.0 / math.sqrt(model.varExplained(j) + eps)
-      round(terms.reduce(_ + _) * lit(w), scale)
-    }
-    df.withColumn(outCol, array(coords: _*))
+    val w = model.varExplained.map(v => 1.0 / math.sqrt(v + eps))
+    df.withColumn(outCol, org.apache.spark.sql.graft.ColumnShim.column(
+      CenteredProjectExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(vecCol)),
+        model.mean, model.components, w, scale)))
   }
 }
