@@ -61,6 +61,55 @@ case class IntProjectExpr(child: Expression, weights: Array[Array[Long]])
     copy(child = newChild)
 }
 
+/** `codepoint_hist(text)` — ONE pass over a string's code points producing
+  * `[count(cp % bins = 0), …, count(cp % bins = bins−1), n_codepoints,
+  * Σ codepoints]` as `ARRAY<BIGINT>[bins + 2]`. Replaces the
+  * `transform(sequence(1, length), i -> ascii(substr(i, 1)))` +
+  * per-bin `filter` column formulation, which is O(len²) per row (each
+  * substr(i, 1) re-walks the string to offset i, and each of the 64 bin
+  * filters re-scans the exploded array) — the q122/q163 verify dumps were
+  * dominated by it, and at corpus scale a quadratic per-row cost is a
+  * correctness-of-design bug, not a constant. Value-identical: Spark's
+  * `length`/`substr`/`ascii` operate on code points, exactly this walk.
+  */
+case class CodepointHistExpr(child: Expression, bins: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "codepoint_hist"
+
+  override def nullSafeEval(v: Any): Any =
+    evalString(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def evalString(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = u.toString
+    val out = new Array[Long](bins + 2)
+    var i = 0
+    var n = 0L
+    var sum = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(cp % bins) += 1
+      n += 1
+      sum += cp
+      i += Character.charCount(cp)
+    }
+    out(bins) = n
+    out(bins + 1) = sum
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codepointHist", this,
+      classOf[CodepointHistExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalString($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `centered_project(x)` — the PCA projection `out_j = round((Σ_i (x_i −
   * mean_i) · comp_j_i) · postScale_j, roundScale)` as one compact call,
   * replacing the unrolled per-(component, dim) literal column chains that

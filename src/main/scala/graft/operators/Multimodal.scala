@@ -542,14 +542,16 @@ object Multimodal {
     */
   def perceptualHash(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cps = transform(sequence(lit(1), length(col(textCol))),
-      i => ascii(col(textCol).substr(i, lit(1))).cast("long"))
+    // one-pass codepoint histogram (see CodepointHistExpr: the
+    // substr-per-character + filter-per-bin column form was O(len²) per doc)
+    val he = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.CodepointHistExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col(textCol)), 64))
     val hist = docs
       .where(length(col(textCol)) > 0)
-      .select(col(idCol), cps.as("_cps"))
-      .select(col(idCol), size(col("_cps")).cast("long").as("_ld"),
-        array((0 until 64).map(d =>
-          size(filter(col("_cps"), c => c % 64 === d)).cast("long")): _*).as("_sv"))
+      .select(col(idCol), he.as("_h"))
+      .select(col(idCol), element_at(col("_h"), 65).as("_ld"),
+        slice(col("_h"), 1, 64).as("_sv"))
     val stats = hist
       .select(col("_ld"), posexplode(col("_sv")).as(Seq("dim", "_v")))
       .groupBy(col("dim"))
@@ -578,13 +580,16 @@ object Multimodal {
   /** SQL-parity feature view used by the oracle query: byte stats computable
     * on both engines (n_bytes, first byte, integer checksum).
     */
-  def byteStats(spark: SparkSession, dir: String): DataFrame =
+  def byteStats(spark: SparkSession, dir: String): DataFrame = {
+    // Σ codepoints from the same one-pass histogram expression (slot 66);
+    // the aggregate-over-substr form re-walked the string per character
+    val he = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.CodepointHistExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("text")), 64))
     graft.Tables.documents(spark, dir).select(
       col("doc_id"),
       octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
       ascii(substring(col("text"), 1, 1)).as("first_byte"),
-      aggregate(
-        transform(sequence(lit(1), length(col("text"))),
-          i => ascii(col("text").substr(i, lit(1))).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("checksum"))
+      element_at(he, 66).as("checksum"))
+  }
 }
