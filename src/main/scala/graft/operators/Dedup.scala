@@ -163,19 +163,44 @@ object Dedup {
     * semantics as the stored-index probe's `cnt` filter
     * ([[graft.sources.DedupStore.probe]]) and the incremental corpus guard;
     * the corpus-side analogue of the reference's posting truncation
-    * (`ExtraFullGraphSearcher.h:744-760`). The window shuffles on the same
-    * `(band, band_hash)` key the join needs, so the guard adds no extra
-    * exchange over the unguarded form.
+    * (`ExtraFullGraphSearcher.h:744-760`).
+    *
+    * Plan shape: ONE exchange on `(band, band_hash)` and NO sort — bucket
+    * members collect through [[graft.functions.CappedCollectLongs]], whose
+    * overflow latch IS the guard (a hot bucket costs `maxBucket + 1` buffer
+    * slots then constant-time discards, and evaluates to NULL = dropped), so
+    * the count-before-collect window pass the previous form needed — a full
+    * sort of the band stream per the window contract — disappears. Map-side
+    * partials reduce each task's slice before the shuffle. The `n·(n−1)/2`
+    * in-bucket pairs then expand IN-ROW from the bounded member array
+    * (≤ `maxBucket` ids, so the pair fan-out per row is capped by
+    * construction); a bucket self-join would produce the identical pair set
+    * but pays sort-merge machinery and a second read of the bucket stream
+    * for rows the explode derives for free. Non-long id types (no current
+    * caller) fall back to the window-guarded collect, same semantics.
     */
   def lshCandidates(bands: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("band_hash"))
-    val small = bands
-      .withColumn("_cnt", count(lit(1)).over(w))
-      .where(col("_cnt") <= maxBucket)
-    val l = small.select(col("doc_id").as("a"), col("band"), col("band_hash"))
-    val r = small.select(col("doc_id").as("b"), col("band"), col("band_hash"))
-    l.join(r, Seq("band", "band_hash"))
-      .where(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    import graft.functions.CappedCollectLongs.cappedLongs
+    val idIsLong = bands.schema("doc_id").dataType == org.apache.spark.sql.types.LongType
+    val members =
+      if (idIsLong)
+        bands.groupBy(col("band"), col("band_hash"))
+          .agg(cappedLongs(col("doc_id"), maxBucket).as("_ids"))
+          .where(col("_ids").isNotNull)
+      else {
+        val w = Window.partitionBy(col("band"), col("band_hash"))
+        bands.withColumn("_cnt", count(lit(1)).over(w))
+          .where(col("_cnt") <= maxBucket)
+          .groupBy(col("band"), col("band_hash"))
+          .agg(array_sort(collect_list(col("doc_id"))).as("_ids"))
+      }
+    members
+      .select(explode(expr(
+        """flatten(transform(_ids, (x, i) ->
+          |  transform(slice(_ids, i + 2, size(_ids) - i - 1),
+          |            y -> struct(x as a, y as b))))""".stripMargin)).as("_p"))
+      .select(col("_p.a").as("a"), col("_p.b").as("b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for given pairs (or all pairs if `pairs` empty):

@@ -180,6 +180,21 @@ class DedupSpec extends SparkSpec {
       "a dup pair in a hot bucket must be recovered through its other bands")
   }
 
+  test("capped_longs: exact-cap kept, cap+1 dropped, overflow survives merge") {
+    import graft.functions.CappedCollectLongs.cappedLongs
+    // many single-value rows per key force map-side partial buffers to merge
+    val rows = (0L until 5L).map(v => ("at", v)) ++ // exactly cap → kept
+      (0L until 6L).map(v => ("over", v)) ++ // cap+1 → NULL → dropped
+      Seq(("one", 42L))
+    val out = rows.toDF("k", "v").repartition(8)
+      .groupBy(col("k")).agg(cappedLongs(col("v"), 5).as("ids"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[Long](1)).map(_.toList)).toMap
+    assert(out("at") === Some(List(0L, 1L, 2L, 3L, 4L)), "sorted, complete at cap")
+    assert(out("over") === None, "a group past the cap must evaluate to NULL")
+    assert(out("one") === Some(List(42L)))
+  }
+
   test("identical docs have identical minhash signature and simhash") {
     val sig = Dedup.minhash(Dedup.shingles(docs)).orderBy("doc_id").collect()
     assert(sig(0).getSeq[Long](1) === sig(1).getSeq[Long](1))
