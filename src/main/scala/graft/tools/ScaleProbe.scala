@@ -63,6 +63,23 @@ object ScaleProbe {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     }
+    if (!done("customer")) {
+      // dims stay 1×: at a real 10× the fact tables grow, the customer
+      // dimension doesn't — q44's broadcast-dim shape is what's probed
+      spark.read.parquet(s"$src/customer.parquet")
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    }
+    if (!done("events")) {
+      // 10× users over the SAME time span (event rate grows 10×, per-user
+      // streams keep their within-replica structure for the window walks)
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      ev.select(col("*"), r)
+        .withColumn("event_id", col("event_id") + col("r") * lit(1000000000L))
+        .withColumn("user_id", col("user_id") + col("r") * lit(10000000L))
+        .drop("r")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
     if (!done("embeddings")) {
       val e = spark.read.parquet(s"$src/embeddings.parquet")
       e.select(col("*"), r)
@@ -105,7 +122,8 @@ object ScaleProbe {
     println(f"[probe] fixture gen/check ${(System.nanoTime() - t0) / 1e9}%6.1f s -> $dst")
 
     val names = Seq("q01_knn_l2", "q07_spann_postings", "q08_spann_search",
-      "q33_dedup_minhash", "q37_ann_bruteforce")
+      "q33_dedup_minhash", "q37_ann_bruteforce",
+      "q20_tpch_q1", "q44_tpch_q3", "q30_text_stats", "q43_events_window")
 
     def hierInputs(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
       import graft.operators.Spann
