@@ -2425,7 +2425,33 @@ object SparkEntry {
       // a pair sharing several buckets is emitted once per shared bucket
       // (identical values) — distinct() is the documented sink-side dedup
       ordered(out.distinct())
-    })
+    }),
+    // Good–Turing coverage + Chao1 richness floor — "is more data still
+    // buying new vocabulary" as one audited row
+    "q312_unseen_vocab" -> ((s, d) =>
+      ordered(TextAnalysis.unseenVocab(Tables.documents(s, d)))),
+    // Heaps-law V(n) ≈ K·n^β growth fit over 32 ingest-order prefixes —
+    // the scaling-law companion of q312's point estimate
+    "q313_heaps_law" -> ((s, d) =>
+      ordered(TextAnalysis.heapsFit(Tables.documents(s, d)))),
+    // per-source early/late KS drift (q286's test at source granularity)
+    // with Benjamini–Hochberg FDR control across the source dashboard
+    "q314_fdr_drift" -> ((s, d) =>
+      ordered(Eval.fdrDrift(
+        Tables.documents(s, d).select(col("source"),
+          round(TextAnalysis.qualityRaw(col("text")) * 10000)
+            .cast("long").as("u"),
+          (col("doc_id") % 2 === 1).as("late")),
+        "source", "u", "late"))),
+    // Mondrian split-conformal interval for the quality score per source
+    // (90% target coverage; deterministic doc_id-digit calibration split)
+    "q315_conformal_quality" -> ((s, d) =>
+      ordered(Eval.conformalInterval(
+        Tables.documents(s, d).select(col("source"),
+          round(TextAnalysis.qualityRaw(col("text")) * 10000)
+            .cast("long").as("u"),
+          (col("doc_id") % 10 < 5).as("cal")),
+        "source", "u", "cal")))
   )
 
   // q306-q310: monotonically-named memory-sink tables, so concurrent Verify
@@ -8596,7 +8622,132 @@ object SparkEntry {
       s"""WITH $minhashCtes
          |SELECT j.a, j.b, j.jaccard FROM jac j JOIN cand c ON j.a = c.a AND j.b = c.b
          |WHERE j.jaccard >= 0.3
-         |ORDER BY 1, 2, 3""".stripMargin
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q312_unseen_vocab" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         |a AS (SELECT count(*)::BIGINT AS n_types, sum(cnt)::BIGINT AS n_tokens,
+         |        sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         |        sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+         |      FROM c)
+         |SELECT n_types, n_tokens, f1, f2,
+         |  round(n_types::DOUBLE +
+         |    f1::DOUBLE * (f1 - 1)::DOUBLE / (2.0 * (f2 + 1)::DOUBLE), 4) AS chao1,
+         |  round(1.0 - f1::DOUBLE / n_tokens::DOUBLE, 6) AS gt_coverage
+         |FROM a ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    },
+    // mirrors heapsFit step-for-step: bucket by doc_id range (integer ids,
+    // `/` = double division + floor in BOTH engines), first-occurrence
+    // buckets, bounded cumulative self-join, 8dp-rounded ln moments folded
+    // as DECIMAL(38,8), and β/K as the identical double expressions
+    "q313_heaps_law" -> {
+      val toks = TextAnalysis.Sql.toks("text")
+      val beta = """(sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / m::DOUBLE) /
+                   |   (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / m::DOUBLE)""".stripMargin
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |tok AS (SELECT least(31, CAST(floor(doc_id * 32 / (mx.mx + 1)) AS INT)) AS b,
+         |               unnest($toks) AS token
+         |        FROM documents CROSS JOIN mx),
+         |tp AS (SELECT b, count(*) AS nt FROM tok GROUP BY 1),
+         |fo AS (SELECT token, min(b) AS b FROM tok GROUP BY 1),
+         |np AS (SELECT b, count(*) AS nv FROM fo GROUP BY 1),
+         |per AS (SELECT tp.b, tp.nt, coalesce(np.nv, 0) AS nv
+         |        FROM tp LEFT JOIN np USING (b)),
+         |cum AS (SELECT a.b, sum(c.nt)::BIGINT AS n, sum(c.nv)::BIGINT AS v
+         |        FROM per a JOIN per c ON c.b <= a.b GROUP BY 1),
+         |pts AS (SELECT round(ln(n::DOUBLE), 8) AS x, round(ln(v::DOUBLE), 8) AS y
+         |        FROM cum WHERE n > 0 AND v > 0),
+         |mom AS (SELECT count(*)::BIGINT AS m,
+         |          sum(CAST(x AS DECIMAL(38,8))) AS sx,
+         |          sum(CAST(y AS DECIMAL(38,8))) AS sy,
+         |          sum(CAST(round(x * y, 8) AS DECIMAL(38,8))) AS sxy,
+         |          sum(CAST(round(x * x, 8) AS DECIMAL(38,8))) AS sxx
+         |        FROM pts)
+         |SELECT m AS n_points,
+         |  round(CASE WHEN m >= 2 THEN $beta END, 6) + 0.0 AS beta,
+         |  round(CASE WHEN m >= 2 THEN exp(round(sy::DOUBLE / m::DOUBLE -
+         |    ($beta) * (sx::DOUBLE / m::DOUBLE), 8)) END, 4) AS k_fit
+         |FROM mom ORDER BY 1, 2, 3""".stripMargin
+    },
+    // mirrors fdrDrift: per-source early/late CDF gaps (8dp doubles over
+    // exact longs), one-term asymptotic p with an 8dp-rounded exp argument,
+    // BH rank and alarm via bounded self-joins on the per-source frame
+    "q314_fdr_drift" -> {
+      val qe = TextAnalysis.Sql.qualityRawExpr
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT source AS g, CAST(round(($qe) * 10000) AS BIGINT) AS v,
+         |         doc_id % 2 = 1 AS l
+         |  FROM documents),
+         |h AS MATERIALIZED (SELECT g, v,
+         |      sum(CASE WHEN l THEN 0 ELSE 1 END)::BIGINT AS ca,
+         |      sum(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT AS cb
+         |    FROM base WHERE v IS NOT NULL AND l IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT g, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+         |      FROM h GROUP BY 1),
+         |cdf AS (SELECT a.g, a.v, sum(c.ca)::BIGINT AS fa, sum(c.cb)::BIGINT AS fb
+         |        FROM h a JOIN h c ON c.g = a.g AND c.v <= a.v GROUP BY 1, 2),
+         |ks AS (SELECT cdf.g, t.na, t.nb,
+         |         max(round(abs(fa::DOUBLE / na - fb::DOUBLE / nb), 8)) AS ks
+         |       FROM cdf JOIN t USING (g)
+         |       WHERE na > 0 AND nb > 0 GROUP BY 1, 2, 3),
+         |p AS MATERIALIZED (SELECT g, na, nb, ks,
+         |       round(least(1.0, 2.0 * exp(round(-2.0 * ks * ks *
+         |         (na::DOUBLE * nb::DOUBLE) / (na + nb)::DOUBLE, 8))), 8) AS p
+         |     FROM ks),
+         |m AS (SELECT count(*)::BIGINT AS mm FROM p),
+         |r0 AS (SELECT a.g, a.na, a.nb, a.ks, a.p, count(*)::BIGINT AS rank
+         |       FROM p a JOIN p b ON b.p < a.p OR (b.p = a.p AND b.g <= a.g)
+         |       GROUP BY a.g, a.na, a.nb, a.ks, a.p),
+         |r AS MATERIALIZED (
+         |  SELECT r0.*, r0.p <= 0.05 * r0.rank::DOUBLE / m.mm::DOUBLE AS ok
+         |  FROM r0 CROSS JOIN m)
+         |SELECT r.g AS "group", r.na AS n_a, r.nb AS n_b,
+         |  round(r.ks, 6) AS ks, r.p AS p_value, r.rank AS bh_rank,
+         |  max(CASE WHEN r2.ok THEN 1 ELSE 0 END) = 1 AS alarm
+         |FROM r LEFT JOIN r r2 ON r2.rank >= r.rank
+         |GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    },
+    // mirrors conformalInterval: integer-exact order-statistic indices via
+    // floor division, per-source histogram cumulatives, one 6dp divide
+    "q315_conformal_quality" -> {
+      val qe = TextAnalysis.Sql.qualityRawExpr
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT source AS g, CAST(round(($qe) * 10000) AS BIGINT) AS v,
+         |         doc_id % 10 < 5 AS cal
+         |  FROM documents WHERE text IS NOT NULL),
+         |calr AS MATERIALIZED (SELECT g, v FROM base WHERE cal),
+         |ch AS MATERIALIZED (SELECT g, v, count(*)::BIGINT AS c
+         |     FROM calr GROUP BY 1, 2),
+         |cn AS (SELECT g, sum(c)::BIGINT AS n FROM ch GROUP BY 1),
+         |ccum AS (SELECT a.g, a.v, sum(b.c)::BIGINT AS cum
+         |         FROM ch a JOIN ch b ON b.g = a.g AND b.v <= a.v GROUP BY 1, 2),
+         |med AS MATERIALIZED (
+         |  SELECT ccum.g, cn.n AS n_cal, min(ccum.v) AS median_u
+         |  FROM ccum JOIN cn USING (g)
+         |  WHERE cum >= (n + 1) // 2 GROUP BY 1, 2),
+         |res AS (SELECT calr.g, abs(calr.v - med.median_u) AS v
+         |        FROM calr JOIN med USING (g)),
+         |rh AS MATERIALIZED (SELECT g, v, count(*)::BIGINT AS c
+         |     FROM res GROUP BY 1, 2),
+         |rn AS (SELECT g, sum(c)::BIGINT AS n FROM rh GROUP BY 1),
+         |rcum AS (SELECT a.g, a.v, sum(b.c)::BIGINT AS cum
+         |         FROM rh a JOIN rh b ON b.g = a.g AND b.v <= a.v GROUP BY 1, 2),
+         |qh AS MATERIALIZED (
+         |  SELECT rcum.g, min(rcum.v) AS qhat_u
+         |  FROM rcum JOIN rn USING (g)
+         |  WHERE cum >= least(rn.n, ((rn.n + 1) * 9 + 9) // 10) GROUP BY 1),
+         |ev AS (SELECT base.g, count(*)::BIGINT AS n_eval,
+         |         sum(CASE WHEN abs(base.v - med.median_u) <= qh.qhat_u
+         |             THEN 1 ELSE 0 END)::BIGINT AS cov
+         |       FROM base JOIN med USING (g) JOIN qh USING (g)
+         |       WHERE NOT cal GROUP BY 1)
+         |SELECT ev.g AS "group", med.n_cal, ev.n_eval, med.median_u, qh.qhat_u,
+         |  round(cov::DOUBLE / n_eval::DOUBLE, 6) AS coverage
+         |FROM ev JOIN med USING (g) JOIN qh USING (g)
+         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    }
   )
 
   /** q121/q125 oracle: the DSIR hashed-bigram importance pipeline mirrored

@@ -1152,4 +1152,143 @@ object Eval {
             (col("_n") - col("_ng")) -
           col("_s").cast("double") / col("_n"), 6).as("delta"))
   }
+
+  /** Per-group two-sample KS drift with Benjamini–Hochberg FDR control —
+    * the multiple-testing closure of the drift family ([[ksStat]] asks "did
+    * THIS stream drift"; a 20-source dashboard asking it 20 times at
+    * α = .05 false-alarms weekly by construction). Per group the KS D
+    * between the `sideCol = false` and `sideCol = true` samples of the
+    * integer-unit `valueCol` feeds the one-term asymptotic bound
+    * `p = min(1, 2·e^{−2D²·n_a n_b/(n_a+n_b)})`, and BH keeps the groups
+    * up to the largest rank i with `p_(i) ≤ α·i/m`. Output per group:
+    * `(group, n_a, n_b, ks, p_value, bh_rank, alarm)`.
+    *
+    * Determinism: CDF gaps are doubles over exact longs rounded 8dp (the
+    * [[ksStat]] rule); the exp argument is rounded 8dp before `exp`; p is
+    * compared against `α·rank/m` evaluated in the same operand order both
+    * engines. Scale shape: one (group, value) hash agg, CDFs by
+    * group-equi + range self-join on the bounded per-group value frame
+    * (the score-resolution contract bounds it), then every BH step on the
+    * ≤|groups|-row frame — no windows, no sorts.
+    */
+  def fdrDrift(df: DataFrame, groupCol: String, valueCol: String,
+      sideCol: String, alpha: Double = 0.05): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"), col(sideCol).as("_l"))
+      .where(col("_v").isNotNull && col("_l").isNotNull)
+    val hist = base.groupBy(col("_g"), col("_v"))
+      .agg(sum(when(col("_l"), 0L).otherwise(1L)).as("_ca"),
+        sum(when(col("_l"), 1L).otherwise(0L)).as("_cb"))
+      .localCheckpoint(eager = false)
+    val totals = hist.groupBy(col("_g"))
+      .agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val cdf = hist.select(col("_g"), col("_v"))
+      .join(hist.select(col("_g"), col("_v").as("_u"),
+        col("_ca"), col("_cb")), Seq("_g"))
+      .where(col("_u") <= col("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(sum(col("_ca")).as("_fa"), sum(col("_cb")).as("_fb"))
+    val ks = cdf.join(totals, Seq("_g"))
+      .where(col("_na") > 0 && col("_nb") > 0)
+      .select(col("_g"), col("_na"), col("_nb"),
+        round(abs(col("_fa").cast("double") / col("_na") -
+          col("_fb").cast("double") / col("_nb")), 8).as("_gap"))
+      .groupBy(col("_g"), col("_na"), col("_nb"))
+      .agg(max(col("_gap")).as("_ks"))
+    val p = ks.select(col("_g"), col("_na"), col("_nb"), col("_ks"),
+      round(least(lit(1.0), lit(2.0) * exp(round(lit(-2.0) *
+        col("_ks") * col("_ks") *
+        (col("_na").cast("double") * col("_nb").cast("double")) /
+        (col("_na") + col("_nb")).cast("double"), 8))), 8).as("_p"))
+      .localCheckpoint(eager = false)
+    val m = p.agg(count(lit(1)).as("_mm"))
+    val ranked = p
+      .join(broadcast(p.select(col("_g").as("_g2"), col("_p").as("_p2"))),
+        col("_p2") < col("_p") ||
+          (col("_p2") === col("_p") && col("_g2") <= col("_g")))
+      .groupBy(col("_g"), col("_na"), col("_nb"), col("_ks"), col("_p"))
+      .agg(count(lit(1)).as("_rank"))
+      .crossJoin(broadcast(m))
+      .withColumn("_ok", col("_p") <=
+        lit(alpha) * col("_rank").cast("double") / col("_mm").cast("double"))
+      .localCheckpoint(eager = false)
+    ranked
+      .join(broadcast(ranked.select(col("_rank").as("_r2"), col("_ok").as("_ok2"))),
+        col("_r2") >= col("_rank"), "left")
+      .groupBy(col("_g"), col("_na"), col("_nb"), col("_ks"),
+        col("_p"), col("_rank"))
+      .agg(max(when(col("_ok2"), 1).otherwise(0)).as("_al"))
+      .select(col("_g").as("group"), col("_na").as("n_a"), col("_nb").as("n_b"),
+        round(col("_ks"), 6).as("ks"), col("_p").as("p_value"),
+        col("_rank").as("bh_rank"), (col("_al") === 1).as("alarm"))
+  }
+
+  /** Mondrian (per-group) split-conformal interval for an integer-unit
+    * score — the distribution-free "how wrong is a per-source point
+    * estimate" wrapper: within each group the CALIBRATION rows
+    * (`calCol = true`) give a median predictor and the
+    * `⌈(n+1)·(1−α)⌉`-th order statistic of |score − median| as the
+    * conformal radius; the holdout rows measure empirical coverage, which
+    * the conformal guarantee lower-bounds by 1−α under exchangeability.
+    * `α = alphaNum/alphaDen` stays RATIONAL so the order-statistic index
+    * is exact integer arithmetic (`⌈(n+1)·(d−a)/d⌉`, no float boundary) —
+    * the q190 integer-unit rule applied to a quantile INDEX. Output per
+    * group: `(group, n_cal, n_eval, median_u, qhat_u, coverage)` — units
+    * stay the caller's integer units, coverage one 6dp divide.
+    *
+    * Scale shape: (group, unit) hash aggs for both the score and residual
+    * histograms; every order statistic is an exact-count cumulative on the
+    * bounded per-group unit frame (group-equi + range self-join per the
+    * score-resolution contract); no windows, no sorts, nothing driver-side.
+    */
+  def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
+      calCol: String, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"conformal alpha must be in (0,1): $alphaNum/$alphaDen")
+    val base = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"), col(calCol).as("_cal"))
+      .where(col("_v").isNotNull && col("_cal").isNotNull)
+      .localCheckpoint(eager = false)
+    def orderStat(values: DataFrame, kOf: Column): DataFrame = {
+      // smallest unit whose cumulative count reaches k (exact integers)
+      val h = values.groupBy(col("_g"), col("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val n = h.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+      h.select(col("_g"), col("_v"))
+        .join(h.select(col("_g"), col("_v").as("_u"), col("_c")), Seq("_g"))
+        .where(col("_u") <= col("_v"))
+        .groupBy(col("_g"), col("_v")).agg(sum(col("_c")).as("_cum"))
+        .join(n.select(col("_g"), col("_n"), kOf.as("_k")), Seq("_g"))
+        .where(col("_cum") >= col("_k"))
+        .groupBy(col("_g"), col("_n")).agg(min(col("_v")).as("_stat"))
+    }
+    // per-group calibration median: k = ⌈n/2⌉ = (n+1) div 2 (lower median
+    // for even n; `div` keeps the index integer-exact in both engines)
+    val med = orderStat(base.where(col("_cal")), expr("(_n + 1) div 2"))
+      .select(col("_g"), col("_n").as("n_cal"), col("_stat").as("median_u"))
+      .localCheckpoint(eager = false)
+    // conformal radius: the ⌈(n+1)·(den−num)/den⌉-th smallest |v − median|,
+    // clamped to n (the finite-sample split-conformal index)
+    val kExpr = expr(
+      s"least(_n, ((_n + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen)")
+    val qhat = orderStat(
+      base.where(col("_cal"))
+        .join(med.select(col("_g"), col("median_u")), Seq("_g"))
+        .select(col("_g"), abs(col("_v") - col("median_u")).as("_v")),
+      kExpr)
+      .select(col("_g"), col("_stat").as("qhat_u"))
+    // holdout coverage: share of eval rows with |v − median| ≤ qhat
+    base.where(!col("_cal"))
+      .join(med.select(col("_g"), col("median_u")), Seq("_g"))
+      .join(qhat, Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(abs(col("_v") - col("median_u")) <= col("qhat_u"), 1L)
+          .otherwise(0L)).as("_cov"))
+      .join(med, Seq("_g")).join(qhat, Seq("_g"))
+      .select(col("_g").as("group"), col("n_cal"), col("n_eval"),
+        col("median_u"), col("qhat_u"),
+        round(col("_cov").cast("double") / col("n_eval").cast("double"), 6)
+          .as("coverage"))
+  }
 }

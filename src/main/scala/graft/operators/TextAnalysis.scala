@@ -856,6 +856,99 @@ object TextAnalysis {
           .otherwise(lit(null).cast("double")), 6).as("alpha"))
   }
 
+  /** Good–Turing / Chao1 unseen-vocabulary estimate — "how much of this
+    * corpus's vocabulary have we actually seen": from the type-frequency
+    * counts, the singleton/doubleton masses give the Good–Turing coverage
+    * `1 − f1/N` (the probability the NEXT token is an already-seen type)
+    * and the bias-corrected Chao1 richness floor
+    * `v + f1·(f1−1)/(2·(f2+1))` — the standard capture–recapture answer to
+    * "is more data still buying new vocabulary". One row:
+    * `(n_types, n_tokens, f1, f2, chao1, gt_coverage)`.
+    *
+    * Determinism: every input to the two divides is an exact integer
+    * aggregate; each output is ONE double expression rounded once —
+    * engine- and order-exact. Scale shape: one token-keyed hash agg
+    * (shuffle ∝ vocabulary) + one global agg; nothing else.
+    */
+  def unseenVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .agg(count(lit(1)).as("n_types"), sum(col("_cnt")).as("n_tokens"),
+        sum(when(col("_cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_types"), col("n_tokens"), col("f1"), col("f2"),
+        round(col("n_types").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 4).as("chao1"),
+        round(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("gt_coverage"))
+
+  /** Heaps-law vocabulary-growth fit `V(n) ≈ K·n^β` — the scaling-law
+    * readout of [[unseenVocab]]'s point estimate: bucket the corpus into
+    * `buckets` equal doc_id ranges (doc_id order standing in for ingest
+    * order), accumulate (tokens-so-far, NEW types whose FIRST occurrence
+    * falls in the bucket) per prefix, and OLS-fit log V against log n over
+    * the non-empty prefix points. β well below ~0.5 says vocabulary is
+    * saturating (more of the same data buys little); β near 1 says the
+    * corpus is still vocabulary-open. Output one row
+    * `(n_points, beta, k_fit)`, β at 6dp, K at 4dp.
+    *
+    * Determinism contract: each point's ln is rounded 8dp → DECIMAL(38,8)
+    * (the [[hillTail]] transcendental rule), the OLS moment sums are exact
+    * decimal folds, β/K are single double expressions over them, and
+    * `exp` runs on an 8dp-rounded argument before the final 4dp round.
+    * Scale shape: one token pass to per-type first-occurrence buckets
+    * (shuffle ∝ vocabulary), per-bucket aggs, and every cumulative/OLS
+    * step on the ≤`buckets`-row bounded frame (self-join, no window).
+    */
+  def heapsFit(docs: DataFrame, buckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 2)
+    val mx = docs.agg(max(col(idCol)).as("_mx"))
+    val tok = docs.crossJoin(broadcast(mx))
+      .select(least(lit(buckets - 1),
+          floor(col(idCol) * buckets / (col("_mx") + 1)).cast("int")).as("_b"),
+        explode(tokens(col(textCol))).as("_tok"))
+    // per bucket: tokens landing in it, and types FIRST seen in it
+    val tokPer = tok.groupBy(col("_b")).agg(count(lit(1)).as("_nt"))
+    val newPer = tok.groupBy(col("_tok")).agg(min(col("_b")).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_nv"))
+    val per = tokPer.join(newPer, Seq("_b"), "left")
+      .select(col("_b"), col("_nt"), coalesce(col("_nv"), lit(0L)).as("_nv"))
+      .localCheckpoint(eager = false)
+    // cumulative prefix totals over the bounded bucket frame (self-join)
+    val cum = per.select(col("_b"))
+      .join(broadcast(per.select(col("_b").as("_c"), col("_nt"), col("_nv"))),
+        col("_c") <= col("_b"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_nt")).as("_n"), sum(col("_nv")).as("_v"))
+      .where(col("_n") > 0 && col("_v") > 0)
+    // moments multiply in IEEE double (deterministic given equal operands)
+    // and round 8dp BEFORE the order-free decimal fold — decimal×decimal
+    // would hit engine-specific precision-overflow rounding instead
+    val pts = cum.select(
+      round(log(col("_n").cast("double")), 8).as("_x"),
+      round(log(col("_v").cast("double")), 8).as("_y"))
+    val mom = pts.agg(count(lit(1)).as("_m"),
+      sum(col("_x").cast("decimal(38,8)")).as("_sx"),
+      sum(col("_y").cast("decimal(38,8)")).as("_sy"),
+      sum(round(col("_x") * col("_y"), 8).cast("decimal(38,8)")).as("_sxy"),
+      sum(round(col("_x") * col("_x"), 8).cast("decimal(38,8)")).as("_sxx"))
+    val beta = (col("_sxy").cast("double") -
+        col("_sx").cast("double") * col("_sy").cast("double") /
+          col("_m").cast("double")) /
+      (col("_sxx").cast("double") -
+        col("_sx").cast("double") * col("_sx").cast("double") /
+          col("_m").cast("double"))
+    mom.select(col("_m").as("n_points"),
+      round(when(col("_m") >= 2, beta), 6).as("beta"),
+      round(when(col("_m") >= 2,
+        exp(round(col("_sy").cast("double") / col("_m").cast("double") -
+          beta * (col("_sx").cast("double") / col("_m").cast("double")), 8))),
+        4).as("k_fit"))
+  }
+
   /** Sentence-granularity duplication rate per source — the corpus-health
     * number between chunk-level exact dedup (token windows) and doc-level
     * dedup: boilerplate repeats SENTENCES long before whole docs repeat.

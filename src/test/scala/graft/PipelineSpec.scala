@@ -993,6 +993,41 @@ class PipelineSpec extends SparkSpec {
     assert(Eval.ksStat(ha, hb, "v").collect()(0).getDouble(2) === 0.5)
   }
 
+  test("fdrDrift: a fully-drifted group alarms, an identical-halves group " +
+      "doesn't; BH ranks and the one-term p are the hand values") {
+    import graft.operators.Eval
+    // "drift": early all 0, late all 10 → D = 1, p = 2e^{-2·25/10} = 2e^{-5}
+    // "stable": both halves {0, 1} → D = 0 → p clamps to 1
+    val rows =
+      (0 until 5).flatMap(i => Seq(("drift", 0L, false), ("drift", 10L, true),
+        ("stable", i.toLong % 2, false), ("stable", i.toLong % 2, true)))
+    val out = Eval.fdrDrift(rows.toDF("source", "u", "late"),
+        "source", "u", "late")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val d = out("drift"); val s = out("stable")
+    assert((d.getLong(1), d.getLong(2), d.getDouble(3)) === ((5L, 5L, 1.0)))
+    assert(d.getDouble(4) === BigDecimal(2.0 * math.exp(-5.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert((d.getLong(5), d.getBoolean(6)) === ((1L, true)))
+    assert((s.getDouble(3), s.getDouble(4)) === ((0.0, 1.0)))
+    assert((s.getLong(5), s.getBoolean(6)) === ((2L, false)))
+  }
+
+  test("conformalInterval: hand median/radius/coverage on one group") {
+    import graft.operators.Eval
+    // calibration 0,10,20,30,40: median (k=3) = 20; residuals 0,10,10,20,20
+    // with k = min(5, ceil(6·9/10)) = 5 → qhat = 20. Eval 15/40 covered,
+    // 45 not → coverage 2/3.
+    val rows = Seq(0L, 10L, 20L, 30L, 40L).map(v => ("g", v, true)) ++
+      Seq(15L, 45L, 40L).map(v => ("g", v, false))
+    val r = Eval.conformalInterval(rows.toDF("source", "u", "cal"),
+      "source", "u", "cal").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((5L, 3L, 20L, 20L)))
+    assert(r.getDouble(5) === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("quantileNormalize: equal-size disjoint-range sources map onto the " +
       "SAME pooled quantiles; mapping covers every (source, v); monotone") {
     import spark.implicits._

@@ -260,8 +260,13 @@ class PlanSpec extends SparkSpec {
       "q303_isotonic",          // broadcast-literal PAV block range join
                                 // over the bounded score histogram
       "q304_nelson_aalen",      // q265's bounded time-histogram ≤ self-join
-      "q305_word_synonyms")     // ≤v-token vector-table self-pairing +
+      "q305_word_synonyms",     // ≤v-token vector-table self-pairing +
                                 // the q301 chain's ONE-row cooc total
+      "q313_heaps_law",         // ONE-row max-id scalar + the ≤32-row
+                                // bucket-frame cumulative self-join
+      "q314_fdr_drift")         // ≤|sources|-row BH rank/alarm self-joins
+                                // (OR tie-break condition → BNLJ) + the
+                                // ONE-row m scalar, all broadcast
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
       val phys = df.queryExecution.executedPlan.toString

@@ -27,6 +27,31 @@ class TextAnalysisSpec extends SparkSpec {
       ("s0", 0, 1L, 1L, 1L), ("s0", 1, 2L, 1L, 2L), ("s0", 2, 4L, 1L, 4L)))
   }
 
+  test("unseenVocab: hand singleton/doubleton masses → Chao1 and GT coverage") {
+    // counts a:2, b:1, c:1 → v=3, N=4, f1=2, f2=1
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unseenVocab(docs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 4L, 2L, 1L)))
+    assert(r.getDouble(4) === 3.5) // 3 + 2·1/(2·2)
+    assert(r.getDouble(5) === 0.5) // 1 − 2/4
+  }
+
+  test("heapsFit: every-token-new corpus fits beta = 1, K = 1; " +
+      "saturated corpus fits beta = 0") {
+    // doc i carries ONE unique token → V(n) = n exactly on every prefix
+    val open = (0L until 32L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+    val ro = TextAnalysis.heapsFit(open).head()
+    assert(ro.getLong(0) === 32L)
+    assert(ro.getDouble(1) === 1.0)
+    assert(ro.getDouble(2) === 1.0)
+    // all docs the same token → V(n) = 1: zero slope, K = e^0 = 1
+    val closed = (0L until 32L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val rc = TextAnalysis.heapsFit(closed).head()
+    assert(rc.getDouble(1) === 0.0)
+    assert(rc.getDouble(2) === 1.0)
+  }
+
   test("freqSpectrum's top octave is open-ended — ultra-frequent types land there") {
     // maxOctave = 2 → buckets [1,2) and [2,∞); a count of 5 reaches 2^2
     // and must surface in the top bucket, never silently vanish
