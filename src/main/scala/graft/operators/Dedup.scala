@@ -97,14 +97,21 @@ object Dedup {
         i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sharr"))
       .withColumn("h32arr", transform(col("sharr"), s => Hash60(s) % M31))
 
-  /** MinHash signatures from the array form — `array_min` over in-row hashes
-    * replaces [[minhash]]'s groupBy (identical values, zero shuffles).
+  /** MinHash signatures from the array form — in-row mins over the packed
+    * hashes replace [[minhash]]'s groupBy (identical values, zero shuffles).
+    * All `numHashes` mins come from ONE unboxed pass
+    * ([[graft.functions.MinhashSigsExpr]]); the earlier
+    * `array(array_min(transform(...)), ...)` projection evaluated 16
+    * interpreted lambda transforms per row — boxing every hash once per
+    * function — and profiled as the q33 signature stage's dominant CPU
+    * (ProfileQ33f). Values are bit-identical; the oracle keeps its
+    * `list_min(list_transform(...))` rendering.
     */
   def minhashFromArrays(da: DataFrame, numHashes: Int = 16): DataFrame =
     da.select(col("doc_id"),
-      array((0 until numHashes).map(j =>
-        array_min(transform(col("h32arr"),
-          h => (lit(minhashA(j)) * h + lit(minhashB(j))) % M31))): _*).as("sig"))
+      graft.functions.MinhashSigsExpr.sigs(col("h32arr"),
+        (0 until numHashes).map(minhashA).toArray,
+        (0 until numHashes).map(minhashB).toArray).as("sig"))
 
   /** MinHash signatures: `(doc_id, sig ARRAY<BIGINT>[numHashes])`, where
     * sig[j] = min over shingles of (a_j · (hash60(sh) mod M31) + b_j) mod M31.
@@ -309,8 +316,14 @@ object Dedup {
     */
   private[graft] def verifiedPairs(cands: DataFrame, aArr: DataFrame,
       bArr: DataFrame, threshold: Double): DataFrame =
-    cands
-      .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
+    // build side declared explicitly: the candidate-pair side (bounded by the
+    // band-bucket cap) is always ≤ the corpus shingle-array side, but from
+    // bare stats the planner picked the CORPUS side as the second join's
+    // broadcast — shipping every doc's shingle strings per execution
+    // (plans/r15/q33_dedup_minhash_before.txt node 20) — so hint the
+    // pairs-with-arrays subtree instead (~pairs·|doc| bytes, 20× less here)
+    broadcast(cands
+      .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a")))
       .join(bArr.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
       .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .select(col("a"), col("b"),

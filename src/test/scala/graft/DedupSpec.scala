@@ -149,6 +149,35 @@ class DedupSpec extends SparkSpec {
     assert(arrForm === rowForm)
   }
 
+  test("minhash_sigs expression: edge cases match the array_min(transform) form") {
+    // the one-pass expression (r15 perf: replaces 16 interpreted lambda
+    // transforms) must mirror array_min's null contract exactly: null
+    // elements skipped, empty/all-null input -> null signature slots
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("h32arr", ArrayType(LongType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq(5L, 99L, 0L, Dedup.M31 - 1L)),
+      Row(2L, Seq.empty[Long]),
+      Row(3L, Seq(null, 7L)),
+      Row(4L, Seq[Any](null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.get(1))), 2), schema)
+    val viaExpr = Dedup.minhashFromArrays(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val viaLambda = df.select(col("doc_id"),
+      array((0 until 16).map(j =>
+        array_min(transform(col("h32arr"),
+          h => (lit(Dedup.minhashA(j)) * h + lit(Dedup.minhashB(j))) % Dedup.M31))): _*)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(viaExpr === viaLambda)
+    assert(viaExpr(2L).forall(_ == null) && viaExpr(4L).forall(_ == null))
+  }
+
   test("band-bucket skew guard: fixture results unchanged, hot buckets bounded") {
     // at fixture scale no bucket nears the cap → guarded output IDENTICAL
     // to the uncapped form on the q33 corpus shape
