@@ -210,6 +210,77 @@ object DistKernel {
     }
   }
 
+  /** ONE query row against NORM-SORTED flattened candidates, exact L2 top-k
+    * with triangle-inequality pruning ([[NearestHeadsExpr]]'s L2 path).
+    *
+    * `sqrtNorms(h)` = ‖candidate h‖ ascending (ties in any order); the scan
+    * starts at the query's own norm position and expands outward, so each
+    * side's lower bound `(‖q‖ − ‖h‖)²` is nondecreasing — once the buffer is
+    * full and a side's bound strictly exceeds the current worst, every
+    * remaining candidate on that side is provably non-inserting
+    * (`d ≥ (‖q‖−‖h‖)² > worst` is a strict-greater distance, which insert's
+    * (dist, id) eviction rule never accepts) and the side stops. EXACT:
+    * candidates are only skipped on a strict bound violation,
+    * and the per-pair distance math is the same strict left-to-right loop as
+    * [[scanFlat]], so the kept (dist, id) set — and therefore the sorted
+    * output — is identical; only the (result-irrelevant) insertion order
+    * changes. NaN-safe: a NaN query or candidate norm makes every bound
+    * comparison false, so nothing is pruned and both sides scan to
+    * exhaustion, reproducing the unpruned behavior.
+    */
+  def scanFlatNormPruned(q: Array[Double], flat: Array[Double],
+      ids: Array[Long], sqrtNorms: Array[Double], dim: Int,
+      buf: TopKBuffer): Unit = {
+    val n = ids.length
+    var qq = 0.0
+    var i = 0
+    while (i < dim) { qq += q(i) * q(i); i += 1 }
+    val nv = math.sqrt(qq)
+    // first index with sqrtNorms(idx) >= nv (any split is correct — the
+    // bounds, not the split, carry the exactness proof)
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sqrtNorms(mid) < nv) lo = mid + 1 else hi = mid
+    }
+    var left = lo - 1
+    var right = lo
+    var leftAlive = left >= 0
+    var rightAlive = right < n
+    var bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+    while (leftAlive || rightAlive) {
+      val dl = if (leftAlive) nv - sqrtNorms(left) else Double.NaN
+      val dr = if (rightAlive) sqrtNorms(right) - nv else Double.NaN
+      val goLeft =
+        if (!rightAlive) true
+        else if (!leftAlive) false
+        else dl <= dr // NaN gap → false → the other side progresses
+      if (goLeft) {
+        if (dl * dl > bound) leftAlive = false // bound finite ⇒ buffer full
+        else {
+          var s = 0.0; val base = left * dim; var d = 0
+          while (d < dim) { val x = q(d) - flat(base + d); s += x * x; d += 1 }
+          if (!(s > bound)) {
+            buf.insert(s, ids(left))
+            bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+          }
+          left -= 1; leftAlive = left >= 0
+        }
+      } else {
+        if (dr * dr > bound) rightAlive = false
+        else {
+          var s = 0.0; val base = right * dim; var d = 0
+          while (d < dim) { val x = q(d) - flat(base + d); s += x * x; d += 1 }
+          if (!(s > bound)) {
+            buf.insert(s, ids(right))
+            bound = if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
+          }
+          right += 1; rightAlive = right < n
+        }
+      }
+    }
+  }
+
   /** ONE corpus row against ALL flattened queries, each with its own bounded
     * buffer ([[BatchTopK]] shape). `v.length >= dim` required; `vNorm` is
     * v's full-length squared norm (cosine only).

@@ -64,6 +64,25 @@ case class NearestHeadsExpr(
       s
     }
 
+  // L2 norm-pruned scan layout: heads re-ordered ascending by ‖h‖ so the
+  // triangle-inequality two-pointer scan ([[DistKernel.scanFlatNormPruned]])
+  // can stop once the norm gap alone rules the rest out. Result-identical to
+  // the full scan (pruning is strict-bound only); built once per executor.
+  @transient private lazy val normOrder: Array[Int] =
+    headNorms.zipWithIndex.sortBy(_._1)(Ordering.Double.TotalOrdering).map(_._2)
+  @transient private lazy val sqrtNormsSorted: Array[Double] =
+    normOrder.map(h => math.sqrt(headNorms(h)))
+  @transient private lazy val idsSorted: Array[Long] = normOrder.map(headIds)
+  @transient private lazy val flatHeadsSorted: Array[Double] = {
+    val out = new Array[Double](headVecs.length * dim)
+    var i = 0
+    while (i < normOrder.length) {
+      System.arraycopy(headVecs(normOrder(i)), 0, out, i * dim, dim)
+      i += 1
+    }
+    out
+  }
+
   override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
 
   // per-instance scratch, reused across the task's rows (tasks deserialize
@@ -90,7 +109,11 @@ case class NearestHeadsExpr(
     val buf = scratchBuf
     buf.reset()
     if (uniformDim && n >= dim) {
-      DistKernel.scanFlat(q, flatHeads, headIds, headNorms, dim, metricTag, buf)
+      if (metricTag == DistKernel.L2)
+        DistKernel.scanFlatNormPruned(
+          q, flatHeadsSorted, idsSorted, sqrtNormsSorted, dim, buf)
+      else
+        DistKernel.scanFlat(q, flatHeads, headIds, headNorms, dim, metricTag, buf)
     } else {
       scanRagged(q, n, buf)
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{BottomKLongBuffer, RngPrune, TopKBuffer, VectorDistance}
+import graft.functions.{BottomKLongBuffer, DistKernel, RngPrune, TopKBuffer, VectorDistance}
 
 /** ScalaCheck properties over the engine's pure kernels (SURVEY.md §5's
   * property list): distance-kernel laws (the analogue of the reference's
@@ -166,6 +166,39 @@ class PropertySpec extends SparkSpec {
       var i = 0
       while (i < br.size) { bl.insert(br.dists(i), br.ids(i)); i += 1 }
       whole.sorted.toList == want && bl.sorted.toList == want
+    })
+  }
+
+  test("norm-pruned L2 scan equals the full flat scan (triangle-prune exactness law)") {
+    // r15 perf: NearestHeadsExpr's L2 path scans norm-sorted candidates with
+    // triangle-inequality stops — the kept (dist, id) set must equal the
+    // unpruned scan's on any input, ties and duplicate norms included
+    val gen = for {
+      dim <- Gen.chooseNum(1, 8)
+      nh <- Gen.chooseNum(1, 60)
+      heads <- Gen.listOfN(nh, Gen.listOfN(dim,
+        Gen.oneOf(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0.0, 2.0))))
+      q <- Gen.listOfN(dim,
+        Gen.oneOf(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0.0, 2.0)))
+      k <- Gen.chooseNum(1, 8)
+    } yield (q.toArray, heads.map(_.toArray).toArray, k)
+    check("norm-prune", Prop.forAll(gen) { case (q, heads, k) =>
+      val dim = q.length
+      val ids = heads.indices.map(_.toLong).toArray
+      val flat = new Array[Double](heads.length * dim)
+      heads.indices.foreach(h => System.arraycopy(heads(h), 0, flat, h * dim, dim))
+      val norms = heads.map(hv => hv.map(x => x * x).sum)
+      val plain = new TopKBuffer(k)
+      DistKernel.scanFlat(q, flat, ids, norms, dim, DistKernel.L2, plain)
+      val order = norms.zipWithIndex
+        .sortBy(_._1)(Ordering.Double.TotalOrdering).map(_._2)
+      val flatS = new Array[Double](heads.length * dim)
+      order.indices.foreach(i =>
+        System.arraycopy(heads(order(i)), 0, flatS, i * dim, dim))
+      val pruned = new TopKBuffer(k)
+      DistKernel.scanFlatNormPruned(q, flatS, order.map(ids),
+        order.map(h => math.sqrt(norms(h))), dim, pruned)
+      pruned.sorted.toList == plain.sorted.toList
     })
   }
 
