@@ -64,6 +64,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark 4 keys the generated-code cache by the session's artifact
+      // classloader; with per-session artifact isolation on (the default),
+      // every fresh child session re-Janino-compiles every operator (~0.3-0.5 s
+      // per q33-sized query, CodeGenerator.compileTime-measured, ProfileQ33h).
+      // This engine registers no session-scoped artifacts, so isolation buys
+      // nothing — disable it and let all sessions share the compiled classes.
+      // Static conf: applies to the whole JVM's sessions.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bounded top-k aggregates run over high-cardinality groups (per-vector
@@ -190,7 +198,14 @@ object Bench {
         // primary session keeps the sf0.001 warmup's cache/GC baggage and
         // measured consistently ~20% slower than the child-session runs it
         // was averaged with (8.6 vs 6.6/7.0 in the round-9 logs)
-        val r = runOnce(spark.newSession())
+        val sess = spark.newSession()
+        val r = runOnce(sess)
+        // unpin the finished session's memoized frames/checkpoints BEFORE
+        // the gc: the session-keyed caches otherwise hold every dead run's
+        // blocks (>1 GB by run 5), and the growing heap pressure dragged the
+        // interleaved anchor from 2.8 s to 12.8 s across attempts while the
+        // query medians improved — corrupting host_ratio, not the queries
+        SparkEntry.dropSessionCaches(sess)
         if (anchorAt(i)) anchorReps += anchorOnce(spark.newSession())
         System.gc() // drop orphaned checkpoint/cache blocks between runs
         (lb, r)

@@ -62,6 +62,20 @@ object SparkEntry {
       Spann.buildPostings(Tables.lineitemVec(s, d), heads(s, d), Replicas)
         .localCheckpoint(true))
 
+  /** Drop a finished session's memoized per-session state (fixture frames,
+    * posting checkpoint, fitted models) so the session and its pinned blocks
+    * become collectable — see [[Tables.dropSessionCaches]] for the measured
+    * retained-heap rationale. The bench calls this after each timed run's
+    * child session is done.
+    */
+  def dropSessionCaches(s: SparkSession): Unit = {
+    postingsCache.keys.filter(_._1 eq s).foreach(postingsCache.remove)
+    pcaModelCache.keys.filter(_._1 eq s).foreach(pcaModelCache.remove)
+    isoModelCache.keys.filter(_._1 eq s).foreach(isoModelCache.remove)
+    wvModelCache.keys.filter(_._1 eq s).foreach(wvModelCache.remove)
+    Tables.dropSessionCaches(s)
+  }
+
   // adaptive stage-1 widening (q08/q11/q19): always probe the top InternalK
   // heads, plus heads up to rank WideK within CloseRatio of the best — the
   // dense-region compensation that lifts q11's min per-query recall from

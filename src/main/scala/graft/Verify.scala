@@ -9,6 +9,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // share compiled codegen classes across sessions (see Bench.scala):
+      // no session-scoped artifacts exist, and per-session isolation would
+      // re-Janino-compile every operator per session
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bounded top-k aggregates run over high-cardinality groups (per-vector
