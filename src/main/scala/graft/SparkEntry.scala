@@ -34,8 +34,20 @@ object SparkEntry {
   private def q(s: SparkSession, d: String): DataFrame =
     Tables.ordersQuery(s, d).where(col("query_id") < QN)
 
+  // heads are an index artifact like the postings (build-once / search-many):
+  // without the memo every head consumer (q07 build, q08/q09 stage-1, the
+  // eval queries) re-derived them by scanning the 600k-row fixture cache to
+  // keep 3 000 rows — ~0.25 s of IMR array decode per query (ProfileStages,
+  // `collect at NearestHeads` stage). The checkpoint is 3 000 rows; the
+  // derivation itself still runs (and is timed) in the first query that
+  // touches it in a session — q07, the build query.
+  private val headsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def heads(s: SparkSession, d: String): DataFrame =
-    Spann.selectHeadsModulo(Tables.lineitemVec(s, d), HeadNth)
+    headsCache.getOrElseUpdate((s, d),
+      Spann.selectHeadsModulo(Tables.lineitemVec(s, d), HeadNth)
+        .localCheckpoint(true))
 
   // two-level routing knobs (q53): every 20th head is a super-head; each
   // head routes to its 2 nearest super-heads; queries probe 4 super-heads
@@ -70,6 +82,7 @@ object SparkEntry {
     */
   def dropSessionCaches(s: SparkSession): Unit = {
     postingsCache.keys.filter(_._1 eq s).foreach(postingsCache.remove)
+    headsCache.keys.filter(_._1 eq s).foreach(headsCache.remove)
     pcaModelCache.keys.filter(_._1 eq s).foreach(pcaModelCache.remove)
     isoModelCache.keys.filter(_._1 eq s).foreach(isoModelCache.remove)
     wvModelCache.keys.filter(_._1 eq s).foreach(wvModelCache.remove)

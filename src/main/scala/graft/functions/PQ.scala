@@ -133,14 +133,14 @@ object PQ {
     */
   /** LUT×codes scoring kernel — ONE definition shared by [[adcSearch]] and
     * SPANN's compressed stage-2 (`Spann.adcStage2`), so a fix to the ADC hot
-    * loop can never apply to one path and not the other.
+    * loop can never apply to one path and not the other. A codegen
+    * expression since r15: the Scala-UDF form materialized the LUT as a
+    * boxed Seq[Seq[Double]] once per (query, vector) pair — 30 M times per
+    * sf0.1 ADC scan (see [[LutCodesDistExpr]]); the double sum itself is
+    * unchanged, so scores are bit-identical.
     */
-  private[graft] val lutCodesDist: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((lut: Seq[Seq[Double]], codes: Seq[Int]) => {
-      var s = 0; var total = 0.0
-      while (s < codes.length) { total += lut(s)(codes(s)); s += 1 }
-      total
-    })
+  private[graft] def lutCodesDist(lut: Column, codes: Column): Column =
+    LutCodesDistExpr(lut, codes)
 
   def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(cb)
@@ -442,19 +442,16 @@ object PQ {
         }
       }
     })
-    val pairDist = udf((lut: Seq[Seq[Double]], codes1: Seq[Int], codes2: Seq[Int]) => {
-      val c2 = bc.value.cb2
-      var s = 0; var total = 0.0
-      while (s < codes1.length) {
-        total += lut(s)(codes1(s) * c2.centers(s).length + codes2(s)); s += 1
-      }
-      total
-    })
+    // per-subspace level-2 stride read off the codebooks at plan time — the
+    // same values the former Scala UDF read from the broadcast per pair; the
+    // expression form skips the boxed-Seq materialization per (query, vector)
+    val n2 = Array.tabulate(rvq.cb2.m)(s => rvq.cb2.centers(s).length)
     val withLut = queries
       .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
       .select(col("query_id"), col("_lut"))
     val scored = quantized.crossJoin(broadcast(withLut))
-      .withColumn("dist", pairDist(col("_lut"), col("codes1"), col("codes2")))
+      .withColumn("dist",
+        RvqLutDistExpr(col("_lut"), col("codes1"), col("codes2"), n2))
     graft.operators.Knn.explodeRanked(
       scored.groupBy(col("query_id"))
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
