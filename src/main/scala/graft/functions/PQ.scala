@@ -117,11 +117,12 @@ object PQ {
   }
 
   /** Quantize a vector column into `m` codes. */
-  def quantize(vectors: DataFrame, cb: Codebooks): DataFrame = {
-    val bc = vectors.sparkSession.sparkContext.broadcast(cb)
-    val qUdf = udf((v: Seq[Double]) => bc.value.quantizeOne(v))
-    vectors.withColumn("codes", qUdf(col("vec").cast("array<double>")))
-  }
+  def quantize(vectors: DataFrame, cb: Codebooks): DataFrame =
+    // one-pass codegen expression (r15): the Scala-UDF form built a boxed
+    // Seq slice per (row, subspace); codes are bit-identical
+    // ([[PqCodesExpr]] replicates quantizeOne's first-min scan exactly)
+    vectors.withColumn("codes",
+      PqCodesExpr(col("vec").cast("array<double>"), cb.centers, cb.dsub))
 
   /** ADC top-k: queries (query_id, qvec) × quantized corpus (id, codes).
     *
