@@ -61,33 +61,10 @@ object Bench {
     val preWorkLoad = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // Spark 4 keys the generated-code cache by the session's artifact
-      // classloader; with per-session artifact isolation on (the default),
-      // every fresh child session re-Janino-compiles every operator (~0.3-0.5 s
-      // per q33-sized query, CodeGenerator.compileTime-measured, ProfileQ33h).
-      // This engine registers no session-scoped artifacts, so isolation buys
-      // nothing — disable it and let all sessions share the compiled classes.
-      // Static conf: applies to the whole JVM's sessions.
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bounded top-k aggregates run over high-cardinality groups (per-vector
-      // posting assignment); the 128-key default would silently degrade
-      // ObjectHashAggregate to sort-based over the full crossjoin
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      // checkpointed frames carry origin constraints minted from their
-      // pre-checkpoint lineage; constraint propagation over them can push a
-      // stale-attribute filter across later joins and die in task binding
-      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — results are unaffected by the
-      // rule, so keep it off (IndexStore.save also guards itself for
-      // sessions that leave it on)
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // shared conf set ([[GraftSession]] — one place for the flags and their
+    // rationale, so the bench, verify and the profilers measure the same
+    // configuration)
+    val spark = GraftSession.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // materialize the derived-fixture caches so per-query times measure the
     // operator, not the shared fixture derivation

@@ -4,34 +4,9 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  private[graft] def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // share compiled codegen classes across sessions (see Bench.scala):
-      // no session-scoped artifacts exist, and per-session isolation would
-      // re-Janino-compile every operator per session
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bounded top-k aggregates run over high-cardinality groups (per-vector
-      // posting assignment); the 128-key default would silently degrade
-      // ObjectHashAggregate to sort-based over the full crossjoin
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      // checkpointed frames carry origin constraints minted from their
-      // pre-checkpoint lineage; constraint propagation over them can push a
-      // stale-attribute filter across later joins and die in task binding
-      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — results are unaffected by the
-      // rule, so keep it off (IndexStore.save also guards itself for
-      // sessions that leave it on)
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  // shared conf set ([[GraftSession]] — one place for the flags and their
+  // rationale); verify keeps its historical 4-core default
+  private[graft] def session(): SparkSession = GraftSession.build("4")
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the

@@ -81,25 +81,15 @@ object PQ {
 
     var iter = 0
     while (iter < maxIter) {
-      val bc = subRows.sparkSession.sparkContext.broadcast(centers)
-      val assignUdf = udf((sub: Int, sv: Seq[Double]) => {
-        val cs = bc.value(sub)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          while (i < sv.length) { val x = sv(i) - cs(c)(i); d += x * x; i += 1 }
-          if (d < bestD) { best = c; bestD = d }
-          c += 1
-        }
-        best
-      })
       // flat per-dimension sums (dsub is fixed): map-side partials, one
       // m·k-row exchange — the posexplode formulation shuffled n·m·dsub
       // rows per Lloyd round. sum/count division = exactly what avg computes.
       val sums = (0 until dsub).map(i => sum(col("sv").getItem(i)).as(s"_s$i"))
       val newCenters = subRows
-        .withColumn("code", assignUdf(col("sub"), col("sv")))
+        // codegen assignment ([[PqAssignExpr]]): same strict-< first-min scan
+        // and left-to-right per-pair math as the former Scala UDF — codes are
+        // bit-identical; the per-(row, iteration) boxed Seq is gone
+        .withColumn("code", PqAssignExpr(col("sub"), col("sv"), centers))
         .groupBy(col("sub"), col("code"))
         .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
         .collect()
@@ -383,14 +373,26 @@ object PQ {
       residScale)
   }
 
-  /** `(id, codes1, codes2)` — one level-1 and one level-2 code per subspace. */
-  def quantizeRvq(vectors: DataFrame, rvq: Rvq): DataFrame = {
-    val q1 = quantize(vectors, rvq.cb1)
-      .select(col("id"), col("codes").as("codes1"))
-    val q2 = quantize(residualVectors(vectors, rvq.cb1, rvq.residScale), rvq.cb2)
-      .select(col("id"), col("codes").as("codes2"))
-    q1.join(q2, Seq("id"))
-  }
+  /** `(id, codes1, codes2)` — one level-1 and one level-2 code per subspace.
+    *
+    * ONE map pass (r16): codes1, the reconstruction, the re-integerized
+    * residual and codes2 are all per-row functions of the same vector, so
+    * chaining the expressions computes both code columns with no join — the
+    * former `quantize(v) ⋈_id quantize(residualVectors(v))` self-join paid
+    * two exchanges and a sort-merge of the full corpus for rows that were
+    * already aligned (guide §2.4). Per-row math is unchanged expression for
+    * expression (same pq_codes → pq_reconstruct → zip_with/round → pq_codes
+    * chain `residualVectors` ran), so codes are bit-identical.
+    */
+  def quantizeRvq(vectors: DataFrame, rvq: Rvq): DataFrame =
+    quantize(vectors, rvq.cb1)
+      .withColumn("recon",
+        PqReconstructExpr(col("codes"), rvq.cb1.centers, rvq.cb1.dsub))
+      .withColumn("residv",
+        zip_with(col("vec").cast("array<double>"), col("recon"),
+          (a, b) => round((a - b) * rvq.residScale, 0)))
+      .select(col("id"), col("codes").as("codes1"),
+        PqCodesExpr(col("residv"), rvq.cb2.centers, rvq.cb2.dsub).as("codes2"))
 
   /** Two-level reconstruction: `recon₁ + recon₂ / residScale`. */
   def reconstructRvq(quantized: DataFrame, rvq: Rvq): DataFrame = {
@@ -458,18 +460,9 @@ object PQ {
         .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
   }
 
-  def reconstruct(quantized: DataFrame, cb: Codebooks): DataFrame = {
-    val bc = quantized.sparkSession.sparkContext.broadcast(cb)
-    val rUdf = udf((codes: Seq[Int]) => {
-      val c = bc.value
-      val out = new Array[Double](c.m * c.dsub)
-      var s = 0
-      while (s < c.m) {
-        System.arraycopy(c.centers(s)(codes(s)), 0, out, s * c.dsub, c.dsub)
-        s += 1
-      }
-      out
-    })
-    quantized.withColumn("recon", rUdf(col("codes")))
-  }
+  def reconstruct(quantized: DataFrame, cb: Codebooks): DataFrame =
+    // codegen reconstruction ([[PqReconstructExpr]]): identical doubles (the
+    // same centroid arrays the UDF arraycopy'd), no boxed Seq per row
+    quantized.withColumn("recon",
+      PqReconstructExpr(col("codes"), cb.centers, cb.dsub))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnShim
@@ -89,4 +89,105 @@ object PqCodesExpr {
   def apply(vec: Column, centers: Array[Array[Array[Double]]], dsub: Int): Column =
     ColumnShim.column(
       new PqCodesExpr(ColumnShim.expression(vec), centers, dsub))
+}
+
+/** `pq_assign(sub, sv)` → nearest-centroid code of ONE subvector against
+  * `centers(sub)` — the Lloyd-iteration assignment of [[PQ.train]] as a
+  * Catalyst expression. Bit-identical to the Scala-UDF form it replaces:
+  * same strict left-to-right per-pair accumulation, same strict `<` first-min
+  * update over ascending `c` — only the per-row boxing (a `Seq[Double]`
+  * materialized per (row, iteration)) is gone. The codebooks are
+  * iteration-local plan constants, exactly as the UDF captured them via
+  * broadcast; with the shared codegen cache the per-iteration re-plan is
+  * cheap (r15 wave E).
+  */
+case class PqAssignExpr(left: Expression, right: Expression,
+    centers: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(subAny: Any, svAny: Any): Any =
+    evalAssign(subAny.asInstanceOf[Int], svAny.asInstanceOf[ArrayData])
+
+  def evalAssign(sub: Int, sv: ArrayData): Int = {
+    val cs = centers(sub)
+    val n = sv.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val x = sv.getDouble(i) - cc(i); d += x * x; i += 1 }
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sub, sv) => {
+      val ref = ctx.addReferenceObj("pqAssign", this, classOf[PqAssignExpr].getName)
+      s"${ev.value} = $ref.evalAssign($sub, $sv);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAssignExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAssignExpr {
+  def apply(sub: Column, sv: Column,
+      centers: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(new PqAssignExpr(
+      ColumnShim.expression(sub), ColumnShim.expression(sv), centers))
+}
+
+/** `pq_reconstruct(codes)` → the centroid concatenation `centers(s)(codes(s))`
+  * — [[PQ.reconstruct]]'s UDF as an expression. Values are read from the very
+  * same codebook arrays the UDF arraycopy'd, so reconstructions are
+  * bit-identical; only the per-row boxed `Seq[Int]` and the Scala-UDF
+  * serialization wrapper are gone (the residual chain of q197 runs this over
+  * the full corpus twice per train+quantize).
+  */
+case class PqReconstructExpr(child: Expression,
+    centers: Array[Array[Array[Double]]], dsub: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_reconstruct"
+
+  override def nullSafeEval(codesAny: Any): Any =
+    evalArray(codesAny.asInstanceOf[ArrayData])
+
+  def evalArray(codes: ArrayData): ArrayData = {
+    val m = centers.length
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(centers(s)(codes.getInt(s)), 0, out, s * dsub, dsub)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pqRecon", this, classOf[PqReconstructExpr].getName)
+      s"${ev.value} = $ref.evalArray($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstructExpr =
+    copy(child = newChild)
+}
+
+object PqReconstructExpr {
+  def apply(codes: Column, centers: Array[Array[Array[Double]]], dsub: Int): Column =
+    ColumnShim.column(
+      new PqReconstructExpr(ColumnShim.expression(codes), centers, dsub))
 }

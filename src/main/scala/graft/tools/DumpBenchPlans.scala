@@ -18,19 +18,10 @@ object DumpBenchPlans {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val names =
       if (args.length > 2) args.drop(2).toSeq else graft.SparkEntry.benchQueryNames
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // shared conf set (graft.GraftSession) — dump the bench's configuration
+    val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans/r15")
+    val outDir = Paths.get("plans/r16")
     Files.createDirectories(outDir)
     graft.Tables.lineitemVec(spark, sfDir).count()
     for (name <- names) {

@@ -9,13 +9,8 @@ import org.apache.spark.sql.SparkSession
 object ProfileBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // shared conf set (graft.GraftSession) — measure the bench's config
+    val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables.lineitemVec(spark, sfDir).count()
     for (name <- graft.SparkEntry.benchQueryNames) {

@@ -16,16 +16,10 @@ object ProfileStages {
     val names = args.headOption.getOrElse("q07_spann_postings").split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // shared conf set (graft.GraftSession): the profiler must measure the
+    // bench's configuration — incl. the shared codegen cache — or its
+    // fresh-session timings include recompiles the bench doesn't pay
+    val spark = graft.GraftSession.build()
     spark.sparkContext.setLogLevel("ERROR")
 
     @volatile var t0 = System.nanoTime()
@@ -60,6 +54,11 @@ object ProfileStages {
         graft.SparkEntry.queries(n)(sess, sfDir).count()
         println(f"[prof] rep$rep $n%-24s ${(System.nanoTime() - t) / 1e9}%6.2f s")
       }
+      // unpin the dead child session's memoized frames/checkpoints (ADVICE
+      // r15: the session-keyed caches otherwise hold every rep's blocks for
+      // the JVM lifetime, the same retained-heap class the bench fixed)
+      graft.SparkEntry.dropSessionCaches(sess)
+      System.gc()
       Thread.sleep(300)
     }
     spark.stop()
