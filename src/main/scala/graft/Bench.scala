@@ -130,10 +130,18 @@ object Bench {
     // idle while we sleep; loadavg is our own finished work draining) and
     // measure again, within a bounded wall budget. The emitted `citable`
     // field is the mechanical verdict the driver and judge read.
+    // r16 (verdict item 2): the r15 driver artifact missed citability with
+    // 3 attempts / 420 s of wait — and the logged attempts show the host can
+    // read ratio ~1.7 at ZERO load (external-to-VM slowness loadavg cannot
+    // see), then recover within one retry cycle. Retrying is the only lever
+    // that works on that failure mode, so the defaults buy more of it: up to
+    // 6 attempts inside a 900 s wait budget (an attempt is ~90 s, so the
+    // worst case stays well inside a driver window). Normalization stays
+    // band-clamped — never extrapolated.
     val waitBudgetSecs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_MAX", "420").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_MAX", "900").toInt
     val maxAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "6").toInt.max(1)
     var waitedSecs = 0
     def waitForQuiet(): Unit =
       while (load1(loadavg()) > loadThreshold && waitedSecs < waitBudgetSecs) {

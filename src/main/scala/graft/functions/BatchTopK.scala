@@ -72,6 +72,13 @@ case class BatchTopK(
       s
     }
 
+  // ‖q‖ per query for the wide-dim L2 triangle-inequality reject (r16,
+  // DistKernel.updateAll); null elsewhere so narrow/non-L2 paths pay nothing
+  @transient private lazy val sqrtQNorms: Array[Double] =
+    if (metricTag == DistKernel.L2 && dim >= DistKernel.AbandonMinDim)
+      qNorms.map(math.sqrt)
+    else null
+
   override def createAggregationBuffer(): Array[TopKBuffer] =
     Array.fill(qids.length)(new TopKBuffer(k))
 
@@ -94,7 +101,8 @@ case class BatchTopK(
         while (j < n) { vNorm += v(j) * v(j); j += 1 }
       }
       if (uniformDim && n >= dim) {
-        DistKernel.updateAll(v, flatQ, qNorms, dim, metricTag, bufs, rowId, vNorm)
+        DistKernel.updateAll(v, flatQ, qNorms, dim, metricTag, bufs, rowId,
+          vNorm, sqrtQNorms)
       } else {
         // ragged fallback (mixed query dims): per-pair prefix distance
         var qi = 0

@@ -287,20 +287,34 @@ object DistKernel {
     */
   def updateAll(v: Array[Double], flatQ: Array[Double], qNorms: Array[Double],
       dim: Int, tag: Int, bufs: Array[TopKBuffer], rowId: Long,
-      vNorm: Double): Unit = {
+      vNorm: Double, sqrtQNorms: Array[Double] = null): Unit = {
     val nq = bufs.length
     tag match {
       case L2 if dim >= AbandonMinDim =>
+        // per-(row, query) triangle-inequality reject (r16, VERDICT item 7):
+        // d ≥ (‖q‖−‖v‖)², so a gap² STRICTLY above the buffer's worst can
+        // never insert (insert needs d <= worst) — skip the dim-loop
+        // entirely. Only engaged when the caller precomputed ‖q‖ (sqrtQNorms
+        // non-null); NaN norms make the comparison false and fall through to
+        // the unpruned scan, exactly like the mid-loop abandon guard.
+        val sv = if (sqrtQNorms != null) {
+          var n2 = 0.0; var j = 0
+          while (j < dim) { n2 += v(j) * v(j); j += 1 }
+          math.sqrt(n2)
+        } else 0.0
         var qi = 0; var base = 0
         while (qi < nq) {
           val buf = bufs(qi)
           val bound =
             if (buf.size == buf.k) buf.dists(0) else Double.PositiveInfinity
-          var s = 0.0; var i = 0
-          while (i < dim && !(s > bound)) {
-            val x = flatQ(base + i) - v(i); s += x * x; i += 1
+          val g = if (sqrtQNorms != null) sqrtQNorms(qi) - sv else 0.0
+          if (!(g * g > bound)) {
+            var s = 0.0; var i = 0
+            while (i < dim && !(s > bound)) {
+              val x = flatQ(base + i) - v(i); s += x * x; i += 1
+            }
+            if (!(s > bound)) buf.insert(s, rowId)
           }
-          if (!(s > bound)) buf.insert(s, rowId)
           qi += 1; base += dim
         }
       // 4-way query interleave, same rationale (and same bit-exactness

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types._
@@ -26,12 +28,24 @@ import org.apache.spark.sql.types._
 case class MinhashSigsExpr(child: Expression, as: Array[Long], bs: Array[Long])
     extends UnaryExpression {
 
-  override def nullIntolerant: Boolean = true
+  // NOT nullIntolerant (r15 ADVICE): the replaced array(array_min(transform
+  // (...))) projection mapped a NULL input ARRAY to an array of numHashes
+  // NULL slots (each transform yields NULL, each array_min of NULL is NULL,
+  // the outer array() is non-null) — and the DuckDB oracle keeps that
+  // rendering. nullIntolerant would collapse it to a NULL signature and any
+  // direct consumer of `sig` would diverge on null-text docs.
+  override def nullable: Boolean = false
   override def dataType: DataType =
     ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sigs"
 
-  override def nullSafeEval(v: Any): Any = evalArray(v.asInstanceOf[ArrayData])
+  /** The NULL-input rendering: one NULL per hash slot. */
+  def allNullSlots(): ArrayData = new GenericArrayData(new Array[Any](as.length))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) allNullSlots() else evalArray(v.asInstanceOf[ArrayData])
+  }
 
   def evalArray(arr: ArrayData): ArrayData = {
     val numHashes = as.length
@@ -67,12 +81,18 @@ case class MinhashSigsExpr(child: Expression, as: Array[Long], bs: Array[Long])
     }
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val ref = ctx.addReferenceObj("minhashSigs", this,
-        classOf[MinhashSigsExpr].getName)
-      s"${ev.value} = $ref.evalArray($a);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("minhashSigs", this,
+      classOf[MinhashSigsExpr].getName)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = childGen.code + code"""
+        |$javaType ${ev.value} = ${childGen.isNull} ?
+        |  $ref.allNullSlots() : $ref.evalArray(${childGen.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
     copy(child = newChild)

@@ -46,6 +46,14 @@ case class PqCodesExpr(child: Expression,
 
   def evalArray(arr: ArrayData): ArrayData = {
     val m = centers.length
+    // malformed input fails loudly (r15 ADVICE): the replaced UDF's
+    // vec.slice silently scored a truncated tail on a short vector; the
+    // direct-offset reads below would instead throw an opaque
+    // ArrayIndexOutOfBoundsException from generated code
+    if (arr.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector has ${arr.numElements()} elements, " +
+          s"codebook expects m*dsub = ${m * dsub}")
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {

@@ -262,7 +262,7 @@ object Dedup {
     val da = shingleArrays(spread).localCheckpoint(true)
     val cands = lshCandidates(
       lshBands(minhashFromArrays(da, numHashes), numHashes, rowsPerBand))
-    verifiedPairs(cands, da, da, threshold)
+    verifiedPairsGated(cands, da, da, threshold)
   }
 
   /** Prefix-filtered EXACT set-similarity self-join (the PPJoin candidate
@@ -293,7 +293,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val jacT = math.round(threshold * 10000).toInt
-    val da = shingleArrays(docs, n, idCol, textCol)
+    // checkpointed: read by the prefix join AND the verify (was recomputed
+    // per use), and the gated verify's doc-count gate reads it for free
+    val da = shingleArrays(docs, n, idCol, textCol).localCheckpoint(true)
     val sh = da.select(col("doc_id"), explode(col("sharr")).as("sh"))
     val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -306,7 +308,7 @@ object Dedup {
       .join(pref.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    verifiedPairs(cand, da, da, threshold)
+    verifiedPairsGated(cand, da, da, threshold)
   }
 
   /** Exact-Jaccard verify over candidate pairs: join each side's shingle
@@ -314,6 +316,15 @@ object Dedup {
     * by the batch and incremental MinHash pipelines — two equi-joins keyed
     * by doc id, no pair-space blowup beyond the candidate set itself.
     */
+  /** Candidate-pair count up to which the verify join's build side (pairs ×
+    * one shingle array each) is force-broadcast. Beyond it the hint is
+    * withheld and the planner/AQE picks the strategy from runtime stats —
+    * an unconditional hint would ship an unbounded build side on a
+    * near-dup-heavy corpus and die at the broadcast hard limit where the
+    * unhinted plan would shuffle-join (r15 ADVICE item).
+    */
+  private[graft] val BroadcastPairCap = 100000L
+
   private[graft] def verifiedPairs(cands: DataFrame, aArr: DataFrame,
       bArr: DataFrame, threshold: Double): DataFrame =
     // build side declared explicitly: the candidate-pair side (bounded by the
@@ -321,9 +332,48 @@ object Dedup {
     // bare stats the planner picked the CORPUS side as the second join's
     // broadcast — shipping every doc's shingle strings per execution
     // (plans/r15/q33_dedup_minhash_before.txt node 20) — so hint the
-    // pairs-with-arrays subtree instead (~pairs·|doc| bytes, 20× less here)
-    broadcast(cands
-      .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a")))
+    // pairs-with-arrays subtree instead (~pairs·|doc| bytes, 20× less here).
+    // The UNCONDITIONAL hint is reserved for callers whose candidate side is
+    // bounded by construction (a probe/ingest batch — DedupStore.probe,
+    // minhashDedupIncremental); corpus-self-join callers go through
+    // [[verifiedPairsGated]] (r15 ADVICE: an unbounded forced broadcast
+    // would die at the broadcast hard limit on a near-dup-heavy corpus)
+    verifyJoin(broadcast(cands
+      .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))),
+      bArr, threshold)
+
+  /** [[verifiedPairs]] for CORPUS-self-join candidate sets (no batch bound):
+    * the pairs frame is checkpointed (bounded rows — ids only, no arrays)
+    * and counted, and the broadcast hint applies only under
+    * [[BroadcastPairCap]]; above it the strategy is left to the planner/AQE
+    * so a pathological near-dup corpus shuffle-joins instead of failing the
+    * broadcast (r15 ADVICE item).
+    */
+  /** Doc count below which the candidate side is broadcast WITHOUT the
+    * count gate: the extra checkpoint+count jobs measured ~0.15-0.2 s fixed
+    * (A/B on q33, r16) — material at benchmark scale, noise at corpus
+    * scale, and under this many docs even a pathologically clustered corpus
+    * (every doc in a cap-sized near-dup cluster) keeps the candidate build
+    * side within broadcast reach.
+    */
+  private[graft] val GatedDocThreshold = 1000000L
+
+  private[graft] def verifiedPairsGated(cands0: DataFrame, aArr: DataFrame,
+      bArr: DataFrame, threshold: Double): DataFrame =
+    if (aArr.count() <= GatedDocThreshold)
+      verifiedPairs(cands0, aArr, bArr, threshold)
+    else {
+      val cands = cands0.localCheckpoint(true)
+      val withA = cands
+        .join(aArr.select(col("doc_id").as("a"), col("sharr").as("_sa")), Seq("a"))
+      val build =
+        if (cands.count() <= BroadcastPairCap) broadcast(withA) else withA
+      verifyJoin(build, bArr, threshold)
+    }
+
+  private def verifyJoin(build: DataFrame, bArr: DataFrame,
+      threshold: Double): DataFrame =
+    build
       .join(bArr.select(col("doc_id").as("b"), col("sharr").as("_sb")), Seq("b"))
       .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .select(col("a"), col("b"),

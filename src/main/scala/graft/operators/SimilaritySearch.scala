@@ -923,42 +923,27 @@ object SimilaritySearch {
       lambda: Double,
       poolR: Int,
       metric: String = "cos"): DataFrame = {
+    // ONE aggregation pass (r16, guide §1.2): the former formulation ran the
+    // greedy recursion as k sequential driver-coordinated rounds — each a
+    // left-anti join + a max(sim) agg over a |Q|·R² pairwise frame + an
+    // argmax join — plus two localCheckpoints to hold the shared frames.
+    // The pool is ≤ R rows per query by the rerank-budget contract, so the
+    // whole greedy belongs INSIDE a bounded per-group aggregate
+    // ([[graft.functions.MmrGreedy]]), which reproduces the exact pairwise
+    // sim doubles, Spark max semantics, and (score, id) argmax ordering of
+    // the round-loop (SimilaritySpec pins bit-exact equivalence; the q124
+    // oracle replays the rounds as unrolled CTEs, unchanged).
     val pool = Knn.searchAgg(queries, corpus, poolR, metric)
       .select(col("query_id"), explode(col("nn")).as("r"))
       .select(col("query_id"), col("r.id").as("id"),
         (lit(1.0) - col("r.dist")).as("rel"))
       .join(corpus.select(col("id"), col("vec")), Seq("id"))
-      .localCheckpoint(true)
-    val sims = pool.select(col("query_id"), col("id").as("sa"), col("vec").as("va"))
-      .join(pool.select(col("query_id"), col("id").as("sb"), col("vec").as("vb")),
-        Seq("query_id"))
-      .where(col("sa") =!= col("sb"))
-      .select(col("query_id"), col("sa"), col("sb"),
-        (lit(1.0) - graft.functions.dist.cos(col("va"), col("vb"))).as("sim"))
-      .localCheckpoint(true)
-    var selected = pool.groupBy(col("query_id"))
-      .agg(max_by(struct(col("id"), col("rel")),
-        struct(col("rel"), (-col("id")).as("ni"))).as("b"))
-      .select(col("query_id"), col("b.id").as("id"),
-        lit(1).as("pick"), col("b.rel").as("score"))
-    for (t <- 2 to k) {
-      val cand = pool.join(
-        selected.select(col("query_id"), col("id")), Seq("query_id", "id"), "left_anti")
-      val ms = sims
-        .join(selected.select(col("query_id"), col("id").as("sb")), Seq("query_id", "sb"))
-        .groupBy(col("query_id"), col("sa").as("id"))
-        .agg(max(col("sim")).as("ms"))
-      val next = cand.join(ms, Seq("query_id", "id"))
-        .withColumn("score",
-          lit(1.0 - lambda) * col("rel") - lit(lambda) * col("ms"))
-        .groupBy(col("query_id"))
-        .agg(max_by(struct(col("id"), col("score")),
-          struct(col("score"), (-col("id")).as("ni"))).as("b"))
-        .select(col("query_id"), col("b.id").as("id"),
-          lit(t).as("pick"), col("b.score").as("score"))
-      selected = selected.unionByName(next)
-    }
-    selected.select(col("query_id"), col("pick"), col("id"), col("score"))
+    pool.groupBy(col("query_id"))
+      .agg(graft.functions.MmrGreedy.mmrGreedy(
+        col("id"), col("rel"), col("vec"), k, lambda).as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.pick").as("pick"), col("p.id").as("id"),
+        col("p.score").as("score"))
   }
 
   /** Late-interaction (ColBERT-style) MaxSim retrieval over vector BAGS:

@@ -737,6 +737,31 @@ object Spann {
       k: Int,
       metric: String,
       idFilter: Option[DataFrame] = None): DataFrame = {
+    // FUSED probe (r16, guide §1.2/§2.4): when the posting scan is not
+    // partition-pruned (no head_bucket key — the in-memory/checkpointed
+    // index form) and no metadata filter applies, the whole stage-2 —
+    // probe + exact distance + replica-deduped bounded top-k — runs as ONE
+    // aggregate over the posting scan ([[graft.functions.SpannProbeTopK]]).
+    // The stage-1 candidates and the query batch ride inside the aggregate
+    // (both bounded by the batch-query contract), so no joined row is ever
+    // materialized and no per-row group-hash is paid. The bucketed
+    // (disk-resident) form keeps the join: dynamic partition pruning skips
+    // whole posting buckets there, which is worth more than the fusion at
+    // scale; the idFilter form keeps the join for the semi-join pushdown.
+    if (idFilter.isEmpty && joinKeys == Seq("head_id")) {
+      val (qids, qvecs) = graft.functions.BatchTopK.collectQueries(queries)
+      val pairs = cand.select(col("query_id").cast("long"), col("head_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (pHeads, pOff, pIdx) =
+        graft.functions.SpannProbeTopK.buildProbeIndex(pairs, qids)
+      val agged = postings
+        .agg(graft.functions.SpannProbeTopK.probeTopk(
+          col("head_id"), col("id"), col("vec"),
+          qids, qvecs, pHeads, pOff, pIdx, k, metric).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.nn").as("nn"))
+      return Knn.explodeRanked(agged)
+    }
     val probed = cand.join(postings, joinKeys)
     val kept = idFilter match {
       case Some(f) => probed.join(f.select(col("id")), Seq("id"), "left_semi")

@@ -68,6 +68,11 @@ object DedupStore {
       .partitionBy(col("band"), col("band_hash"))
     bands.withColumn("cnt", count(lit(1)).over(w))
       .withColumn("band_bucket", bandBucket(bandBuckets))
+      // cluster by the partition column before the partitioned write (guide
+      // §6, r16): the window's (band, band_hash) partitioning spreads one
+      // band_bucket across many tasks, so each task otherwise opens a file
+      // per bucket it touches; one exchange bounds files to ~one per bucket
+      .repartition(col("band_bucket"))
       .write.mode("overwrite").partitionBy("band_bucket")
       .parquet(s"$path/bands")
     import spark.implicits._

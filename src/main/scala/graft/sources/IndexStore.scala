@@ -95,7 +95,13 @@ object IndexStore {
       case Some(c) if !postings.columns.contains("codes") => postings.join(c, Seq("id"))
       case _ => postings // already coded (re-save of a loaded index)
     }
+    // cluster by the partition column before the partitioned write (guide
+    // §6, r16): without it every write task opens a file per head_bucket it
+    // touches (tasks × headBuckets tiny files); one hash exchange bounds the
+    // layout to ~one file per bucket at any scale — the write.distribution-
+    // mode=hash posture. Rows are unchanged.
     withBucket(postingRows, config.headBuckets)
+      .repartition(col("head_bucket"))
       .write.mode("overwrite")
       .partitionBy("head_bucket")
       .parquet(s"$dir/postings")

@@ -55,7 +55,14 @@ object ZOrderStore {
     require(prefixBits > 0 && prefixBits <= 2 * bits && prefixBits % 2 == 0,
       "prefixBits must be a positive even number of z-prefix bits")
     val (_, _, zbucket) = keyCols(col(xCol), col(yCol), bits, xStep, prefixBits)
+    // cluster by the partition column before the partitioned write (guide
+    // §6): without it every input task opens a file in every zbucket it
+    // touches — up to tasks × 2^prefixBits tiny files (8k+ observed at
+    // fixture scale; the q189 verify tail was mostly this write + the
+    // subsequent 256-partition listing). One hash exchange on zbucket
+    // bounds it to ~one file per bucket at any scale; rows are unchanged.
     df.withColumn("zbucket", zbucket)
+      .repartition(col("zbucket"))
       .write.mode("overwrite")
       .partitionBy("zbucket")
       .parquet(s"$path/rows")

@@ -162,7 +162,10 @@ class DedupSpec extends SparkSpec {
       Row(1L, Seq(5L, 99L, 0L, Dedup.M31 - 1L)),
       Row(2L, Seq.empty[Long]),
       Row(3L, Seq(null, 7L)),
-      Row(4L, Seq[Any](null, null)))
+      Row(4L, Seq[Any](null, null)),
+      // NULL input ARRAY (null-text doc): the lambda form yields an array of
+      // 16 NULL slots, not a NULL sig — r16 pins the expression to it
+      Row(5L, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r =>
         Row(r.get(0), r.get(1))), 2), schema)
@@ -176,6 +179,8 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
     assert(viaExpr === viaLambda)
     assert(viaExpr(2L).forall(_ == null) && viaExpr(4L).forall(_ == null))
+    assert(viaExpr(5L) != null && viaExpr(5L).size == 16 &&
+      viaExpr(5L).forall(_ == null), "NULL input array -> 16 NULL slots")
   }
 
   test("band-bucket skew guard: fixture results unchanged, hot buckets bounded") {

@@ -68,6 +68,31 @@ class DistKernelSpec extends AnyFunSuite {
     }
   }
 
+  for (dim <- Seq(DistKernel.AbandonMinDim, 40, 64)) {
+    test(s"updateAll dim=$dim L2 norm-reject ≡ unpruned (triangle-prune law)") {
+      // r16: the wide-dim L2 path may skip a (row, query) pair when
+      // (‖q‖−‖v‖)² strictly exceeds the buffer's worst — results must be
+      // identical to the unpruned scan, ties and duplicate norms included
+      val vs = mkVecs(80, dim, seed = dim * 13) ++
+        Array(Array.fill(dim)(0.0), Array.fill(dim)(5.0), Array.fill(dim)(5.0))
+      val qs = mkVecs(6, dim, seed = 11) ++ Array(Array.fill(dim)(5.0))
+      val flatQ = flatten(qs)
+      val qNorms = qs.map(sqNorm)
+      val sqrtQ = qNorms.map(math.sqrt)
+      val pruned = Array.fill(qs.length)(new TopKBuffer(7))
+      val plain = Array.fill(qs.length)(new TopKBuffer(7))
+      vs.zipWithIndex.foreach { case (v, i) =>
+        DistKernel.updateAll(v, flatQ, qNorms, dim, DistKernel.L2,
+          pruned, i.toLong, sqNorm(v), sqrtQ)
+        DistKernel.updateAll(v, flatQ, qNorms, dim, DistKernel.L2,
+          plain, i.toLong, sqNorm(v))
+      }
+      qs.indices.foreach { qi =>
+        assert(pruned(qi).sorted.toSeq === plain(qi).sorted.toSeq, s"query $qi")
+      }
+    }
+  }
+
   test("l2sq early-abandon keeps distance ties deterministic on id") {
     // many identical vectors -> every candidate hits dist == bound exactly;
     // abandon must NOT fire on equality or the smallest ids could be lost

@@ -80,10 +80,18 @@ class PlanSpec extends SparkSpec {
       s"meta filter not pushed below the topk aggregate:\n$p")
   }
 
-  test("SPANN stage-2 joins postings on head_id with broadcast candidates") {
+  test("SPANN stage-2 is the fused probe aggregate — one posting scan, no join fan-out") {
+    // r16 fusion: the unbucketed/unfiltered stage-2 runs as ONE
+    // spann_probe_topk aggregate over the posting scan (candidates + query
+    // batch ride inside it); no joined row is materialized, partials merge
+    // map-side. The bucketed (disk-resident) form keeps the DPP join —
+    // covered by the stored-index PlanSpec entries.
     val p = plan("q08_spann_search")
-    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("SortMergeJoin"), s"no equi-join on head_id:\n$p")
+    assert(p.contains("spann_probe_topk"), s"fused probe aggregate missing:\n$p")
+    assert(p.contains("partial_spann_probe_topk"),
+      s"probe aggregate must be partial (map-side) before the exchange:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), s"stage-2 should not join:\n$p")
   }
 
   test("optimizer rewrites window top-k to the bounded aggregate") {

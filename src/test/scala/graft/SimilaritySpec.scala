@@ -448,6 +448,56 @@ class SimilaritySpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("mmr aggregate ≡ the k-round dataframe-loop formulation, bit-exact") {
+    // r16: the greedy collapsed into MmrGreedy (one bounded aggregate pass);
+    // this pins it against the former round-loop form — same picks AND the
+    // same unrounded score doubles
+    val corpus = emb.where(col("id") >= 10).select("id", "vec")
+    val k = 5; val lambda = 0.5; val poolR = 20
+    val pool = graft.operators.Knn.searchAgg(queries, corpus, poolR, "cos")
+      .select(col("query_id"), explode(col("nn")).as("r"))
+      .select(col("query_id"), col("r.id").as("id"),
+        (lit(1.0) - col("r.dist")).as("rel"))
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .localCheckpoint(true)
+    val sims = pool.select(col("query_id"), col("id").as("sa"), col("vec").as("va"))
+      .join(pool.select(col("query_id"), col("id").as("sb"), col("vec").as("vb")),
+        Seq("query_id"))
+      .where(col("sa") =!= col("sb"))
+      .select(col("query_id"), col("sa"), col("sb"),
+        (lit(1.0) - graft.functions.dist.cos(col("va"), col("vb"))).as("sim"))
+      .localCheckpoint(true)
+    var selected = pool.groupBy(col("query_id"))
+      .agg(max_by(struct(col("id"), col("rel")),
+        struct(col("rel"), (-col("id")).as("ni"))).as("b"))
+      .select(col("query_id"), col("b.id").as("id"),
+        lit(1).as("pick"), col("b.rel").as("score"))
+    for (t <- 2 to k) {
+      val cand = pool.join(
+        selected.select(col("query_id"), col("id")), Seq("query_id", "id"), "left_anti")
+      val ms = sims
+        .join(selected.select(col("query_id"), col("id").as("sb")), Seq("query_id", "sb"))
+        .groupBy(col("query_id"), col("sa").as("id"))
+        .agg(max(col("sim")).as("ms"))
+      val next = cand.join(ms, Seq("query_id", "id"))
+        .withColumn("score",
+          lit(1.0 - lambda) * col("rel") - lit(lambda) * col("ms"))
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("id"), col("score")),
+          struct(col("score"), (-col("id")).as("ni"))).as("b"))
+        .select(col("query_id"), col("b.id").as("id"),
+          lit(t).as("pick"), col("b.score").as("score"))
+      selected = selected.unionByName(next)
+    }
+    val ref = selected.select(col("query_id"), col("pick"), col("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = SimilaritySearch.mmr(queries, corpus, k, lambda, poolR)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === ref)
+  }
+
   test("farthestPoints equals the brute greedy; radius non-increasing; early stop past n") {
     import spark.implicits._
     val emb2 = emb.select("id", "vec").where(col("id") < 60)

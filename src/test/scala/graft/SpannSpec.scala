@@ -23,6 +23,36 @@ class SpannSpec extends SparkSpec {
     assert(rec.getDouble(0) >= 0.9, s"avg recall ${rec.getDouble(0)}")
   }
 
+  test("fused stage-2 probe ≡ join-formulated stage-2, bit-exact (r16 fusion)") {
+    // r16: the unbucketed/unfiltered stage-2 runs as ONE SpannProbeTopK
+    // aggregate; this pins it against the former join+ObjectHashAggregate
+    // form — same rows, ranks AND the same distance doubles (4dp-rounded by
+    // the shared explodeRanked, so compare pre-round via the raw buffers:
+    // the public surface compares (query, rank, id, dist) exactly)
+    import graft.functions.TopKByDistance
+    for (metric <- Seq("l2sq", "cos")) {
+      val heads = Spann.selectHeadsModulo(corpus, 50)
+      val postings = Spann.buildPostings(corpus, heads, 4, metric = metric)
+      val fused = Spann.searchTwoStage(queries, heads, postings, 10, 8,
+        metric = metric, wideK = 24, closeRatio = 1.08)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // the former formulation, verbatim
+      val cand = Spann.candidateHeads(queries, heads, 8, metric = metric,
+        wideK = 24, closeRatio = 1.08)
+      val hits = cand.join(postings, Seq("head_id"))
+        .join(org.apache.spark.sql.functions.broadcast(queries), Seq("query_id"))
+        .withColumn("pdist",
+          graft.functions.dist.byName(metric)(col("qvec"), col("vec")))
+      val ref = Knn.explodeRanked(
+        hits.groupBy(col("query_id"))
+          .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), 10).as("nn")))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(fused === ref, s"metric $metric")
+    }
+  }
+
   test("postingAudit histogram: exact lengths, mass adds up to posting rows") {
     import spark.implicits._
     val heads = Spann.selectHeadsModulo(corpus, 50)
