@@ -59,8 +59,19 @@ object KnnGraph {
       vectors.select(col("id"), col("vec"),
         leafCode(col("vec"), t, planes, dims).as("leaf"))
     }
+    val shufflePartitions = vectors.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = perTree.map { leaves =>
+      // round-robin respread of the PROBE side (r16, guide §2.5): the leaf
+      // join broadcasts the corpus side and streams this one, so probe-task
+      // balance is whatever partitioning the source arrived with — and a
+      // caller's src-range filter (q117's `src <= 2000`) pushes below the
+      // join into an id-contiguous fixture layout, leaving every surviving
+      // probe row in 1-2 partitions and the whole Σ|leaf|² pair compute on
+      // as many cores (measured: stage wall 3.3 s vs runSum 9 s). The
+      // filter still pushes below this exchange; the exchange carries only
+      // the (already filtered) probe rows. Pair set and distances unchanged.
       val l = leaves.select(col("leaf"), col("id").as("src"), col("vec").as("svec"))
+        .repartition(shufflePartitions)
       val r = leaves.select(col("leaf"), col("id").as("dst"), col("vec").as("dvec"))
       l.join(r, Seq("leaf"))
         .where(col("src") =!= col("dst"))
@@ -264,20 +275,30 @@ object KnnGraph {
   def pageRank(edges: DataFrame, nodes: DataFrame, k: Int,
       iters: Int = 3, dampingPct: Int = 85): DataFrame = {
     val Scale = 1000000000000L
-    val n = nodes.agg(count(lit(1)).as("_n"))
     // k > 0: the k-out-regular fast path (every kNN graph) — the damping
     // divisor is a literal, no degree computation. k <= 0: irregular graphs
     // (e.g. an RNG-pruned B3 graph, whose prune leaves variable degree) pay
     // one out-degree aggregation, joined alongside the ranks; same exact
     // integer arithmetic with the divisor per-source
+    // r16 (per-iteration checkpoint cadence, the `hits` convention): the
+    // unrolled recursion otherwise re-plans AND re-executes the whole
+    // prefix each round — q117's 3-iteration plan was 147 nodes with the
+    // nodes-distinct and degree-join subtrees (2 SortMergeJoins + ~6
+    // Exchanges) repeated per iteration. Materializing the loop-invariant
+    // frames once and the rank frame per round keeps every round's plan
+    // flat and constant-size; the integer arithmetic — and so every rank —
+    // is unchanged.
+    val nodesCp = nodes.localCheckpoint(true)
+    val n = nodesCp.agg(count(lit(1)).as("_n"))
     val degreed =
       if (k > 0) edges.withColumn("_deg", lit(k.toLong))
       else edges.join(
         edges.groupBy(col("src")).agg(count(lit(1)).as("_deg")), Seq("src"))
+        .localCheckpoint(true)
     // teleport term and the initial uniform rank are per-row exact integer
     // expressions of the one-row count frame (broadcast), so nothing about
     // N is computed on the driver
-    var pr = nodes.crossJoin(broadcast(n))
+    var pr = nodesCp.crossJoin(broadcast(n))
       .select(col("id"), expr(s"${Scale}L div _n").as("pr"))
     for (_ <- 1 to iters) {
       val contrib = degreed
@@ -285,11 +306,12 @@ object KnnGraph {
         .select(col("dst"),
           expr(s"(pr * $dampingPct) div (100 * _deg)").as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
-      pr = nodes.crossJoin(broadcast(n))
+      pr = nodesCp.crossJoin(broadcast(n))
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (expr(s"${(100L - dampingPct) * Scale}L div (100 * _n)") +
             coalesce(col("_in"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
     }
     pr
   }
@@ -340,6 +362,9 @@ object KnnGraph {
             expr(s"${(100L - dampingPct) * Scale}L div (100 * _ns)"))
             .otherwise(lit(0L)) +
             coalesce(col("_in"), lit(0L))).as("pr"))
+        // per-round checkpoint (the `hits`/pageRank cadence, r16): flat
+        // constant-size round plans instead of an unrolled recursion
+        .localCheckpoint(true)
     }
     pr
   }

@@ -72,7 +72,9 @@ object DedupStore {
       // §6, r16): the window's (band, band_hash) partitioning spreads one
       // band_bucket across many tasks, so each task otherwise opens a file
       // per bucket it touches; one exchange bounds files to ~one per bucket
-      .repartition(col("band_bucket"))
+      // (count pinned to the bucket count — a bare repartition(col) lets
+      // AQE coalesce a small input to one serial write task)
+      .repartition(bandBuckets, col("band_bucket"))
       .write.mode("overwrite").partitionBy("band_bucket")
       .parquet(s"$path/bands")
     import spark.implicits._

@@ -97,11 +97,13 @@ object IndexStore {
     }
     // cluster by the partition column before the partitioned write (guide
     // §6, r16): without it every write task opens a file per head_bucket it
-    // touches (tasks × headBuckets tiny files); one hash exchange bounds the
-    // layout to ~one file per bucket at any scale — the write.distribution-
-    // mode=hash posture. Rows are unchanged.
+    // touches (tasks × headBuckets tiny files). Partition count pinned to
+    // the bucket count — a bare repartition(col) lets AQE coalesce a small
+    // input to one serial write task (see ZOrderStore.save); one task per
+    // bucket writes in parallel, ~one file per bucket at any scale — the
+    // write.distribution-mode=hash posture. Rows are unchanged.
     withBucket(postingRows, config.headBuckets)
-      .repartition(col("head_bucket"))
+      .repartition(config.headBuckets, col("head_bucket"))
       .write.mode("overwrite")
       .partitionBy("head_bucket")
       .parquet(s"$dir/postings")

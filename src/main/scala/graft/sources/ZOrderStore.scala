@@ -57,12 +57,14 @@ object ZOrderStore {
     val (_, _, zbucket) = keyCols(col(xCol), col(yCol), bits, xStep, prefixBits)
     // cluster by the partition column before the partitioned write (guide
     // §6): without it every input task opens a file in every zbucket it
-    // touches — up to tasks × 2^prefixBits tiny files (8k+ observed at
-    // fixture scale; the q189 verify tail was mostly this write + the
-    // subsequent 256-partition listing). One hash exchange on zbucket
-    // bounds it to ~one file per bucket at any scale; rows are unchanged.
+    // touches — up to tasks × 2^prefixBits tiny files. The partition count
+    // is pinned to the bucket count: a bare repartition(col) lets AQE
+    // coalesce a small input to ONE task that then writes every directory
+    // serially (measured 5.4 s single-task write at sf0.01); one task per
+    // bucket writes in parallel and yields ~one file per bucket at any
+    // scale. Rows are unchanged.
     df.withColumn("zbucket", zbucket)
-      .repartition(col("zbucket"))
+      .repartition(1 << prefixBits, col("zbucket"))
       .write.mode("overwrite")
       .partitionBy("zbucket")
       .parquet(s"$path/rows")
