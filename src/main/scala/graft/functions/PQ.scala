@@ -134,16 +134,19 @@ object PQ {
     LutCodesDistExpr(lut, codes)
 
   def adcSearch(queries: DataFrame, quantized: DataFrame, cb: Codebooks, k: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(cb)
-    val lutUdf = udf((q: Seq[Double]) => bc.value.adcLut(q))
-    val withLut = queries
-      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
-      .select(col("query_id"), col("_lut"))
-    val scored = quantized.crossJoin(broadcast(withLut))
-      .withColumn("dist", lutCodesDist(col("_lut"), col("codes")))
+    // ONE-scan aggregate form (r16, [[LutBatchTopK]]): the crossJoin form
+    // materialized a joined row per (query, vector) pair (30 M at the sf0.1
+    // scan) and paid a per-row group-hash; the per-query LUTs are the SAME
+    // doubles ([[Codebooks.adcLut]], the code the former per-query UDF ran),
+    // scored with the same left-to-right sum — results bit-identical.
+    val (qids, qvecs) = BatchTopK.collectQueries(queries)
+    val luts = qvecs.map(q =>
+      cb.adcLut(scala.collection.immutable.ArraySeq.unsafeWrapArray(q)))
     graft.operators.Knn.explodeRanked(
-      scored.groupBy(col("query_id"))
-        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+      quantized
+        .agg(LutBatchTopK.lutTopk(col("id"), col("codes"), qids, luts, k).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.nn").as("nn")))
   }
 
   /** SDC sub-tables (symmetric distance computation, the other half of Q11 —
@@ -195,14 +198,25 @@ object PQ {
       quantized: DataFrame,
       cb: Codebooks,
       k: Int): DataFrame = {
-    val scored = quantized
-      .crossJoin(broadcast(quantizedQueries.select(
-        col("query_id"), col("codes").as("qcodes"))))
-      .withColumn("dist",
-        sdcDistance(col("qcodes"), col("codes"), cb, quantized.sparkSession))
+    // ONE-scan aggregate form (r16): the per-query "LUT" is just the
+    // query-code row of each subspace's SDC table — the scoring sum then
+    // reads the very same table cells the per-pair UDF read, in the same
+    // order; results bit-identical.
+    val tables = sdcTables(cb)
+    val qRows = quantizedQueries.select(col("query_id"), col("codes"))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.getSeq[Int](1).toArray))
+      .sortBy(_._1)
+    val qids = qRows.map(_._1)
+    val luts = qRows.map { case (_, qc) =>
+      Array.tabulate(cb.m)(s => tables(s)(qc(s)))
+    }
     graft.operators.Knn.explodeRanked(
-      scored.groupBy(col("query_id"))
-        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+      quantized
+        .agg(LutBatchTopK.lutTopk(col("id"), col("codes"), qids, luts, k).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.nn").as("nn")))
   }
 
   /** OPQ-style rotated PQ (B13, `Common/OPQQuantizer.h:1-210`): the reference
@@ -422,42 +436,40 @@ object PQ {
     */
   def rvqSearch(queries: DataFrame, quantized: DataFrame, rvq: Rvq,
       k: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(rvq)
+    // ONE-scan aggregate form (r16, [[LutBatchTopK]]): same LUT doubles as
+    // the former per-query UDF (identical tabulate body), same per-pair sum
+    // as [[RvqLutDistExpr]] — results bit-identical, no (query, vector)
+    // joined rows.
     // actual codebook sizes: the deterministic init seeds from ids < k, so
     // fewer than k centers can exist (id spaces starting at 1 yield k−1) —
     // and per-subspace Lloyd can drop clusters non-uniformly, so BOTH the
     // LUT layout and the scoring stride are sized per subspace off the
     // arrays themselves (a uniform driver-side stride would read the wrong
     // cell, or out of bounds, the moment one subspace diverges)
-    val lutUdf = udf((q: Seq[Double]) => {
-      val r = bc.value; val c1 = r.cb1; val c2 = r.cb2
+    val c1 = rvq.cb1; val c2 = rvq.cb2
+    val (qids, qvecs) = BatchTopK.collectQueries(queries)
+    val luts = qvecs.map { q =>
       Array.tabulate(c1.m) { s =>
         val n1 = c1.centers(s).length; val n2 = c2.centers(s).length
         Array.tabulate(n1 * n2) { idx =>
           val a = idx / n2; val b = idx % n2
           var d = 0.0; var i = 0
           while (i < c1.dsub) {
-            val rec = c1.centers(s)(a)(i) + c2.centers(s)(b)(i) / r.residScale
+            val rec = c1.centers(s)(a)(i) + c2.centers(s)(b)(i) / rvq.residScale
             val x = q(s * c1.dsub + i) - rec
             d += x * x; i += 1
           }
           d
         }
       }
-    })
-    // per-subspace level-2 stride read off the codebooks at plan time — the
-    // same values the former Scala UDF read from the broadcast per pair; the
-    // expression form skips the boxed-Seq materialization per (query, vector)
-    val n2 = Array.tabulate(rvq.cb2.m)(s => rvq.cb2.centers(s).length)
-    val withLut = queries
-      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
-      .select(col("query_id"), col("_lut"))
-    val scored = quantized.crossJoin(broadcast(withLut))
-      .withColumn("dist",
-        RvqLutDistExpr(col("_lut"), col("codes1"), col("codes2"), n2))
+    }
+    val n2 = Array.tabulate(c2.m)(s => c2.centers(s).length)
     graft.operators.Knn.explodeRanked(
-      scored.groupBy(col("query_id"))
-        .agg(TopKByDistance.topk(col("id"), col("dist"), k).as("nn")))
+      quantized
+        .agg(LutBatchTopK.rvqTopk(col("id"), col("codes1"), col("codes2"),
+          qids, luts, n2, k).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.nn").as("nn")))
   }
 
   def reconstruct(quantized: DataFrame, cb: Codebooks): DataFrame =

@@ -95,6 +95,76 @@ class PQSpec extends SparkSpec {
     assert(viaSdc === viaAdc)
   }
 
+  test("LUT batch aggregate ≡ crossJoin+LUT-expression forms, bit-exact (r16)") {
+    // r16: adc/sdc/rvq search run as ONE LutBatchTopK aggregate; this pins
+    // each against the former crossJoin + per-pair-expression plan — same
+    // rows, ranks AND distance doubles
+    import graft.functions.{LutCodesDistExpr, RvqLutDistExpr, TopKByDistance}
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
+    val quant = PQ.quantize(corpus, cb).select(col("id"), col("codes")).cache()
+    // --- ADC ---
+    val adcGot = rows(PQ.adcSearch(queries, quant, cb, 10))
+    val bc = spark.sparkContext.broadcast(cb)
+    val lutUdf = udf((q: Seq[Double]) => bc.value.adcLut(q))
+    val withLut = queries
+      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val adcRef = rows(Knn.explodeRanked(
+      quant.crossJoin(bcast(withLut))
+        .withColumn("dist", LutCodesDistExpr(col("_lut"), col("codes")))
+        .groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), 10).as("nn"))))
+    assert(adcGot === adcRef, "adc")
+    // --- SDC ---
+    val qq = PQ.quantize(
+      queries.select(col("query_id").as("id"), col("qvec").as("vec")), cb)
+      .select(col("id").as("query_id"), col("codes"))
+    val sdcGot = rows(PQ.sdcSearch(qq, quant, cb, 10))
+    val sdcRef = rows(Knn.explodeRanked(
+      quant.crossJoin(bcast(qq.select(col("query_id"), col("codes").as("qcodes"))))
+        .withColumn("dist", PQ.sdcDistance(col("qcodes"), col("codes"), cb, spark))
+        .groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), 10).as("nn"))))
+    assert(sdcGot === sdcRef, "sdc")
+    // --- RVQ ---
+    val rvq = PQ.trainRvq(corpus, dim = 6, m = 3, k = 16, maxIter = 2)
+    val rq = PQ.quantizeRvq(corpus, rvq).cache()
+    val rvqGot = rows(PQ.rvqSearch(queries, rq, rvq, 10))
+    val bcR = spark.sparkContext.broadcast(rvq)
+    val rvqLutUdf = udf((q: Seq[Double]) => {
+      val r = bcR.value; val c1 = r.cb1; val c2 = r.cb2
+      Array.tabulate(c1.m) { s =>
+        val n1 = c1.centers(s).length; val n2 = c2.centers(s).length
+        Array.tabulate(n1 * n2) { idx =>
+          val a = idx / n2; val b = idx % n2
+          var d = 0.0; var i = 0
+          while (i < c1.dsub) {
+            val rec = c1.centers(s)(a)(i) + c2.centers(s)(b)(i) / r.residScale
+            val x = q(s * c1.dsub + i) - rec
+            d += x * x; i += 1
+          }
+          d
+        }
+      }
+    })
+    val n2 = Array.tabulate(rvq.cb2.m)(s => rvq.cb2.centers(s).length)
+    val withLutR = queries
+      .withColumn("_lut", rvqLutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val rvqRef = rows(Knn.explodeRanked(
+      rq.crossJoin(bcast(withLutR))
+        .withColumn("dist",
+          RvqLutDistExpr(col("_lut"), col("codes1"), col("codes2"), n2))
+        .groupBy(col("query_id"))
+        .agg(TopKByDistance.topk(col("id"), col("dist"), 10).as("nn"))))
+    assert(rvqGot === rvqRef, "rvq")
+  }
+
   test("ADC recall is high on clustered data (PQ's operating regime)") {
     import spark.implicits._
     // 10 tight 4-d blobs at c*100 ± small jitter; 16 centroids per 2-d
