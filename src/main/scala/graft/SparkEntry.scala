@@ -613,8 +613,14 @@ object SparkEntry {
       val p = Spann.buildPostings(corpus, h, Replicas)
       val cb = PQ.train(corpus, dim = 6, m = 3, k = 16, maxIter = 3)
       val ident = Array.tabulate(6, 6)((i, j) => if (i == j) 1.0 else 0.0)
-      val coded = p.select(col("head_id"), col("id"))
-        .join(PQ.quantize(corpus, cb).select(col("id"), col("codes")), Seq("id"))
+      // codes computed IN-ROW on the posting frame (r16): posting entries
+      // carry their member's vec, and pq_codes is a per-row function of it —
+      // the former quantize(corpus) ⋈_id join shuffled the full posting +
+      // code frames to attach values derivable in place (guide §2.4); same
+      // expression, bit-identical codes
+      val coded = p.select(col("head_id"), col("id"),
+        graft.functions.PqCodesExpr(col("vec").cast("array<double>"),
+          cb.centers, cb.dsub).as("codes"))
       ordered(Spann.searchTwoStageAdc(
         queries, h, coded, PQ.RotatedCodebooks(ident, cb), K, InternalK)
         .select(col("query_id"), col("rank"), col("id"),

@@ -180,6 +180,151 @@ case class SpannProbeTopK(
     copy(headId = newChildren(0), id = newChildren(1), vec = newChildren(2))
 }
 
+/** `spann_probe_lut_topk(head_id, id, codes)` — the COMPRESSED stage-2
+  * ([[SpannProbeTopK]]'s shape with ADC LUT scoring): each probed posting
+  * entry costs `m` table lookups against the probing query's LUT, exactly
+  * [[LutCodesDistExpr]]'s left-to-right sum over the same LUT doubles the
+  * former per-query UDF built; replica dedup rides in the distinct-id
+  * buffers. Same candidate CSR index and scale shape as the full-precision
+  * fusion.
+  */
+case class SpannProbeLutTopK(
+    headId: Expression,
+    id: Expression,
+    codes: Expression,
+    qids: Array[Long],
+    luts: Array[Array[Array[Double]]],
+    probeHeads: Array[Long],
+    probeOffsets: Array[Int],
+    probeQIdx: Array[Int],
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[TopKBuffer]] {
+
+  require(k > 0, s"spann_probe_lut_topk requires k > 0, got $k")
+  require(probeOffsets.length == probeHeads.length + 1)
+  require(qids.length == luts.length)
+
+  override def children: Seq[Expression] = Seq(headId, id, codes)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BatchTopK.resultType
+  override def prettyName: String = "spann_probe_lut_topk"
+
+  override def createAggregationBuffer(): Array[TopKBuffer] =
+    Array.fill(qids.length)(new TopKBuffer(k, distinct = true))
+
+  private def headSlot(h: Long): Int = {
+    var lo = 0
+    var hi = probeHeads.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = probeHeads(mid)
+      if (v < h) lo = mid + 1
+      else if (v > h) hi = mid - 1
+      else return mid
+    }
+    -1
+  }
+
+  override def update(bufs: Array[TopKBuffer], input: InternalRow): Array[TopKBuffer] = {
+    val hV = headId.eval(input)
+    if (hV != null) {
+      val slot = headSlot(hV.asInstanceOf[Long])
+      if (slot >= 0) {
+        val idV = id.eval(input)
+        val cV = codes.eval(input)
+        if (idV != null && cV != null) {
+          val rowId = idV.asInstanceOf[Long]
+          val c = cV.asInstanceOf[ArrayData]
+          val m = c.numElements()
+          var p = probeOffsets(slot)
+          val end = probeOffsets(slot + 1)
+          while (p < end) {
+            val qi = probeQIdx(p)
+            val lut = luts(qi)
+            var total = 0.0
+            var s = 0
+            while (s < m) { total += lut(s)(c.getInt(s)); s += 1 }
+            val buf = bufs(qi)
+            if (buf.wouldAccept(total)) buf.insert(total, rowId)
+            p += 1
+          }
+        }
+      }
+    }
+    bufs
+  }
+
+  override def merge(bufs: Array[TopKBuffer], other: Array[TopKBuffer]): Array[TopKBuffer] = {
+    var qi = 0
+    while (qi < bufs.length) {
+      val o = other(qi)
+      var i = 0
+      while (i < o.size) { bufs(qi).insert(o.dists(i), o.ids(i)); i += 1 }
+      qi += 1
+    }
+    bufs
+  }
+
+  override def eval(bufs: Array[TopKBuffer]): Any =
+    new GenericArrayData(Array.tabulate(bufs.length) { qi =>
+      val nn = bufs(qi).sorted.map { case (id, d) => InternalRow(id, d) }
+      InternalRow(qids(qi), new GenericArrayData(nn))
+    })
+
+  override def serialize(bufs: Array[TopKBuffer]): Array[Byte] = {
+    var sz = 8
+    bufs.foreach(b => sz += 4 + b.size * 16)
+    val bb = ByteBuffer.allocate(sz)
+    bb.putInt(k).putInt(bufs.length)
+    bufs.foreach { b =>
+      bb.putInt(b.size)
+      var i = 0
+      while (i < b.size) { bb.putDouble(b.dists(i)).putLong(b.ids(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[TopKBuffer] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt()
+    val nq = bb.getInt()
+    Array.fill(nq) {
+      val buf = new TopKBuffer(kk, distinct = true)
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) { buf.insert(bb.getDouble(), bb.getLong()); i += 1 }
+      buf
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpannProbeLutTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpannProbeLutTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(headId = newChildren(0), id = newChildren(1), codes = newChildren(2))
+}
+
+object SpannProbeLutTopK {
+  def probeLutTopk(
+      headId: Column,
+      id: Column,
+      codes: Column,
+      qids: Array[Long],
+      luts: Array[Array[Array[Double]]],
+      probeHeads: Array[Long],
+      probeOffsets: Array[Int],
+      probeQIdx: Array[Int],
+      k: Int): Column =
+    ColumnShim.column(
+      SpannProbeLutTopK(ColumnShim.expression(headId), ColumnShim.expression(id),
+        ColumnShim.expression(codes), qids, luts, probeHeads, probeOffsets,
+        probeQIdx, k).toAggregateExpression())
+}
+
 object SpannProbeTopK {
 
   /** Build the head→probing-queries CSR index from collected stage-1

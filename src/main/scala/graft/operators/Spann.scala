@@ -845,6 +845,29 @@ object Spann {
       rcb: graft.functions.PQ.RotatedCodebooks,
       k: Int,
       idFilter: Option[DataFrame] = None): DataFrame = {
+    // FUSED compressed probe (r16, the [[stage2]] fusion with LUT scoring):
+    // unbucketed + unfiltered stage-2 runs as ONE aggregate over the coded
+    // posting scan ([[graft.functions.SpannProbeLutTopK]]); the LUTs are
+    // built by the same adcLut/rotate code the per-query UDF ran, scored
+    // with the same left-to-right sum — bit-identical (SpannSpec pins it).
+    // Bucketed form keeps the DPP join; idFilter keeps the semi-join.
+    if (idFilter.isEmpty && joinKeys == Seq("head_id")) {
+      val (qids, qvecs) = graft.functions.BatchTopK.collectQueries(queries)
+      val luts = qvecs.map(q => rcb.cb.adcLut(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          rcb.rotate(scala.collection.immutable.ArraySeq.unsafeWrapArray(q)))))
+      val pairs = cand.select(col("query_id").cast("long"), col("head_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (pHeads, pOff, pIdx) =
+        graft.functions.SpannProbeTopK.buildProbeIndex(pairs, qids)
+      val agged = codedPostings
+        .agg(graft.functions.SpannProbeLutTopK.probeLutTopk(
+          col("head_id"), col("id"), col("codes"),
+          qids, luts, pHeads, pOff, pIdx, k).as("per_q"))
+        .select(explode(col("per_q")).as("r"))
+        .select(col("r.query_id").as("query_id"), col("r.nn").as("nn"))
+      return Knn.explodeRanked(agged)
+    }
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(rcb)
     val lutUdf = udf((q: Seq[Double]) => bc.value.cb.adcLut(

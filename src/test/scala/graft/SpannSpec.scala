@@ -53,6 +53,40 @@ class SpannSpec extends SparkSpec {
     }
   }
 
+  test("fused ADC stage-2 ≡ join-formulated compressed stage-2, bit-exact (r16)") {
+    import graft.functions.{PQ, TopKByDistance}
+    val heads = Spann.selectHeadsModulo(corpus, 50)
+    val postings = Spann.buildPostings(corpus, heads, 4)
+    val cb = PQ.train(corpus.select(col("id"), col("vec")), dim = 6, m = 3,
+      k = 16, maxIter = 2)
+    val ident = Array.tabulate(6, 6)((i, j) => if (i == j) 1.0 else 0.0)
+    val rcb = PQ.RotatedCodebooks(ident, cb)
+    val coded = postings.select(col("head_id"), col("id"))
+      .join(PQ.quantize(corpus.select(col("id"), col("vec")), cb)
+        .select(col("id"), col("codes")), Seq("id"))
+    val fused = Spann.searchTwoStageAdc(queries, heads, coded, rcb, 10, 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // the former join formulation, verbatim
+    val bc = spark.sparkContext.broadcast(rcb)
+    val lutUdf = udf((q: Seq[Double]) => bc.value.cb.adcLut(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bc.value.rotate(q))))
+    val withLut = queries
+      .withColumn("_lut", lutUdf(col("qvec").cast("array<double>")))
+      .select(col("query_id"), col("_lut"))
+    val cand = Spann.candidateHeads(queries, heads, 8)
+    val hits = cand.join(coded, Seq("head_id"))
+      .join(org.apache.spark.sql.functions.broadcast(withLut), Seq("query_id"))
+      .withColumn("pdist",
+        graft.functions.LutCodesDistExpr(col("_lut"), col("codes")))
+    val ref = Knn.explodeRanked(
+      hits.groupBy(col("query_id"))
+        .agg(TopKByDistance.topkDistinct(col("id"), col("pdist"), 10).as("nn")))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fused === ref)
+  }
+
   test("postingAudit histogram: exact lengths, mass adds up to posting rows") {
     import spark.implicits._
     val heads = Spann.selectHeadsModulo(corpus, 50)
