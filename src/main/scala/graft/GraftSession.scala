@@ -33,8 +33,8 @@ object GraftSession {
     *    are unaffected by the rule, so keep it off.
     *  - timeZone/nanosAsLong: the testdata contract.
     */
-  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.master(s"local[$cpus]")
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val base = b.master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,6 +43,16 @@ object GraftSession {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
+    // scale-dependent AQE knob, parameterised per the driver contract
+    // (VERDICT r15 item 5): parallelismFirst=true (the Spark default) keeps
+    // post-shuffle partitions at the parallelism floor; false lets AQE
+    // coalesce to advisory size — fewer, larger tasks. Local default is the
+    // Spark default so the driver's bench stays comparable; the env knob
+    // exists for the A/B protocol and for deployments that decide otherwise
+    // (adjudication table in OPTIMIZATION_r16.md / BASELINE.md).
+    sys.env.get("SPARK_GRAFT_PARALLELISM_FIRST").fold(base)(v =>
+      base.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", v))
+  }
 
   /** Standard session for a runner: `$SPARK_GRAFT_CPUS` cores (default as
     * given), shared conf set, WARN logs.
